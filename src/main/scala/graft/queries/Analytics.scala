@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / grouping-set / set-operation / event-stream queries — the rest
+  * of the delegated operator surface from SURVEY.md §2.B (windows, rollup,
+  * intersect/except, json scalar functions, sessionization). Oracle-parity
+  * conventions are the same as [[Tpch]].
+  */
+object Analytics {
+  import Tables.t
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("w_nation_revenue_rank", (s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+      val l = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val base = c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      val w = Window.partitionBy("r_name").orderBy(col("revenue").desc, col("n_name"))
+      base
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .orderBy("r_name", "rn")
+    }, """
+      SELECT r_name, n_name, revenue,
+        rank()       OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS rnk,
+        dense_rank() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS drnk,
+        row_number() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS rn
+      FROM (
+        SELECT r_name, n_name,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name)
+      ORDER BY r_name, rn
+    """),
+
+    ("w_running_monthly_revenue", (s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val monthly = o.join(c, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("monthly_rev"))
+      val w = Window.partitionBy("c_mktsegment").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("running_rev", round(sum(col("monthly_rev")).over(w), 2))
+        .orderBy("c_mktsegment", "month")
+    }, """
+      SELECT c_mktsegment, month, monthly_rev,
+        round(sum(monthly_rev) OVER (PARTITION BY c_mktsegment ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      FROM (
+        SELECT c_mktsegment, date_trunc('month', o_orderdate) AS month,
+          round(sum(o_totalprice), 2) AS monthly_rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2)
+      ORDER BY c_mktsegment, month
+    """),
+
+    ("w_mom_growth", (s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      val monthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .withColumn("growth", round(col("rev") - col("prev_rev"), 2))
+        .orderBy("month")
+    }, """
+      SELECT month, rev,
+        lag(rev, 1) OVER (ORDER BY month) AS prev_rev,
+        round(rev - lag(rev, 1) OVER (ORDER BY month), 2) AS growth
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1)
+      ORDER BY month
+    """),
+
+    ("rollup_sales", (s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      o.select(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"),
+          col("o_totalprice"))
+        .rollup("yr", "qtr")
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("yr")).cast("int").as("g_yr"),
+          grouping(col("qtr")).cast("int").as("g_qtr"))
+        .orderBy(col("g_yr"), col("g_qtr"), col("yr").asc_nulls_first,
+          col("qtr").asc_nulls_first)
+    }, """
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        round(sum(o_totalprice), 2) AS total,
+        count(*) AS n_orders,
+        CAST(grouping(year(o_orderdate)) AS INT) AS g_yr,
+        CAST(grouping(quarter(o_orderdate)) AS INT) AS g_qtr
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate))
+      ORDER BY g_yr, g_qtr, yr NULLS FIRST, qtr NULLS FIRST
+    """),
+
+    ("cube_priority_status", (s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      o.cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+        .orderBy(col("g_st"), col("g_pr"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }, """
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n,
+        round(avg(o_totalprice), 4) AS avg_price,
+        CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        CAST(grouping(o_orderpriority) AS INT) AS g_pr
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """),
+
+    ("setop_customer_cohorts", (s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      def custsIn(yr: Int): DataFrame = o
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      val both = custsIn(1996).intersect(custsIn(1997))
+        .agg(count(lit(1)).as("n")).withColumn("cohort", lit("both"))
+      val only96 = custsIn(1996).except(custsIn(1997))
+        .agg(count(lit(1)).as("n")).withColumn("cohort", lit("only_1996"))
+      val only97 = custsIn(1997).except(custsIn(1996))
+        .agg(count(lit(1)).as("n")).withColumn("cohort", lit("only_1997"))
+      both.union(only96).union(only97).select("cohort", "n").orderBy("cohort")
+    }, """
+      WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+           c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)
+      UNION ALL
+      SELECT 'only_1996', count(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)
+      UNION ALL
+      SELECT 'only_1997', count(*) FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c96)
+      ORDER BY cohort
+    """),
+
+    ("ev_hourly_rollup", (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("hour", "event_type")
+    }, """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        count(*) AS n,
+        round(sum(value), 2) AS sum_value,
+        round(avg(value), 4) AS avg_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """),
+
+    ("ev_json_buckets", (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("bucket")
+    }, """
+      SELECT k % 10 AS bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      GROUP BY 1
+      ORDER BY 1
+    """),
+
+    ("ev_user_sessions", (s: SparkSession, dir: String) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }, """
+      SELECT user_id,
+        CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        count(*) AS n_events
+      FROM (
+        SELECT user_id, event_id,
+          CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events))
+      GROUP BY user_id
+      ORDER BY user_id
+    """),
+
+    ("ev_top_users_by_type", (s: SparkSession, dir: String) => {
+      val e = t(s, dir, "events")
+      val perUser = e.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("total_value").desc, col("user_id"))
+      perUser.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_type", "user_id", "n", "total_value", "rn")
+        .orderBy("event_type", "rn")
+    }, """
+      SELECT event_type, user_id, n, total_value, rn
+      FROM (
+        SELECT event_type, user_id, n, total_value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, total_value DESC, user_id) AS rn
+        FROM (
+          SELECT event_type, user_id, count(*) AS n,
+            round(sum(value), 2) AS total_value
+          FROM events GROUP BY 1, 2))
+      WHERE rn <= 3
+      ORDER BY event_type, rn
+    """)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracle: Map[String, String] =
+    defs.map { case (n, _, o) => n -> o.stripMargin.trim.replaceAll("\\s+", " ") }.toMap
+}
