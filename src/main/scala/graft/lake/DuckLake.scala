@@ -1,0 +1,362 @@
+package graft.lake
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DuckLake-on-Spark session façade: a lakehouse whose metadata lives in
+  * an embedded SQL catalog ([[MetadataStore]], Derby) and whose data lives
+  * in Parquet files — queryable and writable through Spark SQL, with
+  * Catalyst in the role DataFusion plays for the reference
+  * (reference: src/lib.rs:1-36).
+  *
+  * Scale notes (100 TB mindset): the only driver-side state is catalog
+  * metadata (file lists, column defs) — O(files), never O(rows). Scans are
+  * ordinary multi-file parquet reads, so Catalyst's predicate pushdown,
+  * column pruning and partition coalescing all apply; merge-on-read
+  * deletes become per-file `row_index` anti-joins whose delete side is
+  * bounded by delete counts and broadcast by Catalyst.
+  */
+final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPath: String) {
+
+  val store = new MetadataStore(metaDbPath)
+  store.setMetadata("data_path", dataPath)
+  private val hconf = spark.sparkContext.hadoopConfiguration
+
+  /** Pin a snapshot for whole-query consistency (reference:
+    * src/catalog.rs:31-64); None = latest at call time.
+    */
+  def currentSnapshot: Long = store.currentSnapshot
+
+  // ------------------------------------------------------------------
+  // Write path (reference: A12-A15, src/table_writer.rs + insert_exec.rs)
+  // ------------------------------------------------------------------
+
+  private def parse(name: String): (String, String) = name.split('.') match {
+    case Array(s, t) => (s, t)
+    case Array(t)    => ("main", t)
+    case _           => throw new InvalidConfigException(s"bad table name: $name")
+  }
+
+  /** Create-table-as-select (reference: A3 `SchemaProvider::register_table`,
+    * src/schema.rs:176-224). Replace semantics if the table exists.
+    */
+  def createTableAs(df: DataFrame, name: String): Long =
+    write(df, name, WriteMode.Replace)
+
+  /** INSERT INTO …: append or replace (reference: A12/A15). */
+  def insertInto(df: DataFrame, name: String, mode: WriteMode.Value = WriteMode.Append): Long =
+    write(df, name, mode)
+
+  private def write(df: DataFrame, name: String, mode: WriteMode.Value): Long = {
+    val (schemaName, tableName) = parse(name)
+    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+    }.toSeq
+    val tableDir = s"$dataPath/$schemaName/$tableName"
+    val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
+    val fs = FileSystem.get(new java.net.URI(staging), hconf)
+    df.write.mode("overwrite").parquet(staging)
+    try {
+      fs.mkdirs(new Path(tableDir))
+      val parts = fs.listStatus(new Path(staging))
+        .filter(f => f.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      val files = parts.map { part =>
+        val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
+        val dest = new Path(s"$tableDir/$fileName")
+        if (!fs.rename(part.getPath, dest))
+          throw new InternalException(s"rename failed: ${part.getPath} -> $dest")
+        val st = fs.getFileStatus(dest)
+        FileToRegister(fileName, rowCount(dest), st.getLen, footerSize(fs, dest, st.getLen))
+      }.toSeq
+      store.commitWrite(schemaName, tableName, cols, mode, files)
+    } finally fs.delete(new Path(staging), true)
+  }
+
+  /** Parquet footer size from the file tail: 4-byte little-endian footer
+    * length at [len-8, len-4) before the "PAR1" magic (port of reference
+    * src/table_writer.rs:319-338).
+    */
+  private def footerSize(fs: FileSystem, p: Path, len: Long): Long = {
+    val in = fs.open(p)
+    try {
+      in.seek(len - 8)
+      val b = new Array[Byte](8)
+      in.readFully(b)
+      if (!(b(4) == 'P' && b(5) == 'A' && b(6) == 'R' && b(7) == '1'))
+        throw new InternalException(s"not a parquet file: $p")
+      val footerLen = (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+      footerLen + 8 // include length+magic, as the reference hint does
+    } finally in.close()
+  }
+
+  private def rowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Read path (reference: A4 table scan planner, src/table.rs:369-653)
+  // ------------------------------------------------------------------
+
+  private def resolveTable(name: String, snap: Long): TableRec = {
+    val (schemaName, tableName) = parse(name)
+    val schema = store.getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    store.getTableByName(schema.schemaId, tableName, snap)
+      .getOrElse(throw new TableNotFoundException(name))
+  }
+
+  private def tableDirOf(name: String): String = {
+    val (s0, t0) = parse(name); s"$dataPath/$s0/$t0"
+  }
+
+  private def filePath(name: String, f: String): String = s"${tableDirOf(name)}/$f"
+
+  private def sparkSchemaOf(cols: Seq[ColumnDef]): StructType =
+    StructType(cols.map(c => StructField(c.name, TypeBridge.toSpark(c.dtype), c.nullsAllowed)))
+
+  /** Snapshot-pinned scan. Files without deletes and with identical
+    * physical-schema epochs batch into one multi-file parquet read (plan
+    * shape parity with reference src/table.rs:611-649); files with delete
+    * files get a per-file `_metadata.row_index` anti-join (replaces the
+    * reference's custom DeleteFilterExec, src/delete_filter.rs).
+    */
+  def table(name: String, snapshot: Option[Long] = None): DataFrame = {
+    val snap = snapshot.getOrElse(store.currentSnapshot)
+    val tr = resolveTable(name, snap)
+    val cols = store.getTableColumns(tr.tableId, snap)
+    if (cols.isEmpty) throw new TableNotFoundException(s"$name (no columns at snapshot $snap)")
+    val outSchema = sparkSchemaOf(cols)
+    val files = store.getDataFiles(tr.tableId, snap)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+
+    // physical column defs per file epoch: what each column was named/typed
+    // when the file was written (column_id ≙ parquet field_id)
+    def epochOf(f: DataFileRec): Seq[(ColumnDef, Option[ColumnDef])] =
+      cols.map(c => c -> store.getColumnDefAt(tr.tableId, c.columnId, f.beginSnapshot))
+
+    def readGroup(paths: Seq[String], epoch: Seq[(ColumnDef, Option[ColumnDef])],
+        withPos: Boolean): DataFrame = {
+      val physSchema = StructType(epoch.flatMap { case (_, phys) =>
+        phys.map(p => StructField(p.name, TypeBridge.toSpark(p.dtype), nullable = true))
+      })
+      val base = spark.read.schema(physSchema).parquet(paths: _*)
+      val projection = epoch.map {
+        case (cur, Some(phys)) =>
+          col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
+        case (cur, None) => // column added after this file was written
+          lit(null).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
+      }
+      if (withPos) base.select(projection :+ col("_metadata.row_index").as("__ducklake_pos"): _*)
+      else base.select(projection: _*)
+    }
+
+    val (withDel, clean) = files.partition(_.deleteFile.isDefined)
+    val cleanScans = clean.groupBy(epochOf).map { case (epoch, fs) =>
+      readGroup(fs.map(f => filePath(name, f.path)), epoch, withPos = false)
+    }.toSeq
+    val delScans = withDel.map { f =>
+      val del = f.deleteFile.get
+      val positions = spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType), StructField("pos", LongType))))
+        .parquet(filePath(name, del.path))
+        .select(col("pos"))
+      readGroup(Seq(filePath(name, f.path)), epochOf(f), withPos = true)
+        .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
+        .drop("__ducklake_pos")
+    }
+    (cleanScans ++ delScans).reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // Merge-on-read deletes (write helper; reference tests generate these
+  // via DuckDB — tests/common/mod.rs:86-121)
+  // ------------------------------------------------------------------
+
+  /** Delete rows matching `cond`: for each data file, compute the file-local
+    * positions of matching rows, merge with previously deleted positions,
+    * and register one cumulative positional delete file (Iceberg-style
+    * schema `(file_path, pos)`, reference src/table.rs:51-52).
+    */
+  def deleteWhere(name: String, cond: Column): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val cols = store.getTableColumns(tr.tableId, snap)
+    val files = store.getDataFiles(tr.tableId, snap)
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    val deletes = files.flatMap { f =>
+      val path = filePath(name, f.path)
+      val physSchema = sparkSchemaOf(cols)
+      val matched = spark.read.schema(physSchema).parquet(path)
+        .select(col("_metadata.row_index").as("pos"), cond.as("__m"))
+        .filter(col("__m")).select("pos")
+        .collect().map(_.getLong(0)).toSet
+      val previous: Set[Long] = f.deleteFile match {
+        case Some(d) => spark.read.parquet(filePath(name, d.path))
+          .select("pos").collect().map(_.getLong(0)).toSet
+        case None => Set.empty
+      }
+      val all = (matched ++ previous).toSeq.sorted
+      if (matched.diff(previous).isEmpty) None
+      else {
+        val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
+        val delDir = s"${tableDirOf(name)}/deletes-${UUID.randomUUID()}"
+        import spark.implicits._
+        all.map(p => (path, p)).toDF("file_path", "pos")
+          .coalesce(1).write.parquet(delDir)
+        val part = fs.listStatus(new Path(delDir))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        fs.rename(part, new Path(s"${tableDirOf(name)}/$delName"))
+        fs.delete(new Path(delDir), true)
+        Some(f.dataFileId -> FileToRegister(delName, all.size.toLong, 0L, 0L))
+      }
+    }
+    if (deletes.isEmpty) snap else store.commitDeletes(tr.tableId, deletes)
+  }
+
+  def renameColumn(name: String, oldName: String, newName: String): Long =
+    store.renameColumn(resolveTable(name, store.currentSnapshot).tableId, oldName, newName)
+
+  def dropColumn(name: String, colName: String): Long =
+    store.dropColumn(resolveTable(name, store.currentSnapshot).tableId, colName)
+
+  // ------------------------------------------------------------------
+  // CDC (reference: A20-A22, src/table_changes.rs + table_deletions.rs)
+  // ------------------------------------------------------------------
+
+  /** Rows inserted in snapshot range (from, to]: each data file added in
+    * the range, extended with `snapshot_id` and `change_type='insert'`
+    * (reference: src/table_changes.rs:283-605 — `withColumn(lit)` replaces
+    * the custom AppendCDCColumnsExec).
+    */
+  def tableChanges(name: String, from: Long, to: Long): DataFrame = {
+    if (from > to) throw new InvalidSnapshotException(s"start $from > end $to")
+    val tr = resolveTable(name, to)
+    val cols = store.getTableColumns(tr.tableId, to)
+    val outSchema = sparkSchemaOf(cols)
+      .add("snapshot_id", LongType, nullable = false)
+      .add("change_type", StringType, nullable = false)
+    val files = store.getDataFilesAddedBetween(tr.tableId, from, to)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    files.map { f =>
+      spark.read.schema(sparkSchemaOf(cols)).parquet(filePath(name, f.path))
+        .withColumn("snapshot_id", lit(f.beginSnapshot))
+        .withColumn("change_type", lit("insert"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Rows deleted in snapshot range (from, to]: per delete file, position
+    * delta vs the previous delete file (full-file deletes = all positions),
+    * semi-joined back onto the data file (reference:
+    * src/table_deletions.rs:59-664; delta :545-554, full-file :498-513).
+    */
+  def tableDeletions(name: String, from: Long, to: Long): DataFrame = {
+    if (from > to) throw new InvalidSnapshotException(s"start $from > end $to")
+    val tr = resolveTable(name, to)
+    val cols = store.getTableColumns(tr.tableId, to)
+    val outSchema = sparkSchemaOf(cols)
+      .add("snapshot_id", LongType, nullable = false)
+      .add("change_type", StringType, nullable = false)
+    val entries = store.getDeleteFilesAddedBetween(tr.tableId, from, to)
+    if (entries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    entries.map { case (delOpt, prevOpt, dataFile) =>
+      val current: DataFrame = delOpt match {
+        case Some(d) => spark.read.parquet(filePath(name, d.path)).select("pos")
+        case None => // full-file delete (Replace): every position
+          spark.range(dataFile.recordCount).select(col("id").as("pos"))
+      }
+      val delta = prevOpt match {
+        case Some(p) =>
+          current.except(spark.read.parquet(filePath(name, p.path)).select("pos"))
+        case None => current
+      }
+      val snapId = delOpt.map(_.beginSnapshot).getOrElse {
+        // end_snapshot of the replaced file: by construction in range
+        store.getDataFileById(tr.tableId, dataFile.dataFileId); to
+      }
+      spark.read.schema(sparkSchemaOf(cols)).parquet(filePath(name, dataFile.path))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(delta), col("__pos") === col("pos"), "left_semi")
+        .drop("__pos")
+        .withColumn("snapshot_id", lit(snapId))
+        .withColumn("change_type", lit("delete"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // information_schema + UDTF equivalents (reference: A16-A19,
+  // src/information_schema.rs, src/table_functions.rs)
+  // ------------------------------------------------------------------
+
+  def snapshotsDF: DataFrame = {
+    import spark.implicits._
+    store.snapshots.map { case (id, ts) => (id, ts.toLocalDateTime) }
+      .toDF("snapshot_id", "snapshot_time")
+  }
+
+  def listFilesDF: DataFrame = {
+    import spark.implicits._
+    val snap = store.currentSnapshot
+    val rows = for {
+      sch <- store.listSchemas(snap)
+      tbl <- store.listTables(sch.schemaId, snap)
+      f <- store.getDataFiles(tbl.tableId, snap)
+    } yield (sch.name, tbl.name, f.path, f.recordCount, f.fileSizeBytes, f.footerSize,
+      f.beginSnapshot, f.deleteFile.map(_.path))
+    rows.toDF("schema_name", "table_name", "path", "record_count",
+      "file_size_bytes", "footer_size", "begin_snapshot", "delete_file_path")
+  }
+
+  def tableInfoDF: DataFrame = {
+    import spark.implicits._
+    val snap = store.currentSnapshot
+    val rows = for {
+      sch <- store.listSchemas(snap)
+      tbl <- store.listTables(sch.schemaId, snap)
+    } yield {
+      val files = store.getDataFiles(tbl.tableId, snap)
+      val deletes = files.flatMap(_.deleteFile)
+      (sch.name, tbl.name, tbl.tableId, files.size.toLong,
+        files.map(_.fileSizeBytes).sum, files.map(_.recordCount).sum,
+        deletes.size.toLong, deletes.map(_.recordCount).sum)
+    }
+    rows.toDF("schema_name", "table_name", "table_id", "file_count",
+      "file_size_bytes", "record_count", "delete_file_count", "delete_count")
+  }
+
+  def informationSchema(which: String): DataFrame = {
+    import spark.implicits._
+    val snap = store.currentSnapshot
+    which match {
+      case "snapshots" => snapshotsDF
+      case "schemata" =>
+        store.listSchemas(snap).map(s => (s.schemaId, s.name, s.path))
+          .toDF("schema_id", "schema_name", "path")
+      case "tables" =>
+        (for {
+          sch <- store.listSchemas(snap); tbl <- store.listTables(sch.schemaId, snap)
+        } yield (tbl.tableId, sch.schemaId, sch.name, tbl.name, tbl.path))
+          .toDF("table_id", "schema_id", "schema_name", "table_name", "path")
+      case "columns" =>
+        (for {
+          sch <- store.listSchemas(snap); tbl <- store.listTables(sch.schemaId, snap)
+          c <- store.getTableColumns(tbl.tableId, snap)
+        } yield (sch.name, tbl.name, c.columnId, c.order, c.name, c.dtype, c.nullsAllowed))
+          .toDF("schema_name", "table_name", "column_id", "column_order",
+            "column_name", "column_type", "nulls_allowed")
+      case "table_info" => tableInfoDF
+      case "files" => listFilesDF
+      case other => throw new UnsupportedException(s"information_schema.$other")
+    }
+  }
+
+  def close(): Unit = store.close()
+}

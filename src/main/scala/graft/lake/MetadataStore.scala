@@ -1,0 +1,447 @@
+package graft.lake
+
+import java.sql.{Connection, DriverManager, ResultSet}
+
+/** Catalog records (reference: src/metadata_provider.rs:413-503). */
+final case class SchemaRec(schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
+final case class TableRec(tableId: Long, schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
+final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean)
+final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
+    recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
+    deleteFile: Option[DeleteFileRec])
+final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: String,
+    pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long)
+final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long, footerSize: Long)
+
+object WriteMode extends Enumeration { val Append, Replace = Value }
+
+/** Embedded-Derby implementation of the DuckLake metadata catalog: the 7
+  * `ducklake_*` tables with `begin_snapshot`/`end_snapshot` validity
+  * intervals and a transactional write path. Role-equivalent of the
+  * reference's SQLite/DuckDB embedded backends (reference:
+  * src/metadata_provider.rs:5-73 SQL constants & trait :544-619;
+  * src/metadata_writer_sqlite.rs:331-511 write transaction).
+  *
+  * Visibility predicate everywhere:
+  * `begin_snapshot <= snap AND (end_snapshot IS NULL OR end_snapshot > snap)`.
+  *
+  * Derby is single-process embedded; writes serialize on this object's
+  * monitor (matches the reference's SQLite-backend semantics,
+  * SURVEY.md §7.4).
+  */
+final class MetadataStore(dbPath: String) extends AutoCloseable {
+
+  private val conn: Connection = {
+    val c = DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
+    c.setAutoCommit(true)
+    c
+  }
+
+  bootstrap()
+
+  private def bootstrap(): Unit = synchronized {
+    val existing = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_SNAPSHOT", null)
+      try rs.next() finally rs.close()
+    }
+    if (!existing) {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE ducklake_snapshot(
+            |  snapshot_id BIGINT PRIMARY KEY,
+            |  snapshot_time TIMESTAMP NOT NULL)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_schema(
+            |  schema_id BIGINT NOT NULL,
+            |  schema_name VARCHAR(1024) NOT NULL,
+            |  path VARCHAR(4096) NOT NULL,
+            |  path_is_relative BOOLEAN NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_table(
+            |  table_id BIGINT NOT NULL,
+            |  schema_id BIGINT NOT NULL,
+            |  table_name VARCHAR(1024) NOT NULL,
+            |  path VARCHAR(4096) NOT NULL,
+            |  path_is_relative BOOLEAN NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_column(
+            |  column_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  column_order BIGINT NOT NULL,
+            |  column_name VARCHAR(1024) NOT NULL,
+            |  column_type VARCHAR(256) NOT NULL,
+            |  nulls_allowed BOOLEAN NOT NULL,
+            |  parent_column BIGINT,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_data_file(
+            |  data_file_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  path VARCHAR(4096) NOT NULL,
+            |  path_is_relative BOOLEAN NOT NULL,
+            |  record_count BIGINT NOT NULL,
+            |  file_size_bytes BIGINT NOT NULL,
+            |  footer_size BIGINT NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_delete_file(
+            |  delete_file_id BIGINT NOT NULL,
+            |  data_file_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  path VARCHAR(4096) NOT NULL,
+            |  path_is_relative BOOLEAN NOT NULL,
+            |  record_count BIGINT NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_metadata(
+            |  meta_key VARCHAR(256) NOT NULL,
+            |  meta_value VARCHAR(4096) NOT NULL)""".stripMargin)
+        // snapshot 0 = empty catalog, like the reference's initial snapshot
+        st.executeUpdate(
+          "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
+      } finally st.close()
+    }
+  }
+
+  override def close(): Unit = synchronized { conn.close() }
+
+  // ---------- generic helpers ----------
+
+  private def query[A](sql: String, args: Seq[Any] = Nil)(f: ResultSet => A): Seq[A] =
+    synchronized {
+      val ps = conn.prepareStatement(sql)
+      try {
+        args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+        val rs = ps.executeQuery()
+        try {
+          val buf = Seq.newBuilder[A]
+          while (rs.next()) buf += f(rs)
+          buf.result()
+        } finally rs.close()
+      } finally ps.close()
+    }
+
+  private def update(sql: String, args: Seq[Any] = Nil): Int = synchronized {
+    val ps = conn.prepareStatement(sql)
+    try {
+      args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  private def nextId(table: String, idCol: String): Long =
+    query(s"SELECT COALESCE(MAX($idCol), -1) + 1 FROM $table")(_.getLong(1)).head
+
+  private val Vis = "begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)"
+
+  // ---------- read side (reference: src/metadata_provider.rs) ----------
+
+  def currentSnapshot: Long =
+    query("SELECT MAX(snapshot_id) FROM ducklake_snapshot")(_.getLong(1)).head
+
+  def snapshots: Seq[(Long, java.sql.Timestamp)] =
+    query("SELECT snapshot_id, snapshot_time FROM ducklake_snapshot ORDER BY snapshot_id")(
+      rs => (rs.getLong(1), rs.getTimestamp(2)))
+
+  def listSchemas(snap: Long): Seq[SchemaRec] =
+    query(s"SELECT schema_id, schema_name, path, path_is_relative FROM ducklake_schema WHERE $Vis ORDER BY schema_id",
+      Seq(snap, snap))(rs => SchemaRec(rs.getLong(1), rs.getString(2), rs.getString(3), rs.getBoolean(4)))
+
+  def getSchemaByName(name: String, snap: Long): Option[SchemaRec] =
+    query(s"SELECT schema_id, schema_name, path, path_is_relative FROM ducklake_schema WHERE schema_name = ? AND $Vis",
+      Seq(name, snap, snap))(rs => SchemaRec(rs.getLong(1), rs.getString(2), rs.getString(3), rs.getBoolean(4))).headOption
+
+  def listTables(schemaId: Long, snap: Long): Seq[TableRec] =
+    query(s"SELECT table_id, schema_id, table_name, path, path_is_relative FROM ducklake_table WHERE schema_id = ? AND $Vis ORDER BY table_id",
+      Seq(schemaId, snap, snap))(rs =>
+      TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
+
+  def getTableByName(schemaId: Long, name: String, snap: Long): Option[TableRec] =
+    query(s"SELECT table_id, schema_id, table_name, path, path_is_relative FROM ducklake_table WHERE schema_id = ? AND table_name = ? AND $Vis",
+      Seq(schemaId, name, snap, snap))(rs =>
+      TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5))).headOption
+
+  def getTableColumns(tableId: Long, snap: Long): Seq[ColumnDef] =
+    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
+      Seq(tableId, snap, snap))(rs =>
+      ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
+
+  /** The column row (name/type) visible at `snap` for a given column_id —
+    * rename/promotion history used to map a file's physical schema to the
+    * pinned catalog schema (reference resolves this via Parquet field_ids,
+    * src/types.rs:440-498; our column_id plays the field_id role).
+    */
+  def getColumnDefAt(tableId: Long, columnId: Long, snap: Long): Option[ColumnDef] =
+    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed FROM ducklake_column WHERE table_id = ? AND column_id = ? AND parent_column IS NULL AND $Vis",
+      Seq(tableId, columnId, snap, snap))(rs =>
+      ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5))).headOption
+
+  /** Data files visible at `snap`, each with its newest visible delete file
+    * (reference: SQL_GET_DATA_FILES src/metadata_provider.rs:26-49).
+    * Derby lacks LATERAL → window-function rewrite (SURVEY.md §7.4).
+    */
+  def getDataFiles(tableId: Long, snap: Long): Seq[DataFileRec] = {
+    // newest visible delete file per data file. Derby lacks LATERAL and
+    // partitioned window functions → correlated MAX subquery rewrite
+    // (SURVEY.md §7.4); under our write discipline commitDeletes ends the
+    // previous delete file, so the visible set has ≤1 per data file anyway.
+    def vis(a: String) =
+      s"$a.begin_snapshot <= ? AND ($a.end_snapshot IS NULL OR $a.end_snapshot > ?)"
+    val dels = query(
+      s"""SELECT d.data_file_id, d.delete_file_id, d.path, d.path_is_relative, d.record_count, d.begin_snapshot
+         |FROM ducklake_delete_file d
+         |WHERE d.table_id = ? AND ${vis("d")}
+         |AND d.begin_snapshot = (
+         |  SELECT MAX(d2.begin_snapshot) FROM ducklake_delete_file d2
+         |  WHERE d2.table_id = d.table_id AND d2.data_file_id = d.data_file_id
+         |    AND ${vis("d2")})""".stripMargin,
+      Seq(tableId, snap, snap, snap, snap))(rs =>
+      rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
+        rs.getBoolean(4), rs.getLong(5), rs.getLong(6))).toMap
+    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
+      Seq(tableId, snap, snap))(rs =>
+      DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1))))
+  }
+
+  /** Data files with begin_snapshot in (from, to] — CDC inserts
+    * (reference: src/metadata_provider.rs:77-89).
+    */
+  def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long): Seq[DataFileRec] =
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
+      Seq(tableId, from, to))(rs =>
+      DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None))
+
+  /** Delete files with begin_snapshot in (from, to], each with the previous
+    * delete file for the same data file (for position deltas), plus
+    * full-file deletes: data files with end_snapshot in (from, to] and no
+    * current delete file (reference: src/metadata_provider.rs:109-196).
+    * Returns (deleteFile, previousDeleteFile, dataFile).
+    */
+  def getDeleteFilesAddedBetween(tableId: Long, from: Long, to: Long)
+      : Seq[(Option[DeleteFileRec], Option[DeleteFileRec], DataFileRec)] = {
+    val newDels = query(
+      "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot FROM ducklake_delete_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, delete_file_id",
+      Seq(tableId, from, to))(rs =>
+      DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
+        rs.getLong(5), rs.getLong(6)))
+    val withPrev = newDels.map { d =>
+      val prev = query(
+        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? AND begin_snapshot <= ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
+        Seq(tableId, d.dataFileId, d.beginSnapshot - 1))(rs =>
+        DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
+          rs.getLong(5), rs.getLong(6))).headOption
+      val df = getDataFileById(tableId, d.dataFileId)
+        .getOrElse(throw new InternalException(s"delete file ${d.deleteFileId} references missing data file ${d.dataFileId}"))
+      (Some(d), prev, df)
+    }
+    // full-file deletes: replaced data files in range (no delete file of their own)
+    val ended = query(
+      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
+      Seq(tableId, from, to, from, to))(rs =>
+      DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None))
+    val endedWithPrev = ended.map { df =>
+      val prev = query(
+        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
+        Seq(tableId, df.dataFileId))(rs =>
+        DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
+          rs.getLong(5), rs.getLong(6))).headOption
+      (None, prev, df)
+    }
+    withPrev ++ endedWithPrev
+  }
+
+  def getDataFileById(tableId: Long, dataFileId: Long): Option[DataFileRec] =
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
+      Seq(tableId, dataFileId))(rs =>
+      DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None)).headOption
+
+  def getMetadata(key: String): Option[String] =
+    query("SELECT meta_value FROM ducklake_metadata WHERE meta_key = ?", Seq(key))(_.getString(1)).headOption
+
+  def setMetadata(key: String, value: String): Unit = {
+    update("DELETE FROM ducklake_metadata WHERE meta_key = ?", Seq(key))
+    update("INSERT INTO ducklake_metadata VALUES (?, ?)", Seq(key, value))
+  }
+
+  // ---------- write side (reference: src/metadata_writer_sqlite.rs:331-511) ----------
+
+  /** Run `body` inside one SQL transaction; creates the new snapshot row
+    * first and passes its id. Commits on success, rolls back on failure.
+    */
+  private def inSnapshotTxn[A](body: Long => A): A = synchronized {
+    conn.setAutoCommit(false)
+    try {
+      val snap = currentSnapshotTx() + 1
+      val ps = conn.prepareStatement(
+        "INSERT INTO ducklake_snapshot VALUES (?, CURRENT_TIMESTAMP)")
+      try { ps.setLong(1, snap); ps.executeUpdate() } finally ps.close()
+      val r = body(snap)
+      conn.commit()
+      r
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.setAutoCommit(true)
+  }
+
+  private def currentSnapshotTx(): Long = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT MAX(snapshot_id) FROM ducklake_snapshot")
+      try { rs.next(); rs.getLong(1) } finally rs.close()
+    } finally st.close()
+  }
+
+  private def getOrCreateSchema(name: String, snap: Long): SchemaRec =
+    getSchemaByName(name, snap).getOrElse {
+      PathResolver.validateName(name)
+      val id = nextId("ducklake_schema", "schema_id")
+      update("INSERT INTO ducklake_schema VALUES (?, ?, ?, ?, ?, NULL)",
+        Seq(id, name, name + "/", true, snap))
+      SchemaRec(id, name, name + "/", pathIsRelative = true)
+    }
+
+  /** One transactional write commit: new snapshot → get-or-create schema
+    * and table → append-mode evolution check / column rewrite → (Replace)
+    * end current data files → register the written files. Returns the new
+    * snapshot id (reference: src/metadata_writer.rs:208-268 trait;
+    * src/metadata_writer_sqlite.rs:331-511 impl).
+    */
+  def commitWrite(schemaName: String, tableName: String, columns: Seq[ColumnDef],
+      mode: WriteMode.Value, files: Seq[FileToRegister]): Long = inSnapshotTxn { snap =>
+    PathResolver.validateTableName(tableName)
+    files.foreach { f =>
+      if (f.fileSizeBytes < 0) throw new InvalidConfigException(s"negative file size for ${f.path}")
+      if (f.recordCount < 0) throw new InvalidConfigException(s"negative record count for ${f.path}")
+    }
+    val schema = getOrCreateSchema(schemaName, snap)
+    val table = getTableByName(schema.schemaId, tableName, snap).getOrElse {
+      val id = nextId("ducklake_table", "table_id")
+      update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
+        Seq(id, schema.schemaId, tableName, tableName + "/", true, snap))
+      TableRec(id, schema.schemaId, tableName, tableName + "/", pathIsRelative = true)
+    }
+    val existing = getTableColumns(table.tableId, snap)
+    if (existing.isEmpty) {
+      columns.zipWithIndex.foreach { case (c, i) =>
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
+          Seq(i.toLong, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
+            c.nullsAllowed, snap))
+      }
+    } else {
+      validateEvolution(existing, columns, table.tableId, snap)
+    }
+    if (mode == WriteMode.Replace) {
+      update(s"UPDATE ducklake_data_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, table.tableId))
+      update(s"UPDATE ducklake_delete_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, table.tableId))
+    }
+    files.foreach { f =>
+      val id = nextId("ducklake_data_file", "data_file_id")
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+        Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize, snap))
+    }
+    snap
+  }
+
+  /** Append-mode schema evolution rules: new columns must be nullable; the
+    * type of a kept column may only change along the promotion lattice;
+    * drops and reorders are allowed (reference:
+    * src/metadata_writer_sqlite.rs:426-463).
+    */
+  private def validateEvolution(existing: Seq[ColumnDef], incoming: Seq[ColumnDef],
+      tableId: Long, snap: Long): Unit = {
+    val byName = existing.map(c => c.name -> c).toMap
+    var maxId = existing.map(_.columnId).max
+    var changed = false
+    incoming.foreach { c =>
+      byName.get(c.name) match {
+        case Some(old) =>
+          if (!TypeBridge.typesCompatible(old.dtype, c.dtype))
+            throw new UnsupportedTypeException(
+              s"column ${c.name}: cannot change type ${old.dtype} -> ${c.dtype}")
+          if (TypeBridge.normalize(old.dtype) != TypeBridge.normalize(c.dtype)) changed = true
+        case None =>
+          if (!c.nullsAllowed)
+            throw new UnsupportedException(
+              s"cannot append with new non-nullable column ${c.name}")
+          changed = true
+      }
+    }
+    if (changed) {
+      // end all current column rows and rewrite with merged defs, keeping ids
+      update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId))
+      val merged = existing.map { old =>
+        incoming.find(_.name == old.name) match {
+          case Some(nc) if TypeBridge.isPromotable(old.dtype, nc.dtype) =>
+            old.copy(dtype = TypeBridge.normalize(nc.dtype))
+          case _ => old
+        }
+      } ++ incoming.filterNot(c => byName.contains(c.name)).map { c =>
+        maxId += 1
+        ColumnDef(maxId, 0L, c.name, TypeBridge.normalize(c.dtype), c.nullsAllowed)
+      }
+      merged.zipWithIndex.foreach { case (c, i) =>
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
+          Seq(c.columnId, tableId, i.toLong, c.name, c.dtype, c.nullsAllowed, snap))
+      }
+    }
+  }
+
+  /** Register positional delete files (one per data file) in a new
+    * snapshot; any previous delete file for the same data file is ended
+    * (merge-on-read delete model, reference: src/table.rs:51-92).
+    */
+  def commitDeletes(tableId: Long, deletes: Seq[(Long, FileToRegister)]): Long =
+    inSnapshotTxn { snap =>
+      deletes.foreach { case (dataFileId, f) =>
+        update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
+          Seq(snap, dataFileId))
+        val id = nextId("ducklake_delete_file", "delete_file_id")
+        update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL)",
+          Seq(id, dataFileId, tableId, f.path, true, f.recordCount, snap))
+      }
+      snap
+    }
+
+  /** Rename a column: end the current row, insert a row with the same
+    * column_id and the new name (field-id-style rename, reference:
+    * src/column_rename.rs + src/types.rs:440-498).
+    */
+  def renameColumn(tableId: Long, oldName: String, newName: String): Long =
+    inSnapshotTxn { snap =>
+      PathResolver.validateName(newName)
+      val cols = getTableColumns(tableId, snap)
+      val c = cols.find(_.name == oldName).getOrElse(
+        throw new InternalException(s"column not found: $oldName"))
+      if (cols.exists(_.name == newName))
+        throw new UnsupportedException(s"column already exists: $newName")
+      update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId, c.columnId))
+      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
+        Seq(c.columnId, tableId, c.order, newName, c.dtype, c.nullsAllowed, snap))
+      snap
+    }
+
+  /** Drop a column (end its row; files keep the physical data). */
+  def dropColumn(tableId: Long, name: String): Long = inSnapshotTxn { snap =>
+    val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
+      throw new InternalException(s"column not found: $name"))
+    update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId, c.columnId))
+    snap
+  }
+}

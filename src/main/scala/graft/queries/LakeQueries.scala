@@ -1,0 +1,196 @@
+package graft.queries
+
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{DuckLake, WriteMode}
+
+/** Correctness-gate entries for the DuckLake layer itself: each query
+  * ingests the driver testdata through the lake's write path (CTAS /
+  * append / delete / rename), reads back through the snapshot-pinned scan,
+  * and has a plain-SQL DuckDB oracle over the ORIGINAL parquet — so the
+  * whole metadata+write+MOR-read pipeline is hash-verified end to end.
+  */
+object LakeQueries {
+  import Tables.t
+
+  /** One lake fixture per (JVM, sfDir): built on first use, reused by all
+    * lake queries in the run.
+    */
+  private val lakes = TrieMap[String, (DuckLake, Map[String, Long])]()
+
+  private def fixture(s: SparkSession, dir: String): (DuckLake, Map[String, Long]) =
+    lakes.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft-lake-${UUID.randomUUID().toString.take(8)}"
+      val lake = new DuckLake(s, s"$root/meta", s"$root/data")
+      val marks = Map.newBuilder[String, Long]
+
+      // lineitem: clean copy (multi-file to exercise batched multi-file scan)
+      lake.createTableAs(t(s, dir, "lineitem").repartition(4), "main.lineitem")
+      // lineitem_del: copy with MOR positional deletes (l_orderkey % 97 == 0)
+      lake.createTableAs(t(s, dir, "lineitem").repartition(4), "main.lineitem_del")
+      marks += "li_del_pre" -> lake.currentSnapshot
+      lake.deleteWhere("main.lineitem_del", col("l_orderkey") % 97 === 0)
+      // orders: snapshot pinning + CDC (append every 10th order again)
+      lake.createTableAs(t(s, dir, "orders").coalesce(1), "main.orders")
+      marks += "orders_v1" -> lake.currentSnapshot
+      lake.insertInto(t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .coalesce(1), "main.orders")
+      marks += "orders_v2" -> lake.currentSnapshot
+      // documents: rename n_chars -> num_chars after ingest
+      lake.createTableAs(t(s, dir, "documents").coalesce(1), "main.docs")
+      lake.renameColumn("main.docs", "n_chars", "num_chars")
+      // part: type promotion int32 -> int64 via append
+      lake.createTableAs(t(s, dir, "part").coalesce(1), "main.part_evolved")
+      lake.insertInto(
+        t(s, dir, "part").withColumn("p_size", col("p_size").cast("long")).coalesce(1),
+        "main.part_evolved")
+      (lake, marks.result())
+    })
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("lake_scan_agg", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, """
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_price,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+
+    ("lake_scan_rows", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """),
+
+    ("lake_mor_deletes", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.lineitem_del")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }, """
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE NOT (l_orderkey % 97 = 0)
+      GROUP BY 1 ORDER BY 1
+    """),
+
+    ("lake_mor_delete_rows", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.lineitem_del")
+        .filter(col("l_orderkey") % 97 === 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE NOT (l_orderkey % 97 = 0) AND l_orderkey % 97 = 1
+      ORDER BY l_orderkey, l_linenumber
+    """),
+
+    ("lake_time_travel", (s: SparkSession, dir: String) => {
+      val (lake, marks) = fixture(s, dir)
+      val v1 = lake.table("main.orders", Some(marks("orders_v1")))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_v1"))
+      val v2 = lake.table("main.orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_v2"))
+      v1.join(v2, "o_orderstatus").orderBy("o_orderstatus")
+    }, """
+      SELECT v1.o_orderstatus, n_v1, n_v2
+      FROM (SELECT o_orderstatus, count(*) AS n_v1 FROM orders GROUP BY 1) v1
+      JOIN (SELECT o_orderstatus, count(*) AS n_v2 FROM
+              (SELECT * FROM orders UNION ALL
+               SELECT * FROM orders WHERE o_orderkey % 10 = 0)
+            GROUP BY 1) v2
+      ON v1.o_orderstatus = v2.o_orderstatus
+      ORDER BY 1
+    """),
+
+    ("lake_rename_read", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.docs")
+        .select("doc_id", "num_chars", "lang")
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id, n_chars AS num_chars, lang
+      FROM documents ORDER BY doc_id
+    """),
+
+    ("lake_evolution_promote", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.part_evolved")
+        .groupBy("p_brand")
+        .agg(sum(col("p_size")).as("sum_size"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }, """
+      SELECT p_brand, CAST(sum(p_size) AS BIGINT) AS sum_size, count(*) AS n
+      FROM (SELECT * FROM part UNION ALL SELECT * FROM part)
+      GROUP BY 1 ORDER BY 1
+    """),
+
+    ("lake_cdc_inserts", (s: SparkSession, dir: String) => {
+      val (lake, marks) = fixture(s, dir)
+      lake.tableChanges("main.orders", marks("orders_v1"), marks("orders_v2"))
+        .select("o_orderkey", "o_totalprice", "change_type")
+        .orderBy("o_orderkey")
+    }, """
+      SELECT o_orderkey, o_totalprice, 'insert' AS change_type
+      FROM orders WHERE o_orderkey % 10 = 0
+      ORDER BY o_orderkey
+    """),
+
+    ("lake_cdc_deletions", (s: SparkSession, dir: String) => {
+      val (lake, marks) = fixture(s, dir)
+      lake.tableDeletions("main.lineitem_del", marks("li_del_pre"), lake.currentSnapshot)
+        .select("l_orderkey", "l_linenumber", "change_type")
+        .orderBy("l_orderkey", "l_linenumber")
+    }, """
+      SELECT l_orderkey, l_linenumber, 'delete' AS change_type
+      FROM lineitem WHERE l_orderkey % 97 = 0
+      ORDER BY l_orderkey, l_linenumber
+    """),
+
+    ("lake_info_columns", (s: SparkSession, dir: String) => {
+      val (lake, _) = fixture(s, dir)
+      lake.informationSchema("columns")
+        .filter(col("table_name") === "lineitem")
+        .select("column_name", "column_type", "column_order")
+        .orderBy("column_order")
+    }, """
+      SELECT * FROM (VALUES
+        ('l_orderkey', 'int64', CAST(0 AS BIGINT)), ('l_partkey', 'int64', 1),
+        ('l_suppkey', 'int64', 2), ('l_linenumber', 'int32', 3),
+        ('l_quantity', 'float64', 4), ('l_extendedprice', 'float64', 5),
+        ('l_discount', 'float64', 6), ('l_tax', 'float64', 7),
+        ('l_returnflag', 'varchar', 8), ('l_linestatus', 'varchar', 9),
+        ('l_shipdate', 'timestamp', 10))
+      t(column_name, column_type, column_order)
+      ORDER BY column_order
+    """)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracle: Map[String, String] =
+    defs.map { case (n, _, o) => n -> o.stripMargin.trim.replaceAll("\\s+", " ") }.toMap
+}

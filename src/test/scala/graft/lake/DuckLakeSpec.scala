@@ -1,0 +1,220 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end lake behavior, mirroring the reference's oracle fixtures
+  * (reference: tests/common/mod.rs — `users` plain, `products` with MOR
+  * deletes, rename tables) plus snapshot pinning, CDC and info-schema.
+  */
+class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val root = Files.createTempDirectory("ducklake-spec").toString
+  private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
+
+  override def afterAll(): Unit = { lake.close(); spark.stop() }
+
+  import scala.jdk.CollectionConverters._
+
+  test("users: ingest + read back (fixture A1)") {
+    import spark.implicits._
+    val users = Seq((1, "Alice", "alice@x.com"), (2, "Bob", "bob@x.com"),
+      (3, "Charlie", "charlie@x.com"), (4, "Diana", "diana@x.com"))
+      .toDF("id", "name", "email")
+    lake.createTableAs(users.coalesce(1), "main.users")
+    val got = lake.table("main.users").orderBy("id").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_.getString(1)).toSeq == Seq("Alice", "Bob", "Charlie", "Diana"))
+  }
+
+  test("append creates a new snapshot; old snapshot still sees old data") {
+    import spark.implicits._
+    val snapBefore = lake.currentSnapshot
+    lake.insertInto(Seq((5, "Eve", "eve@x.com")).toDF("id", "name", "email")
+      .coalesce(1), "main.users")
+    assert(lake.currentSnapshot == snapBefore + 1)
+    assert(lake.table("main.users").count() == 5)
+    assert(lake.table("main.users", Some(snapBefore)).count() == 4)
+  }
+
+  test("replace ends previous files (overwrite semantics)") {
+    import spark.implicits._
+    lake.createTableAs(Seq((10, "Zoe", "z@x.com")).toDF("id", "name", "email")
+      .coalesce(1), "main.users_v2")
+    val s1 = lake.currentSnapshot
+    lake.insertInto(Seq((11, "Yan", "y@x.com")).toDF("id", "name", "email")
+      .coalesce(1), "main.users_v2", WriteMode.Replace)
+    assert(lake.table("main.users_v2").collect().map(_.getInt(0)).toSeq == Seq(11))
+    assert(lake.table("main.users_v2", Some(s1)).collect().map(_.getInt(0)).toSeq == Seq(10))
+  }
+
+  test("products: MOR positional deletes (fixture A2: ids 2,4 deleted -> {1,3,5})") {
+    import spark.implicits._
+    val products = Seq(
+      (1, "widget", 9.99, true), (2, "gadget", 19.99, true), (3, "gizmo", 4.99, false),
+      (4, "doohickey", 2.49, true), (5, "thingamajig", 99.0, true))
+      .toDF("id", "name", "price", "in_stock")
+    lake.createTableAs(products.coalesce(1), "main.products")
+    lake.deleteWhere("main.products", col("id").isin(2, 4))
+    val visible = lake.table("main.products").orderBy("id")
+    assert(visible.collect().map(_.getInt(0)).toSeq == Seq(1, 3, 5))
+    // COUNT(*)-style zero-column aggregation still correct after deletes
+    assert(lake.table("main.products").count() == 3)
+    // aggregate over remaining rows
+    val sumPrice = lake.table("main.products").agg(round(sum("price"), 2)).head.getDouble(0)
+    assert(sumPrice == 113.98)
+  }
+
+  test("cumulative deletes: second delete keeps first delete's rows hidden") {
+    val snapAfterFirst = lake.currentSnapshot
+    lake.deleteWhere("main.products", col("id") === 5)
+    assert(lake.table("main.products").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(lake.table("main.products", Some(snapAfterFirst))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 5))
+  }
+
+  test("update = delete + insert across snapshots (fixture A3)") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1, 100), (2, 200), (3, 300)).toDF("id", "qty")
+      .coalesce(1), "main.inventory")
+    // update ids 1,3: delete then re-insert new versions
+    lake.deleteWhere("main.inventory", col("id").isin(1, 3))
+    lake.insertInto(Seq((1, 101), (3, 303)).toDF("id", "qty").coalesce(1), "main.inventory")
+    val got = lake.table("main.inventory").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 101), (2, 200), (3, 303)))
+  }
+
+  test("rename column on read: parquet keeps old name (fixture A4)") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "a"), (2L, "b")).toDF("user_id", "v")
+      .coalesce(1), "main.renamed")
+    lake.renameColumn("main.renamed", "user_id", "userId")
+    val got = lake.table("main.renamed")
+    assert(got.columns.toSeq == Seq("userId", "v"))
+    assert(got.orderBy("userId").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // data written after the rename also reads fine (mixed epochs)
+    lake.insertInto(Seq((3L, "c")).toDF("userId", "v").coalesce(1), "main.renamed")
+    assert(lake.table("main.renamed").orderBy("userId").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("add nullable column via append; old files read as null") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1, "x")).toDF("id", "a").coalesce(1), "main.evolved")
+    lake.insertInto(Seq((2, "y", Option(5.0))).toDF("id", "a", "b").coalesce(1), "main.evolved")
+    val got = lake.table("main.evolved").orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(2) && got(1).getDouble(2) == 5.0)
+  }
+
+  test("type promotion int32 -> int64 on append") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1, 10)).toDF("id", "v").coalesce(1), "main.promoted")
+    lake.insertInto(Seq((2, 20L)).toDF("id", "v").coalesce(1), "main.promoted")
+    val got = lake.table("main.promoted").orderBy("id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L, 20L))
+    // narrowing is rejected
+    assertThrows[UnsupportedTypeException] {
+      lake.insertInto(Seq(("s", 1)).toDF("id", "v").coalesce(1), "main.promoted")
+    }
+  }
+
+  test("non-nullable new column rejected on append (reference: metadata_writer_sqlite.rs:426-463)") {
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      Seq[(Int, String, Int)]((3, "z", 1)).toDF("id", "a", "c").rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType, true),
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType, true),
+        org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.IntegerType, false))))
+    assertThrows[UnsupportedException] {
+      lake.insertInto(df.coalesce(1), "main.evolved")
+    }
+  }
+
+  test("CDC: tableChanges returns inserts in range with snapshot_id + change_type") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1, "a")).toDF("k", "v").coalesce(1), "main.cdc")
+    val s1 = lake.currentSnapshot
+    lake.insertInto(Seq((2, "b")).toDF("k", "v").coalesce(1), "main.cdc")
+    val s2 = lake.currentSnapshot
+    lake.insertInto(Seq((3, "c")).toDF("k", "v").coalesce(1), "main.cdc")
+    val s3 = lake.currentSnapshot
+    val ch = lake.tableChanges("main.cdc", s1, s3).orderBy("k").collect()
+    assert(ch.map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(ch.map(_.getLong(2)).toSeq == Seq(s2, s3))
+    assert(ch.forall(_.getString(3) == "insert"))
+    assert(lake.tableChanges("main.cdc", s3, s3).count() == 0)
+    assertThrows[InvalidSnapshotException](lake.tableChanges("main.cdc", 5, 1))
+  }
+
+  test("CDC: tableDeletions returns position deltas incl. previous-delete handling") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+      .coalesce(1), "main.cdcdel")
+    val s0 = lake.currentSnapshot
+    lake.deleteWhere("main.cdcdel", col("k") === 2)
+    val s1 = lake.currentSnapshot
+    lake.deleteWhere("main.cdcdel", col("k") === 4)
+    val s2 = lake.currentSnapshot
+    // range (s0, s1]: only k=2
+    assert(lake.tableDeletions("main.cdcdel", s0, s1).collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    // range (s1, s2]: only the delta k=4 (k=2 was already deleted)
+    assert(lake.tableDeletions("main.cdcdel", s1, s2).collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    // full range: both
+    assert(lake.tableDeletions("main.cdcdel", s0, s2).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 4))
+  }
+
+  test("CDC: replace shows up as full-file deletions") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), "main.cdcrep")
+    val s0 = lake.currentSnapshot
+    lake.insertInto(Seq((9, "z")).toDF("k", "v").coalesce(1), "main.cdcrep", WriteMode.Replace)
+    val s1 = lake.currentSnapshot
+    val dels = lake.tableDeletions("main.cdcrep", s0, s1).collect()
+    assert(dels.map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(dels.forall(_.getString(3) == "delete"))
+  }
+
+  test("information_schema surfaces (A16-A19)") {
+    val snaps = lake.informationSchema("snapshots")
+    assert(snaps.count() >= 1)
+    val tables = lake.informationSchema("tables")
+    assert(tables.filter(col("table_name") === "users").count() == 1)
+    val cols = lake.informationSchema("columns")
+      .filter(col("table_name") === "products").orderBy("column_order").collect()
+    assert(cols.map(_.getString(4)).toSeq == Seq("id", "name", "price", "in_stock"))
+    assert(cols.map(_.getString(5)).toSeq == Seq("int32", "varchar", "float64", "boolean"))
+    val info = lake.tableInfoDF.filter(col("table_name") === "products").head
+    assert(info.getAs[Long]("file_count") == 1L)
+    assert(info.getAs[Long]("delete_file_count") == 1L)
+    val files = lake.listFilesDF.filter(col("table_name") === "products").collect()
+    assert(files.length == 1 && files.head.getAs[String]("delete_file_path") != null)
+  }
+
+  test("snapshots are monotonic and timestamped") {
+    val snaps = lake.store.snapshots
+    assert(snaps.map(_._1) == snaps.map(_._1).sorted)
+    assert(snaps.head._1 == 0L)
+  }
+
+  test("errors: unknown table/schema") {
+    assertThrows[TableNotFoundException](lake.table("main.nope"))
+    assertThrows[SchemaNotFoundException](lake.table("noschema.t"))
+  }
+}
