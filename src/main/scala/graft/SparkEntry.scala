@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Tpch.queries ++
       graft.queries.Analytics.queries ++
-      graft.queries.LakeQueries.queries
+      graft.queries.LakeQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
       graft.queries.Analytics.oracle ++
-      graft.queries.LakeQueries.oracle
+      graft.queries.LakeQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

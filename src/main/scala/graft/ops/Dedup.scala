@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Designed for 100 TB scale:
+  *  - signatures are per-row array expressions (codegen'd, no UDF, no
+  *    shuffle until the final candidate grouping);
+  *  - candidate generation shuffles on (band, bucket) keys only — never a
+  *    quadratic cross join;
+  *  - each band bucket groups a bounded candidate list, so the pair
+  *    explosion is local and skew-resistant (huge buckets can be salted or
+  *    capped upstream).
+  */
+object Dedup {
+
+  /** Word w-shingles of the normalized text, e.g. w=3 → 3-word grams. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+  }
+
+  /** Exact dedup: keep the first row (min of `keep`) per fingerprint key.
+    * Hash-groupBy — one shuffle on the fingerprint, the canonical
+    * map-reduce dedup at any scale.
+    */
+  def exactDedup(df: DataFrame, textCol: String, keepCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(keepCol))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions i, the
+    * minimum of xxhash64(i, shingle) over the document's shingle set.
+    * Pure array expressions — evaluated rowwise inside whole-stage
+    * codegen.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band to a bucket key.
+    */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      hash(lit(b), concat_ws(",",
+        slice(sigCol, b * rowsPerBand + 1, rowsPerBand)))): _*)
+
+  /** MinHash+LSH candidate pairs: documents sharing at least one band
+    * bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
+    * Shuffle profile: explode(bands) → groupBy bucket → local pair
+    * expansion; no quadratic join.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(shingles(col(textCol)), numHashes).as("__sig"))
+    val banded = sig.select(col("__id"),
+      posexplode(lshBands(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+    val grouped = banded.groupBy("__band", "__bucket")
+      .agg(collect_list("__id").as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    // local pair expansion within each bucket (bounded by bucket size)
+    grouped.select(explode(expr(
+      """flatten(transform(__ids, (a, i) ->
+        |  transform(slice(__ids, i + 2, size(__ids)), b ->
+        |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** SimHash-64: per token occurrence, xxhash64 votes ±1 on each of 64
+    * bits (frequency-weighted — occurrence counts, not the distinct token
+    * set, so corpora with a shared small vocabulary still separate); the
+    * fingerprint sets bit b iff the aggregate vote is positive. Computed
+    * with 64 codegen'd conditional sums after an explode — partial
+    * (map-side) aggregation keeps the shuffle at one row per (doc, 64
+    * sums).
+    */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$b")
+    }
+    val agg = tok.groupBy("__id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("__id").as(idCol), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming`. Candidate
+    * generation blocks on 4 16-bit chunks (pigeonhole: ≤3 differing bits →
+    * at least one identical chunk), then verifies the exact distance —
+    * again no quadratic join.
+    */
+  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16)
+        .bitwiseAND(0xffffL).as("key")))
+    val blocked = fps.select(col(idCol).as("__id"), col("simhash"),
+      explode(array(chunks: _*)).as("b"))
+    val a = blocked.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
+      col("b").as("ba"))
+    val bb = blocked.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
+      col("b").as("bb"))
+    a.join(bb, col("ba") === col("bb") && col("id_a") < col("id_b"))
+      .filter(hamming64(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      size(array_distinct(concat(da, db))).cast("double")
+  }
+
+  /** Verify candidate pairs with exact n-gram Jaccard ≥ `threshold`.
+    * `docs` must carry (idCol, textCol); candidates carry (id_a, id_b).
+    */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double, w: Int = 3): DataFrame = {
+    val g = docs.select(col(idCol).as("__vid"),
+      array_distinct(shingles(col(textCol), w)).as("__g"))
+    candidates
+      .join(g.withColumnRenamed("__vid", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
+      .join(g.withColumnRenamed("__vid", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
+      .withColumn("jaccard", jaccard(col("__ga"), col("__gb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

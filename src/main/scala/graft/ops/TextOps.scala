@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure `functions._` column expressions — fully
+  * codegen'd, no UDFs, embarrassingly parallel (no shuffle), so they scale
+  * linearly with input splits at 100 TB.
+  */
+object TextOps {
+
+  /** Word tokens: maximal [a-z0-9]+ runs of the lower-cased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword count: words plus standalone punctuation marks. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "\\s+"), t => t =!= "")) +
+      length(regexp_replace(text, "[\\w\\s]", ""))
+
+  /** Character-class ratios used by quality scoring. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")) / greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")) / greatest(length(text), lit(1))
+
+  def whitespaceRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\s", ""))) / greatest(length(text), lit(1))
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(lower(text), lit(s"\\b$w\\b"))).reduce(_ + _)
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Composite quality score in [0,1]: heavier on alpha content and mean
+    * token length plausibility, penalizing digit soup — the standard
+    * cheap pre-filter shape for LLM corpus curation.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanTokLen = when(nTok > 0,
+      length(regexp_replace(lower(text), "[^a-z0-9]", "")) / nTok).otherwise(lit(0.0))
+    val lenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = when(stopwordCount(text, enStop) > 0, lit(1.0)).otherwise(lit(0.7))
+    // +1e-9 guard: component ratios can be binary-exact (e.g. 39/48), which
+    // lands the score exactly on a .00005 rounding boundary where engines
+    // disagree; the epsilon moves every boundary off representable values
+    round(alphaRatio(text) * lit(0.5) + (lit(1.0) - digitRatio(text)) * lit(0.2) +
+      lenOk * lit(0.2) + stopOk * lit(0.1) + lit(1e-9), 4)
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword language
+    * ID heuristic. Deterministic, tiny, and identical SQL is expressible
+    * in the DuckDB oracle.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "et"),
+    "zh" -> Seq("的", "是", "不"))
+
+  /** Predicted language: argmax of marker-word hit counts with a fixed
+    * tie-break order (first listed wins; 'und' = undetermined when all 0).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => lang -> stopwordCount(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace/punctuation-normalized
+    * lower-cased text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Correctness-gate entries for the training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal). Where the operator's
+  * math is portable (regex counts, md5, jaccard over grams, cosine) the
+  * oracle recomputes it in DuckDB SQL; the xxhash64-based sketches
+  * (MinHash/LSH, SimHash) are not DuckDB-expressible and are covered by
+  * recall/precision specs instead (rows-only here).
+  */
+object OpsQueries {
+  import Tables.t
+
+  /** Perturbed twin corpus: every even doc_id gets a copy (id+100000) with
+    * the first word replaced — the planted near-duplicate set used by the
+    * dedup entries and specs.
+    */
+  def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.unionByName(docs
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", regexp_replace(col("text"), "^\\S+", "zz")))
+  }
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("txt_token_stats", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INT) AS n_distinct_tokens,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+          + length(regexp_replace(text, '[\w\s]', '', 'g')) AS INT) AS n_bpeish,
+        CAST(length(text) AS INT) AS n_chars_actual
+      FROM documents ORDER BY doc_id
+    """),
+
+    ("txt_quality", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextOps.alphaRatio(col("text")), 4).as("alpha_ratio"),
+        round(TextOps.digitRatio(col("text")), 4).as("digit_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id,
+        round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              / greatest(length(text), 1), 4) AS alpha_ratio,
+        round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / greatest(length(text), 1), 4) AS digit_ratio,
+        round(
+          (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1)) * 0.5
+          + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)) * 0.2
+          + (CASE WHEN n_tok > 0 AND alnum / n_tok BETWEEN 2 AND 12 THEN 1.0 ELSE 0.5 END) * 0.2
+          + (CASE WHEN stops > 0 THEN 1.0 ELSE 0.7 END) * 0.1 + 0.000000001, 4) AS quality
+      FROM (
+        SELECT *,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n_tok,
+          length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+          len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b'))
+            + len(regexp_extract_all(lower(text), '\band\b')) + len(regexp_extract_all(lower(text), '\bof\b'))
+            + len(regexp_extract_all(lower(text), '\bto\b')) + len(regexp_extract_all(lower(text), '\bin\b'))
+            + len(regexp_extract_all(lower(text), '\bis\b')) AS stops
+        FROM documents)
+      ORDER BY doc_id
+    """),
+
+    ("txt_langid", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents").select(col("doc_id"), col("lang").as("lang_label"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.stopwordCount(col("text"), TextOps.langMarkers.head._2).as("score_en"))
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id, lang AS lang_label,
+        CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        s_en AS score_en
+      FROM (
+        SELECT doc_id, lang,
+          len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+            + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bto\b'))
+            + len(regexp_extract_all(lower(text), '\bis\b')) AS s_en,
+          len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bdie\b'))
+            + len(regexp_extract_all(lower(text), '\bdas\b')) + len(regexp_extract_all(lower(text), '\bund\b'))
+            + len(regexp_extract_all(lower(text), '\bist\b')) AS s_de,
+          len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\blos\b'))
+            + len(regexp_extract_all(lower(text), '\blas\b')) + len(regexp_extract_all(lower(text), '\buna\b'))
+            + len(regexp_extract_all(lower(text), '\bes\b')) AS s_es,
+          len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+            + len(regexp_extract_all(lower(text), '\bles\b')) + len(regexp_extract_all(lower(text), '\bdes\b'))
+            + len(regexp_extract_all(lower(text), '\bet\b')) AS s_fr
+        FROM documents)
+      ORDER BY doc_id
+    """),
+
+    ("txt_fingerprint", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id
+    """),
+
+    ("dedup_exact", (s: SparkSession, dir: String) => {
+      // corpus with planted EXACT duplicates (same text, higher id):
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.exactDedup(corpus, "text", "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }, """
+      SELECT doc_id, lang FROM documents ORDER BY doc_id
+    """),
+
+    ("dedup_ngram_jaccard", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val twins = docs.select(col("doc_id"),
+        Dedup.jaccard(
+          Dedup.shingles(col("text")),
+          Dedup.shingles(regexp_replace(col("text"), "^\\S+", "zz"))).as("j"))
+      twins.select(col("doc_id"), round(col("j"), 4).as("jaccard")).orderBy("doc_id")
+    }, """
+      SELECT doc_id,
+        round(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+              / len(list_distinct(g1 || g2)), 4) AS jaccard
+      FROM (
+        SELECT doc_id,
+          list_distinct([array_to_string(w1[i:i+2], ' ') for i in range(1, len(w1) - 1)]) AS g1,
+          list_distinct([array_to_string(w2[i:i+2], ' ') for i in range(1, len(w2) - 1)]) AS g2
+        FROM (
+          SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS w1,
+            regexp_extract_all(lower(regexp_replace(text, '^\S+', 'zz')), '[a-z0-9]+') AS w2
+          FROM documents WHERE doc_id < 100))
+      ORDER BY doc_id
+    """),
+
+    // MinHash+LSH and SimHash sketches: xxhash64 is not expressible in the
+    // DuckDB oracle -> rows-only entries; recall/precision asserted in
+    // DedupSpec against the planted twins.
+    ("dedup_minhash", (s: SparkSession, dir: String) => {
+      val corpus = plantedDocs(s, dir)
+      val cands = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      Dedup.verifyJaccard(cands, corpus, "text", "doc_id", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }, null),
+
+    ("dedup_simhash", (s: SparkSession, dir: String) => {
+      val corpus = plantedDocs(s, dir)
+      val fps = Dedup.simhash64(corpus, "text", "doc_id")
+      Dedup.simhashPairs(fps, "doc_id", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }, null),
+
+    ("dedup_embedding", (s: SparkSession, dir: String) => {
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val corpus = base.unionByName(base
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("embedding", transform(col("embedding"), x => x + 0.1)))
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(Similarity.cosine(col("__va"), col("__vb")), 4))
+        .filter(col("sim") >= 0.9)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }, """
+      WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 100
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.1)
+        FROM embeddings WHERE vec_id < 100)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM corpus a, corpus b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+      ORDER BY id_a, id_b
+    """),
+
+    ("sim_bruteforce_topk", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    }, """
+      SELECT query_id, neighbor_id, sim, rnk
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(
+            list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(
+              list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+            c.vec_id) AS INT) AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 3
+      ORDER BY query_id, rnk
+    """),
+
+    ("sim_lsh_topk", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3, dim = 64)
+        .orderBy("query_id", "rnk")
+    }, null),
+
+    ("mm_decode_meta", (s: SparkSession, dir: String) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.decodeMeta(media).toDF().orderBy("media_id")
+    }, """
+      SELECT doc_id AS media_id,
+        (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+        CAST(64 + len % 577 AS INT) AS width,
+        CAST(64 + (len + first) % 419 AS INT) AS height,
+        CAST(CASE WHEN (['image','audio','video'])[(doc_id % 3) + 1] = 'audio' THEN 1 ELSE 3 END AS INT) AS n_channels,
+        CAST(CASE WHEN (['image','audio','video'])[(doc_id % 3) + 1] = 'video' THEN len % 24 + 1 ELSE 1 END AS INT) AS n_frames,
+        CAST(CASE WHEN (['image','audio','video'])[(doc_id % 3) + 1] = 'image' THEN 0 ELSE len % 60000 END AS BIGINT) AS duration_ms,
+        len AS size_bytes
+      FROM (SELECT doc_id, text, octet_length(encode(text)) AS len, ascii(text) AS first
+            FROM documents)
+      ORDER BY media_id
+    """),
+
+    ("mm_frame_sample", (s: SparkSession, dir: String) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.sampleFrames(media, everyNth = 5)
+        .orderBy("media_id", "frame_idx")
+    }, """
+      SELECT media_id, media_type, n_frames, CAST(unnest(range(0, greatest(n_frames, 1), 5)) AS BIGINT) AS frame_idx
+      FROM (
+        SELECT doc_id AS media_id,
+          (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+          CAST(CASE WHEN (['image','audio','video'])[(doc_id % 3) + 1] = 'video'
+               THEN octet_length(encode(text)) % 24 + 1 ELSE 1 END AS INT) AS n_frames
+        FROM documents)
+      ORDER BY media_id, frame_idx
+    """),
+
+    ("mm_features", (s: SparkSession, dir: String) => {
+      // features are float32 in [0,1]; recover the exact 16-bit int each
+      // was derived from so the oracle compare is integer-exact
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"),
+          round(element_at(col("features"), 1) * 65535).cast("long").as("v0"),
+          round(element_at(col("features"), 2) * 65535).cast("long").as("v1"))
+        .orderBy("media_id")
+    }, """
+      SELECT doc_id AS media_id,
+        ('0x' || substr(md5(text), 1, 4))::BIGINT AS v0,
+        ('0x' || substr(md5(text), 5, 4))::BIGINT AS v1
+      FROM documents ORDER BY media_id
+    """)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracle: Map[String, String] =
+    defs.filter(_._3 != null)
+      .map { case (n, _, o) => n -> o.stripMargin.trim.replaceAll("\\s+", " ") }.toMap
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Recall/precision/behavior specs for the sketch-based operators whose
+  * math has no DuckDB-oracle twin (MinHash+LSH, SimHash, LSH-ANN), plus
+  * multimodal plumbing shape checks. Planted ground truth: every even
+  * doc/vec id has a near-duplicate twin at id+100000.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def planted = graft.queries.OpsQueries.plantedDocs(spark, dir)
+
+  test("minhash+LSH recovers planted near-dup twins with high recall and clean precision") {
+    val cands = Dedup.minhashCandidates(planted, "text", "doc_id")
+    val verified = Dedup.verifyJaccard(cands, planted, "text", "doc_id", threshold = 0.5)
+    val pairs = verified.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9 (found ${pairs.size} pairs)")
+    // precision: verification step guarantees jaccard >= 0.5 on every pair
+    val sims = verified.select("jaccard").collect().map(_.getDouble(0))
+    assert(sims.forall(_ >= 0.5))
+  }
+
+  test("simhash blocks + hamming verify find planted twins") {
+    val fps = Dedup.simhash64(planted, "text", "doc_id")
+    val pairs = Dedup.simhashPairs(fps, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.8, s"simhash recall $recall < 0.8 (found ${pairs.size} pairs)")
+  }
+
+  test("simhash of identical text is identical; one-word change stays within hamming 8") {
+    val fps = Dedup.simhash64(planted, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val dists = evens.flatMap(id =>
+      for (a <- fps.get(id); b <- fps.get(id + 100000L))
+        yield java.lang.Long.bitCount(a ^ b))
+    assert(dists.nonEmpty)
+    assert(dists.count(_ <= 8).toDouble / dists.length >= 0.8)
+  }
+
+  test("LSH ANN approximates brute-force top-k (recall@3)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+      dim = 64, nBits = 5, probeBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // uniform-random 64-dim vectors are LSH's worst case; 2-bit multiprobe
+    // over 5 bits covers 16/32 buckets -> expect well above half
+    assert(recall >= 0.45, s"LSH recall@3 $recall < 0.45")
+  }
+
+  test("exact dedup keeps exactly one survivor per fingerprint, lowest id") {
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 100000L))
+    val out = Dedup.exactDedup(corpus, "text", "doc_id")
+    assert(out.count() == docs.count())
+    assert(out.filter(col("doc_id") >= 100000L).count() == 0)
+  }
+
+  test("multimodal decode preserves partitioning (no shuffle) and batch shape") {
+    val media = Multimodal.mediaFromDocuments(spark, docs).repartition(3)
+    val meta = Multimodal.decodeMeta(media, batchSize = 64)
+    assert(meta.rdd.getNumPartitions == 3)
+    // exactly one exchange: the test's own repartition(3); decode adds none
+    val plan = meta.queryExecution.executedPlan.toString
+    val nExchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(nExchanges <= 1, s"decode should not add shuffles:\n$plan")
+    val rows = meta.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(m => m.width >= 64 && m.height >= 64))
+    assert(rows.filter(_.media_type == "audio").forall(_.n_channels == 1))
+    assert(rows.filter(_.media_type == "image").forall(_.n_frames == 1))
+  }
+
+  test("multimodal feature extraction is deterministic and unit-ranged") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val f1 = Multimodal.extractFeatures(media).collect().map(m => m.media_id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media).collect().map(m => m.media_id -> m.features.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.forall(v => v >= 0f && v <= 1f)))
+    assert(f1.values.forall(_.length == 8))
+  }
+
+  test("resize stub truncates/pads to target") {
+    assert(Multimodal.FakeCodec.resize(Array[Byte](1, 2, 3), 2).toSeq == Seq[Byte](1, 2))
+    assert(Multimodal.FakeCodec.resize(Array[Byte](1), 3).toSeq == Seq[Byte](1, 0, 0))
+  }
+
+  test("langId picks the language with most marker hits, deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chat et la mer les des", "fr"),
+      ("xyzzy qwerty", "und")).toDF("text", "expect")
+    val got = df.select(col("expect"), TextOps.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+}
