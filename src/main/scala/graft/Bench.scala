@@ -1,24 +1,64 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (port of the reference's protocol — warmup pass then
+  * timed iterations, per-query stats; reference: benchmark/src/main.rs:55,
+  * 234-257, metrics.rs:15-26). Prints ONE JSON line the driver consumes.
+  *
+  * Timing excludes the sink: results are executed with the `noop` format
+  * so the measured cost is scan + shuffle + compute, as in the reference's
+  * exec-phase timing (benchmark/src/datafusion_runner.rs:42-81).
+  */
 object Bench {
+
+  /** Headline set: the delegated-operator surface (TPC-H-style +
+    * analytics) plus representative pipeline operators and the lake read
+    * path (its one-time ingest happens during warmup, so timed iterations
+    * measure the snapshot scan itself).
+    */
+  val headline: Seq[String] =
+    graft.queries.Tpch.defs.map(_._1) ++
+      graft.queries.Analytics.defs.map(_._1) ++
+      Seq("txt_token_stats", "txt_quality", "txt_langid", "dedup_exact",
+        "dedup_minhash", "sim_bruteforce_topk", "mm_decode_meta",
+        "lake_scan_agg", "lake_mor_deletes")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    // warmup: JIT, parquet footer caches, lake fixture ingest
+    names.foreach { n =>
+      try run(n)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val timings = names.map { n =>
+      val best = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(n); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }.min
+      n -> best
+    }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timings.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

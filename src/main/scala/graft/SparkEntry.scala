@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Tpch.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.LakeQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.FuncQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Tpch.oracle ++
       graft.queries.Analytics.oracle ++
       graft.queries.LakeQueries.oracle ++
-      graft.queries.OpsQueries.oracle
+      graft.queries.OpsQueries.oracle ++
+      graft.queries.FuncQueries.oracle
 }

@@ -358,5 +358,29 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
   }
 
+  // ------------------------------------------------------------------
+  // SQL surface (v0 per SURVEY.md §2.A A1: session-view registration; the
+  // full `TableCatalog`/`CatalogPlugin` connector is the planned phase-5
+  // form). Views are snapshot-pinned at registration time, mirroring the
+  // reference's catalog-construction pinning (src/catalog.rs:48-64).
+  // ------------------------------------------------------------------
+
+  /** Register every table of the current snapshot as `<prefix>_<schema>_
+    * <table>` temp views, so `spark.sql` queries run against the lake.
+    * Re-call after writes to re-pin (the hybrid runner refreshes the same
+    * way, reference tests/hybrid_asyncdb.rs:147).
+    */
+  def registerViews(prefix: String = "lake"): Unit = {
+    val snap = store.currentSnapshot
+    for {
+      sch <- store.listSchemas(snap)
+      tbl <- store.listTables(sch.schemaId, snap)
+    } table(s"${sch.name}.${tbl.name}", Some(snap))
+      .createOrReplaceTempView(s"${prefix}_${sch.name}_${tbl.name}")
+  }
+
+  /** Run SQL against the registered lake views. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
   def close(): Unit = store.close()
 }

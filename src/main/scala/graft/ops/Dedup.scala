@@ -54,17 +54,28 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
-    * Shuffle profile: explode(bands) → groupBy bucket → local pair
-    * expansion; no quadratic join.
+    *
+    * Shuffle profile: explode(shingles) → map-side partial min-agg of the
+    * `numHashes` hash columns (one shuffled row per doc) → explode(bands)
+    * → groupBy bucket → local pair expansion; no quadratic join. The
+    * explode-then-aggregate shape tokenizes each document exactly once —
+    * an inline `array_min(transform(...))` signature expression would be
+    * re-evaluated per hash function by Catalyst's project collapsing
+    * (measured 100× slower at sf0.1).
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(shingles(col(textCol)), numHashes).as("__sig"))
+    val exploded = df.select(col(idCol).as("__id"),
+      explode(array_distinct(shingles(col(textCol)))).as("__s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__s"))).as(s"__h$i"))
+    val sig = exploded.groupBy("__id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      hash(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)
+    }
     val banded = sig.select(col("__id"),
-      posexplode(lshBands(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+      posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
     val grouped = banded.groupBy("__band", "__bucket")
       .agg(collect_list("__id").as("__ids"))
       .filter(size(col("__ids")) > 1)

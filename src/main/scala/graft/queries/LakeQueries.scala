@@ -49,6 +49,9 @@ object LakeQueries {
       lake.insertInto(
         t(s, dir, "part").withColumn("p_size", col("p_size").cast("long")).coalesce(1),
         "main.part_evolved")
+      // embeddings: list<float32> column through the type bridge
+      lake.createTableAs(t(s, dir, "embeddings").coalesce(1), "main.embeddings")
+      lake.registerViews()
       (lake, marks.result())
     })
 
@@ -167,6 +170,39 @@ object LakeQueries {
       SELECT l_orderkey, l_linenumber, 'delete' AS change_type
       FROM lineitem WHERE l_orderkey % 97 = 0
       ORDER BY l_orderkey, l_linenumber
+    """),
+
+    ("lake_array_type", (s: SparkSession, dir: String) => {
+      // list<float32> round-trip through the lake write+read paths
+      val (lake, _) = fixture(s, dir)
+      lake.table("main.embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          col("label"))
+        .orderBy("vec_id")
+    }, """
+      SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        round(CAST(embedding[1] AS DOUBLE), 6) AS e0, label
+      FROM embeddings ORDER BY vec_id
+    """),
+
+    ("lake_sql_surface", (s: SparkSession, dir: String) => {
+      // spark.sql over snapshot-pinned lake views (MOR deletes included)
+      val (lake, _) = fixture(s, dir)
+      lake.sql("""
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lake_main_lineitem_del
+        WHERE l_quantity > 10
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }, """
+      SELECT l_returnflag, count(*) AS n,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      WHERE NOT (l_orderkey % 97 = 0) AND l_quantity > 10
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
     """),
 
     ("lake_info_columns", (s: SparkSession, dir: String) => {

