@@ -70,7 +70,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         if (!fs.rename(part.getPath, dest))
           throw new InternalException(s"rename failed: ${part.getPath} -> $dest")
         val st = fs.getFileStatus(dest)
-        FileToRegister(fileName, rowCount(dest), st.getLen, footerSize(fs, dest, st.getLen))
+        FileToRegister(fileName, rowCount(dest), st.getLen, footerSize(fs, dest, st.getLen),
+          FileStats.fromFooter(dest, hconf, df.schema))
       }.toSeq
       store.commitWrite(schemaName, tableName, cols, mode, files)
     } finally fs.delete(new Path(staging), true)
@@ -126,13 +127,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * files get a per-file `_metadata.row_index` anti-join (replaces the
     * reference's custom DeleteFilterExec, src/delete_filter.rs).
     */
-  def table(name: String, snapshot: Option[Long] = None): DataFrame = {
+  def table(name: String, snapshot: Option[Long] = None,
+      pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val snap = snapshot.getOrElse(store.currentSnapshot)
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
     if (cols.isEmpty) throw new TableNotFoundException(s"$name (no columns at snapshot $snap)")
     val outSchema = sparkSchemaOf(cols)
-    val files = store.getDataFiles(tr.tableId, snap)
+    val files = pruneByStats(tr, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
+    scanned = files
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
 
@@ -172,6 +175,33 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         .drop("__ducklake_pos")
     }
     (cleanScans ++ delScans).reduce(_ unionByName _)
+  }
+
+  /** Files kept by the last `table()` call (after stats pruning) — test/
+    * introspection hook for the file-skipping path.
+    */
+  @volatile private var scanned: Seq[DataFileRec] = Nil
+  def lastScanFileCount: Int = scanned.size
+
+  /** Min/max file skipping against pushed-down filters (SURVEY.md §4.1
+    * "natural cheap extension"; conservative — any uncertainty keeps the
+    * file). Files with delete files are never skipped on IsNull-style
+    * reasoning alone since stats describe pre-delete contents; the
+    * row-level filters are re-applied by Spark after the scan regardless
+    * (Inexact pushdown, reference src/table.rs:584-598).
+    */
+  private def pruneByStats(tr: TableRec, schema: StructType,
+      files: Seq[DataFileRec],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFileRec] = {
+    if (filters.isEmpty || files.isEmpty) return files
+    val allStats = store.getFileStats(tr.tableId)
+    val idByName = store.getTableColumns(tr.tableId, store.currentSnapshot)
+      .map(c => c.name -> c.columnId).toMap
+    files.filter { f =>
+      val byCol: Map[String, (Long, Option[String], Option[String])] =
+        idByName.flatMap { case (n, cid) => allStats.get((f.dataFileId, cid)).map(n -> _) }
+      filters.forall(FileStats.mightMatch(_, schema, f.recordCount, byCol))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -222,6 +252,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   def renameColumn(name: String, oldName: String, newName: String): Long =
     store.renameColumn(resolveTable(name, store.currentSnapshot).tableId, oldName, newName)
+
+  def dropTable(name: String): Long =
+    store.dropTable(resolveTable(name, store.currentSnapshot).tableId)
+
+  def tableExists(name: String): Boolean = {
+    val (schemaName, tableName) = parse(name)
+    store.getSchemaByName(schemaName, store.currentSnapshot)
+      .exists(s => store.getTableByName(s.schemaId, tableName, store.currentSnapshot).isDefined)
+  }
 
   def dropColumn(name: String, colName: String): Long =
     store.dropColumn(resolveTable(name, store.currentSnapshot).tableId, colName)

@@ -1,0 +1,141 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column min/max statistics: captured from parquet footers at
+  * write time, stored in `ducklake_file_column_stats`, and used at scan
+  * time to skip whole files against pushed-down filters. The reference
+  * lists min/max file skipping as a roadmap gap (README.md "Roadmap");
+  * at 100 TB this is the single highest-leverage scan optimization — a
+  * selective predicate touches only the files whose range intersects it.
+  *
+  * Canonical encodings (sortable within type): integral/date/timestamp →
+  * decimal long string; float/double → `toString`; string → raw (dropped
+  * when > 200 chars — Derby column limit; parquet-mr already truncates
+  * with valid bounds); boolean → "0"/"1".
+  */
+object FileStats {
+
+  /** Extract per-column stats from one written parquet file's footer. */
+  def fromFooter(path: Path, conf: Configuration, schema: StructType): Seq[ColumnStatRec] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      schema.fields.toSeq.flatMap { field =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == field.name))
+        if (chunks.isEmpty) None
+        else {
+          val valueCount = chunks.map(_.getValueCount).sum
+          val nullCount = chunks.map(c => Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L))
+          if (nullCount.exists(_ < 0) || chunks.exists(c =>
+              c.getStatistics == null || !c.getStatistics.hasNonNullValue))
+            Some(ColumnStatRec(field.name, valueCount, 0L, None, None))
+          else {
+            val mins = chunks.map(c => decode(field.dataType, c.getStatistics.genericGetMin))
+            val maxs = chunks.map(c => decode(field.dataType, c.getStatistics.genericGetMax))
+            val (mn, mx) =
+              if (mins.contains(None) || maxs.contains(None)) (None, None)
+              else (mins.flatten.reduceOption(minOf(field.dataType)),
+                maxs.flatten.reduceOption(maxOf(field.dataType)))
+            Some(ColumnStatRec(field.name, valueCount, nullCount.sum, mn, mx))
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Parquet footer value → canonical string, per logical Spark type. */
+  private def decode(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType, n: Number) => Some(n.longValue().toString)
+    case (FloatType, n: Number)  => Some(n.floatValue().toDouble.toString)
+    case (DoubleType, n: Number) => Some(n.doubleValue().toString)
+    case (BooleanType, b: java.lang.Boolean) => Some(if (b) "1" else "0")
+    case (StringType, b: org.apache.parquet.io.api.Binary) =>
+      val s = b.toStringUsingUTF8
+      if (s.length <= 200) Some(s) else None
+    case _ => None
+  }
+
+  private def isNumericLike(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType | BooleanType => true
+    case _ => false
+  }
+
+  private def cmp(dt: DataType)(a: String, b: String): Int =
+    if (isNumericLike(dt)) java.lang.Double.compare(a.toDouble, b.toDouble)
+    else a.compareTo(b)
+
+  private def minOf(dt: DataType)(a: String, b: String): String = if (cmp(dt)(a, b) <= 0) a else b
+  private def maxOf(dt: DataType)(a: String, b: String): String = if (cmp(dt)(a, b) >= 0) a else b
+
+  /** Canonical form of a *filter literal* (DSv1 `sources.Filter` value). */
+  private def canonical(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      Some(n.longValue().toString)
+    case (FloatType | DoubleType, n: Number) => Some(n.doubleValue().toString)
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toString)
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        + t.getNano / 1000L).toString)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString)
+    case (TimestampType, t: java.time.Instant) =>
+      Some((t.getEpochSecond * 1000000L + t.getNano / 1000L).toString)
+    case (StringType, s: String) => Some(s)
+    case (BooleanType, b: java.lang.Boolean) => Some(if (b) "1" else "0")
+    case _ => None
+  }
+
+  /** Conservative file-skip decision: false ⇒ no row in the file can match
+    * `filter`. Any uncertainty (unknown attr, type, or filter shape) keeps
+    * the file.
+    */
+  def mightMatch(filter: Filter, schema: StructType, recordCount: Long,
+      stats: Map[String, (Long, Option[String], Option[String])]): Boolean = {
+
+    def field(attr: String): Option[StructField] = schema.fields.find(_.name == attr)
+
+    def range(attr: String): Option[(DataType, String, String, Long)] = for {
+      f <- field(attr)
+      (nulls, mnO, mxO) <- stats.get(attr)
+      mn <- mnO; mx <- mxO
+    } yield (f.dataType, mn, mx, nulls)
+
+    filter match {
+      case EqualTo(a, v) => range(a).forall { case (dt, mn, mx, _) =>
+        canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0) }
+      case GreaterThan(a, v) => range(a).forall { case (dt, _, mx, _) =>
+        canonical(dt, v).forall(c => cmp(dt)(c, mx) < 0) }
+      case GreaterThanOrEqual(a, v) => range(a).forall { case (dt, _, mx, _) =>
+        canonical(dt, v).forall(c => cmp(dt)(c, mx) <= 0) }
+      case LessThan(a, v) => range(a).forall { case (dt, mn, _, _) =>
+        canonical(dt, v).forall(c => cmp(dt)(mn, c) < 0) }
+      case LessThanOrEqual(a, v) => range(a).forall { case (dt, mn, _, _) =>
+        canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0) }
+      case In(a, vs) => range(a).forall { case (dt, mn, mx, _) =>
+        vs.exists(v => canonical(dt, v).forall(c =>
+          cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0)) }
+      case IsNull(a) =>
+        stats.get(a).forall { case (nulls, _, _) => nulls > 0 }
+      case IsNotNull(a) =>
+        stats.get(a).forall { case (nulls, _, _) => nulls < recordCount }
+      case And(l, r) =>
+        mightMatch(l, schema, recordCount, stats) && mightMatch(r, schema, recordCount, stats)
+      case Or(l, r) =>
+        mightMatch(l, schema, recordCount, stats) || mightMatch(r, schema, recordCount, stats)
+      case _ => true
+    }
+  }
+}

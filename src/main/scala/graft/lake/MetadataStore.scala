@@ -11,7 +11,10 @@ final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boo
     deleteFile: Option[DeleteFileRec])
 final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: String,
     pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long)
-final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long, footerSize: Long)
+final case class ColumnStatRec(columnName: String, valueCount: Long,
+    nullCount: Long, minValue: Option[String], maxValue: Option[String])
+final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
+    footerSize: Long, stats: Seq[ColumnStatRec] = Nil)
 
 object WriteMode extends Enumeration { val Append, Replace = Value }
 
@@ -104,6 +107,21 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           """CREATE TABLE ducklake_metadata(
             |  meta_key VARCHAR(256) NOT NULL,
             |  meta_value VARCHAR(4096) NOT NULL)""".stripMargin)
+        // per-file per-column min/max statistics for scan-time file
+        // skipping (the DuckLake spec has per-file stats tables; the
+        // reference lists min/max skipping as a roadmap gap, README.md
+        // "Roadmap" — we implement it as the natural cheap extension
+        // flagged in SURVEY.md §4.1). Values are stored in a canonical
+        // sortable string form per type.
+        st.executeUpdate(
+          """CREATE TABLE ducklake_file_column_stats(
+            |  data_file_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  column_id BIGINT NOT NULL,
+            |  value_count BIGINT,
+            |  null_count BIGINT,
+            |  min_value VARCHAR(256),
+            |  max_value VARCHAR(256))""".stripMargin)
         // snapshot 0 = empty catalog, like the reference's initial snapshot
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
@@ -348,13 +366,31 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update(s"UPDATE ducklake_delete_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, table.tableId))
     }
+    val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
     files.foreach { f =>
       val id = nextId("ducklake_data_file", "data_file_id")
       update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL)",
         Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize, snap))
+      f.stats.foreach { st =>
+        colIds.get(st.columnName).foreach { cid =>
+          update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+            Seq(id, table.tableId, cid, st.valueCount, st.nullCount,
+              st.minValue.orNull, st.maxValue.orNull))
+        }
+      }
     }
     snap
   }
+
+  /** Per-file per-column stats for the given table, keyed by
+    * (data_file_id, column_id): (nullCount, min, max).
+    */
+  def getFileStats(tableId: Long): Map[(Long, Long), (Long, Option[String], Option[String])] =
+    query("SELECT data_file_id, column_id, null_count, min_value, max_value FROM ducklake_file_column_stats WHERE table_id = ?",
+      Seq(tableId)) { rs =>
+      (rs.getLong(1), rs.getLong(2)) ->
+        (rs.getLong(3), Option(rs.getString(4)), Option(rs.getString(5)))
+    }.toMap
 
   /** Append-mode schema evolution rules: new columns must be nullable; the
     * type of a kept column may only change along the promotion lattice;
@@ -442,6 +478,20 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       throw new InternalException(s"column not found: $name"))
     update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId, c.columnId))
+    snap
+  }
+
+  /** Drop a table: end its row and its files' validity (data stays on disk
+    * and remains readable at earlier snapshots — DuckLake never deletes
+    * physical files on logical drops).
+    */
+  def dropTable(tableId: Long): Long = inSnapshotTxn { snap =>
+    update("UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId))
+    update("UPDATE ducklake_data_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId))
+    update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId))
     snap
   }
 }

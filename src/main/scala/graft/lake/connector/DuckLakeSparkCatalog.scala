@@ -1,0 +1,224 @@
+package graft.lake.connector
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.functions.col
+
+import graft.lake.{ColumnDef, DuckLake, TypeBridge, WriteMode}
+
+/** Spark `CatalogPlugin`/`TableCatalog` for DuckLake — the full connector
+  * form of the reference's `DuckLakeCatalog: CatalogProvider`
+  * (src/catalog.rs:31-217) and `DuckLakeTable: TableProvider`
+  * (src/table.rs:101-128). Register with:
+  *
+  * {{{
+  * spark.sql.catalog.ducklake          = graft.lake.connector.DuckLakeSparkCatalog
+  * spark.sql.catalog.ducklake.metaDb   = /path/to/derby/db
+  * spark.sql.catalog.ducklake.dataPath = /path/to/data
+  * }}}
+  *
+  * then `SELECT … FROM ducklake.main.t`, `INSERT INTO ducklake.main.t …`,
+  * `CREATE TABLE ducklake.main.t AS SELECT …` work through Spark SQL.
+  *
+  * Read path: a `V1Scan` whose relation assembles the snapshot-pinned
+  * DataFrame from [[DuckLake.table]] — column pruning and filter pushdown
+  * arrive through `SupportsPushDown*`; filters additionally drive min/max
+  * file skipping, and all filters are reported as residual so Spark
+  * re-applies them post-scan (Inexact semantics, parity with reference
+  * src/table.rs:584-598). Snapshot is pinned per `loadTable`, i.e. per
+  * analyzed query — the reference pins per catalog construction and
+  * refreshes after writes (tests/hybrid_asyncdb.rs:147).
+  */
+class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var metaDb: String = _
+  private var dataPath: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    metaDb = options.get("metaDb")
+    dataPath = options.get("dataPath")
+    require(metaDb != null && dataPath != null,
+      s"catalog $name requires options metaDb and dataPath")
+  }
+
+  override def name(): String = catalogName
+
+  private def lake: DuckLake =
+    DuckLakeSparkCatalog.lakes.getOrElseUpdate((metaDb, dataPath),
+      new DuckLake(SparkSession.active, metaDb, dataPath))
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    lake.store.listSchemas(lake.currentSnapshot).map(s => Array(s.name)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      lake.store.getSchemaByName(namespace(0), lake.currentSnapshot).isDefined
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "DuckLake schemas are created implicitly on first table write")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("dropNamespace")
+
+  // ---- tables ----
+
+  private def fullName(ident: Identifier): String = {
+    val ns = if (ident.namespace().isEmpty) "main" else ident.namespace().mkString(".")
+    s"$ns.${ident.name()}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val snap = lake.currentSnapshot
+    val sch = lake.store.getSchemaByName(namespace.mkString("."), snap)
+      .getOrElse(throw new NoSuchNamespaceException(namespace))
+    lake.store.listTables(sch.schemaId, snap)
+      .map(t => Identifier.of(namespace, t.name)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    lake.tableExists(fullName(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val snap = lake.currentSnapshot
+    val df = try lake.table(fullName(ident), Some(snap))
+    catch {
+      case _: graft.lake.DuckLakeException =>
+        throw new NoSuchTableException(ident)
+    }
+    new DuckLakeV2Table(lake, fullName(ident), snap, df.schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("partitioned tables not supported (reference parity)")
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+    }.toSeq
+    val (sch, tbl) = fullName(ident).split('.') match {
+      case Array(s, t) => (s, t)
+      case _ => ("main", ident.name())
+    }
+    lake.store.commitWrite(sch, tbl, cols, WriteMode.Append, Nil)
+    new DuckLakeV2Table(lake, fullName(ident), lake.currentSnapshot, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable (use DuckLake.renameColumn)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    try { lake.dropTable(fullName(ident)); true }
+    catch { case _: graft.lake.DuckLakeException => false }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable")
+}
+
+object DuckLakeSparkCatalog {
+  /** One embedded-Derby lake handle per (metaDb, dataPath) per JVM. */
+  private val lakes = TrieMap[(String, String), DuckLake]()
+
+  /** The catalog-owned lake instance (tests introspect its scan counters). */
+  private[lake] def cachedLake(metaDb: String, dataPath: String): Option[DuckLake] =
+    lakes.get((metaDb, dataPath))
+}
+
+/** DSv2 table: snapshot-pinned reads + V1 write fallback (the write path
+  * commits through the transactional metadata store, reference A12-A15).
+  */
+final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = fullName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      private var filters: Array[Filter] = Array.empty
+
+      override def pushFilters(f: Array[Filter]): Array[Filter] = {
+        filters = f
+        f // all residual: Spark re-applies after the scan (Inexact)
+      }
+      override def pushedFilters(): Array[Filter] = filters
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new DuckLakeV1Scan(lake, fullName, snapshot, required, filters)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) =>
+            lake.insertInto(data, fullName,
+              if (overwrite) WriteMode.Replace else WriteMode.Append)
+      }
+    }
+}
+
+/** V1Scan bridge: the relation's RDD comes from the lake's snapshot scan
+  * DataFrame (multi-file parquet + MOR anti-joins), so Catalyst's parquet
+  * reader does the actual IO; pushed filters drive min/max file skipping
+  * before the scan is assembled.
+  */
+final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
+    required: StructType, filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val df = lake.table(fullName, Some(snapshot), filters.toSeq)
+        val projected =
+          if (required.isEmpty) df.select() // COUNT(*) zero-column path
+          else df.select(required.fieldNames.map(col).toSeq: _*)
+        projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+    relation.asInstanceOf[T]
+  }
+}

@@ -52,6 +52,12 @@ object LakeQueries {
       // embeddings: list<float32> column through the type bridge
       lake.createTableAs(t(s, dir, "embeddings").coalesce(1), "main.embeddings")
       lake.registerViews()
+      // register the DSv2 catalog plugin against this fixture's lake so
+      // `ducklake.main.*` resolves in spark.sql (lazily instantiated)
+      s.conf.set("spark.sql.catalog.ducklake",
+        classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+      s.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
+      s.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
       (lake, marks.result())
     })
 
@@ -203,6 +209,45 @@ object LakeQueries {
       WHERE NOT (l_orderkey % 97 = 0) AND l_quantity > 10
       GROUP BY l_returnflag
       ORDER BY l_returnflag
+    """),
+
+    ("lake_catalog_select", (s: SparkSession, dir: String) => {
+      // full DSv2 catalog plugin path: spark.sql over ducklake.main.*
+      // with filter pushdown -> min/max file skipping on the 4-file table
+      fixture(s, dir)
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM ducklake.main.lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }, """
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+
+    ("lake_catalog_insert", (s: SparkSession, dir: String) => {
+      // SQL INSERT INTO through the connector: re-create (Replace) then
+      // append the top-5 suppliers -> deterministic under re-runs
+      val (lake, _) = fixture(s, dir)
+      lake.createTableAs(
+        t(s, dir, "supplier").filter(col("s_suppkey") <= 5).coalesce(1),
+        "main.ins_test")
+      s.sql("""
+        INSERT INTO ducklake.main.ins_test
+        SELECT * FROM ducklake.main.ins_test WHERE s_suppkey <= 2""")
+      s.sql("""
+        SELECT s_suppkey, count(*) AS n FROM ducklake.main.ins_test
+        GROUP BY s_suppkey ORDER BY s_suppkey""")
+    }, """
+      SELECT s_suppkey, count(*) AS n FROM (
+        SELECT * FROM supplier WHERE s_suppkey <= 5
+        UNION ALL
+        SELECT * FROM supplier WHERE s_suppkey <= 2)
+      GROUP BY s_suppkey ORDER BY s_suppkey
     """),
 
     ("lake_info_columns", (s: SparkSession, dir: String) => {

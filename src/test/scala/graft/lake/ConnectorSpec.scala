@@ -1,0 +1,154 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end DSv2 connector behavior: `spark.sql` through the registered
+  * `ducklake` catalog — SELECT with pushdown, INSERT INTO, CTAS, DROP —
+  * plus min/max file skipping from catalog stats.
+  */
+class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val root = Files.createTempDirectory("ducklake-conn").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.ducklake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    .config("spark.sql.catalog.ducklake.metaDb", s"$root/meta")
+    .config("spark.sql.catalog.ducklake.dataPath", s"$root/data")
+    .getOrCreate()
+
+  private lazy val lake = {
+    import spark.implicits._
+    val l = new DuckLake(spark, s"$root/meta", s"$root/data")
+    l.createTableAs(
+      (1 to 100).map(i => (i.toLong, s"name_$i", i * 1.5, i % 7))
+        .toDF("id", "name", "amount", "grp").coalesce(1), "main.items")
+    l
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("SELECT through the catalog plugin") {
+    lake // force fixture
+    val got = spark.sql(
+      "SELECT grp, count(*) AS n, round(sum(amount), 2) AS total " +
+        "FROM ducklake.main.items GROUP BY grp ORDER BY grp")
+    assert(got.count() == 7)
+    assert(got.agg(sum("n")).head.getLong(0) == 100L)
+  }
+
+  test("filter + projection pushdown reach the connector") {
+    lake
+    val got = spark.sql(
+      "SELECT name FROM ducklake.main.items WHERE id <= 3 ORDER BY name")
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("name_1", "name_2", "name_3"))
+  }
+
+  test("COUNT(*) zero-column scan") {
+    lake
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.items").head.getLong(0) == 100L)
+  }
+
+  test("INSERT INTO through SQL appends a snapshot") {
+    lake
+    val before = lake.currentSnapshot
+    spark.sql("INSERT INTO ducklake.main.items VALUES (101, 'name_101', 5.0, 3)")
+    assert(lake.currentSnapshot > before)
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.items").head.getLong(0) == 101L)
+    // pre-insert snapshot still intact via the programmatic API
+    assert(lake.table("main.items", Some(before)).count() == 100L)
+  }
+
+  test("INSERT OVERWRITE replaces visible data") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "x")).toDF("k", "v").coalesce(1), "main.ow")
+    spark.sql("INSERT OVERWRITE ducklake.main.ow VALUES (2, 'y')")
+    val rows = spark.sql("SELECT k, v FROM ducklake.main.ow").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "y")))
+  }
+
+  test("CTAS through SQL") {
+    lake
+    spark.sql(
+      "CREATE TABLE ducklake.main.big_items AS " +
+        "SELECT id, amount FROM ducklake.main.items WHERE amount > 100")
+    val got = spark.sql("SELECT count(*), round(min(amount), 2) FROM ducklake.main.big_items").head
+    assert(got.getLong(0) == spark.sql(
+      "SELECT count(*) FROM ducklake.main.items WHERE amount > 100").head.getLong(0))
+  }
+
+  test("DROP TABLE ends visibility, keeps earlier snapshots readable") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "a")).toDF("k", "v").coalesce(1), "main.dropme")
+    val snapBefore = lake.currentSnapshot
+    spark.sql("DROP TABLE ducklake.main.dropme")
+    assert(!lake.tableExists("main.dropme"))
+    assert(lake.table("main.dropme", Some(snapBefore)).count() == 1)
+  }
+
+  test("SHOW TABLES lists lake tables") {
+    lake
+    val names = spark.sql("SHOW TABLES IN ducklake.main").collect().map(_.getString(1)).toSet
+    assert(names.contains("items"))
+  }
+
+  test("min/max file skipping prunes non-matching files") {
+    import spark.implicits._
+    // three files with disjoint id ranges (fixture A5 shape,
+    // reference tests/sqllogictests/sql/stats/filter_pushdown.test)
+    val l = lake
+    l.createTableAs((0 until 1000).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "v").coalesce(1), "main.ranged")
+    l.insertInto((100000 until 101000).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "v").coalesce(1), "main.ranged")
+    l.insertInto((500000 until 501000).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "v").coalesce(1), "main.ranged")
+
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan, And}
+    // pushed filters prune FILES; the kept files' rows come back whole
+    // (Spark re-applies row filters on the DSv2 path — Inexact semantics)
+    assert(l.table("main.ranged", None, Seq(EqualTo("id", 100500L))).count() == 1000)
+    assert(l.lastScanFileCount == 1)
+    // range straddling two files
+    assert(l.table("main.ranged", None,
+      Seq(GreaterThan("id", 500L), LessThan("id", 100500L))).count() == 2000)
+    assert(l.lastScanFileCount == 2)
+    // no filter -> all files
+    l.table("main.ranged").count()
+    assert(l.lastScanFileCount == 3)
+    // impossible predicate -> zero files
+    assert(l.table("main.ranged", None,
+      Seq(And(GreaterThan("id", 2000L), LessThan("id", 50000L)))).count() == 0)
+    assert(l.lastScanFileCount == 0)
+    // SQL through the connector also skips (filters arrive via pushdown);
+    // the catalog scans through ITS OWN lake instance, so check that one
+    val viaSql = spark.sql("SELECT count(*) FROM ducklake.main.ranged WHERE id = 100500")
+    assert(viaSql.head.getLong(0) == 1L)
+    val catalogLake = graft.lake.connector.DuckLakeSparkCatalog
+      .cachedLake(s"$root/meta", s"$root/data").get
+    assert(catalogLake.lastScanFileCount == 1)
+  }
+
+  test("string min/max skipping") {
+    import org.apache.spark.sql.sources.EqualTo
+    import spark.implicits._
+    val l = lake
+    l.createTableAs(Seq(("apple", 1), ("banana", 2)).toDF("s", "n").coalesce(1), "main.strs")
+    l.insertInto(Seq(("melon", 3), ("peach", 4)).toDF("s", "n").coalesce(1), "main.strs")
+    assert(l.table("main.strs", None, Seq(EqualTo("s", "peach"))).count() == 2)
+    assert(l.lastScanFileCount == 1)
+    // 'cherry' falls in the gap between file 1's [apple,banana] and
+    // file 2's [melon,peach] -> both files skipped
+    assert(l.table("main.strs", None, Seq(EqualTo("s", "cherry"))).count() == 0)
+    assert(l.lastScanFileCount == 0)
+  }
+}
