@@ -256,6 +256,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def dropTable(name: String): Long =
     store.dropTable(resolveTable(name, store.currentSnapshot).tableId)
 
+  /** Compaction: rewrite the table's current visible rows (deletes
+    * applied) into `numFiles` fresh files and commit as a Replace
+    * snapshot. Old files stay readable at earlier snapshots — the
+    * DuckLake compaction model (reference corpus:
+    * tests/sqllogictests/sql/compaction/).
+    */
+  def compact(name: String, numFiles: Int = 1): Long = {
+    val current = table(name)
+    // materialize before the Replace commit so the scan doesn't race the
+    // rewrite (single snapshot swap, atomic in the metadata txn)
+    val rows = current.repartition(numFiles).cache()
+    try {
+      rows.count()
+      insertInto(rows, name, WriteMode.Replace)
+    } finally rows.unpersist()
+  }
+
   def tableExists(name: String): Boolean = {
     val (schemaName, tableName) = parse(name)
     store.getSchemaByName(schemaName, store.currentSnapshot)

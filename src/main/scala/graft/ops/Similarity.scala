@@ -95,6 +95,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns each
+    * vector to its nearest centroid's cell; queries probe the `nProbe`
+    * nearest cells and rank those candidates exactly. The scale path when
+    * embeddings cluster (real corpora): cells are contiguous shuffle
+    * partitions and the probe join is centroid-id equi-join, no cross
+    * join. Deterministic: centroids initialize from the `k` lowest-id
+    * vectors and run a fixed number of Lloyd iterations.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int = 2,
+      lloydIters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+
+    // deterministic k-means: init = k lowest-id vectors, fixed iterations
+    var centroids: Seq[(Int, Seq[Double])] = c.orderBy("neighbor_id").limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    def centroidDF = centroids.toDF("cell", "centroid")
+    def nearestCell(vec: Column, cDF: DataFrame): DataFrame => DataFrame = df => {
+      val w = Window.partitionBy("neighbor_id").orderBy(col("__d").asc, col("cell").asc)
+      df.crossJoin(broadcast(cDF))
+        .withColumn("__d", -dot(vec, col("centroid")) /
+          (norm(vec) * norm(col("centroid"))))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__d", "__rn", "centroid")
+    }
+    for (_ <- 0 until lloydIters) {
+      val assigned = nearestCell(col("__cv"), centroidDF)(c)
+      val updated = assigned.groupBy("cell")
+        .agg(collect_list(col("__cv")).as("vs"))
+        .select(col("cell"), expr(
+          """transform(sequence(0, size(vs[0]) - 1),
+            |  d -> aggregate(vs, 0D, (a, v) -> a + v[d]) / size(vs))""".stripMargin)
+          .as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      if (updated.nonEmpty) centroids = updated
+    }
+
+    val cells = nearestCell(col("__cv"), centroidDF)(c) // (neighbor_id, __cv, cell)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    val qw = Window.partitionBy("query_id").orderBy(col("__d").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroidDF))
+      .withColumn("__d", -dot(col("__qv"), col("centroid")) /
+        (norm(col("__qv")) * norm(col("centroid"))))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .select("query_id", "neighbor_id", "sim").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, using LSH
     * buckets as the blocking key (same-bucket candidates only).
     */

@@ -250,6 +250,30 @@ object LakeQueries {
       GROUP BY s_suppkey ORDER BY s_suppkey
     """),
 
+    ("lake_compaction", (s: SparkSession, dir: String) => {
+      // multi-file table + deletes -> compact -> results identical, one file
+      val (lake, _) = fixture(s, dir)
+      lake.createTableAs(t(s, dir, "orders").repartition(3), "main.compact_t")
+      lake.deleteWhere("main.compact_t", col("o_orderkey") % 13 === 0)
+      lake.compact("main.compact_t")
+      lake.table("main.compact_t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }, """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE NOT (o_orderkey % 13 = 0)
+      GROUP BY 1 ORDER BY 1
+    """),
+
+    ("sim_ivf_topk", (s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3, nCells = 8, nProbe = 3)
+        .orderBy("query_id", "rnk")
+    }, null),
+
     ("lake_info_columns", (s: SparkSession, dir: String) => {
       val (lake, _) = fixture(s, dir)
       lake.informationSchema("columns")
@@ -273,5 +297,6 @@ object LakeQueries {
     defs.map { case (n, f, _) => n -> f }.toMap
 
   val oracle: Map[String, String] =
-    defs.map { case (n, _, o) => n -> o.stripMargin.trim.replaceAll("\\s+", " ") }.toMap
+    defs.filter(_._3 != null)
+      .map { case (n, _, o) => n -> o.stripMargin.trim.replaceAll("\\s+", " ") }.toMap
 }

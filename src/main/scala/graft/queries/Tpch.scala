@@ -539,6 +539,45 @@ object Tpch {
       ORDER BY c_nationkey
     """),
 
+    ("q21_waiting_suppliers", (s: SparkSession, dir: String) => {
+      // suppliers with a late line on a multi-supplier order where no
+      // OTHER supplier was late (q21 shape: join + EXISTS + NOT EXISTS)
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val late = t(s, dir, "lineitem").join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("lk"), col("l_suppkey").as("sk"))
+      val others = late.select(col("lk").as("o_lk"), col("sk").as("o_sk"))
+      su.join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(late, col("s_suppkey") === col("sk"))
+        .join(others,
+          col("lk") === col("o_lk") && col("o_sk") =!= col("sk"), "left_anti")
+        .groupBy("s_name", "s_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }, """
+      SELECT s_name, s_suppkey, count(*) AS numwait
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN (SELECT l_orderkey AS lk, l_suppkey AS sk
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY) late
+        ON s_suppkey = sk
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+        AND NOT EXISTS (
+          SELECT 1
+          FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+          WHERE l2.l_orderkey = lk AND l2.l_suppkey <> sk
+            AND o2.o_orderstatus = 'F'
+            AND l2.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name, s_suppkey
+      ORDER BY numwait DESC, s_suppkey
+      LIMIT 20
+    """),
+
     ("q02_min_cost_supplier", (s: SparkSession, dir: String) => {
       val l = t(s, dir, "lineitem")
       val p = t(s, dir, "part").filter(col("p_size").isin(3, 7))

@@ -217,4 +217,47 @@ class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[TableNotFoundException](lake.table("main.nope"))
     assertThrows[SchemaNotFoundException](lake.table("noschema.t"))
   }
+
+  test("all supported types round-trip through write+read (types/all_types parity)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i8", ByteType),
+      StructField("i16", ShortType), StructField("i32", IntegerType),
+      StructField("i64", LongType), StructField("f32", FloatType),
+      StructField("f64", DoubleType), StructField("d", DateType),
+      StructField("ts", TimestampNTZType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dec", DecimalType(12, 3)),
+      StructField("arr", ArrayType(LongType))))
+    val row = org.apache.spark.sql.Row(
+      true, 1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5, java.sql.Date.valueOf("2024-06-01"),
+      java.time.LocalDateTime.of(2024, 6, 1, 12, 30, 0), "héllo   world",
+      Array[Byte](1, 2, 3), new java.math.BigDecimal("123.456"), Seq(1L, 2L, 3L))
+    val df = spark.createDataFrame(java.util.List.of(row, row), schema)
+    lake.createTableAs(df.coalesce(1), "main.all_types")
+    val back = lake.table("main.all_types").collect()
+    assert(back.length == 2)
+    val r = back.head
+    assert(r.getBoolean(0) && r.getByte(1) == 1 && r.getShort(2) == 2 &&
+      r.getInt(3) == 3 && r.getLong(4) == 4L && r.getFloat(5) == 1.5f &&
+      r.getDouble(6) == 2.5)
+    assert(r.getAs[java.sql.Date](7).toString == "2024-06-01")
+    assert(r.getAs[String](9) == "héllo   world")
+    assert(r.getAs[Array[Byte]](10).toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getAs[java.math.BigDecimal](11).compareTo(new java.math.BigDecimal("123.456")) == 0)
+    assert(r.getSeq[Long](12) == Seq(1L, 2L, 3L))
+    // catalog recorded DuckLake type strings
+    val types = lake.informationSchema("columns")
+      .filter(col("table_name") === "all_types").orderBy("column_order")
+      .collect().map(_.getString(5)).toSeq
+    assert(types == Seq("boolean", "int8", "int16", "int32", "int64", "float32",
+      "float64", "date", "timestamp", "varchar", "blob", "decimal(12,3)", "list<int64>"))
+  }
+
+  test("struct/map columns rejected with a clear error (reference parity types.rs:74-85)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("x", IntegerType))))))
+    val df = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    assertThrows[UnsupportedTypeException](lake.createTableAs(df, "main.bad_struct"))
+  }
 }

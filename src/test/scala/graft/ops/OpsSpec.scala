@@ -79,6 +79,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.45, s"LSH recall@3 $recall < 0.45")
   }
 
+  test("IVF ANN approximates brute-force top-k (recall@3)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // 3 of 8 cells probed; uniform-random vectors are the worst case
+    assert(recall >= 0.4, s"IVF recall@3 $recall < 0.4")
+  }
+
+  test("IVF results are deterministic across runs") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run() == run())
+  }
+
   test("exact dedup keeps exactly one survivor per fingerprint, lowest id") {
     val corpus = docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 100000L))
