@@ -140,9 +140,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
 
     // physical column defs per file epoch: what each column was named/typed
-    // when the file was written (column_id ≙ parquet field_id)
+    // when the file was written (column_id ≙ parquet field_id). The full
+    // history is fetched once — epoch resolution is in-memory, so scan
+    // planning does O(1) metadata queries regardless of file count.
+    val history = store.getColumnHistory(tr.tableId)
     def epochOf(f: DataFileRec): Seq[(ColumnDef, Option[ColumnDef])] =
-      cols.map(c => c -> store.getColumnDefAt(tr.tableId, c.columnId, f.beginSnapshot))
+      cols.map(c => c -> history.find { case (h, begin, end) =>
+        h.columnId == c.columnId && begin <= f.beginSnapshot &&
+          end.forall(_ > f.beginSnapshot)
+      }.map(_._1))
 
     def readGroup(paths: Seq[String], epoch: Seq[(ColumnDef, Option[ColumnDef])],
         withPos: Boolean): DataFrame = {

@@ -202,6 +202,21 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(tableId, columnId, snap, snap))(rs =>
       ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5))).headOption
 
+  /** Full column history for a table: every column row with its validity
+    * interval. One query instead of files×columns point lookups — scan
+    * planning stays O(1) metadata round-trips however many files the
+    * snapshot has (the bulk N+1-avoidance pattern the reference uses for
+    * information_schema, src/metadata_provider.rs:598-618).
+    */
+  def getColumnHistory(tableId: Long): Seq[(ColumnDef, Long, Option[Long])] =
+    query("SELECT column_id, column_order, column_name, column_type, nulls_allowed, begin_snapshot, end_snapshot FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL ORDER BY column_id, begin_snapshot",
+      Seq(tableId)) { rs =>
+      val end = rs.getLong(7)
+      val endOpt = if (rs.wasNull()) None else Some(end) // wasNull refers to col 7
+      (ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)),
+        rs.getLong(6), endOpt)
+    }
+
   /** Data files visible at `snap`, each with its newest visible delete file
     * (reference: SQL_GET_DATA_FILES src/metadata_provider.rs:26-49).
     * Derby lacks LATERAL → window-function rewrite (SURVEY.md §7.4).

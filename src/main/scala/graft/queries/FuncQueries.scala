@@ -78,6 +78,26 @@ object FuncQueries {
       GROUP BY source ORDER BY source
     """),
 
+    ("skew_salted_join", (s: SparkSession, dir: String) => {
+      // salted join must equal the plain join (oracle = plain SQL join);
+      // events.user_id vs a small user dimension derived from customers
+      val e = t(s, dir, "events")
+      val users = t(s, dir, "customer")
+        .select((col("c_custkey") % 50).as("user_id"), col("c_mktsegment"))
+        .distinct()
+      graft.ops.Skew.saltedJoin(e, users, "user_id", col("event_id"), salts = 8)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }, """
+      SELECT c_mktsegment, event_type, count(*) AS n,
+        round(sum(value), 2) AS sum_value
+      FROM events
+      JOIN (SELECT DISTINCT c_custkey % 50 AS user_id, c_mktsegment FROM customer) u
+        ON events.user_id = u.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+
     ("stream_hourly_counts", (s: SparkSession, dir: String) => {
       graft.streaming.EventStream.hourlyCounts(s, dir)
     }, """

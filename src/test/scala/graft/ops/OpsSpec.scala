@@ -136,6 +136,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.FakeCodec.resize(Array[Byte](1), 3).toSeq == Seq[Byte](1, 0, 0))
   }
 
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (i % 3, s"row$i")).toDF("k", "payload")
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (9, "unmatched")).toDF("k", "dim")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", col("payload"), salts = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("langId picks the language with most marker hits, deterministic ties") {
     import spark.implicits._
     val df = Seq(
