@@ -20,11 +20,36 @@ import org.apache.spark.sql.types._
   * deletes become per-file `row_index` anti-joins whose delete side is
   * bounded by delete counts and broadcast by Catalyst.
   */
-final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPath: String) {
+final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPath: String,
+    encrypted: Boolean = false) {
+  import graft.lake.crypto.GraftCryptoFactory
 
   val store = new MetadataStore(metaDbPath)
   store.setMetadata("data_path", dataPath)
+
+  /** Lake-level Parquet Modular Encryption (reference: A5,
+    * src/encryption.rs): sticky once enabled — reopening the lake without
+    * the flag keeps encrypting, since existing files already need their
+    * catalog keys. Every data/delete file gets a fresh AES-128 footer key,
+    * stored in its `ducklake_data_file`/`ducklake_delete_file` row; scans
+    * scope the keys to their own job conf via reader options.
+    */
+  val encryptionEnabled: Boolean =
+    encrypted || store.getMetadata("encryption").contains("true")
+  if (encryptionEnabled) store.setMetadata("encryption", "true")
+
   private val hconf = spark.sparkContext.hadoopConfiguration
+
+  /** spark.read carrying decryption keys for exactly the files of one
+    * scan (name → base64 key); plaintext reader when nothing is encrypted.
+    */
+  private def reader(keys: Iterable[(String, Option[String])]): org.apache.spark.sql.DataFrameReader = {
+    val m = keys.collect { case (name, Some(k)) => s"$name:$k" }.toSeq
+    if (m.isEmpty) spark.read
+    else spark.read
+      .option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
+      .option(GraftCryptoFactory.DecryptKeys, m.mkString(";"))
+  }
 
   /** Pin a snapshot for whole-query consistency (reference:
     * src/catalog.rs:31-64); None = latest at call time.
@@ -59,7 +84,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val tableDir = s"$dataPath/$schemaName/$tableName"
     val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
-    df.write.mode("overwrite").parquet(staging)
+    // one fresh key per commit; each registered file row carries it
+    val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
+    val writer = keyOpt.foldLeft(df.write.mode("overwrite")) { (w, k) =>
+      w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
+        .option(GraftCryptoFactory.EncryptKey, k)
+    }
+    writer.parquet(staging)
     try {
       fs.mkdirs(new Path(tableDir))
       val parts = fs.listStatus(new Path(staging))
@@ -70,8 +101,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         if (!fs.rename(part.getPath, dest))
           throw new InternalException(s"rename failed: ${part.getPath} -> $dest")
         val st = fs.getFileStatus(dest)
-        FileToRegister(fileName, rowCount(dest), st.getLen, footerSize(fs, dest, st.getLen),
-          FileStats.fromFooter(dest, hconf, df.schema))
+        FileToRegister(fileName, rowCount(dest, keyOpt), st.getLen,
+          footerSize(fs, dest, st.getLen),
+          FileStats.fromFooter(dest, hconf, df.schema, keyOpt), keyOpt)
       }.toSeq
       store.commitWrite(schemaName, tableName, cols, mode, files)
     } finally fs.delete(new Path(staging), true)
@@ -87,16 +119,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       in.seek(len - 8)
       val b = new Array[Byte](8)
       in.readFully(b)
-      if (!(b(4) == 'P' && b(5) == 'A' && b(6) == 'R' && b(7) == '1'))
+      // "PAR1" plaintext footer; "PARE" PME encrypted footer
+      if (!(b(4) == 'P' && b(5) == 'A' && b(6) == 'R' && (b(7) == '1' || b(7) == 'E')))
         throw new InternalException(s"not a parquet file: $p")
       val footerLen = (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
       footerLen + 8 // include length+magic, as the reference hint does
     } finally in.close()
   }
 
-  private def rowCount(p: Path): Long = {
+  private def rowCount(p: Path, key: Option[String]): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val opts = org.apache.parquet.HadoopReadOptions.builder(hconf, p)
+    key.foreach(k => opts.withDecryption(GraftCryptoFactory.decryptionProps(k)))
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts.build())
     try r.getRecordCount finally r.close()
   }
 
@@ -150,12 +185,14 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           end.forall(_ > f.beginSnapshot)
       }.map(_._1))
 
-    def readGroup(paths: Seq[String], epoch: Seq[(ColumnDef, Option[ColumnDef])],
+    def readGroup(fsGroup: Seq[DataFileRec], epoch: Seq[(ColumnDef, Option[ColumnDef])],
         withPos: Boolean): DataFrame = {
       val physSchema = StructType(epoch.flatMap { case (_, phys) =>
         phys.map(p => StructField(p.name, TypeBridge.toSpark(p.dtype), nullable = true))
       })
-      val base = spark.read.schema(physSchema).parquet(paths: _*)
+      val paths = fsGroup.map(f => filePath(name, f.path))
+      val base = reader(fsGroup.map(f => f.path -> f.encryptionKey))
+        .schema(physSchema).parquet(paths: _*)
       val projection = epoch.map {
         case (cur, Some(phys)) =>
           col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
@@ -168,15 +205,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
     val (withDel, clean) = files.partition(_.deleteFile.isDefined)
     val cleanScans = clean.groupBy(epochOf).map { case (epoch, fs) =>
-      readGroup(fs.map(f => filePath(name, f.path)), epoch, withPos = false)
+      readGroup(fs, epoch, withPos = false)
     }.toSeq
     val delScans = withDel.map { f =>
       val del = f.deleteFile.get
-      val positions = spark.read
+      val positions = reader(Seq(del.path -> del.encryptionKey))
         .schema(StructType(Seq(StructField("file_path", StringType), StructField("pos", LongType))))
         .parquet(filePath(name, del.path))
         .select(col("pos"))
-      readGroup(Seq(filePath(name, f.path)), epochOf(f), withPos = true)
+      readGroup(Seq(f), epochOf(f), withPos = true)
         .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
         .drop("__ducklake_pos")
     }
@@ -229,12 +266,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val deletes = files.flatMap { f =>
       val path = filePath(name, f.path)
       val physSchema = sparkSchemaOf(cols)
-      val matched = spark.read.schema(physSchema).parquet(path)
+      val matched = reader(Seq(f.path -> f.encryptionKey)).schema(physSchema).parquet(path)
         .select(col("_metadata.row_index").as("pos"), cond.as("__m"))
         .filter(col("__m")).select("pos")
         .collect().map(_.getLong(0)).toSet
       val previous: Set[Long] = f.deleteFile match {
-        case Some(d) => spark.read.parquet(filePath(name, d.path))
+        case Some(d) => reader(Seq(d.path -> d.encryptionKey))
+          .parquet(filePath(name, d.path))
           .select("pos").collect().map(_.getLong(0)).toSet
         case None => Set.empty
       }
@@ -243,14 +281,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       else {
         val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
         val delDir = s"${tableDirOf(name)}/deletes-${UUID.randomUUID()}"
+        val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
         import spark.implicits._
-        all.map(p => (path, p)).toDF("file_path", "pos")
-          .coalesce(1).write.parquet(delDir)
+        val delWriter = keyOpt.foldLeft(
+          all.map(p => (path, p)).toDF("file_path", "pos").coalesce(1).write) { (w, k) =>
+          w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
+            .option(GraftCryptoFactory.EncryptKey, k)
+        }
+        delWriter.parquet(delDir)
         val part = fs.listStatus(new Path(delDir))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
         fs.rename(part, new Path(s"${tableDirOf(name)}/$delName"))
         fs.delete(new Path(delDir), true)
-        Some(f.dataFileId -> FileToRegister(delName, all.size.toLong, 0L, 0L))
+        Some(f.dataFileId -> FileToRegister(delName, all.size.toLong, 0L, 0L, Nil, keyOpt))
       }
     }
     if (deletes.isEmpty) snap else store.commitDeletes(tr.tableId, deletes)
@@ -308,7 +351,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
     files.map { f =>
-      spark.read.schema(sparkSchemaOf(cols)).parquet(filePath(name, f.path))
+      reader(Seq(f.path -> f.encryptionKey))
+        .schema(sparkSchemaOf(cols)).parquet(filePath(name, f.path))
         .withColumn("snapshot_id", lit(f.beginSnapshot))
         .withColumn("change_type", lit("insert"))
     }.reduce(_ unionByName _)
@@ -331,20 +375,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
     entries.map { case (delOpt, prevOpt, dataFile) =>
       val current: DataFrame = delOpt match {
-        case Some(d) => spark.read.parquet(filePath(name, d.path)).select("pos")
+        case Some(d) => reader(Seq(d.path -> d.encryptionKey))
+          .parquet(filePath(name, d.path)).select("pos")
         case None => // full-file delete (Replace): every position
           spark.range(dataFile.recordCount).select(col("id").as("pos"))
       }
       val delta = prevOpt match {
         case Some(p) =>
-          current.except(spark.read.parquet(filePath(name, p.path)).select("pos"))
+          current.except(reader(Seq(p.path -> p.encryptionKey))
+            .parquet(filePath(name, p.path)).select("pos"))
         case None => current
       }
       val snapId = delOpt.map(_.beginSnapshot).getOrElse {
         // end_snapshot of the replaced file: by construction in range
         store.getDataFileById(tr.tableId, dataFile.dataFileId); to
       }
-      spark.read.schema(sparkSchemaOf(cols)).parquet(filePath(name, dataFile.path))
+      reader(Seq(dataFile.path -> dataFile.encryptionKey))
+        .schema(sparkSchemaOf(cols)).parquet(filePath(name, dataFile.path))
         .withColumn("__pos", col("_metadata.row_index"))
         .join(broadcast(delta), col("__pos") === col("pos"), "left_semi")
         .drop("__pos")

@@ -21,9 +21,15 @@ import org.apache.spark.sql.types._
   */
 object FileStats {
 
-  /** Extract per-column stats from one written parquet file's footer. */
-  def fromFooter(path: Path, conf: Configuration, schema: StructType): Seq[ColumnStatRec] = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+  /** Extract per-column stats from one written parquet file's footer
+    * (decrypting it when the file is PME-encrypted, key = base64).
+    */
+  def fromFooter(path: Path, conf: Configuration, schema: StructType,
+      decryptKey: Option[String] = None): Seq[ColumnStatRec] = {
+    val opts = org.apache.parquet.HadoopReadOptions.builder(conf, path)
+    decryptKey.foreach(k =>
+      opts.withDecryption(graft.lake.crypto.GraftCryptoFactory.decryptionProps(k)))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf), opts.build())
     try {
       import scala.jdk.CollectionConverters._
       val blocks = reader.getFooter.getBlocks.asScala

@@ -8,13 +8,14 @@ final case class TableRec(tableId: Long, schemaId: Long, name: String, path: Str
 final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean)
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
-    deleteFile: Option[DeleteFileRec])
+    deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None)
 final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: String,
-    pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long)
+    pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long,
+    encryptionKey: Option[String] = None)
 final case class ColumnStatRec(columnName: String, valueCount: Long,
     nullCount: Long, minValue: Option[String], maxValue: Option[String])
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
-    footerSize: Long, stats: Seq[ColumnStatRec] = Nil)
+    footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None)
 
 object WriteMode extends Enumeration { val Append, Replace = Value }
 
@@ -92,7 +93,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  file_size_bytes BIGINT NOT NULL,
             |  footer_size BIGINT NOT NULL,
             |  begin_snapshot BIGINT NOT NULL,
-            |  end_snapshot BIGINT)""".stripMargin)
+            |  end_snapshot BIGINT,
+            |  encryption_key VARCHAR(64))""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_delete_file(
             |  delete_file_id BIGINT NOT NULL,
@@ -102,7 +104,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  path_is_relative BOOLEAN NOT NULL,
             |  record_count BIGINT NOT NULL,
             |  begin_snapshot BIGINT NOT NULL,
-            |  end_snapshot BIGINT)""".stripMargin)
+            |  end_snapshot BIGINT,
+            |  encryption_key VARCHAR(64))""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_metadata(
             |  meta_key VARCHAR(256) NOT NULL,
@@ -229,7 +232,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     def vis(a: String) =
       s"$a.begin_snapshot <= ? AND ($a.end_snapshot IS NULL OR $a.end_snapshot > ?)"
     val dels = query(
-      s"""SELECT d.data_file_id, d.delete_file_id, d.path, d.path_is_relative, d.record_count, d.begin_snapshot
+      s"""SELECT d.data_file_id, d.delete_file_id, d.path, d.path_is_relative, d.record_count, d.begin_snapshot, d.encryption_key
          |FROM ducklake_delete_file d
          |WHERE d.table_id = ? AND ${vis("d")}
          |AND d.begin_snapshot = (
@@ -238,21 +241,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
          |    AND ${vis("d2")})""".stripMargin,
       Seq(tableId, snap, snap, snap, snap))(rs =>
       rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
-        rs.getBoolean(4), rs.getLong(5), rs.getLong(6))).toMap
-    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
+        rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).toMap
+    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
       Seq(tableId, snap, snap))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1))))
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1)),
+        Option(rs.getString(8))))
   }
 
   /** Data files with begin_snapshot in (from, to] — CDC inserts
     * (reference: src/metadata_provider.rs:77-89).
     */
   def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long): Seq[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
       Seq(tableId, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), None))
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8))))
 
   /** Delete files with begin_snapshot in (from, to], each with the previous
     * delete file for the same data file (for position deltas), plus
@@ -263,42 +267,42 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def getDeleteFilesAddedBetween(tableId: Long, from: Long, to: Long)
       : Seq[(Option[DeleteFileRec], Option[DeleteFileRec], DataFileRec)] = {
     val newDels = query(
-      "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot FROM ducklake_delete_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, delete_file_id",
+      "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, delete_file_id",
       Seq(tableId, from, to))(rs =>
       DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
-        rs.getLong(5), rs.getLong(6)))
+        rs.getLong(5), rs.getLong(6), Option(rs.getString(7))))
     val withPrev = newDels.map { d =>
       val prev = query(
-        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? AND begin_snapshot <= ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
+        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? AND begin_snapshot <= ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
         Seq(tableId, d.dataFileId, d.beginSnapshot - 1))(rs =>
         DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
-          rs.getLong(5), rs.getLong(6))).headOption
+          rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).headOption
       val df = getDataFileById(tableId, d.dataFileId)
         .getOrElse(throw new InternalException(s"delete file ${d.deleteFileId} references missing data file ${d.dataFileId}"))
       (Some(d), prev, df)
     }
     // full-file deletes: replaced data files in range (no delete file of their own)
     val ended = query(
-      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
+      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
       Seq(tableId, from, to, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), None))
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8))))
     val endedWithPrev = ended.map { df =>
       val prev = query(
-        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
+        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
         Seq(tableId, df.dataFileId))(rs =>
         DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
-          rs.getLong(5), rs.getLong(6))).headOption
+          rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).headOption
       (None, prev, df)
     }
     withPrev ++ endedWithPrev
   }
 
   def getDataFileById(tableId: Long, dataFileId: Long): Option[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
       Seq(tableId, dataFileId))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), None)).headOption
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)))).headOption
 
   def getMetadata(key: String): Option[String] =
     query("SELECT meta_value FROM ducklake_metadata WHERE meta_key = ?", Seq(key))(_.getString(1)).headOption
@@ -384,8 +388,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
     files.foreach { f =>
       val id = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL)",
-        Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize, snap))
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+        Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize,
+          snap, f.encryptionKey.orNull))
       f.stats.foreach { st =>
         colIds.get(st.columnName).foreach { cid =>
           update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
@@ -462,8 +467,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
           Seq(snap, dataFileId))
         val id = nextId("ducklake_delete_file", "delete_file_id")
-        update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL)",
-          Seq(id, dataFileId, tableId, f.path, true, f.recordCount, snap))
+        update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+          Seq(id, dataFileId, tableId, f.path, true, f.recordCount, snap,
+            f.encryptionKey.orNull))
       }
       snap
     }

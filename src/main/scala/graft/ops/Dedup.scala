@@ -143,15 +143,29 @@ object Dedup {
 
   /** Verify candidate pairs with exact n-gram Jaccard ≥ `threshold`.
     * `docs` must carry (idCol, textCol); candidates carry (id_a, id_b).
+    *
+    * Each candidate pair is exploded to one row per side and joined
+    * against the gram table ONCE, then the pair is reassembled by a
+    * groupBy — so each document's shingle set is computed a single time
+    * (the naive two-join shape re-shingles the whole corpus per side).
+    * Both gram arrays are distinct, so |a ∪ b| = |a| + |b| − |a ∩ b|
+    * avoids materializing the union array.
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double, w: Int = 3): DataFrame = {
     val g = docs.select(col(idCol).as("__vid"),
       array_distinct(shingles(col(textCol), w)).as("__g"))
-    candidates
-      .join(g.withColumnRenamed("__vid", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
-      .join(g.withColumnRenamed("__vid", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
-      .withColumn("jaccard", jaccard(col("__ga"), col("__gb")))
+    val sides = candidates.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("__vid"))
+    sides.join(g, "__vid")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
+        first(when(col("__vid") === col("id_b"), col("__g")), ignoreNulls = true).as("__gb"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n"))
+      .withColumn("jaccard", col("__i") / (col("__n") - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -61,7 +61,35 @@ object LakeQueries {
       (lake, marks.result())
     })
 
+  /** Separate lake with Parquet Modular Encryption on (lake-level flag):
+    * every data/delete file gets its own AES-128 key held in the catalog.
+    * The oracle reads the PLAINTEXT originals — hash-match proves the
+    * encrypt→catalog-key→decrypt cycle is lossless.
+    */
+  private val encLakes = TrieMap[String, DuckLake]()
+  private def encFixture(s: SparkSession, dir: String): DuckLake =
+    encLakes.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft-enclake-${UUID.randomUUID().toString.take(8)}"
+      val lake = new DuckLake(s, s"$root/meta", s"$root/data", encrypted = true)
+      lake.createTableAs(t(s, dir, "customer").coalesce(1), "main.customer")
+      lake.deleteWhere("main.customer", col("c_custkey") % 11 === 0)
+      lake
+    })
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("lake_encrypted_scan", (s: SparkSession, dir: String) => {
+      // PME-encrypted lake + MOR deletes, read back through catalog keys
+      encFixture(s, dir).table("main.customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }, """
+      SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer
+      WHERE NOT (c_custkey % 11 = 0)
+      GROUP BY 1 ORDER BY 1
+    """),
 
     ("lake_scan_agg", (s: SparkSession, dir: String) => {
       val (lake, _) = fixture(s, dir)

@@ -253,6 +253,56 @@ class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "float64", "date", "timestamp", "varchar", "blob", "decimal(12,3)", "list<int64>"))
   }
 
+  test("inf/nan floats round-trip with stats capture intact (types/floats parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Double.PositiveInfinity), (2L, Double.NegativeInfinity),
+      (3L, Double.NaN), (4L, 1.5)).toDF("id", "x")
+    lake.createTableAs(df.coalesce(1), "main.floats")
+    val back = lake.table("main.floats").orderBy("id").collect()
+    assert(back(0).getDouble(1).isPosInfinity)
+    assert(back(1).getDouble(1).isNegInfinity)
+    assert(back(2).getDouble(1).isNaN)
+    assert(back(3).getDouble(1) == 1.5)
+    // a filter on another column must not be broken by weird float stats
+    import org.apache.spark.sql.sources.EqualTo
+    assert(lake.table("main.floats", None, Seq(EqualTo("id", 3L))).count() == 4)
+  }
+
+  test("encrypted lake: write+read+MOR-delete+CDC round-trip; raw file unreadable (A5)") {
+    import spark.implicits._
+    val eroot = Files.createTempDirectory("ducklake-enc").toString
+    val enc = new DuckLake(spark, s"$eroot/meta", s"$eroot/data", encrypted = true)
+    try {
+      val df = (1 to 100).map(i => (i.toLong, s"row$i", i * 1.5)).toDF("id", "name", "v")
+      enc.createTableAs(df.coalesce(1), "main.secret")
+      val pre = enc.currentSnapshot
+      enc.deleteWhere("main.secret", col("id") % 10 === 0)
+      // read back through catalog keys: 90 rows, correct sum
+      val got = enc.table("main.secret")
+      assert(got.count() == 90)
+      assert(got.agg(sum("id")).head.getLong(0) == (1 to 100).filter(_ % 10 != 0).sum)
+      // CDC over encrypted files
+      assert(enc.tableDeletions("main.secret", pre, enc.currentSnapshot).count() == 10)
+      // file on disk is PME: footer magic PARE, plain read fails
+      val fPath = enc.store.getMetadata("data_path").get + "/main/secret/" +
+        enc.listFilesDF.filter(col("table_name") === "secret").head.getString(2)
+      val tail = {
+        val in = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fPath))
+        new String(in.takeRight(4), "ASCII")
+      }
+      assert(tail == "PARE", s"expected encrypted footer magic, got $tail")
+      val ex = intercept[Exception] {
+        spark.read.parquet(fPath).collect()
+      }
+      assert(ex.getMessage != null)
+      // key is in the catalog, one per file
+      assert(enc.store.getDataFiles(
+        enc.store.getTableByName(0, "secret", enc.currentSnapshot).get.tableId,
+        enc.currentSnapshot).forall(_.encryptionKey.isDefined))
+    } finally enc.close()
+  }
+
   test("struct/map columns rejected with a clear error (reference parity types.rs:74-85)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("s",
