@@ -1,0 +1,158 @@
+package graft.lake.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.crypto.GraftCryptoFactory
+import graft.lake.{DuckLake, UnsupportedTypeException}
+
+/** Snapshot offset for the DuckLake incremental stream: micro-batch (a, b]
+  * = rows in data files whose `begin_snapshot` lies in that interval —
+  * the same interval semantics as batch CDC `tableChanges` (reference:
+  * src/table_functions.rs:86-225). The reference itself is batch-only;
+  * this is the Spark-native extension SURVEY.md §2.B flags ("snapshot-
+  * incremental `readStream` source").
+  */
+final case class SnapshotOffset(snapshot: Long) extends Offset {
+  override def json(): String = snapshot.toString
+}
+
+/** One data file of one micro-batch. `physNames(i)` is the column's name
+  * as written in THIS file's epoch (rename history resolved on the
+  * driver; column_id ≙ field_id role, reference src/types.rs:440-498);
+  * null marks a column added after the file was written.
+  */
+final case class DuckLakeFilePartition(path: String, encryptionKey: Option[String],
+    physNames: Array[String], fieldTypes: Array[DataType]) extends InputPartition
+
+/** Streaming source over a DuckLake table: appends-only (CDC-insert
+  * semantics — Replace rewrites stream their files like inserts, exactly
+  * as `getDataFilesAddedBetween` defines batch CDC). State is just the
+  * last-committed snapshot id; at 100 TB the per-batch work is O(new
+  * files), planned from the catalog with no data listing.
+  */
+final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
+    required: StructType) extends MicroBatchStream {
+
+  private val (schemaName, tableName) = fullName.split('.') match {
+    case Array(s, t) => (s, t)
+    case _           => ("main", fullName)
+  }
+
+  private def tableRec = {
+    val snap = lake.store.currentSnapshot
+    val sch = lake.store.getSchemaByName(schemaName, snap).get
+    lake.store.getTableByName(sch.schemaId, tableName, snap).get
+  }
+
+  override def initialOffset(): Offset = SnapshotOffset(0L)
+
+  override def latestOffset(): Offset = SnapshotOffset(lake.store.currentSnapshot)
+
+  override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[SnapshotOffset].snapshot,
+      end.asInstanceOf[SnapshotOffset].snapshot)
+    val tr = tableRec
+    val cols = lake.store.getTableColumns(tr.tableId, b)
+    val byName = cols.map(c => c.name -> c).toMap
+    val history = lake.store.getColumnHistory(tr.tableId)
+    required.fields.foreach { f =>
+      if (!streamableType(f.dataType))
+        throw new UnsupportedTypeException(
+          s"stream read of ${f.dataType.simpleString} column ${f.name} not supported")
+    }
+    lake.store.getDataFilesAddedBetween(tr.tableId, a, b).map { file =>
+      // per-file epoch: the physical (on-disk) name of each required column
+      val physNames = required.fields.map { f =>
+        byName.get(f.name).flatMap { cur =>
+          history.find { case (h, begin, endS) =>
+            h.columnId == cur.columnId && begin <= file.beginSnapshot &&
+              endS.forall(_ > file.beginSnapshot)
+          }.map(_._1.name)
+        }.orNull
+      }
+      DuckLakeFilePartition(s"${lake.dataPath}/$schemaName/$tableName/${file.path}",
+        file.encryptionKey, physNames, required.fields.map(_.dataType))
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DuckLakeFileReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def streamableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+}
+
+/** Executor-side reader: parquet-mr Group materialization (row-by-row) —
+  * appropriate for the incremental tail of a stream, where batches are
+  * small; the batch path keeps Spark's vectorized reader.
+  */
+final class DuckLakeFileReaderFactory extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DuckLakeFilePartition]
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] = {
+        val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.path))
+          .withConf(new Configuration())
+        p.encryptionKey.foreach(k =>
+          b.withDecryption(GraftCryptoFactory.decryptionProps(k)))
+        b.build()
+      }
+      private var current: Group = _
+
+      override def next(): Boolean = { current = reader.read(); current != null }
+
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(p.physNames.length)
+        var i = 0
+        while (i < p.physNames.length) {
+          row.update(i, readField(current, p.physNames(i), p.fieldTypes(i)))
+          i += 1
+        }
+        row
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  private def readField(g: Group, physName: String, dt: DataType): Any = {
+    if (physName == null) return null // column added after this file epoch
+    val idx = g.getType.getFieldIndex(physName)
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    dt match {
+      case ByteType       => g.getInteger(idx, 0).toByte
+      case ShortType      => g.getInteger(idx, 0).toShort
+      case IntegerType    => g.getInteger(idx, 0)
+      case DateType       => g.getInteger(idx, 0)
+      case LongType       => g.getLong(idx, 0)
+      case TimestampType | TimestampNTZType => g.getLong(idx, 0) // µs since epoch
+      case FloatType      => g.getFloat(idx, 0)
+      case DoubleType     => g.getDouble(idx, 0)
+      case BooleanType    => g.getBoolean(idx, 0)
+      case StringType     => UTF8String.fromString(g.getString(idx, 0))
+      case BinaryType     => g.getBinary(idx, 0).getBytes
+      case other => throw new UnsupportedTypeException(s"stream read: $other")
+    }
+  }
+}

@@ -163,8 +163,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
   override def name(): String = fullName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -204,6 +204,13 @@ final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
     required: StructType, filters: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table("ducklake.<schema>.<t>")`: snapshot-
+    * incremental micro-batches (appends-only CDC semantics).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DuckLakeMicroBatchStream(lake, fullName, required)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

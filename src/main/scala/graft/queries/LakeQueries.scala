@@ -302,6 +302,26 @@ object LakeQueries {
         .orderBy("query_id", "rnk")
     }, null),
 
+    ("lake_stream_incremental", (s: SparkSession, dir: String) => {
+      // snapshot-incremental MicroBatchStream driven to completion: the
+      // stream consumes both orders commits (v1 CTAS + v2 append) as
+      // micro-batches; oracle = batch SQL over the same logical content
+      fixture(s, dir)
+      val name = s"lake_stream_${UUID.randomUUID().toString.take(8)}"
+      val q = s.readStream.table("ducklake.main.orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("o_orderstatus")
+    }, """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM (SELECT * FROM orders UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 10 = 0)
+      GROUP BY 1 ORDER BY 1
+    """),
+
     ("lake_info_columns", (s: SparkSession, dir: String) => {
       val (lake, _) = fixture(s, dir)
       lake.informationSchema("columns")

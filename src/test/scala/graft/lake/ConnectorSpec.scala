@@ -151,4 +151,53 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.table("main.strs", None, Seq(EqualTo("s", "cherry"))).count() == 0)
     assert(l.lastScanFileCount == 0)
   }
+
+  test("snapshot-incremental readStream over a lake table (MicroBatchStream)") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 50).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1), "main.stream_t")
+    l.insertInto((51 to 60).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1), "main.stream_t")
+    // both snapshots consumed from offset 0
+    val q = spark.readStream.table("ducklake.main.stream_t")
+      .groupBy().agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_t_agg").start()
+    try q.processAllAvailable() finally q.stop()
+    val row = spark.table("stream_t_agg").head()
+    assert(row.getLong(0) == 60L)
+    assert(row.getLong(1) == (1 to 60).map(_.toLong).sum)
+    // incremental: a running query picks up exactly the appended delta
+    val q2 = spark.readStream.table("ducklake.main.stream_t")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_t_rows").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("stream_t_rows").count() == 60)
+      l.insertInto(Seq((61L, 122.0)).toDF("k", "v").coalesce(1), "main.stream_t")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("stream_t_rows").count() == 61)
+    assert(spark.table("stream_t_rows").agg(max("k")).head().getLong(0) == 61L)
+  }
+
+  test("readStream over an encrypted lake table decrypts via catalog keys") {
+    import spark.implicits._
+    val eroot = Files.createTempDirectory("ducklake-enc-stream").toString
+    val enc = new DuckLake(spark, s"$eroot/meta", s"$eroot/data", encrypted = true)
+    try {
+      enc.createTableAs((1 to 20).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+        .coalesce(1), "main.enc_stream")
+      spark.conf.set("spark.sql.catalog.enclake",
+        classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+      spark.conf.set("spark.sql.catalog.enclake.metaDb", s"$eroot/meta")
+      spark.conf.set("spark.sql.catalog.enclake.dataPath", s"$eroot/data")
+      val q = spark.readStream.table("enclake.main.enc_stream")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("enc_stream_rows").start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table("enc_stream_rows").count() == 20)
+    } finally enc.close()
+  }
 }
