@@ -67,10 +67,7 @@ object OpsQueries {
         SELECT *,
           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n_tok,
           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
-          len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\ba\b'))
-            + len(regexp_extract_all(lower(text), '\band\b')) + len(regexp_extract_all(lower(text), '\bof\b'))
-            + len(regexp_extract_all(lower(text), '\bto\b')) + len(regexp_extract_all(lower(text), '\bin\b'))
-            + len(regexp_extract_all(lower(text), '\bis\b')) AS stops
+          len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stops
         FROM documents)
       ORDER BY doc_id
     """),
@@ -91,18 +88,10 @@ object OpsQueries {
         s_en AS score_en
       FROM (
         SELECT doc_id, lang,
-          len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
-            + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bto\b'))
-            + len(regexp_extract_all(lower(text), '\bis\b')) AS s_en,
-          len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bdie\b'))
-            + len(regexp_extract_all(lower(text), '\bdas\b')) + len(regexp_extract_all(lower(text), '\bund\b'))
-            + len(regexp_extract_all(lower(text), '\bist\b')) AS s_de,
-          len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\blos\b'))
-            + len(regexp_extract_all(lower(text), '\blas\b')) + len(regexp_extract_all(lower(text), '\buna\b'))
-            + len(regexp_extract_all(lower(text), '\bes\b')) AS s_es,
-          len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
-            + len(regexp_extract_all(lower(text), '\bles\b')) + len(regexp_extract_all(lower(text), '\bdes\b'))
-            + len(regexp_extract_all(lower(text), '\bet\b')) AS s_fr
+          len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+          len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+          len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es,
+          len(regexp_extract_all(lower(text), '\b(le|la|les|des|et)\b')) AS s_fr
         FROM documents)
       ORDER BY doc_id
     """),
