@@ -199,11 +199,47 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
   * DataFrame (multi-file parquet + MOR anti-joins), so Catalyst's parquet
   * reader does the actual IO; pushed filters drive min/max file skipping
   * before the scan is assembled.
+  *
+  * Statistics (reference: A10 `TableProvider::statistics`,
+  * src/table.rs:544-582): `sizeInBytes = Σ data-file bytes` prorated by
+  * live-row fraction, `rowCount = Σ records − Σ deleted`, from catalog
+  * metadata — O(files), no data IO. Caveat: Spark's pushdown wraps a
+  * V1Scan in `V1ScanWrapper`, which hides `SupportsReportStatistics` from
+  * the STATIC planner — so the initial plan of a lake-to-lake join is
+  * sort-merge, and AQE converts it to broadcast-hash at runtime from the
+  * materialized stage sizes (asserted in ConnectorSpec). The
+  * implementation stays: a future native-Batch scan activates it
+  * statically, and `BaseRelation.sizeInBytes` is served for any consumer
+  * of the bridged relation.
   */
 final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
-    required: StructType, filters: Array[Filter]) extends V1Scan {
+    required: StructType, filters: Array[Filter])
+  extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  private lazy val (estBytes, estRows): (Long, Long) = {
+    val (schemaName, tableName) = fullName.split('.') match {
+      case Array(s, t) => (s, t); case _ => ("main", fullName)
+    }
+    val files = (for {
+      sch <- lake.store.getSchemaByName(schemaName, snapshot)
+      tbl <- lake.store.getTableByName(sch.schemaId, tableName, snapshot)
+    } yield lake.store.getDataFiles(tbl.tableId, snapshot)).getOrElse(Nil)
+    val dataBytes = files.map(_.fileSizeBytes).sum
+    val dataRows = files.map(_.recordCount).sum
+    val delRows = files.flatMap(_.deleteFile).map(_.recordCount).sum
+    // deleted rows scale bytes down proportionally (reference subtracts
+    // delete-file bytes; ours are position lists, so prorate by rows)
+    val liveFrac = if (dataRows == 0) 1.0 else (dataRows - delRows).toDouble / dataRows
+    (math.max((dataBytes * liveFrac).toLong, 1L), math.max(dataRows - delRows, 0L))
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(estBytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(estRows)
+    }
 
   /** `spark.readStream.table("ducklake.<schema>.<t>")`: snapshot-
     * incremental micro-batches (appends-only CDC semantics).
@@ -217,6 +253,7 @@ final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
     val relation = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
+      override def sizeInBytes: Long = estBytes
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] = {
         val df = lake.table(fullName, Some(snapshot), filters.toSeq)

@@ -152,6 +152,32 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.lastScanFileCount == 0)
   }
 
+  test("lake-to-lake join broadcasts the small side at runtime (A10 + AQE)") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 5).map(i => (i.toLong, s"dim$i")).toDF("id", "label")
+      .coalesce(1), "main.stat_dim")
+    l.createTableAs((1 to 2000).map(i => (i.toLong, (i % 5 + 1).toLong)).toDF("rowid", "dim_id")
+      .coalesce(1), "main.stat_fact")
+    val joined = spark.sql("""
+      SELECT f.rowid, d.label FROM ducklake.main.stat_fact f
+      JOIN ducklake.main.stat_dim d ON f.dim_id = d.id""")
+    assert(joined.count() == 2000)
+    joined.collect() // materialize -> AQE finalizes the plan
+    // static stats are hidden by V1ScanWrapper; AQE must still end at a
+    // broadcast join from the runtime sizes of the 5-row dim side
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected AQE runtime broadcast of the dim side, got:\n$plan")
+    // the scan itself reports catalog-derived stats (for native-Batch use)
+    val scan = new graft.lake.connector.DuckLakeV1Scan(l, "main.stat_dim",
+      l.currentSnapshot, l.table("main.stat_dim").schema, Array.empty)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 5L)
+    assert(st.sizeInBytes().getAsLong > 0L &&
+      st.sizeInBytes().getAsLong < 1000000L)
+  }
+
   test("snapshot-incremental readStream over a lake table (MicroBatchStream)") {
     import spark.implicits._
     val l = lake
