@@ -98,6 +98,33 @@ object FuncQueries {
       GROUP BY 1, 2 ORDER BY 1, 2
     """),
 
+    ("map_funcs", (s: SparkSession, dir: String) => {
+      // map surface (SURVEY §2.B "map_*"): from_json->map, map_keys,
+      // map_values, element_at, map construction + map_concat. The lake
+      // itself rejects map COLUMNS (reference parity types.rs:74-85);
+      // the delegated engine surface still answers map expressions.
+      import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+      t(s, dir, "events")
+        .filter(col("event_id") % 37 === 0)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+        .select(col("event_id"),
+          array_join(map_keys(col("m")), ",").as("m_keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_values(col("m"))).as("n_vals"),
+          element_at(map_concat(col("m"), map(lit("z"), lit(-1))), "z").as("z_val"))
+        .orderBy("event_id")
+    }, """
+      SELECT event_id,
+        array_to_string(json_keys(props), ',') AS m_keys,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        CAST(len(json_keys(props)) AS INT) AS n_vals,
+        -1 AS z_val
+      FROM events
+      WHERE event_id % 37 = 0
+      ORDER BY event_id
+    """),
+
     ("stream_hourly_counts", (s: SparkSession, dir: String) => {
       graft.streaming.EventStream.hourlyCounts(s, dir)
     }, """
