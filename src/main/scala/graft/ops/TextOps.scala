@@ -24,12 +24,22 @@ object TextOps {
     size(filter(split(lower(text), "\\s+"), t => t =!= "")) +
       length(regexp_replace(text, "[\\w\\s]", ""))
 
+  private val azChars = ('a' to 'z').mkString
+  private val digitChars = "0123456789"
+
+  /** Count of characters from `chars` in `s`: `length - length(translate
+    * (s, chars, ''))` — one codegen'd pass, no regex engine; result is
+    * byte-identical to `length(regexp_replace(s, [^chars], ''))`.
+    */
+  private def charClassCount(s: Column, chars: String): Column =
+    length(s) - length(translate(s, chars, ""))
+
   /** Character-class ratios used by quality scoring. */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(lower(text), "[^a-z]", "")) / greatest(length(text), lit(1))
+    charClassCount(lower(text), azChars) / greatest(length(text), lit(1))
 
   def digitRatio(text: Column): Column =
-    length(regexp_replace(text, "[^0-9]", "")) / greatest(length(text), lit(1))
+    charClassCount(text, digitChars) / greatest(length(text), lit(1))
 
   def whitespaceRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "\\s", ""))) / greatest(length(text), lit(1))
@@ -51,7 +61,7 @@ object TextOps {
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val meanTokLen = when(nTok > 0,
-      length(regexp_replace(lower(text), "[^a-z0-9]", "")) / nTok).otherwise(lit(0.0))
+      charClassCount(lower(text), azChars + digitChars) / nTok).otherwise(lit(0.0))
     val lenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.5))
     val stopOk = when(stopwordCount(text, enStop) > 0, lit(1.0)).otherwise(lit(0.7))
     // +1e-9 guard: component ratios can be binary-exact (e.g. 39/48), which
