@@ -109,8 +109,32 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with Supports
   override def tableExists(ident: Identifier): Boolean =
     lake.tableExists(fullName(ident))
 
-  override def loadTable(ident: Identifier): Table = {
-    val snap = lake.currentSnapshot
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, lake.currentSnapshot)
+
+  /** SQL time travel `… VERSION AS OF <snapshot_id>` — the read-side time
+    * travel the reference lists as a roadmap gap (README.md "Known
+    * Limitations"); our snapshot-pinned scans make it a one-line mapping.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snap = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"DuckLake version must be a snapshot id, got: $version")
+    }
+    loadAt(ident, snap)
+  }
+
+  /** SQL `… TIMESTAMP AS OF <ts>`: newest snapshot committed at or before
+    * the given time (Spark passes µs since epoch).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ts = new java.sql.Timestamp(timestamp / 1000L)
+    val snap = lake.store.snapshots.filter(!_._2.after(ts)).map(_._1)
+      .maxOption.getOrElse(throw new NoSuchTableException(ident))
+    loadAt(ident, snap)
+  }
+
+  private def loadAt(ident: Identifier, snap: Long): Table = {
     val df = try lake.table(fullName(ident), Some(snap))
     catch {
       case _: graft.lake.DuckLakeException =>

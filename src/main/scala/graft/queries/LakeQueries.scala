@@ -302,6 +302,21 @@ object LakeQueries {
         .orderBy("query_id", "rnk")
     }, null),
 
+    ("lake_sql_time_travel", (s: SparkSession, dir: String) => {
+      // SQL `VERSION AS OF <snapshot>` through the connector: the pinned
+      // v1 state of orders, before the v2 append — oracle is plain orders
+      val (_, marks) = fixture(s, dir)
+      s.sql(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM ducklake.main.orders VERSION AS OF ${marks("orders_v1")}
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }, """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+
     ("lake_stream_incremental", (s: SparkSession, dir: String) => {
       // snapshot-incremental MicroBatchStream driven to completion: the
       // stream consumes both orders commits (v1 CTAS + v2 append) as

@@ -178,6 +178,28 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       st.sizeInBytes().getAsLong < 1000000L)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 30).map(i => (i.toLong, s"v1_$i")).toDF("id", "tag")
+      .coalesce(1), "main.tt")
+    val snapV1 = l.currentSnapshot
+    l.insertInto((31 to 45).map(i => (i.toLong, s"v2_$i")).toDF("id", "tag")
+      .coalesce(1), "main.tt")
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.tt").head().getLong(0) == 45)
+    assert(spark.sql(
+      s"SELECT count(*) FROM ducklake.main.tt VERSION AS OF $snapV1")
+      .head().getLong(0) == 30)
+    // a timestamp far in the future resolves to the newest snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM ducklake.main.tt TIMESTAMP AS OF '2100-01-01'")
+      .head().getLong(0) == 45)
+    // before the first snapshot -> no table
+    intercept[Exception] {
+      spark.sql("SELECT * FROM ducklake.main.tt TIMESTAMP AS OF '1990-01-01'").collect()
+    }
+  }
+
   test("snapshot-incremental readStream over a lake table (MicroBatchStream)") {
     import spark.implicits._
     val l = lake
