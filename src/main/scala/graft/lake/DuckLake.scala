@@ -78,6 +78,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def write(df: DataFrame, name: String, mode: WriteMode.Value): Long = {
     val (schemaName, tableName) = parse(name)
+    // path hardening BEFORE any filesystem work (same order as the
+    // reference, src/metadata_writer.rs:17-36): an invalid name must not
+    // leave staged or renamed files behind
+    PathResolver.validateTableName(schemaName)
+    PathResolver.validateTableName(tableName)
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
     }.toSeq
@@ -91,6 +96,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         .option(GraftCryptoFactory.EncryptKey, k)
     }
     writer.parquet(staging)
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       fs.mkdirs(new Path(tableDir))
       val parts = fs.listStatus(new Path(staging))
@@ -100,12 +106,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         val dest = new Path(s"$tableDir/$fileName")
         if (!fs.rename(part.getPath, dest))
           throw new InternalException(s"rename failed: ${part.getPath} -> $dest")
+        renamed += dest
         val st = fs.getFileStatus(dest)
         FileToRegister(fileName, rowCount(dest, keyOpt), st.getLen,
           footerSize(fs, dest, st.getLen),
           FileStats.fromFooter(dest, hconf, df.schema, keyOpt), keyOpt)
       }.toSeq
-      store.commitWrite(schemaName, tableName, cols, mode, files)
+      try store.commitWrite(schemaName, tableName, cols, mode, files)
+      catch { case e: Throwable =>
+        // failed commit (e.g. incompatible evolution) must not leave
+        // orphan data files in the live table directory
+        renamed.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
+        throw e
+      }
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -156,6 +169,50 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def sparkSchemaOf(cols: Seq[ColumnDef]): StructType =
     StructType(cols.map(c => StructField(c.name, TypeBridge.toSpark(c.dtype), c.nullsAllowed)))
 
+  /** Physical column defs for one file's epoch: what each pinned catalog
+    * column was named/typed when the file was written (column_id ≙
+    * parquet field_id, reference src/types.rs:440-498). History is
+    * fetched once per scan — epoch resolution is in-memory, so planning
+    * does O(1) metadata queries regardless of file count.
+    */
+  private def epochOf(cols: Seq[ColumnDef],
+      history: Seq[(ColumnDef, Long, Option[Long])],
+      f: DataFileRec): Seq[(ColumnDef, Option[ColumnDef])] =
+    cols.map(c => c -> history.find { case (h, begin, end) =>
+      h.columnId == c.columnId && begin <= f.beginSnapshot &&
+        end.forall(_ > f.beginSnapshot)
+    }.map(_._1))
+
+  /** Read a group of same-epoch data files with the physical→current
+    * projection (rename-safe, promotion-cast); optionally carrying the
+    * file-local row position as `__ducklake_pos`.
+    */
+  private def readGroup(name: String, fsGroup: Seq[DataFileRec],
+      epoch: Seq[(ColumnDef, Option[ColumnDef])], withPos: Boolean): DataFrame = {
+    val physSchema = StructType(epoch.flatMap { case (_, phys) =>
+      phys.map(p => StructField(p.name, TypeBridge.toSpark(p.dtype), nullable = true))
+    })
+    val paths = fsGroup.map(f => filePath(name, f.path))
+    val base = reader(fsGroup.map(f => f.path -> f.encryptionKey))
+      .schema(physSchema).parquet(paths: _*)
+    val projection = epoch.map {
+      case (cur, Some(phys)) =>
+        col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
+      case (cur, None) => // column added after this file was written
+        lit(null).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
+    }
+    if (withPos) base.select(projection :+ col("_metadata.row_index").as("__ducklake_pos"): _*)
+    else base.select(projection: _*)
+  }
+
+  /** One file with its epoch projection (the per-file read every
+    * rename-safe path — scan, deleteWhere, CDC — goes through).
+    */
+  private def readFile(name: String, cols: Seq[ColumnDef],
+      history: Seq[(ColumnDef, Long, Option[Long])], f: DataFileRec,
+      withPos: Boolean): DataFrame =
+    readGroup(name, Seq(f), epochOf(cols, history, f), withPos)
+
   /** Snapshot-pinned scan. Files without deletes and with identical
     * physical-schema epochs batch into one multi-file parquet read (plan
     * shape parity with reference src/table.rs:611-649); files with delete
@@ -169,43 +226,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val cols = store.getTableColumns(tr.tableId, snap)
     if (cols.isEmpty) throw new TableNotFoundException(s"$name (no columns at snapshot $snap)")
     val outSchema = sparkSchemaOf(cols)
-    val files = pruneByStats(tr, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
+    val files = pruneByStats(tr, cols, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
     scanned = files
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
 
-    // physical column defs per file epoch: what each column was named/typed
-    // when the file was written (column_id ≙ parquet field_id). The full
-    // history is fetched once — epoch resolution is in-memory, so scan
-    // planning does O(1) metadata queries regardless of file count.
     val history = store.getColumnHistory(tr.tableId)
-    def epochOf(f: DataFileRec): Seq[(ColumnDef, Option[ColumnDef])] =
-      cols.map(c => c -> history.find { case (h, begin, end) =>
-        h.columnId == c.columnId && begin <= f.beginSnapshot &&
-          end.forall(_ > f.beginSnapshot)
-      }.map(_._1))
-
-    def readGroup(fsGroup: Seq[DataFileRec], epoch: Seq[(ColumnDef, Option[ColumnDef])],
-        withPos: Boolean): DataFrame = {
-      val physSchema = StructType(epoch.flatMap { case (_, phys) =>
-        phys.map(p => StructField(p.name, TypeBridge.toSpark(p.dtype), nullable = true))
-      })
-      val paths = fsGroup.map(f => filePath(name, f.path))
-      val base = reader(fsGroup.map(f => f.path -> f.encryptionKey))
-        .schema(physSchema).parquet(paths: _*)
-      val projection = epoch.map {
-        case (cur, Some(phys)) =>
-          col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
-        case (cur, None) => // column added after this file was written
-          lit(null).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
-      }
-      if (withPos) base.select(projection :+ col("_metadata.row_index").as("__ducklake_pos"): _*)
-      else base.select(projection: _*)
-    }
-
     val (withDel, clean) = files.partition(_.deleteFile.isDefined)
-    val cleanScans = clean.groupBy(epochOf).map { case (epoch, fs) =>
-      readGroup(fs, epoch, withPos = false)
+    val cleanScans = clean.groupBy(epochOf(cols, history, _)).map { case (epoch, fs) =>
+      readGroup(name, fs, epoch, withPos = false)
     }.toSeq
     val delScans = withDel.map { f =>
       val del = f.deleteFile.get
@@ -213,7 +242,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         .schema(StructType(Seq(StructField("file_path", StringType), StructField("pos", LongType))))
         .parquet(filePath(name, del.path))
         .select(col("pos"))
-      readGroup(Seq(f), epochOf(f), withPos = true)
+      readFile(name, cols, history, f, withPos = true)
         .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
         .drop("__ducklake_pos")
     }
@@ -233,15 +262,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * row-level filters are re-applied by Spark after the scan regardless
     * (Inexact pushdown, reference src/table.rs:584-598).
     */
-  private def pruneByStats(tr: TableRec, schema: StructType,
+  private def pruneByStats(tr: TableRec, cols: Seq[ColumnDef], schema: StructType,
       files: Seq[DataFileRec],
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFileRec] = {
     if (filters.isEmpty || files.isEmpty) return files
     val allStats = store.getFileStats(tr.tableId)
-    val idByName = store.getTableColumns(tr.tableId, store.currentSnapshot)
-      .map(c => c.name -> c.columnId).toMap
+    // name → column_id from the PINNED snapshot's defs (`cols`), not
+    // currentSnapshot: renames between the pinned snapshot and now must
+    // not attach another column's stats to a time-travel filter
+    val idByName = cols.map(c => c.name -> c.columnId).toMap
     files.filter { f =>
-      val byCol: Map[String, (Long, Option[String], Option[String])] =
+      val byCol: Map[String, (Option[Long], Option[String], Option[String])] =
         idByName.flatMap { case (n, cid) => allStats.get((f.dataFileId, cid)).map(n -> _) }
       filters.forall(FileStats.mightMatch(_, schema, f.recordCount, byCol))
     }
@@ -262,12 +293,14 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
     val files = store.getDataFiles(tr.tableId, snap)
+    val history = store.getColumnHistory(tr.tableId)
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val deletes = files.flatMap { f =>
       val path = filePath(name, f.path)
-      val physSchema = sparkSchemaOf(cols)
-      val matched = reader(Seq(f.path -> f.encryptionKey)).schema(physSchema).parquet(path)
-        .select(col("_metadata.row_index").as("pos"), cond.as("__m"))
+      // epoch projection: files written before a rename/promotion expose
+      // current column names to `cond` (same mapping as table())
+      val matched = readFile(name, cols, history, f, withPos = true)
+        .select(col("__ducklake_pos").as("pos"), cond.as("__m"))
         .filter(col("__m")).select("pos")
         .collect().map(_.getLong(0)).toSet
       val previous: Set[Long] = f.deleteFile match {
@@ -350,9 +383,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val files = store.getDataFilesAddedBetween(tr.tableId, from, to)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    val history = store.getColumnHistory(tr.tableId)
     files.map { f =>
-      reader(Seq(f.path -> f.encryptionKey))
-        .schema(sparkSchemaOf(cols)).parquet(filePath(name, f.path))
+      readFile(name, cols, history, f, withPos = false)
         .withColumn("snapshot_id", lit(f.beginSnapshot))
         .withColumn("change_type", lit("insert"))
     }.reduce(_ unionByName _)
@@ -373,6 +406,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val entries = store.getDeleteFilesAddedBetween(tr.tableId, from, to)
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    val history = store.getColumnHistory(tr.tableId)
     entries.map { case (delOpt, prevOpt, dataFile) =>
       val current: DataFrame = delOpt match {
         case Some(d) => reader(Seq(d.path -> d.encryptionKey))
@@ -390,11 +424,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         // end_snapshot of the replaced file: by construction in range
         store.getDataFileById(tr.tableId, dataFile.dataFileId); to
       }
-      reader(Seq(dataFile.path -> dataFile.encryptionKey))
-        .schema(sparkSchemaOf(cols)).parquet(filePath(name, dataFile.path))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(broadcast(delta), col("__pos") === col("pos"), "left_semi")
-        .drop("__pos")
+      readFile(name, cols, history, dataFile, withPos = true)
+        .join(broadcast(delta), col("__ducklake_pos") === col("pos"), "left_semi")
+        .drop("__ducklake_pos")
         .withColumn("snapshot_id", lit(snapId))
         .withColumn("change_type", lit("delete"))
     }.reduce(_ unionByName _)

@@ -39,10 +39,15 @@ object FileStats {
         if (chunks.isEmpty) None
         else {
           val valueCount = chunks.map(_.getValueCount).sum
-          val nullCount = chunks.map(c => Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L))
-          if (nullCount.exists(_ < 0) || chunks.exists(c =>
-              c.getStatistics == null || !c.getStatistics.hasNonNullValue))
-            Some(ColumnStatRec(field.name, valueCount, 0L, None, None))
+          // null count is valid independently of min/max: an all-null
+          // chunk has no min/max but a perfectly known (and crucial —
+          // `WHERE x IS NULL` pruning) null count. Record None (unknown)
+          // when any chunk's footer doesn't carry it, never a fake 0.
+          val nullCounts = chunks.map(c => Option(c.getStatistics)
+            .filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L))
+          val nullCount = if (nullCounts.exists(_ < 0)) None else Some(nullCounts.sum)
+          if (chunks.exists(c => c.getStatistics == null || !c.getStatistics.hasNonNullValue))
+            Some(ColumnStatRec(field.name, valueCount, nullCount, None, None))
           else {
             val mins = chunks.map(c => decode(field.dataType, c.getStatistics.genericGetMin))
             val maxs = chunks.map(c => decode(field.dataType, c.getStatistics.genericGetMax))
@@ -50,7 +55,7 @@ object FileStats {
               if (mins.contains(None) || maxs.contains(None)) (None, None)
               else (mins.flatten.reduceOption(minOf(field.dataType)),
                 maxs.flatten.reduceOption(maxOf(field.dataType)))
-            Some(ColumnStatRec(field.name, valueCount, nullCount.sum, mn, mx))
+            Some(ColumnStatRec(field.name, valueCount, nullCount, mn, mx))
           }
         }
       }
@@ -109,34 +114,36 @@ object FileStats {
     * the file.
     */
   def mightMatch(filter: Filter, schema: StructType, recordCount: Long,
-      stats: Map[String, (Long, Option[String], Option[String])]): Boolean = {
+      stats: Map[String, (Option[Long], Option[String], Option[String])]): Boolean = {
 
     def field(attr: String): Option[StructField] = schema.fields.find(_.name == attr)
 
-    def range(attr: String): Option[(DataType, String, String, Long)] = for {
+    def range(attr: String): Option[(DataType, String, String)] = for {
       f <- field(attr)
-      (nulls, mnO, mxO) <- stats.get(attr)
+      (_, mnO, mxO) <- stats.get(attr)
       mn <- mnO; mx <- mxO
-    } yield (f.dataType, mn, mx, nulls)
+    } yield (f.dataType, mn, mx)
 
     filter match {
-      case EqualTo(a, v) => range(a).forall { case (dt, mn, mx, _) =>
+      case EqualTo(a, v) => range(a).forall { case (dt, mn, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0) }
-      case GreaterThan(a, v) => range(a).forall { case (dt, _, mx, _) =>
+      case GreaterThan(a, v) => range(a).forall { case (dt, _, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(c, mx) < 0) }
-      case GreaterThanOrEqual(a, v) => range(a).forall { case (dt, _, mx, _) =>
+      case GreaterThanOrEqual(a, v) => range(a).forall { case (dt, _, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(c, mx) <= 0) }
-      case LessThan(a, v) => range(a).forall { case (dt, mn, _, _) =>
+      case LessThan(a, v) => range(a).forall { case (dt, mn, _) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) < 0) }
-      case LessThanOrEqual(a, v) => range(a).forall { case (dt, mn, _, _) =>
+      case LessThanOrEqual(a, v) => range(a).forall { case (dt, mn, _) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0) }
-      case In(a, vs) => range(a).forall { case (dt, mn, mx, _) =>
+      case In(a, vs) => range(a).forall { case (dt, mn, mx) =>
         vs.exists(v => canonical(dt, v).forall(c =>
           cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0)) }
+      // an unknown null count (None) must keep the file — pruning on a
+      // fabricated 0 would silently drop all-null files from IS NULL scans
       case IsNull(a) =>
-        stats.get(a).forall { case (nulls, _, _) => nulls > 0 }
+        stats.get(a).forall { case (nulls, _, _) => nulls.forall(_ > 0) }
       case IsNotNull(a) =>
-        stats.get(a).forall { case (nulls, _, _) => nulls < recordCount }
+        stats.get(a).forall { case (nulls, _, _) => nulls.forall(_ < recordCount) }
       case And(l, r) =>
         mightMatch(l, schema, recordCount, stats) && mightMatch(r, schema, recordCount, stats)
       case Or(l, r) =>

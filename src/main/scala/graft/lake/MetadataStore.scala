@@ -13,7 +13,7 @@ final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: Strin
     pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long,
     encryptionKey: Option[String] = None)
 final case class ColumnStatRec(columnName: String, valueCount: Long,
-    nullCount: Long, minValue: Option[String], maxValue: Option[String])
+    nullCount: Option[Long], minValue: Option[String], maxValue: Option[String])
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
     footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None)
 
@@ -394,7 +394,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       f.stats.foreach { st =>
         colIds.get(st.columnName).foreach { cid =>
           update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
-            Seq(id, table.tableId, cid, st.valueCount, st.nullCount,
+            Seq(id, table.tableId, cid, st.valueCount,
+              st.nullCount.map(Long.box).orNull,
               st.minValue.orNull, st.maxValue.orNull))
         }
       }
@@ -403,13 +404,16 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   }
 
   /** Per-file per-column stats for the given table, keyed by
-    * (data_file_id, column_id): (nullCount, min, max).
+    * (data_file_id, column_id): (nullCount, min, max). A SQL-NULL
+    * null_count means "unknown" — file skipping must not prune on it.
     */
-  def getFileStats(tableId: Long): Map[(Long, Long), (Long, Option[String], Option[String])] =
+  def getFileStats(tableId: Long): Map[(Long, Long), (Option[Long], Option[String], Option[String])] =
     query("SELECT data_file_id, column_id, null_count, min_value, max_value FROM ducklake_file_column_stats WHERE table_id = ?",
       Seq(tableId)) { rs =>
+      val nc = rs.getLong(3)
+      val ncOpt = if (rs.wasNull()) None else Some(nc)
       (rs.getLong(1), rs.getLong(2)) ->
-        (rs.getLong(3), Option(rs.getString(4)), Option(rs.getString(5)))
+        (ncOpt, Option(rs.getString(4)), Option(rs.getString(5)))
     }.toMap
 
   /** Append-mode schema evolution rules: new columns must be nullable; the

@@ -1,16 +1,17 @@
 package graft.lake.connector
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.lake.crypto.GraftCryptoFactory
 import graft.lake.{DuckLake, UnsupportedTypeException}
@@ -89,7 +90,11 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DuckLakeFileReaderFactory()
+    // carry the driver's Hadoop conf to executors (credentials / fs
+    // settings for non-local filesystems); `new Configuration()` on the
+    // executor would silently drop the session conf
+    new DuckLakeFileReaderFactory(new SerializableConfiguration(
+      lake.spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -106,14 +111,15 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   * appropriate for the incremental tail of a stream, where batches are
   * small; the batch path keeps Spark's vectorized reader.
   */
-final class DuckLakeFileReaderFactory extends PartitionReaderFactory {
+final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DuckLakeFilePartition]
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] = {
         val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.path))
-          .withConf(new Configuration())
+          .withConf(hconf.value)
         p.encryptionKey.foreach(k =>
           b.withDecryption(GraftCryptoFactory.decryptionProps(k)))
         b.build()
@@ -146,7 +152,14 @@ final class DuckLakeFileReaderFactory extends PartitionReaderFactory {
       case IntegerType    => g.getInteger(idx, 0)
       case DateType       => g.getInteger(idx, 0)
       case LongType       => g.getLong(idx, 0)
-      case TimestampType | TimestampNTZType => g.getLong(idx, 0) // µs since epoch
+      case TimestampType | TimestampNTZType =>
+        // Spark's default parquet writer emits TimestampType as INT96
+        // (spark.sql.parquet.outputTimestampType=INT96); NTZ and
+        // MICROS-configured writers emit INT64 µs. Handle both.
+        g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT96 => int96ToMicros(g.getInt96(idx, 0).getBytes)
+          case _                       => g.getLong(idx, 0) // µs since epoch
+        }
       case FloatType      => g.getFloat(idx, 0)
       case DoubleType     => g.getDouble(idx, 0)
       case BooleanType    => g.getBoolean(idx, 0)
@@ -154,5 +167,16 @@ final class DuckLakeFileReaderFactory extends PartitionReaderFactory {
       case BinaryType     => g.getBinary(idx, 0).getBytes
       case other => throw new UnsupportedTypeException(s"stream read: $other")
     }
+  }
+
+  /** Impala-layout INT96 timestamp: little-endian 8-byte nanos-of-day +
+    * 4-byte Julian day number → µs since the Unix epoch.
+    */
+  private def int96ToMicros(bytes: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    val JulianUnixEpoch = 2440588L
+    (julianDay - JulianUnixEpoch) * 86400L * 1000000L + nanosOfDay / 1000L
   }
 }

@@ -1,0 +1,142 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, IsNull}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Regressions for the round-1 review findings: stats-based pruning must
+  * stay conservative on unknown/all-null stats, every per-file read path
+  * (deleteWhere, CDC) must apply the rename-epoch projection table() uses,
+  * pruning maps names at the PINNED snapshot, failed commits leave no
+  * orphan data files, and the streaming reader handles INT96 timestamps.
+  */
+class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val root = Files.createTempDirectory("ducklake-reg").toString
+  private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
+
+  override def afterAll(): Unit = { lake.close(); spark.stop() }
+
+  test("IS NULL pushdown keeps all-null files (null_count never fabricated as 0)") {
+    import spark.implicits._
+    // file 1: x entirely null; file 2: x entirely non-null
+    lake.createTableAs(
+      (1L to 5L).map(i => (i, None: Option[Long])).toDF("id", "x").coalesce(1),
+      "main.nulls")
+    lake.insertInto(
+      (6L to 10L).map(i => (i, Some(i * 10))).toDF("id", "x").coalesce(1),
+      "main.nulls")
+    // IS NULL must keep the all-null file (its rows are exactly the answer)
+    // and may prune the no-null file (null_count known to be 0)
+    val kept = lake.table("main.nulls", None, Seq(IsNull("x")))
+    assert(kept.filter(col("x").isNull).count() == 5)
+    assert(lake.lastScanFileCount == 1)
+    // sanity: min/max pruning is unaffected by the all-null file
+    assert(lake.table("main.nulls", None, Seq(EqualTo("x", 70L)))
+      .filter(col("x") === 70L).count() == 1)
+  }
+
+  test("deleteWhere applies the rename-epoch projection (predicate sees current names)") {
+    import spark.implicits._
+    lake.createTableAs(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "v").coalesce(1),
+      "main.delren")
+    lake.renameColumn("main.delren", "user_id", "uid")
+    // pre-fix: the old file was read under the NEW name -> all nulls ->
+    // the delete silently no-opped
+    lake.deleteWhere("main.delren", col("uid") === 2L)
+    assert(lake.table("main.delren").orderBy("uid").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // and an isNull predicate must not nuke the whole file
+    lake.deleteWhere("main.delren", col("uid").isNull)
+    assert(lake.table("main.delren").count() == 2)
+  }
+
+  test("CDC tableChanges/tableDeletions apply the rename-epoch projection") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "a")).toDF("old_name", "v").coalesce(1), "main.cdcren")
+    val s0 = 0L
+    lake.renameColumn("main.cdcren", "old_name", "neu")
+    lake.insertInto(Seq((2L, "b")).toDF("neu", "v").coalesce(1), "main.cdcren")
+    val inserts = lake.tableChanges("main.cdcren", s0, lake.currentSnapshot)
+      .orderBy("neu").collect()
+    // pre-fix: the pre-rename file's column came back null
+    assert(inserts.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val sBefore = lake.currentSnapshot
+    lake.deleteWhere("main.cdcren", col("neu") === 1L)
+    val dels = lake.tableDeletions("main.cdcren", sBefore, lake.currentSnapshot).collect()
+    assert(dels.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("time-travel pruning maps column names at the pinned snapshot (rename swap)") {
+    import spark.implicits._
+    // x in [1,10], y in [100,200]
+    lake.createTableAs(
+      (1L to 10L).map(i => (i, 100L + 10 * i)).toDF("x", "y").coalesce(1),
+      "main.swap")
+    val pinned = lake.currentSnapshot
+    // reuse the name: x -> tmp, y -> x
+    lake.renameColumn("main.swap", "x", "tmp")
+    lake.renameColumn("main.swap", "y", "x")
+    // at `pinned`, x is the ORIGINAL column (range 1..10); value 5 matches.
+    // pre-fix the filter was checked against the new x's (=y's) stats
+    // [100,200] and wrongly skipped the file.
+    val got = lake.table("main.swap", Some(pinned), Seq(EqualTo("x", 5L)))
+    assert(lake.lastScanFileCount == 1)
+    assert(got.filter(col("x") === 5L).count() == 1)
+  }
+
+  test("failed commit deletes renamed files; bad names rejected before any file work") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, 10)).toDF("id", "v").coalesce(1), "main.orph")
+    val dir = new java.io.File(s"$root/data/main/orph")
+    val before = dir.listFiles().map(_.getName).toSet
+    // int32 -> varchar is not promotable: commitWrite throws AFTER the
+    // staged file was renamed into the table dir; it must be cleaned up
+    intercept[UnsupportedTypeException] {
+      lake.insertInto(Seq((2L, "oops")).toDF("id", "v").coalesce(1), "main.orph")
+    }
+    assert(dir.listFiles().map(_.getName).toSet == before,
+      "orphan data files left behind by a failed commit")
+    // invalid table / schema names rejected before anything is written
+    intercept[InvalidConfigException] {
+      lake.createTableAs(Seq((1L, 1L)).toDF("a", "b"), "main.bad/tbl")
+    }
+    intercept[InvalidConfigException] {
+      lake.createTableAs(Seq((1L, 1L)).toDF("a", "b"), "sch/ema.t")
+    }
+    val stray = new java.io.File(s"$root/data").listFiles()
+      .filter(f => f.getName.startsWith(".staging-"))
+    assert(stray.isEmpty, s"staging dirs left behind: ${stray.mkString(",")}")
+  }
+
+  test("readStream handles INT96 timestamp columns and inherits the session Hadoop conf") {
+    import spark.implicits._
+    val ts1 = java.sql.Timestamp.valueOf("2024-06-01 12:30:00")
+    val ts2 = java.sql.Timestamp.valueOf("2025-01-15 23:59:59")
+    lake.createTableAs(Seq((1L, ts1), (2L, ts2)).toDF("k", "ts").coalesce(1),
+      "main.ts_stream")
+    spark.conf.set("spark.sql.catalog.reglake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.reglake.metaDb", s"$root/meta")
+    spark.conf.set("spark.sql.catalog.reglake.dataPath", s"$root/data")
+    val q = spark.readStream.table("reglake.main.ts_stream")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ts_stream_rows").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ts_stream_rows").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(got.toSeq == Seq((1L, ts1), (2L, ts2)))
+  }
+}
