@@ -68,15 +68,37 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   /** Create-table-as-select (reference: A3 `SchemaProvider::register_table`,
     * src/schema.rs:176-224). Replace semantics if the table exists.
+    * `partitionBy` (creation only): hive-partition the data files by
+    * these columns — at 100 TB the partition→file map in the catalog
+    * turns a partition-filtered scan into an O(matching files) read.
     */
-  def createTableAs(df: DataFrame, name: String): Long =
-    write(df, name, WriteMode.Replace)
+  def createTableAs(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Long =
+    write(df, name, WriteMode.Replace, partitionBy)
 
-  /** INSERT INTO …: append or replace (reference: A12/A15). */
+  /** INSERT INTO …: append or replace (reference: A12/A15). Appends to a
+    * partitioned table re-use the table's catalog-recorded partition keys.
+    */
   def insertInto(df: DataFrame, name: String, mode: WriteMode.Value = WriteMode.Append): Long =
     write(df, name, mode)
 
-  private def write(df: DataFrame, name: String, mode: WriteMode.Value): Long = {
+  /** The table's partition key column names at `snap` (empty =
+    * unpartitioned or table absent).
+    */
+  def partitionColumnsOf(name: String, snapshot: Option[Long] = None): Seq[String] = {
+    val snap = snapshot.getOrElse(store.currentSnapshot)
+    val (schemaName, tableName) = parse(name)
+    (for {
+      sch <- store.getSchemaByName(schemaName, snap)
+      tbl <- store.getTableByName(sch.schemaId, tableName, snap)
+    } yield {
+      val defs = store.getTableColumns(tbl.tableId, snap)
+      store.getPartitionColumns(tbl.tableId, snap)
+        .flatMap { case (_, cid) => defs.find(_.columnId == cid).map(_.name) }
+    }).getOrElse(Nil)
+  }
+
+  private def write(df: DataFrame, name: String, mode: WriteMode.Value,
+      partitionBy: Seq[String] = Nil): Long = {
     val (schemaName, tableName) = parse(name)
     // path hardening BEFORE any filesystem work (same order as the
     // reference, src/metadata_writer.rs:17-36): an invalid name must not
@@ -86,6 +108,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
     }.toSeq
+    // partition keys are fixed at creation; appends inherit them
+    val existingPartCols = partitionColumnsOf(name)
+    val tableIsNew = !tableExists(name)
+    if (!tableIsNew && partitionBy.nonEmpty && partitionBy != existingPartCols)
+      throw new UnsupportedException(
+        s"partitioning mismatch for $name: table has [${existingPartCols.mkString(",")}]")
+    val partCols = if (tableIsNew) partitionBy else existingPartCols
+    partCols.foreach { p =>
+      if (!df.columns.contains(p))
+        throw new InvalidConfigException(s"partition column $p not in dataframe")
+    }
     val tableDir = s"$dataPath/$schemaName/$tableName"
     val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
@@ -95,24 +128,48 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
         .option(GraftCryptoFactory.EncryptKey, k)
     }
-    writer.parquet(staging)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging)
+    // schema of what's physically in the files (partition cols live in
+    // the directory structure, not the parquet)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f => partCols.contains(f.name)))
     val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       fs.mkdirs(new Path(tableDir))
-      val parts = fs.listStatus(new Path(staging))
-        .filter(f => f.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      val stagingPath = new Path(staging)
+      val parts = {
+        val it = fs.listFiles(stagingPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+        }
+        buf.sortBy(_.toString).toSeq
+      }
+      val stagingUri = fs.makeQualified(stagingPath).toUri
       val files = parts.map { part =>
+        // hive dir segments between staging root and the file = the
+        // partition values, in partitionBy order
+        val rel = stagingUri.relativize(fs.makeQualified(part).toUri).getPath
+        val segs = rel.split('/').dropRight(1)
+        val partValues = segs.toSeq.map { seg =>
+          val v = unescapePathName(seg.substring(seg.indexOf('=') + 1))
+          if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
+        }
+        if (partValues.size != partCols.size)
+          throw new InternalException(s"bad staging layout for $part: $rel")
         val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
         val dest = new Path(s"$tableDir/$fileName")
-        if (!fs.rename(part.getPath, dest))
-          throw new InternalException(s"rename failed: ${part.getPath} -> $dest")
+        if (!fs.rename(part, dest))
+          throw new InternalException(s"rename failed: $part -> $dest")
         renamed += dest
         val st = fs.getFileStatus(dest)
         FileToRegister(fileName, rowCount(dest, keyOpt), st.getLen,
           footerSize(fs, dest, st.getLen),
-          FileStats.fromFooter(dest, hconf, df.schema, keyOpt), keyOpt)
-      }.toSeq
-      try store.commitWrite(schemaName, tableName, cols, mode, files)
+          FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
+      }
+      try store.commitWrite(schemaName, tableName, cols, mode, files,
+        if (tableIsNew) partCols else Nil)
       catch { case e: Throwable =>
         // failed commit (e.g. incompatible evolution) must not leave
         // orphan data files in the live table directory
@@ -120,6 +177,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         throw e
       }
     } finally fs.delete(new Path(staging), true)
+  }
+
+  /** Undo Spark/Hive's partition-path escaping (`%xx` per special ASCII
+    * char — ExternalCatalogUtils.escapePathName's inverse).
+    */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Parquet footer size from the file tail: 4-byte little-endian footer
@@ -169,11 +243,30 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def sparkSchemaOf(cols: Seq[ColumnDef]): StructType =
     StructType(cols.map(c => StructField(c.name, TypeBridge.toSpark(c.dtype), c.nullsAllowed)))
 
+  /** Per-scan resolution context: pinned column defs, rename/promotion
+    * history, and partitioning metadata — all fetched once per scan, so
+    * planning does O(1) metadata queries regardless of file count.
+    */
+  private final case class ScanCtx(cols: Seq[ColumnDef],
+      history: Seq[(ColumnDef, Long, Option[Long])],
+      partCols: Seq[(Int, Long)],
+      partValsByFile: Map[Long, Map[Int, Option[String]]]) {
+    /** column_id → raw hive partition value for one file. */
+    def partValues(f: DataFileRec): Map[Long, Option[String]] = {
+      val byIdx = partValsByFile.getOrElse(f.dataFileId, Map.empty)
+      partCols.flatMap { case (idx, cid) => byIdx.get(idx).map(cid -> _) }.toMap
+    }
+  }
+
+  private def scanCtx(tr: TableRec, cols: Seq[ColumnDef], snap: Long): ScanCtx = {
+    val partCols = store.getPartitionColumns(tr.tableId, snap)
+    ScanCtx(cols, store.getColumnHistory(tr.tableId), partCols,
+      if (partCols.isEmpty) Map.empty else store.getFilePartitionValues(tr.tableId))
+  }
+
   /** Physical column defs for one file's epoch: what each pinned catalog
     * column was named/typed when the file was written (column_id ≙
-    * parquet field_id, reference src/types.rs:440-498). History is
-    * fetched once per scan — epoch resolution is in-memory, so planning
-    * does O(1) metadata queries regardless of file count.
+    * parquet field_id, reference src/types.rs:440-498).
     */
   private def epochOf(cols: Seq[ColumnDef],
       history: Seq[(ColumnDef, Long, Option[Long])],
@@ -183,19 +276,28 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         end.forall(_ > f.beginSnapshot)
     }.map(_._1))
 
-  /** Read a group of same-epoch data files with the physical→current
-    * projection (rename-safe, promotion-cast); optionally carrying the
+  /** Read a group of same-epoch, same-partition data files with the
+    * physical→current projection (rename-safe, promotion-cast); partition
+    * columns are injected as literals from the catalog (they live in the
+    * directory layout, not the parquet); optionally carries the
     * file-local row position as `__ducklake_pos`.
     */
   private def readGroup(name: String, fsGroup: Seq[DataFileRec],
-      epoch: Seq[(ColumnDef, Option[ColumnDef])], withPos: Boolean): DataFrame = {
-    val physSchema = StructType(epoch.flatMap { case (_, phys) =>
-      phys.map(p => StructField(p.name, TypeBridge.toSpark(p.dtype), nullable = true))
+      epoch: Seq[(ColumnDef, Option[ColumnDef])],
+      partVals: Map[Long, Option[String]], withPos: Boolean): DataFrame = {
+    val physSchema = StructType(epoch.collect {
+      case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
+        StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
     })
     val paths = fsGroup.map(f => filePath(name, f.path))
     val base = reader(fsGroup.map(f => f.path -> f.encryptionKey))
       .schema(physSchema).parquet(paths: _*)
     val projection = epoch.map {
+      case (cur, _) if partVals.contains(cur.columnId) =>
+        (partVals(cur.columnId) match {
+          case Some(raw) => lit(raw)
+          case None      => lit(null)
+        }).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, Some(phys)) =>
         col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, None) => // column added after this file was written
@@ -208,10 +310,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   /** One file with its epoch projection (the per-file read every
     * rename-safe path — scan, deleteWhere, CDC — goes through).
     */
-  private def readFile(name: String, cols: Seq[ColumnDef],
-      history: Seq[(ColumnDef, Long, Option[Long])], f: DataFileRec,
+  private def readFile(name: String, ctx: ScanCtx, f: DataFileRec,
       withPos: Boolean): DataFrame =
-    readGroup(name, Seq(f), epochOf(cols, history, f), withPos)
+    readGroup(name, Seq(f), epochOf(ctx.cols, ctx.history, f), ctx.partValues(f), withPos)
 
   /** Snapshot-pinned scan. Files without deletes and with identical
     * physical-schema epochs batch into one multi-file parquet read (plan
@@ -222,27 +323,33 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def table(name: String, snapshot: Option[Long] = None,
       pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val snap = snapshot.getOrElse(store.currentSnapshot)
+    // an explicitly requested snapshot must still exist (not expired)
+    snapshot.foreach { s =>
+      if (!store.snapshotExists(s))
+        throw new InvalidSnapshotException(s"snapshot $s does not exist (expired?)")
+    }
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
     if (cols.isEmpty) throw new TableNotFoundException(s"$name (no columns at snapshot $snap)")
     val outSchema = sparkSchemaOf(cols)
-    val files = pruneByStats(tr, cols, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
+    val ctx = scanCtx(tr, cols, snap)
+    val files = pruneByStats(tr, ctx, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
     scanned = files
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
 
-    val history = store.getColumnHistory(tr.tableId)
     val (withDel, clean) = files.partition(_.deleteFile.isDefined)
-    val cleanScans = clean.groupBy(epochOf(cols, history, _)).map { case (epoch, fs) =>
-      readGroup(name, fs, epoch, withPos = false)
-    }.toSeq
+    val cleanScans = clean.groupBy(f => (epochOf(cols, ctx.history, f), ctx.partValues(f)))
+      .map { case ((epoch, pv), fs) =>
+        readGroup(name, fs, epoch, pv, withPos = false)
+      }.toSeq
     val delScans = withDel.map { f =>
       val del = f.deleteFile.get
       val positions = reader(Seq(del.path -> del.encryptionKey))
         .schema(StructType(Seq(StructField("file_path", StringType), StructField("pos", LongType))))
         .parquet(filePath(name, del.path))
         .select(col("pos"))
-      readFile(name, cols, history, f, withPos = true)
+      readFile(name, ctx, f, withPos = true)
         .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
         .drop("__ducklake_pos")
     }
@@ -262,19 +369,35 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * row-level filters are re-applied by Spark after the scan regardless
     * (Inexact pushdown, reference src/table.rs:584-598).
     */
-  private def pruneByStats(tr: TableRec, cols: Seq[ColumnDef], schema: StructType,
+  private def pruneByStats(tr: TableRec, ctx: ScanCtx, schema: StructType,
       files: Seq[DataFileRec],
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFileRec] = {
     if (filters.isEmpty || files.isEmpty) return files
     val allStats = store.getFileStats(tr.tableId)
-    // name → column_id from the PINNED snapshot's defs (`cols`), not
+    // name → column_id from the PINNED snapshot's defs (ctx.cols), not
     // currentSnapshot: renames between the pinned snapshot and now must
     // not attach another column's stats to a time-travel filter
-    val idByName = cols.map(c => c.name -> c.columnId).toMap
+    val idByName = ctx.cols.map(c => c.name -> c.columnId).toMap
     files.filter { f =>
       val byCol: Map[String, (Option[Long], Option[String], Option[String])] =
         idByName.flatMap { case (n, cid) => allStats.get((f.dataFileId, cid)).map(n -> _) }
-      filters.forall(FileStats.mightMatch(_, schema, f.recordCount, byCol))
+      // partition values enter as synthetic min=max stats rows: a value
+      // partition has zero nulls and a point range; a null partition is
+      // all-null with no range — mightMatch then prunes both uniformly
+      val partEntries = ctx.partValues(f).flatMap { case (cid, vOpt) =>
+        ctx.cols.find(_.columnId == cid).map { cdef =>
+          vOpt match {
+            case Some(raw) =>
+              val canon = FileStats.canonicalPartition(TypeBridge.toSpark(cdef.dtype), raw)
+              cdef.name -> ((Some(0L): Option[Long]), canon, canon)
+            case None =>
+              cdef.name -> ((Some(f.recordCount): Option[Long]),
+                (None: Option[String]), (None: Option[String]))
+          }
+        }
+      }
+      val merged = byCol ++ partEntries
+      filters.forall(FileStats.mightMatch(_, schema, f.recordCount, merged))
     }
   }
 
@@ -293,13 +416,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
     val files = store.getDataFiles(tr.tableId, snap)
-    val history = store.getColumnHistory(tr.tableId)
+    val ctx = scanCtx(tr, cols, snap)
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val deletes = files.flatMap { f =>
       val path = filePath(name, f.path)
       // epoch projection: files written before a rename/promotion expose
       // current column names to `cond` (same mapping as table())
-      val matched = readFile(name, cols, history, f, withPos = true)
+      val matched = readFile(name, ctx, f, withPos = true)
         .select(col("__ducklake_pos").as("pos"), cond.as("__m"))
         .filter(col("__m")).select("pos")
         .collect().map(_.getLong(0)).toSet
@@ -355,6 +478,25 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     } finally rows.unpersist()
   }
 
+  /** Expire time travel below `before` (newest snapshot always kept).
+    * Expired snapshots stop resolving; [[vacuum]] may then delete files
+    * only those snapshots could see.
+    */
+  def expireSnapshots(before: Long): Seq[Long] = store.expireSnapshots(before)
+
+  /** Delete physical files that no retained snapshot can see (their
+    * catalog rows are purged in the same transaction). Returns the number
+    * of files removed from storage — at 100 TB this is the reclamation
+    * path that keeps Replace/compaction churn from accumulating forever.
+    */
+  def vacuum(): Int = {
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    store.purgeExpiredFiles().count { case (sch, tbl, p) =>
+      try fs.delete(new Path(s"$dataPath/$sch/$tbl/$p"), false)
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
   def tableExists(name: String): Boolean = {
     val (schemaName, tableName) = parse(name)
     store.getSchemaByName(schemaName, store.currentSnapshot)
@@ -363,6 +505,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   def dropColumn(name: String, colName: String): Long =
     store.dropColumn(resolveTable(name, store.currentSnapshot).tableId, colName)
+
+  /** ALTER TABLE … ADD COLUMN (nullable; earlier files read as null). */
+  def addColumn(name: String, colName: String, dtype: String): Long =
+    store.addColumn(resolveTable(name, store.currentSnapshot).tableId, colName, dtype)
 
   // ------------------------------------------------------------------
   // CDC (reference: A20-A22, src/table_changes.rs + table_deletions.rs)
@@ -383,9 +529,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val files = store.getDataFilesAddedBetween(tr.tableId, from, to)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
-    val history = store.getColumnHistory(tr.tableId)
+    val ctx = scanCtx(tr, cols, to)
     files.map { f =>
-      readFile(name, cols, history, f, withPos = false)
+      readFile(name, ctx, f, withPos = false)
         .withColumn("snapshot_id", lit(f.beginSnapshot))
         .withColumn("change_type", lit("insert"))
     }.reduce(_ unionByName _)
@@ -406,7 +552,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val entries = store.getDeleteFilesAddedBetween(tr.tableId, from, to)
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
-    val history = store.getColumnHistory(tr.tableId)
+    val ctx = scanCtx(tr, cols, to)
     entries.map { case (delOpt, prevOpt, dataFile) =>
       val current: DataFrame = delOpt match {
         case Some(d) => reader(Seq(d.path -> d.encryptionKey))
@@ -424,7 +570,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         // end_snapshot of the replaced file: by construction in range
         store.getDataFileById(tr.tableId, dataFile.dataFileId); to
       }
-      readFile(name, cols, history, dataFile, withPos = true)
+      readFile(name, ctx, dataFile, withPos = true)
         .join(broadcast(delta), col("__ducklake_pos") === col("pos"), "left_semi")
         .drop("__ducklake_pos")
         .withColumn("snapshot_id", lit(snapId))

@@ -109,6 +109,22 @@ object FileStats {
     case _ => None
   }
 
+  /** Canonical form of a hive partition-path value string, per logical
+    * type — lets partition values enter [[mightMatch]] as synthetic
+    * min=max stats rows so partition pruning reuses the same conservative
+    * range logic as footer-stats skipping. None on parse failure ⇒ the
+    * file is kept.
+    */
+  def canonicalPartition(dt: DataType, raw: String): Option[String] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(raw.toLong.toString)
+      case BooleanType => Some(if (raw.toBoolean) "1" else "0")
+      case DateType => Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+      case FloatType | DoubleType => Some(raw.toDouble.toString)
+      case StringType => Some(raw)
+      case _ => None
+    } catch { case _: RuntimeException => None }
+
   /** Conservative file-skip decision: false ⇒ no row in the file can match
     * `filter`. Any uncertainty (unknown attr, type, or filter shape) keeps
     * the file.
@@ -124,18 +140,23 @@ object FileStats {
       mn <- mnO; mx <- mxO
     } yield (f.dataType, mn, mx)
 
+    // a column known to be entirely null can't satisfy any value
+    // comparison (SQL three-valued logic: null cmp v is never true)
+    def allNull(attr: String): Boolean =
+      stats.get(attr).exists { case (nulls, _, _) => nulls.exists(_ >= recordCount) }
+
     filter match {
-      case EqualTo(a, v) => range(a).forall { case (dt, mn, mx) =>
+      case EqualTo(a, v) => !allNull(a) && range(a).forall { case (dt, mn, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0) }
-      case GreaterThan(a, v) => range(a).forall { case (dt, _, mx) =>
+      case GreaterThan(a, v) => !allNull(a) && range(a).forall { case (dt, _, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(c, mx) < 0) }
-      case GreaterThanOrEqual(a, v) => range(a).forall { case (dt, _, mx) =>
+      case GreaterThanOrEqual(a, v) => !allNull(a) && range(a).forall { case (dt, _, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(c, mx) <= 0) }
-      case LessThan(a, v) => range(a).forall { case (dt, mn, _) =>
+      case LessThan(a, v) => !allNull(a) && range(a).forall { case (dt, mn, _) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) < 0) }
-      case LessThanOrEqual(a, v) => range(a).forall { case (dt, mn, _) =>
+      case LessThanOrEqual(a, v) => !allNull(a) && range(a).forall { case (dt, mn, _) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0) }
-      case In(a, vs) => range(a).forall { case (dt, mn, mx) =>
+      case In(a, vs) => !allNull(a) && range(a).forall { case (dt, mn, mx) =>
         vs.exists(v => canonical(dt, v).forall(c =>
           cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0)) }
       // an unknown null count (None) must keep the file — pruning on a

@@ -15,7 +15,8 @@ final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: Strin
 final case class ColumnStatRec(columnName: String, valueCount: Long,
     nullCount: Option[Long], minValue: Option[String], maxValue: Option[String])
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
-    footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None)
+    footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None,
+    partitionValues: Seq[Option[String]] = Nil)
 
 object WriteMode extends Enumeration { val Append, Replace = Value }
 
@@ -125,6 +126,23 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  null_count BIGINT,
             |  min_value VARCHAR(256),
             |  max_value VARCHAR(256))""".stripMargin)
+        // hive-style partitioning (DuckLake spec tables
+        // ducklake_partition_column / ducklake_file_partition_value):
+        // partition keys are column_ids (rename-stable); per-file values
+        // are the raw hive path strings, NULL = hive default partition
+        st.executeUpdate(
+          """CREATE TABLE ducklake_partition_column(
+            |  table_id BIGINT NOT NULL,
+            |  partition_key_index BIGINT NOT NULL,
+            |  column_id BIGINT NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_file_partition_value(
+            |  data_file_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  partition_key_index BIGINT NOT NULL,
+            |  partition_value VARCHAR(1024))""".stripMargin)
         // snapshot 0 = empty catalog, like the reference's initial snapshot
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
@@ -167,6 +185,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   def currentSnapshot: Long =
     query("SELECT MAX(snapshot_id) FROM ducklake_snapshot")(_.getLong(1)).head
+
+  def minSnapshot: Long =
+    query("SELECT MIN(snapshot_id) FROM ducklake_snapshot")(_.getLong(1)).head
+
+  def snapshotExists(snap: Long): Boolean =
+    query("SELECT 1 FROM ducklake_snapshot WHERE snapshot_id = ?", Seq(snap))(_ => 1).nonEmpty
 
   def snapshots: Seq[(Long, java.sql.Timestamp)] =
     query("SELECT snapshot_id, snapshot_time FROM ducklake_snapshot ORDER BY snapshot_id")(
@@ -356,7 +380,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * src/metadata_writer_sqlite.rs:331-511 impl).
     */
   def commitWrite(schemaName: String, tableName: String, columns: Seq[ColumnDef],
-      mode: WriteMode.Value, files: Seq[FileToRegister]): Long = inSnapshotTxn { snap =>
+      mode: WriteMode.Value, files: Seq[FileToRegister],
+      partitionBy: Seq[String] = Nil): Long = inSnapshotTxn { snap =>
     PathResolver.validateTableName(tableName)
     files.foreach { f =>
       if (f.fileSizeBytes < 0) throw new InvalidConfigException(s"negative file size for ${f.path}")
@@ -386,11 +411,36 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(snap, table.tableId))
     }
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
+    // partition keys: set at table creation, immutable afterwards (same
+    // model as the DuckLake spec's ducklake_partition_column)
+    val currentPartCols = getPartitionColumns(table.tableId, snap)
+    if (existing.isEmpty && partitionBy.nonEmpty) {
+      partitionBy.zipWithIndex.foreach { case (name, idx) =>
+        val cid = colIds.getOrElse(name,
+          throw new InvalidConfigException(s"partition column not found: $name"))
+        update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL)",
+          Seq(table.tableId, idx.toLong, cid, snap))
+      }
+    } else if (partitionBy.nonEmpty) {
+      val currentNames = currentPartCols.flatMap { case (_, cid) =>
+        getTableColumns(table.tableId, snap).find(_.columnId == cid).map(_.name) }
+      if (currentNames != partitionBy)
+        throw new UnsupportedException(
+          s"partitioning mismatch: table has [${currentNames.mkString(",")}], write has [${partitionBy.mkString(",")}]")
+    }
+    val nKeys = if (existing.isEmpty) partitionBy.size else currentPartCols.size
     files.foreach { f =>
+      if (f.partitionValues.size != nKeys)
+        throw new InternalException(
+          s"file ${f.path}: ${f.partitionValues.size} partition values for $nKeys keys")
       val id = nextId("ducklake_data_file", "data_file_id")
       update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?)",
         Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize,
           snap, f.encryptionKey.orNull))
+      f.partitionValues.zipWithIndex.foreach { case (v, idx) =>
+        update("INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
+          Seq(id, table.tableId, idx.toLong, v.orNull))
+      }
       f.stats.foreach { st =>
         colIds.get(st.columnName).foreach { cid =>
           update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
@@ -402,6 +452,21 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     snap
   }
+
+  /** Partition key columns of a table at `snap`, ordered by key index:
+    * (partition_key_index, column_id). Empty = unpartitioned.
+    */
+  def getPartitionColumns(tableId: Long, snap: Long): Seq[(Int, Long)] =
+    query(s"SELECT partition_key_index, column_id FROM ducklake_partition_column WHERE table_id = ? AND $Vis ORDER BY partition_key_index",
+      Seq(tableId, snap, snap))(rs => (rs.getInt(1), rs.getLong(2)))
+
+  /** Per-file partition values for the table: data_file_id →
+    * (key_index → raw hive value, None = null/default partition).
+    */
+  def getFilePartitionValues(tableId: Long): Map[Long, Map[Int, Option[String]]] =
+    query("SELECT data_file_id, partition_key_index, partition_value FROM ducklake_file_partition_value WHERE table_id = ?",
+      Seq(tableId))(rs => (rs.getLong(1), rs.getInt(2), Option(rs.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
 
   /** Per-file per-column stats for the given table, keyed by
     * (data_file_id, column_id): (nullCount, min, max). A SQL-NULL
@@ -478,6 +543,56 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** Expire snapshots with id < `before` (the newest snapshot is never
+    * expired): time travel below the cutoff stops resolving, and files
+    * whose validity ended at or below the new minimum become vacuum
+    * candidates (DuckLake `ducklake_expire_snapshots` semantics). Returns
+    * the expired ids.
+    */
+  def expireSnapshots(before: Long): Seq[Long] = synchronized {
+    val cutoff = math.min(before, currentSnapshot)
+    val expired = query(
+      "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id < ? ORDER BY snapshot_id",
+      Seq(cutoff))(_.getLong(1))
+    if (expired.nonEmpty)
+      update("DELETE FROM ducklake_snapshot WHERE snapshot_id < ?", Seq(cutoff))
+    expired
+  }
+
+  /** Remove catalog rows for files visible at NO retained snapshot
+    * (`end_snapshot <= min(retained)`) and return their resolved
+    * (schema, table, path) triples so the caller can delete the physical
+    * files (DuckLake `ducklake_cleanup_old_files` semantics). One SQL
+    * transaction; no new snapshot is created.
+    */
+  def purgeExpiredFiles(): Seq[(String, String, String)] = synchronized {
+    val minS = minSnapshot
+    def gone(a: String) = s"$a.end_snapshot IS NOT NULL AND $a.end_snapshot <= ?"
+    val naming =
+      """JOIN ducklake_table t ON f.table_id = t.table_id
+        |JOIN ducklake_schema s ON t.schema_id = s.schema_id""".stripMargin
+    val dataFiles = query(
+      s"SELECT s.schema_name, t.table_name, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")}",
+      Seq(minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+    val delFiles = query(
+      s"SELECT s.schema_name, t.table_name, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")}",
+      Seq(minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+    val goneBare = "end_snapshot IS NOT NULL AND end_snapshot <= ?"
+    conn.setAutoCommit(false)
+    try {
+      update("DELETE FROM ducklake_file_column_stats WHERE data_file_id IN " +
+        s"(SELECT data_file_id FROM ducklake_data_file WHERE $goneBare)", Seq(minS))
+      update("DELETE FROM ducklake_file_partition_value WHERE data_file_id IN " +
+        s"(SELECT data_file_id FROM ducklake_data_file WHERE $goneBare)", Seq(minS))
+      update(s"DELETE FROM ducklake_data_file WHERE $goneBare", Seq(minS))
+      update(s"DELETE FROM ducklake_delete_file WHERE $goneBare", Seq(minS))
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.setAutoCommit(true)
+    dataFiles ++ delFiles
+  }
+
   /** Rename a column: end the current row, insert a row with the same
     * column_id and the new name (field-id-style rename, reference:
     * src/column_rename.rs + src/types.rs:440-498).
@@ -497,10 +612,30 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** Add a nullable column (files written earlier read it as null via the
+    * epoch projection). A fresh column_id is allocated past every id the
+    * table ever used, so dropped ids are never reused.
+    */
+  def addColumn(tableId: Long, name: String, dtype: String): Long = inSnapshotTxn { snap =>
+    PathResolver.validateName(name)
+    val cols = getTableColumns(tableId, snap)
+    if (cols.exists(_.name == name))
+      throw new UnsupportedException(s"column already exists: $name")
+    val newId = query(
+      "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
+      Seq(tableId))(_.getLong(1)).head
+    val order = cols.map(_.order).maxOption.getOrElse(-1L) + 1
+    update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
+      Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), true, snap))
+    snap
+  }
+
   /** Drop a column (end its row; files keep the physical data). */
   def dropColumn(tableId: Long, name: String): Long = inSnapshotTxn { snap =>
     val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
       throw new InternalException(s"column not found: $name"))
+    if (getPartitionColumns(tableId, snap).exists(_._2 == c.columnId))
+      throw new UnsupportedException(s"cannot drop partition column $name")
     update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId, c.columnId))
     snap

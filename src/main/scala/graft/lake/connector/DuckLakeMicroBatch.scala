@@ -30,10 +30,13 @@ final case class SnapshotOffset(snapshot: Long) extends Offset {
 /** One data file of one micro-batch. `physNames(i)` is the column's name
   * as written in THIS file's epoch (rename history resolved on the
   * driver; column_id ≙ field_id role, reference src/types.rs:440-498);
-  * null marks a column added after the file was written.
+  * null marks a column added after the file was written. `isPartCol(i)`
+  * marks hive partition columns, whose value comes from the catalog
+  * (`partRaw(i)`, null = null partition) rather than the parquet.
   */
 final case class DuckLakeFilePartition(path: String, encryptionKey: Option[String],
-    physNames: Array[String], fieldTypes: Array[DataType]) extends InputPartition
+    physNames: Array[String], fieldTypes: Array[DataType],
+    isPartCol: Array[Boolean], partRaw: Array[String]) extends InputPartition
 
 /** Streaming source over a DuckLake table: appends-only (CDC-insert
   * semantics — Replace rewrites stream their files like inserts, exactly
@@ -73,6 +76,11 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
         throw new UnsupportedTypeException(
           s"stream read of ${f.dataType.simpleString} column ${f.name} not supported")
     }
+    val partCols = lake.store.getPartitionColumns(tr.tableId, b)
+    val partValsByFile =
+      if (partCols.isEmpty) Map.empty[Long, Map[Int, Option[String]]]
+      else lake.store.getFilePartitionValues(tr.tableId)
+    val partIdxByColId = partCols.map { case (idx, cid) => cid -> idx }.toMap
     lake.store.getDataFilesAddedBetween(tr.tableId, a, b).map { file =>
       // per-file epoch: the physical (on-disk) name of each required column
       val physNames = required.fields.map { f =>
@@ -83,8 +91,18 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
           }.map(_._1.name)
         }.orNull
       }
+      val isPartCol = required.fields.map(f =>
+        byName.get(f.name).exists(c => partIdxByColId.contains(c.columnId)))
+      val partRaw = required.fields.map { f =>
+        (for {
+          cur <- byName.get(f.name)
+          idx <- partIdxByColId.get(cur.columnId)
+          v <- partValsByFile.getOrElse(file.dataFileId, Map.empty).getOrElse(idx, None)
+        } yield v).orNull
+      }
       DuckLakeFilePartition(s"${lake.dataPath}/$schemaName/$tableName/${file.path}",
-        file.encryptionKey, physNames, required.fields.map(_.dataType))
+        file.encryptionKey, physNames, required.fields.map(_.dataType),
+        isPartCol, partRaw)
         : InputPartition
     }.toArray
   }
@@ -132,7 +150,10 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
         val row = new GenericInternalRow(p.physNames.length)
         var i = 0
         while (i < p.physNames.length) {
-          row.update(i, readField(current, p.physNames(i), p.fieldTypes(i)))
+          val v =
+            if (p.isPartCol(i)) parsePartValue(p.partRaw(i), p.fieldTypes(i))
+            else readField(current, p.physNames(i), p.fieldTypes(i))
+          row.update(i, v)
           i += 1
         }
         row
@@ -166,6 +187,23 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
       case StringType     => UTF8String.fromString(g.getString(idx, 0))
       case BinaryType     => g.getBinary(idx, 0).getBytes
       case other => throw new UnsupportedTypeException(s"stream read: $other")
+    }
+  }
+
+  /** Catalog-held hive partition value string → Spark internal value. */
+  private def parsePartValue(raw: String, dt: DataType): Any = {
+    if (raw == null) return null
+    dt match {
+      case ByteType    => raw.toByte
+      case ShortType   => raw.toShort
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case FloatType   => raw.toFloat
+      case DoubleType  => raw.toDouble
+      case BooleanType => raw.toBoolean
+      case StringType  => UTF8String.fromString(raw)
+      case DateType    => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new UnsupportedTypeException(s"stream partition col: $other")
     }
   }
 

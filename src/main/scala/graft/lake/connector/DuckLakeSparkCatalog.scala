@@ -145,8 +145,13 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with Supports
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException("partitioned tables not supported (reference parity)")
+    // only identity transforms (hive-style `PARTITIONED BY (col)`) map to
+    // the DuckLake partition model
+    val partNames = partitions.map { t =>
+      if (t.name() != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(s"partition transform: $t")
+      t.references()(0).fieldNames().mkString(".")
+    }.toSeq
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
     }.toSeq
@@ -154,12 +159,31 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with Supports
       case Array(s, t) => (s, t)
       case _ => ("main", ident.name())
     }
-    lake.store.commitWrite(sch, tbl, cols, WriteMode.Append, Nil)
+    lake.store.commitWrite(sch, tbl, cols, WriteMode.Append, Nil, partNames)
     new DuckLakeV2Table(lake, fullName(ident), lake.currentSnapshot, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable (use DuckLake.renameColumn)")
+  /** ALTER TABLE: rename / drop / add-nullable column — the read-side
+    * schema-evolution surface the lake already supports programmatically
+    * (column_id-stable renames, epoch-projected reads).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val name = fullName(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        lake.renameColumn(name, r.fieldNames().mkString("."), r.newName())
+      case d: TableChange.DeleteColumn =>
+        lake.dropColumn(name, d.fieldNames().mkString("."))
+      case a: TableChange.AddColumn =>
+        if (!a.isNullable)
+          throw new UnsupportedOperationException("added columns must be nullable")
+        lake.addColumn(name, a.fieldNames().mkString("."),
+          TypeBridge.fromSpark(a.dataType()))
+      case other =>
+        throw new UnsupportedOperationException(s"alterTable change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     try { lake.dropTable(fullName(ident)); true }
@@ -178,14 +202,62 @@ object DuckLakeSparkCatalog {
     lakes.get((metaDb, dataPath))
 }
 
+/** DSv1 `Filter` → `Column` translation for the SQL DELETE path (the
+  * same filter algebra the scan pushdown uses; None = untranslatable,
+  * reported via `canDeleteWhere`).
+  */
+private[connector] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.sources._
+
+  def convert(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) => for { lc <- convert(l); rc <- convert(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- convert(l); rc <- convert(r) } yield lc || rc
+    case Not(c)    => convert(c).map(!_)
+    case _         => None
+  }
+}
+
 /** DSv2 table: snapshot-pinned reads + V1 write fallback (the write path
   * commits through the transactional metadata store, reference A12-A15).
+  * `SupportsDelete` maps SQL `DELETE FROM … WHERE …` onto the lake's
+  * merge-on-read positional delete files.
   */
 final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
-    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterToColumn.convert(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(FilterToColumn.convert(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // DELETE FROM t
+    lake.deleteWhere(fullName, cond)
+  }
 
   override def name(): String = fullName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    lake.partitionColumnsOf(fullName, Some(snapshot))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

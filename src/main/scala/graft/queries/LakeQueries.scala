@@ -51,6 +51,10 @@ object LakeQueries {
         "main.part_evolved")
       // embeddings: list<float32> column through the type bridge
       lake.createTableAs(t(s, dir, "embeddings").coalesce(1), "main.embeddings")
+      // orders_part: hive-partitioned by o_orderpriority — catalog
+      // partition values drive file pruning with zero data IO
+      lake.createTableAs(t(s, dir, "orders").repartition(2), "main.orders_part",
+        partitionBy = Seq("o_orderpriority"))
       lake.registerViews()
       // register the DSv2 catalog plugin against this fixture's lake so
       // `ducklake.main.*` resolves in spark.sql (lazily instantiated)
@@ -293,6 +297,58 @@ object LakeQueries {
       FROM orders
       WHERE NOT (o_orderkey % 13 = 0)
       GROUP BY 1 ORDER BY 1
+    """),
+
+    ("lake_partition_prune", (s: SparkSession, dir: String) => {
+      // the partition filter arrives via DSv2 pushdown → only the matching
+      // partition's files are opened (pruned from catalog values alone)
+      fixture(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM ducklake.main.orders_part
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }, """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1
+    """),
+
+    ("lake_sql_delete", (s: SparkSession, dir: String) => {
+      // SQL DELETE FROM through the connector → MOR positional deletes
+      val (lake, _) = fixture(s, dir)
+      lake.createTableAs(t(s, dir, "customer").coalesce(1), "main.del_sql")
+      s.sql("DELETE FROM ducklake.main.del_sql WHERE c_mktsegment = 'BUILDING' OR c_acctbal < 0")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        FROM ducklake.main.del_sql
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }, """
+      SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      FROM customer
+      WHERE NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
+      GROUP BY 1 ORDER BY 1
+    """),
+
+    ("lake_sql_alter", (s: SparkSession, dir: String) => {
+      // SQL ALTER TABLE: rename + add-nullable through the catalog; the
+      // pre-alter file reads the renamed column via its column_id and the
+      // added column as null
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.alter_sql")) {
+        lake.createTableAs(t(s, dir, "nation").coalesce(1), "main.alter_sql")
+        s.sql("ALTER TABLE ducklake.main.alter_sql RENAME COLUMN n_name TO nation_name")
+        s.sql("ALTER TABLE ducklake.main.alter_sql ADD COLUMN note STRING")
+      }
+      s.sql("""
+        SELECT n_nationkey, nation_name, note
+        FROM ducklake.main.alter_sql ORDER BY n_nationkey""")
+    }, """
+      SELECT n_nationkey, n_name AS nation_name, CAST(NULL AS VARCHAR) AS note
+      FROM nation ORDER BY n_nationkey
     """),
 
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {

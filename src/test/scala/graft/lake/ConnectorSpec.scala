@@ -230,6 +230,40 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("stream_t_rows").agg(max("k")).head().getLong(0) == 61L)
   }
 
+  test("SQL DELETE FROM maps to MOR positional deletes") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 40).map(i => (i.toLong, i % 4)).toDF("k", "m")
+      .coalesce(1), "main.sqldel")
+    val pre = l.currentSnapshot
+    spark.sql("DELETE FROM ducklake.main.sqldel WHERE m = 0 AND k > 10")
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.sqldel").head.getLong(0) == 40 - 8)
+    // time travel still sees the pre-delete rows (merge-on-read)
+    assert(l.table("main.sqldel", Some(pre)).count() == 40)
+    // unconditional DELETE clears the table
+    spark.sql("DELETE FROM ducklake.main.sqldel")
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.sqldel").head.getLong(0) == 0)
+  }
+
+  test("SQL ALTER TABLE: rename, add nullable, drop") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "tag", "x")
+      .coalesce(1), "main.sqlalter")
+    spark.sql("ALTER TABLE ducklake.main.sqlalter RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE ducklake.main.sqlalter ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE ducklake.main.sqlalter DROP COLUMN x")
+    val got = spark.sql(
+      "SELECT id, label, note FROM ducklake.main.sqlalter ORDER BY id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(got.forall(_.isNullAt(2)))
+    assert(spark.table("ducklake.main.sqlalter").columns.toSeq == Seq("id", "label", "note"))
+    // non-nullable add is rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ducklake.main.sqlalter ADD COLUMN hard STRING NOT NULL")
+    }
+  }
+
   test("readStream over an encrypted lake table decrypts via catalog keys") {
     import spark.implicits._
     val eroot = Files.createTempDirectory("ducklake-enc-stream").toString

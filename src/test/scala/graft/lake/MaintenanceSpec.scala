@@ -1,0 +1,90 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Snapshot expiration + physical-file vacuum: the storage-reclamation
+  * lifecycle (DuckLake `ducklake_expire_snapshots` /
+  * `ducklake_cleanup_old_files` semantics) — Replace/compaction churn
+  * must be reclaimable without touching live data.
+  */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val root = Files.createTempDirectory("ducklake-maint").toString
+  private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
+
+  override def afterAll(): Unit = { lake.close(); spark.stop() }
+
+  private def filesOnDisk(tbl: String): Set[String] =
+    Option(new java.io.File(s"$root/data/main/$tbl").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+
+  test("expire + vacuum reclaims replaced files; live data intact") {
+    import spark.implicits._
+    lake.createTableAs((1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1), "main.churn")
+    val s1 = lake.currentSnapshot
+    lake.insertInto((101 to 110).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1), "main.churn", WriteMode.Replace)
+    val before = filesOnDisk("churn")
+    assert(before.count(_.startsWith("ducklake-")) == 2) // replaced + live
+
+    // nothing is reclaimable while s1 is retained (it still sees file 1)
+    assert(lake.vacuum() == 0)
+    assert(lake.table("main.churn", Some(s1)).count() == 100)
+
+    val expired = lake.expireSnapshots(lake.currentSnapshot)
+    assert(expired.contains(s1))
+    // expired snapshot no longer resolves
+    intercept[InvalidSnapshotException](lake.table("main.churn", Some(s1)))
+    // now the replaced file is reclaimable
+    assert(lake.vacuum() == 1)
+    assert(filesOnDisk("churn").count(_.startsWith("ducklake-")) == 1)
+    // live rows unaffected
+    assert(lake.table("main.churn").collect().map(_.getLong(0)).sorted.toSeq ==
+      (101L to 110L))
+    // idempotent
+    assert(lake.vacuum() == 0)
+  }
+
+  test("vacuum reclaims superseded delete files but keeps the current one") {
+    import spark.implicits._
+    lake.createTableAs((1 to 50).map(i => (i.toLong, i % 5)).toDF("k", "m")
+      .coalesce(1), "main.mor_churn")
+    lake.deleteWhere("main.mor_churn", col("m") === 0) // delete file A
+    lake.deleteWhere("main.mor_churn", col("m") === 1) // delete file B supersedes A
+    val delFilesBefore = filesOnDisk("mor_churn").count(_.startsWith("ducklake-delete-"))
+    assert(delFilesBefore == 2)
+    lake.expireSnapshots(lake.currentSnapshot)
+    assert(lake.vacuum() == 1) // file A only
+    assert(filesOnDisk("mor_churn").count(_.startsWith("ducklake-delete-")) == 1)
+    // MOR read still correct: m in {0,1} gone
+    assert(lake.table("main.mor_churn").count() == 30)
+  }
+
+  test("compaction + expire + vacuum = full storage turnover") {
+    import spark.implicits._
+    lake.createTableAs((1 to 60).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .repartition(3), "main.compact_vac")
+    lake.deleteWhere("main.compact_vac", col("k") % 10 === 0)
+    lake.compact("main.compact_vac")
+    lake.expireSnapshots(lake.currentSnapshot)
+    val n = lake.vacuum()
+    assert(n >= 3) // 3 original data files + their delete files
+    assert(filesOnDisk("compact_vac").count(_.startsWith("ducklake-")) == 1)
+    assert(lake.table("main.compact_vac").count() == 54)
+    // snapshots list now starts at the retained snapshot
+    assert(lake.store.minSnapshot == lake.currentSnapshot)
+  }
+}

@@ -1,0 +1,183 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{And, EqualTo, GreaterThanOrEqual, IsNull, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hive-style partitioned lake tables: per-file partition values recorded
+  * in the catalog (DuckLake spec `ducklake_file_partition_value` model),
+  * injected at read time and pruned against pushed filters — the
+  * O(matching-partitions) scan path that matters at 100 TB.
+  */
+class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val root = Files.createTempDirectory("ducklake-part").toString
+  private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
+
+  override def afterAll(): Unit = { lake.close(); spark.stop() }
+
+  private def mkSales(): Unit = {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      (i.toLong, s"2024-0${i % 3 + 1}" /*month*/, (i % 3).toLong /*region*/, i * 1.5)
+    }.toDF("id", "month", "region", "amount")
+    lake.createTableAs(df.repartition(2), "main.sales", partitionBy = Seq("month"))
+  }
+
+  test("partitioned write + read round-trip; partition col injected from catalog") {
+    import spark.implicits._
+    mkSales()
+    val back = lake.table("main.sales")
+    assert(back.count() == 300)
+    assert(back.agg(sum("id")).head.getLong(0) == (1 to 300).map(_.toLong).sum)
+    // per-month counts survive the round trip
+    val byMonth = back.groupBy("month").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMonth == Map("2024-01" -> 100, "2024-02" -> 100, "2024-03" -> 100))
+    // the parquet files themselves do NOT contain the partition column
+    val aFile = lake.listFilesDF.filter(col("table_name") === "sales").head.getString(2)
+    val phys = spark.read.parquet(s"$root/data/main/sales/$aFile")
+    assert(!phys.columns.contains("month"))
+  }
+
+  test("partition pruning: equality filter scans only that partition's files") {
+    mkSales()
+    val all = { lake.table("main.sales").count(); lake.lastScanFileCount }
+    assert(all >= 3) // at least one file per partition
+    val one = lake.table("main.sales", None, Seq(EqualTo("month", "2024-02")))
+    assert(one.filter(col("month") === "2024-02").count() == 100)
+    assert(lake.lastScanFileCount < all && lake.lastScanFileCount >= 1)
+    // range filter over the partition string
+    lake.table("main.sales", None,
+      Seq(And(GreaterThanOrEqual("month", "2024-02"), LessThan("month", "2024-03")))).count()
+    assert(lake.lastScanFileCount < all)
+    // no partition matches
+    assert(lake.table("main.sales", None, Seq(EqualTo("month", "1999-01"))).count() == 0)
+    assert(lake.lastScanFileCount == 0)
+  }
+
+  test("appends inherit the table's partition keys; mismatched keys rejected") {
+    import spark.implicits._
+    mkSales()
+    lake.insertInto(Seq((301L, "2024-04", 1L, 5.0)).toDF("id", "month", "region", "amount")
+      .coalesce(1), "main.sales")
+    assert(lake.table("main.sales", None, Seq(EqualTo("month", "2024-04")))
+      .filter(col("month") === "2024-04").count() == 1)
+    assert(lake.lastScanFileCount == 1)
+    intercept[UnsupportedException] {
+      lake.createTableAs(Seq((1L, "x", 0L, 0.0)).toDF("id", "month", "region", "amount"),
+        "main.sales", partitionBy = Seq("region"))
+    }
+    // partition columns cannot be dropped
+    intercept[UnsupportedException](lake.dropColumn("main.sales", "month"))
+  }
+
+  test("null partition values round-trip and answer IS NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 1.0), (2L, None: Option[String], 2.0),
+      (3L, Some("b"), 3.0)).toDF("id", "grp", "v")
+    lake.createTableAs(df.coalesce(1), "main.nullpart", partitionBy = Seq("grp"))
+    val back = lake.table("main.nullpart")
+    assert(back.filter(col("grp").isNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // IS NULL pruning keeps only the default-partition file
+    lake.table("main.nullpart", None, Seq(IsNull("grp"))).count()
+    assert(lake.lastScanFileCount == 1)
+    // equality on a value prunes the null partition
+    lake.table("main.nullpart", None, Seq(EqualTo("grp", "a"))).count()
+    assert(lake.lastScanFileCount == 1)
+  }
+
+  test("special characters in string partition values are path-escaped losslessly") {
+    import spark.implicits._
+    val vals = Seq("plain", "with space", "a/b:c", "eq=val", "pct%20")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "k")
+    lake.createTableAs(df.coalesce(1), "main.esc", partitionBy = Seq("k"))
+    val back = lake.table("main.esc").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == vals.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+    vals.foreach { v =>
+      assert(lake.table("main.esc", None, Seq(EqualTo("k", v)))
+        .filter(col("k") === v).count() == 1, s"value $v")
+      assert(lake.lastScanFileCount == 1, s"value $v should prune to its own file")
+    }
+  }
+
+  test("date partitions prune on range filters") {
+    import spark.implicits._
+    val df = (1 to 90).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-0${(i - 1) / 30 + 1}-15"))
+    }.toDF("id", "day")
+    lake.createTableAs(df.coalesce(1), "main.dated", partitionBy = Seq("day"))
+    lake.table("main.dated", None,
+      Seq(GreaterThanOrEqual("day", java.sql.Date.valueOf("2024-03-01")))).count()
+    assert(lake.lastScanFileCount == 1)
+    assert(lake.table("main.dated", None,
+        Seq(EqualTo("day", java.sql.Date.valueOf("2024-02-15"))))
+      .filter(col("day") === "2024-02-15").count() == 30)
+  }
+
+  test("MOR deletes work on partitioned tables (predicate may mix partition + data cols)") {
+    mkSales()
+    // month "2024-01" ⇔ id % 3 == 0; of those, ids 3..48 are <= 50 → 16 deleted
+    lake.deleteWhere("main.sales", col("month") === "2024-01" && col("id") <= 50)
+    val back = lake.table("main.sales")
+    assert(back.filter(col("month") === "2024-01").count() == 100 - 16)
+    assert(back.count() == 300 - 16)
+  }
+
+  test("rename of a partition column keeps values and pruning (column_id stable)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "part")
+    lake.createTableAs(df.coalesce(1), "main.renpart", partitionBy = Seq("part"))
+    lake.renameColumn("main.renpart", "part", "bucket")
+    val back = lake.table("main.renpart")
+    assert(back.columns.toSeq == Seq("id", "bucket"))
+    assert(back.filter(col("bucket") === "y").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    lake.table("main.renpart", None, Seq(EqualTo("bucket", "x"))).count()
+    assert(lake.lastScanFileCount == 1)
+    // appends after the rename use the new name
+    lake.insertInto(Seq((3L, "z")).toDF("id", "bucket").coalesce(1), "main.renpart")
+    assert(lake.table("main.renpart").count() == 3)
+  }
+
+  test("SQL surface: CREATE TABLE PARTITIONED BY + INSERT + pruned SELECT + readStream") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.partlake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.partlake.metaDb", s"$root/meta")
+    spark.conf.set("spark.sql.catalog.partlake.dataPath", s"$root/data")
+    spark.sql(
+      "CREATE TABLE partlake.main.plogs (id BIGINT, region STRING, v DOUBLE) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO partlake.main.plogs VALUES (1, 'eu', 1.0), (2, 'us', 2.0), (3, 'eu', 3.0)")
+    assert(spark.sql("SELECT sum(v) FROM partlake.main.plogs WHERE region = 'eu'")
+      .head.getDouble(0) == 4.0)
+    // pruning happened through the SQL pushdown path: only the 'eu'
+    // partition's files were scanned (file-per-task layout may split a
+    // partition across several files)
+    val catalogLake = graft.lake.connector.DuckLakeSparkCatalog
+      .cachedLake(s"$root/meta", s"$root/data").get
+    val euScanned = catalogLake.lastScanFileCount
+    val total = catalogLake.listFilesDF
+      .filter(col("table_name") === "plogs").count().toInt
+    assert(euScanned >= 1 && euScanned < total,
+      s"expected a strict subset of $total files, scanned $euScanned")
+    // streaming read injects partition values from the catalog
+    val q = spark.readStream.table("partlake.main.plogs")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("plogs_rows").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("plogs_rows").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "eu"), (2L, "us"), (3L, "eu")))
+  }
+}
