@@ -179,6 +179,10 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double, w: Int = 3): DataFrame = {
+    // one streaming pass over the corpus: shingles are computed map-side
+    // and immediately filtered by the (small, broadcast) candidate side of
+    // the join, so no shingle array of a non-candidate doc ever reaches an
+    // exchange — O(corpus) CPU, O(candidates) shuffle, at any scale
     val g = docs.select(col(idCol).as("__vid"),
       array_distinct(shingles(col(textCol), w)).as("__g"))
     val sides = candidates.select(col("id_a"), col("id_b"),

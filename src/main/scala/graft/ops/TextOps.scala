@@ -56,6 +56,13 @@ object TextOps {
   def stopwordCount(text: Column, words: Seq[String]): Column =
     regexp_count(lower(text), lit(words.mkString("\\b(", "|", ")\\b")))
 
+  /** Whole-word existence test for any of `words`: `rlike` stops at the
+    * FIRST match, vs `stopwordCount > 0` which scans the whole document
+    * counting all of them — same boolean, a fraction of the regex work.
+    */
+  def containsAnyWord(text: Column, words: Seq[String]): Column =
+    lower(text).rlike(words.mkString("\\b(", "|", ")\\b"))
+
   private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Composite quality score in [0,1]: heavier on alpha content and mean
@@ -67,7 +74,7 @@ object TextOps {
     val meanTokLen = when(nTok > 0,
       charClassCount(lower(text), azChars + digitChars) / nTok).otherwise(lit(0.0))
     val lenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.5))
-    val stopOk = when(stopwordCount(text, enStop) > 0, lit(1.0)).otherwise(lit(0.7))
+    val stopOk = when(containsAnyWord(text, enStop), lit(1.0)).otherwise(lit(0.7))
     // +1e-9 guard: component ratios can be binary-exact (e.g. 39/48), which
     // lands the score exactly on a .00005 rounding boundary where engines
     // disagree; the epsilon moves every boundary off representable values
