@@ -133,9 +133,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // the directory structure, not the parquet)
     val dataSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filterNot(f => partCols.contains(f.name)))
-    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
-      fs.mkdirs(new Path(tableDir))
       val stagingPath = new Path(staging)
       val parts = {
         val it = fs.listFiles(stagingPath, true)
@@ -147,7 +145,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         buf.sortBy(_.toString).toSeq
       }
       val stagingUri = fs.makeQualified(stagingPath).toUri
-      val files = parts.map { part =>
+      val staged = parts.map { part =>
         // hive dir segments between staging root and the file = the
         // partition values, in partitionBy order
         val rel = stagingUri.relativize(fs.makeQualified(part).toUri).getPath
@@ -158,25 +156,44 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         }
         if (partValues.size != partCols.size)
           throw new InternalException(s"bad staging layout for $part: $rel")
-        val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
-        val dest = new Path(s"$tableDir/$fileName")
-        if (!fs.rename(part, dest))
-          throw new InternalException(s"rename failed: $part -> $dest")
-        renamed += dest
-        val st = fs.getFileStatus(dest)
-        FileToRegister(fileName, rowCount(dest, keyOpt), st.getLen,
-          footerSize(fs, dest, st.getLen),
-          FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
+        part -> partValues
       }
-      try store.commitWrite(schemaName, tableName, cols, mode, files,
+      commitStaged(schemaName, tableName, cols, mode, staged, dataSchema, keyOpt,
         if (tableIsNew) partCols else Nil)
-      catch { case e: Throwable =>
-        // failed commit (e.g. incompatible evolution) must not leave
-        // orphan data files in the live table directory
-        renamed.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
-        throw e
-      }
     } finally fs.delete(new Path(staging), true)
+  }
+
+  /** Rename staged parquet files into the table directory, capture footer
+    * stats, and commit — shared by [[write]] (Spark-staged) and the native
+    * BatchWrite (SQL UPDATE/MERGE rewrites). `staged`: (stagingFile,
+    * partitionValues); all files carry `keyOpt` when encryption is on.
+    */
+  private[lake] def commitStaged(schemaName: String, tableName: String,
+      cols: Seq[ColumnDef], mode: WriteMode.Value,
+      staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
+      keyOpt: Option[String], partColsForCreate: Seq[String]): Long = {
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    val tableDir = s"$dataPath/$schemaName/$tableName"
+    fs.mkdirs(new Path(tableDir))
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val files = staged.map { case (part, partValues) =>
+      val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
+      val dest = new Path(s"$tableDir/$fileName")
+      if (!fs.rename(part, dest))
+        throw new InternalException(s"rename failed: $part -> $dest")
+      renamed += dest
+      val st = fs.getFileStatus(dest)
+      FileToRegister(fileName, rowCount(dest, keyOpt), st.getLen,
+        footerSize(fs, dest, st.getLen),
+        FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
+    }
+    try store.commitWrite(schemaName, tableName, cols, mode, files, partColsForCreate)
+    catch { case e: Throwable =>
+      // failed commit (e.g. incompatible evolution) must not leave
+      // orphan data files in the live table directory
+      renamed.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
+      throw e
+    }
   }
 
   /** Undo Spark/Hive's partition-path escaping (`%xx` per special ASCII
@@ -453,6 +470,25 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       }
     }
     if (deletes.isEmpty) snap else store.commitDeletes(tr.tableId, deletes)
+  }
+
+  /** UPDATE … SET … WHERE, merge-on-read style: positional-delete the
+    * matching rows, append their updated versions. The updated rows are
+    * computed from a plan pinned BEFORE the delete (table() resolves the
+    * file list eagerly), so the read-modify-write never observes its own
+    * delete. Cost is O(matched rows) new data + delete positions — no
+    * table rewrite, unlike the SQL UPDATE path's copy-on-write.
+    */
+  def update(name: String, cond: Column, set: Map[String, Column]): Long = {
+    val snap = store.currentSnapshot
+    val pinned = table(name, Some(snap))
+    set.keys.find(k => !pinned.columns.contains(k)).foreach(k =>
+      throw new InvalidConfigException(s"unknown column in SET: $k"))
+    val updated = set.foldLeft(pinned.filter(cond)) { case (df, (k, v)) =>
+      df.withColumn(k, v.cast(pinned.schema(k).dataType))
+    }.select(pinned.columns.map(col).toSeq: _*)
+    deleteWhere(name, cond)
+    insertInto(updated, name)
   }
 
   def renameColumn(name: String, oldName: String, newName: String): Long =

@@ -1,0 +1,222 @@
+package graft.lake.connector
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.lake.{ColumnDef, DuckLake, TypeBridge, UnsupportedTypeException, WriteMode}
+import graft.lake.crypto.GraftCryptoFactory
+
+/** One executor's staged output: (staging file name, partition values —
+  * null element = null/default partition).
+  */
+final case class StagedFiles(files: Seq[(String, Seq[Option[String]])])
+  extends WriterCommitMessage
+
+/** Native distributed write that REPLACES a lake table's visible rows —
+  * the write half of the SQL UPDATE / MERGE rewrite (group-based
+  * row-level operations replace whole groups; our group is the table).
+  * Executors stream rows into parquet-mr writers (one per hive partition
+  * they encounter, PME-encrypted when the lake is), the driver renames
+  * the staged files in and commits one Replace snapshot — same
+  * commit-or-cleanup protocol as the Spark-staged write path.
+  */
+final class DuckLakeReplaceWrite(lake: DuckLake, fullName: String,
+    tableSchema: StructType) extends Write with BatchWrite {
+
+  private val (schemaName, tableName) = fullName.split('.') match {
+    case Array(s, t) => (s, t)
+    case _           => ("main", fullName)
+  }
+  private val partColNames = lake.partitionColumnsOf(fullName)
+  private val partIdx = partColNames.map(tableSchema.fieldIndex).toArray
+  private val dataSchema =
+    StructType(tableSchema.fields.filterNot(f => partColNames.contains(f.name)))
+  private val staging = s"${lake.dataPath}/.staging-${UUID.randomUUID()}"
+  private val keyOpt =
+    if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GroupDataWriterFactory(staging,
+      new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
+      tableSchema, partIdx, keyOpt)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
+      lake.spark.sparkContext.hadoopConfiguration)
+    try {
+      val staged = messages.toSeq.flatMap { case StagedFiles(fsq) => fsq }
+        .map { case (name, pvs) => (new Path(s"$staging/$name"), pvs) }
+      val cols = tableSchema.fields.zipWithIndex.map { case (f, i) =>
+        ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+      }.toSeq
+      lake.commitStaged(schemaName, tableName, cols, WriteMode.Replace,
+        staged, dataSchema, keyOpt, Nil)
+    } finally fs.delete(new Path(staging), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
+      lake.spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+  }
+}
+
+/** Executor-side parquet-mr Group writer. Rows are split by the table's
+  * hive partition values on the fly (one open writer per value combo per
+  * task); partition columns stay out of the file, as on the read side.
+  */
+final class GroupDataWriterFactory(staging: String, hconf: SerializableConfiguration,
+    schema: StructType, partIdx: Array[Int], key: Option[String])
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val dataFields: Array[(StructField, Int)] =
+        schema.fields.zipWithIndex.filterNot { case (_, i) => partIdx.contains(i) }
+      private val msgType: MessageType = {
+        val b = Types.buildMessage()
+        dataFields.foreach { case (f, _) => b.addField(GroupDataWriterFactory.parquetField(f)) }
+        b.named("spark_schema")
+      }
+      private val groupFactory = new SimpleGroupFactory(msgType)
+      private val writers =
+        mutable.LinkedHashMap.empty[Seq[Option[String]], (ParquetWriter[Group], String)]
+
+      override def write(row: InternalRow): Unit = {
+        // group-based row-level rewrites may hand rows UNPROJECTED, with
+        // the planner's __row_operation marker leading (observed in the
+        // ReplaceData plan: `Project [6 AS __row_operation, cols…]`);
+        // shift ordinals past it when present
+        val off = row.numFields - schema.fields.length
+        if (off != 0 && off != 1)
+          throw new UnsupportedTypeException(
+            s"row has ${row.numFields} fields, write schema has ${schema.fields.length}: ${schema.simpleString}")
+        val pv: Seq[Option[String]] = partIdx.toSeq.map { i =>
+          if (row.isNullAt(i + off)) None
+          else Some(GroupDataWriterFactory.partitionString(row, i + off, schema.fields(i).dataType))
+        }
+        val (w, _) = writers.getOrElseUpdate(pv, {
+          val name = s"part-$partitionId-$taskId-${writers.size}-${UUID.randomUUID().toString.take(8)}.parquet"
+          val builder = ExampleParquetWriter.builder(new Path(s"$staging/$name"))
+            .withConf(hconf.value).withType(msgType)
+          key.foreach(k => builder.withEncryption(GraftCryptoFactory.encryptionProps(k)))
+          (builder.build(), name)
+        })
+        val g = groupFactory.newGroup()
+        dataFields.foreach { case (f, i) =>
+          if (!row.isNullAt(i + off)) GroupDataWriterFactory.append(g, f, row, i + off)
+        }
+        w.write(g)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._1.close())
+        StagedFiles(writers.map { case (pv, (_, name)) => (name, pv) }.toSeq)
+      }
+
+      override def abort(): Unit = writers.values.foreach(w =>
+        try w._1.close() catch { case _: Throwable => () })
+
+      override def close(): Unit = ()
+    }
+}
+
+object GroupDataWriterFactory {
+  import LogicalTypeAnnotation._
+
+  private def decimalBytes(p: Int): Int =
+    math.ceil((math.log(math.pow(10, p)) / math.log(2) + 1) / 8).toInt
+
+  /** Spark field → parquet type with the same annotations Spark's own
+    * writer emits (so both our Group reader and Spark's vectorized reader
+    * round-trip the files).
+    */
+  def parquetField(f: StructField): org.apache.parquet.schema.Type = {
+    val b = f.dataType match {
+      case ByteType        => Types.optional(PrimitiveTypeName.INT32).as(intType(8, true))
+      case ShortType       => Types.optional(PrimitiveTypeName.INT32).as(intType(16, true))
+      case IntegerType     => Types.optional(PrimitiveTypeName.INT32)
+      case DateType        => Types.optional(PrimitiveTypeName.INT32).as(dateType())
+      case LongType        => Types.optional(PrimitiveTypeName.INT64)
+      case TimestampType   =>
+        Types.optional(PrimitiveTypeName.INT64).as(timestampType(true, TimeUnit.MICROS))
+      case TimestampNTZType =>
+        Types.optional(PrimitiveTypeName.INT64).as(timestampType(false, TimeUnit.MICROS))
+      case FloatType       => Types.optional(PrimitiveTypeName.FLOAT)
+      case DoubleType      => Types.optional(PrimitiveTypeName.DOUBLE)
+      case BooleanType     => Types.optional(PrimitiveTypeName.BOOLEAN)
+      case StringType      => Types.optional(PrimitiveTypeName.BINARY).as(stringType())
+      case BinaryType      => Types.optional(PrimitiveTypeName.BINARY)
+      case d: DecimalType if d.precision <= 9 =>
+        Types.optional(PrimitiveTypeName.INT32).as(decimalType(d.scale, d.precision))
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(PrimitiveTypeName.INT64).as(decimalType(d.scale, d.precision))
+      case d: DecimalType =>
+        Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+          .length(decimalBytes(d.precision)).as(decimalType(d.scale, d.precision))
+      case other => throw new UnsupportedTypeException(s"native write: $other")
+    }
+    b.named(f.name)
+  }
+
+  /** Append one non-null field value to the output group. */
+  def append(g: Group, f: StructField, row: InternalRow, i: Int): Unit = f.dataType match {
+    case ByteType        => g.add(f.name, row.getByte(i).toInt)
+    case ShortType       => g.add(f.name, row.getShort(i).toInt)
+    case IntegerType | DateType => g.add(f.name, row.getInt(i))
+    case LongType | TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
+    case FloatType       => g.add(f.name, row.getFloat(i))
+    case DoubleType      => g.add(f.name, row.getDouble(i))
+    case BooleanType     => g.add(f.name, row.getBoolean(i))
+    case StringType      => g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
+    case BinaryType      => g.add(f.name, Binary.fromConstantByteArray(row.getBinary(i)))
+    case d: DecimalType =>
+      val dec = row.getDecimal(i, d.precision, d.scale)
+      if (d.precision <= 9) g.add(f.name, dec.toUnscaledLong.toInt)
+      else if (d.precision <= 18) g.add(f.name, dec.toUnscaledLong)
+      else {
+        val unscaled = dec.toJavaBigDecimal.unscaledValue().toByteArray
+        val n = decimalBytes(d.precision)
+        val padded = new Array[Byte](n)
+        // sign-extend into the fixed width
+        val sign: Byte = if (unscaled.head < 0) -1 else 0
+        java.util.Arrays.fill(padded, sign)
+        System.arraycopy(unscaled, 0, padded, n - unscaled.length, unscaled.length)
+        g.add(f.name, Binary.fromConstantByteArray(padded))
+      }
+    case other => throw new UnsupportedTypeException(s"native write: $other")
+  }
+
+  /** Partition value → its catalog/hive string form (matches what Spark's
+    * partitionBy staging writes into directory names).
+    */
+  def partitionString(row: InternalRow, i: Int, dt: DataType): String = dt match {
+    case ByteType    => row.getByte(i).toString
+    case ShortType   => row.getShort(i).toString
+    case IntegerType => row.getInt(i).toString
+    case LongType    => row.getLong(i).toString
+    case FloatType   => row.getFloat(i).toString
+    case DoubleType  => row.getDouble(i).toString
+    case BooleanType => row.getBoolean(i).toString
+    case StringType  => row.getUTF8String(i).toString
+    case DateType    => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+    case other => throw new UnsupportedTypeException(s"partition col: $other")
+  }
+}

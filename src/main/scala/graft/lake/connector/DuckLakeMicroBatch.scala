@@ -36,7 +36,67 @@ final case class SnapshotOffset(snapshot: Long) extends Offset {
   */
 final case class DuckLakeFilePartition(path: String, encryptionKey: Option[String],
     physNames: Array[String], fieldTypes: Array[DataType],
-    isPartCol: Array[Boolean], partRaw: Array[String]) extends InputPartition
+    isPartCol: Array[Boolean], partRaw: Array[String],
+    deletePath: String = null, deleteKey: Option[String] = None) extends InputPartition
+
+/** Shared driver-side planning for the native (parquet-mr Group) readers:
+  * resolves each file's rename epoch, partition values and MOR delete
+  * file into a serializable [[DuckLakeFilePartition]].
+  */
+private[connector] object DuckLakePartitionPlanner {
+  import graft.lake.{ColumnDef, DataFileRec, TableRec}
+
+  def supportedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  def plan(lake: DuckLake, tr: TableRec, cols: Seq[ColumnDef],
+      files: Seq[DataFileRec], required: StructType,
+      basePath: String): Array[InputPartition] = {
+    required.fields.foreach { f =>
+      if (!supportedType(f.dataType))
+        throw new UnsupportedTypeException(
+          s"native read of ${f.dataType.simpleString} column ${f.name} not supported")
+    }
+    val byName = cols.map(c => c.name -> c).toMap
+    val history = lake.store.getColumnHistory(tr.tableId)
+    val partCols = lake.store.getPartitionColumns(tr.tableId, lake.store.currentSnapshot)
+    val partValsByFile =
+      if (partCols.isEmpty) Map.empty[Long, Map[Int, Option[String]]]
+      else lake.store.getFilePartitionValues(tr.tableId)
+    val partIdxByColId = partCols.map { case (idx, cid) => cid -> idx }.toMap
+    files.map { file =>
+      // per-file epoch: the physical (on-disk) name of each required column
+      val physNames = required.fields.map { f =>
+        byName.get(f.name).flatMap { cur =>
+          history.find { case (h, begin, endS) =>
+            h.columnId == cur.columnId && begin <= file.beginSnapshot &&
+              endS.forall(_ > file.beginSnapshot)
+          }.map(_._1.name)
+        }.orNull
+      }
+      val isPartCol = required.fields.map(f =>
+        byName.get(f.name).exists(c => partIdxByColId.contains(c.columnId)))
+      val partRaw = required.fields.map { f =>
+        (for {
+          cur <- byName.get(f.name)
+          idx <- partIdxByColId.get(cur.columnId)
+          v <- partValsByFile.getOrElse(file.dataFileId, Map.empty).getOrElse(idx, None)
+        } yield v).orNull
+      }
+      DuckLakeFilePartition(s"$basePath/${file.path}",
+        file.encryptionKey, physNames, required.fields.map(_.dataType),
+        isPartCol, partRaw,
+        file.deleteFile.map(d => s"$basePath/${d.path}").orNull,
+        file.deleteFile.flatMap(_.encryptionKey))
+        : InputPartition
+    }.toArray
+  }
+}
 
 /** Streaming source over a DuckLake table: appends-only (CDC-insert
   * semantics — Replace rewrites stream their files like inserts, exactly
@@ -69,42 +129,11 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
       end.asInstanceOf[SnapshotOffset].snapshot)
     val tr = tableRec
     val cols = lake.store.getTableColumns(tr.tableId, b)
-    val byName = cols.map(c => c.name -> c).toMap
-    val history = lake.store.getColumnHistory(tr.tableId)
-    required.fields.foreach { f =>
-      if (!streamableType(f.dataType))
-        throw new UnsupportedTypeException(
-          s"stream read of ${f.dataType.simpleString} column ${f.name} not supported")
-    }
-    val partCols = lake.store.getPartitionColumns(tr.tableId, b)
-    val partValsByFile =
-      if (partCols.isEmpty) Map.empty[Long, Map[Int, Option[String]]]
-      else lake.store.getFilePartitionValues(tr.tableId)
-    val partIdxByColId = partCols.map { case (idx, cid) => cid -> idx }.toMap
-    lake.store.getDataFilesAddedBetween(tr.tableId, a, b).map { file =>
-      // per-file epoch: the physical (on-disk) name of each required column
-      val physNames = required.fields.map { f =>
-        byName.get(f.name).flatMap { cur =>
-          history.find { case (h, begin, endS) =>
-            h.columnId == cur.columnId && begin <= file.beginSnapshot &&
-              endS.forall(_ > file.beginSnapshot)
-          }.map(_._1.name)
-        }.orNull
-      }
-      val isPartCol = required.fields.map(f =>
-        byName.get(f.name).exists(c => partIdxByColId.contains(c.columnId)))
-      val partRaw = required.fields.map { f =>
-        (for {
-          cur <- byName.get(f.name)
-          idx <- partIdxByColId.get(cur.columnId)
-          v <- partValsByFile.getOrElse(file.dataFileId, Map.empty).getOrElse(idx, None)
-        } yield v).orNull
-      }
-      DuckLakeFilePartition(s"${lake.dataPath}/$schemaName/$tableName/${file.path}",
-        file.encryptionKey, physNames, required.fields.map(_.dataType),
-        isPartCol, partRaw)
-        : InputPartition
-    }.toArray
+    // appends-only semantics: delete files are NOT applied to streamed rows
+    val files = lake.store.getDataFilesAddedBetween(tr.tableId, a, b)
+      .map(_.copy(deleteFile = None))
+    DuckLakePartitionPlanner.plan(lake, tr, cols, files, required,
+      s"${lake.dataPath}/$schemaName/$tableName")
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -116,18 +145,48 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
 
-  private def streamableType(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-         BooleanType | StringType | BinaryType | DateType | TimestampType |
-         TimestampNTZType => true
-    case _ => false
+/** Native `Batch` scan over a snapshot-pinned lake table: one input
+  * partition per data file, MOR deletes applied in the reader. Used by
+  * the row-level-operation path (SQL UPDATE / MERGE), which requires a
+  * real `toBatch`; ordinary reads keep the V1 relation so they get
+  * Spark's vectorized parquet reader.
+  */
+final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+
+  private val (schemaName, tableName) = fullName.split('.') match {
+    case Array(s, t) => (s, t)
+    case _           => ("main", fullName)
   }
+
+  override def readSchema(): StructType = schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String = s"DuckLakeBatchScan $fullName@$snapshot"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val sch = lake.store.getSchemaByName(schemaName, snapshot)
+      .getOrElse(throw new graft.lake.SchemaNotFoundException(schemaName))
+    val tr = lake.store.getTableByName(sch.schemaId, tableName, snapshot)
+      .getOrElse(throw new graft.lake.TableNotFoundException(fullName))
+    val cols = lake.store.getTableColumns(tr.tableId, snapshot)
+    DuckLakePartitionPlanner.plan(lake, tr, cols,
+      lake.store.getDataFiles(tr.tableId, snapshot), schema,
+      s"${lake.dataPath}/$schemaName/$tableName")
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DuckLakeFileReaderFactory(new SerializableConfiguration(
+      lake.spark.sparkContext.hadoopConfiguration))
 }
 
 /** Executor-side reader: parquet-mr Group materialization (row-by-row) —
-  * appropriate for the incremental tail of a stream, where batches are
-  * small; the batch path keeps Spark's vectorized reader.
+  * appropriate for the incremental tail of a stream and for row-level
+  * rewrites, where batches are bounded; the ordinary batch read path
+  * keeps Spark's vectorized reader.
   */
 final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
     extends PartitionReaderFactory {
@@ -135,16 +194,42 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DuckLakeFilePartition]
     new PartitionReader[InternalRow] {
-      private val reader: ParquetReader[Group] = {
-        val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.path))
+      private def open(path: String, key: Option[String]): ParquetReader[Group] = {
+        val b = ParquetReader.builder(new GroupReadSupport(), new Path(path))
           .withConf(hconf.value)
-        p.encryptionKey.foreach(k =>
-          b.withDecryption(GraftCryptoFactory.decryptionProps(k)))
+        key.foreach(k => b.withDecryption(GraftCryptoFactory.decryptionProps(k)))
         b.build()
       }
-      private var current: Group = _
 
-      override def next(): Boolean = { current = reader.read(); current != null }
+      // MOR delete file: positions of rows hidden in THIS data file
+      private val deleted: java.util.HashSet[java.lang.Long] = {
+        val s = new java.util.HashSet[java.lang.Long]()
+        if (p.deletePath != null) {
+          val r = open(p.deletePath, p.deleteKey)
+          try {
+            var g = r.read()
+            while (g != null) {
+              s.add(g.getLong(g.getType.getFieldIndex("pos"), 0))
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        s
+      }
+
+      private val reader: ParquetReader[Group] = open(p.path, p.encryptionKey)
+      private var current: Group = _
+      private var pos: Long = -1L
+
+      override def next(): Boolean = {
+        current = reader.read()
+        pos += 1
+        while (current != null && deleted.contains(pos)) {
+          current = reader.read()
+          pos += 1
+        }
+        current != null
+      }
 
       override def get(): InternalRow = {
         val row = new GenericInternalRow(p.physNames.length)
@@ -186,6 +271,19 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
       case BooleanType    => g.getBoolean(idx, 0)
       case StringType     => UTF8String.fromString(g.getString(idx, 0))
       case BinaryType     => g.getBinary(idx, 0).getBytes
+      case d: DecimalType =>
+        g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 =>
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(BigInt(g.getInteger(idx, 0)), d.scale), d.precision, d.scale)
+          case PrimitiveTypeName.INT64 =>
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(BigInt(g.getLong(idx, 0)), d.scale), d.precision, d.scale)
+          case _ => // FIXED_LEN_BYTE_ARRAY / BINARY: unscaled big-endian
+            org.apache.spark.sql.types.Decimal(
+              BigDecimal(BigInt(g.getBinary(idx, 0).getBytes), d.scale),
+              d.precision, d.scale)
+        }
       case other => throw new UnsupportedTypeException(s"stream read: $other")
     }
   }

@@ -240,7 +240,7 @@ private[connector] object FilterToColumn {
   */
 final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     tableSchema: StructType) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations {
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterToColumn.convert(_).isDefined)
@@ -251,6 +251,36 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       .getOrElse(org.apache.spark.sql.functions.lit(true)) // DELETE FROM t
     lake.deleteWhere(fullName, cond)
   }
+
+  /** SQL `UPDATE` / `MERGE INTO` via Spark's group-based row-level
+    * operation rewrite: the operation's scan exposes the table as ONE
+    * replacement group (no pushdown interfaces, so Spark reads every row
+    * of the group, matched or not), and the write commits the rewritten
+    * rows as a Replace snapshot — copy-on-write semantics, atomic in the
+    * metadata transaction. Per-file groups (rewrite only touched files)
+    * are the natural refinement once Spark's runtime group filtering is
+    * wired up; the programmatic [[DuckLake.update]] already offers the
+    * merge-on-read alternative.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def description(): String = s"DuckLake ${info.command()} $fullName"
+
+      // plain ScanBuilder: no SupportsPushDown* → the whole group is read
+      // (a native Batch — the rewrite planner requires toBatch)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        () => new DuckLakeBatchScan(lake, fullName, snapshot, tableSchema)
+
+      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write =
+            new DuckLakeReplaceWrite(lake, fullName, writeInfo.schema())
+        }
+    }
 
   override def name(): String = fullName
   override def schema(): StructType = tableSchema

@@ -75,4 +75,10 @@ object GraftCryptoFactory {
       .withFooterKey(Base64.getDecoder.decode(b64))
       .withPlaintextFilesAllowed()
       .build()
+
+  /** Encryption properties for direct parquet-mr writers (the native
+    * BatchWrite path, which bypasses Spark's conf-driven factory).
+    */
+  def encryptionProps(b64: String): FileEncryptionProperties =
+    FileEncryptionProperties.builder(Base64.getDecoder.decode(b64)).build()
 }

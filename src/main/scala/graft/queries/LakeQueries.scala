@@ -351,6 +351,70 @@ object LakeQueries {
       FROM nation ORDER BY n_nationkey
     """),
 
+    ("lake_update", (s: SparkSession, dir: String) => {
+      // programmatic merge-on-read UPDATE: positional-delete + append of
+      // the updated versions, no table rewrite
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.upd_mor")) {
+        lake.createTableAs(t(s, dir, "supplier").coalesce(1), "main.upd_mor")
+        lake.update("main.upd_mor", col("s_suppkey") % 7 === 0,
+          Map("s_acctbal" -> round(col("s_acctbal") + 1000, 2), "s_name" -> lit("updated")))
+      }
+      lake.table("main.upd_mor")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }, """
+      SELECT s_suppkey,
+        CASE WHEN s_suppkey % 7 = 0 THEN 'updated' ELSE s_name END AS s_name,
+        CASE WHEN s_suppkey % 7 = 0 THEN round(s_acctbal + 1000, 2) ELSE s_acctbal END AS s_acctbal
+      FROM supplier ORDER BY s_suppkey
+    """),
+
+    ("lake_sql_update", (s: SparkSession, dir: String) => {
+      // SQL UPDATE through the connector (group-based copy-on-write
+      // rewrite via the native batch scan + write)
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.upd_sql")) {
+        lake.createTableAs(t(s, dir, "nation").coalesce(1), "main.upd_sql")
+        s.sql("""UPDATE ducklake.main.upd_sql
+                 SET n_name = 'redacted' WHERE n_regionkey = 2""")
+      }
+      lake.table("main.upd_sql")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }, """
+      SELECT n_nationkey,
+        CASE WHEN n_regionkey = 2 THEN 'redacted' ELSE n_name END AS n_name,
+        n_regionkey
+      FROM nation ORDER BY n_nationkey
+    """),
+
+    ("lake_sql_merge", (s: SparkSession, dir: String) => {
+      // MERGE INTO: region rows matched by an upsert source — matched
+      // rows get a new comment, unmatched source rows are inserted
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.merge_sql")) {
+        lake.createTableAs(t(s, dir, "region").coalesce(1), "main.merge_sql")
+        t(s, dir, "region").filter(col("r_regionkey") < 2)
+          .select(col("r_regionkey").as("k"))
+          .unionByName(s.range(90, 92).select(col("id").cast("int").as("k")))
+          .createOrReplaceTempView("merge_src")
+        s.sql("""
+          MERGE INTO ducklake.main.merge_sql r USING merge_src s ON r.r_regionkey = s.k
+          WHEN MATCHED THEN UPDATE SET r_name = 'merged'
+          WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name)
+            VALUES (s.k, 'inserted')""")
+      }
+      lake.table("main.merge_sql").orderBy("r_regionkey")
+    }, """
+      SELECT r_regionkey,
+        CASE WHEN r_regionkey < 2 THEN 'merged' ELSE r_name END AS r_name
+      FROM region
+      UNION ALL
+      SELECT k, 'inserted' FROM (SELECT 90 AS k UNION ALL SELECT 91)
+      ORDER BY r_regionkey
+    """),
+
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

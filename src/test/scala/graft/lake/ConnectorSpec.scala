@@ -264,6 +264,55 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQL UPDATE rewrites matching rows (copy-on-write)") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 20).map(i => (i.toLong, i * 1.0, "keep")).toDF("k", "v", "tag")
+      .coalesce(1), "main.squpd")
+    val pre = l.currentSnapshot
+    spark.sql("UPDATE ducklake.main.squpd SET v = v * 10, tag = 'bumped' WHERE k <= 5")
+    val got = spark.sql("SELECT k, v, tag FROM ducklake.main.squpd ORDER BY k").collect()
+    assert(got.take(5).map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    assert(got.take(5).forall(_.getString(2) == "bumped"))
+    assert(got.drop(5).forall(r => r.getDouble(1) == r.getLong(0) * 1.0 && r.getString(2) == "keep"))
+    // pre-update snapshot intact
+    assert(l.table("main.squpd", Some(pre)).filter(col("tag") === "bumped").count() == 0)
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+      .coalesce(1), "main.mtarget")
+    Seq((2L, 5.0), (4L, 40.0)).toDF("id", "amt").createOrReplaceTempView("msource")
+    spark.sql("""
+      MERGE INTO ducklake.main.mtarget t USING msource s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET bal = t.bal + s.amt
+      WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.amt)""")
+    val got = spark.sql("SELECT id, bal FROM ducklake.main.mtarget ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("programmatic MOR update: delete+append, no table rewrite") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 30).map(i => (i.toLong, i % 3, i * 1.0)).toDF("k", "m", "v")
+      .coalesce(1), "main.morupd")
+    val filesBefore = l.listFilesDF.filter(col("table_name") === "morupd").count()
+    l.update("main.morupd", col("m") === 0, Map("v" -> (col("v") + 1000)))
+    val got = l.table("main.morupd")
+    assert(got.count() == 30)
+    assert(got.filter(col("m") === 0 && col("v") < 1000).count() == 0)
+    assert(got.filter(col("v") > 1000).count() == 10)
+    assert(got.agg(sum("v")).head.getDouble(0) == (1 to 30).map(_.toDouble).sum + 10 * 1000)
+    // MOR: original file still visible (plus delete file + appended rows)
+    assert(l.listFilesDF.filter(col("table_name") === "morupd").count() == filesBefore + 1)
+    intercept[InvalidConfigException] {
+      l.update("main.morupd", col("m") === 1, Map("nope" -> lit(1)))
+    }
+  }
+
   test("readStream over an encrypted lake table decrypts via catalog keys") {
     import spark.implicits._
     val eroot = Files.createTempDirectory("ducklake-enc-stream").toString
