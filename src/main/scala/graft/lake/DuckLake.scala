@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * bounded by delete counts and broadcast by Catalyst.
   */
 final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPath: String,
-    encrypted: Boolean = false) {
+    encrypted: Boolean = false, val inlineRowLimit: Int = 0) {
   import graft.lake.crypto.GraftCryptoFactory
 
   val store = new MetadataStore(metaDbPath)
@@ -98,7 +98,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   }
 
   private def write(df: DataFrame, name: String, mode: WriteMode.Value,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long = {
     val (schemaName, tableName) = parse(name)
     // path hardening BEFORE any filesystem work (same order as the
     // reference, src/metadata_writer.rs:17-36): an invalid name must not
@@ -118,6 +118,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     partCols.foreach { p =>
       if (!df.columns.contains(p))
         throw new InvalidConfigException(s"partition column $p not in dataframe")
+    }
+    // data inlining (DuckLake spec): appends at or below the limit live
+    // in the catalog as JSON rows — no parquet file, no storage round
+    // trip. Only for appends whose schema matches the table exactly
+    // (inlined rows skip the evolution machinery) and only on
+    // unpartitioned tables.
+    if (inlineRowLimit > 0 && mode == WriteMode.Append && !tableIsNew &&
+        !flushInlined && partCols.isEmpty && schemaMatchesCurrent(name, df)) {
+      val sample = df.toJSON.limit(inlineRowLimit + 1).collect()
+      if (sample.length <= inlineRowLimit) {
+        val tr = resolveTable(name, store.currentSnapshot)
+        return store.commitInlined(tr.tableId, sample.toSeq)
+      }
     }
     val tableDir = s"$dataPath/$schemaName/$tableName"
     val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
@@ -159,7 +172,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         part -> partValues
       }
       commitStaged(schemaName, tableName, cols, mode, staged, dataSchema, keyOpt,
-        if (tableIsNew) partCols else Nil)
+        if (tableIsNew) partCols else Nil, flushInlined)
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -171,7 +184,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private[lake] def commitStaged(schemaName: String, tableName: String,
       cols: Seq[ColumnDef], mode: WriteMode.Value,
       staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
-      keyOpt: Option[String], partColsForCreate: Seq[String]): Long = {
+      keyOpt: Option[String], partColsForCreate: Seq[String],
+      flushInlined: Boolean = false): Long = {
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val tableDir = s"$dataPath/$schemaName/$tableName"
     fs.mkdirs(new Path(tableDir))
@@ -187,13 +201,21 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         footerSize(fs, dest, st.getLen),
         FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
     }
-    try store.commitWrite(schemaName, tableName, cols, mode, files, partColsForCreate)
+    try store.commitWrite(schemaName, tableName, cols, mode, files, partColsForCreate,
+      flushInlined)
     catch { case e: Throwable =>
       // failed commit (e.g. incompatible evolution) must not leave
       // orphan data files in the live table directory
       renamed.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
       throw e
     }
+  }
+
+  private def schemaMatchesCurrent(name: String, df: DataFrame): Boolean = {
+    val snap = store.currentSnapshot
+    val cur = store.getTableColumns(resolveTable(name, snap).tableId, snap)
+    cur.map(c => (c.name, c.dtype)) ==
+      df.schema.fields.toSeq.map(f => (f.name, TypeBridge.normalize(TypeBridge.fromSpark(f.dataType))))
   }
 
   /** Undo Spark/Hive's partition-path escaping (`%xx` per special ASCII
@@ -331,6 +353,36 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       withPos: Boolean): DataFrame =
     readGroup(name, Seq(f), epochOf(ctx.cols, ctx.history, f), ctx.partValues(f), withPos)
 
+  /** Inlined catalog rows visible at `snap`, parsed with the column names
+    * of each row's write epoch and projected (by column_id) to the pinned
+    * `cols` — the inline counterpart of the per-file epoch projection.
+    */
+  private def inlinedDF(tr: TableRec, cols: Seq[ColumnDef], snap: Long,
+      withRowId: Boolean = false): Option[DataFrame] = {
+    val rows = store.getInlinedRows(tr.tableId, snap)
+    if (rows.isEmpty) return None
+    import spark.implicits._
+    val dfs = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (beginSnap, group) =>
+      val epochCols = store.getTableColumns(tr.tableId, beginSnap)
+      val epochSchema = StructType(epochCols.map(c =>
+        StructField(c.name, TypeBridge.toSpark(c.dtype), nullable = true)))
+      val byId = epochCols.map(c => c.columnId -> c).toMap
+      val parsed = group.map(g => (g._1, g._3)).toDF("__row_id", "__json")
+        .withColumn("__p", from_json(col("__json"), epochSchema,
+          Map("allowNonNumericNumbers" -> "true")))
+      val projection = cols.map { c =>
+        byId.get(c.columnId) match {
+          case Some(e) => col("__p").getField(e.name)
+            .cast(TypeBridge.toSpark(c.dtype)).as(c.name)
+          case None => lit(null).cast(TypeBridge.toSpark(c.dtype)).as(c.name)
+        }
+      }
+      if (withRowId) parsed.select(projection :+ col("__row_id"): _*)
+      else parsed.select(projection: _*)
+    }
+    Some(dfs.reduce(_ unionByName _))
+  }
+
   /** Snapshot-pinned scan. Files without deletes and with identical
     * physical-schema epochs batch into one multi-file parquet read (plan
     * shape parity with reference src/table.rs:611-649); files with delete
@@ -352,8 +404,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val ctx = scanCtx(tr, cols, snap)
     val files = pruneByStats(tr, ctx, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
     scanned = files
+    // inlined catalog rows are always included (never stats-pruned)
+    val inlined = inlinedDF(tr, cols, snap)
     if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+      return inlined.getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[Row](), outSchema))
 
     val (withDel, clean) = files.partition(_.deleteFile.isDefined)
     val cleanScans = clean.groupBy(f => (epochOf(cols, ctx.history, f), ctx.partValues(f)))
@@ -370,7 +425,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
         .drop("__ducklake_pos")
     }
-    (cleanScans ++ delScans).reduce(_ unionByName _)
+    (cleanScans ++ delScans ++ inlined).reduce(_ unionByName _)
   }
 
   /** Files kept by the last `table()` call (after stats pruning) — test/
@@ -469,7 +524,28 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         Some(f.dataFileId -> FileToRegister(delName, all.size.toLong, 0L, 0L, Nil, keyOpt))
       }
     }
-    if (deletes.isEmpty) snap else store.commitDeletes(tr.tableId, deletes)
+    // inlined rows matching the predicate are ended in the same snapshot
+    val inlinedIds = inlinedDF(tr, cols, snap, withRowId = true) match {
+      case Some(df) => df.filter(cond).select("__row_id").collect().map(_.getLong(0)).toSeq
+      case None     => Nil
+    }
+    if (deletes.isEmpty && inlinedIds.isEmpty) snap
+    else store.commitDeletes(tr.tableId, deletes, inlinedIds)
+  }
+
+  /** Move the table's inlined catalog rows into a parquet data file —
+    * registered and ended in ONE snapshot, so no reader ever sees rows
+    * twice (DuckLake `ducklake_flush_inlined_data`). No-op without
+    * inlined rows.
+    */
+  def flushInlined(name: String): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val cols = store.getTableColumns(tr.tableId, snap)
+    inlinedDF(tr, cols, snap) match {
+      case None     => snap
+      case Some(df) => write(df.coalesce(1), name, WriteMode.Append, flushInlined = true)
+    }
   }
 
   /** UPDATE … SET … WHERE, merge-on-read style: positional-delete the

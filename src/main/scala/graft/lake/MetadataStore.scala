@@ -143,6 +143,17 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  table_id BIGINT NOT NULL,
             |  partition_key_index BIGINT NOT NULL,
             |  partition_value VARCHAR(1024))""".stripMargin)
+        // data inlining (DuckLake spec `ducklake_inlined_data_tables`
+        // model): small appends live as JSON rows in the catalog with the
+        // same begin/end snapshot validity as files; compaction flushes
+        // them into parquet
+        st.executeUpdate(
+          """CREATE TABLE ducklake_inlined_data(
+            |  table_id BIGINT NOT NULL,
+            |  row_id BIGINT NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT,
+            |  row_json CLOB(1M) NOT NULL)""".stripMargin)
         // snapshot 0 = empty catalog, like the reference's initial snapshot
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
@@ -381,7 +392,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     */
   def commitWrite(schemaName: String, tableName: String, columns: Seq[ColumnDef],
       mode: WriteMode.Value, files: Seq[FileToRegister],
-      partitionBy: Seq[String] = Nil): Long = inSnapshotTxn { snap =>
+      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long = inSnapshotTxn { snap =>
     PathResolver.validateTableName(tableName)
     files.foreach { f =>
       if (f.fileSizeBytes < 0) throw new InvalidConfigException(s"negative file size for ${f.path}")
@@ -408,6 +419,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update(s"UPDATE ducklake_data_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, table.tableId))
       update(s"UPDATE ducklake_delete_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, table.tableId))
+      update(s"UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, table.tableId))
+    }
+    if (flushInlined && mode != WriteMode.Replace) {
+      // inlined rows become the registered files' content in THIS snapshot
+      update(s"UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, table.tableId))
     }
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
@@ -452,6 +470,27 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     snap
   }
+
+  /** Inline a small append: rows live in the catalog itself — no parquet
+    * file, no object-store round trip (DuckLake data-inlining semantics).
+    */
+  def commitInlined(tableId: Long, rowsJson: Seq[String]): Long = inSnapshotTxn { snap =>
+    var rid = query(
+      "SELECT COALESCE(MAX(row_id), -1) + 1 FROM ducklake_inlined_data WHERE table_id = ?",
+      Seq(tableId))(_.getLong(1)).head
+    rowsJson.foreach { j =>
+      update("INSERT INTO ducklake_inlined_data VALUES (?, ?, ?, NULL, ?)",
+        Seq(tableId, rid, snap, j))
+      rid += 1
+    }
+    snap
+  }
+
+  /** Inlined rows visible at `snap`: (row_id, begin_snapshot, json). */
+  def getInlinedRows(tableId: Long, snap: Long): Seq[(Long, Long, String)] =
+    query(s"SELECT row_id, begin_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? AND $Vis ORDER BY row_id",
+      Seq(tableId, snap, snap))(rs => (rs.getLong(1), rs.getLong(2), rs.getString(3)))
+
 
   /** Partition key columns of a table at `snap`, ordered by key index:
     * (partition_key_index, column_id). Empty = unpartitioned.
@@ -530,7 +569,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * snapshot; any previous delete file for the same data file is ended
     * (merge-on-read delete model, reference: src/table.rs:51-92).
     */
-  def commitDeletes(tableId: Long, deletes: Seq[(Long, FileToRegister)]): Long =
+  def commitDeletes(tableId: Long, deletes: Seq[(Long, FileToRegister)],
+      endInlinedRowIds: Seq[Long] = Nil): Long =
     inSnapshotTxn { snap =>
       deletes.foreach { case (dataFileId, f) =>
         update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
@@ -539,6 +579,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
           Seq(id, dataFileId, tableId, f.path, true, f.recordCount, snap,
             f.encryptionKey.orNull))
+      }
+      endInlinedRowIds.foreach { rid =>
+        update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND row_id = ? AND end_snapshot IS NULL",
+          Seq(snap, tableId, rid))
       }
       snap
     }
@@ -586,6 +630,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         s"(SELECT data_file_id FROM ducklake_data_file WHERE $goneBare)", Seq(minS))
       update(s"DELETE FROM ducklake_data_file WHERE $goneBare", Seq(minS))
       update(s"DELETE FROM ducklake_delete_file WHERE $goneBare", Seq(minS))
+      update(s"DELETE FROM ducklake_inlined_data WHERE $goneBare", Seq(minS))
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e
@@ -651,6 +696,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     update("UPDATE ducklake_data_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId))
     update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId))
+    update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId))
     snap
   }

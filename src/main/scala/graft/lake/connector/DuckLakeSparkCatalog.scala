@@ -264,7 +264,11 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // the rewrite's batch scan reads data FILES; move any inlined catalog
+    // rows into a file first so they participate in (and survive) the
+    // rewrite, and pin the scan AFTER the flush
+    val scanSnap = math.max(snapshot, lake.flushInlined(fullName))
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
@@ -273,7 +277,7 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       // plain ScanBuilder: no SupportsPushDown* → the whole group is read
       // (a native Batch — the rewrite planner requires toBatch)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new DuckLakeBatchScan(lake, fullName, snapshot, tableSchema)
+        () => new DuckLakeBatchScan(lake, fullName, scanSnap, tableSchema)
 
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
@@ -281,6 +285,7 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
             new DuckLakeReplaceWrite(lake, fullName, writeInfo.schema())
         }
     }
+  }
 
   override def name(): String = fullName
   override def schema(): StructType = tableSchema

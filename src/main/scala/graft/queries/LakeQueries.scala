@@ -80,7 +80,37 @@ object LakeQueries {
       lake
     })
 
+  /** Separate lake with data inlining on: small appends live as catalog
+    * rows (no parquet file) until flushed — the oracle reads the plain
+    * originals, so a hash match proves the inline write+read+MOR cycle.
+    */
+  private val inlLakes = TrieMap[String, DuckLake]()
+  private def inlFixture(s: SparkSession, dir: String): DuckLake =
+    inlLakes.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft-inlake-${UUID.randomUUID().toString.take(8)}"
+      val lake = new DuckLake(s, s"$root/meta", s"$root/data", inlineRowLimit = 64)
+      lake.createTableAs(
+        t(s, dir, "supplier").filter(col("s_suppkey") <= 80).coalesce(1), "main.supplier")
+      lake.insertInto( // 20 rows -> inlined into the catalog
+        t(s, dir, "supplier").filter(col("s_suppkey") > 80 && col("s_suppkey") <= 100),
+        "main.supplier")
+      lake.deleteWhere("main.supplier", col("s_suppkey") % 10 === 0)
+      lake
+    })
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("lake_inline", (s: SparkSession, dir: String) => {
+      // inlined rows + file rows + MOR deletes through one scan
+      inlFixture(s, dir).table("main.supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }, """
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE s_suppkey <= 100 AND NOT (s_suppkey % 10 = 0)
+      ORDER BY s_suppkey
+    """),
 
     ("lake_encrypted_scan", (s: SparkSession, dir: String) => {
       // PME-encrypted lake + MOR deletes, read back through catalog keys
