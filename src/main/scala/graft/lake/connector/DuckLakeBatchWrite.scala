@@ -78,6 +78,67 @@ final class DuckLakeReplaceWrite(lake: DuckLake, fullName: String,
   }
 }
 
+/** Streaming sink into a lake table: `df.writeStream.toTable("ducklake.…")`.
+  * Each micro-batch epoch appends its staged files in ONE metadata
+  * transaction; epoch ids are recorded in `ducklake_metadata`, so a
+  * replayed epoch (restart recovery) commits nothing twice —
+  * exactly-once at the snapshot level. Append output mode only.
+  */
+final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
+    rowSchema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val (schemaName, tableName) = fullName.split('.') match {
+    case Array(s, t) => (s, t)
+    case _           => ("main", fullName)
+  }
+  private val partColNames = lake.partitionColumnsOf(fullName)
+  private val partIdx = partColNames.map(rowSchema.fieldIndex).toArray
+  private val dataSchema =
+    StructType(rowSchema.fields.filterNot(f => partColNames.contains(f.name)))
+  private val staging = s"${lake.dataPath}/.staging-stream-${UUID.randomUUID()}"
+  private val epochKey = s"stream_epoch::$queryId::$fullName"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val keyOpt = if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
+    val batch = new GroupDataWriterFactory(staging,
+      new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
+      rowSchema, partIdx, keyOpt)
+    lastKey = keyOpt
+    (partitionId: Int, taskId: Long, _: Long) => batch.createWriter(partitionId, taskId)
+  }
+  @volatile private var lastKey: Option[String] = None
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
+      lake.spark.sparkContext.hadoopConfiguration)
+    try {
+      // replay guard: a recovered query re-runs its last epoch
+      if (lake.store.getMetadata(epochKey).exists(_.toLong >= epochId)) return
+      val staged = messages.toSeq.flatMap { case StagedFiles(fsq) => fsq }
+        .map { case (name, pvs) => (new Path(s"$staging/$name"), pvs) }
+      if (staged.nonEmpty) {
+        val cols = rowSchema.fields.zipWithIndex.map { case (f, i) =>
+          ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+        }.toSeq
+        lake.commitStaged(schemaName, tableName, cols, WriteMode.Append,
+          staged, dataSchema, lastKey, Nil)
+      }
+      lake.store.setMetadata(epochKey, epochId.toString)
+    } finally fs.delete(new Path(staging), true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
+      lake.spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+  }
+}
+
 /** Executor-side parquet-mr Group writer. Rows are split by the table's
   * hive partition values on the fly (one open writer per value combo per
   * task); partition columns stay out of the file, as on the read side.

@@ -295,7 +295,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -322,6 +323,10 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
           (data: DataFrame, _: Boolean) =>
             lake.insertInto(data, fullName,
               if (overwrite) WriteMode.Replace else WriteMode.Append)
+        // `df.writeStream.toTable("ducklake.…")`: per-epoch appends with
+        // replay-safe epoch tracking (append output mode)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new DuckLakeStreamingWrite(lake, fullName, info.schema(), info.queryId())
       }
     }
 }

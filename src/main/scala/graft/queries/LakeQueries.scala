@@ -445,6 +445,35 @@ object LakeQueries {
       ORDER BY r_regionkey
     """),
 
+    ("lake_stream_sink", (s: SparkSession, dir: String) => {
+      // streaming INGESTION: writeStream.toTable into the lake (per-epoch
+      // append snapshots), then a batch read back — oracle is the nation
+      // table the stream carried
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.sink_nation")) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        val mem = MemoryStream[(Int, String, Int)]
+        val q = mem.toDF().toDF("n_nationkey", "n_name", "n_regionkey")
+          .writeStream
+          .option("checkpointLocation",
+            s"/tmp/graft-sink-ckpt-${UUID.randomUUID().toString.take(8)}")
+          .toTable("ducklake.main.sink_nation")
+        try {
+          val (first, rest) = rows.splitAt(rows.length / 2)
+          mem.addData(first.toSeq); q.processAllAvailable()
+          mem.addData(rest.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      lake.table("main.sink_nation").orderBy("n_nationkey")
+    }, """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """),
+
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

@@ -313,6 +313,30 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("writeStream.toTable appends micro-batches into the lake (streaming sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val l = lake
+    l.createTableAs(Seq((0L, "seed")).toDF("k", "s").coalesce(1), "main.stream_sink")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "s").writeStream
+      .option("checkpointLocation", s"$root/ckpt-sink")
+      .toTable("ducklake.main.stream_sink")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ducklake.main.stream_sink").head.getLong(0) == 3)
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = l.table("main.stream_sink").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")))
+      // each epoch committed one snapshot; files registered in catalog
+      assert(l.listFilesDF.filter(col("table_name") === "stream_sink").count() >= 3)
+    } finally q.stop()
+  }
+
   test("readStream over an encrypted lake table decrypts via catalog keys") {
     import spark.implicits._
     val eroot = Files.createTempDirectory("ducklake-enc-stream").toString
