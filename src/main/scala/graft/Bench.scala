@@ -22,7 +22,8 @@ object Bench {
       graft.queries.Analytics.defs.map(_._1) ++
       Seq("txt_token_stats", "txt_quality", "txt_langid", "dedup_exact",
         "dedup_minhash", "sim_bruteforce_topk", "mm_decode_meta",
-        "lake_scan_agg", "lake_mor_deletes", "lake_encrypted_scan")
+        "lake_scan_agg", "lake_mor_deletes", "lake_encrypted_scan",
+        "lake_partition_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
