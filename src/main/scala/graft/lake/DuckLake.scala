@@ -75,6 +75,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def createTableAs(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Long =
     write(df, name, WriteMode.Replace, partitionBy)
 
+  /** CTAS with range-clustering: rows are range-partitioned and sorted on
+    * `clusterBy` before writing, so each data file covers a TIGHT,
+    * near-disjoint min/max range on those columns — catalog stats then
+    * prune point/range lookups to O(1) files without hive partitioning's
+    * directory explosion (the lakehouse "cluster by" / linear z-order).
+    * `numFiles` bounds the file count (range shuffle width).
+    */
+  def createTableClustered(df: DataFrame, name: String, clusterBy: Seq[String],
+      numFiles: Int = 0, partitionBy: Seq[String] = Nil): Long = {
+    require(clusterBy.nonEmpty, "clusterBy columns required")
+    val cols = clusterBy.map(col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    write(ranged.sortWithinPartitions(cols: _*), name, WriteMode.Replace, partitionBy)
+  }
+
   /** INSERT INTO …: append or replace (reference: A12/A15). Appends to a
     * partitioned table re-use the table's catalog-recorded partition keys.
     */
@@ -753,6 +770,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             "column_name", "column_type", "nulls_allowed")
       case "table_info" => tableInfoDF
       case "files" => listFilesDF
+      case "partitions" =>
+        (for {
+          sch <- store.listSchemas(snap)
+          tbl <- store.listTables(sch.schemaId, snap)
+          defs = store.getTableColumns(tbl.tableId, snap)
+          (idx, cid) <- store.getPartitionColumns(tbl.tableId, snap)
+          cdef <- defs.find(_.columnId == cid)
+        } yield (sch.name, tbl.name, idx.toLong, cdef.name, cdef.dtype))
+          .toDF("schema_name", "table_name", "partition_key_index",
+            "column_name", "column_type")
       case other => throw new UnsupportedException(s"information_schema.$other")
     }
   }

@@ -109,4 +109,32 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  // PII scrubbing for training corpora: regex families kept simple enough
+  // to be byte-identical in DuckDB's RE2 (no lookaround, no backrefs).
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val UrlRe   = "https?://[^\\s]+"
+  private[ops] val PhoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Redact emails, URLs and phone-number-ish digit runs with typed
+    * placeholders — the standard pre-training scrub. One codegen'd
+    * regexp_replace per family, no UDF, linear per-split scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Redaction counts per family, in [[redactPii]]'s application order
+    * (emails on raw text, URLs after email masking, phones after both).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlRe, "<URL>")
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(afterEmail, lit(UrlRe)),
+      regexp_count(afterUrl, lit(PhoneRe)))
+  }
 }

@@ -106,6 +106,41 @@ object OpsQueries {
       FROM documents ORDER BY doc_id
     """),
 
+    ("txt_redact", (s: SparkSession, dir: String) => {
+      // PII scrub: plant deterministic emails/URLs/phones into the corpus
+      // (identically in the oracle), then mask + count per family
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com or "),
+          lit("https://ex.org/d/"), col("doc_id"),
+          lit(" tel +1 (555) 010-"), lpad(col("doc_id") % 10000, 4, "0")).as("text"))
+      val (ne, nu, np) = TextOps.piiCounts(col("text"))
+      planted.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("clean"),
+        ne.as("n_email"), nu.as("n_url"), np.as("n_phone"))
+        .orderBy("doc_id")
+    }, """
+      WITH planted AS (
+        SELECT doc_id,
+          text || ' contact u' || doc_id || '@example.com or ' ||
+            'https://ex.org/d/' || doc_id ||
+            ' tel +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      masked AS (
+        SELECT doc_id, text,
+          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        FROM planted),
+      masked2 AS (
+        SELECT *, regexp_replace(after_email, 'https?://[^\s]+', '<URL>', 'g') AS after_url
+        FROM masked)
+      SELECT doc_id,
+        regexp_replace(after_url, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS clean,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(len(regexp_extract_all(after_email, 'https?://[^\s]+')) AS INT) AS n_url,
+        CAST(len(regexp_extract_all(after_url, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS INT) AS n_phone
+      FROM masked2 ORDER BY doc_id
+    """),
+
     ("dedup_exact", (s: SparkSession, dir: String) => {
       // corpus with planted EXACT duplicates (same text, higher id):
       val docs = t(s, dir, "documents")

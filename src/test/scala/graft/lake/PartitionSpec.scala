@@ -150,6 +150,30 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.renpart").count() == 3)
   }
 
+  test("clustered writes give near-disjoint file ranges -> point lookups prune to one file") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThanOrEqual, LessThan}
+    // ids arrive SHUFFLED: without clustering every file would span the
+    // full id range and nothing could prune
+    val shuffled = (1L to 4000L).map(i => (i * 2654435761L % 4000L, i)).toDF("id", "payload")
+    lake.createTableClustered(shuffled, "main.clustered", clusterBy = Seq("id"), numFiles = 4)
+    lake.table("main.clustered").count()
+    assert(lake.lastScanFileCount == 4)
+    lake.table("main.clustered", None, Seq(EqualTo("id", 17L))).count()
+    assert(lake.lastScanFileCount == 1)
+    lake.table("main.clustered", None,
+      Seq(And(GreaterThanOrEqual("id", 100L), LessThan("id", 300L)))).count()
+    assert(lake.lastScanFileCount <= 2)
+  }
+
+  test("information_schema('partitions') lists partition keys") {
+    mkSales()
+    val p = lake.informationSchema("partitions")
+      .filter(col("table_name") === "sales").collect()
+    assert(p.map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSeq ==
+      Seq((0L, "month", "varchar")))
+  }
+
   test("SQL surface: CREATE TABLE PARTITIONED BY + INSERT + pruned SELECT + readStream") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.partlake",
