@@ -122,9 +122,6 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // leave staged or renamed files behind
     PathResolver.validateTableName(schemaName)
     PathResolver.validateTableName(tableName)
-    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
-    }.toSeq
     // partition keys are fixed at creation; appends inherit them
     val existingPartCols = partitionColumnsOf(name)
     val tableIsNew = !tableExists(name)
@@ -149,7 +146,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         return store.commitInlined(tr.tableId, sample.toSeq)
       }
     }
-    val tableDir = s"$dataPath/$schemaName/$tableName"
+    val (spec, renamed) = stageWrite(df, name, mode,
+      if (tableIsNew) partCols else Nil, partCols, flushInlined)
+    try store.commitWrites(Seq(spec))
+    catch { case e: Throwable => cleanupRenamed(renamed); throw e }
+  }
+
+  /** Spark-stage `df` and move its files into the table directory; the
+    * catalog registration is NOT committed — callers commit one or many
+    * staged specs atomically ([[write]], [[transaction]]).
+    */
+  private def stageWrite(df: DataFrame, name: String, mode: WriteMode.Value,
+      partColsForCreate: Seq[String], partCols: Seq[String],
+      flushInlined: Boolean): (TableWriteSpec, Seq[Path]) = {
+    val (schemaName, tableName) = parse(name)
+    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+    }.toSeq
     val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
     // one fresh key per commit; each registered file row carries it
@@ -188,21 +201,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           throw new InternalException(s"bad staging layout for $part: $rel")
         part -> partValues
       }
-      commitStaged(schemaName, tableName, cols, mode, staged, dataSchema, keyOpt,
-        if (tableIsNew) partCols else Nil, flushInlined)
+      val (files, renamed) = stageIntoTableDir(schemaName, tableName, staged,
+        dataSchema, keyOpt)
+      (TableWriteSpec(schemaName, tableName, cols, mode, files, partColsForCreate,
+        flushInlined), renamed)
     } finally fs.delete(new Path(staging), true)
   }
 
-  /** Rename staged parquet files into the table directory, capture footer
-    * stats, and commit — shared by [[write]] (Spark-staged) and the native
-    * BatchWrite (SQL UPDATE/MERGE rewrites). `staged`: (stagingFile,
-    * partitionValues); all files carry `keyOpt` when encryption is on.
+  /** Rename staged parquet files into the table directory and capture
+    * footer stats; returns the registrations plus the moved paths (for
+    * cleanup if the later commit fails).
     */
-  private[lake] def commitStaged(schemaName: String, tableName: String,
-      cols: Seq[ColumnDef], mode: WriteMode.Value,
+  private def stageIntoTableDir(schemaName: String, tableName: String,
       staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
-      keyOpt: Option[String], partColsForCreate: Seq[String],
-      flushInlined: Boolean = false): Long = {
+      keyOpt: Option[String]): (Seq[FileToRegister], Seq[Path]) = {
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val tableDir = s"$dataPath/$schemaName/$tableName"
     fs.mkdirs(new Path(tableDir))
@@ -218,14 +230,68 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         footerSize(fs, dest, st.getLen),
         FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
     }
+    (files, renamed.toSeq)
+  }
+
+  private def cleanupRenamed(renamed: Seq[Path]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    renamed.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
+  }
+
+  /** Rename staged parquet files into the table directory, capture footer
+    * stats, and commit — used by the native BatchWrite (SQL UPDATE/MERGE
+    * rewrites) and StreamingWrite. `staged`: (stagingFile,
+    * partitionValues); all files carry `keyOpt` when encryption is on.
+    */
+  private[lake] def commitStaged(schemaName: String, tableName: String,
+      cols: Seq[ColumnDef], mode: WriteMode.Value,
+      staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
+      keyOpt: Option[String], partColsForCreate: Seq[String],
+      flushInlined: Boolean = false): Long = {
+    val (files, renamed) = stageIntoTableDir(schemaName, tableName, staged,
+      dataSchema, keyOpt)
     try store.commitWrite(schemaName, tableName, cols, mode, files, partColsForCreate,
       flushInlined)
     catch { case e: Throwable =>
       // failed commit (e.g. incompatible evolution) must not leave
       // orphan data files in the live table directory
-      renamed.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
+      cleanupRenamed(renamed)
       throw e
     }
+  }
+
+  /** Cross-table ATOMIC transaction: every `tx.write` stages immediately,
+    * and all registrations commit in ONE snapshot — all tables' rows
+    * become visible together, or none do (the multi-table atomicity a
+    * SQL-backed catalog affords that per-table-pointer catalogs cannot).
+    * Inlining is bypassed inside transactions.
+    */
+  def transaction(body: LakeTransaction => Unit): Long = {
+    val tx = new LakeTransaction(this)
+    try {
+      body(tx)
+      store.commitWrites(tx.specs.toSeq)
+    } catch { case e: Throwable =>
+      cleanupRenamed(tx.renamed.toSeq)
+      throw e
+    }
+  }
+
+  private[lake] def stageForTransaction(tx: LakeTransaction, df: DataFrame,
+      name: String, mode: WriteMode.Value, partitionBy: Seq[String]): Unit = {
+    val (schemaName, tableName) = parse(name)
+    PathResolver.validateTableName(schemaName)
+    PathResolver.validateTableName(tableName)
+    val existingPartCols = partitionColumnsOf(name)
+    val tableIsNew = !tableExists(name)
+    if (!tableIsNew && partitionBy.nonEmpty && partitionBy != existingPartCols)
+      throw new UnsupportedException(
+        s"partitioning mismatch for $name: table has [${existingPartCols.mkString(",")}]")
+    val partCols = if (tableIsNew) partitionBy else existingPartCols
+    val (spec, renamed) = stageWrite(df, name, mode,
+      if (tableIsNew) partCols else Nil, partCols, flushInlined = false)
+    tx.specs += spec
+    tx.renamed ++= renamed
   }
 
   private def schemaMatchesCurrent(name: String, df: DataFrame): Boolean = {
@@ -809,4 +875,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def sql(query: String): DataFrame = spark.sql(query)
 
   def close(): Unit = store.close()
+}
+
+/** Write collector for [[DuckLake.transaction]]: each `write` stages its
+  * parquet files immediately; the enclosing transaction commits every
+  * staged registration in one snapshot.
+  */
+final class LakeTransaction private[lake] (lake: DuckLake) {
+  private[lake] val specs = scala.collection.mutable.ArrayBuffer.empty[TableWriteSpec]
+  private[lake] val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  def write(df: DataFrame, name: String,
+      mode: WriteMode.Value = WriteMode.Append,
+      partitionBy: Seq[String] = Nil): Unit =
+    lake.stageForTransaction(this, df, name, mode, partitionBy)
 }

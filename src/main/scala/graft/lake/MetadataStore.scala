@@ -17,6 +17,9 @@ final case class ColumnStatRec(columnName: String, valueCount: Long,
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
     footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None,
     partitionValues: Seq[Option[String]] = Nil)
+final case class TableWriteSpec(schemaName: String, tableName: String,
+    columns: Seq[ColumnDef], mode: WriteMode.Value, files: Seq[FileToRegister],
+    partitionBy: Seq[String] = Nil, flushInlined: Boolean = false)
 
 object WriteMode extends Enumeration { val Append, Replace = Value }
 
@@ -392,7 +395,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     */
   def commitWrite(schemaName: String, tableName: String, columns: Seq[ColumnDef],
       mode: WriteMode.Value, files: Seq[FileToRegister],
-      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long = inSnapshotTxn { snap =>
+      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long =
+    commitWrites(Seq(TableWriteSpec(schemaName, tableName, columns, mode, files,
+      partitionBy, flushInlined)))
+
+  /** Register several tables' writes in ONE snapshot — the cross-table
+    * atomic commit a SQL-backed catalog makes natural (and file-pointer
+    * catalogs cannot express): all tables' new files become visible at
+    * the same snapshot id, or none do.
+    */
+  def commitWrites(writes: Seq[TableWriteSpec]): Long = inSnapshotTxn { snap =>
+    writes.foreach(registerWrite(snap, _))
+    snap
+  }
+
+  private def registerWrite(snap: Long, spec: TableWriteSpec): Unit = {
+    import spec._
     PathResolver.validateTableName(tableName)
     files.foreach { f =>
       if (f.fileSizeBytes < 0) throw new InvalidConfigException(s"negative file size for ${f.path}")
@@ -468,7 +486,6 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         }
       }
     }
-    snap
   }
 
   /** Inline a small append: rows live in the catalog itself — no parquet

@@ -474,6 +474,29 @@ object LakeQueries {
       SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
     """),
 
+    ("lake_txn_multi", (s: SparkSession, dir: String) => {
+      // cross-table atomic transaction: both tables land in ONE snapshot,
+      // then a lake-to-lake join reads them back
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.txn_orders")) {
+        lake.transaction { tx =>
+          tx.write(t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+            .coalesce(1), "main.txn_orders")
+          tx.write(t(s, dir, "customer").coalesce(1), "main.txn_cust")
+        }
+      }
+      lake.table("main.txn_orders")
+        .join(lake.table("main.txn_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }, """
+      SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 100 = 0
+      GROUP BY 1 ORDER BY 1
+    """),
+
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
