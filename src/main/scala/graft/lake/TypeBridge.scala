@@ -40,14 +40,35 @@ object TypeBridge {
   }
 
   private val DecimalRe = """(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
-  private val ListRe = """(?:list|array)\s*<(.+)>""".r
-  private val SqlArrayRe = """(.+)\[\]""".r
 
-  /** DuckLake type string → Spark type. Throws [[UnsupportedTypeException]]
-    * for struct/map (parity with reference src/types.rs:74-85) and for
-    * invalid/oversized decimals (src/types.rs:167-251).
+  /** DuckLake type string → Spark type. Nested struct/map parse from the
+    * RAW string (normalization would lowercase field names); scalar types
+    * go through alias normalization. Throws [[UnsupportedTypeException]]
+    * for invalid/oversized decimals (src/types.rs:167-251).
     */
-  def toSpark(t: String): DataType = normalize(t) match {
+  def toSpark(t: String): DataType = {
+    val raw = t.trim
+    val lower = raw.toLowerCase
+    if (lower.startsWith("struct<") && raw.endsWith(">"))
+      return StructType(splitTop(raw.substring(raw.indexOf('<') + 1, raw.length - 1)).map { f =>
+        val i = f.indexOf(':')
+        if (i < 1) throw new UnsupportedTypeException(s"bad struct field: $f")
+        StructField(f.substring(0, i).trim, toSpark(f.substring(i + 1)), nullable = true)
+      })
+    if (lower.startsWith("map<") && raw.endsWith(">"))
+      return splitTop(raw.substring(raw.indexOf('<') + 1, raw.length - 1)) match {
+        case Seq(k, v) => MapType(toSpark(k), toSpark(v), valueContainsNull = true)
+        case _ => throw new UnsupportedTypeException(s"bad map type: $raw")
+      }
+    if (lower.startsWith("list<") || lower.startsWith("array<"))
+      return ArrayType(toSpark(raw.substring(raw.indexOf('<') + 1, raw.length - 1)),
+        containsNull = true)
+    if (raw.endsWith("[]"))
+      return ArrayType(toSpark(raw.dropRight(2)), containsNull = true)
+    toSparkScalar(raw)
+  }
+
+  private def toSparkScalar(t: String): DataType = normalize(t) match {
     case "boolean"      => BooleanType
     case "int8"         => ByteType
     case "int16"        => ShortType
@@ -82,16 +103,29 @@ object TypeBridge {
           s"decimal precision $prec exceeds Spark's max of 38 (reference maps to Decimal256)")
       DecimalType(prec, scale)
     case "decimal" | "numeric" => DecimalType(18, 3)
-    case ListRe(elem) =>
-      val e = normalize(elem)
-      if (e.startsWith("list") || e.startsWith("array") || e.endsWith("[]"))
-        throw new UnsupportedTypeException("nested list types are not supported")
-      ArrayType(toSpark(elem), containsNull = true)
-    case SqlArrayRe(elem) => toSpark(s"list<$elem>")
-    case s if s.startsWith("struct") || s.startsWith("map") =>
-      throw new UnsupportedTypeException(s"type not supported: $s")
     case other =>
       throw new UnsupportedTypeException(s"unknown DuckLake type: $other")
+  }
+
+  /** Split a nested-type argument list on top-level commas only
+    * (`a:int32,b:struct<c:int64,d:varchar>` → two parts).
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Spark type → DuckLake type string (write direction). */
@@ -110,6 +144,15 @@ object TypeBridge {
     case BinaryType          => "blob"
     case d: DecimalType      => s"decimal(${d.precision},${d.scale})"
     case ArrayType(e, _)     => s"list<${fromSpark(e)}>"
+    case st: StructType =>
+      st.fields.foreach { f =>
+        if (f.name.exists(c => c == ':' || c == ',' || c == '<' || c == '>'))
+          throw new UnsupportedTypeException(
+            s"struct field name not encodable in catalog: ${f.name}")
+      }
+      s"struct<${st.fields.map(f => s"${f.name}:${fromSpark(f.dataType)}").mkString(",")}>"
+    case mt: MapType =>
+      s"map<${fromSpark(mt.keyType)},${fromSpark(mt.valueType)}>"
     case _: DayTimeIntervalType | _: YearMonthIntervalType => "interval"
     case other =>
       throw new UnsupportedTypeException(s"cannot store Spark type $other in DuckLake")

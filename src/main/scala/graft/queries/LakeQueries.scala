@@ -497,6 +497,31 @@ object LakeQueries {
       GROUP BY 1 ORDER BY 1
     """),
 
+    ("lake_nested", (s: SparkSession, dir: String) => {
+      // struct + map columns through the lake write/read cycle (reference
+      // rejects nested types — extension); flattened for the oracle
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.nested_orders")) {
+        lake.createTableAs(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            struct(col("o_totalprice").as("price"),
+              col("o_orderstatus").as("status")).as("info"),
+            map(col("o_orderpriority"), col("o_totalprice")).as("by_prio"))
+            .coalesce(1),
+          "main.nested_orders")
+      }
+      lake.table("main.nested_orders")
+        .select(col("o_orderkey"),
+          col("info.price").as("price"),
+          col("info.status").as("status"),
+          element_at(map_values(col("by_prio")), 1).as("mval"))
+        .orderBy("o_orderkey")
+    }, """
+      SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+             o_totalprice AS mval
+      FROM orders ORDER BY o_orderkey
+    """),
+
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

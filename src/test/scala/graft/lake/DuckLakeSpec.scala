@@ -303,11 +303,31 @@ class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally enc.close()
   }
 
-  test("struct/map columns rejected with a clear error (reference parity types.rs:74-85)") {
+  test("struct/map columns round-trip (extension beyond types.rs:74-85 rejection)") {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(StructField("s",
-      StructType(Seq(StructField("x", IntegerType))))))
-    val df = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    assertThrows[UnsupportedTypeException](lake.createTableAs(df, "main.bad_struct"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType), StructField("tags", ArrayType(StringType))))),
+      StructField("m", MapType(StringType, DoubleType))))
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(7, Seq("a", "b")),
+        Map("p" -> 1.5)),
+      org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(8, Seq("c")),
+        Map("q" -> 2.5, "r" -> 3.5)))
+    lake.createTableAs(spark.createDataFrame(rows, schema).coalesce(1), "main.nested_t")
+    val got = lake.table("main.nested_t").orderBy("id").collect()
+    assert(got(0).getStruct(1).getInt(0) == 7)
+    assert(got(0).getStruct(1).getSeq[String](1) == Seq("a", "b"))
+    assert(got(1).getMap[String, Double](2).toMap == Map("q" -> 2.5, "r" -> 3.5))
+    // catalog records the nested type strings
+    val types = lake.informationSchema("columns")
+      .filter(col("table_name") === "nested_t").orderBy("column_order")
+      .collect().map(_.getString(5)).toSeq
+    assert(types == Seq("int64", "struct<x:int32,tags:list<varchar>>",
+      "map<varchar,float64>"))
+    // MOR delete over a nested-typed table
+    lake.deleteWhere("main.nested_t", col("id") === 1L)
+    assert(lake.table("main.nested_t").count() == 1)
   }
 }

@@ -31,10 +31,23 @@ class TypeBridgeSpec extends AnyFunSuite {
     assert(TypeBridge.toSpark("uuid") == BinaryType)
   }
 
-  test("struct/map/nested-list/oversized-decimal rejected (parity: types.rs:74-85,167-251)") {
-    assertThrows[UnsupportedTypeException](TypeBridge.toSpark("struct<a int>"))
-    assertThrows[UnsupportedTypeException](TypeBridge.toSpark("map<int,int>"))
-    assertThrows[UnsupportedTypeException](TypeBridge.toSpark("list<list<int>>"))
+  test("nested struct/map/list round-trip (extension beyond types.rs:74-85 rejection)") {
+    assert(TypeBridge.toSpark("struct<a:int32,b:varchar>") ==
+      StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))))
+    assert(TypeBridge.toSpark("map<varchar,int64>") ==
+      MapType(StringType, LongType))
+    assert(TypeBridge.toSpark("list<list<int32>>") ==
+      ArrayType(ArrayType(IntegerType)))
+    // deep nesting both directions
+    val deep = StructType(Seq(StructField("xs", ArrayType(
+      StructType(Seq(StructField("m", MapType(StringType, DoubleType)))))) ))
+    assert(TypeBridge.toSpark(TypeBridge.fromSpark(deep)) == deep)
+    // un-encodable field names rejected
+    assertThrows[UnsupportedTypeException](
+      TypeBridge.fromSpark(StructType(Seq(StructField("a:b", IntegerType)))))
+  }
+
+  test("oversized/invalid decimals rejected (parity: types.rs:167-251)") {
     assertThrows[UnsupportedTypeException](TypeBridge.toSpark("decimal(40,2)"))
     assertThrows[UnsupportedTypeException](TypeBridge.toSpark("decimal(0,0)"))
     assertThrows[UnsupportedTypeException](TypeBridge.toSpark("decimal(5,9)"))
