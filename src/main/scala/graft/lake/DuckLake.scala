@@ -860,7 +860,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   /** Register every table of the current snapshot as `<prefix>_<schema>_
     * <table>` temp views, so `spark.sql` queries run against the lake.
     * Re-call after writes to re-pin (the hybrid runner refreshes the same
-    * way, reference tests/hybrid_asyncdb.rs:147).
+    * way, reference tests/hybrid_asyncdb.rs:147). Catalog-persisted SQL
+    * views are registered after the tables (they may reference them).
     */
   def registerViews(prefix: String = "lake"): Unit = {
     val snap = store.currentSnapshot
@@ -869,6 +870,48 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       tbl <- store.listTables(sch.schemaId, snap)
     } table(s"${sch.name}.${tbl.name}", Some(snap))
       .createOrReplaceTempView(s"${prefix}_${sch.name}_${tbl.name}")
+    for {
+      sch <- store.listSchemas(snap)
+      v <- store.listViews(sch.schemaId, snap)
+    } view(s"${sch.name}.$v").createOrReplaceTempView(s"${prefix}_${sch.name}_$v")
+  }
+
+  // ------------------------------------------------------------------
+  // SQL views persisted in the catalog (DuckLake spec ducklake_view).
+  // Vanilla Spark's analyzer has no hook for V2 ViewCatalog resolution,
+  // so views resolve through this facade (and the ViewCatalog interface
+  // on the connector serves API consumers).
+  // ------------------------------------------------------------------
+
+  /** Persist a SQL view definition in the catalog. The text is resolved
+    * at READ time against whatever the session then sees (classic
+    * late-binding views).
+    */
+  def createView(name: String, sqlText: String): Long = {
+    val (schemaName, viewName) = parse(name)
+    val sch = store.getSchemaByName(schemaName, store.currentSnapshot)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    // resolve NOW to capture the schema (and fail fast on bad SQL)
+    val df = spark.sql(sqlText)
+    store.createView(sch.schemaId, viewName, sqlText, "", "", df.schema.json,
+      df.schema.fieldNames.mkString(""))
+  }
+
+  /** Resolve a catalog view to a DataFrame. */
+  def view(name: String): DataFrame = {
+    val (schemaName, viewName) = parse(name)
+    val snap = store.currentSnapshot
+    val sch = store.getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    val (_, sqlText, _, _, _, _) = store.getView(sch.schemaId, viewName, snap)
+      .getOrElse(throw new TableNotFoundException(s"view $name"))
+    spark.sql(sqlText)
+  }
+
+  def dropView(name: String): Boolean = {
+    val (schemaName, viewName) = parse(name)
+    store.getSchemaByName(schemaName, store.currentSnapshot)
+      .exists(sch => store.dropView(sch.schemaId, viewName))
   }
 
   /** Run SQL against the registered lake views. */

@@ -157,6 +157,20 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
             |  row_json CLOB(1M) NOT NULL)""".stripMargin)
+        // SQL views (DuckLake spec `ducklake_view`): the defining SQL text
+        // plus the analysis context Spark needs to re-resolve it
+        st.executeUpdate(
+          """CREATE TABLE ducklake_view(
+            |  view_id BIGINT NOT NULL,
+            |  schema_id BIGINT NOT NULL,
+            |  view_name VARCHAR(1024) NOT NULL,
+            |  sql_text CLOB(1M) NOT NULL,
+            |  current_catalog VARCHAR(256),
+            |  current_namespace VARCHAR(1024),
+            |  schema_json CLOB(1M),
+            |  query_column_names CLOB(32K),
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
         // snapshot 0 = empty catalog, like the reference's initial snapshot
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
@@ -508,6 +522,61 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     query(s"SELECT row_id, begin_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? AND $Vis ORDER BY row_id",
       Seq(tableId, snap, snap))(rs => (rs.getLong(1), rs.getLong(2), rs.getString(3)))
 
+
+  /** Create a schema explicitly (SQL CREATE NAMESPACE). */
+  def createSchema(name: String): Long = inSnapshotTxn { snap =>
+    if (getSchemaByName(name, snap).isDefined)
+      throw new UnsupportedException(s"schema already exists: $name")
+    getOrCreateSchema(name, snap)
+    snap
+  }
+
+  /** Drop an empty schema (end its row). */
+  def dropSchema(schemaId: Long): Long = inSnapshotTxn { snap =>
+    if (listTables(schemaId, snap).nonEmpty)
+      throw new UnsupportedException("schema is not empty")
+    update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
+      Seq(snap, schemaId))
+    snap
+  }
+
+  // ---------- views (DuckLake spec ducklake_view) ----------
+
+  def createView(schemaId: Long, name: String, sqlText: String,
+      currentCatalog: String, currentNamespace: String,
+      schemaJson: String, queryColumnNames: String): Long = inSnapshotTxn { snap =>
+    PathResolver.validateName(name)
+    if (getView(schemaId, name, snap).isDefined)
+      throw new UnsupportedException(s"view already exists: $name")
+    val id = nextId("ducklake_view", "view_id")
+    update("INSERT INTO ducklake_view VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+      Seq(id, schemaId, name, sqlText, currentCatalog, currentNamespace,
+        schemaJson, queryColumnNames, snap))
+    snap
+  }
+
+  /** (name, sql, currentCatalog, currentNamespace, schemaJson, queryColumnNames). */
+  def getView(schemaId: Long, name: String, snap: Long)
+      : Option[(String, String, String, String, String, String)] =
+    query(s"SELECT view_name, sql_text, current_catalog, current_namespace, schema_json, query_column_names FROM ducklake_view WHERE schema_id = ? AND view_name = ? AND $Vis",
+      Seq(schemaId, name, snap, snap))(rs => (rs.getString(1), rs.getString(2),
+      rs.getString(3), rs.getString(4), rs.getString(5), rs.getString(6))).headOption
+
+  def listViews(schemaId: Long, snap: Long): Seq[String] =
+    query(s"SELECT view_name FROM ducklake_view WHERE schema_id = ? AND $Vis ORDER BY view_name",
+      Seq(schemaId, snap, snap))(_.getString(1))
+
+  def dropView(schemaId: Long, name: String): Boolean = synchronized {
+    val snap = currentSnapshot
+    if (getView(schemaId, name, snap).isEmpty) false
+    else {
+      inSnapshotTxn { s =>
+        update("UPDATE ducklake_view SET end_snapshot = ? WHERE schema_id = ? AND view_name = ? AND end_snapshot IS NULL",
+          Seq(s, schemaId, name))
+      }
+      true
+    }
+  }
 
   /** Partition key columns of a table at `snap`, ordered by key index:
     * (partition_key_index, column_id). Empty = unpartitioned.

@@ -41,7 +41,8 @@ import graft.lake.{ColumnDef, DuckLake, TypeBridge, WriteMode}
   * analyzed query — the reference pins per catalog construction and
   * refreshes after writes (tests/hybrid_asyncdb.rs:147).
   */
-class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
+    with SupportsNamespaces with ViewCatalog {
 
   private var catalogName: String = _
   private var metaDb: String = _
@@ -80,16 +81,22 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with Supports
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException(
-      "DuckLake schemas are created implicitly on first table write")
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, s"nested namespaces not supported: ${namespace.mkString(".")}")
+    lake.store.createSchema(namespace(0))
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("dropNamespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (cascade) throw new UnsupportedOperationException("DROP NAMESPACE CASCADE")
+    val sch = lake.store.getSchemaByName(namespace(0), lake.currentSnapshot).get
+    lake.store.dropSchema(sch.schemaId)
+    true
+  }
 
   // ---- tables ----
 
@@ -191,6 +198,65 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog with Supports
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable")
+
+  // ---- views (SQL CREATE/DROP VIEW; DuckLake spec ducklake_view) ----
+
+  private val NameSep = ""
+
+  private def schemaIdOf(ident: Identifier): Long = {
+    val ns = if (ident.namespace().isEmpty) "main" else ident.namespace().mkString(".")
+    lake.store.getSchemaByName(ns, lake.currentSnapshot)
+      .getOrElse(throw new NoSuchNamespaceException(Array(ns))).schemaId
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val snap = lake.currentSnapshot
+    lake.store.getSchemaByName(namespace.mkString("."), snap) match {
+      case None => Array.empty
+      case Some(sch) => lake.store.listViews(sch.schemaId, snap)
+        .map(v => Identifier.of(namespace.toArray, v)).toArray
+    }
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val rec = lake.store.getView(schemaIdOf(ident), ident.name(), lake.currentSnapshot)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val (vName, sqlText, curCat, curNs, schemaJson, colNames) = rec
+    new View {
+      override def name(): String = vName
+      override def query(): String = sqlText
+      override def currentCatalog(): String = curCat
+      override def currentNamespace(): Array[String] =
+        if (curNs == null || curNs.isEmpty) Array.empty else curNs.split(NameSep)
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        if (colNames == null || colNames.isEmpty) Array.empty else colNames.split(NameSep)
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] = new util.HashMap()
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    try lake.store.createView(schemaIdOf(info.ident()), info.ident().name(), info.sql(),
+      info.currentCatalog(), info.currentNamespace().mkString(NameSep),
+      info.schema().json, info.queryColumnNames().mkString(NameSep))
+    catch {
+      case _: graft.lake.UnsupportedException =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    }
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("alterView")
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameView")
+
+  override def dropView(ident: Identifier): Boolean =
+    lake.store.dropView(schemaIdOf(ident), ident.name())
 }
 
 object DuckLakeSparkCatalog {

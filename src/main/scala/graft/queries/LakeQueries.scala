@@ -522,6 +522,20 @@ object LakeQueries {
       FROM orders ORDER BY o_orderkey
     """),
 
+    ("lake_view", (s: SparkSession, dir: String) => {
+      // catalog-persisted SQL view (late-binding) over a lake table
+      val (lake, _) = fixture(s, dir)
+      try lake.createView("main.rev_by_flag",
+        """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS rev,
+                  count(*) AS n
+           FROM lake_main_lineitem GROUP BY l_returnflag""")
+      catch { case _: graft.lake.UnsupportedException => () } // already exists
+      lake.view("main.rev_by_flag").orderBy("l_returnflag")
+    }, """
+      SELECT l_returnflag, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

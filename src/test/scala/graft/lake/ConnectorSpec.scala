@@ -337,6 +337,50 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("catalog-persisted SQL views: facade + ViewCatalog interface") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
+    val l = lake
+    val expect = spark.sql(
+      "SELECT count(*) FROM ducklake.main.items WHERE amount > 100").head.getLong(0)
+    l.createView("main.pricey",
+      "SELECT id, name, amount FROM ducklake.main.items WHERE amount > 100")
+    assert(l.view("main.pricey").count() == expect)
+    // late binding: data appended after creation is visible
+    spark.sql("INSERT INTO ducklake.main.items VALUES (9001, 'name_9001', 999.0, 1)")
+    assert(l.view("main.pricey").count() == expect + 1)
+    // registerViews exposes catalog views as temp views for lake.sql
+    l.registerViews()
+    assert(l.sql("SELECT count(*) FROM lake_main_pricey").head.getLong(0) == expect + 1)
+    // the DSv2 ViewCatalog surface serves the same definitions
+    val cat = spark.sessionState.catalogManager.catalog("ducklake")
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("main"), "pricey")
+    assert(cat.viewExists(ident))
+    assert(cat.loadView(ident).query().contains("amount > 100"))
+    assert(cat.listViews("main").map(_.name()).contains("pricey"))
+    // duplicates rejected; drop works
+    intercept[Exception](l.createView("main.pricey", "SELECT 1"))
+    assert(l.dropView("main.pricey"))
+    assert(!cat.viewExists(ident))
+    assertThrows[DuckLakeException](l.view("main.pricey"))
+  }
+
+  test("CREATE/DROP NAMESPACE through the catalog") {
+    lake
+    spark.sql("CREATE NAMESPACE ducklake.staging")
+    assert(spark.sql("SHOW NAMESPACES IN ducklake").collect()
+      .map(_.getString(0)).contains("staging"))
+    spark.sql("CREATE TABLE ducklake.staging.t (id BIGINT)")
+    spark.sql("INSERT INTO ducklake.staging.t VALUES (1), (2)")
+    assert(spark.sql("SELECT count(*) FROM ducklake.staging.t").head.getLong(0) == 2)
+    // non-empty namespace cannot be dropped
+    intercept[Exception](spark.sql("DROP NAMESPACE ducklake.staging"))
+    spark.sql("DROP TABLE ducklake.staging.t")
+    spark.sql("DROP NAMESPACE ducklake.staging")
+    assert(!spark.sql("SHOW NAMESPACES IN ducklake").collect()
+      .map(_.getString(0)).contains("staging"))
+  }
+
   test("readStream over an encrypted lake table decrypts via catalog keys") {
     import spark.implicits._
     val eroot = Files.createTempDirectory("ducklake-enc-stream").toString
