@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a double, accumulated left-to-right. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ as a double, accumulated left-to-right — a native codegen'd
+    * [[graft.functions.DotProduct]] expression (the HOF formulation
+    * `aggregate(zip_with(...))` is interpreted per element).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (dot + both norms in one codegen'd loop). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCosine(a, b)
 
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries` is expected to be small (broadcast); ties broken by
