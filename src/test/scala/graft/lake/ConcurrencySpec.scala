@@ -69,6 +69,49 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.currentSnapshot == snapsBefore + 6)
   }
 
+  test("concurrent multi-table transactions stay atomic (no interleaved snapshots)") {
+    import spark.implicits._
+    lake.createTableAs(Seq((0L, 0L)).toDF("a", "b").coalesce(1), "main.txn_a")
+    lake.createTableAs(Seq((0L, 0L)).toDF("a", "b").coalesce(1), "main.txn_b")
+    val snaps = Await.result(Future.sequence((1 to 8).map { w =>
+      Future {
+        lake.transaction { tx =>
+          tx.write(Seq((w.toLong, 1L)).toDF("a", "b").coalesce(1), "main.txn_a")
+          tx.write(Seq((w.toLong, 2L)).toDF("a", "b").coalesce(1), "main.txn_b")
+        }
+      }
+    }), 180.seconds)
+    assert(snaps.distinct.size == 8)
+    // at EVERY transaction snapshot both tables moved together
+    snaps.foreach { s =>
+      val na = lake.table("main.txn_a", Some(s)).count()
+      val nb = lake.table("main.txn_b", Some(s)).count()
+      assert(na == nb, s"snapshot $s: txn_a=$na txn_b=$nb must be equal")
+    }
+    assert(lake.table("main.txn_a").count() == 9)
+    assert(lake.table("main.txn_b").count() == 9)
+  }
+
+  test("concurrent inlined appends serialize with no lost rows") {
+    import spark.implicits._
+    val iroot = Files.createTempDirectory("ducklake-conc-inl").toString
+    val inl = new DuckLake(spark, s"$iroot/meta", s"$iroot/data", inlineRowLimit = 8)
+    try {
+      inl.createTableAs(Seq((0L, "seed")).toDF("id", "tag").coalesce(1), "main.ci")
+      Await.result(Future.sequence((1 to 12).map { w =>
+        Future {
+          inl.insertInto(Seq((w.toLong, s"w$w")).toDF("id", "tag"), "main.ci")
+        }
+      }), 180.seconds)
+      val t = inl.table("main.ci")
+      assert(t.count() == 13)
+      assert(t.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ==
+        (1 to 12).sum.toLong)
+      // all 12 appends inlined: still just the seed data file
+      assert(inl.listFilesDF.count() == 1)
+    } finally inl.close()
+  }
+
   test("snapshot-pinned reader is stable across a concurrent delete+append") {
     import spark.implicits._
     lake.createTableAs((1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
