@@ -679,6 +679,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   def expireSnapshots(before: Long): Seq[Long] = store.expireSnapshots(before)
 
+  /** Expire every snapshot committed before `ts` (age-based retention —
+    * `ducklake_expire_snapshots(older_than := …)` semantics).
+    */
+  def expireSnapshotsOlderThan(ts: java.sql.Timestamp): Seq[Long] = {
+    val cutoff = store.snapshots.filter(_._2.before(ts)).map(_._1)
+      .maxOption.map(_ + 1).getOrElse(return Nil)
+    store.expireSnapshots(cutoff)
+  }
+
   /** Delete physical files that no retained snapshot can see (their
     * catalog rows are purged in the same transaction). Returns the number
     * of files removed from storage — at 100 TB this is the reclamation

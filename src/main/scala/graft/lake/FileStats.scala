@@ -159,6 +159,13 @@ object FileStats {
       case In(a, vs) => !allNull(a) && range(a).forall { case (dt, mn, mx) =>
         vs.exists(v => canonical(dt, v).forall(c =>
           cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0)) }
+      // strings with prefix p form the interval [p, p○maxchar); the file
+      // range [min,max] overlaps it iff max >= p and min's p-length
+      // prefix <= p
+      case StringStartsWith(a, p) if p != null => !allNull(a) &&
+        range(a).forall { case (dt, mn, mx) =>
+          dt != StringType || (mx >= p && mn.take(p.length) <= p)
+        }
       // an unknown null count (None) must keep the file — pruning on a
       // fabricated 0 would silently drop all-null files from IS NULL scans
       case IsNull(a) =>

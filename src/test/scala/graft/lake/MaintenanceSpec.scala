@@ -73,6 +73,63 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.mor_churn").count() == 30)
   }
 
+  test("age-based expiration: expireSnapshotsOlderThan") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "a")).toDF("k", "v").coalesce(1), "main.aged")
+    val s1 = lake.currentSnapshot
+    lake.insertInto(Seq((2L, "b")).toDF("k", "v").coalesce(1), "main.aged")
+    // nothing is old enough with an epoch-start cutoff
+    assert(lake.expireSnapshotsOlderThan(new java.sql.Timestamp(0L)).isEmpty)
+    // a far-future cutoff expires everything but the newest
+    val expired = lake.expireSnapshotsOlderThan(
+      java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+    assert(expired.contains(s1))
+    assert(lake.store.minSnapshot == lake.currentSnapshot)
+    assert(lake.table("main.aged").count() == 2)
+  }
+
+  test("prefix (LIKE 'p%') pushdown prunes files on string min/max") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.StringStartsWith
+    lake.createTableAs(Seq(("alpha", 1), ("apple", 2)).toDF("s", "n")
+      .coalesce(1), "main.prefixed")
+    lake.insertInto(Seq(("melon", 3), ("mango", 4)).toDF("s", "n").coalesce(1),
+      "main.prefixed")
+    assert(lake.table("main.prefixed", None, Seq(StringStartsWith("s", "ap")))
+      .filter(col("s").startsWith("ap")).count() == 1)
+    assert(lake.lastScanFileCount == 1)
+    // prefix between the two files' ranges -> nothing scanned
+    lake.table("main.prefixed", None, Seq(StringStartsWith("s", "c"))).count()
+    assert(lake.lastScanFileCount == 0)
+    // prefix covering both -> both kept
+    lake.table("main.prefixed", None, Seq(StringStartsWith("s", ""))).count()
+    assert(lake.lastScanFileCount == 2)
+  }
+
+  test("catalog state survives lake close + reopen (Derby durability)") {
+    import spark.implicits._
+    val droot = Files.createTempDirectory("ducklake-reopen").toString
+    val first = new DuckLake(spark, s"$droot/meta", s"$droot/data", inlineRowLimit = 8)
+    first.createTableAs((1L to 50L).map(i => (i, s"r$i")).toDF("k", "s")
+      .coalesce(1), "main.durable", partitionBy = Nil)
+    first.insertInto(Seq((51L, "inlined")).toDF("k", "s"), "main.durable") // inlined
+    first.deleteWhere("main.durable", col("k") === 10L)
+    first.createView("main.dview", "SELECT 1 AS one")
+    val snapBefore = first.currentSnapshot
+    first.close()
+    val reopened = new DuckLake(spark, s"$droot/meta", s"$droot/data")
+    try {
+      assert(reopened.currentSnapshot == snapBefore)
+      val t = reopened.table("main.durable")
+      assert(t.count() == 50) // 50 file rows + 1 inlined - 1 deleted
+      assert(t.filter(col("s") === "inlined").count() == 1)
+      assert(reopened.view("main.dview").head.getInt(0) == 1)
+      // time travel across the reopen: before the delete (and before the
+      // view snapshot) all 51 rows were visible
+      assert(reopened.table("main.durable", Some(snapBefore - 2)).count() == 51)
+    } finally reopened.close()
+  }
+
   test("compaction + expire + vacuum = full storage turnover") {
     import spark.implicits._
     lake.createTableAs((1 to 60).map(i => (i.toLong, s"r$i")).toDF("k", "s")
