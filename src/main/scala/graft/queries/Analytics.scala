@@ -120,6 +120,29 @@ object Analytics {
       ORDER BY g_yr, g_qtr, yr NULLS FIRST, qtr NULLS FIRST
     """),
 
+    ("gsets_custom", (s: SparkSession, dir: String) => {
+      // arbitrary GROUPING SETS (neither rollup nor cube): totals per
+      // (status), per (priority), and the grand total — the TPC-DS-style
+      // surface rollup/cube alone don't exercise
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pr
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }, """
+      SELECT o_orderstatus, o_orderpriority,
+             round(sum(o_totalprice), 2) AS total, count(*) AS n,
+             CAST(grouping(o_orderstatus) AS INT) AS g_st,
+             CAST(grouping(o_orderpriority) AS INT) AS g_pr
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """),
+
     ("cube_priority_status", (s: SparkSession, dir: String) => {
       val o = t(s, dir, "orders")
       o.cube("o_orderstatus", "o_orderpriority")
