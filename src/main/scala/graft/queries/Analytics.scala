@@ -120,6 +120,32 @@ object Analytics {
       ORDER BY g_yr, g_qtr, yr NULLS FIRST, qtr NULLS FIRST
     """),
 
+    ("w_moving_avg", (s: SparkSession, dir: String) => {
+      // sliding ROWS frame + lead + first_value over the monthly series
+      val o = t(s, dir, "orders")
+      val monthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("ma3", round(avg(col("rev"))
+          .over(w.rowsBetween(-2, Window.currentRow)), 2))
+        .withColumn("next_rev", lead(col("rev"), 1).over(w))
+        .withColumn("first_rev", first(col("rev"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("month")
+    }, """
+      SELECT month, rev,
+        round(avg(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3,
+        lead(rev, 1) OVER (ORDER BY month) AS next_rev,
+        first_value(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_rev
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1)
+      ORDER BY month
+    """),
+
     ("gsets_custom", (s: SparkSession, dir: String) => {
       // arbitrary GROUPING SETS (neither rollup nor cube): totals per
       // (status), per (priority), and the grand total — the TPC-DS-style
