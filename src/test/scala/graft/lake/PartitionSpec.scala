@@ -174,6 +174,54 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0L, "month", "varchar")))
   }
 
+  test("SQL UPDATE on a partitioned table keeps partition values and pruning") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("id", "grp", "v")
+    lake.createTableAs(df.coalesce(1), "main.upd_part", partitionBy = Seq("grp"))
+    spark.conf.set("spark.sql.catalog.updpart",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.updpart.metaDb", s"$root/meta")
+    spark.conf.set("spark.sql.catalog.updpart.dataPath", s"$root/data")
+    spark.sql("UPDATE updpart.main.upd_part SET v = v + 1000 WHERE grp = 'g1'")
+    val back = lake.table("main.upd_part")
+    assert(back.count() == 60)
+    assert(back.filter(col("grp") === "g1").filter(col("v") < 1000).count() == 0)
+    assert(back.filter(col("grp") =!= "g1").filter(col("v") > 1000).count() == 0)
+    // the rewrite re-registered per-partition files with catalog values:
+    // pruning still works
+    import org.apache.spark.sql.sources.EqualTo
+    lake.table("main.upd_part", None, Seq(EqualTo("grp", "g2"))).count()
+    val total = lake.listFilesDF.filter(col("table_name") === "upd_part").count().toInt
+    assert(lake.lastScanFileCount < total && lake.lastScanFileCount >= 1)
+    // and the physical files still exclude the partition column
+    val aFile = lake.listFilesDF.filter(col("table_name") === "upd_part").head.getString(2)
+    assert(!spark.read.parquet(s"$root/data/main/upd_part/$aFile").columns.contains("grp"))
+  }
+
+  test("SQL UPDATE on an encrypted lake re-encrypts the rewritten files") {
+    import spark.implicits._
+    val eroot = Files.createTempDirectory("ducklake-enc-upd").toString
+    val enc = new DuckLake(spark, s"$eroot/meta", s"$eroot/data", encrypted = true)
+    try {
+      enc.createTableAs((1 to 30).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .coalesce(1), "main.enc_upd")
+      spark.conf.set("spark.sql.catalog.encupd",
+        classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+      spark.conf.set("spark.sql.catalog.encupd.metaDb", s"$eroot/meta")
+      spark.conf.set("spark.sql.catalog.encupd.dataPath", s"$eroot/data")
+      spark.sql("UPDATE encupd.main.enc_upd SET v = -v WHERE k <= 10")
+      val got = enc.table("main.enc_upd")
+      assert(got.count() == 30)
+      assert(got.filter(col("v") < 0).count() == 10)
+      // rewritten file carries a fresh catalog key and PME footer magic
+      val f = enc.listFilesDF.filter(col("table_name") === "enc_upd").head.getString(2)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$eroot/data/main/enc_upd/$f"))
+      assert(new String(bytes.takeRight(4), "ASCII") == "PARE")
+      intercept[Exception](spark.read.parquet(s"$eroot/data/main/enc_upd/$f").collect())
+    } finally enc.close()
+  }
+
   test("SQL surface: CREATE TABLE PARTITIONED BY + INSERT + pruned SELECT + readStream") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.partlake",
