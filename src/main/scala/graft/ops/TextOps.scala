@@ -110,6 +110,28 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** Strip boilerplate LINES: any line occurring in at least `minRepeats`
+    * documents corpus-wide (headers, footers, nav chrome) is removed from
+    * every document; remaining lines rejoin in original order. The
+    * line-frequency table is one hash aggregation over exploded lines
+    * (map-side combined) and is broadcast back — the standard corpus-
+    * level cleanup pass, all built-ins, no UDFs.
+    */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minRepeats: Int): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol), posexplode(split(col(textCol), "\n"))
+      .as(Seq("__pos", "__line")))
+    val frequent = lines.groupBy("__line")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minRepeats)
+      .select("__line")
+    lines.join(broadcast(frequent), Seq("__line"), "left_anti")
+      .groupBy(idCol)
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("clean_text"))
+  }
+
   // PII scrubbing for training corpora: regex families kept simple enough
   // to be byte-identical in DuckDB's RE2 (no lookaround, no backrefs).
   private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

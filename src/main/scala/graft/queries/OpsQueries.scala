@@ -141,6 +141,33 @@ object OpsQueries {
       FROM masked2 ORDER BY doc_id
     """),
 
+    ("txt_boilerplate", (s: SparkSession, dir: String) => {
+      // corpus-level boilerplate stripping: plant a shared header+footer
+      // on every doc, strip lines appearing in >= 100 docs
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("SHARED HEADER\n"), col("text"),
+          lit("\nCopyright Footer 2024")).as("text"))
+      TextOps.stripBoilerplate(planted, "text", "doc_id", minRepeats = 100)
+        .orderBy("doc_id")
+    }, """
+      WITH planted AS (
+        SELECT doc_id,
+          'SHARED HEADER' || chr(10) || text || chr(10) || 'Copyright Footer 2024' AS text
+        FROM documents),
+      lns AS (
+        SELECT doc_id,
+          unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+          unnest(string_split(text, chr(10))) AS line
+        FROM planted),
+      freq AS (
+        SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS d FROM lns GROUP BY line)
+        WHERE d >= 100)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM lns WHERE line NOT IN (SELECT line FROM freq)
+      GROUP BY doc_id ORDER BY doc_id
+    """),
+
     ("dedup_exact", (s: SparkSession, dir: String) => {
       // corpus with planted EXACT duplicates (same text, higher id):
       val docs = t(s, dir, "documents")
