@@ -43,23 +43,43 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
 
     val names = headline.filter(SparkEntry.queries.contains)
-    // warmup: JIT, parquet footer caches, lake fixture ingest
+    // warmup pass with row-count verification, as the reference protocol
+    // does before timing (benchmark/src/runner.rs:38-57): a query that
+    // stops returning rows must fail the bench loudly, not time a bug
     names.foreach { n =>
-      try run(n)
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
+      try {
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        if (rows == 0 && n != "dedup_embedding") // only legitimately-empty result
+          System.err.println(s"[bench] WARN $n returned 0 rows")
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
     }
+    // timed iterations: per-query min (headline) + avg/min/max/σ detail
+    // (reference: benchmark/src/metrics.rs:15-26,85-120)
     val timings = names.map { n =>
-      val best = (1 to iterations).map { _ =>
+      val samples = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         try { run(n); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      }.min
-      n -> best
+      }.filter(_ >= 0)
+      n -> samples
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = timings.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def stats(s: Seq[Double]): (Double, Double, Double, Double) = {
+      if (s.isEmpty) return (-1.0, -1.0, -1.0, -1.0)
+      val avg = s.sum / s.size
+      val sd = math.sqrt(s.map(x => (x - avg) * (x - avg)).sum / s.size)
+      (avg, s.min, s.max, sd)
+    }
+    val qs = timings.map { case (k, s) =>
+      "\"" + k + "\":" + f"${if (s.isEmpty) -1.0 else s.min}%.4f"
+    }.mkString("{", ",", "}")
+    val detail = timings.map { case (k, s) =>
+      val (avg, mn, mx, sd) = stats(s)
+      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f}"""
+    }.mkString("{", ",", "}")
+    val total = timings.map(_._2).collect { case s if s.nonEmpty => s.min }.sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"stats":$detail,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
