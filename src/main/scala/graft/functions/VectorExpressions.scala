@@ -115,6 +115,56 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** Morton (Z-order) interleave of two 16-bit normalized coordinates:
+  * bit i of `left` lands at position 2i, bit i of `right` at 2i+1. Rows
+  * sorted by the result cluster in BOTH dimensions, so min/max file
+  * skipping prunes on either column — the multi-dimensional layout
+  * single-column sorting can't give.
+  */
+case class InterleaveBits16(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "zorder16"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires int inputs (16-bit normalized coordinates)")
+
+  private def interleave(a: Int, b: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    interleave(a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = 0L;
+         |for (int i = 0; i < 16; i++) {
+         |  $z |= (long) (($a >> i) & 1) << (2 * i);
+         |  $z |= (long) (($b >> i) & 1) << (2 * i + 1);
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Column-level entry points (used by [[graft.ops.Similarity]]). */
   def vecDot(a: Column, b: Column): Column =
@@ -123,5 +173,9 @@ object VectorExpressions {
 
   def vecCosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def zorder16(a: Column, b: Column): Column =
+    ColumnBridge.column(InterleaveBits16(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -114,6 +114,34 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }).getOrElse(Nil)
   }
 
+  /** CTAS with Z-ORDER clustering on two numeric columns: each value is
+    * min/max-normalized to 16 bits, Morton-interleaved (codegen'd
+    * [[graft.functions.InterleaveBits16]]), and rows are range-partitioned
+    * + sorted on the z-value — every data file then covers a compact
+    * RECTANGLE in (a,b) space, so stats pruning works on filters over
+    * EITHER column (single-column clustering only helps its own column).
+    * One extra aggregation job computes the normalization bounds.
+    */
+  def createTableZOrdered(df: DataFrame, name: String, zColA: String, zColB: String,
+      numFiles: Int = 0): Long = {
+    val Seq(minA, maxA, minB, maxB) = df.agg(
+      min(col(zColA)).cast("double"), max(col(zColA)).cast("double"),
+      min(col(zColB)).cast("double"), max(col(zColB)).cast("double"))
+      .head.toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+    def norm(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+        .cast("int"), lit(0)), lit(65535))
+    }
+    val z = graft.functions.VectorExpressions.zorder16(
+      norm(zColA, minA, maxA), norm(zColB, minB, maxB))
+    val zed = df.withColumn("__z", z)
+    val ranged =
+      if (numFiles > 0) zed.repartitionByRange(numFiles, col("__z"))
+      else zed.repartitionByRange(col("__z"))
+    write(ranged.sortWithinPartitions("__z").drop("__z"), name, WriteMode.Replace)
+  }
+
   private def write(df: DataFrame, name: String, mode: WriteMode.Value,
       partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long = {
     val (schemaName, tableName) = parse(name)

@@ -166,6 +166,32 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.lastScanFileCount <= 2)
   }
 
+  test("z-order clustering prunes on BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThan}
+    // 100×100 grid arriving in shuffled order
+    val grid = scala.util.Random.shuffle((0 until 100).flatMap(x =>
+      (0 until 100).map(y => (x, y, x * 100L + y)))).toDF("x", "y", "payload")
+    lake.createTableZOrdered(grid, "main.zorder", "x", "y", numFiles = 16)
+    lake.table("main.zorder").count()
+    assert(lake.lastScanFileCount == 16)
+    assert(lake.table("main.zorder").count() == 10000)
+    // a narrow slab in x prunes most files...
+    lake.table("main.zorder", None,
+      Seq(And(GreaterThanOrEqual("x", 10), LessThan("x", 20)))).count()
+    val xScanned = lake.lastScanFileCount
+    // ...and so does a narrow slab in y (single-column sort can't do both)
+    lake.table("main.zorder", None,
+      Seq(And(GreaterThanOrEqual("y", 10), LessThan("y", 20)))).count()
+    val yScanned = lake.lastScanFileCount
+    assert(xScanned <= 8, s"x-slab scanned $xScanned of 16 files")
+    assert(yScanned <= 8, s"y-slab scanned $yScanned of 16 files")
+    // correctness of the slab content
+    assert(lake.table("main.zorder", None,
+        Seq(And(GreaterThanOrEqual("x", 10), LessThan("x", 20))))
+      .filter(col("x") >= 10 && col("x") < 20).count() == 1000)
+  }
+
   test("information_schema('partitions') lists partition keys") {
     mkSales()
     val p = lake.informationSchema("partitions")
