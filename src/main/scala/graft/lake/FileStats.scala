@@ -148,6 +148,11 @@ object FileStats {
     filter match {
       case EqualTo(a, v) => !allNull(a) && range(a).forall { case (dt, mn, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0) }
+      // null-safe equality: <=> null is IS NULL; <=> v behaves like = v
+      case EqualNullSafe(a, v) if v == null =>
+        stats.get(a).forall { case (nulls, _, _) => nulls.forall(_ > 0) }
+      case EqualNullSafe(a, v) => !allNull(a) && range(a).forall { case (dt, mn, mx) =>
+        canonical(dt, v).forall(c => cmp(dt)(mn, c) <= 0 && cmp(dt)(c, mx) <= 0) }
       case GreaterThan(a, v) => !allNull(a) && range(a).forall { case (dt, _, mx) =>
         canonical(dt, v).forall(c => cmp(dt)(c, mx) < 0) }
       case GreaterThanOrEqual(a, v) => !allNull(a) && range(a).forall { case (dt, _, mx) =>

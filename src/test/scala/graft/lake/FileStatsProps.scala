@@ -48,6 +48,8 @@ object FileStatsProps extends Properties("FileStats.mightMatch") {
       (LessThan("x", v), (o: Option[Long]) => o.exists(_ < v)),
       (LessThanOrEqual("x", v), (o: Option[Long]) => o.exists(_ <= v)),
       (In("x", vs.map(Long.box).toArray), (o: Option[Long]) => o.exists(vs.contains)),
+      (EqualNullSafe("x", v), (o: Option[Long]) => o.contains(v)),
+      (EqualNullSafe("x", null), (o: Option[Long]) => o.isEmpty),
       (IsNull("x"), (o: Option[Long]) => o.isEmpty),
       (IsNotNull("x"), (o: Option[Long]) => o.isDefined))
   } yield (f, p)
