@@ -127,7 +127,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val Seq(minA, maxA, minB, maxB) = df.agg(
       min(col(zColA)).cast("double"), max(col(zColA)).cast("double"),
       min(col(zColB)).cast("double"), max(col(zColB)).cast("double"))
-      .head.toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
     def norm(c: String, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0
       least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
@@ -392,21 +392,6 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def sparkSchemaOf(cols: Seq[ColumnDef]): StructType =
     StructType(cols.map(c => StructField(c.name, TypeBridge.toSpark(c.dtype), c.nullsAllowed)))
-
-  /** Per-scan resolution context: pinned column defs, rename/promotion
-    * history, and partitioning metadata — all fetched once per scan, so
-    * planning does O(1) metadata queries regardless of file count.
-    */
-  private final case class ScanCtx(cols: Seq[ColumnDef],
-      history: Seq[(ColumnDef, Long, Option[Long])],
-      partCols: Seq[(Int, Long)],
-      partValsByFile: Map[Long, Map[Int, Option[String]]]) {
-    /** column_id → raw hive partition value for one file. */
-    def partValues(f: DataFileRec): Map[Long, Option[String]] = {
-      val byIdx = partValsByFile.getOrElse(f.dataFileId, Map.empty)
-      partCols.flatMap { case (idx, cid) => byIdx.get(idx).map(cid -> _) }.toMap
-    }
-  }
 
   private def scanCtx(tr: TableRec, cols: Seq[ColumnDef], snap: Long): ScanCtx = {
     val partCols = store.getPartitionColumns(tr.tableId, snap)
@@ -955,6 +940,21 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def sql(query: String): DataFrame = spark.sql(query)
 
   def close(): Unit = store.close()
+}
+
+/** Per-scan resolution context: pinned column defs, rename/promotion
+  * history, and partitioning metadata — all fetched once per scan, so
+  * planning does O(1) metadata queries regardless of file count.
+  */
+private[lake] final case class ScanCtx(cols: Seq[ColumnDef],
+    history: Seq[(ColumnDef, Long, Option[Long])],
+    partCols: Seq[(Int, Long)],
+    partValsByFile: Map[Long, Map[Int, Option[String]]]) {
+  /** column_id → raw hive partition value for one file. */
+  def partValues(f: DataFileRec): Map[Long, Option[String]] = {
+    val byIdx = partValsByFile.getOrElse(f.dataFileId, Map.empty)
+    partCols.flatMap { case (idx, cid) => byIdx.get(idx).map(cid -> _) }.toMap
+  }
 }
 
 /** Write collector for [[DuckLake.transaction]]: each `write` stages its
