@@ -800,6 +800,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   // src/information_schema.rs, src/table_functions.rs)
   // ------------------------------------------------------------------
 
+  /** Per-table change history (DESCRIBE HISTORY-style): every snapshot
+    * that touched the table, with its commit time when still retained —
+    * the entry points for `table(name, Some(snapshot))` time travel.
+    */
+  def history(name: String): DataFrame = {
+    import spark.implicits._
+    val tr = resolveTable(name, store.currentSnapshot)
+    val times = store.snapshots.toMap
+    store.tableHistory(tr.tableId)
+      .map(s => (s, times.get(s).map(_.toLocalDateTime).orNull, times.contains(s)))
+      .toDF("snapshot_id", "snapshot_time", "retained")
+  }
+
   def snapshotsDF: DataFrame = {
     import spark.implicits._
     store.snapshots.map { case (id, ts) => (id, ts.toLocalDateTime) }

@@ -578,6 +578,21 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
   }
 
+  /** Snapshot ids at which this table changed (file adds/removals, delete
+    * files, column changes, inlined rows) — DESCRIBE HISTORY-style.
+    */
+  def tableHistory(tableId: Long): Seq[Long] =
+    query(
+      """SELECT DISTINCT t.s FROM (
+        |  SELECT begin_snapshot AS s FROM ducklake_data_file WHERE table_id = ?
+        |  UNION SELECT end_snapshot AS s FROM ducklake_data_file WHERE table_id = ? AND end_snapshot IS NOT NULL
+        |  UNION SELECT begin_snapshot AS s FROM ducklake_delete_file WHERE table_id = ?
+        |  UNION SELECT begin_snapshot AS s FROM ducklake_column WHERE table_id = ?
+        |  UNION SELECT begin_snapshot AS s FROM ducklake_inlined_data WHERE table_id = ?
+        |  UNION SELECT end_snapshot AS s FROM ducklake_inlined_data WHERE table_id = ? AND end_snapshot IS NOT NULL
+        |) AS t (s) ORDER BY t.s""".stripMargin,
+      Seq(tableId, tableId, tableId, tableId, tableId, tableId))(_.getLong(1))
+
   /** Partition key columns of a table at `snap`, ordered by key index:
     * (partition_key_index, column_id). Empty = unpartitioned.
     */

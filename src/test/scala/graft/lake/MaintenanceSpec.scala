@@ -130,6 +130,24 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally reopened.close()
   }
 
+  test("history() lists every snapshot that touched a table, flagging expired ones") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "a")).toDF("k", "v").coalesce(1), "main.hist")
+    val s1 = lake.currentSnapshot
+    lake.insertInto(Seq((2L, "b")).toDF("k", "v").coalesce(1), "main.hist")
+    val s2 = lake.currentSnapshot
+    lake.deleteWhere("main.hist", col("k") === 1L)
+    val s3 = lake.currentSnapshot
+    val h = lake.history("main.hist").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(h.keySet == Set(s1, s2, s3))
+    assert(h.values.forall(identity)) // all retained
+    lake.expireSnapshots(s3)
+    val h2 = lake.history("main.hist").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(h2(s3) && !h2(s1) && !h2(s2)) // expired ones flagged, still listed
+  }
+
   test("compaction + expire + vacuum = full storage turnover") {
     import spark.implicits._
     lake.createTableAs((1 to 60).map(i => (i.toLong, s"r$i")).toDF("k", "s")
