@@ -355,6 +355,28 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
 
   override def name(): String = fullName
   override def schema(): StructType = tableSchema
+
+  /** Catalog-derived stats surfaced to `DESCRIBE EXTENDED`. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    val (schemaName, tableName) = fullName.split('.') match {
+      case Array(s, t) => (s, t); case _ => ("main", fullName)
+    }
+    for {
+      sch <- lake.store.getSchemaByName(schemaName, snapshot)
+      tbl <- lake.store.getTableByName(sch.schemaId, tableName, snapshot)
+    } {
+      val files = lake.store.getDataFiles(tbl.tableId, snapshot)
+      m.put("ducklake.snapshot", snapshot.toString)
+      m.put("ducklake.file_count", files.size.toString)
+      m.put("ducklake.record_count",
+        (files.map(_.recordCount).sum -
+          files.flatMap(_.deleteFile).map(_.recordCount).sum).toString)
+      m.put("ducklake.size_bytes", files.map(_.fileSizeBytes).sum.toString)
+    }
+    m
+  }
+
   override def partitioning(): Array[Transform] =
     lake.partitionColumnsOf(fullName, Some(snapshot))
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)

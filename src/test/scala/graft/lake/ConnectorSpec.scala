@@ -101,6 +101,14 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.contains("items"))
   }
 
+  test("DESCRIBE EXTENDED surfaces catalog-derived table stats") {
+    lake
+    val props = spark.sql("DESCRIBE TABLE EXTENDED ducklake.main.items")
+      .filter(col("col_name") === "Table Properties").head.getString(1)
+    assert(props.contains("ducklake.file_count"))
+    assert(props.contains("ducklake.record_count"))
+  }
+
   test("min/max file skipping prunes non-matching files") {
     import spark.implicits._
     // three files with disjoint id ranges (fixture A5 shape,
