@@ -156,4 +156,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = df.select(col("expect"), TextOps.langId(col("text")).as("got")).collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
+
+  test("redactPii masks emails, urls and phones; counts follow application order") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@ex-1.org or see https://ex.org/x?y=1 call +1 (555) 010-1234",
+      "no pii here at all",
+      "tel 0123456789 twice 9876543210").toDF("text")
+    val (ne, nu, np) = TextOps.piiCounts(col("text"))
+    val got = df.select(TextOps.redactPii(col("text")).as("clean"),
+      ne.as("e"), nu.as("u"), np.as("p")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> or see <URL> call <PHONE>")
+    assert((got(0).getInt(1), got(0).getInt(2), got(0).getInt(3)) == (1, 1, 1))
+    assert(got(1).getString(0) == "no pii here at all")
+    assert((got(2).getInt(1), got(2).getInt(2), got(2).getInt(3)) == (0, 0, 2))
+  }
+
+  test("stripBoilerplate drops frequent lines, keeps order, removes all-boilerplate docs") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i => (i.toLong, s"HEADER\nbody $i line1\nbody $i line2\nFOOTER"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "HEADER\nFOOTER")).toDF("doc_id", "text"))
+    val cleaned = TextOps.stripBoilerplate(docs, "text", "doc_id", minRepeats = 5)
+    val m = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "body 1 line1\nbody 1 line2") // order preserved
+    assert(!m.contains(99L)) // doc that was ALL boilerplate disappears
+    assert(m.size == 10)
+    // below the threshold nothing is stripped
+    val loose = TextOps.stripBoilerplate(docs, "text", "doc_id", minRepeats = 50)
+    assert(loose.filter(col("doc_id") === 1L).head.getString(1)
+      == "HEADER\nbody 1 line1\nbody 1 line2\nFOOTER")
+  }
 }
