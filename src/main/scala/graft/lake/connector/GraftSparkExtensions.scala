@@ -1,0 +1,184 @@
+package graft.lake.connector
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Session extensions completing the SQL view surface for the lake.
+  *
+  * Vanilla Spark 4.1 ships the `ViewCatalog` connector interface but no
+  * analyzer/execution support for it: `ResolveSessionCatalog` hard-throws
+  * `MISSING_CATALOG_ABILITY.VIEWS` the moment a `CreateView`/`DropView`
+  * identifier resolves to a non-session catalog, and `SELECT ... FROM
+  * cat.ns.v` never calls `ViewCatalog.loadView`. The reference engine gets
+  * its view surface from the DuckDB frontend (`ducklake_view` rows in the
+  * catalog DB; cf. reference src/metadata_provider.rs view queries); this
+  * extension is the Spark-native equivalent:
+  *
+  *  - a parser interceptor rewrites `CREATE [OR REPLACE] VIEW` / `DROP
+  *    VIEW` on a [[DuckLakeSparkCatalog]] into runnable commands *before*
+  *    the analyzer can reject them (the identifier is still unresolved at
+  *    parse time — the only hook that runs early enough);
+  *  - an analyzer rule resolves view relations by loading the stored SQL
+  *    text and splicing the re-parsed plan in as a subquery (late-binding,
+  *    matching `DuckLake.view` and the DuckLake spec).
+  *
+  * Register with:
+  * {{{ spark.sql.extensions = graft.lake.connector.GraftSparkExtensions }}}
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(ResolveLakeViews.apply)
+    ext.injectParser((session, delegate) => new LakeViewSqlParser(session, delegate))
+  }
+}
+
+private[connector] object LakeViews {
+  /** Resolve a multipart name to (lake catalog, identifier), honoring the
+    * session's current catalog/namespace for 1- and 2-part names.
+    */
+  def resolveIdent(session: SparkSession, parts: Seq[String])
+      : Option[(DuckLakeSparkCatalog, Identifier)] = {
+    val cm = session.sessionState.catalogManager
+    def byName(name: String): Option[DuckLakeSparkCatalog] =
+      Try(cm.catalog(name)).toOption.collect { case c: DuckLakeSparkCatalog => c }
+    if (parts.length >= 2) {
+      byName(parts.head) match {
+        case Some(cat) =>
+          val ns = if (parts.length == 2) Array("main") else parts.tail.init.toArray
+          return Some((cat, Identifier.of(ns, parts.last)))
+        case None => ()
+      }
+    }
+    cm.currentCatalog match {
+      case cat: DuckLakeSparkCatalog if parts.nonEmpty =>
+        val ns = if (parts.length == 1) cm.currentNamespace else parts.init.toArray
+        Some((cat, Identifier.of(ns, parts.last)))
+      case _ => None
+    }
+  }
+}
+
+/** Parser interceptor: `CREATE VIEW` / `DROP VIEW` on the lake catalog
+  * become lake commands while their identifier is still unresolved (the
+  * analyzer's `ResolveSessionCatalog` rejects non-session-catalog view DDL
+  * before any injected resolution rule can run).
+  */
+class LakeViewSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: CreateView =>
+      cv.child match {
+        case UnresolvedIdentifier(parts, _) =>
+          LakeViews.resolveIdent(session, parts) match {
+            case Some((cat, ident)) =>
+              require(cv.userSpecifiedColumns.isEmpty,
+                "lake views do not support explicit column lists")
+              val text = cv.originalText.getOrElse(throw new IllegalArgumentException(
+                "CREATE VIEW requires literal SQL text"))
+              CreateLakeViewCommand(cat, ident, text, cv.allowExisting, cv.replace)
+            case None => cv
+          }
+        case _ => cv
+      }
+    case dv: DropView =>
+      dv.child match {
+        case UnresolvedIdentifier(parts, _) =>
+          LakeViews.resolveIdent(session, parts) match {
+            case Some((cat, ident)) => DropLakeViewCommand(cat, ident, dv.ifExists)
+            case None => dv
+          }
+        case _ => dv
+      }
+    case other => other
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Analyzer rule: a relation naming a stored lake view resolves to its
+  * re-parsed SQL text (late binding). Tables shadow nothing — the lake
+  * keeps views and tables in separate catalog tables, and table lookups
+  * that miss fall through untouched.
+  */
+case class ResolveLakeViews(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def lookupViewSql(parts: Seq[String]): Option[(String, String)] =
+    LakeViews.resolveIdent(session, parts).flatMap { case (cat, ident) =>
+      try Some((ident.name(), cat.loadView(ident).query()))
+      catch { case _: Exception => None }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if !u.isStreaming =>
+      lookupViewSql(u.multipartIdentifier) match {
+        case Some((name, sqlText)) =>
+          SubqueryAlias(name, session.sessionState.sqlParser.parsePlan(sqlText))
+        case None => u
+      }
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW lake.ns.v AS <sql>` against the lake catalog. */
+case class CreateLakeViewCommand(
+    catalog: DuckLakeSparkCatalog,
+    ident: Identifier,
+    sqlText: String,
+    allowExisting: Boolean,
+    replace: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val exists = Try(catalog.loadView(ident)).isSuccess
+    if (exists && allowExisting && !replace) return Seq.empty
+    val schema = session.sql(sqlText).schema // analyze body; validates references
+    if (exists && replace) catalog.dropView(ident)
+    val cm = session.sessionState.catalogManager
+    catalog.createView(new ViewInfo(ident, sqlText, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, Array.empty[String], Array.empty[String],
+      Array.empty[String], new java.util.HashMap[String, String]()))
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] lake.ns.v` against the lake catalog. */
+case class DropLakeViewCommand(
+    catalog: DuckLakeSparkCatalog,
+    ident: Identifier,
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dropped = try catalog.dropView(ident)
+                  catch { case _: Exception => false }
+    if (!dropped && !ifExists) throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}

@@ -536,6 +536,23 @@ object LakeQueries {
       FROM lineitem GROUP BY 1 ORDER BY 1
     """),
 
+    ("lake_sql_view", (s: SparkSession, dir: String) => {
+      // full SQL view lifecycle through the injected extension: CREATE OR
+      // REPLACE VIEW + SELECT via spark.sql against the DSv2 catalog. The
+      // view reads orders AFTER the fixture's v2 append (late binding).
+      fixture(s, dir)
+      s.sql("""CREATE OR REPLACE VIEW ducklake.main.prio_rev AS
+               SELECT o_orderpriority, count(*) AS n,
+                      round(sum(o_totalprice), 2) AS total
+               FROM ducklake.main.orders GROUP BY o_orderpriority""")
+      s.sql("SELECT * FROM ducklake.main.prio_rev ORDER BY o_orderpriority")
+    }, """
+      SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM (SELECT * FROM orders
+            UNION ALL SELECT * FROM orders WHERE o_orderkey % 10 = 0)
+      GROUP BY 1 ORDER BY 1
+    """),
+
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

@@ -21,6 +21,7 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
