@@ -41,9 +41,9 @@ abstract class VectorFold extends BinaryExpression {
   protected def getElem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  /** java source for element i of variable `v`. */
-  protected def getterJava(v: String, isFloat: Boolean): String =
-    if (isFloat) s"(double) $v.getFloat(i)" else s"$v.getDouble(i)"
+  /** java source for element `i` (a generated variable name) of `v`. */
+  protected def getterJava(v: String, isFloat: Boolean, i: String): String =
+    if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
 
   /** Combine (dot, normA, normB) accumulators into the result. */
   protected def finish(dot: Double, na: Double, nb: Double): Double
@@ -74,17 +74,23 @@ abstract class VectorFold extends BinaryExpression {
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // every local must be freshName'd: a literal `i` collides when two
+      // vector folds land in one codegen scope (janino then rejects the
+      // whole stage and Spark falls back to interpreted execution)
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int i = 0; i < $n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    final double x = ${getterJava(a, fa)};
-         |    final double y = ${getterJava(b, fb)};
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = ${getterJava(a, fa, i)};
+         |    final double $y = ${getterJava(b, fb, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = ${finishJava(dot, na, nb)};
@@ -151,11 +157,12 @@ case class InterleaveBits16(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val z = ctx.freshName("z")
+      val i = ctx.freshName("i")
       s"""
          |long $z = 0L;
-         |for (int i = 0; i < 16; i++) {
-         |  $z |= (long) (($a >> i) & 1) << (2 * i);
-         |  $z |= (long) (($b >> i) & 1) << (2 * i + 1);
+         |for (int $i = 0; $i < 16; $i++) {
+         |  $z |= (long) (($a >> $i) & 1) << (2 * $i);
+         |  $z |= (long) (($b >> $i) & 1) << (2 * $i + 1);
          |}
          |${ev.value} = $z;
        """.stripMargin
