@@ -199,4 +199,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Connected components over a near-duplicate pair graph → duplicate
+    * CLUSTERS (the step after pair generation: keep one doc per component
+    * at corpus scale). Iterative min-label propagation — each round every
+    * vertex adopts the smallest label among itself and its neighbors, so
+    * labels converge to the component's minimum id in O(component
+    * diameter) rounds. Dup clusters have tiny diameters, so this beats
+    * the constant-factor-heavy small-star/large-star variant here while
+    * staying fully distributed: 2 shuffles per round, no driver state.
+    *
+    * `vertices` (optional, single id column) adds isolated vertices as
+    * their own singleton components. Returns (id, component). Label ids
+    * must be a numeric/orderable column.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          vertices: Option[DataFrame] = None,
+                          maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+      .distinct()
+      .persist()
+    val ids = und.select(col("__s").as("id")).distinct()
+    var labels = vertices.map(v => ids.union(v.toDF("id")).distinct()).getOrElse(ids)
+      .withColumn("component", col("id"))
+      .persist()
+    labels.count() // materialize so each round starts from a computed frame
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor messages: for edge s->d, d's current label reaches s
+      val msgs = und.join(labels, und("__d") === labels("id"))
+        .select(col("__s").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") < col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
 }

@@ -324,6 +324,94 @@ object OpsQueries {
         ('0x' || substr(md5(text), 1, 4))::BIGINT AS v0,
         ('0x' || substr(md5(text), 5, 4))::BIGINT AS v1
       FROM documents ORDER BY media_id
+    """),
+
+    ("asof_purchase_click", (s: SparkSession, dir: String) => {
+      // as-of join: each purchase matched to the user's latest click at or
+      // before it (one shuffle, window-carried payload — Joins.asof).
+      // clicks pre-deduped on (user, ts) so ties are deterministic.
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max("event_id").as("click_id"))
+      graft.ops.Joins.asof(purchases, clicks, on = Seq("user_id"),
+          leftTime = "ts_us", rightTime = "click_us")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (col("ts_us") - col("click_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    }, """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts_us FROM e
+        WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+        FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
+      SELECT p.purchase_id, p.user_id, c.click_id, p.ts_us - c.click_us AS gap_us
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+      ORDER BY p.purchase_id
+    """),
+
+    ("rj_order_shipweek", (s: SparkSession, dir: String) => {
+      // interval join via bin-bucketed equi-join (Joins.pointInInterval):
+      // lineitems shipped within 7 days of an urgent order's date — the
+      // naive theta join plans as BroadcastNestedLoop and dies at scale
+      val day = 86400000000L
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("lo_us"))
+        .withColumn("hi_us", col("lo_us") + lit(7 * day - 1))
+      val li = t(s, dir, "lineitem").select(col("l_quantity"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      graft.ops.Joins.pointInInterval(li, o, "ship_us", "lo_us", "hi_us",
+          binWidth = 7 * day)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderkey")
+    }, """
+      SELECT o.o_orderkey, count(*) AS n_ship, round(sum(l.l_quantity), 2) AS qty
+      FROM orders o JOIN lineitem l
+        ON epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+       AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + 604800000000
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """),
+
+    ("dedup_components", (s: SparkSession, dir: String) => {
+      // duplicate clustering: near-length doc pairs (same lang, n_chars
+      // within ±1 — built with the interval join) → connected components
+      // via distributed min-label propagation. Oracle recomputes the
+      // transitive closure with a recursive CTE.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val pts = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("n_chars").as("a_len"))
+      val ivs = docs.select(col("doc_id").as("b_id"), col("lang"),
+        (col("n_chars") - 1).as("lo"), (col("n_chars") + 1).as("hi"))
+      val edges = graft.ops.Joins.pointInInterval(pts, ivs, "a_len", "lo", "hi",
+          keys = Seq("lang"), binWidth = 2)
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Dedup.connectedComponents(edges, "src", "dst",
+          vertices = Some(docs.select("doc_id")))
+        .orderBy("id")
+    }, """
+      WITH RECURSIVE
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND b.n_chars BETWEEN a.n_chars - 1 AND a.n_chars + 1
+         AND a.doc_id <> b.doc_id),
+      walk(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+      SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id
     """)
   )
 

@@ -20,9 +20,11 @@ object Tables {
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
+    // `div`, not `/`: Spark's `/` is double division and ns epochs
+    // (~1.7e18) exceed double's 2^53 integer precision — off-by-1-µs
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (raw("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 }
