@@ -244,7 +244,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
       keyOpt: Option[String]): (Seq[FileToRegister], Seq[Path]) = {
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
-    val tableDir = s"$dataPath/$schemaName/$tableName"
+    val tableDir = tableDirOf(s"$schemaName.$tableName")
     fs.mkdirs(new Path(tableDir))
     val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val files = staged.map { case (part, partValues) =>
@@ -384,8 +384,22 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       .getOrElse(throw new TableNotFoundException(name))
   }
 
+  /** Physical directory of a table, resolved through the catalog's table
+    * path (A23 model: relative paths chain catalog→schema→table). Normal
+    * tables store `"<tableName>/"`; zero-copy clones store the SOURCE's
+    * path, so shared files resolve without any byte movement. Falls back
+    * to the name-derived default for tables not yet committed (first
+    * write stages files before the catalog row exists).
+    */
   private def tableDirOf(name: String): String = {
-    val (s0, t0) = parse(name); s"$dataPath/$s0/$t0"
+    val (s0, t0) = parse(name)
+    store.getSchemaByName(s0, store.currentSnapshot)
+      .flatMap(s => store.getTableByName(s.schemaId, t0, store.currentSnapshot))
+      .map { tr =>
+        val tp = tr.path.stripSuffix("/")
+        if (tr.pathIsRelative) s"$dataPath/$s0/$tp" else tp
+      }
+      .getOrElse(s"$dataPath/$s0/$t0")
   }
 
   private def filePath(name: String, f: String): String = s"${tableDirOf(name)}/$f"
@@ -407,8 +421,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       history: Seq[(ColumnDef, Long, Option[Long])],
       f: DataFileRec): Seq[(ColumnDef, Option[ColumnDef])] =
     cols.map(c => c -> history.find { case (h, begin, end) =>
-      h.columnId == c.columnId && begin <= f.beginSnapshot &&
-        end.forall(_ > f.beginSnapshot)
+      h.columnId == c.columnId && begin <= f.epoch &&
+        end.forall(_ > f.epoch)
     }.map(_._1))
 
   /** Read a group of same-epoch, same-partition data files with the
@@ -684,6 +698,26 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       rows.count()
       insertInto(rows, name, WriteMode.Replace)
     } finally rows.unpersist()
+  }
+
+  /** Roll a table back to the state `snapshot` saw, as a NEW snapshot —
+    * nothing between then and now is erased (time travel still resolves
+    * every intermediate snapshot). Catalog-only: revived files are new
+    * rows pointing at the old paths, with their write epochs preserved so
+    * rename projection keeps resolving. Returns the rollback snapshot id.
+    */
+  def rollbackTo(name: String, snapshot: Long): Long =
+    store.rollbackTable(resolveTable(name, store.currentSnapshot).tableId, snapshot)
+
+  /** Zero-copy clone `src` → `dst` ("shallow clone"): the new table's
+    * initial snapshot references the source's current data/delete files
+    * without copying a byte — both tables then evolve independently.
+    * [[vacuum]] deletes a shared physical file only when NO live catalog
+    * row (from either table) references its path.
+    */
+  def cloneTable(src: String, dst: String): Long = {
+    val (dstSchema, dstTable) = parse(dst)
+    store.cloneTable(dstSchema, resolveTable(src, store.currentSnapshot).tableId, dstTable)
   }
 
   /** Expire time travel below `before` (newest snapshot always kept).
@@ -982,4 +1016,15 @@ final class LakeTransaction private[lake] (lake: DuckLake) {
       mode: WriteMode.Value = WriteMode.Append,
       partitionBy: Seq[String] = Nil): Unit =
     lake.stageForTransaction(this, df, name, mode, partitionBy)
+}
+
+object DuckLake {
+  /** Catalog-driven physical directory of a table (A23 path chain):
+    * relative table paths resolve under the schema dir; zero-copy clones
+    * carry their source's path so shared files resolve byte-free.
+    */
+  def tableDir(dataPath: String, schemaName: String, tr: TableRec): String = {
+    val tp = tr.path.stripSuffix("/")
+    if (tr.pathIsRelative) s"$dataPath/$schemaName/$tp" else tp
+  }
 }

@@ -8,7 +8,15 @@ final case class TableRec(tableId: Long, schemaId: Long, name: String, path: Str
 final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean)
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
-    deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None)
+    deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None,
+    writeEpoch: Long = -1L) {
+  /** Snapshot whose column names/types the physical parquet was written
+    * under. Normally == beginSnapshot; differs for rows revived by
+    * rollback or shared by a zero-copy clone, where validity restarts but
+    * the bytes on disk keep their original schema epoch.
+    */
+  def epoch: Long = if (writeEpoch >= 0) writeEpoch else beginSnapshot
+}
 final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: String,
     pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long,
     encryptionKey: Option[String] = None)
@@ -98,7 +106,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  footer_size BIGINT NOT NULL,
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
-            |  encryption_key VARCHAR(64))""".stripMargin)
+            |  encryption_key VARCHAR(64),
+            |  write_epoch BIGINT NOT NULL)""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_delete_file(
             |  delete_file_id BIGINT NOT NULL,
@@ -294,21 +303,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(tableId, snap, snap, snap, snap))(rs =>
       rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
         rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).toMap
-    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
+    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
       Seq(tableId, snap, snap))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1)),
-        Option(rs.getString(8))))
+        Option(rs.getString(8)), rs.getLong(9)))
   }
 
   /** Data files with begin_snapshot in (from, to] — CDC inserts
     * (reference: src/metadata_provider.rs:77-89).
     */
   def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long): Seq[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
       Seq(tableId, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8))))
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
+        rs.getLong(9)))
 
   /** Delete files with begin_snapshot in (from, to], each with the previous
     * delete file for the same data file (for position deltas), plus
@@ -335,10 +345,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     // full-file deletes: replaced data files in range (no delete file of their own)
     val ended = query(
-      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
+      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
       Seq(tableId, from, to, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8))))
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
+        rs.getLong(9)))
     val endedWithPrev = ended.map { df =>
       val prev = query(
         "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
@@ -351,10 +362,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   }
 
   def getDataFileById(tableId: Long, dataFileId: Long): Option[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
       Seq(tableId, dataFileId))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
-        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)))).headOption
+        rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
+        rs.getLong(9))).headOption
 
   def getMetadata(key: String): Option[String] =
     query("SELECT meta_value FROM ducklake_metadata WHERE meta_key = ?", Seq(key))(_.getString(1)).headOption
@@ -484,9 +496,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new InternalException(
           s"file ${f.path}: ${f.partitionValues.size} partition values for $nKeys keys")
       val id = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
         Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize,
-          snap, f.encryptionKey.orNull))
+          snap, f.encryptionKey.orNull, snap))
       f.partitionValues.zipWithIndex.foreach { case (v, idx) =>
         update("INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
           Seq(id, table.tableId, idx.toLong, v.orNull))
@@ -716,12 +728,18 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val naming =
       """JOIN ducklake_table t ON f.table_id = t.table_id
         |JOIN ducklake_schema s ON t.schema_id = s.schema_id""".stripMargin
+    // a physical file is only deletable when NO live row anywhere still
+    // references its path — rollback-revived and cloned rows share paths
+    // with the rows they were copied from
+    def noLiveRef(tbl: String) =
+      s"""NOT EXISTS (SELECT 1 FROM $tbl f2 WHERE f2.path = f.path
+         |AND NOT (f2.end_snapshot IS NOT NULL AND f2.end_snapshot <= ?))""".stripMargin
     val dataFiles = query(
-      s"SELECT s.schema_name, t.table_name, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")}",
-      Seq(minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+      s"SELECT s.schema_name, t.path, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_data_file")}",
+      Seq(minS, minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     val delFiles = query(
-      s"SELECT s.schema_name, t.table_name, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")}",
-      Seq(minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+      s"SELECT s.schema_name, t.path, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_delete_file")}",
+      Seq(minS, minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     val goneBare = "end_snapshot IS NOT NULL AND end_snapshot <= ?"
     conn.setAutoCommit(false)
     try {
@@ -738,6 +756,191 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     } finally conn.setAutoCommit(true)
     dataFiles ++ delFiles
   }
+
+  /** Restore a table to the logical state `target` saw — data files,
+    * delete files, inlined rows, columns and partition keys — as a NEW
+    * snapshot. History between target and now stays queryable
+    * (Iceberg-style rollback; the reference and the DuckLake spec have no
+    * rollback — extension). Zero data movement: revived files are fresh
+    * catalog rows sharing the old paths, with `write_epoch` preserved so
+    * rename-epoch projection still resolves their physical column names.
+    * Minimal diff: rows whose validity spans both snapshots are left
+    * untouched, so CDC over the rollback snapshot shows only real changes.
+    */
+  def rollbackTable(tableId: Long, target: Long): Long = inSnapshotTxn { snap =>
+    if (!snapshotExists(target))
+      throw new InvalidSnapshotException(s"unknown snapshot: $target")
+
+    // --- data files ---------------------------------------------------
+    case class F(id: Long, path: String, rel: Boolean, rc: Long, size: Long,
+        footer: Long, key: String, epoch: Long)
+    def filesAt(s: Long): Seq[F] = query(
+      s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND $Vis",
+      Seq(tableId, s, s))(rs => F(rs.getLong(1), rs.getString(2), rs.getBoolean(3),
+      rs.getLong(4), rs.getLong(5), rs.getLong(6), rs.getString(7), rs.getLong(8)))
+    val nowF = filesAt(snap)
+    val tgtF = filesAt(target)
+    val nowIds = nowF.map(_.id).toSet
+    val tgtIds = tgtF.map(_.id).toSet
+    nowF.filterNot(f => tgtIds(f.id)).foreach { f =>
+      update("UPDATE ducklake_data_file SET end_snapshot = ? WHERE data_file_id = ?",
+        Seq(snap, f.id))
+    }
+    val idMap: Map[Long, Long] = tgtF.filterNot(f => nowIds(f.id)).map { f =>
+      val nid = nextId("ducklake_data_file", "data_file_id")
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
+        Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch))
+      update("INSERT INTO ducklake_file_column_stats " +
+        "SELECT CAST(? AS BIGINT), table_id, column_id, value_count, null_count, min_value, max_value " +
+        "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, f.id))
+      update("INSERT INTO ducklake_file_partition_value " +
+        "SELECT CAST(? AS BIGINT), table_id, partition_key_index, partition_value " +
+        "FROM ducklake_file_partition_value WHERE data_file_id = ?", Seq(nid, f.id))
+      f.id -> nid
+    }.toMap
+
+    // --- delete files -------------------------------------------------
+    case class D(id: Long, dataFileId: Long, path: String, rel: Boolean,
+        rc: Long, key: String)
+    def delsAt(s: Long): Seq[D] = query(
+      s"SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND $Vis",
+      Seq(tableId, s, s))(rs => D(rs.getLong(1), rs.getLong(2), rs.getString(3),
+      rs.getBoolean(4), rs.getLong(5), rs.getString(6)))
+    val nowD = delsAt(snap)
+    val tgtD = delsAt(target)
+    val tgtDIds = tgtD.map(_.id).toSet
+    nowD.filterNot(d => tgtDIds(d.id)).foreach { d =>
+      update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE delete_file_id = ?",
+        Seq(snap, d.id))
+    }
+    val nowDIds = nowD.map(_.id).toSet
+    tgtD.filterNot(d => nowDIds(d.id)).foreach { d =>
+      val nid = nextId("ducklake_delete_file", "delete_file_id")
+      update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+        Seq(nid, idMap.getOrElse(d.dataFileId, d.dataFileId), tableId, d.path,
+          d.rel, d.rc, snap, d.key))
+    }
+
+    // --- inlined rows -------------------------------------------------
+    def inlAt(s: Long): Map[Long, String] = query(
+      s"SELECT row_id, row_json FROM ducklake_inlined_data WHERE table_id = ? AND $Vis",
+      Seq(tableId, s, s))(rs => rs.getLong(1) -> rs.getString(2)).toMap
+    val nowI = inlAt(snap)
+    val tgtI = inlAt(target)
+    nowI.keysIterator.filterNot(tgtI.contains).foreach { rid =>
+      update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND row_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId, rid))
+    }
+    tgtI.filterNot { case (rid, _) => nowI.contains(rid) }.foreach { case (rid, json) =>
+      update("INSERT INTO ducklake_inlined_data VALUES (?, ?, ?, NULL, ?)",
+        Seq(tableId, rid, snap, json))
+    }
+
+    // --- columns (full tuple identity, rename/add/drop restoration) ---
+    case class C(columnId: Long, order: Long, name: String, dtype: String,
+        nulls: Boolean, parent: Option[Long])
+    def colsAt(s: Long): Seq[C] = query(
+      s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, parent_column FROM ducklake_column WHERE table_id = ? AND $Vis",
+      Seq(tableId, s, s))(rs => C(rs.getLong(1), rs.getLong(2), rs.getString(3),
+      rs.getString(4), rs.getBoolean(5),
+      { val p = rs.getLong(6); if (rs.wasNull()) None else Some(p) }))
+    val nowC = colsAt(snap)
+    val tgtC = colsAt(target)
+    nowC.filterNot(tgtC.contains).foreach { c =>
+      update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId, c.columnId))
+    }
+    tgtC.filterNot(nowC.contains).foreach { c =>
+      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+        Seq(c.columnId, tableId, c.order, c.name, c.dtype, c.nulls,
+          c.parent.map(Long.box).orNull, snap))
+    }
+
+    // --- partition keys ----------------------------------------------
+    def partsAt(s: Long): Seq[(Long, Long)] = query(
+      s"SELECT partition_key_index, column_id FROM ducklake_partition_column WHERE table_id = ? AND $Vis",
+      Seq(tableId, s, s))(rs => (rs.getLong(1), rs.getLong(2)))
+    val nowP = partsAt(snap)
+    val tgtP = partsAt(target)
+    nowP.filterNot(tgtP.contains).foreach { case (idx, cid) =>
+      update("UPDATE ducklake_partition_column SET end_snapshot = ? WHERE table_id = ? AND partition_key_index = ? AND column_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId, idx, cid))
+    }
+    tgtP.filterNot(nowP.contains).foreach { case (idx, cid) =>
+      update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL)",
+        Seq(tableId, idx, cid, snap))
+    }
+    snap
+  }
+
+  /** Zero-copy (shallow) clone: a new table whose initial state references
+    * the source's current data/delete files without moving any bytes
+    * (Delta/Iceberg shallow-clone semantics — extension). Column history
+    * is copied verbatim so shared files' rename-epoch projection resolves;
+    * vacuum only deletes a physical file once NO live row references its
+    * path. Returns the new table_id.
+    */
+  def cloneTable(schemaName: String, srcTableId: Long, dstName: String): Long =
+    inSnapshotTxn { snap =>
+      PathResolver.validateTableName(dstName)
+      val sch = getSchemaByName(schemaName, snap)
+        .getOrElse(throw new SchemaNotFoundException(schemaName))
+      if (getTableByName(sch.schemaId, dstName, snap).isDefined)
+        throw new UnsupportedException(s"table already exists: $schemaName.$dstName")
+      val src = query(
+        s"SELECT schema_id, path, path_is_relative FROM ducklake_table WHERE table_id = ? AND $Vis",
+        Seq(srcTableId, snap, snap))(rs => (rs.getLong(1), rs.getString(2), rs.getBoolean(3)))
+        .headOption.getOrElse(throw new TableNotFoundException(s"table_id $srcTableId"))
+      // relative paths resolve under the schema dir, so a cross-schema
+      // clone would point at the wrong directory
+      if (src._1 != sch.schemaId)
+        throw new UnsupportedException("cross-schema clone is not supported")
+      val tid = nextId("ducklake_table", "table_id")
+      // the clone points at the source's directory: new files written to
+      // either table land there under fresh UUID names
+      update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
+        Seq(tid, sch.schemaId, dstName, src._2, src._3, snap))
+      // full column history (original validity) — files keep write epochs
+      update("INSERT INTO ducklake_column SELECT column_id, CAST(? AS BIGINT), column_order, " +
+        "column_name, column_type, nulls_allowed, parent_column, begin_snapshot, " +
+        "end_snapshot FROM ducklake_column WHERE table_id = ?", Seq(tid, srcTableId))
+      update("INSERT INTO ducklake_partition_column SELECT CAST(? AS BIGINT), partition_key_index, " +
+        "column_id, begin_snapshot, end_snapshot FROM ducklake_partition_column " +
+        "WHERE table_id = ?", Seq(tid, srcTableId))
+      // current-visible data files: fresh ids, shared paths, kept epochs
+      val files = query(
+        s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND $Vis",
+        Seq(srcTableId, snap, snap))(rs => (rs.getLong(1), rs.getString(2),
+        rs.getBoolean(3), rs.getLong(4), rs.getLong(5), rs.getLong(6),
+        rs.getString(7), rs.getLong(8)))
+      val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch) =>
+        val nid = nextId("ducklake_data_file", "data_file_id")
+        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
+          Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch))
+        update("INSERT INTO ducklake_file_column_stats " +
+          "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), column_id, value_count, null_count, min_value, max_value " +
+          "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, tid, fid))
+        update("INSERT INTO ducklake_file_partition_value " +
+          "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), partition_key_index, partition_value " +
+          "FROM ducklake_file_partition_value WHERE data_file_id = ?", Seq(nid, tid, fid))
+        fid -> nid
+      }.toMap
+      // newest visible delete file per data file carries the MOR state
+      query(
+        s"SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND $Vis",
+        Seq(srcTableId, snap, snap))(rs => (rs.getLong(2), rs.getString(3),
+        rs.getBoolean(4), rs.getLong(5), rs.getString(6)))
+        .foreach { case (dataFileId, path, rel, rc, key) =>
+          val nid = nextId("ducklake_delete_file", "delete_file_id")
+          update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+            Seq(nid, idMap.getOrElse(dataFileId, dataFileId), tid, path, rel, rc,
+              snap, key))
+        }
+      update("INSERT INTO ducklake_inlined_data SELECT CAST(? AS BIGINT), row_id, CAST(? AS BIGINT), CAST(NULL AS BIGINT), row_json " +
+        s"FROM ducklake_inlined_data WHERE table_id = ? AND $Vis",
+        Seq(tid, snap, srcTableId, snap, snap))
+      tid
+    }
 
   /** Rename a column: end the current row, insert a row with the same
     * column_id and the new name (field-id-style rename, reference:

@@ -74,8 +74,8 @@ private[connector] object DuckLakePartitionPlanner {
       val physNames = required.fields.map { f =>
         byName.get(f.name).flatMap { cur =>
           history.find { case (h, begin, endS) =>
-            h.columnId == cur.columnId && begin <= file.beginSnapshot &&
-              endS.forall(_ > file.beginSnapshot)
+            h.columnId == cur.columnId && begin <= file.epoch &&
+              endS.forall(_ > file.epoch)
           }.map(_._1.name)
         }.orNull
       }
@@ -133,7 +133,7 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
     val files = lake.store.getDataFilesAddedBetween(tr.tableId, a, b)
       .map(_.copy(deleteFile = None))
     DuckLakePartitionPlanner.plan(lake, tr, cols, files, required,
-      s"${lake.dataPath}/$schemaName/$tableName")
+      graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -175,7 +175,7 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     val cols = lake.store.getTableColumns(tr.tableId, snapshot)
     DuckLakePartitionPlanner.plan(lake, tr, cols,
       lake.store.getDataFiles(tr.tableId, snapshot), schema,
-      s"${lake.dataPath}/$schemaName/$tableName")
+      graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -536,6 +536,45 @@ object LakeQueries {
       FROM lineitem GROUP BY 1 ORDER BY 1
     """),
 
+    ("lake_rollback", (s: SparkSession, dir: String) => {
+      // snapshot rollback: MOR delete -> mark -> append + more deletes ->
+      // rollbackTo(mark). Scan must equal the marked state; the oracle is
+      // the plain-SQL equivalent of that state.
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.rb_supplier")) {
+        lake.createTableAs(t(s, dir, "supplier").coalesce(1), "main.rb_supplier")
+        lake.deleteWhere("main.rb_supplier", col("s_suppkey") % 7 === 0)
+        val mark = lake.currentSnapshot
+        lake.insertInto(t(s, dir, "supplier")
+          .filter(col("s_suppkey") <= 20).coalesce(1), "main.rb_supplier")
+        lake.deleteWhere("main.rb_supplier", col("s_suppkey") > 90)
+        lake.rollbackTo("main.rb_supplier", mark)
+      }
+      lake.table("main.rb_supplier")
+        .select("s_suppkey", "s_name", "s_acctbal").orderBy("s_suppkey")
+    }, """
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      WHERE s_suppkey % 7 <> 0 ORDER BY s_suppkey
+    """),
+
+    ("lake_clone", (s: SparkSession, dir: String) => {
+      // zero-copy clone of a MOR table, then divergent deletes on the
+      // clone only — the scan proves shared files + independent state
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.li_clone")) {
+        lake.cloneTable("main.lineitem_del", "main.li_clone")
+        lake.deleteWhere("main.li_clone", col("l_linenumber") === 1)
+      }
+      lake.table("main.li_clone")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("l_returnflag")
+    }, """
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem WHERE l_orderkey % 97 <> 0 AND l_linenumber <> 1
+      GROUP BY 1 ORDER BY 1
+    """),
+
     ("lake_sql_view", (s: SparkSession, dir: String) => {
       // full SQL view lifecycle through the injected extension: CREATE OR
       // REPLACE VIEW + SELECT via spark.sql against the DSv2 catalog. The

@@ -377,39 +377,39 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("SQL view surface: CREATE / SELECT / CREATE OR REPLACE / DROP VIEW") {
     lake // force fixture
     spark.sql(
-      """CREATE VIEW ducklake.main.big_items AS
+      """CREATE VIEW ducklake.main.vw_items AS
          SELECT grp, count(*) AS n, round(sum(amount), 2) AS amt
          FROM ducklake.main.items WHERE amount > 50 GROUP BY grp""")
     // SELECT resolves the view through the injected analyzer rule
     val viaView = spark.sql(
-      "SELECT sum(n) FROM ducklake.main.big_items").head.getLong(0)
+      "SELECT sum(n) FROM ducklake.main.vw_items").head.getLong(0)
     val direct = spark.sql(
       "SELECT count(*) FROM ducklake.main.items WHERE amount > 50").head.getLong(0)
     assert(viaView == direct)
     // late binding: new rows visible without recreating the view
     spark.sql("INSERT INTO ducklake.main.items VALUES (9101, 'name_9101', 500.0, 2)")
-    assert(spark.sql("SELECT sum(n) FROM ducklake.main.big_items")
+    assert(spark.sql("SELECT sum(n) FROM ducklake.main.vw_items")
       .head.getLong(0) == direct + 1)
     // view-on-view resolution
-    spark.sql("CREATE VIEW ducklake.main.big_grps AS " +
-      "SELECT grp FROM ducklake.main.big_items WHERE n > 1")
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.big_grps").head.getLong(0) > 0)
+    spark.sql("CREATE VIEW ducklake.main.vw_grps AS " +
+      "SELECT grp FROM ducklake.main.vw_items WHERE n > 1")
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.vw_grps").head.getLong(0) > 0)
     // CREATE without OR REPLACE on an existing view fails; OR REPLACE works
     intercept[Exception](spark.sql(
-      "CREATE VIEW ducklake.main.big_items AS SELECT 1 AS one"))
+      "CREATE VIEW ducklake.main.vw_items AS SELECT 1 AS one"))
     spark.sql(
-      """CREATE OR REPLACE VIEW ducklake.main.big_items AS
+      """CREATE OR REPLACE VIEW ducklake.main.vw_items AS
          SELECT grp, count(*) AS n FROM ducklake.main.items GROUP BY grp""")
-    assert(spark.sql("SELECT sum(n) FROM ducklake.main.big_items").head.getLong(0) ==
+    assert(spark.sql("SELECT sum(n) FROM ducklake.main.vw_items").head.getLong(0) ==
       spark.table("ducklake.main.items").count())
     // IF NOT EXISTS no-ops on existing
-    spark.sql("CREATE VIEW IF NOT EXISTS ducklake.main.big_items AS SELECT 1 AS one")
-    assert(spark.sql("SELECT * FROM ducklake.main.big_items").columns.length == 2)
-    spark.sql("DROP VIEW ducklake.main.big_grps")
-    spark.sql("DROP VIEW ducklake.main.big_items")
-    intercept[Exception](spark.sql("SELECT * FROM ducklake.main.big_items"))
+    spark.sql("CREATE VIEW IF NOT EXISTS ducklake.main.vw_items AS SELECT 1 AS one")
+    assert(spark.sql("SELECT * FROM ducklake.main.vw_items").columns.length == 2)
+    spark.sql("DROP VIEW ducklake.main.vw_grps")
+    spark.sql("DROP VIEW ducklake.main.vw_items")
+    intercept[Exception](spark.sql("SELECT * FROM ducklake.main.vw_items"))
     // DROP VIEW IF EXISTS on a missing view is a no-op
-    spark.sql("DROP VIEW IF EXISTS ducklake.main.big_items")
+    spark.sql("DROP VIEW IF EXISTS ducklake.main.vw_items")
   }
 
   test("CREATE/DROP NAMESPACE through the catalog") {

@@ -163,4 +163,71 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // snapshots list now starts at the retained snapshot
     assert(lake.store.minSnapshot == lake.currentSnapshot)
   }
+
+  test("rollbackTo restores data, MOR deletes and renamed schema; history intact") {
+    import spark.implicits._
+    lake.createTableAs((1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1), "main.rb")
+    lake.deleteWhere("main.rb", col("k") % 5 === 0)          // 40 rows
+    val target = lake.currentSnapshot
+    lake.renameColumn("main.rb", "s", "s2")
+    lake.insertInto((51 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "s2")
+      .coalesce(1), "main.rb")                               // 50 rows
+    lake.deleteWhere("main.rb", col("k") <= 10)              // 42 rows
+    assert(lake.table("main.rb").count() == 42)
+
+    val rbSnap = lake.rollbackTo("main.rb", target)
+    // state == target: 40 rows, column named s again
+    val now = lake.table("main.rb")
+    assert(now.columns.toSeq == Seq("k", "s"))
+    assert(now.count() == 40)
+    assert(now.filter(col("k") % 5 === 0).count() == 0)
+    // intermediate history still queryable (nothing erased)
+    assert(lake.table("main.rb", Some(target)).count() == 40)
+    assert(lake.table("main.rb", Some(rbSnap - 1)).count() == 42)
+    assert(lake.table("main.rb", Some(rbSnap - 1)).columns.toSeq == Seq("k", "s2"))
+    // writes after rollback work against the restored schema
+    lake.insertInto(Seq((100L, "x")).toDF("k", "s"), "main.rb")
+    assert(lake.table("main.rb").count() == 41)
+  }
+
+  test("zero-copy clone shares files; diverges independently; vacuum keeps shared paths") {
+    import spark.implicits._
+    lake.createTableAs((1 to 30).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .coalesce(1), "main.cl_src")
+    lake.deleteWhere("main.cl_src", col("k") > 25)           // MOR state: 25 rows
+    val before = filesOnDisk("cl_src")
+    lake.cloneTable("main.cl_src", "main.cl_dst")
+    // no new physical files — byte-free clone
+    assert(filesOnDisk("cl_src") == before)
+    assert(filesOnDisk("cl_dst").isEmpty)
+    assert(lake.table("main.cl_dst").count() == 25)
+    // divergence: writes/deletes on one side don't leak to the other
+    lake.insertInto(Seq((100L, 0.0)).toDF("k", "v"), "main.cl_dst")
+    lake.deleteWhere("main.cl_src", col("k") === 1)
+    assert(lake.table("main.cl_dst").count() == 26)
+    assert(lake.table("main.cl_src").count() == 24)
+    // drop the source, expire, vacuum: files still referenced by the
+    // clone must survive
+    lake.dropTable("main.cl_src")
+    lake.expireSnapshots(lake.currentSnapshot)
+    lake.vacuum()
+    assert(lake.table("main.cl_dst").count() == 26)
+    assert(lake.table("main.cl_dst").agg(sum(col("k"))).head.getLong(0) ==
+      (1 to 25).map(_.toLong).sum + 100L)
+  }
+
+  test("rollback of a clone only touches the clone") {
+    import spark.implicits._
+    lake.createTableAs((1 to 20).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), "main.rc_src")
+    lake.cloneTable("main.rc_src", "main.rc_dst")
+    val cloneSnap = lake.currentSnapshot
+    lake.insertInto((21 to 25).map(i => (i.toLong, s"r$i")).toDF("k", "s"),
+      "main.rc_dst")
+    assert(lake.table("main.rc_dst").count() == 25)
+    lake.rollbackTo("main.rc_dst", cloneSnap)
+    assert(lake.table("main.rc_dst").count() == 20)
+    assert(lake.table("main.rc_src").count() == 20)
+  }
 }
