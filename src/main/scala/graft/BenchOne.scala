@@ -8,8 +8,9 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     args.foreach { name =>
-      (1 to 2).foreach { i =>
+      (1 to iters).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, "/root/testdata/sf0.1")
           .write.mode("overwrite").format("noop").save()

@@ -57,6 +57,25 @@ object Dedup {
   private def derivedHash(baseHash: Column, i: Int): Column =
     xxhash64(lit(i), baseHash)
 
+  /** w-gram hashes from a token-HASH array: each gram hash combines w
+    * consecutive token hashes via `xxhash64(acc, next)`. Equivalent
+    * blocking quality to hashing the string shingles, but each token is
+    * hashed once and every combine works on 16 fixed bytes — no per-gram
+    * string concatenation (which was ~half the minhash pipeline's cost:
+    * 3 string copies + a variable-length hash per shingle).
+    */
+  def gramHashes(tokenHashes: Column, w: Int = 3): Column = {
+    val n = size(tokenHashes)
+    val m = n - w + 1
+    val grams = (1 until w).foldLeft(slice(tokenHashes, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(tokenHashes, lit(k + 1), m), (a, b) => xxhash64(a, b))
+    }
+    // short docs: one gram combining all token hashes
+    when(n < w,
+      array(aggregate(tokenHashes, lit(42L), (a, h) => xxhash64(a, h))))
+      .otherwise(grams)
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions i, the
     * minimum of hash_i(shingle) over the document's shingle set.
     * Pure array expressions — evaluated rowwise inside whole-stage
@@ -92,9 +111,13 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val exploded = df.select(col(idCol).as("__id"),
-      explode(array_distinct(shingles(col(textCol)))).as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    // token hashes materialized as a real column in their own projection:
+    // the multi-reference in gramHashes (w slices) would otherwise
+    // re-tokenize the document per slice (CollapseProject re-inlining)
+    val exploded = df
+      .select(col(idCol).as("__id"),
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col("__id"), explode(array_distinct(gramHashes(col("__th")))).as("__h"))
     val mins = (0 until numHashes).map(i => min(derivedHash(col("__h"), i)).as(s"__h$i"))
     val sig = exploded.groupBy("__id").agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -183,8 +206,13 @@ object Dedup {
     // and immediately filtered by the (small, broadcast) candidate side of
     // the join, so no shingle array of a non-candidate doc ever reaches an
     // exchange — O(corpus) CPU, O(candidates) shuffle, at any scale
-    val g = docs.select(col(idCol).as("__vid"),
-      array_distinct(shingles(col(textCol), w)).as("__g"))
+    // gram HASHES, not string shingles: set intersection over longs, same
+    // jaccard up to negligible 64-bit collisions (two projections so the
+    // token-hash array isn't re-tokenized per gramHashes slice)
+    val g = docs
+      .select(col(idCol).as("__vid"),
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col("__vid"), array_distinct(gramHashes(col("__th"), w)).as("__g"))
     val sides = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("__vid"))
     sides.join(g, "__vid")

@@ -16,10 +16,11 @@ object TextOps {
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Token count as a direct run count — same value as `size(tokens(text))`
-    * but one codegen'd regex scan instead of materializing and filtering a
-    * split array (interpreted HOF, the dominant cost in quality scoring).
+    * but from the one-pass byte scan ([[graft.functions.TextStats]]): no
+    * regex engine, no split-array materialization.
     */
-  def tokenCount(text: Column): Column = regexp_count(lower(text), lit("[a-z0-9]+"))
+  def tokenCount(text: Column): Column =
+    graft.functions.TextStats.textStats(lower(text)).getField("tokens")
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
@@ -38,12 +39,19 @@ object TextOps {
   private def charClassCount(s: Column, chars: String): Column =
     length(s) - length(translate(s, chars, ""))
 
-  /** Character-class ratios used by quality scoring. */
+  /** Character-class ratios used by quality scoring — counts come from the
+    * single-pass byte scan ([[graft.functions.TextStats]]; `translate`
+    * copies the whole string per class, and the scans dominated quality
+    * scoring). Digit counts are case-insensitive, so one stats pass over
+    * `lower(text)` serves both ratios (codegen CSE shares it).
+    */
   def alphaRatio(text: Column): Column =
-    charClassCount(lower(text), azChars) / greatest(length(text), lit(1))
+    graft.functions.TextStats.textStats(lower(text)).getField("alpha")
+      .cast("double") / greatest(length(text), lit(1))
 
   def digitRatio(text: Column): Column =
-    charClassCount(text, digitChars) / greatest(length(text), lit(1))
+    graft.functions.TextStats.textStats(lower(text)).getField("digit")
+      .cast("double") / greatest(length(text), lit(1))
 
   def whitespaceRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "\\s", ""))) / greatest(length(text), lit(1))
@@ -70,9 +78,10 @@ object TextOps {
     * cheap pre-filter shape for LLM corpus curation.
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+    val stats = graft.functions.TextStats.textStats(lower(text))
+    val nTok = stats.getField("tokens").cast("double")
     val meanTokLen = when(nTok > 0,
-      charClassCount(lower(text), azChars + digitChars) / nTok).otherwise(lit(0.0))
+      stats.getField("alnum").cast("double") / nTok).otherwise(lit(0.0))
     val lenOk = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.5))
     val stopOk = when(containsAnyWord(text, enStop), lit(1.0)).otherwise(lit(0.7))
     // +1e-9 guard: component ratios can be binary-exact (e.g. 39/48), which
