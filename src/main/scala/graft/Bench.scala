@@ -85,7 +85,12 @@ object Bench {
       "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f}"""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).collect { case s if s.nonEmpty => s.min }.sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"stats":$detail,"iters":$iterations,"sf":"$sfDir"}""")
+    // detail goes on its own tagged line; the driver-facing contract line
+    // stays compact (and last) so it survives log-tail truncation
+    System.err.println(s"""[bench-detail] {"stats":$detail,"iters":$iterations}""")
+    val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    System.out.flush()
   }
 }
