@@ -138,6 +138,108 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH with an engine-portable hash family (md5 hex strings,
+    * minimum = lexicographic string min): hash_i(shingle) =
+    * md5("i:shingle"), band bucket = md5("b|sig[b*r]..sig[(b+1)r-1]").
+    * Same shuffle profile as [[minhashCandidates]] (explode → partial
+    * min-agg → band buckets → local pair expansion), ~3× the per-shingle
+    * CPU of the xxhash64 family — its value is that ANY engine with md5
+    * can reproduce the exact candidate set, so the whole sketch pipeline
+    * is differential-testable against an independent SQL oracle (here:
+    * DuckDB), not just recall-tested.
+    */
+  def minhashCandidatesMd5(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val exploded = df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol)))).as("__s"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__s")))).as(s"__h$i"))
+    val sig = exploded.groupBy("__id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat(lit(s"$b|"), concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)))
+    }
+    val banded = sig.select(col("__id"),
+      posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
+    banded.groupBy("__band", "__bucket")
+      .agg(collect_list("__id").as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(__ids, (a, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), b ->
+          |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification on STRING shingle sets (the md5-family
+    * counterpart of [[verifyJaccard]]'s hashed grams — string sets so an
+    * independent SQL engine computes the identical intersection).
+    */
+  def verifyJaccardStrings(candidates: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, threshold: Double, w: Int = 3): DataFrame = {
+    val g = docs.select(col(idCol).as("__vid"),
+      array_distinct(shingles(col(textCol), w)).as("__g"))
+    val sides = candidates.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("__vid"))
+    sides.join(g, "__vid")
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
+        first(when(col("__vid") === col("id_b"), col("__g")), ignoreNulls = true).as("__gb"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n"))
+      .withColumn("jaccard", col("__i") / (col("__n") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash-64 near-dup pairs with the engine-portable md5 hash family.
+    * Bit b of a token's hash is bit (b mod 4) of hex nibble (b div 4) of
+    * md5(token) — a convention any SQL engine can evaluate from the hex
+    * string. Votes aggregate per document into four 16-bit chunk ints;
+    * candidate blocking joins on any equal chunk (pigeonhole for
+    * maxHamming < 16 per chunk count), then exact Hamming ≤ `maxHamming`
+    * verifies. Output (id_a, id_b) distinct.
+    */
+  def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val nibbles = df
+      .select(col(idCol).as("__id"), explode(TextOps.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", md5(col("__t")))
+      .select(col("__id") +: (0 until 16).map(p =>
+        conv(substring(col("__h"), p + 1, 1), 16, 10).cast("int").as(s"__n$p")): _*)
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col(s"__n${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__v$b")
+    }
+    val agg = nibbles.groupBy("__id").agg(votes.head, votes.tail: _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map(j =>
+        when(col(s"__v${16 * c + j}") > 0, lit(1 << j)).otherwise(0))
+        .reduce(_ + _).cast("int").as(s"__c$c")
+    }
+    val fps = agg.select(col("__id") +: chunkCols: _*)
+    val blocked = fps.select(col("__id"), col("__c0"), col("__c1"), col("__c2"), col("__c3"),
+      posexplode(array(col("__c0"), col("__c1"), col("__c2"), col("__c3")))
+        .as(Seq("__blk", "__key")))
+    val a = blocked.select(col("__id").as("id_a"), col("__blk").as("__ba"), col("__key").as("__ka"),
+      col("__c0").as("__a0"), col("__c1").as("__a1"), col("__c2").as("__a2"), col("__c3").as("__a3"))
+    val b = blocked.select(col("__id").as("id_b"), col("__blk").as("__bb"), col("__key").as("__kb"),
+      col("__c0").as("__b0"), col("__c1").as("__b1"), col("__c2").as("__b2"), col("__c3").as("__b3"))
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
+    a.join(b, col("__ba") === col("__bb") && col("__ka") === col("__kb")
+        && col("id_a") < col("id_b"))
+      .filter(ham <= maxHamming)
+      .select("id_a", "id_b").distinct()
+  }
+
   /** SimHash-64: per token occurrence, xxhash64 votes ±1 on each of 64
     * bits (frequency-weighted — occurrence counts, not the distinct token
     * set, so corpora with a shared small vocabulary still separate); the

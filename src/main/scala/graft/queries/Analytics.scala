@@ -82,6 +82,9 @@ object Analytics {
       val monthly = o
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      // global window is safe here: its input is the per-month aggregate,
+      // O(calendar months) rows regardless of data scale — the heavy
+      // groupBy above it shuffles normally
       val w = Window.orderBy("month")
       monthly
         .withColumn("prev_rev", lag(col("rev"), 1).over(w))

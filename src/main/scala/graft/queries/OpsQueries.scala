@@ -27,6 +27,14 @@ object OpsQueries {
       .withColumn("text", regexp_replace(col("text"), "^\\S+", "zz")))
   }
 
+  /** The DuckDB-side mirror of [[plantedDocs]] (a WITH-clause body). */
+  val plantedCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'zz')
+      |  FROM documents WHERE doc_id % 2 = 0)""".stripMargin
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
     ("txt_token_stats", (s: SparkSession, dir: String) => {
@@ -218,6 +226,74 @@ object OpsQueries {
       Dedup.simhashPairs(fps, "doc_id", maxHamming = 8)
         .orderBy("id_a", "id_b")
     }, null),
+
+    // Same sketches with the engine-portable md5 hash family: every stage
+    // (signature, banding, candidate pairs, verification) is reproduced in
+    // the DuckDB oracle, so the LSH pipelines get full hash-equality
+    // checks, not just recall specs.
+    ("dedup_minhash_md5", (s: SparkSession, dir: String) => {
+      val corpus = plantedDocs(s, dir)
+      val cands = Dedup.minhashCandidatesMd5(corpus, "text", "doc_id")
+      Dedup.verifyJaccardStrings(cands, corpus, "text", "doc_id", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }, s"""
+      WITH $plantedCorpusSql,
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM corpus),
+      grams AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS g
+        FROM toks),
+      sig AS (SELECT doc_id,
+          [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in g]) for i in range(0, 16)] AS sg
+        FROM grams),
+      bands AS (SELECT doc_id, b,
+          md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
+        FROM sig, range(0, 4) t(b)),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ver AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+            / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS j
+        FROM cand JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b)
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5
+      ORDER BY id_a, id_b
+    """),
+
+    ("dedup_simhash_md5", (s: SparkSession, dir: String) => {
+      val corpus = plantedDocs(s, dir)
+      Dedup.simhashPairsMd5(corpus, "text", "doc_id", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }, {
+      val votes = (0 until 64).map(b =>
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', h[${b / 4 + 1}:${b / 4 + 1}]) - 1) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n          ")
+      val chunks = (0 until 4).map(c =>
+        (0 until 16).map(j => s"(CASE WHEN v${16 * c + j} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ") + s" AS c$c")
+        .mkString(",\n          ")
+      s"""
+      WITH $plantedCorpusSql,
+      tok AS (SELECT doc_id, md5(t) AS h FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM corpus)),
+      votes AS (SELECT doc_id,
+          $votes
+        FROM tok GROUP BY doc_id),
+      fp AS (SELECT doc_id,
+          $chunks
+        FROM votes),
+      blocked AS (SELECT doc_id, c0, c1, c2, c3, c,
+          CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS key
+        FROM fp, range(0, 4) t(c))
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocked a JOIN blocked b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 8
+      ORDER BY id_a, id_b
+    """
+    }),
 
     ("dedup_embedding", (s: SparkSession, dir: String) => {
       val base = t(s, dir, "embeddings").filter(col("vec_id") < 100)
