@@ -182,11 +182,11 @@ object Dedup {
     */
   def verifyJaccardStrings(candidates: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double, w: Int = 3): DataFrame = {
-    val g = docs.select(col(idCol).as("__vid"),
-      array_distinct(shingles(col(textCol), w)).as("__g"))
     val sides = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("__vid"))
-    sides.join(g, "__vid")
+    sides.join(docs.select(col(idCol).as("__vid"), col(textCol).as("__txt")), "__vid")
+      .select(col("id_a"), col("id_b"), col("__vid"),
+        array_distinct(shingles(col("__txt"), w)).as("__g"))
       .groupBy("id_a", "id_b")
       .agg(
         first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
@@ -304,20 +304,20 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, threshold: Double, w: Int = 3): DataFrame = {
-    // one streaming pass over the corpus: shingles are computed map-side
-    // and immediately filtered by the (small, broadcast) candidate side of
-    // the join, so no shingle array of a non-candidate doc ever reaches an
-    // exchange — O(corpus) CPU, O(candidates) shuffle, at any scale
-    // gram HASHES, not string shingles: set intersection over longs, same
-    // jaccard up to negligible 64-bit collisions (two projections so the
-    // token-hash array isn't re-tokenized per gramHashes slice)
-    val g = docs
-      .select(col(idCol).as("__vid"),
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
-      .select(col("__vid"), array_distinct(gramHashes(col("__th"), w)).as("__g"))
+    // join FIRST (small candidate side broadcast against the raw corpus),
+    // tokenize + gram-hash AFTER: shingle arrays are computed only for the
+    // O(candidate-pair-sides) matched rows, never for the other ~100% of
+    // the corpus — the join probe touches just (id, text). Gram HASHES,
+    // not string shingles: set intersection over longs, same jaccard up
+    // to negligible 64-bit collisions (two projections so the token-hash
+    // array isn't re-tokenized per gramHashes slice)
     val sides = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("__vid"))
-    sides.join(g, "__vid")
+    sides.join(docs.select(col(idCol).as("__vid"), col(textCol).as("__txt")), "__vid")
+      .select(col("id_a"), col("id_b"), col("__vid"),
+        transform(TextOps.tokens(col("__txt")), t => xxhash64(t)).as("__th"))
+      .select(col("id_a"), col("id_b"), col("__vid"),
+        array_distinct(gramHashes(col("__th"), w)).as("__g"))
       .groupBy("id_a", "id_b")
       .agg(
         first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
