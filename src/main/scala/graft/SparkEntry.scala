@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.LakeQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.FuncQueries.queries
+      graft.queries.FuncQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Analytics.oracle ++
       graft.queries.LakeQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
-      graft.queries.FuncQueries.oracle
+      graft.queries.FuncQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

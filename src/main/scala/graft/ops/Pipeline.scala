@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * splitting/sampling, exact scalable prefix sums, token-budget selection
+  * and sequence packing. The reference has no counterpart (it is a lake
+  * connector); these extend the engine the way `graft.ops.Dedup`/`TextOps`
+  * do, with the same two design rules:
+  *
+  *  - **Determinism over RNG.** Every sampling/split decision is a pure
+  *    function of a row key (md5 bucket), never `rand()`: reruns, retried
+  *    tasks, and other engines (the DuckDB oracle) reproduce the exact
+  *    same membership — the property you need for auditable 100 TB corpus
+  *    builds (and what makes these gate-checkable at all).
+  *  - **No single-task bottlenecks.** The global running totals that
+  *    budget cuts and packing need are computed as a two-phase distributed
+  *    prefix sum (per-range-partition window + broadcast offsets), not a
+  *    global `Window.orderBy` — which Spark executes on ONE task and which
+  *    is the classic 100 TB cliff.
+  */
+object Pipeline {
+
+  /** 256-bucket deterministic hash of a key: the first two hex chars of
+    * md5(key as string). Uniform, engine-portable (any SQL engine with
+    * md5 computes the identical bucket), and stable across runs/retries —
+    * the bucketing primitive under [[split3]] and [[stratifiedSample]].
+    */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
+
+  /** Largest bucket label included when keeping `buckets` of the 256. */
+  private def hexThreshold(buckets: Int): String = f"${buckets - 1}%02x"
+
+  /** Deterministic train/val/test assignment: `trainBuckets` + `valBuckets`
+    * + rest of the 256 hash buckets (defaults 230/13/13 ≈ 90/5/5%). A
+    * document's split never changes as the corpus grows — membership
+    * depends only on its own key, so incremental corpus builds keep prior
+    * assignments (unlike fraction-based `randomSplit`).
+    */
+  def split3(key: Column, trainBuckets: Int = 230, valBuckets: Int = 13): Column = {
+    require(trainBuckets > 0 && valBuckets > 0 && trainBuckets + valBuckets < 256,
+      "train/val bucket counts must each be >0 and sum below 256")
+    val b = hashBucket(key)
+    when(b <= lit(hexThreshold(trainBuckets)), lit("train"))
+      .when(b <= lit(hexThreshold(trainBuckets + valBuckets)), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic stratified sampling: keep `buckets(stratum)` (default
+    * `defaultBuckets`) of the 256 hash buckets within each stratum —
+    * per-stratum rates in 256ths. One codegen'd filter, no shuffle, no
+    * RNG; rates hold per stratum because the hash is independent of the
+    * stratum column.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: Column,
+      buckets: Map[String, Int], defaultBuckets: Int): DataFrame = {
+    val thr = buckets.foldLeft(lit(hexThreshold(defaultBuckets))) {
+      case (acc, (stratum, n)) => when(strataCol === stratum, lit(hexThreshold(n))).otherwise(acc)
+    }
+    df.filter(hashBucket(keyCol) <= thr)
+  }
+
+  /** Exact running total of `value` over the total order `order` (which
+    * must be total — include a unique tiebreaker), appended as column
+    * `out` (LongType).
+    *
+    * Two-phase distributed prefix sum: range-partition by the sort key,
+    * per-partition window cumsum, then add each partition's starting
+    * offset (the scan of per-partition totals — one tiny driver-side
+    * array, one broadcast join). The result is identical to
+    * `sum(value).over(Window.orderBy(order))` but runs on all executors;
+    * the single-partition global window that Spark would otherwise use is
+    * the canonical scale cliff for running totals.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(value.cast("long")).over(w))
+    // per-partition totals: one row per non-empty partition (sum, not the
+    // max of the local cumsum — correct for negative values too)
+    val totals = local.groupBy("__pid").agg(sum(value.cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    import spark.implicits._
+    val offDf = (0 until parts).map(p => (p, offsets(p))).toDF("__pid", "__off")
+    local.join(broadcast(offDf), "__pid")
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Greedy-by-offset sequence packing: in the total order `order`, assign
+    * each document to training batch `floor(startOffset / budget)` where
+    * startOffset is the running token total BEFORE the document. Batches
+    * are contiguous ~budget-token spans (a straddling document belongs to
+    * the batch it starts in) — the deterministic, shuffle-light packing
+    * used to chunk a corpus into fixed-token training shards. Adds
+    * `out` (batch id, LongType) and `outCum` (running total INCLUDING the
+    * row).
+    */
+  def packByBudget(df: DataFrame, order: Seq[Column], tokens: Column,
+      budget: Long, out: String, outCum: String = "__cum"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    prefixSum(df, order, tokens, outCum)
+      .withColumn(out, floor((col(outCum) - tokens.cast("long")) / lit(budget)))
+  }
+}

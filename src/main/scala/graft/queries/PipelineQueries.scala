@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pipeline, TextOps}
+
+/** Correctness-gate entries for corpus-assembly pipeline operators
+  * (deterministic splits/sampling, token-budget curation, sequence
+  * packing) plus delegated-surface coverage that earlier modules don't
+  * exercise: exact interpolated percentiles, distribution window
+  * functions (percent_rank/cume_dist/ntile), bivariate statistical
+  * aggregates, pivot/unpivot, and the watermarked append-mode streaming
+  * aggregation. Every entry is DuckDB-oracle-able: hash-based decisions
+  * (md5 buckets) instead of RNG, rounded doubles, total ORDER BYs.
+  */
+object PipelineQueries {
+  import Tables.t
+
+  /** Shared corpus for the curation entries: documents plus EXACT copies
+    * (doc_id+200000) of every fifth document, so the exact-dedup stage is
+    * load-bearing in the end-to-end pipeline.
+    */
+  private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L))
+  }
+
+  private val dupedCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    // ---------------------------------------------------------------
+    // Deterministic splitting & sampling
+    // ---------------------------------------------------------------
+
+    ("pipe_split_hash", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .withColumn("split", Pipeline.split3(col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }, """
+      SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'f2' THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY 1 ORDER BY 1
+    """),
+
+    ("pipe_stratified_sample", (s: SparkSession, dir: String) => {
+      // downsample dominant 'en' to 32/256 (~12.5%), keep half of the rest
+      Pipeline.stratifiedSample(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), Map("en" -> 32), defaultBuckets = 128)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE substr(md5(doc_id::VARCHAR), 1, 2) <=
+        CASE WHEN lang = 'en' THEN '1f' ELSE '7f' END
+      ORDER BY doc_id
+    """),
+
+    // ---------------------------------------------------------------
+    // End-to-end curation: quality filter -> exact dedup -> budget cut
+    // ---------------------------------------------------------------
+
+    ("pipe_curation", (s: SparkSession, dir: String) => {
+      val scored = dupedDocs(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
+          TextOps.fingerprint(col("text")).as("__fp"))
+        .filter(col("quality") >= 0.91)
+      val dedup = scored
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__fp").orderBy("doc_id")))
+        .filter(col("__rn") === 1)
+      val budgeted = Pipeline.prefixSum(dedup,
+        Seq(col("quality").desc, col("doc_id")), col("n_tok"), "cum_tok")
+      budgeted.filter(col("cum_tok") <= 8000L)
+        .select("doc_id", "quality", "n_tok", "cum_tok")
+        .orderBy("cum_tok")
+    }, s"""
+      WITH $dupedCorpusSql,
+      scored AS (
+        SELECT doc_id,
+          round(
+            (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1)) * 0.5
+            + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)) * 0.2
+            + (CASE WHEN n_tok0 > 0 AND alnum / n_tok0 BETWEEN 2 AND 12 THEN 1.0 ELSE 0.5 END) * 0.2
+            + (CASE WHEN stops > 0 THEN 1.0 ELSE 0.7 END) * 0.1 + 0.000000001, 4) AS quality,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))
+            + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS n_tok,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM (
+          SELECT *,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n_tok0,
+            length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+            len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS stops
+          FROM corpus)
+        WHERE quality >= 0.91),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM scored) WHERE rn = 1),
+      budgeted AS (
+        SELECT doc_id, quality, n_tok,
+          CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM dedup)
+      SELECT doc_id, quality, n_tok, cum_tok
+      FROM budgeted WHERE cum_tok <= 8000 ORDER BY cum_tok
+    """),
+
+    ("pipe_pack_batches", (s: SparkSession, dir: String) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      Pipeline.packByBudget(toks, Seq(col("doc_id")), col("n_tok"),
+          budget = 4000L, out = "batch_id")
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("batch_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("batch_id")
+    }, """
+      WITH toks AS (
+        SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+            + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS n_tok
+        FROM documents),
+      packed AS (
+        SELECT doc_id, n_tok,
+          CAST(floor((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tok) / 4000.0) AS BIGINT) AS batch_id
+        FROM toks)
+      SELECT batch_id, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS batch_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed GROUP BY 1 ORDER BY 1
+    """),
+
+    // ---------------------------------------------------------------
+    // Exact interpolated percentiles (sort-based aggregate)
+    // ---------------------------------------------------------------
+
+    ("agg_quantiles", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+        .orderBy("lang")
+    }, """
+      SELECT lang, count(*) AS n,
+        round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        round(quantile_cont(n_chars, 0.99), 4) AS p99
+      FROM documents GROUP BY lang ORDER BY lang
+    """),
+
+    // ---------------------------------------------------------------
+    // Distribution window functions
+    // ---------------------------------------------------------------
+
+    ("w_distribution_funcs", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("c_mktsegment", "acctbal", "c_custkey")
+    }, """
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd,
+        CAST(ntile(10) OVER w AS INT) AS decile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_mktsegment, acctbal, c_custkey
+    """),
+
+    // ---------------------------------------------------------------
+    // Bivariate statistical aggregates
+    // ---------------------------------------------------------------
+
+    ("agg_stats_funcs", (s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qty_disc"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_tax")), 6).as("var_tax"),
+          round(expr("regr_slope(l_discount, l_quantity)"), 6).as("slope_disc_qty"),
+          round(expr("regr_intercept(l_discount, l_quantity)"), 6).as("icept_disc_qty"))
+        .orderBy("l_returnflag")
+    }, """
+      SELECT l_returnflag, count(*) AS n,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        round(covar_pop(l_quantity, l_discount), 6) AS covp_qty_disc,
+        round(stddev_samp(l_discount), 6) AS sd_disc,
+        round(var_samp(l_tax), 6) AS var_tax,
+        round(regr_slope(l_discount, l_quantity), 6) AS slope_disc_qty,
+        round(regr_intercept(l_discount, l_quantity), 6) AS icept_disc_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+
+    // ---------------------------------------------------------------
+    // Pivot / unpivot
+    // ---------------------------------------------------------------
+
+    ("ev_pivot_type", (s: SparkSession, dir: String) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, dir, "events")
+        .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+      types.foldLeft(wide) { (df, ty) =>
+          df.withColumn(s"n_$ty", coalesce(col(ty), lit(0L))).drop(ty)
+        }
+        .orderBy("user_id")
+    }, """
+      SELECT user_id,
+        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+        CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+      FROM events GROUP BY user_id ORDER BY user_id
+    """),
+
+    ("ev_unpivot_type", (s: SparkSession, dir: String) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, dir, "events")
+        .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+      wide.unpivot(Array(col("user_id")),
+          types.map(ty => coalesce(col(ty), lit(0L)).as(ty)).toArray,
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }, """
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+
+    // ---------------------------------------------------------------
+    // Watermarked append-mode streaming
+    // ---------------------------------------------------------------
+
+    ("stream_watermark_append", (s: SparkSession, dir: String) => {
+      graft.streaming.EventStream.hourlyCountsAppend(s, dir)
+    }, """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      ORDER BY 1, 2
+    """)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracle: Map[String, String] =
+    defs.filter(_._3 != null)
+      .map { case (n, _, o) => n -> o.stripMargin.trim.replaceAll("\\s+", " ") }.toMap
+}

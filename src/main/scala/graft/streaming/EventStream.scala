@@ -51,6 +51,74 @@ object EventStream {
   }
 
   private val staged = scala.collection.concurrent.TrieMap[String, String]()
+  private val stagedOrdered = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Watermarked hourly aggregation in APPEND mode: only windows the
+    * 1-hour watermark has closed are ever emitted, which is the real
+    * production shape (bounded state, rows finalized exactly once — a
+    * downstream sink never sees a window twice). Driven to completion the
+    * emitted set is exactly the windows with `end <= max(ts) - 1h`,
+    * independent of micro-batch boundaries, so a batch SQL oracle can
+    * hash-check a watermark semantics end-to-end.
+    *
+    * The source files are staged in event-time order (see
+    * [[stagingPathTimeOrdered]]): the watermark is monotone in the maximum
+    * seen event time, so time-ordered ingestion guarantees no row arrives
+    * behind the watermark and nothing is dropped — the same contract a
+    * time-ordered log (Kafka per-partition, CDC) gives at scale.
+    */
+  def hourlyCountsAppend(spark: SparkSession, dir: String): DataFrame = {
+    val batch = eventsDF(spark, dir)
+    val name = s"stream_wm_${UUID.randomUUID().toString.take(8)}"
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagingPathTimeOrdered(spark, batch, dir))
+    // watermarks require TimestampType; session tz is UTC so the
+    // ntz->tz->ntz round trip is value-preserving
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Stage events as multiple parquet files in strictly increasing
+    * event-time order (file N holds older events than file N+1, and has an
+    * older modification time, which is the order FileStreamSource consumes
+    * them in) — the deterministic stand-in for a time-ordered log.
+    */
+  private def stagingPathTimeOrdered(spark: SparkSession, batch: DataFrame,
+      dir: String): String =
+    stagedOrdered.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft-stream-ord-${UUID.randomUUID().toString.take(8)}"
+      val bounds = batch.agg(min(col("ts")), max(col("ts"))).head()
+      val cuts = {
+        val loTs = bounds.getAs[java.time.LocalDateTime](0)
+        val hiTs = bounds.getAs[java.time.LocalDateTime](1)
+        val span = java.time.Duration.between(loTs, hiTs)
+        (1 until 3).map(i => loTs.plus(span.dividedBy(3).multipliedBy(i)))
+      }
+      val chunks = Seq(
+        batch.filter(col("ts") < lit(cuts(0))),
+        batch.filter(col("ts") >= lit(cuts(0)) && col("ts") < lit(cuts(1))),
+        batch.filter(col("ts") >= lit(cuts(1))))
+      chunks.foreach { c =>
+        c.coalesce(1).write.mode("append").parquet(p)
+        Thread.sleep(30) // distinct mtimes => FileStreamSource keeps order
+      }
+      p
+    })
 
   final case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
 

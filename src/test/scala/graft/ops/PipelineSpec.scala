@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Behavior specs for the corpus-assembly operators: the distributed
+  * prefix sum must be exactly the single-window running total, splits and
+  * samples must be deterministic with the advertised rates, and packing
+  * must produce contiguous bounded batches.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("prefixSum equals the single-partition global window exactly") {
+    val toks = docs.select(col("doc_id"),
+      TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+    val dist = Pipeline.prefixSum(toks, Seq(col("doc_id")), col("n_tok"), "cum")
+      .select("doc_id", "cum")
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = toks.withColumn("cum", sum("n_tok").over(w)).select("doc_id", "cum")
+    assert(dist.except(global).isEmpty && global.except(dist).isEmpty)
+  }
+
+  test("prefixSum over a descending, tied order stays a correct running total") {
+    // quality-style key with heavy ties: the doc_id tiebreaker must make
+    // the order total and the cumsum reproducible
+    val df = docs.select(col("doc_id"), (col("n_chars") % 7).as("k"),
+      lit(1L).as("one"))
+    val order = Seq(col("k").desc, col("doc_id"))
+    val dist = Pipeline.prefixSum(df, order, col("one"), "cum")
+    val rows = dist.orderBy(col("k").desc, col("doc_id"))
+      .select("cum").collect().map(_.getLong(0))
+    assert(rows.toSeq == (1L to rows.length).toSeq)
+  }
+
+  test("split3 is deterministic, covers every row, and hits ~90/5/5") {
+    val n = docs.count().toDouble
+    val splits = docs.withColumn("s", Pipeline.split3(col("doc_id")))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum.toDouble == n)
+    assert(splits("train") / n > 0.8 && splits("train") / n < 0.97)
+    // same assignment on every evaluation (pure function of the key)
+    val again = docs.withColumn("s", Pipeline.split3(col("doc_id")))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits == again)
+  }
+
+  test("stratifiedSample applies per-stratum rates and never invents rows") {
+    val sampled = Pipeline.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 32), defaultBuckets = 128)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.03 && enRate < 0.25, s"en rate $enRate not ~12.5%")
+    totals.keys.filterNot(_ == "en").foreach { l =>
+      val r = byLang.getOrElse(l, 0L).toDouble / totals(l)
+      assert(r > 0.25 && r < 0.75, s"$l rate $r not ~50%")
+    }
+    // subset property
+    assert(sampled.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
+  test("packByBudget yields contiguous batches bounded by budget + one straddler") {
+    val toks = docs.select(col("doc_id"),
+      TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+    val budget = 1000L
+    val packed = Pipeline.packByBudget(toks, Seq(col("doc_id")), col("n_tok"),
+      budget, "batch_id")
+    val maxTok = toks.agg(max("n_tok")).head().getLong(0)
+    val per = packed.groupBy("batch_id")
+      .agg(sum("n_tok").as("t"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("batch_id").collect()
+    // each batch holds at most budget + the largest straddling doc
+    per.foreach(r => assert(r.getLong(1) <= budget + maxTok))
+    // batches partition the id range contiguously (no interleaving)
+    per.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ =>
+    }
+    // batch ids are dense from 0
+    assert(per.map(_.getLong(0)).toSeq == per.indices.map(_.toLong))
+  }
+}
