@@ -23,7 +23,10 @@ object Bench {
       Seq("txt_token_stats", "txt_quality", "txt_langid", "dedup_exact",
         "dedup_minhash", "sim_bruteforce_topk", "mm_decode_meta",
         "lake_scan_agg", "lake_mor_deletes", "lake_encrypted_scan",
-        "lake_partition_prune")
+        "lake_partition_prune",
+        "pipe_curation", "pipe_pack_batches", "pipe_split_hash",
+        "agg_quantiles", "agg_stats_funcs", "w_distribution_funcs",
+        "ev_pivot_type")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

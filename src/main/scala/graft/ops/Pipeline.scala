@@ -75,21 +75,24 @@ object Pipeline {
     * the canonical scale cliff for running totals.
     */
   def prefixSum(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
-    val spark = df.sparkSession
-    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__local", sum(value.cast("long")).over(w))
-    // per-partition totals: one row per non-empty partition (sum, not the
-    // max of the local cumsum — correct for negative values too)
-    val totals = local.groupBy("__pid").agg(sum(value.cast("long")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-    import spark.implicits._
-    val offDf = (0 until parts).map(p => (p, offsets(p))).toDF("__pid", "__off")
-    local.join(broadcast(offDf), "__pid")
+    // partition starting offsets: per-partition totals (one row per
+    // partition) prefix-summed by a window over __pid — that window runs
+    // on #partitions rows, so the "global order" it needs is trivially
+    // small at any data scale. Everything stays in ONE job: both branches
+    // consume the same range exchange, which Catalyst's ReuseExchange
+    // materializes once (a driver-side collect of the totals would run a
+    // separate job and recompute the whole upstream).
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(sum(value.cast("long")).as("__t"))
+      .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
       .withColumn(out, col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
   }

@@ -76,8 +76,12 @@ object PipelineQueries {
     // ---------------------------------------------------------------
 
     ("pipe_curation", (s: SparkSession, dir: String) => {
+      // project the text away before any shuffle: quality/tokens/
+      // fingerprint are computed in the scan stage, and only the narrow
+      // (id, quality, n_tok, fp) rows flow into the dedup + prefix-sum
+      // exchanges — at corpus scale the raw text never moves
       val scored = dupedDocs(s, dir)
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
           TextOps.fingerprint(col("text")).as("__fp"))
