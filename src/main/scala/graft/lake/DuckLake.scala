@@ -720,6 +720,33 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     store.cloneTable(dstSchema, resolveTable(src, store.currentSnapshot).tableId, dstTable)
   }
 
+  /** Tag a snapshot with a stable name, resolvable in SQL time travel as
+    * `VERSION AS OF '<tag>'` — the human-readable ref layer over snapshot
+    * ids (retagging moves the ref; Iceberg-tag-style, an extension over
+    * the reference). Purely numeric names are rejected: they would shadow
+    * snapshot ids in time-travel resolution.
+    */
+  def tagSnapshot(tag: String, snapshot: Long): Unit = {
+    PathResolver.validateName(tag)
+    if (tag.forall(_.isDigit))
+      throw new InvalidConfigException(s"tag name must not be numeric: $tag")
+    if (!store.snapshotExists(snapshot))
+      throw new InvalidSnapshotException(s"snapshot $snapshot does not exist")
+    store.tagSnapshot(tag, snapshot)
+  }
+
+  /** Resolve a tag to its snapshot id. */
+  def snapshotForTag(tag: String): Option[Long] = store.snapshotForTag(tag)
+
+  /** Drop a tag; true if it existed. The snapshot itself is untouched. */
+  def dropTag(tag: String): Boolean = store.dropTag(tag)
+
+  /** All tags as (tag_name, snapshot_id, created_at). */
+  def tagsDF: DataFrame = {
+    import spark.implicits._
+    store.tags.toDF("tag_name", "snapshot_id", "created_at")
+  }
+
   /** Expire time travel below `before` (newest snapshot always kept).
     * Expired snapshots stop resolving; [[vacuum]] may then delete files
     * only those snapshots could see.

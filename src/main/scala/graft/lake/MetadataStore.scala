@@ -180,10 +180,32 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  query_column_names CLOB(32K),
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT)""".stripMargin)
+        // named snapshot refs (tags): a human-readable alias for a
+        // snapshot id, resolvable in SQL time travel (VERSION AS OF
+        // 'tag'). Refs, not snapshot-versioned rows: retagging replaces.
+        st.executeUpdate(
+          """CREATE TABLE ducklake_tag(
+            |  tag_name VARCHAR(1024) NOT NULL PRIMARY KEY,
+            |  snapshot_id BIGINT NOT NULL,
+            |  created_at TIMESTAMP NOT NULL)""".stripMargin)
         // snapshot 0 = empty catalog, like the reference's initial snapshot
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
       } finally st.close()
+    }
+    // catalogs bootstrapped before tags existed: add the table in place
+    val hasTags = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_TAG", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasTags) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE ducklake_tag(
+          |  tag_name VARCHAR(1024) NOT NULL PRIMARY KEY,
+          |  snapshot_id BIGINT NOT NULL,
+          |  created_at TIMESTAMP NOT NULL)""".stripMargin)
+      finally st.close()
     }
   }
 
@@ -232,6 +254,26 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def snapshots: Seq[(Long, java.sql.Timestamp)] =
     query("SELECT snapshot_id, snapshot_time FROM ducklake_snapshot ORDER BY snapshot_id")(
       rs => (rs.getLong(1), rs.getTimestamp(2)))
+
+  // ---------- snapshot tags (named refs) ----------
+
+  /** Create or move a tag to `snap` (upsert — a ref, not history). */
+  def tagSnapshot(name: String, snap: Long): Unit = synchronized {
+    update("DELETE FROM ducklake_tag WHERE tag_name = ?", Seq(name))
+    update("INSERT INTO ducklake_tag VALUES (?, ?, CURRENT_TIMESTAMP)", Seq(name, snap))
+  }
+
+  def snapshotForTag(name: String): Option[Long] =
+    query("SELECT snapshot_id FROM ducklake_tag WHERE tag_name = ?",
+      Seq(name))(_.getLong(1)).headOption
+
+  /** Drop a tag; true if it existed. */
+  def dropTag(name: String): Boolean =
+    update("DELETE FROM ducklake_tag WHERE tag_name = ?", Seq(name)) > 0
+
+  def tags: Seq[(String, Long, java.sql.Timestamp)] =
+    query("SELECT tag_name, snapshot_id, created_at FROM ducklake_tag ORDER BY tag_name")(
+      rs => (rs.getString(1), rs.getLong(2), rs.getTimestamp(3)))
 
   def listSchemas(snap: Long): Seq[SchemaRec] =
     query(s"SELECT schema_id, schema_name, path, path_is_relative FROM ducklake_schema WHERE $Vis ORDER BY schema_id",

@@ -121,14 +121,17 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, lake.currentSnapshot)
 
-  /** SQL time travel `… VERSION AS OF <snapshot_id>` — the read-side time
-    * travel the reference lists as a roadmap gap (README.md "Known
-    * Limitations"); our snapshot-pinned scans make it a one-line mapping.
+  /** SQL time travel `… VERSION AS OF <snapshot_id | 'tag'>` — the
+    * read-side time travel the reference lists as a roadmap gap
+    * (README.md "Known Limitations"); our snapshot-pinned scans make it a
+    * one-line mapping. Non-numeric versions resolve through the snapshot
+    * tag table (named refs).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val snap = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"DuckLake version must be a snapshot id, got: $version")
+      case _: NumberFormatException =>
+        lake.snapshotForTag(version).getOrElse(throw new IllegalArgumentException(
+          s"DuckLake version must be a snapshot id or a known tag, got: $version"))
     }
     loadAt(ident, snap)
   }

@@ -614,6 +614,23 @@ object LakeQueries {
       FROM orders GROUP BY 1 ORDER BY 1
     """),
 
+    ("lake_tag_read", (s: SparkSession, dir: String) => {
+      // named snapshot refs: tag the pre-append orders snapshot and time
+      // travel by tag name through SQL — oracle is plain orders (v1)
+      val (lake, marks) = fixture(s, dir)
+      lake.tagSnapshot("orders-v1", marks("orders_v1"))
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM ducklake.main.orders VERSION AS OF 'orders-v1'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }, """
+      SELECT o_orderstatus, count(*) AS n,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+
     ("lake_stream_incremental", (s: SparkSession, dir: String) => {
       // snapshot-incremental MicroBatchStream driven to completion: the
       // stream consumes both orders commits (v1 CTAS + v2 append) as

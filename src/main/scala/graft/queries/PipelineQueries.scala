@@ -263,6 +263,72 @@ object PipelineQueries {
     """),
 
     // ---------------------------------------------------------------
+    // Approximate sketches, gated against exact values: the query emits
+    // the EXACT aggregate (oracle-checkable) plus a boolean asserting the
+    // sketch landed within its error bound — so the probabilistic
+    // operator still hash-matches a deterministic oracle
+    // ---------------------------------------------------------------
+
+    ("agg_approx_distinct", (s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"),
+          approx_count_distinct("user_id").as("__approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")) <=
+            col("n_exact") * 0.15).as("approx_ok"))
+        .orderBy("event_type")
+    }, """
+      SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+
+    ("agg_approx_quantile", (s: SparkSession, dir: String) => {
+      t(s, dir, "events").groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          expr("percentile_approx(value, 0.5, 10000)").as("__p50_approx"))
+        .select(col("event_type"), col("p50_exact"),
+          (abs(col("__p50_approx") - col("p50_exact")) <= 1.0).as("approx_ok"))
+        .orderBy("event_type")
+    }, """
+      SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        true AS approx_ok
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+
+    // ---------------------------------------------------------------
+    // Time-series gap filling: generated hourly spine LEFT JOIN counts
+    // ---------------------------------------------------------------
+
+    ("ev_gapfill_hours", (s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hour"))
+      val counts = ev.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      spine.join(counts, Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("hour")
+    }, """
+      WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+      spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+      counts AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+          round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        coalesce(c.sum_value, 0.0) AS sum_value
+      FROM spine s LEFT JOIN counts c ON s.hour = c.hour ORDER BY 1
+    """),
+
+    // ---------------------------------------------------------------
     // Watermarked append-mode streaming
     // ---------------------------------------------------------------
 

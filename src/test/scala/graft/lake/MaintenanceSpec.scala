@@ -230,4 +230,41 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.rc_dst").count() == 20)
     assert(lake.table("main.rc_src").count() == 20)
   }
+
+  test("snapshot tags: create, resolve in SQL time travel, retag, drop") {
+    import spark.implicits._
+    lake.createTableAs((1 to 10).map(i => (i.toLong, s"t$i")).toDF("k", "s")
+      .coalesce(1), "main.tagged")
+    val v1 = lake.currentSnapshot
+    lake.insertInto((11 to 15).map(i => (i.toLong, s"t$i")).toDF("k", "s"),
+      "main.tagged")
+    lake.tagSnapshot("release-1", v1)
+    assert(lake.snapshotForTag("release-1").contains(v1))
+    // SQL resolution through the catalog plugin
+    spark.conf.set("spark.sql.catalog.ducklake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    assert(spark.sql(
+      "SELECT count(*) FROM ducklake.main.tagged VERSION AS OF 'release-1'")
+      .head().getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.tagged")
+      .head().getLong(0) == 15)
+    // retag moves the ref
+    lake.tagSnapshot("release-1", lake.currentSnapshot)
+    assert(spark.sql(
+      "SELECT count(*) FROM ducklake.main.tagged VERSION AS OF 'release-1'")
+      .head().getLong(0) == 15)
+    // guards: numeric names shadow snapshot ids; missing snapshots refuse
+    intercept[InvalidConfigException](lake.tagSnapshot("123", v1))
+    intercept[InvalidSnapshotException](lake.tagSnapshot("ghost", 999999L))
+    // unknown tag in SQL is a clear error
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM ducklake.main.tagged VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("nope"))
+    // drop removes resolution, data untouched
+    assert(lake.dropTag("release-1"))
+    assert(!lake.dropTag("release-1"))
+    assert(lake.table("main.tagged").count() == 15)
+  }
 }
