@@ -445,6 +445,32 @@ object LakeQueries {
       ORDER BY r_regionkey
     """),
 
+    ("lake_sql_merge_full", (s: SparkSession, dir: String) => {
+      // full three-clause MERGE: matched update, unmatched insert, and
+      // NOT MATCHED BY SOURCE delete — rows absent from the source are
+      // purged (the complete sync-from-source DML shape)
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.merge_full")) {
+        lake.createTableAs(t(s, dir, "region").coalesce(1), "main.merge_full")
+        s.range(1, 4).select(col("id").cast("int").as("k"))
+          .unionByName(s.range(80, 81).select(col("id").cast("int").as("k")))
+          .createOrReplaceTempView("merge_full_src")
+        s.sql("""
+          MERGE INTO ducklake.main.merge_full r
+          USING merge_full_src s ON r.r_regionkey = s.k
+          WHEN MATCHED THEN UPDATE SET r_name = concat('u_', r.r_name)
+          WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name) VALUES (s.k, 'new')
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      }
+      lake.table("main.merge_full").orderBy("r_regionkey")
+    }, """
+      SELECT r_regionkey, concat('u_', r_name) AS r_name
+      FROM region WHERE r_regionkey IN (1, 2, 3)
+      UNION ALL
+      SELECT 80, 'new'
+      ORDER BY r_regionkey
+    """),
+
     ("lake_stream_sink", (s: SparkSession, dir: String) => {
       // streaming INGESTION: writeStream.toTable into the lake (per-epoch
       // append snapshots), then a batch read back — oracle is the nation

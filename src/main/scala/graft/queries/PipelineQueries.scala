@@ -329,6 +329,29 @@ object PipelineQueries {
     """),
 
     // ---------------------------------------------------------------
+    // Embedding mean pooling: per-label centroids, element-wise. The
+    // posexplode → (label, pos) hash-agg shape is the scalable mean-pool:
+    // one shuffle keyed on (label, dim), map-side partial sums, no
+    // driver-side vectors — the same plan at 100 TB
+    // ---------------------------------------------------------------
+
+    ("emb_centroids", (s: SparkSession, dir: String) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), round(avg("v"), 4).as("centroid"))
+        .orderBy("label", "pos")
+    }, """
+      SELECT label, CAST(pos AS INT) AS pos, count(*) AS n,
+        round(avg(v), 4) AS centroid
+      FROM (
+        SELECT label, unnest(embedding) AS v,
+          unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+
+    // ---------------------------------------------------------------
     // Watermarked append-mode streaming
     // ---------------------------------------------------------------
 
