@@ -44,7 +44,7 @@ import graft.lake.{ColumnDef, DuckLake, TypeBridge, WriteMode}
   * refreshes after writes (tests/hybrid_asyncdb.rs:147).
   */
 class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
-    with SupportsNamespaces with ViewCatalog {
+    with SupportsNamespaces with ViewCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var metaDb: String = _
@@ -155,15 +155,19 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     new DuckLakeV2Table(lake, fullName(ident), snap, df.schema)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // only identity transforms (hive-style `PARTITIONED BY (col)`) map to
-    // the DuckLake partition model
-    val partNames = partitions.map { t =>
+  /** Only identity transforms (hive-style `PARTITIONED BY (col)`) map to
+    * the DuckLake partition model.
+    */
+  private def identityPartitionNames(partitions: Array[Transform]): Seq[String] =
+    partitions.map { t =>
       if (t.name() != "identity" || t.references().length != 1)
         throw new UnsupportedOperationException(s"partition transform: $t")
       t.references()(0).fieldNames().mkString(".")
     }.toSeq
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partNames = identityPartitionNames(partitions)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
     }.toSeq
@@ -173,6 +177,69 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     }
     lake.store.commitWrite(sch, tbl, cols, WriteMode.Append, Nil, partNames)
     new DuckLakeV2Table(lake, fullName(ident), lake.currentSnapshot, schema)
+  }
+
+  // ----- StagingTableCatalog: atomic CTAS / RTAS ---------------------
+  //
+  // Spark routes CREATE TABLE AS / REPLACE TABLE AS / CREATE OR REPLACE
+  // TABLE AS through stage* when the catalog supports staging; the staged
+  // table's visible state flips in ONE metadata transaction at
+  // commitStagedChanges (a non-staging catalog would drop + recreate,
+  // leaving a window with no table). REPLACE keeps table identity (time
+  // travel across the replace keeps resolving) and is evolution-checked:
+  // add/drop/promote schema changes pass, incompatible type changes fail
+  // the commit and leave the previous version intact.
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, info: TableInfo, replace: Boolean,
+      orCreate: Boolean): StagedTable = {
+    val tableName = fullName(ident)
+    val exists = lake.tableExists(tableName)
+    if (!replace && exists)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !exists) throw new NoSuchTableException(ident)
+    val stagedSchema = info.schema()
+    val partNames = identityPartitionNames(info.partitions())
+    new StagedTable with SupportsWrite {
+      private var stashed: Option[DataFrame] = None
+      override def name(): String = s"ducklake.$tableName"
+      override def schema(): StructType = stagedSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder with SupportsTruncate {
+          override def truncate(): WriteBuilder = this
+          override def build(): Write = new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              (data: DataFrame, _: Boolean) => { stashed = Some(data) }
+          }
+        }
+      override def commitStagedChanges(): Unit = stashed match {
+        case Some(df) =>
+          if (lake.tableExists(tableName)) lake.insertInto(df, tableName, WriteMode.Replace)
+          else lake.createTableAs(df, tableName, partitionBy = partNames)
+        case None => // REPLACE TABLE (no AS): schema-only new version
+          val cols = stagedSchema.fields.zipWithIndex.map { case (f, i) =>
+            ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+          }.toSeq
+          val (sch, tbl) = tableName.split('.') match {
+            case Array(s, t) => (s, t); case _ => ("main", ident.name())
+          }
+          lake.store.commitWrite(sch, tbl,
+            cols, if (lake.tableExists(tableName)) WriteMode.Replace else WriteMode.Append,
+            Nil, partNames)
+      }
+      // nothing moves outside commitStagedChanges; abort is a no-op
+      override def abortStagedChanges(): Unit = ()
+    }
   }
 
   /** ALTER TABLE: rename / drop / add-nullable column — the read-side

@@ -445,6 +445,27 @@ object LakeQueries {
       ORDER BY r_regionkey
     """),
 
+    ("lake_sql_replace_table", (s: SparkSession, dir: String) => {
+      // atomic RTAS through StagingTableCatalog: the second statement
+      // replaces contents AND schema in one commit; the read must see
+      // only the replacement (an append bug would double-count)
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.rtas")) {
+        s.sql("""CREATE TABLE ducklake.main.rtas AS
+          SELECT l_orderkey, l_quantity FROM ducklake.main.lineitem
+          WHERE l_linenumber = 1""")
+        s.sql("""CREATE OR REPLACE TABLE ducklake.main.rtas AS
+          SELECT l_orderkey, l_extendedprice FROM ducklake.main.lineitem
+          WHERE l_linenumber = 2""")
+      }
+      lake.table("main.rtas")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("total"))
+    }, """
+      SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+      FROM lineitem WHERE l_linenumber = 2
+    """),
+
     ("lake_sql_merge_full", (s: SparkSession, dir: String) => {
       // full three-clause MERGE: matched update, unmatched insert, and
       // NOT MATCHED BY SOURCE delete — rows absent from the source are

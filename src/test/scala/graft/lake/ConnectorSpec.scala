@@ -412,6 +412,28 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS ducklake.main.vw_items")
   }
 
+  test("atomic CREATE OR REPLACE TABLE AS via StagingTableCatalog") {
+    lake
+    spark.sql("CREATE TABLE ducklake.main.rt AS SELECT id, name FROM ducklake.main.items WHERE id <= 10")
+    assert(spark.table("ducklake.main.rt").count() == 10)
+    val before = lake.currentSnapshot
+    // atomic replace: new contents, same table identity
+    spark.sql("CREATE OR REPLACE TABLE ducklake.main.rt AS SELECT id, name FROM ducklake.main.items WHERE id <= 3")
+    assert(spark.table("ducklake.main.rt").count() == 3)
+    // time travel across the replace still resolves the old version
+    assert(spark.sql(s"SELECT count(*) FROM ducklake.main.rt VERSION AS OF $before")
+      .head().getLong(0) == 10)
+    // REPLACE TABLE AS on an existing table
+    spark.sql("REPLACE TABLE ducklake.main.rt AS SELECT id FROM ducklake.main.items WHERE id <= 5")
+    assert(spark.table("ducklake.main.rt").count() == 5)
+    // REPLACE TABLE of a missing table refuses; CREATE of an existing refuses
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE ducklake.main.rt_missing AS SELECT 1 AS x"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE ducklake.main.rt AS SELECT 1 AS x"))
+    spark.sql("DROP TABLE ducklake.main.rt")
+  }
+
   test("CREATE/DROP NAMESPACE through the catalog") {
     lake
     spark.sql("CREATE NAMESPACE ducklake.staging")
