@@ -294,6 +294,100 @@ object Analytics {
           FROM events GROUP BY 1, 2))
       WHERE rn <= 3
       ORDER BY event_type, rn
+    """),
+
+    ("join_full_outer", (s: SparkSession, dir: String) => {
+      // FULL OUTER equi join: nations vs the set of nations that actually
+      // have customers with open orders — both null sides exercised
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val activity = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("open_orders"))
+        // shift half the keys out of range so one side has true orphans
+        .withColumn("k", when(col("k") % 2 === 1, col("k") + 100).otherwise(col("k")))
+      n.join(activity, col("n_nationkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("n_nationkey"), lit(-1)).as("nation_key"),
+          coalesce(col("n_name"), lit("<none>")).as("n_name"),
+          coalesce(col("k"), lit(-1)).as("activity_key"),
+          coalesce(col("open_orders"), lit(0L)).as("open_orders"))
+        .orderBy("nation_key", "activity_key")
+    }, """
+      WITH activity AS (
+        SELECT CASE WHEN c_nationkey % 2 = 1 THEN c_nationkey + 100
+                    ELSE c_nationkey END AS k,
+               count(*) AS open_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY 1)
+      SELECT coalesce(n_nationkey, -1) AS nation_key,
+             coalesce(n_name, '<none>') AS n_name,
+             CAST(coalesce(k, -1) AS INT) AS activity_key,
+             CAST(coalesce(open_orders, 0) AS BIGINT) AS open_orders
+      FROM nation FULL OUTER JOIN activity ON n_nationkey = k
+      ORDER BY nation_key, activity_key
+    """),
+
+    ("setop_all_variants", (s: SparkSession, dir: String) => {
+      // EXCEPT ALL / INTERSECT ALL: multiset semantics (duplicates carry
+      // multiplicity), vs the DISTINCT set ops covered elsewhere
+      val a = t(s, dir, "lineitem").filter(col("l_quantity") <= 10)
+        .select(col("l_suppkey"))
+      val b = t(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+        .select(col("l_suppkey"))
+      val ia = a.intersectAll(b).groupBy("l_suppkey").agg(count(lit(1)).as("n_intersect"))
+      val ea = a.exceptAll(b).groupBy("l_suppkey").agg(count(lit(1)).as("n_except"))
+      ia.join(ea, Seq("l_suppkey"), "full_outer")
+        .select(col("l_suppkey"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("l_suppkey")
+    }, """
+      WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 10),
+           b AS (SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05),
+           ia AS (SELECT l_suppkey, count(*) AS n_intersect
+                  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+           ea AS (SELECT l_suppkey, count(*) AS n_except
+                  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+      SELECT coalesce(ia.l_suppkey, ea.l_suppkey) AS l_suppkey,
+             CAST(coalesce(n_intersect, 0) AS BIGINT) AS n_intersect,
+             CAST(coalesce(n_except, 0) AS BIGINT) AS n_except
+      FROM ia FULL OUTER JOIN ea ON ia.l_suppkey = ea.l_suppkey
+      ORDER BY l_suppkey
+    """),
+
+    ("sql_lateral_topk", (s: SparkSession, dir: String) => {
+      // correlated LATERAL subquery: top-2 orders per region — Catalyst
+      // decorrelates into a ranked join (DecorrelateInnerQuery)
+      Seq("region", "nation", "customer", "orders").foreach { tn =>
+        t(s, dir, tn).createOrReplaceTempView(s"lat_$tn")
+      }
+      s.sql("""
+        SELECT r.r_name, l.o_orderkey, l.o_totalprice
+        FROM lat_region r,
+        LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          FROM lat_orders o
+          JOIN lat_customer c ON o.o_custkey = c.c_custkey
+          JOIN lat_nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY o.o_totalprice DESC, o_orderkey
+          LIMIT 2) l
+        ORDER BY r.r_name, l.o_totalprice DESC, l.o_orderkey""")
+    }, """
+      SELECT r.r_name, l.o_orderkey, l.o_totalprice
+      FROM region r,
+      LATERAL (
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY o.o_totalprice DESC, o_orderkey
+        LIMIT 2) l
+      ORDER BY r.r_name, l.o_totalprice DESC, l.o_orderkey
     """)
   )
 
