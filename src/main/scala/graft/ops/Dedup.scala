@@ -99,32 +99,30 @@ object Dedup {
   /** MinHash+LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
     *
-    * Shuffle profile: explode(shingles) → map-side partial min-agg of the
-    * `numHashes` hash columns (one shuffled row per doc) → explode(bands)
-    * → groupBy bucket → local pair expansion; no quadratic join. The
-    * explode-then-aggregate shape tokenizes each document exactly once —
-    * an inline `array_min(transform(...))` signature expression would be
-    * re-evaluated per hash function by Catalyst's project collapsing
-    * (measured 100× slower at sf0.1).
+    * The whole sketch — numHashes minima and their band bucket keys — is
+    * computed by ONE fused codegen'd expression per document
+    * ([[graft.functions.MinHashBands]]): the only shuffle carries `bands`
+    * narrow (band, bucket, id) rows per doc into the bucket grouping.
+    * The earlier explode → per-gram shuffle → numHashes-column min-agg
+    * shape moved one row per (doc, gram) — ~60× more shuffled rows — and
+    * paid a full xxhash64 expression dispatch per derivation; an inline
+    * `array_min(transform(...))` per hash function is worse still
+    * (re-evaluated per use by Catalyst's project collapsing, measured
+    * 100× slower at sf0.1).
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    // token hashes materialized as a real column in their own projection:
-    // the multi-reference in gramHashes (w slices) would otherwise
-    // re-tokenize the document per slice (CollapseProject re-inlining)
-    val exploded = df
+    // token hashes materialized behind a generator boundary: the w slice
+    // references in gramHashes then share the bound column instead of
+    // re-tokenizing the document per slice (CollapseProject re-inlining)
+    val banded = df
       .select(col(idCol).as("__id"),
         transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
-      .select(col("__id"), explode(array_distinct(gramHashes(col("__th")))).as("__h"))
-    val mins = (0 until numHashes).map(i => min(derivedHash(col("__h"), i)).as(s"__h$i"))
-    val sig = exploded.groupBy("__id").agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      hash(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)
-    }
-    val banded = sig.select(col("__id"),
-      posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
+      .select(col("__id"), posexplode(
+        graft.functions.MinHashBands.minhashBands(
+          array_distinct(gramHashes(col("__th"))), numHashes, bands))
+        .as(Seq("__band", "__bucket")))
     val grouped = banded.groupBy("__band", "__bucket")
       .agg(collect_list("__id").as("__ids"))
       .filter(size(col("__ids")) > 1)
