@@ -616,23 +616,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       }
       val all = (matched ++ previous).toSeq.sorted
       if (matched.diff(previous).isEmpty) None
-      else {
-        val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
-        val delDir = s"${tableDirOf(name)}/deletes-${UUID.randomUUID()}"
-        val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
-        import spark.implicits._
-        val delWriter = keyOpt.foldLeft(
-          all.map(p => (path, p)).toDF("file_path", "pos").coalesce(1).write) { (w, k) =>
-          w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
-            .option(GraftCryptoFactory.EncryptKey, k)
-        }
-        delWriter.parquet(delDir)
-        val part = fs.listStatus(new Path(delDir))
-          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-        fs.rename(part, new Path(s"${tableDirOf(name)}/$delName"))
-        fs.delete(new Path(delDir), true)
-        Some(f.dataFileId -> FileToRegister(delName, all.size.toLong, 0L, 0L, Nil, keyOpt))
-      }
+      else Some(f.dataFileId -> writeDeletePositions(name, path, all))
     }
     // inlined rows matching the predicate are ended in the same snapshot
     val inlinedIds = inlinedDF(tr, cols, snap, withRowId = true) match {
@@ -641,6 +625,72 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
     if (deletes.isEmpty && inlinedIds.isEmpty) snap
     else store.commitDeletes(tr.tableId, deletes, inlinedIds)
+  }
+
+  /** Write one cumulative positional delete parquet (Iceberg-style
+    * `(file_path, pos)`) for the data file at `dataFilePath` into the
+    * table directory; `positions` is the full merged set.
+    */
+  private def writeDeletePositions(name: String, dataFilePath: String,
+      positions: Seq[Long]): FileToRegister = {
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
+    val delDir = s"${tableDirOf(name)}/deletes-${UUID.randomUUID()}"
+    val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
+    import spark.implicits._
+    val delWriter = keyOpt.foldLeft(
+      positions.map(p => (dataFilePath, p)).toDF("file_path", "pos").coalesce(1).write) { (w, k) =>
+      w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
+        .option(GraftCryptoFactory.EncryptKey, k)
+    }
+    delWriter.parquet(delDir)
+    val part = fs.listStatus(new Path(delDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(part, new Path(s"${tableDirOf(name)}/$delName"))
+    fs.delete(new Path(delDir), true)
+    FileToRegister(delName, positions.size.toLong, 0L, 0L, Nil, keyOpt)
+  }
+
+  /** Commit a row-level DELTA staged by the native delta writers (SQL
+    * UPDATE / MERGE, merge-on-read): appended-row files plus per-data-file
+    * deleted positions — merged with existing delete files and registered
+    * with the new data files in ONE snapshot. Cost is O(changed rows),
+    * never a table rewrite.
+    */
+  private[lake] def commitDeltaStaged(schemaName: String, tableName: String,
+      cols: Seq[ColumnDef], stagedNew: Seq[(Path, Seq[Option[String]])],
+      dataSchema: StructType, keyOpt: Option[String],
+      deletes: Seq[(Long, Array[Long])]): Long = {
+    val name = s"$schemaName.$tableName"
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val filesById = store.getDataFiles(tr.tableId, snap).map(f => f.dataFileId -> f).toMap
+    val merged = deletes.groupBy(_._1)
+      .map { case (fid, gs) => fid -> gs.flatMap(_._2).toSet }
+    val delRegs = merged.toSeq.sortBy(_._1).flatMap { case (fid, pos) =>
+      filesById.get(fid).map { f =>
+        val previous: Set[Long] = f.deleteFile match {
+          case Some(d) => reader(Seq(d.path -> d.encryptionKey))
+            .parquet(filePath(name, d.path))
+            .select("pos").collect().map(_.getLong(0)).toSet
+          case None => Set.empty
+        }
+        fid -> writeDeletePositions(name, filePath(name, f.path),
+          (pos ++ previous).toSeq.sorted)
+      }
+    }
+    val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, stagedNew,
+      dataSchema, keyOpt)
+    try store.commitRowDelta(schemaName, tableName, cols, newFiles, delRegs)
+    catch { case e: Throwable =>
+      cleanupRenamed(renamed)
+      val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+      delRegs.foreach { case (_, r) =>
+        try fs.delete(new Path(s"${tableDirOf(name)}/${r.path}"), false)
+        catch { case _: Throwable => () }
+      }
+      throw e
+    }
   }
 
   /** Move the table's inlined catalog rows into a parquet data file —

@@ -742,6 +742,33 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** One-snapshot commit of a row-level DELTA: new data files (appended
+    * rows) AND refreshed positional delete files together — the atomic
+    * unit under merge-on-read SQL UPDATE / MERGE (changed rows become
+    * visible exactly when the old versions disappear).
+    */
+  def commitRowDelta(schemaName: String, tableName: String, cols: Seq[ColumnDef],
+      newFiles: Seq[FileToRegister], deletes: Seq[(Long, FileToRegister)]): Long =
+    inSnapshotTxn { snap =>
+      if (newFiles.nonEmpty)
+        registerWrite(snap, TableWriteSpec(schemaName, tableName, cols,
+          WriteMode.Append, newFiles))
+      if (deletes.nonEmpty) {
+        val schema = getOrCreateSchema(schemaName, snap)
+        val table = getTableByName(schema.schemaId, tableName, snap)
+          .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
+        deletes.foreach { case (dataFileId, f) =>
+          update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
+            Seq(snap, dataFileId))
+          val id = nextId("ducklake_delete_file", "delete_file_id")
+          update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+            Seq(id, dataFileId, table.tableId, f.path, true, f.recordCount, snap,
+              f.encryptionKey.orNull))
+        }
+      }
+      snap
+    }
+
   /** Expire snapshots with id < `before` (the newest snapshot is never
     * expired): time travel below the cutoff stops resolving, and files
     * whose validity ended at or below the new minimum become vacuum

@@ -27,47 +27,54 @@ import graft.lake.crypto.GraftCryptoFactory
 final case class StagedFiles(files: Seq[(String, Seq[Option[String]])])
   extends WriterCommitMessage
 
-/** Native distributed write that REPLACES a lake table's visible rows —
-  * the write half of the SQL UPDATE / MERGE rewrite (group-based
-  * row-level operations replace whole groups; our group is the table).
-  * Executors stream rows into parquet-mr writers (one per hive partition
-  * they encounter, PME-encrypted when the lake is), the driver renames
-  * the staged files in and commits one Replace snapshot — same
-  * commit-or-cleanup protocol as the Spark-staged write path.
+/** One executor's delta output: staged insert files plus the (data file
+  * id → deleted file-local positions) pairs it recorded.
   */
-final class DuckLakeReplaceWrite(lake: DuckLake, fullName: String,
-    tableSchema: StructType) extends Write with BatchWrite {
+final case class DeltaStaged(files: Seq[(String, Seq[Option[String]])],
+    deletes: Array[(Long, Array[Long])]) extends WriterCommitMessage
+
+/** Native distributed DELTA write — the merge-on-read half of SQL
+  * UPDATE / MERGE (Spark's `SupportsDelta` row-level path): executors
+  * stream inserted rows into parquet-mr writers and record deleted row
+  * addresses (`_file_id`, `_pos`); the driver merges the positions into
+  * cumulative positional delete files and commits them with the new data
+  * files in ONE snapshot. Cost scales with changed rows, never with
+  * table size — the 100 TB property the copy-on-write rewrite lacks.
+  */
+final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
+    rowSchema: StructType) extends DeltaWrite with DeltaBatchWrite {
 
   private val (schemaName, tableName) = fullName.split('.') match {
     case Array(s, t) => (s, t)
     case _           => ("main", fullName)
   }
   private val partColNames = lake.partitionColumnsOf(fullName)
-  private val partIdx = partColNames.map(tableSchema.fieldIndex).toArray
+  private val partIdx = partColNames.map(rowSchema.fieldIndex).toArray
   private val dataSchema =
-    StructType(tableSchema.fields.filterNot(f => partColNames.contains(f.name)))
-  private val staging = s"${lake.dataPath}/.staging-${UUID.randomUUID()}"
+    StructType(rowSchema.fields.filterNot(f => partColNames.contains(f.name)))
+  private val staging = s"${lake.dataPath}/.staging-delta-${UUID.randomUUID()}"
   private val keyOpt =
     if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
 
-  override def toBatch: BatchWrite = this
+  override def toBatch: DeltaBatchWrite = this
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GroupDataWriterFactory(staging,
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new DeltaGroupWriterFactory(new GroupDataWriterFactory(staging,
       new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
-      tableSchema, partIdx, keyOpt)
+      rowSchema, partIdx, keyOpt))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
       lake.spark.sparkContext.hadoopConfiguration)
     try {
-      val staged = messages.toSeq.flatMap { case StagedFiles(fsq) => fsq }
+      val deltas = messages.toSeq.collect { case d: DeltaStaged => d }
+      val staged = deltas.flatMap(_.files)
         .map { case (name, pvs) => (new Path(s"$staging/$name"), pvs) }
-      val cols = tableSchema.fields.zipWithIndex.map { case (f, i) =>
+      val cols = rowSchema.fields.zipWithIndex.map { case (f, i) =>
         ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
       }.toSeq
-      lake.commitStaged(schemaName, tableName, cols, WriteMode.Replace,
-        staged, dataSchema, keyOpt, Nil)
+      lake.commitDeltaStaged(schemaName, tableName, cols, staged, dataSchema,
+        keyOpt, deltas.flatMap(_.deletes))
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -76,6 +83,39 @@ final class DuckLakeReplaceWrite(lake: DuckLake, fullName: String,
       lake.spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
   }
+}
+
+/** Executor-side delta writer: inserts delegate to the Group parquet
+  * writer (hive-partition splitting included); deletes accumulate row
+  * addresses. The row id layout is fixed by `SupportsDelta.rowId`:
+  * (_file_id BIGINT, _pos BIGINT).
+  */
+final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val insertWriter = inner.createWriter(partitionId, taskId)
+      private val deletes = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+
+      override def insert(row: InternalRow): Unit = insertWriter.write(row)
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        deletes.getOrElseUpdate(id.getLong(0), mutable.ArrayBuffer.empty) += id.getLong(1)
+
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val StagedFiles(files) = insertWriter.commit(): @unchecked
+        DeltaStaged(files, deletes.map { case (f, ps) => (f, ps.toArray) }.toArray)
+      }
+
+      override def abort(): Unit = insertWriter.abort()
+      override def close(): Unit = insertWriter.close()
+    }
 }
 
 /** Streaming sink into a lake table: `df.writeStream.toTable("ducklake.…")`.

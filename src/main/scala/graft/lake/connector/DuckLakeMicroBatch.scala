@@ -37,7 +37,8 @@ final case class SnapshotOffset(snapshot: Long) extends Offset {
 final case class DuckLakeFilePartition(path: String, encryptionKey: Option[String],
     physNames: Array[String], fieldTypes: Array[DataType],
     isPartCol: Array[Boolean], partRaw: Array[String],
-    deletePath: String = null, deleteKey: Option[String] = None) extends InputPartition
+    deletePath: String = null, deleteKey: Option[String] = None,
+    special: Array[Int] = null, dataFileId: Long = -1L) extends InputPartition
 
 /** Shared driver-side planning for the native (parquet-mr Group) readers:
   * resolves each file's rename epoch, partition values and MOR delete
@@ -54,11 +55,23 @@ private[connector] object DuckLakePartitionPlanner {
     case _ => false
   }
 
+  /** Row-address metadata columns a scan may request by name: the data
+    * file's catalog id and the row's file-local position — together the
+    * stable row id driving delta-based (merge-on-read) row-level ops.
+    */
+  final val FileIdCol = "_file_id"
+  final val PosCol = "_pos"
+
   def plan(lake: DuckLake, tr: TableRec, cols: Seq[ColumnDef],
       files: Seq[DataFileRec], required: StructType,
       basePath: String): Array[InputPartition] = {
-    required.fields.foreach { f =>
-      if (!supportedType(f.dataType))
+    val special = required.fields.map(_.name match {
+      case FileIdCol => 1
+      case PosCol    => 2
+      case _         => 0
+    })
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      if (special(i) == 0 && !supportedType(f.dataType))
         throw new UnsupportedTypeException(
           s"native read of ${f.dataType.simpleString} column ${f.name} not supported")
     }
@@ -92,7 +105,8 @@ private[connector] object DuckLakePartitionPlanner {
         file.encryptionKey, physNames, required.fields.map(_.dataType),
         isPartCol, partRaw,
         file.deleteFile.map(d => s"$basePath/${d.path}").orNull,
-        file.deleteFile.flatMap(_.encryptionKey))
+        file.deleteFile.flatMap(_.encryptionKey),
+        special, file.dataFileId)
         : InputPartition
     }.toArray
   }
@@ -236,7 +250,9 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
         var i = 0
         while (i < p.physNames.length) {
           val v =
-            if (p.isPartCol(i)) parsePartValue(p.partRaw(i), p.fieldTypes(i))
+            if (p.special != null && p.special(i) == 1) p.dataFileId
+            else if (p.special != null && p.special(i) == 2) pos
+            else if (p.isPartCol(i)) parsePartValue(p.partRaw(i), p.fieldTypes(i))
             else readField(current, p.physNames(i), p.fieldTypes(i))
           row.update(i, v)
           i += 1

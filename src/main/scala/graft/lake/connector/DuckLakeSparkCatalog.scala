@@ -378,7 +378,29 @@ private[connector] object FilterToColumn {
   */
 final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     tableSchema: StructType) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsRowLevelOperations {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
+
+  /** Row-address metadata columns (`_file_id`, `_pos`): the stable row id
+    * that delta row-level operations join deletes back to; also
+    * selectable directly (`SELECT _file_id, _pos, * FROM …`) for
+    * debugging row lineage.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = DuckLakePartitionPlanner.FileIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "DuckLake data file id (catalog)"
+    },
+    new MetadataColumn {
+      override def name(): String = DuckLakePartitionPlanner.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "file-local row position"
+    })
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterToColumn.convert(_).isDefined)
@@ -390,37 +412,52 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     lake.deleteWhere(fullName, cond)
   }
 
-  /** SQL `UPDATE` / `MERGE INTO` via Spark's group-based row-level
-    * operation rewrite: the operation's scan exposes the table as ONE
-    * replacement group (no pushdown interfaces, so Spark reads every row
-    * of the group, matched or not), and the write commits the rewritten
-    * rows as a Replace snapshot — copy-on-write semantics, atomic in the
-    * metadata transaction. Per-file groups (rewrite only touched files)
-    * are the natural refinement once Spark's runtime group filtering is
-    * wired up; the programmatic [[DuckLake.update]] already offers the
-    * merge-on-read alternative.
+  /** SQL `UPDATE` / `MERGE INTO` via Spark's DELTA row-level operation
+    * rewrite (`SupportsDelta`): the operation's scan adds the row-address
+    * metadata columns (`_file_id`, `_pos`), Spark hands the writer
+    * per-row insert/delete instructions, and the commit registers new
+    * data files plus refreshed positional delete files in one snapshot —
+    * merge-on-read, cost O(changed rows). A group-based copy-on-write
+    * would rewrite the whole table per UPDATE; at 100 TB that is the
+    * difference between touching a few files and rewriting the lake.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     // the rewrite's batch scan reads data FILES; move any inlined catalog
-    // rows into a file first so they participate in (and survive) the
-    // rewrite, and pin the scan AFTER the flush
+    // rows into a file first so they participate in the delta, and pin
+    // the scan AFTER the flush
     val scanSnap = math.max(snapshot, lake.flushInlined(fullName))
-    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation
+        with org.apache.spark.sql.connector.write.SupportsDelta {
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
-      override def description(): String = s"DuckLake ${info.command()} $fullName"
+      override def description(): String = s"DuckLake delta ${info.command()} $fullName"
 
-      // plain ScanBuilder: no SupportsPushDown* → the whole group is read
-      // (a native Batch — the rewrite planner requires toBatch)
+      override def rowId(): Array[NamedReference] = Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          DuckLakePartitionPlanner.FileIdCol),
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          DuckLakePartitionPlanner.PosCol))
+
+      // updates arrive as delete+insert pairs (MOR has no in-place update)
+      override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+      // prunable scan: Spark appends the row-address columns it needs to
+      // the pruned schema (a native Batch — the rewrite requires toBatch)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new DuckLakeBatchScan(lake, fullName, scanSnap, tableSchema)
+        new ScanBuilder with SupportsPushDownRequiredColumns {
+          private var required: StructType = tableSchema
+          override def pruneColumns(s: StructType): Unit = required = s
+          override def build(): Scan =
+            new DuckLakeBatchScan(lake, fullName, scanSnap, required)
+        }
 
-      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-        new WriteBuilder {
-          override def build(): Write =
-            new DuckLakeReplaceWrite(lake, fullName, writeInfo.schema())
+      override def newWriteBuilder(writeInfo: LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+        new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+            new DuckLakeDeltaWrite(lake, fullName, writeInfo.schema())
         }
     }
   }

@@ -273,12 +273,16 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("SQL UPDATE rewrites matching rows (copy-on-write)") {
+  test("SQL UPDATE rewrites matching rows (merge-on-read delta)") {
     import spark.implicits._
     val l = lake
     l.createTableAs((1 to 20).map(i => (i.toLong, i * 1.0, "keep")).toDF("k", "v", "tag")
       .coalesce(1), "main.squpd")
     val pre = l.currentSnapshot
+    val preFiles = l.store.getDataFiles(
+      l.store.getTableByName(l.store.getSchemaByName("main", pre).get.schemaId,
+        "squpd", pre).get.tableId, pre)
+    assert(preFiles.size == 1 && preFiles.head.deleteFile.isEmpty)
     spark.sql("UPDATE ducklake.main.squpd SET v = v * 10, tag = 'bumped' WHERE k <= 5")
     val got = spark.sql("SELECT k, v, tag FROM ducklake.main.squpd ORDER BY k").collect()
     assert(got.take(5).map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
@@ -286,6 +290,38 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.drop(5).forall(r => r.getDouble(1) == r.getLong(0) * 1.0 && r.getString(2) == "keep"))
     // pre-update snapshot intact
     assert(l.table("main.squpd", Some(pre)).filter(col("tag") === "bumped").count() == 0)
+    // MERGE-ON-READ evidence: the original data file is NOT rewritten —
+    // it survives with a positional delete file (5 positions) attached,
+    // plus one new small file holding only the 5 updated rows
+    val post = l.currentSnapshot
+    val postFiles = l.store.getDataFiles(
+      l.store.getTableByName(l.store.getSchemaByName("main", post).get.schemaId,
+        "squpd", post).get.tableId, post)
+    val orig = postFiles.find(_.path == preFiles.head.path)
+    assert(orig.isDefined, "original data file must survive the update")
+    assert(orig.get.deleteFile.exists(_.recordCount == 5),
+      s"original file must carry a 5-position delete file: ${orig.get.deleteFile}")
+    val fresh = postFiles.filter(_.path != preFiles.head.path)
+    assert(fresh.map(_.recordCount).sum == 5,
+      s"delta must add exactly the 5 updated rows: ${fresh.map(_.recordCount)}")
+  }
+
+  test("row-address metadata columns (_file_id, _pos) and delta DELETE via MERGE") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 10).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), "main.rowaddr")
+    Seq(2L, 4L).toDF("k").createOrReplaceTempView("raddr_src")
+    spark.sql("""
+      MERGE INTO ducklake.main.rowaddr t USING raddr_src s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.rowaddr").head().getLong(0) == 8)
+    // MOR: single original data file remains, with a 2-position delete file
+    val snap = l.currentSnapshot
+    val files = l.store.getDataFiles(
+      l.store.getTableByName(l.store.getSchemaByName("main", snap).get.schemaId,
+        "rowaddr", snap).get.tableId, snap)
+    assert(files.size == 1 && files.head.deleteFile.exists(_.recordCount == 2))
   }
 
   test("SQL MERGE INTO: matched update + not-matched insert") {
