@@ -629,27 +629,48 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   /** Write one cumulative positional delete parquet (Iceberg-style
     * `(file_path, pos)`) for the data file at `dataFilePath` into the
-    * table directory; `positions` is the full merged set.
+    * table directory; `positions` is the full merged set. Written
+    * directly with parquet-mr on the driver — position lists are tiny
+    * relative to data, and a Spark job per touched file would dominate
+    * multi-file delta commits.
     */
   private def writeDeletePositions(name: String, dataFilePath: String,
       positions: Seq[Long]): FileToRegister = {
-    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
-    val delDir = s"${tableDirOf(name)}/deletes-${UUID.randomUUID()}"
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
-    import spark.implicits._
-    val delWriter = keyOpt.foldLeft(
-      positions.map(p => (dataFilePath, p)).toDF("file_path", "pos").coalesce(1).write) { (w, k) =>
-      w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
-        .option(GraftCryptoFactory.EncryptKey, k)
-    }
-    delWriter.parquet(delDir)
-    val part = fs.listStatus(new Path(delDir))
-      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    fs.rename(part, new Path(s"${tableDirOf(name)}/$delName"))
-    fs.delete(new Path(delDir), true)
+    val msgType = Types.buildMessage()
+      .addField(Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("file_path"))
+      .addField(Types.optional(PrimitiveTypeName.INT64).named("pos"))
+      .named("spark_schema")
+    val builder = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new Path(s"${tableDirOf(name)}/$delName"))
+      .withConf(hconf).withType(msgType)
+    keyOpt.foreach(k => builder.withEncryption(GraftCryptoFactory.encryptionProps(k)))
+    val w = builder.build()
+    try {
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+      positions.foreach { p =>
+        val g = gf.newGroup()
+        g.add("file_path", dataFilePath)
+        g.add("pos", p)
+        w.write(g)
+      }
+    } finally w.close()
     FileToRegister(delName, positions.size.toLong, 0L, 0L, Nil, keyOpt)
   }
+
+  /** Catalog-stats file skipping for an external (native Batch) scan:
+    * same conservative machinery as [[table]] — at 100 TB, an UPDATE or
+    * MERGE whose condition touches one partition must not read the lake.
+    */
+  private[lake] def pruneDataFiles(tr: TableRec, cols: Seq[ColumnDef], snap: Long,
+      files: Seq[DataFileRec],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFileRec] =
+    if (filters.isEmpty) files
+    else pruneByStats(tr, scanCtx(tr, cols, snap), sparkSchemaOf(cols), files, filters)
 
   /** Commit a row-level DELTA staged by the native delta writers (SQL
     * UPDATE / MERGE, merge-on-read): appended-row files plus per-data-file

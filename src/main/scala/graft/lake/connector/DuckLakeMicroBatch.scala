@@ -168,7 +168,8 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   * Spark's vectorized parquet reader.
   */
 final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
-    schema: StructType)
+    schema: StructType,
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
 
@@ -179,7 +180,9 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
 
   override def readSchema(): StructType = schema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-  override def description(): String = s"DuckLakeBatchScan $fullName@$snapshot"
+  override def description(): String =
+    s"DuckLakeBatchScan $fullName@$snapshot" +
+      (if (pushedFilters.nonEmpty) s" PushedFilters: ${pushedFilters.mkString(", ")}" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sch = lake.store.getSchemaByName(schemaName, snapshot)
@@ -187,8 +190,12 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     val tr = lake.store.getTableByName(sch.schemaId, tableName, snapshot)
       .getOrElse(throw new graft.lake.TableNotFoundException(fullName))
     val cols = lake.store.getTableColumns(tr.tableId, snapshot)
-    DuckLakePartitionPlanner.plan(lake, tr, cols,
-      lake.store.getDataFiles(tr.tableId, snapshot), schema,
+    // conservative min/max + partition-value file skipping from catalog
+    // stats: pushed filters stay residual (re-applied above the scan),
+    // but non-matching files never produce input partitions
+    val files = lake.pruneDataFiles(tr, cols, snapshot,
+      lake.store.getDataFiles(tr.tableId, snapshot), pushedFilters)
+    DuckLakePartitionPlanner.plan(lake, tr, cols, files, schema,
       graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
   }
 

@@ -444,13 +444,21 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       override def representUpdateAsDeleteAndInsert(): Boolean = true
 
       // prunable scan: Spark appends the row-address columns it needs to
-      // the pruned schema (a native Batch — the rewrite requires toBatch)
+      // the pruned schema, and pushes the command's condition — used for
+      // catalog-stats FILE skipping, with every filter kept residual
+      // (a native Batch — the rewrite requires toBatch)
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ScanBuilder with SupportsPushDownRequiredColumns {
+        new ScanBuilder with SupportsPushDownRequiredColumns
+            with SupportsPushDownFilters {
           private var required: StructType = tableSchema
+          private var filters: Array[Filter] = Array.empty
           override def pruneColumns(s: StructType): Unit = required = s
+          override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+            filters = fs; fs // all residual: Spark re-applies post-scan
+          }
+          override def pushedFilters(): Array[Filter] = filters
           override def build(): Scan =
-            new DuckLakeBatchScan(lake, fullName, scanSnap, required)
+            new DuckLakeBatchScan(lake, fullName, scanSnap, required, filters.toSeq)
         }
 
       override def newWriteBuilder(writeInfo: LogicalWriteInfo)

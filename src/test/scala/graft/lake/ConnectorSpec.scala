@@ -306,6 +306,34 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"delta must add exactly the 5 updated rows: ${fresh.map(_.recordCount)}")
   }
 
+  test("delta UPDATE pushes its condition into the scan and skips non-matching files") {
+    import spark.implicits._
+    val l = lake
+    // three files with disjoint key ranges -> distinct min/max stats
+    l.createTableAs((1 to 100).map(i => (i.toLong, 0.0)).toDF("k", "v")
+      .coalesce(1), "main.dprune")
+    l.insertInto((101 to 200).map(i => (i.toLong, 0.0)).toDF("k", "v")
+      .coalesce(1), "main.dprune")
+    l.insertInto((201 to 300).map(i => (i.toLong, 0.0)).toDF("k", "v")
+      .coalesce(1), "main.dprune")
+    // the condition reaches the native scan as a pushed filter
+    val plan = spark.sql(
+      "EXPLAIN UPDATE ducklake.main.dprune SET v = 1.0 WHERE k = 150")
+      .head().getString(0)
+    assert(plan.contains("DuckLakeBatchScan") && plan.contains("PushedFilters"),
+      s"condition must reach the delta scan:\n$plan")
+    spark.sql("UPDATE ducklake.main.dprune SET v = 1.0 WHERE k = 150")
+    assert(spark.sql(
+      "SELECT count(*) FROM ducklake.main.dprune WHERE v = 1.0").head().getLong(0) == 1)
+    // only the middle file is touched: one delete file, 1 position
+    val snap = l.currentSnapshot
+    val files = l.store.getDataFiles(
+      l.store.getTableByName(l.store.getSchemaByName("main", snap).get.schemaId,
+        "dprune", snap).get.tableId, snap)
+    assert(files.count(_.deleteFile.isDefined) == 1)
+    assert(files.find(_.deleteFile.isDefined).get.deleteFile.get.recordCount == 1)
+  }
+
   test("row-address metadata columns (_file_id, _pos) and delta DELETE via MERGE") {
     import spark.implicits._
     val l = lake
