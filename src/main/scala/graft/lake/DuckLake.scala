@@ -463,6 +463,24 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       withPos: Boolean): DataFrame =
     readGroup(name, Seq(f), epochOf(ctx.cols, ctx.history, f), ctx.partValues(f), withPos)
 
+  /** One file's LIVE rows: epoch-projected, MOR delete positions
+    * anti-joined away (broadcast — delete sets are small relative to
+    * data).
+    */
+  private def morReadFile(name: String, ctx: ScanCtx, f: DataFileRec): DataFrame =
+    f.deleteFile match {
+      case None => readFile(name, ctx, f, withPos = false)
+      case Some(del) =>
+        val positions = reader(Seq(del.path -> del.encryptionKey))
+          .schema(StructType(Seq(
+            StructField("file_path", StringType), StructField("pos", LongType))))
+          .parquet(filePath(name, del.path))
+          .select(col("pos"))
+        readFile(name, ctx, f, withPos = true)
+          .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
+          .drop("__ducklake_pos")
+    }
+
   /** Inlined catalog rows visible at `snap`, parsed with the column names
     * of each row's write epoch and projected (by column_id) to the pinned
     * `cols` — the inline counterpart of the per-file epoch projection.
@@ -525,16 +543,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       .map { case ((epoch, pv), fs) =>
         readGroup(name, fs, epoch, pv, withPos = false)
       }.toSeq
-    val delScans = withDel.map { f =>
-      val del = f.deleteFile.get
-      val positions = reader(Seq(del.path -> del.encryptionKey))
-        .schema(StructType(Seq(StructField("file_path", StringType), StructField("pos", LongType))))
-        .parquet(filePath(name, del.path))
-        .select(col("pos"))
-      readFile(name, ctx, f, withPos = true)
-        .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
-        .drop("__ducklake_pos")
-    }
+    val delScans = withDel.map(morReadFile(name, ctx, _))
     (cleanScans ++ delScans ++ inlined).reduce(_ unionByName _)
   }
 
@@ -769,6 +778,66 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       rows.count()
       insertInto(rows, name, WriteMode.Replace)
     } finally rows.unpersist()
+  }
+
+  /** Targeted maintenance rewrite (Iceberg `rewrite_data_files`-style):
+    * rewrite ONLY files whose delete ratio reaches `minDeleteRatio`, or
+    * that are smaller than `smallFileBytes` — merging MOR deletes into
+    * fresh files and bin-packing small ones (per partition-value group) —
+    * and commit the swap in one snapshot. Untouched files are untouched:
+    * at 100 TB, maintenance cost tracks the churned fraction, not the
+    * table ([[compact]] rewrites everything). Returns the new snapshot,
+    * or the current one when nothing qualifies.
+    */
+  def rewriteFiles(name: String, minDeleteRatio: Double = 0.1,
+      smallFileBytes: Long = 0L): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val cols = store.getTableColumns(tr.tableId, snap)
+    val files = store.getDataFiles(tr.tableId, snap)
+    val ctx = scanCtx(tr, cols, snap)
+    val candidates = files.filter { f =>
+      val delRatio = f.deleteFile
+        .map(_.recordCount.toDouble / math.max(f.recordCount, 1L)).getOrElse(0.0)
+      (f.deleteFile.isDefined && delRatio >= minDeleteRatio) ||
+        (smallFileBytes > 0 && f.fileSizeBytes < smallFileBytes)
+    }
+    // a lone small file with no deletes has nothing to merge with
+    if (candidates.isEmpty ||
+      (candidates.size == 1 && candidates.head.deleteFile.isEmpty)) return snap
+    val (schemaName, tableName) = parse(name)
+    val partColNames = partitionColumnsOf(name)
+    val dataSchema = StructType(sparkSchemaOf(cols).fields
+      .filterNot(f => partColNames.contains(f.name)))
+    val dataColNames = dataSchema.fieldNames.toSeq
+    val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
+    val staging = s"$dataPath/.staging-rw-${UUID.randomUUID()}"
+    val fs = FileSystem.get(new java.net.URI(staging), hconf)
+    try {
+      // one merged file per partition-value group (bin-packing unit)
+      val groups = candidates.groupBy(ctx.partValues).toSeq
+      val staged = groups.zipWithIndex.map { case ((pv, gfs), i) =>
+        val df = gfs.map(morReadFile(name, ctx, _)).reduce(_ unionByName _)
+          .select(dataColNames.map(col): _*)
+        val w = keyOpt.foldLeft(df.coalesce(1).write.mode("overwrite")) { (wr, k) =>
+          wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
+            .option(GraftCryptoFactory.EncryptKey, k)
+        }
+        w.parquet(s"$staging/g$i")
+        val part = fs.listStatus(new Path(s"$staging/g$i"))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        // partition values in key-index order for the file registration
+        val byIdx = ctx.partValsByFile.getOrElse(gfs.head.dataFileId, Map.empty)
+        val pvSeq = ctx.partCols.sortBy(_._1).map { case (idx, _) =>
+          byIdx.getOrElse(idx, None) }
+        (part, pvSeq)
+      }
+      val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, staged,
+        dataSchema, keyOpt)
+      try store.commitFileRewrites(schemaName, tableName, cols,
+        candidates.map(_.dataFileId), newFiles)
+      catch { case e: Throwable => cleanupRenamed(renamed); throw e }
+    } finally fs.delete(new Path(staging), true)
   }
 
   /** Roll a table back to the state `snapshot` saw, as a NEW snapshot —

@@ -769,6 +769,27 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** One-snapshot file rewrite: end the given data files (and their
+    * delete files) and register their replacements — the commit unit of
+    * targeted maintenance (delete-ratio / small-file rewrites), touching
+    * only the listed files.
+    */
+  def commitFileRewrites(schemaName: String, tableName: String,
+      cols: Seq[ColumnDef], endFileIds: Seq[Long],
+      newFiles: Seq[FileToRegister]): Long =
+    inSnapshotTxn { snap =>
+      endFileIds.foreach { fid =>
+        update("UPDATE ducklake_data_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
+          Seq(snap, fid))
+        update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
+          Seq(snap, fid))
+      }
+      if (newFiles.nonEmpty)
+        registerWrite(snap, TableWriteSpec(schemaName, tableName, cols,
+          WriteMode.Append, newFiles))
+      snap
+    }
+
   /** Expire snapshots with id < `before` (the newest snapshot is never
     * expired): time travel below the cutoff stops resolving, and files
     * whose validity ended at or below the new minimum become vacuum

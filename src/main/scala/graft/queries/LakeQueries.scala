@@ -466,6 +466,25 @@ object LakeQueries {
       FROM lineitem WHERE l_linenumber = 2
     """),
 
+    ("lake_rewrite_files", (s: SparkSession, dir: String) => {
+      // targeted maintenance: absorb MOR deletes into a fresh file, then
+      // read back — contents must equal the logical state (oracle
+      // recomputes the delete predicate over the raw table)
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.rwgate")) {
+        lake.createTableAs(t(s, dir, "orders").coalesce(1), "main.rwgate")
+        lake.deleteWhere("main.rwgate", col("o_orderkey") % 7 === 0)
+        lake.rewriteFiles("main.rwgate", minDeleteRatio = 0.01)
+      }
+      lake.table("main.rwgate")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+          round(sum("o_totalprice"), 2).as("total"))
+    }, """
+      SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderkey % 7 <> 0
+    """),
+
     ("lake_sql_merge_full", (s: SparkSession, dir: String) => {
       // full three-clause MERGE: matched update, unmatched insert, and
       // NOT MATCHED BY SOURCE delete — rows absent from the source are

@@ -231,6 +231,46 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.rc_src").count() == 20)
   }
 
+  test("rewriteFiles: targets only delete-heavy and small files; content intact") {
+    import spark.implicits._
+    // file A: 100 rows, will carry 30% deletes; file B: 100 rows, clean;
+    // files C,D: tiny (merge candidates)
+    lake.createTableAs((1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "s")
+      .coalesce(1), "main.rw")
+    lake.insertInto((1001 to 2000).map(i => (i.toLong, s"b$i")).toDF("k", "s")
+      .coalesce(1), "main.rw")
+    lake.insertInto((2001 to 2003).map(i => (i.toLong, s"c$i")).toDF("k", "s")
+      .coalesce(1), "main.rw")
+    lake.insertInto((2004 to 2006).map(i => (i.toLong, s"d$i")).toDF("k", "s")
+      .coalesce(1), "main.rw")
+    lake.deleteWhere("main.rw", col("k") <= 300)
+    val pre = lake.currentSnapshot
+    def fileRecs(snap: Long) = lake.store.getDataFiles(
+      lake.store.getTableByName(
+        lake.store.getSchemaByName("main", snap).get.schemaId, "rw", snap).get.tableId,
+      snap)
+    val preFiles = fileRecs(pre)
+    assert(preFiles.size == 4 && preFiles.count(_.deleteFile.isDefined) == 1)
+    val cleanBig = preFiles.find(f => f.recordCount == 1000 && f.deleteFile.isEmpty).get
+    // threshold 0.2 catches file A (30% deleted); 4KB catches C and D
+    lake.rewriteFiles("main.rw", minDeleteRatio = 0.2, smallFileBytes = 4096)
+    val post = lake.currentSnapshot
+    val postFiles = fileRecs(post)
+    // clean big file untouched; A (deletes absorbed) + C + D bin-packed
+    // into one fresh file in their shared (empty) partition group
+    assert(postFiles.exists(_.path == cleanBig.path), "clean file must not be rewritten")
+    assert(postFiles.forall(_.deleteFile.isEmpty), "rewrites absorb MOR deletes")
+    assert(postFiles.size == 2, s"merged(A,C,D) + B expected: ${postFiles.map(_.recordCount)}")
+    assert(postFiles.map(_.recordCount).sorted == Seq(706L, 1000L))
+    assert(lake.table("main.rw").count() == 1706)
+    assert(lake.table("main.rw").agg(sum("k")).head.getLong(0) ==
+      (301 to 2006).map(_.toLong).sum)
+    // time travel across the rewrite still sees the pre-rewrite state
+    assert(lake.table("main.rw", Some(pre)).count() == 1706)
+    // nothing qualifies -> no new snapshot
+    assert(lake.rewriteFiles("main.rw", minDeleteRatio = 0.2, smallFileBytes = 0) == post)
+  }
+
   test("snapshot tags: create, resolve in SQL time travel, retag, drop") {
     import spark.implicits._
     lake.createTableAs((1 to 10).map(i => (i.toLong, s"t$i")).toDF("k", "s")
