@@ -97,6 +97,54 @@ object Pipeline {
       .drop("__pid", "__local", "__off")
   }
 
+  /** Benchmark decontamination: training documents that share at least one
+    * word `w`-gram with any document of the (much smaller) evaluation set.
+    * Returns one row per contaminated training document with the count of
+    * distinct matching grams — the audit artifact a corpus build publishes
+    * before releasing a training set.
+    *
+    * Scale shape: the eval side is distinct-reduced and **broadcast**, so
+    * the 100 TB training side is a single scan + codegen'd explode with a
+    * broadcast-hash semi lookup — no shuffle of training grams; the only
+    * exchange is the final per-doc-id aggregation of hits (map-side
+    * combined). Documents shorter than `w` tokens contribute their whole
+    * text as one gram, matching [[Dedup.shingles]].
+    */
+  def contaminatedDocs(train: DataFrame, eval_ : DataFrame, textCol: String,
+      idCol: String, w: Int = 5): DataFrame = {
+    val evalGrams = eval_
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), w))).as("__g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(array_distinct(Dedup.shingles(col(textCol), w))).as("__g"))
+      .join(broadcast(evalGrams), "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Deterministic corpus shuffle + sharding: `shard` = first hex nibble
+    * of md5(key) (16 shards), `pos` = the document's rank within its shard
+    * ordered by the full md5 — together a reproducible pseudo-random
+    * permutation of the corpus with NO RNG: reruns, retried tasks, and
+    * other engines produce byte-identical shard files. This is the
+    * training-ingestion shuffle: readers stream shard s in pos order and
+    * see a stable, well-mixed document sequence.
+    *
+    * Scale shape: one hash exchange on `shard` + a per-shard sort — every
+    * shard sorts in parallel, there is no global ORDER BY. With the
+    * default 16 shards a 100 TB corpus would raise `shards` (any power of
+    * 16 via more hex chars); the plan shape is unchanged.
+    */
+  def shardShuffle(df: DataFrame, key: Column, shardCol: String = "shard",
+      posCol: String = "pos"): DataFrame = {
+    val h = md5(key.cast("string"))
+    val w = Window.partitionBy(shardCol).orderBy("__h")
+    df.withColumn("__h", h)
+      .withColumn(shardCol, substring(col("__h"), 1, 1))
+      .withColumn(posCol, row_number().over(w))
+      .drop("__h")
+  }
+
   /** Greedy-by-offset sequence packing: in the total order `order`, assign
     * each document to training batch `floor(startOffset / budget)` where
     * startOffset is the running token total BEFORE the document. Batches

@@ -29,7 +29,30 @@ object TextOps {
     regexp_count(text, lit("\\S+")) +
       length(regexp_replace(text, "[\\w\\s]", ""))
 
-  private val azChars = ('a' to 'z').mkString
+  /** Non-blank lines of the text (blank = empty after space-trim). */
+  def nonBlankLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines that are repeats of an earlier line —
+    * the Gopher-style repetition signal (machine-generated boilerplate
+    * pages repeat nav/footer lines). Pure array expression, no shuffle.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val ls = nonBlankLines(text)
+    when(size(ls) === 0, lit(0.0))
+      .otherwise((size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
+  }
+
+  /** Fraction of line CHARACTERS belonging to repeated lines (weights the
+    * duplicate-line signal by how much of the page they cover).
+    */
+  def dupLineCharFraction(text: Column): Column = {
+    val ls = nonBlankLines(text)
+    val total = aggregate(ls, lit(0L), (a, x) => a + length(x))
+    val distinctChars = aggregate(array_distinct(ls), lit(0L), (a, x) => a + length(x))
+    when(total === 0L, lit(0.0))
+      .otherwise((total - distinctChars).cast("double") / total)
+  }
   private val digitChars = "0123456789"
 
   /** Count of characters from `chars` in `s`: `length - length(translate

@@ -149,6 +149,66 @@ object OpsQueries {
       FROM masked2 ORDER BY doc_id
     """),
 
+    ("txt_repetition", (s: SparkSession, dir: String) => {
+      // repetition-based quality signals (Gopher-style): the flat corpus
+      // text has no newlines, so lines are planted deterministically —
+      // 80-char chunks, with every third doc's first line repeated at the
+      // end (a known-duplicated-line population for the metric to find)
+      val docs = t(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 80)
+      val lined0 = concat_ws("\n", l1, substring(col("text"), 81, 80),
+        substring(col("text"), 161, 80), substring(col("text"), 241, 1000000))
+      val lined = when(col("doc_id") % 3 === 0, concat(lined0, lit("\n"), l1))
+        .otherwise(lined0)
+      val lineMetrics = docs.select(col("doc_id"),
+        size(TextOps.nonBlankLines(lined)).as("n_lines"),
+        round(TextOps.dupLineFraction(lined), 4).as("dup_line_frac"),
+        round(TextOps.dupLineCharFraction(lined), 4).as("dup_char_frac"))
+      // most-frequent-token share: two hash aggregations keyed on doc_id
+      // (map-side combined) — never a per-doc O(n^2) array scan
+      val top = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max("c").cast("double") / sum("c"), 4).as("top_token_ratio"))
+      lineMetrics.join(top, Seq("doc_id"), "left")
+        .withColumn("top_token_ratio", coalesce(col("top_token_ratio"), lit(0.0)))
+        .orderBy("doc_id")
+    }, """
+      WITH lined AS (
+        SELECT doc_id, text,
+          CASE WHEN doc_id % 3 = 0 THEN base || chr(10) || substr(text, 1, 80)
+               ELSE base END AS ltext
+        FROM (
+          SELECT doc_id, text,
+            concat_ws(chr(10), substr(text, 1, 80), substr(text, 81, 80),
+              substr(text, 161, 80), substr(text, 241, 1000000)) AS base
+          FROM documents)),
+      lm AS (
+        SELECT doc_id,
+          CAST(len(ls) AS INT) AS n_lines,
+          round(CASE WHEN len(ls) = 0 THEN 0.0
+            ELSE (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE) END, 4)
+            AS dup_line_frac,
+          round(CASE WHEN tc = 0 THEN 0.0
+            ELSE (tc - dc) / CAST(tc AS DOUBLE) END, 4) AS dup_char_frac
+        FROM (
+          SELECT doc_id, ls,
+            coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS tc,
+            coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS dc
+          FROM (SELECT doc_id,
+                  list_filter(string_split(ltext, chr(10)), x -> trim(x) <> '') AS ls
+                FROM lined))),
+      tw AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+        FROM (SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                    FROM documents) GROUP BY 1, 2)
+        GROUP BY doc_id)
+      SELECT l.doc_id, n_lines, dup_line_frac, dup_char_frac,
+        coalesce(top_token_ratio, 0.0) AS top_token_ratio
+      FROM lm l LEFT JOIN tw USING (doc_id) ORDER BY doc_id
+    """),
+
     ("txt_boilerplate", (s: SparkSession, dir: String) => {
       // corpus-level boilerplate stripping: plant a shared header+footer
       // on every doc, strip lines appearing in >= 100 docs

@@ -72,6 +72,52 @@ object PipelineQueries {
     """),
 
     // ---------------------------------------------------------------
+    // Benchmark decontamination: train docs sharing a word 4-gram with
+    // the (small, broadcast) eval split — the audit run before a corpus
+    // release. Train side: scan + explode + broadcast semi lookup, no
+    // shuffle of train grams.
+    // ---------------------------------------------------------------
+
+    ("pipe_decontaminate", (s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 17 === 0)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      Pipeline.contaminatedDocs(train, evalSet, "text", "doc_id", w = 4)
+        .orderBy("doc_id")
+    }, """
+      WITH sh AS (
+        SELECT doc_id, doc_id % 17 = 0 AS is_eval,
+          CASE WHEN len(ws) < 4 THEN [array_to_string(ws, ' ')]
+               ELSE list_distinct([array_to_string(ws[i:i+3], ' ')
+                                   for i in range(1, len(ws) - 2)]) END AS gs
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents)),
+      ex AS (SELECT doc_id, is_eval, unnest(gs) AS g FROM sh)
+      SELECT t.doc_id, count(*) AS n_hit_grams
+      FROM (SELECT doc_id, g FROM ex WHERE NOT is_eval) t
+      JOIN (SELECT DISTINCT g FROM ex WHERE is_eval) e USING (g)
+      GROUP BY t.doc_id ORDER BY t.doc_id
+    """),
+
+    // ---------------------------------------------------------------
+    // Deterministic corpus shuffle + sharding: md5-derived shard and
+    // within-shard rank — a reproducible pseudo-random permutation with
+    // no RNG; per-shard parallel sort, no global ORDER BY
+    // ---------------------------------------------------------------
+
+    ("pipe_shard_shuffle", (s: SparkSession, dir: String) => {
+      Pipeline.shardShuffle(t(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }, """
+      SELECT doc_id, lang, n_chars,
+        substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+        CAST(row_number() OVER (PARTITION BY substr(md5(doc_id::VARCHAR), 1, 1)
+          ORDER BY md5(doc_id::VARCHAR)) AS INT) AS pos
+      FROM documents ORDER BY shard, pos
+    """),
+
+    // ---------------------------------------------------------------
     // End-to-end curation: quality filter -> exact dedup -> budget cut
     // ---------------------------------------------------------------
 

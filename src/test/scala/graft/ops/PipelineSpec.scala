@@ -77,6 +77,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampled.join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("contaminatedDocs flags planted eval overlap and nothing else") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // contains eval 4-gram
+      (2L, "one two three four five six seven"),          // clean
+      (3L, "beta gamma delta epsilon something else"),    // same 4-gram, shifted
+      (4L, "completely unrelated text with no overlap")   // clean
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "xx alpha beta gamma delta epsilon yy"))
+      .toDF("doc_id", "text")
+    val hits = Pipeline.contaminatedDocs(train, eval_, "text", "doc_id", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "alpha beta gamma delta" + "beta gamma delta epsilon";
+    // doc 3 shares only "beta gamma delta epsilon"
+    assert(hits == Map(1L -> 2L, 3L -> 1L), s"got $hits")
+  }
+
+  test("shardShuffle is a deterministic permutation with dense per-shard ranks") {
+    val a = Pipeline.shardShuffle(docs.select("doc_id"), col("doc_id"))
+    val b = Pipeline.shardShuffle(docs.select("doc_id"), col("doc_id"))
+    // reproducible: identical assignment on re-evaluation
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // covers every row exactly once
+    assert(a.count() == docs.count())
+    assert(a.select("doc_id").distinct().count() == docs.count())
+    // ranks are dense 1..n within each shard
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getInt(2) == 1 && r.getInt(3).toLong == r.getLong(1))
+    }
+    // shards are reasonably balanced (16 hash shards over the corpus)
+    val ns = perShard.map(_.getLong(1))
+    assert(ns.length == 16 || docs.count() < 64)
+  }
+
+  test("dup-line metrics: planted duplicate lines are measured exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa\nbbb\nccc\naaa"),   // 4 lines, 1 dup (aaa) -> frac 0.25
+      (2L, "xx\nyy"),               // no dups
+      (3L, "p\n\n  \np")            // blanks ignored: 2 lines, 1 dup
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextOps.dupLineFraction(col("text")).as("f"),
+        TextOps.dupLineCharFraction(col("text")).as("cf"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == (0.25, 3.0 / 12))
+    assert(got(2L) == (0.0, 0.0))
+    assert(got(3L) == (0.5, 0.5))
+  }
+
   test("packByBudget yields contiguous batches bounded by budget + one straddler") {
     val toks = docs.select(col("doc_id"),
       TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
