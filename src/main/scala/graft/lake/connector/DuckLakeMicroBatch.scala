@@ -7,7 +7,8 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,6 +40,19 @@ final case class DuckLakeFilePartition(path: String, encryptionKey: Option[Strin
     isPartCol: Array[Boolean], partRaw: Array[String],
     deletePath: String = null, deleteKey: Option[String] = None,
     special: Array[Int] = null, dataFileId: Long = -1L) extends InputPartition
+
+/** A file partition tagged with its hive-partition key — the handle
+  * Spark's storage-partitioned join (SPJ) machinery groups by: two lake
+  * tables partitioned on the same key join with ZERO shuffle (both
+  * exchanges removed), which at 100 TB is the dominant cost of a big-big
+  * join. `keyVals` holds Catalyst values in catalog partition-column
+  * order.
+  */
+final class DuckLakeKeyedPartition(val inner: DuckLakeFilePartition,
+    keyVals: Array[Any]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
+  def keyVector: Vector[Any] = keyVals.toVector
+}
 
 /** Shared driver-side planning for the native (parquet-mr Group) readers:
   * resolves each file's rename epoch, partition values and MOR delete
@@ -169,9 +183,11 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   */
 final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     schema: StructType,
-    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    spj: Boolean = false)
     extends org.apache.spark.sql.connector.read.Scan
-    with org.apache.spark.sql.connector.read.Batch {
+    with org.apache.spark.sql.connector.read.Batch
+    with SupportsReportPartitioning {
 
   private val (schemaName, tableName) = fullName.split('.') match {
     case Array(s, t) => (s, t)
@@ -184,7 +200,13 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     s"DuckLakeBatchScan $fullName@$snapshot" +
       (if (pushedFilters.nonEmpty) s" PushedFilters: ${pushedFilters.mkString(", ")}" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val partColNames: Seq[String] =
+    lake.partitionColumnsOf(fullName, Some(snapshot))
+
+  /** Plan once, reuse from both `planInputPartitions` and
+    * `outputPartitioning` (the latter needs the distinct-key count).
+    */
+  private lazy val planned: Array[InputPartition] = {
     val sch = lake.store.getSchemaByName(schemaName, snapshot)
       .getOrElse(throw new graft.lake.SchemaNotFoundException(schemaName))
     val tr = lake.store.getTableByName(sch.schemaId, tableName, snapshot)
@@ -195,13 +217,66 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     // but non-matching files never produce input partitions
     val files = lake.pruneDataFiles(tr, cols, snapshot,
       lake.store.getDataFiles(tr.tableId, snapshot), pushedFilters)
-    DuckLakePartitionPlanner.plan(lake, tr, cols, files, schema,
+    val parts = DuckLakePartitionPlanner.plan(lake, tr, cols, files, schema,
       graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
+    if (!spj || partColNames.isEmpty) parts
+    else {
+      // key values in catalog partition-column order, typed as Catalyst
+      // values — HasPartitionKey rows with equal keys must compare equal
+      val idx = partColNames.map(schema.fieldIndex)
+      parts.map { case p: DuckLakeFilePartition =>
+        val key = idx.map(i => DuckLakeBatchScan.catalystPartValue(
+          p.fieldTypes(i), p.partRaw(i))).toArray
+        new DuckLakeKeyedPartition(p, key): InputPartition
+      }
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  /** Report hive partitioning as `KeyGroupedPartitioning` so Spark's
+    * storage-partitioned join removes both exchanges for co-partitioned
+    * lake tables (`spark.sql.sources.v2.bucketing.enabled`). Anything
+    * short of full key coverage falls back to unknown partitioning.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (spj && partColNames.nonEmpty && planned.nonEmpty &&
+        partColNames.forall(schema.fieldNames.contains)) {
+      val nKeys = planned.collect {
+        case k: DuckLakeKeyedPartition => k.keyVector
+      }.distinct.length
+      val keys = partColNames.map(n =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(n)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray
+      new KeyGroupedPartitioning(keys, nKeys)
+    } else new UnknownPartitioning(planned.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DuckLakeFileReaderFactory(new SerializableConfiguration(
       lake.spark.sparkContext.hadoopConfiguration))
+}
+
+object DuckLakeBatchScan {
+  /** Hive partition-path value string → Catalyst value of the column's
+    * logical type (null partition → null). Mirrors the read-side literal
+    * injection the ordinary scan does with `lit(value).cast(dt)`.
+    */
+  private[connector] def catalystPartValue(dt: DataType, raw: String): Any =
+    if (raw == null) null else dt match {
+      case ByteType     => raw.toByte
+      case ShortType    => raw.toShort
+      case IntegerType  => raw.toInt
+      case LongType     => raw.toLong
+      case BooleanType  => raw.toBoolean
+      case FloatType    => raw.toFloat
+      case DoubleType   => raw.toDouble
+      case StringType   => UTF8String.fromString(raw)
+      case DateType     => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(raw), d.precision, d.scale)
+      case other => throw new UnsupportedTypeException(
+        s"partition key type ${other.simpleString} not supported for SPJ")
+    }
 }
 
 /** Executor-side reader: parquet-mr Group materialization (row-by-row) —
@@ -213,7 +288,10 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DuckLakeFilePartition]
+    val p = partition match {
+      case k: DuckLakeKeyedPartition => k.inner
+      case f: DuckLakeFilePartition  => f
+    }
     new PartitionReader[InternalRow] {
       private def open(path: String, key: Option[String]): ParquetReader[Group] = {
         val b = ParquetReader.builder(new GroupReadSupport(), new Path(path))

@@ -536,7 +536,24 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
         case Some((outSchema, values)) =>
           new DuckLakeMetaAggScan(lake.spark, outSchema, values)
         case None =>
-          new DuckLakeV1Scan(lake, fullName, snapshot, required, filters)
+          // opt-in storage-partitioned join path: when v2 bucketing is on
+          // and the table's hive partition keys survive column pruning,
+          // scan through the native Batch reporting KeyGroupedPartitioning
+          // — co-partitioned lake joins then run with ZERO shuffle. The
+          // trade (row-wise readers vs V1's vectorized parquet) is the
+          // right one exactly when the user asks for it: exchange cost
+          // dominates scan cost for the big-big joins SPJ targets.
+          val spjOk = lake.spark.conf
+            .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean && {
+              val pcs = lake.partitionColumnsOf(fullName, Some(snapshot))
+              pcs.nonEmpty && pcs.forall(required.fieldNames.contains) &&
+                required.fields.forall(f =>
+                  DuckLakePartitionPlanner.supportedType(f.dataType))
+            }
+          if (spjOk)
+            new DuckLakeBatchScan(lake, fullName, snapshot, required,
+              filters.toSeq, spj = true)
+          else new DuckLakeV1Scan(lake, fullName, snapshot, required, filters)
       }
     }
 

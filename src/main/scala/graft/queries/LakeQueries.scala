@@ -55,6 +55,12 @@ object LakeQueries {
       // partition values drive file pruning with zero data IO
       lake.createTableAs(t(s, dir, "orders").repartition(2), "main.orders_part",
         partitionBy = Seq("o_orderpriority"))
+      // supplier_part / customer_part: CO-partitioned on nation key for
+      // the storage-partitioned join gate (zero-shuffle big-big join)
+      lake.createTableAs(t(s, dir, "supplier").repartition(2), "main.supplier_part",
+        partitionBy = Seq("s_nationkey"))
+      lake.createTableAs(t(s, dir, "customer").repartition(2), "main.customer_part",
+        partitionBy = Seq("c_nationkey"))
       lake.registerViews()
       // register the DSv2 catalog plugin against this fixture's lake so
       // `ducklake.main.*` resolves in spark.sql (lazily instantiated)
@@ -345,6 +351,37 @@ object LakeQueries {
       FROM orders
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY 1
+    """),
+
+    ("lake_spj_join", (s: SparkSession, dir: String) => {
+      // storage-partitioned join: both sides hive-partitioned on nation
+      // key report KeyGroupedPartitioning, so the join runs with ZERO
+      // exchange on its inputs (asserted in ConnectorSpec; here the gate
+      // checks the shuffle-free plan computes the right answer). The
+      // result is materialized under the conf so the SPJ plan is the one
+      // that executes, then the conf is restored for the other gates.
+      fixture(s, dir)
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val df = s.sql("""
+          SELECT s.s_nationkey AS nationkey, count(*) AS n_pairs,
+                 round(sum(s.s_acctbal + c.c_acctbal), 2) AS bal
+          FROM ducklake.main.supplier_part s
+          JOIN ducklake.main.customer_part c ON s.s_nationkey = c.c_nationkey
+          GROUP BY s.s_nationkey ORDER BY nationkey""")
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        s.createDataFrame(rows, df.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }, """
+      SELECT s_nationkey AS nationkey, count(*) AS n_pairs,
+             round(sum(s_acctbal + c_acctbal), 2) AS bal
+      FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+      GROUP BY s_nationkey ORDER BY nationkey
     """),
 
     ("lake_sql_delete", (s: SparkSession, dir: String) => {

@@ -532,4 +532,51 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("enc_stream_rows").count() == 20)
     } finally enc.close()
   }
+
+  test("storage-partitioned join: co-partitioned tables join with zero shuffle") {
+    import spark.implicits._
+    lake
+    // two tables hive-partitioned on the same key (5 partitions each)
+    lake.createTableAs((1 to 200).map(i => (i.toLong, i % 5, i * 1.0))
+      .toDF("a_id", "k", "av").repartition(2), "main.spj_a", partitionBy = Seq("k"))
+    lake.createTableAs((1 to 100).map(i => (i.toLong, i % 5, i * 2.0))
+      .toDF("b_id", "k", "bv").repartition(2), "main.spj_b", partitionBy = Seq("k"))
+    val sql = """SELECT a.k, count(*) AS n, round(sum(a.av + b.bv), 2) AS s
+      FROM ducklake.main.spj_a a JOIN ducklake.main.spj_b b ON a.k = b.k
+      GROUP BY a.k ORDER BY a.k"""
+    // expected via the ordinary (shuffling) path
+    val expected = spark.sql(sql).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql(sql)
+      val got = df.collect().map(_.toSeq).toSeq
+      assert(got == expected)
+      // the join itself must be exchange-free: the only allowed shuffle is
+      // the final single-partition ORDER BY/agg above the join
+      val plan = df.queryExecution.executedPlan.toString
+      val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1)
+      assert(joinSection.nonEmpty, s"expected a shuffled-family join node:\n$plan")
+      assert(!joinSection.exists(_.contains("Exchange hashpartitioning")),
+        s"join inputs still shuffle:\n$plan")
+      assert(plan.contains("DuckLakeBatchScan"), s"expected native scans:\n$plan")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("SPJ scan falls back to the vectorized path when keys are pruned away") {
+    import spark.implicits._
+    lake
+    lake.createTableAs((1 to 60).map(i => (i.toLong, i % 3, i * 1.0))
+      .toDF("c_id", "k", "cv").coalesce(1), "main.spj_c", partitionBy = Seq("k"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // projection without the partition column: V1 vectorized path
+      val df = spark.sql("SELECT sum(cv) FROM ducklake.main.spj_c")
+      assert(df.head.getDouble(0) == (1 to 60).map(_ * 1.0).sum)
+      assert(!df.queryExecution.executedPlan.toString.contains("DuckLakeBatchScan"))
+      // with the key in the projection, the native SPJ scan serves the read
+      val withKey = spark.sql("SELECT k, sum(cv) AS s FROM ducklake.main.spj_c GROUP BY k")
+      assert(withKey.collect().map(_.getDouble(1)).sum == (1 to 60).map(_ * 1.0).sum)
+      assert(withKey.queryExecution.executedPlan.toString.contains("DuckLakeBatchScan"))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
 }

@@ -270,6 +270,22 @@ class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.floats", None, Seq(EqualTo("id", 3L))).count() == 4)
   }
 
+  test("NUL bytes in string values round-trip and filter exactly (types/null_byte parity)") {
+    import spark.implicits._
+    val df = Seq((1L, "plain"), (2L, "embedded\u0000nul"), (3L, "\u0000leading"),
+      (4L, "trailing\u0000")).toDF("id", "s")
+    lake.createTableAs(df.coalesce(1), "main.nulbytes")
+    val back = lake.table("main.nulbytes").orderBy("id").collect()
+    assert(back(1).getString(1) == "embedded\u0000nul")
+    assert(back(2).getString(1) == "\u0000leading")
+    // equality filter on a NUL-containing literal (footer stats include
+    // NUL strings; pruning must stay conservative, never drop the file)
+    assert(lake.table("main.nulbytes").filter(col("s") === "embedded\u0000nul").count() == 1)
+    // MOR delete keyed on a NUL-containing value
+    lake.deleteWhere("main.nulbytes", col("s") === "\u0000leading")
+    assert(lake.table("main.nulbytes").count() == 3)
+  }
+
   test("encrypted lake: write+read+MOR-delete+CDC round-trip; raw file unreadable (A5)") {
     import spark.implicits._
     val eroot = Files.createTempDirectory("ducklake-enc").toString
