@@ -47,6 +47,19 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__fp", "__rn")
   }
 
+  /** Keep-newest dedup: one row per `keys` group — the row with the
+    * maximum `order` columns (e.g. latest crawl timestamp per URL), ties
+    * broken by the trailing order columns, which must make the order
+    * total. The snapshot-compaction twin of [[exactDedup]] (which keeps
+    * the FIRST row per content fingerprint): same single hash-shuffle
+    * row_number shape, the canonical keep-latest at any scale.
+    */
+  def keepLatest(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** The i-th minhash hash function, derived from ONE base xxhash64 of the
     * shingle by re-hashing the 64-bit value with seed i. The string is
     * scanned once per shingle; each of the numHashes derivations hashes 8

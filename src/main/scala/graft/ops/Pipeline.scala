@@ -145,6 +145,55 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** Weighted corpus mixing by repetition count ("epochs"): each stratum
+    * (source / language / domain) is up- or down-sampled to `epochs(s)`
+    * copies — 2.0 duplicates every document twice, 0.5 keeps a
+    * deterministic half, 2.25 keeps two full copies plus a quarter subset.
+    * Adds an `epoch` column (0-based copy index) so downstream shuffling
+    * can interleave copies. This is the mixture-weights step of a training
+    * corpus build (e.g. upsample wiki, downsample common-crawl).
+    *
+    * Deterministic like everything here: the fractional copy keeps a key
+    * iff `md5(key:epoch) < frac·256` — membership is a pure function of
+    * (key, epoch), so reruns and other engines reproduce it exactly, and
+    * a document's copies are stable as the corpus grows. Scale shape: one
+    * codegen'd generator (`explode(sequence)`) + filter, no shuffle, no
+    * RNG; the whole mixing plan is map-only.
+    *
+    * Weights must be < 256 and non-negative; fractions quantize to 256ths
+    * (`round(frac·256)`).
+    */
+  def mixEpochs(df: DataFrame, stratumCol: Column, keyCol: Column,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      epochCol: String = "epoch"): DataFrame = {
+    def parts(e: Double): (Int, Int) = { // (full copies, fractional buckets)
+      require(e >= 0 && e < 256, s"epoch weight out of range: $e")
+      val full = e.toInt
+      (full, math.round((e - full) * 256).toInt)
+    }
+    val named = epochs.toSeq.sortBy(_._1).map { case (s, e) => (s, parts(e)) }
+    val defParts = parts(defaultEpochs)
+    def perStratum(f: ((Int, Int)) => Column): Column =
+      named.foldRight(f(defParts)) { case ((s, p), acc) =>
+        when(stratumCol === s, f(p)).otherwise(acc)
+      }
+    // candidate copy count: full copies + 1 when there is a fractional tail
+    val copies = perStratum { case (full, frac) => lit(full + (if (frac > 0) 1 else 0)) }
+    val fullCopies = perStratum { case (full, _) => lit(full) }
+    // '' threshold = keep nothing (every 2-hex bucket compares above '')
+    val fracThr = perStratum { case (_, frac) =>
+      lit(if (frac > 0) hexThreshold(frac) else "") }
+    val bucket = substring(
+      md5(concat(keyCol.cast("string"), lit(":"), col(epochCol).cast("string"))), 1, 2)
+    // empty sequence (weight 0) drops the row at the generator, and an
+    // explicit empty-array branch keeps sequence() away from copies-1 < 0
+    // (whose inferred negative step would yield [0, -1])
+    df.withColumn(epochCol,
+        explode(when(copies > 0, sequence(lit(0), copies - 1))
+          .otherwise(array().cast("array<int>"))))
+      .filter(col(epochCol) < fullCopies || bucket <= fracThr)
+  }
+
   /** Greedy-by-offset sequence packing: in the total order `order`, assign
     * each document to training batch `floor(startOffset / budget)` where
     * startOffset is the running token total BEFORE the document. Batches

@@ -164,6 +164,58 @@ object TextOps {
           s => s.getField("__line"))).as("clean_text"))
   }
 
+  /** Fixed-size token chunking with overlap: the document's word tokens
+    * are windowed into `maxTok`-token chunks starting every
+    * `stride = maxTok - overlap` tokens — the context-window splitting
+    * step before tokenization/embedding of long documents. Returns the
+    * array of chunk strings (rejoined with single spaces); a document with
+    * ≤ `maxTok` tokens yields exactly one chunk (possibly empty for empty
+    * text). Pure array expressions (`sequence` → `slice` → `concat_ws`)
+    * inside whole-stage codegen — map-only at any scale.
+    */
+  def chunks(text: Column, maxTok: Int, overlap: Int): Column = {
+    require(maxTok > 0 && overlap >= 0 && overlap < maxTok,
+      "need 0 <= overlap < maxTok")
+    val stride = maxTok - overlap
+    val ws = tokens(text)
+    val n = size(ws)
+    val nChunks = when(n <= maxTok, lit(1)).otherwise(
+      lit(1) + ceil((n - lit(maxTok)).cast("double") / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(ws, i * stride + 1, lit(maxTok))))
+  }
+
+  /** Top-`k` characteristic terms per document by tf·idf, with the inverse
+    * document frequency as the exact rational `(N+1)/(df+1)` (no
+    * logarithm: integer-derived doubles divide identically in every IEEE
+    * engine, so the ranking — and the oracle hash — is reproducible
+    * bit-for-bit; log-idf orders identically since log is monotone).
+    * Returns (idCol, rank, term, tf, df_t, score).
+    *
+    * Scale shape: one explode + (doc, term) hash agg (map-side combined),
+    * a term-frequency agg on the SAME shuffled data, broadcast of the
+    * (small, vocabulary-sized) df table back, and a per-doc top-k window.
+    * The corpus-size scalar joins in as a broadcast literal — no driver
+    * collect of data rows.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * (col("__n") + 1)).cast("double") / (col("df_t") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df_t"),
+        round(col("score"), 4).as("score"))
+  }
+
   // PII scrubbing for training corpora: regex families kept simple enough
   // to be byte-identical in DuckDB's RE2 (no lookaround, no backrefs).
   private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -247,6 +247,23 @@ object OpsQueries {
       SELECT doc_id, lang FROM documents ORDER BY doc_id
     """),
 
+    ("dedup_keep_latest", (s: SparkSession, dir: String) => {
+      // snapshot compaction: one row per (user, event_type), newest wins
+      Dedup.keepLatest(t(s, dir, "events"),
+          Seq(col("user_id"), col("event_type")),
+          Seq(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), round(col("value"), 2).as("value"))
+        .orderBy("user_id", "event_type")
+    }, """
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        round(value, 2) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type
+    """),
+
     ("dedup_ngram_jaccard", (s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
       val twins = docs.select(col("doc_id"),

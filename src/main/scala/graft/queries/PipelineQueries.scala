@@ -118,6 +118,91 @@ object PipelineQueries {
     """),
 
     // ---------------------------------------------------------------
+    // Weighted corpus mixing: per-language epoch counts (upsample zh to
+    // 2.25 copies, downsample en to a deterministic half), md5-gated
+    // fractional membership — the mixture-weights step of a corpus build
+    // ---------------------------------------------------------------
+
+    ("pipe_mix_epochs", (s: SparkSession, dir: String) => {
+      Pipeline.mixEpochs(t(s, dir, "documents"), col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "zh" -> 2.25))
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    }, """
+      WITH e AS (
+        SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.25 ELSE 1.0 END AS ep
+        FROM documents),
+      x AS (
+        SELECT doc_id, lang, ep,
+          unnest(range(CAST(ceil(ep) AS BIGINT))) AS epoch
+        FROM e)
+      SELECT doc_id, lang, CAST(epoch AS INT) AS epoch
+      FROM x
+      WHERE epoch < floor(ep)
+         OR substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR), 1, 2) <=
+            CASE lang WHEN 'en' THEN '7f' WHEN 'zh' THEN '3f' ELSE '' END
+      ORDER BY doc_id, epoch
+    """),
+
+    // ---------------------------------------------------------------
+    // Context-window chunking: 40-token chunks, 8-token overlap
+    // ---------------------------------------------------------------
+
+    ("txt_chunk", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), maxTok = 40, overlap = 8))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(TextOps.tokens(col("chunk"))).as("n_tok"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }, """
+      WITH tk AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+          CASE WHEN len(ws) <= 40 THEN 1
+               ELSE 1 + CAST(ceil((len(ws) - 40) / 32.0) AS INT) END AS nch
+        FROM tk),
+      x AS (SELECT doc_id, ws, unnest(range(nch)) AS chunk_id FROM c)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(len(ws[chunk_id*32 + 1 : chunk_id*32 + 40]) AS INT) AS n_tok,
+        md5(array_to_string(ws[chunk_id*32 + 1 : chunk_id*32 + 40], ' ')) AS chunk_md5
+      FROM x ORDER BY doc_id, chunk_id
+    """),
+
+    // ---------------------------------------------------------------
+    // tf·idf keywords: top-3 characteristic terms per document, idf as
+    // the exact rational (N+1)/(df+1) so ranking is bit-reproducible
+    // ---------------------------------------------------------------
+
+    ("txt_tfidf_keywords", (s: SparkSession, dir: String) => {
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    }, """
+      WITH tf AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY 1),
+      n AS (SELECT count(*) AS nd FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df_t,
+          CAST(t.tf * (n.nd + 1) AS DOUBLE) / (d.df_t + 1) AS score
+        FROM tfc t JOIN dfreq d USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df_t,
+        round(score, 4) AS score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """),
+
+    // ---------------------------------------------------------------
     // End-to-end curation: quality filter -> exact dedup -> budget cut
     // ---------------------------------------------------------------
 

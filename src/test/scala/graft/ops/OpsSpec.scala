@@ -239,6 +239,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "binned join must be an equi-join")
   }
 
+  test("keepLatest keeps exactly the max-order row per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1L, 10L, "a"), ("u1", 2L, 30L, "b"), ("u1", 3L, 30L, "c"), // tie on ts
+      ("u2", 4L, 5L, "d")
+    ).toDF("k", "id", "ts", "v")
+    val got = Dedup.keepLatest(df, Seq(col("k")), Seq(col("ts"), col("id")))
+      .select("k", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("u1" -> 3L, "u2" -> 4L)) // ts tie broken by larger id
+  }
+
   test("connected components: chains, cliques, isolated vertices") {
     import spark.implicits._
     // component A: chain 1-2-3-4 (diameter 3); B: clique 10,11,12; isolated: 99

@@ -130,6 +130,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (0.5, 0.5))
   }
 
+  test("mixEpochs: integer weights copy exactly, fractions land near rate, 0 drops") {
+    val mixed = Pipeline.mixEpochs(docs, col("lang"), col("doc_id"),
+      Map("en" -> 2.0, "zh" -> 0.0, "de" -> 0.5))
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("en") == 2 * base("en"))              // exactly two copies
+    assert(!got.contains("zh"))                      // weight 0 drops all
+    assert(got("fr") == base("fr"))                  // default 1.0 untouched
+    val deRate = got("de").toDouble / base("de")     // md5-fractional half
+    assert(deRate > 0.2 && deRate < 0.8, s"de rate $deRate")
+    // determinism: an identical second run yields the identical multiset
+    val again = Pipeline.mixEpochs(docs, col("lang"), col("doc_id"),
+      Map("en" -> 2.0, "zh" -> 0.0, "de" -> 0.5))
+    assert(mixed.select("doc_id", "epoch").except(again.select("doc_id", "epoch")).isEmpty)
+    // epoch indices are dense 0..k per kept doc (en docs carry 0 and 1)
+    val enEpochs = mixed.filter(col("lang") === "en")
+      .groupBy("doc_id").agg(collect_set("epoch").as("es"))
+      .select(array_sort(col("es"))).distinct().collect()
+    assert(enEpochs.length == 1 && enEpochs.head.getSeq[Int](0) == Seq(0, 1))
+  }
+
+  test("chunks: full token coverage with exact stride overlap") {
+    val maxTok = 40; val overlap = 8; val stride = maxTok - overlap
+    val rows = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n"),
+        TextOps.chunks(col("text"), maxTok, overlap).as("cs"))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      val cs = r.getSeq[String](2)
+      val lens = cs.map(c => if (c.isEmpty) 0 else c.split(" ").length)
+      // every chunk except the last is exactly maxTok tokens
+      lens.init.foreach(l => assert(l == maxTok))
+      // chunks reconstruct the token count with stride arithmetic
+      if (n <= maxTok) assert(cs.length == 1 && lens.last == n)
+      else {
+        assert(lens.last == n - (cs.length - 1) * stride)
+        assert(lens.last > 0 && lens.last <= maxTok)
+      }
+    }
+  }
+
+  test("tfidfTopTerms ranks a planted rare term above common ones") {
+    import spark.implicits._
+    val corpus = (Seq((1L, "alpha beta gamma zyzzyx"), (2L, "alpha beta gamma"))
+      ++ (3L to 20L).map(i => (i, "alpha beta gamma delta"))).toDF("id", "text")
+    val top = TextOps.tfidfTopTerms(corpus, "text", "id", 1)
+      .filter(col("id") === 1L).select("term").head().getString(0)
+    assert(top == "zyzzyx") // df=1 -> highest idf, beats corpus-wide terms
+  }
+
   test("packByBudget yields contiguous batches bounded by budget + one straddler") {
     val toks = docs.select(col("doc_id"),
       TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
