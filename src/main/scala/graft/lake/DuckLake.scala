@@ -98,10 +98,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def insertInto(df: DataFrame, name: String, mode: WriteMode.Value = WriteMode.Append): Long =
     write(df, name, mode)
 
-  /** The table's partition key column names at `snap` (empty =
-    * unpartitioned or table absent).
+  /** The table's partition keys at `snap` as (source column, transform)
+    * fields in key order (empty = unpartitioned or table absent).
     */
-  def partitionColumnsOf(name: String, snapshot: Option[Long] = None): Seq[String] = {
+  def partitionFieldsOf(name: String, snapshot: Option[Long] = None): Seq[PartField] = {
     val snap = snapshot.getOrElse(store.currentSnapshot)
     val (schemaName, tableName) = parse(name)
     (for {
@@ -110,9 +110,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     } yield {
       val defs = store.getTableColumns(tbl.tableId, snap)
       store.getPartitionColumns(tbl.tableId, snap)
-        .flatMap { case (_, cid) => defs.find(_.columnId == cid).map(_.name) }
+        .flatMap { case (_, cid, t) => defs.find(_.columnId == cid).map(c => PartField(c.name, t)) }
     }).getOrElse(Nil)
   }
+
+  /** The table's partition key SPECS at `snap` — identity keys render as
+    * the bare column name, transforms as `month(col)` etc.
+    */
+  def partitionColumnsOf(name: String, snapshot: Option[Long] = None): Seq[String] =
+    partitionFieldsOf(name, snapshot).map(_.spec)
 
   /** CTAS with Z-ORDER clustering on two numeric columns: each value is
     * min/max-normalized to 16 bits, Morton-interleaved (codegen'd
@@ -151,15 +157,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     PathResolver.validateTableName(schemaName)
     PathResolver.validateTableName(tableName)
     // partition keys are fixed at creation; appends inherit them
-    val existingPartCols = partitionColumnsOf(name)
+    val existingSpecs = partitionColumnsOf(name)
     val tableIsNew = !tableExists(name)
-    if (!tableIsNew && partitionBy.nonEmpty && partitionBy != existingPartCols)
+    val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
+    if (!tableIsNew && partitionBy.nonEmpty && requestedSpecs != existingSpecs)
       throw new UnsupportedException(
-        s"partitioning mismatch for $name: table has [${existingPartCols.mkString(",")}]")
-    val partCols = if (tableIsNew) partitionBy else existingPartCols
-    partCols.foreach { p =>
-      if (!df.columns.contains(p))
-        throw new InvalidConfigException(s"partition column $p not in dataframe")
+        s"partitioning mismatch for $name: table has [${existingSpecs.mkString(",")}]")
+    val partSpecs = if (tableIsNew) requestedSpecs else existingSpecs
+    val partFields = partSpecs.map(PartTransform.parse)
+    partFields.foreach { pf =>
+      val f = df.schema.fields.find(_.name == pf.source).getOrElse(
+        throw new InvalidConfigException(s"partition column ${pf.source} not in dataframe"))
+      pf.transform.foreach(t => PartTransform.validate(t, f.dataType, pf.source))
     }
     // data inlining (DuckLake spec): appends at or below the limit live
     // in the catalog as JSON rows — no parquet file, no storage round
@@ -167,7 +176,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // (inlined rows skip the evolution machinery) and only on
     // unpartitioned tables.
     if (inlineRowLimit > 0 && mode == WriteMode.Append && !tableIsNew &&
-        !flushInlined && partCols.isEmpty && schemaMatchesCurrent(name, df)) {
+        !flushInlined && partFields.isEmpty && schemaMatchesCurrent(name, df)) {
       val sample = df.toJSON.limit(inlineRowLimit + 1).collect()
       if (sample.length <= inlineRowLimit) {
         val tr = resolveTable(name, store.currentSnapshot)
@@ -175,7 +184,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       }
     }
     val (spec, renamed) = stageWrite(df, name, mode,
-      if (tableIsNew) partCols else Nil, partCols, flushInlined)
+      if (tableIsNew) partSpecs else Nil, partFields, flushInlined)
     try store.commitWrites(Seq(spec))
     catch { case e: Throwable => cleanupRenamed(renamed); throw e }
   }
@@ -185,7 +194,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * staged specs atomically ([[write]], [[transaction]]).
     */
   private def stageWrite(df: DataFrame, name: String, mode: WriteMode.Value,
-      partColsForCreate: Seq[String], partCols: Seq[String],
+      partColsForCreate: Seq[String], partCols: Seq[PartField],
       flushInlined: Boolean): (TableWriteSpec, Seq[Path]) = {
     val (schemaName, tableName) = parse(name)
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -193,17 +202,27 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }.toSeq
     val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
+    // transform keys partition by a derived value column (the hive dir
+    // segment); the SOURCE column stays physically in the parquet —
+    // unlike identity keys, which move into the directory layout
+    val dirCols = partCols.zipWithIndex.map { case (pf, i) =>
+      if (pf.transform.isEmpty) pf.source else s"__pt_$i" }
+    val toStage = partCols.zipWithIndex.foldLeft(df) { case (d, (pf, i)) =>
+      pf.transform.fold(d)(t =>
+        d.withColumn(s"__pt_$i", PartTransform.valueExpr(t, col(pf.source))))
+    }
     // one fresh key per commit; each registered file row carries it
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
-    val writer = keyOpt.foldLeft(df.write.mode("overwrite")) { (w, k) =>
+    val writer = keyOpt.foldLeft(toStage.write.mode("overwrite")) { (w, k) =>
       w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
         .option(GraftCryptoFactory.EncryptKey, k)
     }
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(staging)
-    // schema of what's physically in the files (partition cols live in
-    // the directory structure, not the parquet)
+    (if (dirCols.nonEmpty) writer.partitionBy(dirCols: _*) else writer).parquet(staging)
+    // schema of what's physically in the files: everything except
+    // identity partition columns
+    val identitySources = partCols.filter(_.transform.isEmpty).map(_.source).toSet
     val dataSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields.filterNot(f => partCols.contains(f.name)))
+      df.schema.fields.filterNot(f => identitySources.contains(f.name)))
     try {
       val stagingPath = new Path(staging)
       val parts = {
@@ -310,14 +329,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val (schemaName, tableName) = parse(name)
     PathResolver.validateTableName(schemaName)
     PathResolver.validateTableName(tableName)
-    val existingPartCols = partitionColumnsOf(name)
+    val existingSpecs = partitionColumnsOf(name)
     val tableIsNew = !tableExists(name)
-    if (!tableIsNew && partitionBy.nonEmpty && partitionBy != existingPartCols)
+    val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
+    if (!tableIsNew && partitionBy.nonEmpty && requestedSpecs != existingSpecs)
       throw new UnsupportedException(
-        s"partitioning mismatch for $name: table has [${existingPartCols.mkString(",")}]")
-    val partCols = if (tableIsNew) partitionBy else existingPartCols
+        s"partitioning mismatch for $name: table has [${existingSpecs.mkString(",")}]")
+    val partSpecs = if (tableIsNew) requestedSpecs else existingSpecs
     val (spec, renamed) = stageWrite(df, name, mode,
-      if (tableIsNew) partCols else Nil, partCols, flushInlined = false)
+      if (tableIsNew) partSpecs else Nil, partSpecs.map(PartTransform.parse),
+      flushInlined = false)
     tx.specs += spec
     tx.renamed ++= renamed
   }
@@ -431,6 +452,14 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * directory layout, not the parquet); optionally carries the
     * file-local row position as `__ducklake_pos`.
     */
+  /** Plan-time column for rows that predate a column's ADD: its declared
+    * constant initial default, or typed null when none was declared.
+    */
+  private def defaultColumn(c: ColumnDef): Column = c.initialDefault match {
+    case Some(sql) => expr(sql).cast(TypeBridge.toSpark(c.dtype))
+    case None      => lit(null).cast(TypeBridge.toSpark(c.dtype))
+  }
+
   private def readGroup(name: String, fsGroup: Seq[DataFileRec],
       epoch: Seq[(ColumnDef, Option[ColumnDef])],
       partVals: Map[Long, Option[String]], withPos: Boolean): DataFrame = {
@@ -449,8 +478,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         }).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, Some(phys)) =>
         col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
-      case (cur, None) => // column added after this file was written
-        lit(null).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
+      case (cur, None) => // column added after this file was written:
+        // rows get the column's initial default (null when none declared)
+        defaultColumn(cur).as(cur.name)
     }
     if (withPos) base.select(projection :+ col("_metadata.row_index").as("__ducklake_pos"): _*)
     else base.select(projection: _*)
@@ -502,7 +532,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         byId.get(c.columnId) match {
           case Some(e) => col("__p").getField(e.name)
             .cast(TypeBridge.toSpark(c.dtype)).as(c.name)
-          case None => lit(null).cast(TypeBridge.toSpark(c.dtype)).as(c.name)
+          case None => defaultColumn(c).as(c.name)
         }
       }
       if (withRowId) parsed.select(projection :+ col("__row_id"): _*)
@@ -587,8 +617,40 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           }
         }
       }
-      val merged = byCol ++ partEntries
-      filters.forall(FileStats.mightMatch(_, schema, f.recordCount, merged))
+      // transform keys invert each file's value into a range constraint
+      // on the SOURCE column (month "2024-03" → source ∈ that month);
+      // footer stats for the source, when present, are tighter — merge
+      // field-wise, preferring the footer
+      val tvs = ctx.transformValues(f)
+      val transformEntries = tvs.map { case (cdef, t, vOpt) =>
+        val entry = vOpt match {
+          case None => ((Some(f.recordCount): Option[Long]),
+            (None: Option[String]), (None: Option[String]))
+          case Some(raw) =>
+            PartTransform.sourceRange(t, TypeBridge.toSpark(cdef.dtype), raw) match {
+              case Some((lo, hi)) => ((Some(0L): Option[Long]), Some(lo), Some(hi))
+              case None           => ((Some(0L): Option[Long]), None, None)
+            }
+        }
+        val mergedEntry = byCol.get(cdef.name) match {
+          case Some((bn, bmn, bmx)) =>
+            (bn.orElse(entry._1),
+              if (bmn.isDefined && bmx.isDefined) bmn else entry._2,
+              if (bmn.isDefined && bmx.isDefined) bmx else entry._3)
+          case None => entry
+        }
+        cdef.name -> mergedEntry
+      }.toMap
+      // hash-bucket keys prune equality predicates: a literal hashing to
+      // a different bucket cannot appear in this file
+      val bucketOk = tvs.forall {
+        case (cdef, PartTransform.BucketRe(n), Some(raw)) =>
+          raw.toIntOption.forall(b =>
+            filters.forall(PartTransform.mightMatchBucket(_, cdef.name, n.toInt, b)))
+        case _ => true
+      }
+      val merged = byCol ++ transformEntries ++ partEntries
+      bucketOk && filters.forall(FileStats.mightMatch(_, schema, f.recordCount, merged))
     }
   }
 
@@ -806,16 +868,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     if (candidates.isEmpty ||
       (candidates.size == 1 && candidates.head.deleteFile.isEmpty)) return snap
     val (schemaName, tableName) = parse(name)
-    val partColNames = partitionColumnsOf(name)
+    val identitySources = partitionFieldsOf(name)
+      .filter(_.transform.isEmpty).map(_.source).toSet
     val dataSchema = StructType(sparkSchemaOf(cols).fields
-      .filterNot(f => partColNames.contains(f.name)))
+      .filterNot(f => identitySources.contains(f.name)))
     val dataColNames = dataSchema.fieldNames.toSeq
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
     val staging = s"$dataPath/.staging-rw-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
     try {
-      // one merged file per partition-value group (bin-packing unit)
-      val groups = candidates.groupBy(ctx.partValues).toSeq
+      // one merged file per partition-tuple group (bin-packing unit;
+      // the tuple covers identity AND transform keys, so a rewrite never
+      // merges across partition boundaries)
+      val groups = candidates.groupBy(ctx.partTuple).toSeq
       val staged = groups.zipWithIndex.map { case ((pv, gfs), i) =>
         val df = gfs.map(morReadFile(name, ctx, _)).reduce(_ unionByName _)
           .select(dataColNames.map(col): _*)
@@ -826,11 +891,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         w.parquet(s"$staging/g$i")
         val part = fs.listStatus(new Path(s"$staging/g$i"))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-        // partition values in key-index order for the file registration
-        val byIdx = ctx.partValsByFile.getOrElse(gfs.head.dataFileId, Map.empty)
-        val pvSeq = ctx.partCols.sortBy(_._1).map { case (idx, _) =>
-          byIdx.getOrElse(idx, None) }
-        (part, pvSeq)
+        (part, pv)
       }
       val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, staged,
         dataSchema, keyOpt)
@@ -924,9 +985,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def dropColumn(name: String, colName: String): Long =
     store.dropColumn(resolveTable(name, store.currentSnapshot).tableId, colName)
 
-  /** ALTER TABLE … ADD COLUMN (nullable; earlier files read as null). */
-  def addColumn(name: String, colName: String, dtype: String): Long =
-    store.addColumn(resolveTable(name, store.currentSnapshot).tableId, colName, dtype)
+  /** ALTER TABLE … ADD COLUMN (nullable; earlier files read as the
+    * initial default when one is declared, else null). `default` is a
+    * constant SQL expression ('pending', 5, CAST('2024-01-01' AS DATE));
+    * it is validated (parse + constant-fold + cast) before the metadata
+    * commit so a bad default fails the ALTER, never a later scan. The
+    * DuckLake spec stores this as `ducklake_column.initial_default`;
+    * the reference is read-only and has no ALTER surface at all.
+    */
+  def addColumn(name: String, colName: String, dtype: String,
+      default: Option[String] = None): Long = {
+    default.foreach(sql => DuckLake.evalDefault(sql, TypeBridge.toSpark(dtype)))
+    store.addColumn(resolveTable(name, store.currentSnapshot).tableId, colName, dtype,
+      default.map(_.trim))
+  }
 
   // ------------------------------------------------------------------
   // CDC (reference: A20-A22, src/table_changes.rs + table_deletions.rs)
@@ -1077,11 +1149,12 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           sch <- store.listSchemas(snap)
           tbl <- store.listTables(sch.schemaId, snap)
           defs = store.getTableColumns(tbl.tableId, snap)
-          (idx, cid) <- store.getPartitionColumns(tbl.tableId, snap)
+          (idx, cid, t) <- store.getPartitionColumns(tbl.tableId, snap)
           cdef <- defs.find(_.columnId == cid)
-        } yield (sch.name, tbl.name, idx.toLong, cdef.name, cdef.dtype))
+        } yield (sch.name, tbl.name, idx.toLong, cdef.name, cdef.dtype,
+          t.getOrElse("identity")))
           .toDF("schema_name", "table_name", "partition_key_index",
-            "column_name", "column_type")
+            "column_name", "column_type", "transform")
       case other => throw new UnsupportedException(s"information_schema.$other")
     }
   }
@@ -1162,12 +1235,35 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   */
 private[lake] final case class ScanCtx(cols: Seq[ColumnDef],
     history: Seq[(ColumnDef, Long, Option[Long])],
-    partCols: Seq[(Int, Long)],
+    partCols: Seq[(Int, Long, Option[String])],
     partValsByFile: Map[Long, Map[Int, Option[String]]]) {
-  /** column_id → raw hive partition value for one file. */
+  /** column_id → raw hive value of IDENTITY partition keys for one file —
+    * the values injected as literal columns on read (transform keys'
+    * sources live in the parquet itself, nothing to inject).
+    */
   def partValues(f: DataFileRec): Map[Long, Option[String]] = {
     val byIdx = partValsByFile.getOrElse(f.dataFileId, Map.empty)
-    partCols.flatMap { case (idx, cid) => byIdx.get(idx).map(cid -> _) }.toMap
+    partCols.flatMap { case (idx, cid, t) =>
+      if (t.isDefined) None else byIdx.get(idx).map(cid -> _) }.toMap
+  }
+
+  /** Full partition tuple for one file in key-index order (identity AND
+    * transform values) — the rewrite/registration grouping key.
+    */
+  def partTuple(f: DataFileRec): Seq[Option[String]] = {
+    val byIdx = partValsByFile.getOrElse(f.dataFileId, Map.empty)
+    partCols.sortBy(_._1).map { case (idx, _, _) => byIdx.getOrElse(idx, None) }
+  }
+
+  /** Transform partition entries for one file: (source column def,
+    * transform, value) — pruning metadata only.
+    */
+  def transformValues(f: DataFileRec): Seq[(ColumnDef, String, Option[String])] = {
+    val byIdx = partValsByFile.getOrElse(f.dataFileId, Map.empty)
+    partCols.flatMap { case (idx, cid, t) =>
+      for (tr <- t; cdef <- cols.find(_.columnId == cid))
+        yield (cdef, tr, byIdx.getOrElse(idx, None))
+    }
   }
 }
 
@@ -1194,4 +1290,25 @@ object DuckLake {
     val tp = tr.path.stripSuffix("/")
     if (tr.pathIsRelative) s"$dataPath/$schemaName/$tp" else tp
   }
+
+  /** Evaluate a column's `initial_default` SQL text to a Catalyst internal
+    * value of `dt` (UTF8String/Long/Decimal/…). Only constant-foldable
+    * expressions are accepted — the value must be computable at plan time
+    * (no row context exists for pre-ALTER files). Evaluated once on the
+    * driver per scan; throws `UnsupportedException` on anything else.
+    */
+  def evalDefault(sql: String, dt: DataType): Any =
+    try {
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      if (!parsed.foldable)
+        throw new UnsupportedException(s"default must be a constant expression: $sql")
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          parsed.eval(null), parsed.dataType),
+        dt, Some("UTC")).eval(null)
+    } catch {
+      case e: DuckLakeException => throw e
+      case e: Exception =>
+        throw new UnsupportedException(s"cannot evaluate column default '$sql': ${e.getMessage}")
+    }
 }

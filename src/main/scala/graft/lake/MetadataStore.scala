@@ -5,7 +5,8 @@ import java.sql.{Connection, DriverManager, ResultSet}
 /** Catalog records (reference: src/metadata_provider.rs:413-503). */
 final case class SchemaRec(schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
 final case class TableRec(tableId: Long, schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
-final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean)
+final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean,
+  initialDefault: Option[String] = None)
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
     deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None,
@@ -94,7 +95,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  nulls_allowed BOOLEAN NOT NULL,
             |  parent_column BIGINT,
             |  begin_snapshot BIGINT NOT NULL,
-            |  end_snapshot BIGINT)""".stripMargin)
+            |  end_snapshot BIGINT,
+            |  initial_default VARCHAR(4000))""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_data_file(
             |  data_file_id BIGINT NOT NULL,
@@ -148,7 +150,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  partition_key_index BIGINT NOT NULL,
             |  column_id BIGINT NOT NULL,
             |  begin_snapshot BIGINT NOT NULL,
-            |  end_snapshot BIGINT)""".stripMargin)
+            |  end_snapshot BIGINT,
+            |  transform VARCHAR(64))""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_file_partition_value(
             |  data_file_id BIGINT NOT NULL,
@@ -294,9 +297,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5))).headOption
 
   def getTableColumns(tableId: Long, snap: Long): Seq[ColumnDef] =
-    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
+    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
       Seq(tableId, snap, snap))(rs =>
-      ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
+      ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5),
+        Option(rs.getString(6))))
 
   /** The column row (name/type) visible at `snap` for a given column_id —
     * rename/promotion history used to map a file's physical schema to the
@@ -304,9 +308,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * src/types.rs:440-498; our column_id plays the field_id role).
     */
   def getColumnDefAt(tableId: Long, columnId: Long, snap: Long): Option[ColumnDef] =
-    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed FROM ducklake_column WHERE table_id = ? AND column_id = ? AND parent_column IS NULL AND $Vis",
+    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default FROM ducklake_column WHERE table_id = ? AND column_id = ? AND parent_column IS NULL AND $Vis",
       Seq(tableId, columnId, snap, snap))(rs =>
-      ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5))).headOption
+      ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5),
+        Option(rs.getString(6)))).headOption
 
   /** Full column history for a table: every column row with its validity
     * interval. One query instead of files×columns point lookups — scan
@@ -315,11 +320,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * information_schema, src/metadata_provider.rs:598-618).
     */
   def getColumnHistory(tableId: Long): Seq[(ColumnDef, Long, Option[Long])] =
-    query("SELECT column_id, column_order, column_name, column_type, nulls_allowed, begin_snapshot, end_snapshot FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL ORDER BY column_id, begin_snapshot",
+    query("SELECT column_id, column_order, column_name, column_type, nulls_allowed, begin_snapshot, end_snapshot, initial_default FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL ORDER BY column_id, begin_snapshot",
       Seq(tableId)) { rs =>
       val end = rs.getLong(7)
       val endOpt = if (rs.wasNull()) None else Some(end) // wasNull refers to col 7
-      (ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)),
+      (ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5),
+        Option(rs.getString(8))),
         rs.getLong(6), endOpt)
     }
 
@@ -494,7 +500,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val existing = getTableColumns(table.tableId, snap)
     if (existing.isEmpty) {
       columns.zipWithIndex.foreach { case (c, i) =>
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, NULL)",
           Seq(i.toLong, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
             c.nullsAllowed, snap))
       }
@@ -519,18 +525,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // model as the DuckLake spec's ducklake_partition_column)
     val currentPartCols = getPartitionColumns(table.tableId, snap)
     if (existing.isEmpty && partitionBy.nonEmpty) {
-      partitionBy.zipWithIndex.foreach { case (name, idx) =>
-        val cid = colIds.getOrElse(name,
-          throw new InvalidConfigException(s"partition column not found: $name"))
-        update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL)",
-          Seq(table.tableId, idx.toLong, cid, snap))
+      val defs = getTableColumns(table.tableId, snap)
+      partitionBy.map(PartTransform.parse).zipWithIndex.foreach { case (pf, idx) =>
+        val cdef = defs.find(_.name == pf.source).getOrElse(
+          throw new InvalidConfigException(s"partition column not found: ${pf.source}"))
+        pf.transform.foreach(t =>
+          PartTransform.validate(t, TypeBridge.toSpark(cdef.dtype), pf.source))
+        update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?)",
+          Seq(table.tableId, idx.toLong, cdef.columnId, snap, pf.transform.orNull))
       }
     } else if (partitionBy.nonEmpty) {
-      val currentNames = currentPartCols.flatMap { case (_, cid) =>
-        getTableColumns(table.tableId, snap).find(_.columnId == cid).map(_.name) }
-      if (currentNames != partitionBy)
+      val defs = getTableColumns(table.tableId, snap)
+      val currentSpecs = currentPartCols.flatMap { case (_, cid, t) =>
+        defs.find(_.columnId == cid).map(c => PartField(c.name, t).spec) }
+      if (currentSpecs != partitionBy.map(PartTransform.parse(_).spec))
         throw new UnsupportedException(
-          s"partitioning mismatch: table has [${currentNames.mkString(",")}], write has [${partitionBy.mkString(",")}]")
+          s"partitioning mismatch: table has [${currentSpecs.mkString(",")}], write has [${partitionBy.mkString(",")}]")
     }
     val nKeys = if (existing.isEmpty) partitionBy.size else currentPartCols.size
     files.foreach { f =>
@@ -650,9 +660,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   /** Partition key columns of a table at `snap`, ordered by key index:
     * (partition_key_index, column_id). Empty = unpartitioned.
     */
-  def getPartitionColumns(tableId: Long, snap: Long): Seq[(Int, Long)] =
-    query(s"SELECT partition_key_index, column_id FROM ducklake_partition_column WHERE table_id = ? AND $Vis ORDER BY partition_key_index",
-      Seq(tableId, snap, snap))(rs => (rs.getInt(1), rs.getLong(2)))
+  /** Partition keys at `snap`: (key index, source column_id, transform —
+    * None = identity hive partitioning).
+    */
+  def getPartitionColumns(tableId: Long, snap: Long): Seq[(Int, Long, Option[String])] =
+    query(s"SELECT partition_key_index, column_id, transform FROM ducklake_partition_column WHERE table_id = ? AND $Vis ORDER BY partition_key_index",
+      Seq(tableId, snap, snap))(rs => (rs.getInt(1), rs.getLong(2), Option(rs.getString(3))))
 
   /** Per-file partition values for the table: data_file_id →
     * (key_index → raw hive value, None = null/default partition).
@@ -714,8 +727,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         ColumnDef(maxId, 0L, c.name, TypeBridge.normalize(c.dtype), c.nullsAllowed)
       }
       merged.zipWithIndex.foreach { case (c, i) =>
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
-          Seq(c.columnId, tableId, i.toLong, c.name, c.dtype, c.nullsAllowed, snap))
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+          Seq(c.columnId, tableId, i.toLong, c.name, c.dtype, c.nullsAllowed, snap,
+            c.initialDefault.orNull))
       }
     }
   }
@@ -928,12 +942,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
     // --- columns (full tuple identity, rename/add/drop restoration) ---
     case class C(columnId: Long, order: Long, name: String, dtype: String,
-        nulls: Boolean, parent: Option[Long])
+        nulls: Boolean, parent: Option[Long], default: Option[String])
     def colsAt(s: Long): Seq[C] = query(
-      s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, parent_column FROM ducklake_column WHERE table_id = ? AND $Vis",
+      s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, parent_column, initial_default FROM ducklake_column WHERE table_id = ? AND $Vis",
       Seq(tableId, s, s))(rs => C(rs.getLong(1), rs.getLong(2), rs.getString(3),
       rs.getString(4), rs.getBoolean(5),
-      { val p = rs.getLong(6); if (rs.wasNull()) None else Some(p) }))
+      { val p = rs.getLong(6); if (rs.wasNull()) None else Some(p) },
+      Option(rs.getString(7))))
     val nowC = colsAt(snap)
     val tgtC = colsAt(target)
     nowC.filterNot(tgtC.contains).foreach { c =>
@@ -941,24 +956,24 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(snap, tableId, c.columnId))
     }
     tgtC.filterNot(nowC.contains).foreach { c =>
-      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?)",
         Seq(c.columnId, tableId, c.order, c.name, c.dtype, c.nulls,
-          c.parent.map(Long.box).orNull, snap))
+          c.parent.map(Long.box).orNull, snap, c.default.orNull))
     }
 
     // --- partition keys ----------------------------------------------
-    def partsAt(s: Long): Seq[(Long, Long)] = query(
-      s"SELECT partition_key_index, column_id FROM ducklake_partition_column WHERE table_id = ? AND $Vis",
-      Seq(tableId, s, s))(rs => (rs.getLong(1), rs.getLong(2)))
+    def partsAt(s: Long): Seq[(Long, Long, Option[String])] = query(
+      s"SELECT partition_key_index, column_id, transform FROM ducklake_partition_column WHERE table_id = ? AND $Vis",
+      Seq(tableId, s, s))(rs => (rs.getLong(1), rs.getLong(2), Option(rs.getString(3))))
     val nowP = partsAt(snap)
     val tgtP = partsAt(target)
-    nowP.filterNot(tgtP.contains).foreach { case (idx, cid) =>
+    nowP.filterNot(tgtP.contains).foreach { case (idx, cid, _) =>
       update("UPDATE ducklake_partition_column SET end_snapshot = ? WHERE table_id = ? AND partition_key_index = ? AND column_id = ? AND end_snapshot IS NULL",
         Seq(snap, tableId, idx, cid))
     }
-    tgtP.filterNot(nowP.contains).foreach { case (idx, cid) =>
-      update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL)",
-        Seq(tableId, idx, cid, snap))
+    tgtP.filterNot(nowP.contains).foreach { case (idx, cid, t) =>
+      update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?)",
+        Seq(tableId, idx, cid, snap, t.orNull))
     }
     snap
   }
@@ -993,9 +1008,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // full column history (original validity) — files keep write epochs
       update("INSERT INTO ducklake_column SELECT column_id, CAST(? AS BIGINT), column_order, " +
         "column_name, column_type, nulls_allowed, parent_column, begin_snapshot, " +
-        "end_snapshot FROM ducklake_column WHERE table_id = ?", Seq(tid, srcTableId))
+        "end_snapshot, initial_default FROM ducklake_column WHERE table_id = ?", Seq(tid, srcTableId))
       update("INSERT INTO ducklake_partition_column SELECT CAST(? AS BIGINT), partition_key_index, " +
-        "column_id, begin_snapshot, end_snapshot FROM ducklake_partition_column " +
+        "column_id, begin_snapshot, end_snapshot, transform FROM ducklake_partition_column " +
         "WHERE table_id = ?", Seq(tid, srcTableId))
       // current-visible data files: fresh ids, shared paths, kept epochs
       val files = query(
@@ -1046,8 +1061,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new UnsupportedException(s"column already exists: $newName")
       update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
         Seq(snap, tableId, c.columnId))
-      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
-        Seq(c.columnId, tableId, c.order, newName, c.dtype, c.nullsAllowed, snap))
+      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+        Seq(c.columnId, tableId, c.order, newName, c.dtype, c.nullsAllowed, snap,
+          c.initialDefault.orNull))
       snap
     }
 
@@ -1055,7 +1071,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * epoch projection). A fresh column_id is allocated past every id the
     * table ever used, so dropped ids are never reused.
     */
-  def addColumn(tableId: Long, name: String, dtype: String): Long = inSnapshotTxn { snap =>
+  def addColumn(tableId: Long, name: String, dtype: String,
+      initialDefault: Option[String] = None): Long = inSnapshotTxn { snap =>
     PathResolver.validateName(name)
     val cols = getTableColumns(tableId, snap)
     if (cols.exists(_.name == name))
@@ -1064,8 +1081,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
       Seq(tableId))(_.getLong(1)).head
     val order = cols.map(_.order).maxOption.getOrElse(-1L) + 1
-    update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL)",
-      Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), true, snap))
+    update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+      Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), true, snap,
+        initialDefault.orNull))
     snap
   }
 

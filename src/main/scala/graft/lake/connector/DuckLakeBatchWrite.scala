@@ -48,10 +48,12 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
     case Array(s, t) => (s, t)
     case _           => ("main", fullName)
   }
-  private val partColNames = lake.partitionColumnsOf(fullName)
-  private val partIdx = partColNames.map(rowSchema.fieldIndex).toArray
+  private val partFields = lake.partitionFieldsOf(fullName)
+  private val partKeys = partFields.map(pf =>
+    (rowSchema.fieldIndex(pf.source), pf.transform.orNull)).toArray
+  private val identitySources = partFields.filter(_.transform.isEmpty).map(_.source).toSet
   private val dataSchema =
-    StructType(rowSchema.fields.filterNot(f => partColNames.contains(f.name)))
+    StructType(rowSchema.fields.filterNot(f => identitySources.contains(f.name)))
   private val staging = s"${lake.dataPath}/.staging-delta-${UUID.randomUUID()}"
   private val keyOpt =
     if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
@@ -61,7 +63,7 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new DeltaGroupWriterFactory(new GroupDataWriterFactory(staging,
       new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
-      rowSchema, partIdx, keyOpt))
+      rowSchema, partKeys, keyOpt))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
@@ -132,10 +134,12 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
     case Array(s, t) => (s, t)
     case _           => ("main", fullName)
   }
-  private val partColNames = lake.partitionColumnsOf(fullName)
-  private val partIdx = partColNames.map(rowSchema.fieldIndex).toArray
+  private val partFields = lake.partitionFieldsOf(fullName)
+  private val partKeys = partFields.map(pf =>
+    (rowSchema.fieldIndex(pf.source), pf.transform.orNull)).toArray
+  private val identitySources = partFields.filter(_.transform.isEmpty).map(_.source).toSet
   private val dataSchema =
-    StructType(rowSchema.fields.filterNot(f => partColNames.contains(f.name)))
+    StructType(rowSchema.fields.filterNot(f => identitySources.contains(f.name)))
   private val staging = s"${lake.dataPath}/.staging-stream-${UUID.randomUUID()}"
   private val epochKey = s"stream_epoch::$queryId::$fullName"
 
@@ -145,7 +149,7 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
     val keyOpt = if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
     val batch = new GroupDataWriterFactory(staging,
       new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
-      rowSchema, partIdx, keyOpt)
+      rowSchema, partKeys, keyOpt)
     lastKey = keyOpt
     (partitionId: Int, taskId: Long, _: Long) => batch.createWriter(partitionId, taskId)
   }
@@ -184,13 +188,21 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
   * task); partition columns stay out of the file, as on the read side.
   */
 final class GroupDataWriterFactory(staging: String, hconf: SerializableConfiguration,
-    schema: StructType, partIdx: Array[Int], key: Option[String])
+    schema: StructType, partKeys: Array[(Int, String)], key: Option[String])
     extends DataWriterFactory {
+
+  // legacy identity-only signature (kept for binary/test compatibility)
+  def this(staging: String, hconf: SerializableConfiguration, schema: StructType,
+      partIdx: Array[Int], key: Option[String]) =
+    this(staging, hconf, schema, partIdx.map(i => (i, null: String)), key)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // identity keys live in the directory; transform keys' SOURCE
+      // columns stay in the data fields
+      private val identityIdx = partKeys.collect { case (i, null) => i }
       private val dataFields: Array[(StructField, Int)] =
-        schema.fields.zipWithIndex.filterNot { case (_, i) => partIdx.contains(i) }
+        schema.fields.zipWithIndex.filterNot { case (_, i) => identityIdx.contains(i) }
       private val msgType: MessageType = {
         val b = Types.buildMessage()
         dataFields.foreach { case (f, _) => b.addField(GroupDataWriterFactory.parquetField(f)) }
@@ -209,9 +221,12 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
         if (off != 0 && off != 1)
           throw new UnsupportedTypeException(
             s"row has ${row.numFields} fields, write schema has ${schema.fields.length}: ${schema.simpleString}")
-        val pv: Seq[Option[String]] = partIdx.toSeq.map { i =>
+        val pv: Seq[Option[String]] = partKeys.toSeq.map { case (i, t) =>
           if (row.isNullAt(i + off)) None
-          else Some(GroupDataWriterFactory.partitionString(row, i + off, schema.fields(i).dataType))
+          else if (t == null)
+            Some(GroupDataWriterFactory.partitionString(row, i + off, schema.fields(i).dataType))
+          else Some(graft.lake.PartTransform.transformValue(t,
+            schema.fields(i).dataType, row.get(i + off, schema.fields(i).dataType)))
         }
         val (w, _) = writers.getOrElseUpdate(pv, {
           val name = s"part-$partitionId-$taskId-${writers.size}-${UUID.randomUUID().toString.take(8)}.parquet"

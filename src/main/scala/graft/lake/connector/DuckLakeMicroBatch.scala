@@ -39,7 +39,8 @@ final case class DuckLakeFilePartition(path: String, encryptionKey: Option[Strin
     physNames: Array[String], fieldTypes: Array[DataType],
     isPartCol: Array[Boolean], partRaw: Array[String],
     deletePath: String = null, deleteKey: Option[String] = None,
-    special: Array[Int] = null, dataFileId: Long = -1L) extends InputPartition
+    special: Array[Int] = null, dataFileId: Long = -1L,
+    defaultSqls: Array[String] = null) extends InputPartition
 
 /** A file partition tagged with its hive-partition key — the handle
   * Spark's storage-partitioned join (SPJ) machinery groups by: two lake
@@ -95,7 +96,10 @@ private[connector] object DuckLakePartitionPlanner {
     val partValsByFile =
       if (partCols.isEmpty) Map.empty[Long, Map[Int, Option[String]]]
       else lake.store.getFilePartitionValues(tr.tableId)
-    val partIdxByColId = partCols.map { case (idx, cid) => cid -> idx }.toMap
+    // only IDENTITY keys inject catalog values; transform keys' source
+    // columns are physically present in the parquet
+    val partIdxByColId = partCols.collect {
+      case (idx, cid, None) => cid -> idx }.toMap
     files.map { file =>
       // per-file epoch: the physical (on-disk) name of each required column
       val physNames = required.fields.map { f =>
@@ -115,12 +119,22 @@ private[connector] object DuckLakePartitionPlanner {
           v <- partValsByFile.getOrElse(file.dataFileId, Map.empty).getOrElse(idx, None)
         } yield v).orNull
       }
+      // a column added (with default) after this file's epoch: ship the
+      // default SQL so the executor materializes it for pre-ALTER rows;
+      // evaluate driver-side first so a bad default fails at planning
+      val defaultSqls = required.fields.zipWithIndex.map { case (f, i) =>
+        (if (physNames(i) != null) None
+         else byName.get(f.name).flatMap(_.initialDefault).map { sql =>
+           graft.lake.DuckLake.evalDefault(sql, f.dataType); sql
+         }).orNull
+      }
       DuckLakeFilePartition(s"$basePath/${file.path}",
         file.encryptionKey, physNames, required.fields.map(_.dataType),
         isPartCol, partRaw,
         file.deleteFile.map(d => s"$basePath/${d.path}").orNull,
         file.deleteFile.flatMap(_.encryptionKey),
-        special, file.dataFileId)
+        special, file.dataFileId,
+        if (defaultSqls.forall(_ == null)) null else defaultSqls)
         : InputPartition
     }.toArray
   }
@@ -320,6 +334,14 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
       private var current: Group = _
       private var pos: Long = -1L
 
+      // initial defaults for columns added after this file's epoch,
+      // evaluated once per reader to Catalyst internal values
+      private val defaultVal: Array[Any] =
+        if (p.defaultSqls == null) null
+        else p.defaultSqls.indices.map(i =>
+          if (p.defaultSqls(i) == null) null
+          else graft.lake.DuckLake.evalDefault(p.defaultSqls(i), p.fieldTypes(i))).toArray
+
       override def next(): Boolean = {
         current = reader.read()
         pos += 1
@@ -338,6 +360,7 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
             if (p.special != null && p.special(i) == 1) p.dataFileId
             else if (p.special != null && p.special(i) == 2) pos
             else if (p.isPartCol(i)) parsePartValue(p.partRaw(i), p.fieldTypes(i))
+            else if (p.physNames(i) == null && defaultVal != null) defaultVal(i)
             else readField(current, p.physNames(i), p.fieldTypes(i))
           row.update(i, v)
           i += 1

@@ -60,6 +60,14 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
 
   override def name(): String = catalogName
 
+  /** Analyzer gate for `DEFAULT <expr>` in DDL (column defaults are
+    * stored as `ducklake_column.initial_default` and materialized for
+    * pre-ALTER rows on read).
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def lake: DuckLake =
     DuckLakeSparkCatalog.lakes.getOrElseUpdate((metaDb, dataPath),
       new DuckLake(SparkSession.active, metaDb, dataPath))
@@ -155,14 +163,30 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     new DuckLakeV2Table(lake, fullName(ident), snap, df.schema)
   }
 
-  /** Only identity transforms (hive-style `PARTITIONED BY (col)`) map to
-    * the DuckLake partition model.
+  /** Map v2 partition Transforms to DuckLake partition SPECS: identity,
+    * years/months/days (SQL `PARTITIONED BY (months(ts))`), bucket(n),
+    * truncate(n).
     */
   private def identityPartitionNames(partitions: Array[Transform]): Seq[String] =
     partitions.map { t =>
-      if (t.name() != "identity" || t.references().length != 1)
-        throw new UnsupportedOperationException(s"partition transform: $t")
-      t.references()(0).fieldNames().mkString(".")
+      def ref: String = {
+        if (t.references().length != 1)
+          throw new UnsupportedOperationException(s"partition transform: $t")
+        t.references()(0).fieldNames().mkString(".")
+      }
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new UnsupportedOperationException(s"partition transform: $t"))
+      t.name() match {
+        case "identity" => ref
+        case "years"    => s"year($ref)"
+        case "months"   => s"month($ref)"
+        case "days"     => s"day($ref)"
+        case "bucket"   => s"bucket($intArg, $ref)"
+        case "truncate" => s"truncate($intArg, $ref)"
+        case _ => throw new UnsupportedOperationException(s"partition transform: $t")
+      }
     }.toSeq
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -256,8 +280,13 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       case a: TableChange.AddColumn =>
         if (!a.isNullable)
           throw new UnsupportedOperationException("added columns must be nullable")
+        // DEFAULT <expr>: recorded as the column's initial_default —
+        // pre-ALTER rows read it back (DuckLake spec semantics)
+        val default = Option(a.defaultValue()).map { dv =>
+          Option(dv.getSql).getOrElse(String.valueOf(dv.getValue))
+        }
         lake.addColumn(name, a.fieldNames().mkString("."),
-          TypeBridge.fromSpark(a.dataType()))
+          TypeBridge.fromSpark(a.dataType()), default)
       case other =>
         throw new UnsupportedOperationException(s"alterTable change: $other")
     }
@@ -494,10 +523,23 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     m
   }
 
-  override def partitioning(): Array[Transform] =
-    lake.partitionColumnsOf(fullName, Some(snapshot))
-      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    lake.partitionFieldsOf(fullName, Some(snapshot)).map { pf =>
+      pf.transform match {
+        case None          => Expressions.identity(pf.source)
+        case Some("year")  => Expressions.years(pf.source)
+        case Some("month") => Expressions.months(pf.source)
+        case Some("day")   => Expressions.days(pf.source)
+        case Some(graft.lake.PartTransform.BucketRe(n)) =>
+          Expressions.bucket(n.toInt, pf.source)
+        case Some(graft.lake.PartTransform.TruncateRe(n)) =>
+          Expressions.apply("truncate",
+            Expressions.literal(n.toInt), Expressions.column(pf.source))
+        case Some(other) => Expressions.apply(other, Expressions.column(pf.source))
+      }
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

@@ -418,6 +418,52 @@ object LakeQueries {
       FROM nation ORDER BY n_nationkey
     """),
 
+    ("lake_transform_prune", (s: SparkSession, dir: String) => {
+      // transform partitioning (month(o_orderdate)): the source column
+      // stays in the data files, the month value lives in the catalog,
+      // and a date-range predicate prunes to the matching months' files
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.orders_month")) {
+        lake.createTableAs(t(s, dir, "orders").repartition(2),
+          "main.orders_month", partitionBy = Seq("month(o_orderdate)"))
+      }
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM ducklake.main.orders_month
+        WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-04-01'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }, """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-04-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+
+    ("lake_default_column", (s: SparkSession, dir: String) => {
+      // ADD COLUMN … DEFAULT (DuckLake spec initial_default): pre-ALTER
+      // rows materialize the declared constant on read — through BOTH the
+      // V1 epoch projection and the native row reader — while post-ALTER
+      // inserts store real values
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.defaults")) {
+        lake.createTableAs(t(s, dir, "region").coalesce(1), "main.defaults")
+        s.sql("ALTER TABLE ducklake.main.defaults ADD COLUMN status STRING DEFAULT 'pending'")
+        s.sql("ALTER TABLE ducklake.main.defaults ADD COLUMN score INT DEFAULT 7")
+        s.sql("INSERT INTO ducklake.main.defaults VALUES " +
+          "(900, 'new region', 'active', 1)")
+      }
+      s.sql("""
+        SELECT r_regionkey, r_name, status, score
+        FROM ducklake.main.defaults ORDER BY r_regionkey""")
+    }, """
+      SELECT r_regionkey, r_name, 'pending' AS status, 7 AS score FROM region
+      UNION ALL
+      SELECT 900, 'new region', 'active', 1
+      ORDER BY r_regionkey
+    """),
+
     ("lake_update", (s: SparkSession, dir: String) => {
       // programmatic merge-on-read UPDATE: positional-delete + append of
       // the updated versions, no table rewrite

@@ -273,6 +273,37 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ADD COLUMN DEFAULT: pre-ALTER rows read the default on every path") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs(Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1),
+      "main.defcol")
+    val preAlter = l.currentSnapshot
+    spark.sql("ALTER TABLE ducklake.main.defcol ADD COLUMN status STRING DEFAULT 'pending'")
+    spark.sql("ALTER TABLE ducklake.main.defcol ADD COLUMN score INT DEFAULT 7")
+    spark.sql("INSERT INTO ducklake.main.defcol VALUES (3, 'c', 'live', 1)")
+    // V1 scan path: old rows materialize defaults, new row keeps values
+    val got = spark.sql(
+      "SELECT id, status, score FROM ducklake.main.defcol ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "pending", 7), (2L, "pending", 7), (3L, "live", 1)))
+    // native row-reader path (row-level UPDATE scans via DuckLakeFilePartition):
+    // the WHERE matches on a defaulted value of a pre-ALTER row
+    spark.sql("UPDATE ducklake.main.defcol SET status = 'done' WHERE id = 1")
+    val after = spark.sql(
+      "SELECT id, status, score FROM ducklake.main.defcol ORDER BY id").collect()
+    assert(after.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "done", 7), (2L, "pending", 7), (3L, "live", 1)))
+    // time travel to before the ALTER shows the original two columns
+    assert(spark.sql(
+      s"SELECT * FROM ducklake.main.defcol VERSION AS OF $preAlter").columns.toSeq ==
+      Seq("id", "tag"))
+    // non-constant defaults are rejected at ALTER time
+    intercept[Exception] {
+      l.addColumn("main.defcol", "bad", "int32", Some("id + 1"))
+    }
+  }
+
   test("SQL UPDATE rewrites matching rows (merge-on-read delta)") {
     import spark.implicits._
     val l = lake

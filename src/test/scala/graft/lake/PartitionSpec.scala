@@ -193,6 +193,99 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("x") >= 10 && col("x") < 20).count() == 1000)
   }
 
+  test("transform partitions: month(date) keeps source in data, prunes ranges") {
+    import spark.implicits._
+    val df = (0 until 360).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        i * 2.0)
+    }.toDF("id", "odate", "amount")
+    lake.createTableAs(df.repartition(3), "main.torders",
+      partitionBy = Seq("month(odate)"))
+    val back = lake.table("main.torders")
+    assert(back.count() == 360)
+    assert(back.columns.toSeq == Seq("id", "odate", "amount"))
+    // the SOURCE column stays physically in the parquet (unlike identity)
+    val aFile = lake.listFilesDF.filter(col("table_name") === "torders").head.getString(2)
+    assert(spark.read.parquet(s"$root/data/main/torders/$aFile").columns.contains("odate"))
+    val all = { lake.table("main.torders").count(); lake.lastScanFileCount }
+    assert(all >= 12) // one+ file per month
+    // a one-month window touches only that month's files
+    val win = lake.table("main.torders", None, Seq(And(
+      GreaterThanOrEqual("odate", java.sql.Date.valueOf("2024-03-01")),
+      LessThan("odate", java.sql.Date.valueOf("2024-04-01")))))
+    assert(win.filter(col("odate") >= "2024-03-01" && col("odate") < "2024-04-01")
+      .count() == 31)
+    assert(lake.lastScanFileCount <= all / 6)
+    // appends re-derive the transform and inherit the spec
+    lake.insertInto(Seq((1000L, java.sql.Date.valueOf("2024-02-15"), 1.0))
+      .toDF("id", "odate", "amount"), "main.torders")
+    assert(lake.table("main.torders").count() == 361)
+    intercept[UnsupportedException] {
+      lake.createTableAs(df, "main.torders", partitionBy = Seq("day(odate)"))
+    }
+  }
+
+  test("transform partitions: bucket(8, id) prunes equality lookups") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    lake.createTableAs(df.coalesce(1), "main.tbucket",
+      partitionBy = Seq("bucket(8, id)"))
+    val all = { lake.table("main.tbucket").count(); lake.lastScanFileCount }
+    assert(all >= 8) // most buckets populated with 400 keys
+    val one = lake.table("main.tbucket", None, Seq(EqualTo("id", 42L)))
+    assert(one.filter(col("id") === 42L).count() == 1)
+    // id ranges overlap across bucket files, so ONLY the hash-bucket
+    // check can prune here (footer min/max cannot)
+    assert(lake.lastScanFileCount == 1)
+  }
+
+  test("transform partitions: SQL PARTITIONED BY (months(...)), delta UPDATE") {
+    spark.conf.set("spark.sql.catalog.ducklake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ducklake.metaDb", s"$root/meta")
+    spark.conf.set("spark.sql.catalog.ducklake.dataPath", s"$root/data")
+    spark.sql("""CREATE TABLE ducklake.main.tsql (
+      id BIGINT, d DATE, v DOUBLE) PARTITIONED BY (months(d))""")
+    spark.sql("""INSERT INTO ducklake.main.tsql VALUES
+      (1, DATE'2024-01-05', 1.0), (2, DATE'2024-02-05', 2.0),
+      (3, DATE'2024-02-20', 3.0)""")
+    assert(spark.sql("SELECT * FROM ducklake.main.tsql").count() == 3)
+    // partition values recorded month-wise
+    val parts = lake.informationSchema("partitions")
+      .filter(col("table_name") === "tsql").collect()
+    assert(parts.length == 1 && parts.head.getString(5) == "month")
+    // the delta (merge-on-read) writer derives the transform for new rows
+    spark.sql("UPDATE ducklake.main.tsql SET v = v + 10 WHERE id = 2")
+    val got = spark.sql("SELECT id, v FROM ducklake.main.tsql ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (2L, 12.0), (3L, 3.0)))
+    // month files: Jan and Feb dirs → pruning on a Feb predicate
+    val febCnt = spark.sql(
+      "SELECT count(*) FROM ducklake.main.tsql WHERE d >= DATE'2024-02-01' AND d < DATE'2024-03-01'")
+      .head.getLong(0)
+    assert(febCnt == 2)
+  }
+
+  test("transform partitions: truncate prefix pruning and rewriteFiles grouping") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, (if (i % 2 == 0) "alpha" else "beta") + s"-$i")).toDF("id", "name")
+    lake.createTableAs(df.coalesce(1), "main.ttrunc",
+      partitionBy = Seq("truncate(4, name)"))
+    val all = { lake.table("main.ttrunc").count(); lake.lastScanFileCount }
+    assert(all == 2) // alph / beta
+    lake.table("main.ttrunc", None,
+      Seq(org.apache.spark.sql.sources.StringStartsWith("name", "alpha"))).count()
+    assert(lake.lastScanFileCount == 1)
+    // MOR delete + targeted rewrite keeps the partition tuple intact
+    lake.deleteWhere("main.ttrunc", col("id") % 2 === 1L && col("id") < 100L)
+    lake.rewriteFiles("main.ttrunc", minDeleteRatio = 0.01)
+    assert(lake.table("main.ttrunc").count() == 200 - 50)
+    lake.table("main.ttrunc", None,
+      Seq(org.apache.spark.sql.sources.StringStartsWith("name", "alpha"))).count()
+    assert(lake.lastScanFileCount == 1) // rewritten file kept its partition value
+  }
+
   test("information_schema('partitions') lists partition keys") {
     mkSales()
     val p = lake.informationSchema("partitions")
