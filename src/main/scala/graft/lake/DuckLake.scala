@@ -98,6 +98,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def insertInto(df: DataFrame, name: String, mode: WriteMode.Value = WriteMode.Append): Long =
     write(df, name, mode)
 
+  /** Column name → declared default SQL at `snap` (empty when none). */
+  def columnDefaultsOf(name: String, snapshot: Option[Long] = None): Map[String, String] = {
+    val snap = snapshot.getOrElse(store.currentSnapshot)
+    val (schemaName, tableName) = parse(name)
+    (for {
+      sch <- store.getSchemaByName(schemaName, snap)
+      tbl <- store.getTableByName(sch.schemaId, tableName, snap)
+    } yield store.getTableColumns(tbl.tableId, snap)
+      .flatMap(c => c.initialDefault.map(c.name -> _)).toMap).getOrElse(Map.empty)
+  }
+
   /** The table's partition keys at `snap` as (source column, transform)
     * fields in key order (empty = unpartitioned or table absent).
     */

@@ -500,9 +500,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val existing = getTableColumns(table.tableId, snap)
     if (existing.isEmpty) {
       columns.zipWithIndex.foreach { case (c, i) =>
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, NULL)",
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
           Seq(i.toLong, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
-            c.nullsAllowed, snap))
+            c.nullsAllowed, snap, c.initialDefault.orNull))
       }
     } else {
       validateEvolution(existing, columns, table.tableId, snap)

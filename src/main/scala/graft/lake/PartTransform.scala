@@ -46,7 +46,7 @@ object PartTransform {
   def parse(spec: String): PartField = spec.trim match {
     case SpecFn2("bucket", n, c)   => PartField(c, Some(s"bucket[$n]"))
     case SpecFn2("truncate", n, c) => PartField(c, Some(s"truncate[$n]"))
-    case SpecFn(t @ ("year" | "month" | "day"), c) => PartField(c, Some(t))
+    case SpecFn(t @ ("year" | "month" | "day" | "hour"), c) => PartField(c, Some(t))
     case SpecFn(other, _) =>
       throw new UnsupportedException(s"unknown partition transform: $other")
     case plain => PartField(plain, None)
@@ -57,6 +57,7 @@ object PartTransform {
     */
   def validate(t: String, dt: DataType, source: String): Unit = {
     val ok = t match {
+      case "hour" => dt == TimestampType || dt == TimestampNTZType
       case "year" | "month" | "day" =>
         dt == DateType || dt == TimestampType || dt == TimestampNTZType
       case TruncateRe(_) => dt == StringType
@@ -78,6 +79,7 @@ object PartTransform {
     case "year"  => date_format(c, "yyyy")
     case "month" => date_format(c, "yyyy-MM")
     case "day"   => date_format(c, "yyyy-MM-dd")
+    case "hour"  => date_format(c, "yyyy-MM-dd-HH")
     case TruncateRe(n) => substring(c, 1, n.toInt)
     case BucketRe(n) =>
       // md5-derived bucket: engine-portable (any side can recompute it
@@ -114,6 +116,11 @@ object PartTransform {
         case "day" =>
           val d = LocalDate.parse(raw)
           dateRange(d, d.plusDays(1))
+        case "hour" if dt == TimestampType || dt == TimestampNTZType =>
+          val f = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
+          val h = java.time.LocalDateTime.parse(raw, f)
+          val loUs = h.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+          Some((loUs.toString, (loUs + 3600000000L - 1).toString))
         case TruncateRe(_) if dt == StringType =>
           incrementString(raw).map(hi => (raw, hi))
         case _ => None
@@ -160,21 +167,22 @@ object PartTransform {
     * produce the same directory value as the SQL expression.
     */
   def transformValue(t: String, dt: DataType, v: Any): String = t match {
-    case "year" | "month" | "day" =>
-      val d: java.time.LocalDate = dt match {
-        case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+    case "year" | "month" | "day" | "hour" =>
+      val d: java.time.LocalDateTime = dt match {
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).atStartOfDay()
         case TimestampType | TimestampNTZType =>
           val us = v.asInstanceOf[Long]
           java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-            (Math.floorMod(us, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC).toLocalDate
+            (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
         case other => throw new UnsupportedTypeException(
           s"transform $t on ${other.simpleString}")
       }
       t match {
         case "year"  => f"${d.getYear}%04d"
         case "month" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
-        case _       => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+        case "day"   => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+        case _ => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d-${d.getHour}%02d"
       }
     case TruncateRe(n) =>
       val s = v.toString

@@ -160,7 +160,19 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       case _: graft.lake.DuckLakeException =>
         throw new NoSuchTableException(ident)
     }
-    new DuckLakeV2Table(lake, fullName(ident), snap, df.schema)
+    // expose catalog column defaults as the analyzer's metadata keys so
+    // INSERTs with a column subset (or DEFAULT keyword) resolve them
+    val defaults = lake.columnDefaultsOf(fullName(ident), Some(snap))
+    val schema = StructType(df.schema.fields.map { f =>
+      defaults.get(f.name).fold(f) { sql =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql)
+          .build())
+      }
+    })
+    new DuckLakeV2Table(lake, fullName(ident), snap, schema)
   }
 
   /** Map v2 partition Transforms to DuckLake partition SPECS: identity,
@@ -183,6 +195,7 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
         case "years"    => s"year($ref)"
         case "months"   => s"month($ref)"
         case "days"     => s"day($ref)"
+        case "hours"    => s"hour($ref)"
         case "bucket"   => s"bucket($intArg, $ref)"
         case "truncate" => s"truncate($intArg, $ref)"
         case _ => throw new UnsupportedOperationException(s"partition transform: $t")
@@ -193,7 +206,16 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val partNames = identityPartitionNames(partitions)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
+      // `CREATE TABLE (x INT DEFAULT 5)`: the analyzer stores the default
+      // SQL in field metadata; persist it as the column's initial_default
+      val default =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.metadata.getString("CURRENT_DEFAULT"))
+        else if (f.metadata.contains("EXISTS_DEFAULT"))
+          Some(f.metadata.getString("EXISTS_DEFAULT"))
+        else None
+      ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType),
+        f.nullable, default)
     }.toSeq
     val (sch, tbl) = fullName(ident).split('.') match {
       case Array(s, t) => (s, t)
@@ -531,6 +553,7 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
         case Some("year")  => Expressions.years(pf.source)
         case Some("month") => Expressions.months(pf.source)
         case Some("day")   => Expressions.days(pf.source)
+        case Some("hour")  => Expressions.hours(pf.source)
         case Some(graft.lake.PartTransform.BucketRe(n)) =>
           Expressions.bucket(n.toInt, pf.source)
         case Some(graft.lake.PartTransform.TruncateRe(n)) =>

@@ -304,6 +304,19 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CREATE TABLE column DEFAULT resolves INSERTs with missing columns") {
+    spark.sql("""CREATE TABLE ducklake.main.defcreate (
+      id BIGINT, status STRING DEFAULT 'open', score INT DEFAULT 3)""")
+    // subset insert: missing columns fill from CURRENT_DEFAULT metadata
+    spark.sql("INSERT INTO ducklake.main.defcreate (id) VALUES (1)")
+    // DEFAULT keyword
+    spark.sql("INSERT INTO ducklake.main.defcreate VALUES (2, DEFAULT, 9)")
+    val got = spark.sql(
+      "SELECT id, status, score FROM ducklake.main.defcreate ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "open", 3), (2L, "open", 9)))
+  }
+
   test("SQL UPDATE rewrites matching rows (merge-on-read delta)") {
     import spark.implicits._
     val l = lake

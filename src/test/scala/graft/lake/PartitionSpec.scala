@@ -239,6 +239,23 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.lastScanFileCount == 1)
   }
 
+  test("transform partitions: hour(ts) prunes timestamp windows") {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 5, 1, 0, 0)
+    val df = (0 until 240).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(base.plusMinutes(i * 6L)), i * 1.0)
+    }.toDF("id", "ts", "v") // 24 hours, 10 events/hour
+    lake.createTableAs(df.coalesce(1), "main.thour", partitionBy = Seq("hour(ts)"))
+    val all = { lake.table("main.thour").count(); lake.lastScanFileCount }
+    assert(all >= 24)
+    val win = lake.table("main.thour", None, Seq(And(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-05-01 07:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-05-01 09:00:00")))))
+    assert(win.filter(col("ts") >= "2024-05-01 07:00:00" &&
+      col("ts") < "2024-05-01 09:00:00").count() == 20)
+    assert(lake.lastScanFileCount <= 2)
+  }
+
   test("transform partitions: SQL PARTITIONED BY (months(...)), delta UPDATE") {
     spark.conf.set("spark.sql.catalog.ducklake",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
