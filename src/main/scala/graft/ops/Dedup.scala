@@ -341,6 +341,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * near-duplicate pairs by cosine ≥ `threshold` (LSH-bucketed — the
+    * candidate join is linear in bucket sizes, never a corpus cross
+    * join), clustered by [[connectedComponents]], keeping the
+    * minimum-id representative of each cluster. Returns the KEPT ids
+    * (one column named `idCol`) — anti-joining the corpus against its
+    * complement is the caller's one-liner. The standard embedding-space
+    * dedup pass for training corpora, entirely composed of distributed
+    * primitives: no driver-side vectors at any scale.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nBits)
+    // min-label propagation converges to each component's minimum id, so
+    // the kept representative is exactly the row whose label is itself
+    connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b",
+        vertices = Some(df.select(col(idCol))))
+      .filter(col("id") === col("component"))
+      .select(col("id").as(idCol))
+  }
+
   /** Connected components over a near-duplicate pair graph → duplicate
     * CLUSTERS (the step after pair generation: keep one doc per component
     * at corpus scale). Iterative min-label propagation — each round every

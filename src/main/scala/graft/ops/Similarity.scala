@@ -160,12 +160,26 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, using LSH
-    * buckets as the blocking key (same-bucket candidates only).
+    * buckets as the blocking key. OR-amplified: `bands` independent
+    * `nBits`-bit signatures (disjoint hyperplane sets), candidates =
+    * pairs agreeing on ANY band — a near-identical pair missed by one
+    * band (a sign flip on a boundary plane) is caught by another, so
+    * the miss rate is p^bands instead of p. The candidate join stays
+    * linear in bucket sizes; each verified pair is exact cosine.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nBits: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      lshSignature(col(vecCol), dim, nBits).as("__bucket"))
+      dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4): DataFrame = {
+    val bandSigs = (0 until bands).map { bnd =>
+      val bits = (0 until nBits).map { p =>
+        val plane = array((0 until dim).map(d =>
+          lit(planeValue(bnd * nBits + p, d))): _*)
+        when(dot(col("__v"), plane) > 0, lit(1L << p)).otherwise(0L)
+      }
+      struct(lit(bnd).as("band"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+    }
+    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(array(bandSigs: _*)).as("__bucket"))
     val a = sig.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
     val b = sig.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
     a.join(b, Seq("__bucket"))

@@ -535,6 +535,50 @@ object OpsQueries {
       GROUP BY o.o_orderkey ORDER BY o.o_orderkey
     """),
 
+    ("dedup_semantic", (s: SparkSession, dir: String) => {
+      // SemDeDup composition with an exact edge set (oracle-parity): a
+      // corpus with planted near-identical twins (+0.01 on every dim),
+      // cosine-0.95 edges -> connected components -> keep min id per
+      // cluster. The production path (LSH-bucketed candidates) is
+      // recall-tested in OpsSpec; the exact-edge variant hash-checks the
+      // whole clustering + representative-selection machinery
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 80)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val corpus = base.unionByName(base
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("v", transform(col("v"), x => x + 0.01)))
+      val a = corpus.select(col("vec_id").as("id_a"), col("v").as("__va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("v").as("__vb"))
+      val edges = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(round(graft.ops.Similarity.cosine(col("__va"), col("__vb")), 4) >= 0.95)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(edges, "id_a", "id_b",
+          vertices = Some(corpus.select(col("vec_id"))))
+        .filter(col("id") === col("component"))
+        .select(col("id").as("vec_id"))
+        .orderBy("vec_id")
+    }, """
+      WITH RECURSIVE
+      corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 80
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+        FROM embeddings WHERE vec_id < 80),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95),
+      walk(id, lbl) AS (
+        SELECT vec_id, vec_id FROM corpus
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+      SELECT id AS vec_id
+      FROM (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+      WHERE id = component ORDER BY vec_id
+    """),
+
     ("dedup_components", (s: SparkSession, dir: String) => {
       // duplicate clustering: near-length doc pairs (same lang, n_chars
       // within ±1 — built with the interval join) → connected components

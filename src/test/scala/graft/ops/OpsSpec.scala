@@ -239,6 +239,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "binned join must be an equi-join")
   }
 
+  test("semanticDedup keeps one representative per planted twin cluster") {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 150)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val corpus = base.unionByName(base
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("v", expr("transform(v, x -> x + 0.01)")))
+    val n = base.count()
+    val kept = Dedup.semanticDedup(corpus, "vec_id", "v", dim = 64, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    // each twin pair clusters; the base id is the kept representative.
+    // random base-base pairs may occasionally cluster too, so kept <= n
+    assert(kept.size <= n)
+    assert(kept.forall(_ < 100000L))         // a twin never beats its base
+    assert(kept.count(_ < 100000L) >= n - 5) // near-total recall of bases
+  }
+
   test("keepLatest keeps exactly the max-order row per key") {
     import spark.implicits._
     val df = Seq(
