@@ -23,10 +23,13 @@ object Bench {
       Seq("txt_token_stats", "txt_quality", "txt_langid", "dedup_exact",
         "dedup_minhash", "sim_bruteforce_topk", "mm_decode_meta",
         "lake_scan_agg", "lake_mor_deletes", "lake_encrypted_scan",
-        "lake_partition_prune",
+        "lake_partition_prune", "lake_transform_prune",
         "pipe_curation", "pipe_pack_batches", "pipe_split_hash",
+        "pipe_mix_epochs",
         "agg_quantiles", "agg_stats_funcs", "w_distribution_funcs",
-        "ev_pivot_type")
+        "ev_pivot_type",
+        "txt_tfidf_keywords", "txt_chunk", "dedup_keep_latest",
+        "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -486,6 +486,31 @@ object PipelineQueries {
     // Watermarked append-mode streaming
     // ---------------------------------------------------------------
 
+    // ---------------------------------------------------------------
+    // Stream-stream interval join (watermarked attribution join) and
+    // cross-batch streaming dedup — each hash-checked vs a batch oracle
+    // ---------------------------------------------------------------
+
+    ("stream_join_interval", (s: SparkSession, dir: String) => {
+      graft.streaming.EventStream.purchaseClickJoin(s, dir)
+    }, """
+      SELECT p.event_id AS p_id, c.event_id AS c_id,
+        epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND p.user_id = c.user_id
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+      ORDER BY p_id, c_id
+    """),
+
+    ("stream_dedup", (s: SparkSession, dir: String) => {
+      graft.streaming.EventStream.dedupCounts(s, dir)
+    }, """
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+
     ("stream_watermark_append", (s: SparkSession, dir: String) => {
       graft.streaming.EventStream.hourlyCountsAppend(s, dir)
     }, """

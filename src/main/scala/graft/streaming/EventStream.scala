@@ -120,6 +120,78 @@ object EventStream {
       p
     })
 
+  /** Stream-stream INTERVAL JOIN with watermarks: each purchase joins the
+    * same user's clicks from the preceding 30 minutes. Both sides carry a
+    * 2-hour watermark, so the join state Spark buffers is bounded by the
+    * watermark + the 30-minute join window — the production attribution
+    * join shape. Time-ordered ingestion (see [[stagingPathTimeOrdered]])
+    * keeps the watermark behind every buffered row, so driving to
+    * completion yields exactly the batch join — hash-checkable by a SQL
+    * oracle.
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val batch = eventsDF(spark, dir)
+    val name = s"stream_join_${UUID.randomUUID().toString.take(8)}"
+    val src = stagingPathTimeOrdered(spark, batch, dir)
+    def side(t: String, a: String): DataFrame = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_user"),
+        col("ts").cast("timestamp").as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"), expr(
+      """p_user = c_user AND
+        |c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts""".stripMargin))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy("p_id", "c_id")
+  }
+
+  /** Streaming deduplication: the source is staged TWICE (every event
+    * arrives in two different micro-batches), `dropDuplicates(event_id)`
+    * keeps state across batches, and the downstream aggregation sees each
+    * event once — counts would double without the dedup state. The
+    * standard exactly-once-per-key ingestion guard.
+    */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val batch = eventsDF(spark, dir)
+    val name = s"stream_dedup_${UUID.randomUUID().toString.take(8)}"
+    val src = stagedDoubled.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft-stream-dup-${UUID.randomUUID().toString.take(8)}"
+      batch.coalesce(1).write.mode("append").parquet(p)
+      batch.coalesce(1).write.mode("append").parquet(p)
+      p
+    })
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val agg = stream
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val stagedDoubled = scala.collection.concurrent.TrieMap[String, String]()
+
   final case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
 
   /** Per-user running state; carries the last-seen timestamp so session
