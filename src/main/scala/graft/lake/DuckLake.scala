@@ -979,11 +979,35 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * of files removed from storage — at 100 TB this is the reclamation
     * path that keeps Replace/compaction churn from accumulating forever.
     */
+  /** One-shot vacuum: schedule expired files, then purge immediately
+    * (retention 0) — the single-process convenience form.
+    */
   def vacuum(): Int = {
+    scheduleVacuum()
+    purgeScheduled(java.time.Duration.ZERO)
+  }
+
+  /** Two-phase vacuum, phase 1 (DuckLake spec
+    * `ducklake_files_scheduled_for_deletion`): expired catalog rows are
+    * purged and their unreferenced physical files recorded with a
+    * schedule timestamp — no bytes are deleted yet, so scans that pinned
+    * a pre-expiry snapshot keep resolving. Returns files scheduled.
+    */
+  def scheduleVacuum(): Int = store.scheduleExpiredFiles()
+
+  /** Two-phase vacuum, phase 2: physically delete files scheduled at
+    * least `retention` ago; a failed delete keeps its schedule row for
+    * the next run. Returns files deleted (missing files count as done).
+    */
+  def purgeScheduled(retention: java.time.Duration): Int = {
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
-    store.purgeExpiredFiles().count { case (sch, tbl, p) =>
-      try fs.delete(new Path(s"$dataPath/$sch/$tbl/$p"), false)
-      catch { case _: java.io.IOException => false }
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retention.toMillis)
+    store.scheduledDeletions(cutoff).count { rel =>
+      val gone =
+        try { val p = new Path(s"$dataPath/$rel"); fs.delete(p, false) || !fs.exists(p) }
+        catch { case _: java.io.IOException => false }
+      if (gone) store.unschedule(rel)
+      gone
     }
   }
 

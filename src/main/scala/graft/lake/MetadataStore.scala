@@ -169,6 +169,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
             |  row_json CLOB(1M) NOT NULL)""".stripMargin)
+        // two-phase vacuum (DuckLake spec
+        // `ducklake_files_scheduled_for_deletion`): catalog rows go first,
+        // physical deletes happen later under a retention window
+        st.executeUpdate(
+          """CREATE TABLE ducklake_files_scheduled_for_deletion(
+            |  path VARCHAR(1024) NOT NULL,
+            |  schedule_ts TIMESTAMP NOT NULL)""".stripMargin)
         // SQL views (DuckLake spec `ducklake_view`): the defining SQL text
         // plus the analysis context Spark needs to re-resolve it
         st.executeUpdate(
@@ -860,6 +867,32 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     } finally conn.setAutoCommit(true)
     dataFiles ++ delFiles
   }
+
+  /** Two-phase vacuum, phase 1: purge expired catalog rows and SCHEDULE
+    * their now-unreferenced physical files for deletion (DuckLake spec
+    * `ducklake_files_scheduled_for_deletion`) instead of deleting bytes
+    * inline — readers that pinned an old snapshot before the expiry keep
+    * working until phase 2 runs. Returns the number scheduled.
+    */
+  def scheduleExpiredFiles(): Int = synchronized {
+    val files = purgeExpiredFiles()
+    files.foreach { case (sch, tbl, p) =>
+      update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
+        Seq(s"$sch/${tbl.stripSuffix("/")}/$p"))
+    }
+    files.size
+  }
+
+  /** Scheduled deletions at or before `cutoff` (relative paths under the
+    * data root).
+    */
+  def scheduledDeletions(cutoff: java.sql.Timestamp): Seq[String] =
+    query("SELECT path FROM ducklake_files_scheduled_for_deletion WHERE schedule_ts <= ?",
+      Seq(cutoff))(_.getString(1))
+
+  /** Drop one scheduled-deletion row (after its physical delete). */
+  def unschedule(path: String): Unit =
+    update("DELETE FROM ducklake_files_scheduled_for_deletion WHERE path = ?", Seq(path))
 
   /** Restore a table to the logical state `target` saw — data files,
     * delete files, inlined rows, columns and partition keys — as a NEW

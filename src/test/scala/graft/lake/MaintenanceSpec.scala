@@ -59,6 +59,26 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.vacuum() == 0)
   }
 
+  test("two-phase vacuum: schedule keeps bytes until the retention purge") {
+    import spark.implicits._
+    lake.createTableAs((1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1), "main.twophase")
+    lake.insertInto((51 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1), "main.twophase", WriteMode.Replace)
+    lake.expireSnapshots(lake.currentSnapshot)
+    // phase 1: catalog rows purge, physical file stays on disk
+    assert(lake.scheduleVacuum() == 1)
+    assert(filesOnDisk("twophase").count(_.startsWith("ducklake-")) == 2)
+    // a long retention window defers the physical delete
+    assert(lake.purgeScheduled(java.time.Duration.ofDays(7)) == 0)
+    assert(filesOnDisk("twophase").count(_.startsWith("ducklake-")) == 2)
+    // phase 2 at retention 0 deletes and unschedules
+    assert(lake.purgeScheduled(java.time.Duration.ZERO) == 1)
+    assert(filesOnDisk("twophase").count(_.startsWith("ducklake-")) == 1)
+    assert(lake.purgeScheduled(java.time.Duration.ZERO) == 0) // idempotent
+    assert(lake.table("main.twophase").count() == 10)
+  }
+
   test("vacuum reclaims superseded delete files but keeps the current one") {
     import spark.implicits._
     lake.createTableAs((1 to 50).map(i => (i.toLong, i % 5)).toDF("k", "m")
