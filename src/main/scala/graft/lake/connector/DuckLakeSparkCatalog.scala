@@ -44,6 +44,7 @@ import graft.lake.{ColumnDef, DuckLake, TypeBridge, WriteMode}
   * refreshes after writes (tests/hybrid_asyncdb.rs:147).
   */
 class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with SupportsNamespaces with ViewCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
@@ -71,6 +72,20 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   private def lake: DuckLake =
     DuckLakeSparkCatalog.lakes.getOrElseUpdate((metaDb, dataPath),
       new DuckLake(SparkSession.active, metaDb, dataPath))
+
+  // ---- maintenance procedures: CALL <catalog>.system.<proc>(…) ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new RuntimeException(s"unknown procedure namespace: ${ident.namespace().mkString(".")}")
+    DuckLakeProcedures.load(lake, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      DuckLakeProcedures.names
+    else Array.empty
 
   // ---- namespaces ----
 

@@ -87,6 +87,51 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT count(*) FROM ducklake.main.items WHERE amount > 100").head.getLong(0))
   }
 
+  test("CALL ducklake.system.<proc>: maintenance procedures via SQL") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 40).map(i => (i.toLong, s"p$i")).toDF("k", "v")
+      .repartition(4), "main.proctbl")
+    val preCompact = l.currentSnapshot
+    // compact to one file, via CALL
+    val snap = spark.sql("CALL ducklake.system.compact('main.proctbl')")
+      .head.getLong(0)
+    assert(snap > preCompact)
+    assert(l.listFilesDF.filter(col("table_name") === "proctbl").count() == 1)
+    // tag + time travel to the tag
+    spark.sql(s"CALL ducklake.system.tag_snapshot('precompact', $preCompact)")
+    assert(spark.sql(
+      "SELECT count(*) FROM ducklake.main.proctbl VERSION AS OF 'precompact'")
+      .head.getLong(0) == 40L)
+    // rollback via CALL restores the 4-file layout
+    spark.sql(s"CALL ducklake.system.rollback('main.proctbl', $preCompact)")
+    assert(l.listFilesDF.filter(col("table_name") === "proctbl").count() == 4)
+    // expire + two-phase vacuum via CALL (procedure defaults exercised)
+    spark.sql(s"CALL ducklake.system.expire_snapshots(${l.currentSnapshot})")
+    val scheduled = spark.sql("CALL ducklake.system.schedule_vacuum()").head.getInt(0)
+    assert(scheduled >= 1) // the compacted file is now unreferenced
+    assert(spark.sql("CALL ducklake.system.purge_scheduled()").head.getInt(0) == scheduled)
+    assert(spark.sql("SELECT count(*) FROM ducklake.main.proctbl").head.getLong(0) == 40L)
+  }
+
+  test("fully-pushed aggregates answer from catalog metadata, no file scan") {
+    import spark.implicits._
+    val l = lake
+    l.createTableAs((1 to 500).map(i => (i.toLong, i * 1.5)).toDF("k", "x")
+      .repartition(2), "main.metaagg")
+    val df = spark.sql("SELECT count(*), count(x), min(k), max(k) FROM ducklake.main.metaagg")
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole aggregation folded into a one-row metadata scan: no
+    // parquet reader anywhere in the physical plan
+    assert(!plan.contains("FileScan") && !plan.contains("parquet"), plan.take(500))
+    assert(df.head.toSeq == Seq(500L, 500L, 1L, 500L))
+    // MOR deletes invalidate per-column pushdown (an extreme row may be
+    // gone) but COUNT(*) stays metadata-exact; either way values stay right
+    l.deleteWhere("main.metaagg", col("k") === 500L)
+    val after = spark.sql("SELECT count(*), max(k) FROM ducklake.main.metaagg").head
+    assert(after.toSeq == Seq(499L, 499L))
+  }
+
   test("DROP TABLE ends visibility, keeps earlier snapshots readable") {
     import spark.implicits._
     lake.createTableAs(Seq((1L, "a")).toDF("k", "v").coalesce(1), "main.dropme")
