@@ -388,6 +388,47 @@ object Analytics {
         ORDER BY o.o_totalprice DESC, o_orderkey
         LIMIT 2) l
       ORDER BY r.r_name, l.o_totalprice DESC, l.o_orderkey
+    """),
+
+    ("w_range_frame", (s: SparkSession, dir: String) => {
+      // value-based RANGE frame (distinct from ROWS when days are
+      // missing): 7-day trailing revenue over the daily series, ordered
+      // by epoch-day distance so the frame is calendar-correct
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .withColumn("dd", datediff(col("d"), lit("1970-01-01")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("dd")
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      daily.withColumn("rev7", round(sum("rev").over(w), 2))
+        .select("d", "rev", "rev7")
+        .orderBy("d")
+        .limit(200)
+    }, """
+      SELECT d, rev,
+        round(sum(rev) OVER (ORDER BY dd RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7
+      FROM (
+        SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev,
+          date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+        FROM orders GROUP BY o_orderdate)
+      ORDER BY d LIMIT 200
+    """),
+
+    ("agg_filter_clause", (s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("count(*) FILTER (WHERE l_discount > 0.05)").as("n_disc"),
+          expr("round(sum(l_extendedprice) FILTER (WHERE l_quantity > 30), 2)")
+            .as("rev_bulk"),
+          expr("round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 2)")
+            .as("avg_untaxed"))
+        .orderBy("l_returnflag")
+    }, """
+      SELECT l_returnflag, count(*) AS n,
+        CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_disc,
+        round(sum(l_extendedprice) FILTER (l_quantity > 30), 2) AS rev_bulk,
+        round(avg(l_extendedprice) FILTER (l_tax = 0), 2) AS avg_untaxed
+      FROM lineitem GROUP BY 1 ORDER BY 1
     """)
   )
 
