@@ -164,6 +164,47 @@ object TextOps {
           s => s.getField("__line"))).as("clean_text"))
   }
 
+  /** Word bigrams as (w1, w2) structs; empty for documents under two
+    * tokens (the zip_with-of-shifted-slices shape — see
+    * [[graft.ops.Dedup.shingles]] for why not transform-over-sequence).
+    */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val m = size(toks) - 1
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+  }
+
+  /** Perplexity-proxy quality score from a self-trained word-bigram
+    * language model with add-1 smoothing: each document's score is the
+    * mean log-probability `ln((count(w1 w2)+1) / (count(w1)+V))` over its
+    * bigrams — fluent text repeats the corpus' frequent transitions and
+    * scores high; gibberish scores low. The classic cheap LM filter,
+    * fully distributed: the model IS two hash aggregations (bigram and
+    * unigram counts) broadcast back against the corpus — no trained
+    * artifacts, no driver-side state, deterministic. Returns
+    * (idCol, n_bigrams, lm_score); documents under two tokens are absent.
+    */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val pairs = df
+      .select(col(idCol), explode(wordBigrams(col(textCol))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w1"))
+    val ucnt = uni.groupBy("w1").agg(count(lit(1)).as("__uc"))
+    val vocab = uni.agg(countDistinct("w1").as("__v"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
+    pairs.join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(ucnt), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", log((col("__bc") + 1).cast("double") / (col("__uc") + col("__v"))))
+      .groupBy(idCol)
+      // the 1e-9 guard moves dyadic-boundary rounding off .00005 edges
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("__lp") + lit(1e-9), 4).as("lm_score"))
+  }
+
   /** Fixed-size token chunking with overlap: the document's word tokens
     * are windowed into `maxTok`-token chunks starting every
     * `stride = maxTok - overlap` tokens — the context-window splitting

@@ -487,6 +487,31 @@ object PipelineQueries {
     // ---------------------------------------------------------------
 
     // ---------------------------------------------------------------
+    // Bigram language-model quality scoring: self-trained add-1 model,
+    // mean log-probability per document (perplexity-proxy filter)
+    // ---------------------------------------------------------------
+
+    ("txt_lm_score", (s: SparkSession, dir: String) => {
+      TextOps.bigramLmScore(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }, """
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        FROM toks WHERE len(ws) >= 2),
+      uni AS (SELECT unnest(ws) AS w1 FROM toks),
+      ucnt AS (SELECT w1, count(*) AS uc FROM uni GROUP BY 1),
+      v AS (SELECT count(DISTINCT w1) AS vv FROM uni),
+      bi AS (SELECT w1, w2, count(*) AS bc FROM pairs GROUP BY 1, 2)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(avg(ln((bc + 1) / (uc + vv))) + 0.000000001, 4) AS lm_score
+      FROM pairs JOIN bi USING (w1, w2) JOIN ucnt USING (w1) CROSS JOIN v
+      GROUP BY doc_id ORDER BY doc_id
+    """),
+
+    // ---------------------------------------------------------------
     // Stream-stream interval join (watermarked attribution join) and
     // cross-batch streaming dedup — each hash-checked vs a batch oracle
     // ---------------------------------------------------------------

@@ -174,6 +174,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigramLmScore ranks corpus-fluent text above shuffled gibberish") {
+    import spark.implicits._
+    val fluent = (1L to 30L).map(i => (i, "the cat sat on the mat and the dog ran"))
+    // same vocabulary, transitions never repeated elsewhere
+    val weird = Seq((99L, "mat the on dog cat ran the sat and"))
+    val scores = TextOps.bigramLmScore((fluent ++ weird).toDF("id", "text"), "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) < scores(1L))
+    assert(scores(1L) == scores(30L)) // identical docs score identically
+  }
+
   test("tfidfTopTerms ranks a planted rare term above common ones") {
     import spark.implicits._
     val corpus = (Seq((1L, "alpha beta gamma zyzzyx"), (2L, "alpha beta gamma"))
