@@ -28,8 +28,9 @@ object Bench {
         "pipe_mix_epochs",
         "agg_quantiles", "agg_stats_funcs", "w_distribution_funcs",
         "ev_pivot_type",
-        "txt_tfidf_keywords", "txt_chunk", "dedup_keep_latest",
-        "dedup_semantic")
+        "txt_tfidf_keywords", "txt_chunk", "txt_lm_score",
+        "dedup_keep_latest", "dedup_semantic",
+        "w_range_frame", "agg_filter_clause")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

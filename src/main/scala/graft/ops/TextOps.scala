@@ -188,14 +188,19 @@ object TextOps {
     */
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = df
       .select(col(idCol), explode(wordBigrams(col(textCol))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
     val uni = df.select(explode(tokens(col(textCol))).as("w1"))
     val ucnt = uni.groupBy("w1").agg(count(lit(1)).as("__uc"))
     val vocab = uni.agg(countDistinct("w1").as("__v"))
-    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
-    pairs.join(broadcast(bi), Seq("w1", "w2"))
+    // the bigram "model" stays implicit: a count window over the pairs
+    // themselves (one hash exchange on (w1,w2)) — a materialized bigram
+    // table is vocabulary², far too large to broadcast at corpus scale,
+    // while the unigram table is vocabulary-sized and broadcasts fine
+    pairs
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy("w1", "w2")))
       .join(broadcast(ucnt), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", log((col("__bc") + 1).cast("double") / (col("__uc") + col("__v"))))
