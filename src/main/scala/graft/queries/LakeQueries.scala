@@ -594,6 +594,28 @@ object LakeQueries {
       ORDER BY r_regionkey
     """),
 
+    ("lake_sql_merge_sync_update", (s: SparkSession, dir: String) => {
+      // NOT MATCHED BY SOURCE -> UPDATE: rows absent from the source are
+      // flagged instead of deleted (soft sync — mark-stale semantics)
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.merge_sync")) {
+        lake.createTableAs(t(s, dir, "region").coalesce(1), "main.merge_sync")
+        s.range(0, 3).select(col("id").cast("int").as("k"))
+          .createOrReplaceTempView("merge_sync_src")
+        s.sql("""
+          MERGE INTO ducklake.main.merge_sync r
+          USING merge_sync_src s ON r.r_regionkey = s.k
+          WHEN MATCHED THEN UPDATE SET r_name = concat('live_', r.r_name)
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET r_name = 'stale'""")
+      }
+      lake.table("main.merge_sync").orderBy("r_regionkey")
+    }, """
+      SELECT r_regionkey,
+        CASE WHEN r_regionkey IN (0, 1, 2) THEN concat('live_', r_name)
+             ELSE 'stale' END AS r_name
+      FROM region ORDER BY r_regionkey
+    """),
+
     ("lake_stream_sink", (s: SparkSession, dir: String) => {
       // streaming INGESTION: writeStream.toTable into the lake (per-epoch
       // append snapshots), then a batch read back — oracle is the nation
