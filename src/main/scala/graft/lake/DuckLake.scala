@@ -1044,6 +1044,22 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * (reference: src/table_changes.rs:283-605 — `withColumn(lit)` replaces
     * the custom AppendCDCColumnsExec).
     */
+  /** Resolve a snapshot ref: numeric string = snapshot id, anything else
+    * a tag name (tags are non-numeric by construction).
+    */
+  private def resolveRef(ref: String): Long =
+    ref.toLongOption.orElse(snapshotForTag(ref)).getOrElse(
+      throw new InvalidSnapshotException(s"unknown snapshot ref: $ref"))
+
+  /** CDC over named refs: `tableChanges("main.t", "v1.0", "v1.1")` —
+    * tags resolve through the snapshot-tag table.
+    */
+  def tableChanges(name: String, from: String, to: String): DataFrame =
+    tableChanges(name, resolveRef(from), resolveRef(to))
+
+  def tableDeletions(name: String, from: String, to: String): DataFrame =
+    tableDeletions(name, resolveRef(from), resolveRef(to))
+
   def tableChanges(name: String, from: Long, to: Long): DataFrame = {
     if (from > to) throw new InvalidSnapshotException(s"start $from > end $to")
     val tr = resolveTable(name, to)

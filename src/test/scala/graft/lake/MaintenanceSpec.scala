@@ -310,6 +310,10 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 10)
     assert(spark.sql("SELECT count(*) FROM ducklake.main.tagged")
       .head().getLong(0) == 15)
+    // CDC between tagged refs: the rows appended after release-1
+    lake.tagSnapshot("release-2", lake.currentSnapshot)
+    val cdc = lake.tableChanges("main.tagged", "release-1", "release-2")
+    assert(cdc.filter(col("change_type") === "insert").count() == 5)
     // retag moves the ref
     lake.tagSnapshot("release-1", lake.currentSnapshot)
     assert(spark.sql(
