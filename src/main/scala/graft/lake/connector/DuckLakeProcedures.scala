@@ -81,32 +81,59 @@ private[connector] object DuckLakeProcedures {
       StructType(Seq(StructField("tagged_snapshot", LongType))),
       (lake, in) => { lake.tagSnapshot(str(in, 0), in.getLong(1)); Seq(in.getLong(1)) }))
 
-  def names: Array[Identifier] =
-    defs.map(d => Identifier.of(Array("system"), d.name)).toArray
+  /** Multi-row procedures (snapshot-count-sized results — driver-safe). */
+  private val multiDefs: Seq[(String, Seq[ProcedureParameter], StructType,
+      (DuckLake, InternalRow) => Seq[Seq[Any]])] = Seq(
+    ("table_history",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("snapshot_id", LongType),
+        StructField("snapshot_time", TimestampNTZType),
+        StructField("retained", BooleanType))),
+      (lake, in) => lake.history(str(in, 0)).collect().toSeq.map { r =>
+        Seq(r.getLong(0),
+          Option(r.getAs[java.time.LocalDateTime](1))
+            .map(t => t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+              + t.getNano / 1000L).orNull,
+          r.getBoolean(2))
+      }))
 
-  def load(lake: => DuckLake, name: String): UnboundProcedure = {
-    val d = defs.find(_.name == name).getOrElse(
-      throw new RuntimeException(s"unknown procedure: system.$name"))
+  def names: Array[Identifier] =
+    (defs.map(_.name) ++ multiDefs.map(_._1))
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  private def make(pname: String, params: Seq[ProcedureParameter],
+      out: StructType, rows: (DuckLake, InternalRow) => Seq[Seq[Any]],
+      lake: => DuckLake): UnboundProcedure =
     new UnboundProcedure {
-      override def name(): String = d.name
-      override def description(): String = s"DuckLake maintenance procedure ${d.name}"
+      override def name(): String = pname
+      override def description(): String = s"DuckLake maintenance procedure $pname"
       override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
-        override def name(): String = d.name
-        override def description(): String = s"DuckLake maintenance procedure ${d.name}"
-        override def parameters(): Array[ProcedureParameter] = d.params.toArray
+        override def name(): String = pname
+        override def description(): String = s"DuckLake maintenance procedure $pname"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val values = d.run(lake, input).map {
-            case s: String => UTF8String.fromString(s)
-            case other     => other
-          }
-          val row: InternalRow = new GenericInternalRow(values.toArray)
+          val out0 = rows(lake, input).map { vs =>
+            new GenericInternalRow(vs.map {
+              case s: String => UTF8String.fromString(s)
+              case other     => other
+            }.toArray): InternalRow
+          }.toArray
           java.util.List.of[Scan](new LocalScan {
-            override def rows(): Array[InternalRow] = Array(row)
-            override def readSchema(): StructType = d.out
+            override def rows(): Array[InternalRow] = out0
+            override def readSchema(): StructType = out
           }).iterator()
         }
       }
     }
-  }
+
+  def load(lake: => DuckLake, name: String): UnboundProcedure =
+    defs.find(_.name == name) match {
+      case Some(d) => make(d.name, d.params, d.out,
+        (l, in) => Seq(d.run(l, in)), lake)
+      case None =>
+        val m = multiDefs.find(_._1 == name).getOrElse(
+          throw new RuntimeException(s"unknown procedure: system.$name"))
+        make(m._1, m._2, m._3, m._4, lake)
+    }
 }

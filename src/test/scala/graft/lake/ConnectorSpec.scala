@@ -112,6 +112,10 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scheduled >= 1) // the compacted file is now unreferenced
     assert(spark.sql("CALL ducklake.system.purge_scheduled()").head.getInt(0) == scheduled)
     assert(spark.sql("SELECT count(*) FROM ducklake.main.proctbl").head.getLong(0) == 40L)
+    // multi-row procedure: per-table snapshot history
+    val hist = spark.sql("CALL ducklake.system.table_history('main.proctbl')")
+    assert(hist.columns.toSeq == Seq("snapshot_id", "snapshot_time", "retained"))
+    assert(hist.count() >= 2) // post-expiry snapshots (rollback + latest)
   }
 
   test("fully-pushed aggregates answer from catalog metadata, no file scan") {
