@@ -214,8 +214,19 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     s"DuckLakeBatchScan $fullName@$snapshot" +
       (if (pushedFilters.nonEmpty) s" PushedFilters: ${pushedFilters.mkString(", ")}" else "")
 
-  private lazy val partColNames: Seq[String] =
-    lake.partitionColumnsOf(fullName, Some(snapshot))
+  /** Partition fields eligible for SPJ key grouping: identity keys and
+    * hash buckets (both expressible as v2 partition transforms Spark can
+    * reason about — bucket resolves through the catalog's
+    * [[DuckLakeBucketFunction]]); time/truncate transforms are range
+    * partitionings SPJ cannot use.
+    */
+  private lazy val spjFields: Seq[graft.lake.PartField] =
+    lake.partitionFieldsOf(fullName, Some(snapshot))
+
+  private def spjEligible: Boolean = spjFields.nonEmpty &&
+    spjFields.forall(f => (f.transform.isEmpty ||
+      f.transform.exists(graft.lake.PartTransform.BucketRe.matches)) &&
+      schema.fieldNames.contains(f.source))
 
   /** Plan once, reuse from both `planInputPartitions` and
     * `outputPartitioning` (the latter needs the distinct-key count).
@@ -233,14 +244,23 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
       lake.store.getDataFiles(tr.tableId, snapshot), pushedFilters)
     val parts = DuckLakePartitionPlanner.plan(lake, tr, cols, files, schema,
       graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
-    if (!spj || partColNames.isEmpty) parts
+    if (!spj || !spjEligible) parts
     else {
       // key values in catalog partition-column order, typed as Catalyst
-      // values — HasPartitionKey rows with equal keys must compare equal
-      val idx = partColNames.map(schema.fieldIndex)
+      // values — HasPartitionKey rows with equal keys must compare equal.
+      // identity keys carry the column value; bucket keys the bucket int
+      val pvs = lake.store.getFilePartitionValues(tr.tableId)
       parts.map { case p: DuckLakeFilePartition =>
-        val key = idx.map(i => DuckLakeBatchScan.catalystPartValue(
-          p.fieldTypes(i), p.partRaw(i))).toArray
+        val byIdx = pvs.getOrElse(p.dataFileId, Map.empty)
+        val key = spjFields.zipWithIndex.map { case (f, idx) =>
+          val raw = byIdx.getOrElse(idx, None).orNull
+          f.transform match {
+            case None => DuckLakeBatchScan.catalystPartValue(
+              schema(schema.fieldIndex(f.source)).dataType, raw)
+            case Some(_) => // bucket: the directory value IS the bucket id
+              if (raw == null) null else Int.box(raw.toInt)
+          }
+        }.toArray
         new DuckLakeKeyedPartition(p, key): InputPartition
       }
     }
@@ -254,14 +274,20 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     * short of full key coverage falls back to unknown partitioning.
     */
   override def outputPartitioning(): Partitioning =
-    if (spj && partColNames.nonEmpty && planned.nonEmpty &&
-        partColNames.forall(schema.fieldNames.contains)) {
+    if (spj && spjEligible && planned.nonEmpty) {
+      import org.apache.spark.sql.connector.expressions.Expressions
       val nKeys = planned.collect {
         case k: DuckLakeKeyedPartition => k.keyVector
       }.distinct.length
-      val keys = partColNames.map(n =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(n)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray
+      val keys = spjFields.map { f =>
+        f.transform match {
+          case Some(graft.lake.PartTransform.BucketRe(n)) =>
+            Expressions.bucket(n.toInt, f.source)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case _ => Expressions.identity(f.source)
+            : org.apache.spark.sql.connector.expressions.Expression
+        }
+      }.toArray
       new KeyGroupedPartitioning(keys, nKeys)
     } else new UnknownPartitioning(planned.length)
 

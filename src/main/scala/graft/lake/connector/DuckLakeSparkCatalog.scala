@@ -45,6 +45,7 @@ import graft.lake.{ColumnDef, DuckLake, TypeBridge, WriteMode}
   */
 class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with SupportsNamespaces with ViewCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
@@ -72,6 +73,18 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   private def lake: DuckLake =
     DuckLakeSparkCatalog.lakes.getOrElseUpdate((metaDb, dataPath),
       new DuckLake(SparkSession.active, metaDb, dataPath))
+
+  // ---- V2 functions (SPJ resolves bucket transforms through these) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") DuckLakeBucketFunction
+    else throw new UnsupportedOperationException(s"function: ${ident.name()}")
 
   // ---- maintenance procedures: CALL <catalog>.system.<proc>(…) ----
 
@@ -625,8 +638,11 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
           // dominates scan cost for the big-big joins SPJ targets.
           val spjOk = lake.spark.conf
             .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean && {
-              val pcs = lake.partitionColumnsOf(fullName, Some(snapshot))
-              pcs.nonEmpty && pcs.forall(required.fieldNames.contains) &&
+              val pfs = lake.partitionFieldsOf(fullName, Some(snapshot))
+              pfs.nonEmpty &&
+                pfs.forall(f => (f.transform.isEmpty ||
+                  f.transform.exists(graft.lake.PartTransform.BucketRe.matches)) &&
+                  required.fieldNames.contains(f.source)) &&
                 required.fields.forall(f =>
                   DuckLakePartitionPlanner.supportedType(f.dataType))
             }

@@ -655,6 +655,33 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("bucket SPJ: co-bucketed tables join on the source key with zero shuffle") {
+    import spark.implicits._
+    lake
+    // both sides bucket(8, id): co-partitioned BY HASH — the join key is
+    // the raw id column, resolvable only because the catalog exposes the
+    // bucket function for Spark to match the two partitionings
+    lake.createTableAs((1 to 300).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "av").repartition(2), "main.bspj_a",
+      partitionBy = Seq("bucket(8, id)"))
+    lake.createTableAs((1 to 150).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "bv").repartition(2), "main.bspj_b",
+      partitionBy = Seq("bucket(8, id)"))
+    val sql = """SELECT count(*) AS n, round(sum(a.av + b.bv), 2) AS s
+      FROM ducklake.main.bspj_a a JOIN ducklake.main.bspj_b b ON a.id = b.id"""
+    val expected = spark.sql(sql).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql(sql)
+      assert(df.collect().map(_.toSeq).toSeq == expected)
+      val plan = df.queryExecution.executedPlan.toString
+      val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1)
+      assert(joinSection.nonEmpty, s"expected a shuffled-family join node:\n$plan")
+      assert(!joinSection.exists(_.contains("Exchange hashpartitioning")),
+        s"join inputs still shuffle:\n$plan")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("SPJ scan falls back to the vectorized path when keys are pruned away") {
     import spark.implicits._
     lake
