@@ -418,6 +418,40 @@ object LakeQueries {
       FROM nation ORDER BY n_nationkey
     """),
 
+    ("lake_bucket_join", (s: SparkSession, dir: String) => {
+      // bucket SPJ: both sides bucket(8, custkey) — the join on the RAW
+      // key runs shuffle-free (the catalog's bucket function lets Spark
+      // match the partitionings); the gate checks that plan's answer
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.orders_bkt")) {
+        lake.createTableAs(t(s, dir, "orders").repartition(2),
+          "main.orders_bkt", partitionBy = Seq("bucket(8, o_custkey)"))
+        lake.createTableAs(t(s, dir, "customer").coalesce(1),
+          "main.customer_bkt", partitionBy = Seq("bucket(8, c_custkey)"))
+      }
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val df = s.sql("""
+          SELECT c.c_mktsegment, count(*) AS n,
+                 round(sum(o.o_totalprice), 2) AS total
+          FROM ducklake.main.orders_bkt o
+          JOIN ducklake.main.customer_bkt c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        s.createDataFrame(rows, df.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }, """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """),
+
     ("lake_transform_prune", (s: SparkSession, dir: String) => {
       // transform partitioning (month(o_orderdate)): the source column
       // stays in the data files, the month value lives in the catalog,
