@@ -682,6 +682,14 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("the bucket partition function is callable as a catalog SQL function") {
+    lake
+    // same md5 bucketing the writers use — directly evaluable in SQL
+    val b = spark.sql("SELECT ducklake.system.bucket(8, CAST(42 AS BIGINT))")
+      .head.getInt(0)
+    assert(b == graft.lake.PartTransform.bucketOf(java.lang.Long.valueOf(42L), 8).get)
+  }
+
   test("SPJ scan falls back to the vectorized path when keys are pruned away") {
     import spark.implicits._
     lake
