@@ -1206,6 +1206,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           t.getOrElse("identity")))
           .toDF("schema_name", "table_name", "partition_key_index",
             "column_name", "column_type", "transform")
+      case "metadata" =>
+        store.listMetadata().toDF("meta_key", "meta_value")
       case other => throw new UnsupportedException(s"information_schema.$other")
     }
   }

@@ -201,6 +201,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         // snapshot 0 = empty catalog, like the reference's initial snapshot
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
+        // format self-description (DuckLake spec ducklake_metadata keys)
+        st.executeUpdate(
+          "INSERT INTO ducklake_metadata VALUES ('version', '0.2')")
+        st.executeUpdate(
+          "INSERT INTO ducklake_metadata VALUES ('created_by', 'graft-spark')")
       } finally st.close()
     }
     // catalogs bootstrapped before tags existed: add the table in place
@@ -422,6 +427,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
         rs.getLong(9))).headOption
+
+  def listMetadata(): Seq[(String, String)] =
+    query("SELECT meta_key, meta_value FROM ducklake_metadata ORDER BY meta_key")(
+      rs => (rs.getString(1), rs.getString(2)))
 
   def getMetadata(key: String): Option[String] =
     query("SELECT meta_value FROM ducklake_metadata WHERE meta_key = ?", Seq(key))(_.getString(1)).headOption

@@ -206,6 +206,10 @@ class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(info.getAs[Long]("delete_file_count") == 1L)
     val files = lake.listFilesDF.filter(col("table_name") === "products").collect()
     assert(files.length == 1 && files.head.getAs[String]("delete_file_path") != null)
+    // format self-description (DuckLake spec ducklake_metadata keys)
+    val meta = lake.informationSchema("metadata").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta.get("version").contains("0.2") && meta.contains("created_by"))
   }
 
   test("snapshots are monotonic and timestamped") {
