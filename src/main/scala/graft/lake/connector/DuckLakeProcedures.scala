@@ -20,8 +20,6 @@ import graft.lake.DuckLake
   */
 private[connector] object DuckLakeProcedures {
 
-  private val I = ProcedureParameter.Mode.IN
-
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     val b = ProcedureParameter.in(name, dt)
     default.foreach(b.defaultValue)

@@ -66,7 +66,7 @@ object Joins {
     l2.unionByName(r2)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** Interval (range) join: every `points` row paired with every
