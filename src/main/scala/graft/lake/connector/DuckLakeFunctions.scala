@@ -31,13 +31,15 @@ object DuckLakeBucketFunction extends UnboundFunction {
       case other => throw new UnsupportedTypeException(
         s"bucket key type not supported: ${other.simpleString}")
     }
-    new ScalarFunction[Int] {
+    new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
       override def canonicalName(): String = "ducklake.bucket"
-      override def isResultNullable: Boolean = false
-      override def produceResult(input: InternalRow): Int = {
+      // a null key has no bucket (it lives in the null partition)
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): Integer = {
+        if (input.isNullAt(0) || input.isNullAt(1)) return null
         val n = input.getInt(0)
         val raw = keyType match {
           case StringType  => input.getUTF8String(1).toString
@@ -47,7 +49,7 @@ object DuckLakeBucketFunction extends UnboundFunction {
           case ByteType    => input.getByte(1).toString
           case other => throw new UnsupportedTypeException(other.simpleString)
         }
-        PartTransform.transformValue(s"bucket[$n]", StringType, raw).toInt
+        Int.box(PartTransform.transformValue(s"bucket[$n]", StringType, raw).toInt)
       }
     }
   }
