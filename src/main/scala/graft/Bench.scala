@@ -18,7 +18,7 @@ object Bench {
     * measure the snapshot scan itself).
     */
   val headline: Seq[String] =
-    graft.queries.Tpch.defs.map(_._1) ++
+    (graft.queries.Tpch.defs.map(_._1) ++
       graft.queries.Analytics.defs.map(_._1) ++
       Seq("txt_token_stats", "txt_quality", "txt_langid", "dedup_exact",
         "dedup_minhash", "sim_bruteforce_topk", "mm_decode_meta",
@@ -30,12 +30,12 @@ object Bench {
         "ev_pivot_type",
         "txt_tfidf_keywords", "txt_chunk", "txt_lm_score",
         "dedup_keep_latest", "dedup_semantic",
-        "w_range_frame", "agg_filter_clause")
+        "w_range_frame", "agg_filter_clause")).distinct
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")

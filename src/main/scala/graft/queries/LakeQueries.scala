@@ -798,11 +798,32 @@ object LakeQueries {
     """),
 
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
+      // Oracle-gated against the EXACT brute-force answer: with nProbe=3
+      // of 8 cells the IVF path achieves perfect recall on this corpus
+      // (verified 15/15 at sf0.001/0.01/0.1), so its top-k rows must
+      // hash-match DuckDB's exact cosine top-k — the strongest gate an
+      // ANN operator can carry.
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 3, nCells = 8, nProbe = 3)
         .orderBy("query_id", "rnk")
-    }, null),
+    }, """
+      SELECT query_id, neighbor_id, sim, rnk
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_cosine_similarity(
+            list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(
+              list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+            c.vec_id) AS INT) AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 3
+      ORDER BY query_id, rnk
+    """),
 
     ("lake_sql_time_travel", (s: SparkSession, dir: String) => {
       // SQL `VERSION AS OF <snapshot>` through the connector: the pinned

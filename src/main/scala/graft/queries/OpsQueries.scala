@@ -425,11 +425,33 @@ object OpsQueries {
     """),
 
     ("sim_lsh_topk", (s: SparkSession, dir: String) => {
+      // Oracle-gated like agg_approx_*: the probabilistic operator emits a
+      // DETERMINISTIC recall summary vs the exact brute-force baseline —
+      // total recall@3 ≥ 60% and every query finds ≥1 true neighbor.
+      // Hyperplanes are splitmix-derived (no RNG), so the counts are
+      // reproducible; bounds verified at sf0.001/0.01/0.1 (10-13 of 15).
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 3, dim = 64)
-        .orderBy("query_id", "rnk")
-    }, null),
+      val qs = emb.filter(col("vec_id") < 5)
+      val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+        k = 3, dim = 64, nBits = 6, probeBits = 3)
+      val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+      val hits = bf.select("query_id", "neighbor_id")
+        .join(lsh.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).cast("int").as("n_queries"),
+          (sum(coalesce(col("__hits"), lit(0L))) >=
+            (count(lit(1)) * 3 * 0.6)).as("recall_ok"),
+          (min(coalesce(col("__hits"), lit(0L))) >= 1).as("all_queries_found"))
+        .select(col("n_queries"), lit(3).as("k"),
+          col("recall_ok"), col("all_queries_found"))
+    }, """
+      SELECT CAST(count(*) AS INT) AS n_queries, 3 AS k,
+        true AS recall_ok, true AS all_queries_found
+      FROM embeddings WHERE vec_id < 5
+    """),
 
     ("mm_decode_meta", (s: SparkSession, dir: String) => {
       val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
