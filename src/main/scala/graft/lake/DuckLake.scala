@@ -436,13 +436,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def filePath(name: String, f: String): String = s"${tableDirOf(name)}/$f"
 
+  /** Physical path of a data file: table-dir relative for files we wrote;
+    * verbatim for adopted files registered with absolute paths.
+    */
+  private def dataFilePath(name: String, f: DataFileRec): String =
+    if (f.pathIsRelative) filePath(name, f.path) else f.path
+
   private def sparkSchemaOf(cols: Seq[ColumnDef]): StructType =
     StructType(cols.map(c => StructField(c.name, TypeBridge.toSpark(c.dtype), c.nullsAllowed)))
 
   private def scanCtx(tr: TableRec, cols: Seq[ColumnDef], snap: Long): ScanCtx = {
     val partCols = store.getPartitionColumns(tr.tableId, snap)
     ScanCtx(cols, store.getColumnHistory(tr.tableId), partCols,
-      if (partCols.isEmpty) Map.empty else store.getFilePartitionValues(tr.tableId))
+      if (partCols.isEmpty) Map.empty else store.getFilePartitionValues(tr.tableId),
+      store.getNameMappings(tr.tableId))
   }
 
   /** Physical column defs for one file's epoch: what each pinned catalog
@@ -456,6 +463,46 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       h.columnId == c.columnId && begin <= f.epoch &&
         end.forall(_ > f.epoch)
     }.map(_._1))
+
+  /** Physical column resolution of one file: adopted files
+    * (`mapping_id`) resolve through their name mapping — the column's
+    * name/type as physically written by the OUTSIDE writer; our own files
+    * resolve through the rename-epoch history. Both shapes feed the same
+    * [[readGroup]] projection.
+    */
+  private def physOf(ctx: ScanCtx, f: DataFileRec): Seq[(ColumnDef, Option[ColumnDef])] =
+    f.mappingId.flatMap(ctx.mappings.get) match {
+      case Some(entries) =>
+        val byId = entries.filterNot(_.isPartition).map(e => e.columnId -> e).toMap
+        ctx.cols.map(c => c -> byId.get(c.columnId).map(e =>
+          ColumnDef(c.columnId, c.order, e.sourceName, e.sourceType, nullsAllowed = true)))
+      case None => epochOf(ctx.cols, ctx.history, f)
+    }
+
+  /** Literal values injected as columns for one file: catalog identity
+    * partition values plus, for adopted files, hive `key=value` segments
+    * parsed from the file's own registered path (the name-mapping hive
+    * model — the path IS the per-file value store).
+    */
+  private def injectedValues(ctx: ScanCtx, f: DataFileRec): Map[Long, Option[String]] = {
+    val hive = f.mappingId.flatMap(ctx.mappings.get) match {
+      case Some(entries) => entries.filter(_.isPartition)
+        .map(e => e.columnId -> hivePathValue(f.path, e.sourceName)).toMap
+      case None => Map.empty[Long, Option[String]]
+    }
+    ctx.partValues(f) ++ hive
+  }
+
+  /** First `key=value` segment of `path` matching `key` → its unescaped
+    * value (None = absent or the hive null-default marker).
+    */
+  private def hivePathValue(path: String, key: String): Option[String] =
+    path.split('/').collectFirst {
+      case seg if seg.length > key.length && seg.startsWith(key) &&
+          seg.charAt(key.length) == '=' =>
+        val v = unescapePathName(seg.substring(key.length + 1))
+        if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
+    }.flatten
 
   /** Read a group of same-epoch, same-partition data files with the
     * physical→current projection (rename-safe, promotion-cast); partition
@@ -478,7 +525,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
         StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
     })
-    val paths = fsGroup.map(f => filePath(name, f.path))
+    val paths = fsGroup.map(f => dataFilePath(name, f))
     val base = reader(fsGroup.map(f => f.path -> f.encryptionKey))
       .schema(physSchema).parquet(paths: _*)
     val projection = epoch.map {
@@ -502,7 +549,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   private def readFile(name: String, ctx: ScanCtx, f: DataFileRec,
       withPos: Boolean): DataFrame =
-    readGroup(name, Seq(f), epochOf(ctx.cols, ctx.history, f), ctx.partValues(f), withPos)
+    readGroup(name, Seq(f), physOf(ctx, f), injectedValues(ctx, f), withPos)
 
   /** One file's LIVE rows: epoch-projected, MOR delete positions
     * anti-joined away (broadcast — delete sets are small relative to
@@ -580,9 +627,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         spark.createDataFrame(new java.util.ArrayList[Row](), outSchema))
 
     val (withDel, clean) = files.partition(_.deleteFile.isDefined)
-    val cleanScans = clean.groupBy(f => (epochOf(cols, ctx.history, f), ctx.partValues(f)))
-      .map { case ((epoch, pv), fs) =>
-        readGroup(name, fs, epoch, pv, withPos = false)
+    val cleanScans = clean.groupBy(f => (physOf(ctx, f), injectedValues(ctx, f)))
+      .map { case ((phys, pv), fs) =>
+        readGroup(name, fs, phys, pv, withPos = false)
       }.toSeq
     val delScans = withDel.map(morReadFile(name, ctx, _))
     (cleanScans ++ delScans ++ inlined).reduce(_ unionByName _)
@@ -683,7 +730,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val ctx = scanCtx(tr, cols, snap)
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val deletes = files.flatMap { f =>
-      val path = filePath(name, f.path)
+      val path = dataFilePath(name, f)
       // epoch projection: files written before a rename/promotion expose
       // current column names to `cond` (same mapping as table())
       val matched = readFile(name, ctx, f, withPos = true)
@@ -778,7 +825,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             .select("pos").collect().map(_.getLong(0)).toSet
           case None => Set.empty
         }
-        fid -> writeDeletePositions(name, filePath(name, f.path),
+        fid -> writeDeletePositions(name, dataFilePath(name, f),
           (pos ++ previous).toSeq.sorted)
       }
     }
@@ -801,6 +848,147 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * twice (DuckLake `ducklake_flush_inlined_data`). No-op without
     * inlined rows.
     */
+  /** Adopt pre-existing parquet files into a table WITHOUT rewriting a
+    * byte (reference: `ducklake_add_data_files`,
+    * tests/sqllogictests/sql/add_files/add_files.test) — at 100 TB,
+    * adoption-in-place is a metadata transaction where CTAS/INSERT would
+    * be a cluster-month of copying. Each path may be a file, a directory
+    * (recursed for `*.parquet`), or a glob. Every file registers under a
+    * duplicate-eliminated NAME MAPPING (catalog column_id → the column's
+    * physical name/type in the file): column order is irrelevant, types
+    * must be equal or promotable along the TypeBridge lattice, and hive
+    * `key=value` path segments satisfy columns missing from the file's
+    * pages (auto-detected; `hivePartitioning = Some(false)` disables).
+    * Stats are captured from footers (+ point-range synthetic stats for
+    * hive keys) so file skipping prunes adopted files like native ones.
+    * All files commit in ONE snapshot; nothing moves on disk.
+    */
+  def addFiles(name: String, paths: Seq[String], allowMissing: Boolean = false,
+      ignoreExtraColumns: Boolean = false,
+      hivePartitioning: Option[Boolean] = None): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val (schemaName, tableName) = parse(name)
+    val cols = store.getTableColumns(tr.tableId, snap)
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    val hiveOn = hivePartitioning.getOrElse(true)
+
+    val resolved: Seq[Path] = paths.flatMap { raw =>
+      val p = new Path(raw)
+      val matches =
+        if (fs.exists(p)) Seq(fs.getFileStatus(p))
+        else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      if (matches.isEmpty)
+        throw new InvalidConfigException(s"Failed to add data files: $raw does not exist")
+      matches.flatMap { st =>
+        if (st.isDirectory) {
+          val it = fs.listFiles(st.getPath, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+          }
+          if (buf.isEmpty)
+            throw new InvalidConfigException(
+              s"Failed to add data files: no parquet files under $raw")
+          buf.sortBy(_.toString).toSeq
+        } else Seq(st.getPath)
+      }
+    }
+
+    def hasHiveKey(path: String, key: String): Option[String] =
+      path.split('/').collectFirst {
+        case seg if seg.length > key.length && seg.charAt(key.length) == '=' &&
+            seg.substring(0, key.length).equalsIgnoreCase(key) =>
+          seg.substring(0, key.length) // the path's own spelling
+      }
+
+    val regs = resolved.map { p0 =>
+      val p = fs.makeQualified(p0)
+      val st = fs.getFileStatus(p)
+      val pathStr = p.toString
+      val fSize = footerSize(fs, p, st.getLen) // also validates the magic
+      val fileSchema = spark.read.parquet(pathStr).schema
+      def fileField(n: String) = fileSchema.fields.find(_.name == n)
+        .orElse(fileSchema.fields.find(_.name.equalsIgnoreCase(n)))
+      if (!ignoreExtraColumns) {
+        val known = cols.map(_.name.toLowerCase).toSet
+        fileSchema.fields.find(f => !known.contains(f.name.toLowerCase)).foreach { f =>
+          throw new InvalidConfigException(
+            s"""Column "${f.name}" exists in file $pathStr but not in table "$tableName" (pass ignoreExtraColumns = true to skip it)""")
+        }
+      }
+      val entries: Seq[NameMapEntry] = cols.flatMap { c =>
+        fileField(c.name) match {
+          case Some(f) =>
+            val ft = TypeBridge.fromSpark(f.dataType)
+            if (!TypeBridge.typesCompatible(ft, c.dtype))
+              throw new UnsupportedTypeException(
+                s"""Failed to add data files: column "${c.name}" in file $pathStr has type $ft — expected ${c.dtype} or a type promotable to it""")
+            Some(NameMapEntry(c.columnId, f.name, TypeBridge.normalize(ft),
+              isPartition = false))
+          case None =>
+            hasHiveKey(pathStr, c.name).filter(_ => hiveOn) match {
+              case Some(key) =>
+                Some(NameMapEntry(c.columnId, key, "varchar", isPartition = true))
+              case None if !c.nullsAllowed =>
+                throw new InvalidConfigException(
+                  s"""Column "${c.name}" is NOT NULL in table "$tableName" but was not found in file $pathStr""")
+              case None if allowMissing => None
+              case None =>
+                throw new InvalidConfigException(
+                  s"""Column "${c.name}" exists in table "$tableName" but was not found in file $pathStr (pass allowMissing = true to fill with NULL)""")
+            }
+        }
+      }
+      val rc = rowCount(p, None)
+      // footer stats under the FILE's physical names/types, re-keyed to
+      // the table's column names; timestamp min/max are dropped — a
+      // foreign writer's time unit is not re-verified here, and absent
+      // stats only cost pruning, never correctness
+      val physSchema = StructType(entries.filterNot(_.isPartition).map(e =>
+        StructField(e.sourceName, TypeBridge.toSpark(e.sourceType), nullable = true)))
+      val colById = cols.map(c => c.columnId -> c).toMap
+      val srcToCol = entries.filterNot(_.isPartition)
+        .map(e => e.sourceName -> colById(e.columnId).name).toMap
+      val isTs = entries.filterNot(_.isPartition).filter(e =>
+        TypeBridge.toSpark(e.sourceType) match {
+          case TimestampType | TimestampNTZType => true
+          case _ => false
+        }).map(_.sourceName).toSet
+      val fileStats = FileStats.fromFooter(p, hconf, physSchema, None).map { s =>
+        val renamed = s.copy(columnName = srcToCol.getOrElse(s.columnName, s.columnName))
+        if (isTs(s.columnName)) renamed.copy(minValue = None, maxValue = None)
+        else renamed
+      }
+      // adopted data must already satisfy NOT NULL declarations: the
+      // footer's null counts make the check free
+      cols.filter(!_.nullsAllowed).foreach { c =>
+        fileStats.find(_.columnName == c.name).foreach { s =>
+          if (s.nullCount.exists(_ > 0))
+            throw new InvalidConfigException(
+              s"""Failed to add data files: column "${c.name}" is NOT NULL but file $pathStr contains ${s.nullCount.get} null values""")
+        }
+      }
+      val hiveStats = entries.filter(_.isPartition).map { e =>
+        val c = colById(e.columnId)
+        hivePathValue(pathStr, e.sourceName) match {
+          case Some(raw) =>
+            val canon = FileStats.canonicalPartition(TypeBridge.toSpark(c.dtype), raw)
+            ColumnStatRec(c.name, rc, Some(0L), canon, canon)
+          case None =>
+            if (!c.nullsAllowed)
+              throw new InvalidConfigException(
+                s"""Failed to add data files: column "${c.name}" is NOT NULL but file $pathStr carries the null hive partition""")
+            ColumnStatRec(c.name, rc, Some(rc), None, None)
+        }
+      }
+      (FileToRegister(pathStr, rc, st.getLen, fSize, fileStats ++ hiveStats,
+        None, Nil, pathIsRelative = false), entries)
+    }
+    store.commitAddFiles(schemaName, tableName, regs)
+  }
+
   def flushInlined(name: String): Long = {
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)
@@ -1289,7 +1477,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 private[lake] final case class ScanCtx(cols: Seq[ColumnDef],
     history: Seq[(ColumnDef, Long, Option[Long])],
     partCols: Seq[(Int, Long, Option[String])],
-    partValsByFile: Map[Long, Map[Int, Option[String]]]) {
+    partValsByFile: Map[Long, Map[Int, Option[String]]],
+    mappings: Map[Long, Seq[NameMapEntry]] = Map.empty) {
   /** column_id → raw hive value of IDENTITY partition keys for one file —
     * the values injected as literal columns on read (transform keys'
     * sources live in the parquet itself, nothing to inject).

@@ -10,7 +10,7 @@ final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: Str
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
     deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None,
-    writeEpoch: Long = -1L) {
+    writeEpoch: Long = -1L, mappingId: Option[Long] = None) {
   /** Snapshot whose column names/types the physical parquet was written
     * under. Normally == beginSnapshot; differs for rows revived by
     * rollback or shared by a zero-copy clone, where validity restarts but
@@ -25,7 +25,18 @@ final case class ColumnStatRec(columnName: String, valueCount: Long,
     nullCount: Option[Long], minValue: Option[String], maxValue: Option[String])
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
     footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None,
-    partitionValues: Seq[Option[String]] = Nil)
+    partitionValues: Seq[Option[String]] = Nil, pathIsRelative: Boolean = true,
+    mappingId: Option[Long] = None)
+
+/** One column of a name-based mapping for an ADOPTED parquet file
+  * (`ducklake_add_data_files`): catalog column_id → the column's name and
+  * type as physically present in the file; `isPartition` marks hive
+  * partition keys whose value lives in the file's PATH, not its pages
+  * (DuckLake spec tables ducklake_column_mapping/ducklake_name_mapping;
+  * reference: tests/sqllogictests/sql/add_files/).
+  */
+final case class NameMapEntry(columnId: Long, sourceName: String,
+    sourceType: String, isPartition: Boolean)
 final case class TableWriteSpec(schemaName: String, tableName: String,
     columns: Seq[ColumnDef], mode: WriteMode.Value, files: Seq[FileToRegister],
     partitionBy: Seq[String] = Nil, flushInlined: Boolean = false)
@@ -109,7 +120,24 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
             |  encryption_key VARCHAR(64),
-            |  write_epoch BIGINT NOT NULL)""".stripMargin)
+            |  write_epoch BIGINT NOT NULL,
+            |  mapping_id BIGINT)""".stripMargin)
+        // name-based column mappings for adopted files (DuckLake spec
+        // ducklake_column_mapping / ducklake_name_mapping): files taken in
+        // via add_files carry a mapping_id resolving catalog column_ids to
+        // the names/types physically in the file (or to a hive path key)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_column_mapping(
+            |  mapping_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  map_type VARCHAR(32) NOT NULL)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_name_mapping(
+            |  mapping_id BIGINT NOT NULL,
+            |  column_id BIGINT NOT NULL,
+            |  source_name VARCHAR(1024) NOT NULL,
+            |  source_type VARCHAR(256) NOT NULL,
+            |  hive_partition BOOLEAN NOT NULL)""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_delete_file(
             |  delete_file_id BIGINT NOT NULL,
@@ -221,6 +249,30 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |  snapshot_id BIGINT NOT NULL,
           |  created_at TIMESTAMP NOT NULL)""".stripMargin)
       finally st.close()
+    }
+    // catalogs bootstrapped before add_files: mapping tables + column
+    val hasMappings = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_COLUMN_MAPPING", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasMappings) {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE ducklake_column_mapping(
+            |  mapping_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  map_type VARCHAR(32) NOT NULL)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_name_mapping(
+            |  mapping_id BIGINT NOT NULL,
+            |  column_id BIGINT NOT NULL,
+            |  source_name VARCHAR(1024) NOT NULL,
+            |  source_type VARCHAR(256) NOT NULL,
+            |  hive_partition BOOLEAN NOT NULL)""".stripMargin)
+        st.executeUpdate(
+          "ALTER TABLE ducklake_data_file ADD COLUMN mapping_id BIGINT")
+      } finally st.close()
     }
   }
 
@@ -363,22 +415,23 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(tableId, snap, snap, snap, snap))(rs =>
       rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
         rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).toMap
-    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
+    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
       Seq(tableId, snap, snap))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1)),
-        Option(rs.getString(8)), rs.getLong(9)))
+        Option(rs.getString(8)), rs.getLong(9),
+        { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) }))
   }
 
   /** Data files with begin_snapshot in (from, to] — CDC inserts
     * (reference: src/metadata_provider.rs:77-89).
     */
   def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long): Seq[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
       Seq(tableId, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
-        rs.getLong(9)))
+        rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) }))
 
   /** Delete files with begin_snapshot in (from, to], each with the previous
     * delete file for the same data file (for position deltas), plus
@@ -405,11 +458,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     // full-file deletes: replaced data files in range (no delete file of their own)
     val ended = query(
-      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
+      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch, df.mapping_id FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
       Seq(tableId, from, to, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
-        rs.getLong(9)))
+        rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) }))
     val endedWithPrev = ended.map { df =>
       val prev = query(
         "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
@@ -422,11 +475,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   }
 
   def getDataFileById(tableId: Long, dataFileId: Long): Option[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
       Seq(tableId, dataFileId))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
-        rs.getLong(9))).headOption
+        rs.getLong(9),
+        { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) })).headOption
 
   def listMetadata(): Seq[(String, String)] =
     query("SELECT meta_key, meta_value FROM ducklake_metadata ORDER BY meta_key")(
@@ -564,9 +618,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new InternalException(
           s"file ${f.path}: ${f.partitionValues.size} partition values for $nKeys keys")
       val id = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
-        Seq(id, table.tableId, f.path, true, f.recordCount, f.fileSizeBytes, f.footerSize,
-          snap, f.encryptionKey.orNull, snap))
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+        Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount, f.fileSizeBytes,
+          f.footerSize, snap, f.encryptionKey.orNull, snap,
+          f.mappingId.map(Long.box).orNull))
       f.partitionValues.zipWithIndex.foreach { case (v, idx) =>
         update("INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
           Seq(id, table.tableId, idx.toLong, v.orNull))
@@ -598,6 +653,75 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   }
 
   /** Inlined rows visible at `snap`: (row_id, begin_snapshot, json). */
+  // ---------- adopted files (add_files; reference: tests/sqllogictests/sql/add_files/) ----------
+
+  /** All name mappings of a table: mapping_id → column entries. One
+    * metadata query per scan, independent of file count.
+    */
+  def getNameMappings(tableId: Long): Map[Long, Seq[NameMapEntry]] =
+    query(
+      """SELECT cm.mapping_id, nm.column_id, nm.source_name, nm.source_type, nm.hive_partition
+        |FROM ducklake_column_mapping cm
+        |JOIN ducklake_name_mapping nm ON cm.mapping_id = nm.mapping_id
+        |WHERE cm.table_id = ?""".stripMargin,
+      Seq(tableId))(rs => rs.getLong(1) ->
+      NameMapEntry(rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** Get-or-create a name mapping (duplicate-eliminated: two adopted files
+    * with the same column resolution share one mapping_id — the reference
+    * test asserts COUNT(ducklake_column_mapping)=1 after two adds).
+    * Must run inside the caller's snapshot transaction.
+    */
+  private def getOrCreateMapping(tableId: Long, entries: Seq[NameMapEntry]): Long = {
+    val key = entries.sortBy(_.columnId)
+    getNameMappings(tableId).collectFirst {
+      case (mid, es) if es.sortBy(_.columnId) == key => mid
+    }.getOrElse {
+      val mid = nextId("ducklake_column_mapping", "mapping_id")
+      update("INSERT INTO ducklake_column_mapping VALUES (?, ?, ?)",
+        Seq(mid, tableId, "map_by_name"))
+      entries.foreach { e =>
+        update("INSERT INTO ducklake_name_mapping VALUES (?, ?, ?, ?, ?)",
+          Seq(mid, e.columnId, e.sourceName, e.sourceType, e.isPartition))
+      }
+      mid
+    }
+  }
+
+  /** Adopt pre-existing parquet files into a table in ONE snapshot — no
+    * data movement; each file carries a name mapping and its footer stats
+    * (keyed by resolved column_id). The table must already exist.
+    */
+  def commitAddFiles(schemaName: String, tableName: String,
+      files: Seq[(FileToRegister, Seq[NameMapEntry])]): Long = inSnapshotTxn { snap =>
+    val schema = getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    val table = getTableByName(schema.schemaId, tableName, snap)
+      .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
+    val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
+    files.foreach { case (f, entries) =>
+      val mid = getOrCreateMapping(table.tableId, entries)
+      val id = nextId("ducklake_data_file", "data_file_id")
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+        Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount,
+          f.fileSizeBytes, f.footerSize, snap, f.encryptionKey.orNull, snap, mid))
+      f.stats.foreach { st =>
+        colIds.get(st.columnName).foreach { cid =>
+          update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+            Seq(id, table.tableId, cid, st.valueCount,
+              st.nullCount.map(Long.box).orNull,
+              st.minValue.orNull, st.maxValue.orNull))
+        }
+      }
+    }
+    snap
+  }
+
+  def countColumnMappings(tableId: Long): Long =
+    query("SELECT COUNT(*) FROM ducklake_column_mapping WHERE table_id = ?",
+      Seq(tableId))(_.getLong(1)).head
+
   def getInlinedRows(tableId: Long, snap: Long): Seq[(Long, Long, String)] =
     query(s"SELECT row_id, begin_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? AND $Vis ORDER BY row_id",
       Seq(tableId, snap, snap))(rs => (rs.getLong(1), rs.getLong(2), rs.getString(3)))
@@ -919,11 +1043,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
     // --- data files ---------------------------------------------------
     case class F(id: Long, path: String, rel: Boolean, rc: Long, size: Long,
-        footer: Long, key: String, epoch: Long)
+        footer: Long, key: String, epoch: Long, mapping: Option[Long])
     def filesAt(s: Long): Seq[F] = query(
-      s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND $Vis",
+      s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND $Vis",
       Seq(tableId, s, s))(rs => F(rs.getLong(1), rs.getString(2), rs.getBoolean(3),
-      rs.getLong(4), rs.getLong(5), rs.getLong(6), rs.getString(7), rs.getLong(8)))
+      rs.getLong(4), rs.getLong(5), rs.getLong(6), rs.getString(7), rs.getLong(8),
+      { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) }))
     val nowF = filesAt(snap)
     val tgtF = filesAt(target)
     val nowIds = nowF.map(_.id).toSet
@@ -934,8 +1059,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     val idMap: Map[Long, Long] = tgtF.filterNot(f => nowIds(f.id)).map { f =>
       val nid = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
-        Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch))
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+        Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch,
+          f.mapping.map(Long.box).orNull))
       update("INSERT INTO ducklake_file_column_stats " +
         "SELECT CAST(? AS BIGINT), table_id, column_id, value_count, null_count, min_value, max_value " +
         "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, f.id))
@@ -1054,16 +1180,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update("INSERT INTO ducklake_partition_column SELECT CAST(? AS BIGINT), partition_key_index, " +
         "column_id, begin_snapshot, end_snapshot, transform FROM ducklake_partition_column " +
         "WHERE table_id = ?", Seq(tid, srcTableId))
+      // adopted-file name mappings resolve per table: mirror the rows so
+      // the clone's scans find them under its own table_id
+      update("INSERT INTO ducklake_column_mapping SELECT mapping_id, CAST(? AS BIGINT), map_type " +
+        "FROM ducklake_column_mapping WHERE table_id = ?", Seq(tid, srcTableId))
       // current-visible data files: fresh ids, shared paths, kept epochs
       val files = query(
-        s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch FROM ducklake_data_file WHERE table_id = ? AND $Vis",
+        s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND $Vis",
         Seq(srcTableId, snap, snap))(rs => (rs.getLong(1), rs.getString(2),
         rs.getBoolean(3), rs.getLong(4), rs.getLong(5), rs.getLong(6),
-        rs.getString(7), rs.getLong(8)))
-      val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch) =>
+        rs.getString(7), rs.getLong(8),
+        { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) }))
+      val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch, mapping) =>
         val nid = nextId("ducklake_data_file", "data_file_id")
-        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
-          Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch))
+        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+          Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch,
+            mapping.map(Long.box).orNull))
         update("INSERT INTO ducklake_file_column_stats " +
           "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), column_id, value_count, null_count, min_value, max_value " +
           "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, tid, fid))

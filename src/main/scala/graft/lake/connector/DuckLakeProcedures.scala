@@ -77,7 +77,16 @@ private[connector] object DuckLakeProcedures {
     ProcDef("tag_snapshot",
       Seq(param("tag", StringType), param("snapshot", LongType)),
       StructType(Seq(StructField("tagged_snapshot", LongType))),
-      (lake, in) => { lake.tagSnapshot(str(in, 0), in.getLong(1)); Seq(in.getLong(1)) }))
+      (lake, in) => { lake.tagSnapshot(str(in, 0), in.getLong(1)); Seq(in.getLong(1)) }),
+
+    // reference: ducklake_add_data_files (tests/sqllogictests/sql/add_files/)
+    ProcDef("add_files",
+      Seq(param("table", StringType), param("path", StringType),
+        param("allow_missing", BooleanType, Some("false")),
+        param("ignore_extra_columns", BooleanType, Some("false"))),
+      StructType(Seq(StructField("snapshot", LongType))),
+      (lake, in) => Seq(lake.addFiles(str(in, 0), Seq(str(in, 1)),
+        allowMissing = in.getBoolean(2), ignoreExtraColumns = in.getBoolean(3)))))
 
   /** Multi-row procedures (snapshot-count-sized results — driver-safe). */
   private val multiDefs: Seq[(String, Seq[ProcedureParameter], StructType,

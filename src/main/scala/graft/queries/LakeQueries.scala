@@ -104,7 +104,47 @@ object LakeQueries {
       lake
     })
 
+  /** Separate lake exercising file ADOPTION (`addFiles`): parquet written
+    * OUTSIDE the lake — one file with reversed column order, one with a
+    * missing column — registered without rewriting a byte. The oracle
+    * reads the plain originals, so a hash match proves the name-mapping
+    * projection end to end.
+    */
+  private val addLakes = TrieMap[String, DuckLake]()
+  private def addFixture(s: SparkSession, dir: String): DuckLake =
+    addLakes.getOrElseUpdate(dir, {
+      val root = s"/tmp/graft-addlake-${UUID.randomUUID().toString.take(8)}"
+      val lake = new DuckLake(s, s"$root/meta", s"$root/data")
+      val supplier = t(s, dir, "supplier")
+      lake.createTableAs(supplier.filter(col("s_suppkey") <= 40).coalesce(1),
+        "main.supplier_adopt")
+      // outside writer 1: same columns, REVERSED order (mapping is by name)
+      supplier.filter(col("s_suppkey") > 40 && col("s_suppkey") <= 70)
+        .select("s_acctbal", "s_nationkey", "s_name", "s_suppkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/external/a")
+      // outside writer 2: s_acctbal missing entirely (adopted with NULLs)
+      supplier.filter(col("s_suppkey") > 70)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/external/b")
+      lake.addFiles("main.supplier_adopt", Seq(s"$root/external/a"))
+      lake.addFiles("main.supplier_adopt", Seq(s"$root/external/b"), allowMissing = true)
+      lake
+    })
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+
+    ("lake_add_files", (s: SparkSession, dir: String) => {
+      // adopted-in-place external parquet (reversed column order + missing
+      // column) unioned with natively written data through one scan
+      addFixture(s, dir).table("main.supplier_adopt").orderBy("s_suppkey")
+    }, """
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey <= 70
+      UNION ALL
+      SELECT s_suppkey, s_name, s_nationkey, NULL AS s_acctbal
+      FROM supplier WHERE s_suppkey > 70
+      ORDER BY s_suppkey
+    """),
 
     ("lake_inline", (s: SparkSession, dir: String) => {
       // inlined rows + file rows + MOR deletes through one scan
