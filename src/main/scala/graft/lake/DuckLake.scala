@@ -728,67 +728,71 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val cols = store.getTableColumns(tr.tableId, snap)
     val files = store.getDataFiles(tr.tableId, snap)
     val ctx = scanCtx(tr, cols, snap)
-    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
-    val deletes = files.flatMap { f =>
-      val path = dataFilePath(name, f)
-      // epoch projection: files written before a rename/promotion expose
-      // current column names to `cond` (same mapping as table())
-      val matched = readFile(name, ctx, f, withPos = true)
-        .select(col("__ducklake_pos").as("pos"), cond.as("__m"))
-        .filter(col("__m")).select("pos")
-        .collect().map(_.getLong(0)).toSet
-      val previous: Set[Long] = f.deleteFile match {
-        case Some(d) => reader(Seq(d.path -> d.encryptionKey))
-          .parquet(filePath(name, d.path))
-          .select("pos").collect().map(_.getLong(0)).toSet
-        case None => Set.empty
-      }
-      val all = (matched ++ previous).toSeq.sorted
-      if (matched.diff(previous).isEmpty) None
-      else Some(f.dataFileId -> writeDeletePositions(name, path, all))
+    // matched = file-local positions of rows satisfying `cond`, over ALL
+    // files in ONE distributed plan (each branch carries its file's
+    // epoch/mapping projection, so `cond` sees current column names).
+    // Positions NEVER aggregate on the driver: the only collected values
+    // are per-file ids — `DELETE WHERE <half the table>` at 100 TB costs
+    // a shuffle, not driver heap.
+    val matched = files.map { f =>
+      readFile(name, ctx, f, withPos = true)
+        .filter(cond)
+        .select(lit(f.dataFileId).as("__fid"), col("__ducklake_pos").as("pos"))
+    }.reduceOption(_ union _)
+    val previous = files.flatMap(f => f.deleteFile.map(d =>
+      reader(Seq(d.path -> d.encryptionKey)).parquet(filePath(name, d.path))
+        .select(lit(f.dataFileId).as("__fid"), col("pos").cast("long").as("pos"))))
+      .reduceOption(_ union _)
+    // files that gained at least one NEW deleted position — O(files) rows
+    val freshFids: Set[Long] = matched match {
+      case None => Set.empty
+      case Some(m) =>
+        val fresh = previous.fold(m)(p => m.join(p, Seq("__fid", "pos"), "left_anti"))
+        fresh.groupBy("__fid").count().collect().map(_.getLong(0)).toSet
     }
     // inlined rows matching the predicate are ended in the same snapshot
+    // (bounded by inlineRowLimit — driver-safe by construction)
     val inlinedIds = inlinedDF(tr, cols, snap, withRowId = true) match {
       case Some(df) => df.filter(cond).select("__row_id").collect().map(_.getLong(0)).toSeq
       case None     => Nil
     }
-    if (deletes.isEmpty && inlinedIds.isEmpty) snap
-    else store.commitDeletes(tr.tableId, deletes, inlinedIds)
+    if (freshFids.isEmpty && inlinedIds.isEmpty) return snap
+    val deletes = if (freshFids.isEmpty) Nil else {
+      val touched = files.filter(f => freshFids(f.dataFileId))
+      import spark.implicits._
+      val fidFilter = broadcast(freshFids.toSeq.toDF("__fid"))
+      val merged = previous.fold(matched.get)(matched.get.union)
+        .join(fidFilter, "__fid")
+      writeDeleteFiles(name, merged,
+        touched.map(f => f.dataFileId -> dataFilePath(name, f)).toMap)
+    }
+    try store.commitDeletes(tr.tableId, deletes, inlinedIds)
+    catch { case e: Throwable =>
+      cleanupRenamed(deletes.map(d => new Path(s"${tableDirOf(name)}/${d._2.path}")))
+      throw e
+    }
   }
 
-  /** Write one cumulative positional delete parquet (Iceberg-style
-    * `(file_path, pos)`) for the data file at `dataFilePath` into the
-    * table directory; `positions` is the full merged set. Written
-    * directly with parquet-mr on the driver — position lists are tiny
-    * relative to data, and a Spark job per touched file would dominate
-    * multi-file delta commits.
+  /** Write the merged `(__fid, pos)` delete set as one cumulative
+    * positional delete parquet per data file — IN EXECUTOR TASKS
+    * ([[DeleteFileWriter]]), staged and renamed into the table directory
+    * (renames are O(files) metadata operations).
     */
-  private def writeDeletePositions(name: String, dataFilePath: String,
-      positions: Seq[Long]): FileToRegister = {
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    val delName = s"ducklake-delete-${UUID.randomUUID()}.parquet"
-    val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
-    val msgType = Types.buildMessage()
-      .addField(Types.optional(PrimitiveTypeName.BINARY)
-        .as(LogicalTypeAnnotation.stringType()).named("file_path"))
-      .addField(Types.optional(PrimitiveTypeName.INT64).named("pos"))
-      .named("spark_schema")
-    val builder = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(new Path(s"${tableDirOf(name)}/$delName"))
-      .withConf(hconf).withType(msgType)
-    keyOpt.foreach(k => builder.withEncryption(GraftCryptoFactory.encryptionProps(k)))
-    val w = builder.build()
+  private def writeDeleteFiles(name: String, merged: DataFrame,
+      pathByFid: Map[Long, String]): Seq[(Long, FileToRegister)] = {
+    val staging = s"$dataPath/.staging-del-${UUID.randomUUID()}"
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     try {
-      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
-      positions.foreach { p =>
-        val g = gf.newGroup()
-        g.add("file_path", dataFilePath)
-        g.add("pos", p)
-        w.write(g)
+      fs.mkdirs(new Path(staging))
+      val regs = DeleteFileWriter.writeDistributed(spark, merged, pathByFid,
+        staging, hconf, encryptionEnabled)
+      val tableDir = tableDirOf(name)
+      regs.foreach { case (_, r) =>
+        if (!fs.rename(new Path(s"$staging/${r.path}"), new Path(s"$tableDir/${r.path}")))
+          throw new InternalException(s"rename failed for delete file ${r.path}")
       }
-    } finally w.close()
-    FileToRegister(delName, positions.size.toLong, 0L, 0L, Nil, keyOpt)
+      regs
+    } finally fs.delete(new Path(staging), true)
   }
 
   /** Catalog-stats file skipping for an external (native Batch) scan:
@@ -802,43 +806,44 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     else pruneByStats(tr, scanCtx(tr, cols, snap), sparkSchemaOf(cols), files, filters)
 
   /** Commit a row-level DELTA staged by the native delta writers (SQL
-    * UPDATE / MERGE, merge-on-read): appended-row files plus per-data-file
-    * deleted positions — merged with existing delete files and registered
-    * with the new data files in ONE snapshot. Cost is O(changed rows),
-    * never a table rewrite.
+    * UPDATE / MERGE, merge-on-read): appended-row files plus the tasks'
+    * PARTIAL delete-position parquets (`(_fid, pos)`, written executor-
+    * side — commit messages carry file names only, never positions) —
+    * merged with existing delete files into per-data-file cumulative
+    * delete parquets, registered with the new data files in ONE snapshot.
+    * Cost is O(changed rows) of cluster work and O(files) of driver state;
+    * never a table rewrite, never a driver position list.
     */
   private[lake] def commitDeltaStaged(schemaName: String, tableName: String,
       cols: Seq[ColumnDef], stagedNew: Seq[(Path, Seq[Option[String]])],
       dataSchema: StructType, keyOpt: Option[String],
-      deletes: Seq[(Long, Array[Long])]): Long = {
+      deletePartials: Seq[Path]): Long = {
     val name = s"$schemaName.$tableName"
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)
     val filesById = store.getDataFiles(tr.tableId, snap).map(f => f.dataFileId -> f).toMap
-    val merged = deletes.groupBy(_._1)
-      .map { case (fid, gs) => fid -> gs.flatMap(_._2).toSet }
-    val delRegs = merged.toSeq.sortBy(_._1).flatMap { case (fid, pos) =>
-      filesById.get(fid).map { f =>
-        val previous: Set[Long] = f.deleteFile match {
-          case Some(d) => reader(Seq(d.path -> d.encryptionKey))
-            .parquet(filePath(name, d.path))
-            .select("pos").collect().map(_.getLong(0)).toSet
-          case None => Set.empty
-        }
-        fid -> writeDeletePositions(name, dataFilePath(name, f),
-          (pos ++ previous).toSeq.sorted)
-      }
+    val delRegs = if (deletePartials.isEmpty) Nil else {
+      val partial = reader(deletePartials.map(p => p.getName -> keyOpt))
+        .parquet(deletePartials.map(_.toString): _*)
+        .select(col("_fid").as("__fid"), col("pos").cast("long").as("pos"))
+      val fids = partial.select("__fid").distinct()
+        .collect().map(_.getLong(0)).toSet // O(touched files)
+      val touched = fids.toSeq.sorted.flatMap(filesById.get)
+      val previous = touched.flatMap(f => f.deleteFile.map(d =>
+        reader(Seq(d.path -> d.encryptionKey)).parquet(filePath(name, d.path))
+          .select(lit(f.dataFileId).as("__fid"), col("pos").cast("long").as("pos"))))
+        .reduceOption(_ union _)
+      import spark.implicits._
+      val fidFilter = broadcast(touched.map(_.dataFileId).toDF("__fid"))
+      writeDeleteFiles(name, previous.fold(partial)(partial.union).join(fidFilter, "__fid"),
+        touched.map(f => f.dataFileId -> dataFilePath(name, f)).toMap)
     }
     val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, stagedNew,
       dataSchema, keyOpt)
     try store.commitRowDelta(schemaName, tableName, cols, newFiles, delRegs)
     catch { case e: Throwable =>
       cleanupRenamed(renamed)
-      val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
-      delRegs.foreach { case (_, r) =>
-        try fs.delete(new Path(s"${tableDirOf(name)}/${r.path}"), false)
-        catch { case _: Throwable => () }
-      }
+      cleanupRenamed(delRegs.map(d => new Path(s"${tableDirOf(name)}/${d._2.path}")))
       throw e
     }
   }

@@ -27,11 +27,13 @@ import graft.lake.crypto.GraftCryptoFactory
 final case class StagedFiles(files: Seq[(String, Seq[Option[String]])])
   extends WriterCommitMessage
 
-/** One executor's delta output: staged insert files plus the (data file
-  * id → deleted file-local positions) pairs it recorded.
+/** One executor's delta output: staged insert files plus the name of the
+  * PARTIAL delete-positions parquet it streamed (None = no deletes).
+  * Positions live in staging files, never in commit messages — the driver
+  * never materializes a delete set.
   */
 final case class DeltaStaged(files: Seq[(String, Seq[Option[String]])],
-    deletes: Array[(Long, Array[Long])]) extends WriterCommitMessage
+    deleteFiles: Seq[String]) extends WriterCommitMessage
 
 /** Native distributed DELTA write — the merge-on-read half of SQL
   * UPDATE / MERGE (Spark's `SupportsDelta` row-level path): executors
@@ -60,10 +62,12 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
 
   override def toBatch: DeltaBatchWrite = this
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new DeltaGroupWriterFactory(new GroupDataWriterFactory(staging,
-      new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
-      rowSchema, partKeys, keyOpt))
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val conf = new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration)
+    new DeltaGroupWriterFactory(
+      new GroupDataWriterFactory(staging, conf, rowSchema, partKeys, keyOpt),
+      staging, conf, keyOpt)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging),
@@ -76,7 +80,7 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
         ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
       }.toSeq
       lake.commitDeltaStaged(schemaName, tableName, cols, staged, dataSchema,
-        keyOpt, deltas.flatMap(_.deletes))
+        keyOpt, deltas.flatMap(_.deleteFiles).map(n => new Path(s"$staging/$n")))
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -88,22 +92,42 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
 }
 
 /** Executor-side delta writer: inserts delegate to the Group parquet
-  * writer (hive-partition splitting included); deletes accumulate row
-  * addresses. The row id layout is fixed by `SupportsDelta.rowId`:
-  * (_file_id BIGINT, _pos BIGINT).
+  * writer (hive-partition splitting included); deletes STREAM into a
+  * partial `(_fid, pos)` parquet in the staging dir — constant task
+  * memory, no position list in the commit message. The row id layout is
+  * fixed by `SupportsDelta.rowId`: (_file_id BIGINT, _pos BIGINT).
   */
-final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory)
+final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory,
+    staging: String, hconf: SerializableConfiguration, key: Option[String])
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val insertWriter = inner.createWriter(partitionId, taskId)
-      private val deletes = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+      private var delWriter: ParquetWriter[Group] = null
+      private var delName: String = null
+      private var delFactory: SimpleGroupFactory = null
 
       override def insert(row: InternalRow): Unit = insertWriter.write(row)
 
-      override def delete(meta: InternalRow, id: InternalRow): Unit =
-        deletes.getOrElseUpdate(id.getLong(0), mutable.ArrayBuffer.empty) += id.getLong(1)
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        if (delWriter == null) {
+          val msgType = Types.buildMessage()
+            .addField(Types.optional(PrimitiveTypeName.INT64).named("_fid"))
+            .addField(Types.optional(PrimitiveTypeName.INT64).named("pos"))
+            .named("spark_schema")
+          delName = s"deletes-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
+          val b = ExampleParquetWriter.builder(new Path(s"$staging/$delName"))
+            .withConf(hconf.value).withType(msgType)
+          key.foreach(k => b.withEncryption(GraftCryptoFactory.encryptionProps(k)))
+          delWriter = b.build()
+          delFactory = new SimpleGroupFactory(msgType)
+        }
+        val g = delFactory.newGroup()
+        g.add("_fid", id.getLong(0))
+        g.add("pos", id.getLong(1))
+        delWriter.write(g)
+      }
 
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
         delete(meta, id)
@@ -111,11 +135,15 @@ final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory)
       }
 
       override def commit(): WriterCommitMessage = {
+        if (delWriter != null) delWriter.close()
         val StagedFiles(files) = insertWriter.commit(): @unchecked
-        DeltaStaged(files, deletes.map { case (f, ps) => (f, ps.toArray) }.toArray)
+        DeltaStaged(files, Option(delName).toSeq)
       }
 
-      override def abort(): Unit = insertWriter.abort()
+      override def abort(): Unit = {
+        if (delWriter != null) { try delWriter.close() catch { case _: Throwable => () } }
+        insertWriter.abort()
+      }
       override def close(): Unit = insertWriter.close()
     }
 }

@@ -140,4 +140,34 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getTimestamp(1)))
     assert(got.toSeq == Seq((1L, ts1), (2L, ts2)))
   }
+
+  test("wide multi-file delete stays distributed (positions never on the driver)") {
+    import spark.implicits._
+    // 200k rows across 8 files; delete half of every file in one call —
+    // the delete-position set (100k) is written by executor tasks
+    // (DeleteFileWriter); the driver only commits O(files) registrations
+    lake.createTableAs(
+      spark.range(200000L).select(col("id"), (col("id") % 1000).as("bucket"))
+        .repartition(8), "main.wide_del")
+    lake.deleteWhere("main.wide_del", col("id") % 2 === 0)
+    assert(lake.table("main.wide_del").count() == 100000L)
+    assert(lake.table("main.wide_del").filter(col("id") % 2 === 0).count() == 0L)
+    // every data file carries its own cumulative delete parquet
+    val dels = lake.listFilesDF.filter(col("table_name") === "wide_del")
+      .select("delete_file_path").collect()
+    assert(dels.length == 8 && dels.forall(!_.isNullAt(0)))
+    // second wave merges with the first (cumulative), again distributed
+    lake.deleteWhere("main.wide_del", col("id") % 3 === 0)
+    assert(lake.table("main.wide_del").count() ==
+      (1L to 200000L).count(i => (i - 1) % 2 != 0 && (i - 1) % 3 != 0))
+    // SQL UPDATE routes deletes through executor-side partial files too
+    spark.conf.set("spark.sql.catalog.ducklake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.sql("UPDATE ducklake.main.wide_del SET bucket = -1 WHERE id % 5 = 1")
+    assert(spark.sql(
+      "SELECT count(*) FROM ducklake.main.wide_del WHERE bucket = -1").head.getLong(0) ==
+      (0L until 200000L).count(i => i % 2 != 0 && i % 3 != 0 && i % 5 == 1))
+  }
 }
