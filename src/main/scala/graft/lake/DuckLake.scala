@@ -109,6 +109,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       .flatMap(c => c.initialDefault.map(c.name -> _)).toMap).getOrElse(Map.empty)
   }
 
+  /** Column name → nulls_allowed at `snap` (empty when the table is
+    * absent) — the catalog truth the connector overlays on scan schemas.
+    */
+  def columnNullabilityOf(name: String, snapshot: Option[Long] = None): Map[String, Boolean] = {
+    val snap = snapshot.getOrElse(store.currentSnapshot)
+    val (schemaName, tableName) = parse(name)
+    (for {
+      sch <- store.getSchemaByName(schemaName, snap)
+      tbl <- store.getTableByName(sch.schemaId, tableName, snap)
+    } yield store.getTableColumns(tbl.tableId, snap)
+      .map(c => c.name -> c.nullsAllowed).toMap).getOrElse(Map.empty)
+  }
+
   /** The table's partition keys at `snap` as (source column, transform)
     * fields in key order (empty = unpartitioned or table absent).
     */
@@ -191,6 +204,14 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val sample = df.toJSON.limit(inlineRowLimit + 1).collect()
       if (sample.length <= inlineRowLimit) {
         val tr = resolveTable(name, store.currentSnapshot)
+        // NOT NULL also holds for inlined rows (toJSON omits null fields,
+        // so a missing key IS a null)
+        store.getTableColumns(tr.tableId, store.currentSnapshot)
+          .filterNot(_.nullsAllowed).foreach { c =>
+            if (sample.exists(j => !j.contains("\"" + c.name + "\":")))
+              throw new ConstraintViolationException(
+                s"NOT NULL constraint failed: column ${c.name} of $name")
+          }
         return store.commitInlined(tr.tableId, sample.toSeq)
       }
     }
@@ -1222,10 +1243,38 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * the reference is read-only and has no ALTER surface at all.
     */
   def addColumn(name: String, colName: String, dtype: String,
-      default: Option[String] = None): Long = {
+      default: Option[String] = None, nullable: Boolean = true): Long = {
     default.foreach(sql => DuckLake.evalDefault(sql, TypeBridge.toSpark(dtype)))
     store.addColumn(resolveTable(name, store.currentSnapshot).tableId, colName, dtype,
-      default.map(_.trim))
+      default.map(_.trim), nullable)
+  }
+
+  /** ALTER … SET NOT NULL: validated against the CURRENT data first — a
+    * single distributed existence scan; stats-pruned, so files with a
+    * known zero null count are never read (reference:
+    * constraints/not_null.test "cannot SET NOT NULL on a table that has
+    * NULL values").
+    */
+  def setNotNull(name: String, colName: String): Long = {
+    val tid = resolveTable(name, store.currentSnapshot).tableId
+    val cols = store.getTableColumns(tid, store.currentSnapshot)
+    if (!cols.exists(_.name == colName))
+      throw new InvalidConfigException(s"column not found: $colName")
+    val hasNull = !table(name, None,
+      Seq(org.apache.spark.sql.sources.IsNull(colName)))
+      .filter(col(colName).isNull).isEmpty
+    if (hasNull)
+      throw new ConstraintViolationException(
+        s"NOT NULL constraint failed: column $colName of $name contains null values")
+    store.alterColumnNullability(tid, colName, nullsAllowed = false)
+  }
+
+  /** ALTER … DROP NOT NULL (always safe). */
+  def dropNotNull(name: String, colName: String): Long = {
+    val tid = resolveTable(name, store.currentSnapshot).tableId
+    if (!store.getTableColumns(tid, store.currentSnapshot).exists(_.name == colName))
+      throw new InvalidConfigException(s"column not found: $colName")
+    store.alterColumnNullability(tid, colName, nullsAllowed = true)
   }
 
   // ------------------------------------------------------------------

@@ -612,6 +612,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new UnsupportedException(
           s"partitioning mismatch: table has [${currentSpecs.mkString(",")}], write has [${partitionBy.mkString(",")}]")
     }
+    // NOT NULL enforcement from the written footers' null counts
+    // (reference: tests/sqllogictests/sql/constraints/not_null.test) —
+    // the stats are already captured for file skipping, so the write-time
+    // check costs nothing extra. Unknown counts pass (conservative the
+    // other way is impossible without a re-scan; scalar columns always
+    // carry counts from parquet-mr).
+    getTableColumns(table.tableId, snap).filter(!_.nullsAllowed).foreach { c =>
+      files.foreach { f =>
+        f.stats.find(_.columnName == c.name).foreach { s =>
+          if (s.nullCount.exists(_ > 0))
+            throw new ConstraintViolationException(
+              s"NOT NULL constraint failed: column ${c.name} of $schemaName.$tableName " +
+                s"(${s.nullCount.get} null values in ${f.path})")
+        }
+      }
+    }
     val nKeys = if (existing.isEmpty) partitionBy.size else currentPartCols.size
     files.foreach { f =>
       if (f.partitionValues.size != nKeys)
@@ -1246,20 +1262,45 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * table ever used, so dropped ids are never reused.
     */
   def addColumn(tableId: Long, name: String, dtype: String,
-      initialDefault: Option[String] = None): Long = inSnapshotTxn { snap =>
-    PathResolver.validateName(name)
-    val cols = getTableColumns(tableId, snap)
-    if (cols.exists(_.name == name))
-      throw new UnsupportedException(s"column already exists: $name")
-    val newId = query(
-      "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
-      Seq(tableId))(_.getLong(1)).head
-    val order = cols.map(_.order).maxOption.getOrElse(-1L) + 1
-    update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-      Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), true, snap,
-        initialDefault.orNull))
-    snap
-  }
+      initialDefault: Option[String] = None, nullsAllowed: Boolean = true): Long =
+    inSnapshotTxn { snap =>
+      PathResolver.validateName(name)
+      // ADD COLUMN NOT NULL needs a default: existing rows would otherwise
+      // read NULL in violation (reference: constraints/not_null.test)
+      if (!nullsAllowed && initialDefault.isEmpty)
+        throw new ConstraintViolationException(
+          s"cannot add NOT NULL column $name without a default value")
+      val cols = getTableColumns(tableId, snap)
+      if (cols.exists(_.name == name))
+        throw new UnsupportedException(s"column already exists: $name")
+      val newId = query(
+        "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
+        Seq(tableId))(_.getLong(1)).head
+      val order = cols.map(_.order).maxOption.getOrElse(-1L) + 1
+      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+        Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), nullsAllowed, snap,
+          initialDefault.orNull))
+      snap
+    }
+
+  /** SET / DROP NOT NULL: end the current column row and re-insert with
+    * the new nullability (same column_id). Existing-data validation is
+    * the caller's job (DuckLake scans before SET NOT NULL).
+    */
+  def alterColumnNullability(tableId: Long, name: String, nullsAllowed: Boolean): Long =
+    inSnapshotTxn { snap =>
+      val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
+        throw new InternalException(s"column not found: $name"))
+      if (c.nullsAllowed == nullsAllowed) snap
+      else {
+        update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+          Seq(snap, tableId, c.columnId))
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+          Seq(c.columnId, tableId, c.order, c.name, c.dtype, nullsAllowed, snap,
+            c.initialDefault.orNull))
+        snap
+      }
+    }
 
   /** Drop a column (end its row; files keep the physical data). */
   def dropColumn(tableId: Long, name: String): Long = inSnapshotTxn { snap =>

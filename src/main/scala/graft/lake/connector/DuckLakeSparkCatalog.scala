@@ -189,9 +189,13 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
         throw new NoSuchTableException(ident)
     }
     // expose catalog column defaults as the analyzer's metadata keys so
-    // INSERTs with a column subset (or DEFAULT keyword) resolve them
+    // INSERTs with a column subset (or DEFAULT keyword) resolve them;
+    // overlay catalog nullability (the scan DataFrame widens it) so
+    // DESCRIBE shows NOT NULL and the analyzer knows the constraint
     val defaults = lake.columnDefaultsOf(fullName(ident), Some(snap))
-    val schema = StructType(df.schema.fields.map { f =>
+    val nullability = lake.columnNullabilityOf(fullName(ident), Some(snap))
+    val schema = StructType(df.schema.fields.map { f0 =>
+      val f = f0.copy(nullable = nullability.getOrElse(f0.name, f0.nullable))
       defaults.get(f.name).fold(f) { sql =>
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -328,15 +332,17 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       case d: TableChange.DeleteColumn =>
         lake.dropColumn(name, d.fieldNames().mkString("."))
       case a: TableChange.AddColumn =>
-        if (!a.isNullable)
-          throw new UnsupportedOperationException("added columns must be nullable")
         // DEFAULT <expr>: recorded as the column's initial_default —
-        // pre-ALTER rows read it back (DuckLake spec semantics)
+        // pre-ALTER rows read it back (DuckLake spec semantics). NOT NULL
+        // additions require one (rejected in the lake otherwise).
         val default = Option(a.defaultValue()).map { dv =>
           Option(dv.getSql).getOrElse(String.valueOf(dv.getValue))
         }
         lake.addColumn(name, a.fieldNames().mkString("."),
-          TypeBridge.fromSpark(a.dataType()), default)
+          TypeBridge.fromSpark(a.dataType()), default, nullable = a.isNullable)
+      case n: TableChange.UpdateColumnNullability =>
+        if (n.nullable()) lake.dropNotNull(name, n.fieldNames().mkString("."))
+        else lake.setNotNull(name, n.fieldNames().mkString("."))
       case other =>
         throw new UnsupportedOperationException(s"alterTable change: $other")
     }
