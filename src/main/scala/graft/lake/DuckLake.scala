@@ -576,18 +576,21 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * anti-joined away (broadcast — delete sets are small relative to
     * data).
     */
-  private def morReadFile(name: String, ctx: ScanCtx, f: DataFileRec): DataFrame =
+  private def morReadFile(name: String, ctx: ScanCtx, f: DataFileRec,
+      keepPos: Boolean = false): DataFrame =
     f.deleteFile match {
-      case None => readFile(name, ctx, f, withPos = false)
+      case None =>
+        readFile(name, ctx, f, withPos = keepPos)
       case Some(del) =>
         val positions = reader(Seq(del.path -> del.encryptionKey))
           .schema(StructType(Seq(
             StructField("file_path", StringType), StructField("pos", LongType))))
           .parquet(filePath(name, del.path))
           .select(col("pos"))
-        readFile(name, ctx, f, withPos = true)
+        val live = readFile(name, ctx, f, withPos = true)
           .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
-          .drop("__ducklake_pos")
+          .drop("pos")
+        if (keepPos) live else live.drop("__ducklake_pos")
     }
 
   /** Inlined catalog rows visible at `snap`, parsed with the column names
@@ -595,7 +598,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * `cols` — the inline counterpart of the per-file epoch projection.
     */
   private def inlinedDF(tr: TableRec, cols: Seq[ColumnDef], snap: Long,
-      withRowId: Boolean = false): Option[DataFrame] = {
+      withRowId: Boolean = false, virtual: Set[String] = Set.empty): Option[DataFrame] = {
     val rows = store.getInlinedRows(tr.tableId, snap)
     if (rows.isEmpty) return None
     import spark.implicits._
@@ -613,6 +616,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             .cast(TypeBridge.toSpark(c.dtype)).as(c.name)
           case None => defaultColumn(c).as(c.name)
         }
+      } ++ virtual.toSeq.sorted.map { v =>
+        // inlined rows live in the catalog: their commit snapshot is
+        // real, the file-shaped virtuals are null
+        if (v == DuckLake.VirtualSnapshot) lit(beginSnap).as(v)
+        else lit(null).cast(DuckLake.virtualType(v)).as(v)
       }
       if (withRowId) parsed.select(projection :+ col("__row_id"): _*)
       else parsed.select(projection: _*)
@@ -627,7 +635,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * reference's custom DeleteFilterExec, src/delete_filter.rs).
     */
   def table(name: String, snapshot: Option[Long] = None,
-      pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
+      pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      virtualCols: Seq[String] = Nil): DataFrame = {
     val snap = snapshot.getOrElse(store.currentSnapshot)
     // an explicitly requested snapshot must still exist (not expired)
     snapshot.foreach { s =>
@@ -637,23 +646,52 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
     if (cols.isEmpty) throw new TableNotFoundException(s"$name (no columns at snapshot $snap)")
-    val outSchema = sparkSchemaOf(cols)
+    val vset = virtualCols.toSet
+    val outSchema = vset.foldLeft(sparkSchemaOf(cols)) { (s, v) =>
+      s.add(v, DuckLake.virtualType(v), nullable = true)
+    }
     val ctx = scanCtx(tr, cols, snap)
-    val files = pruneByStats(tr, ctx, outSchema, store.getDataFiles(tr.tableId, snap), pushedFilters)
+    val files = pruneByStats(tr, ctx, sparkSchemaOf(cols),
+      store.getDataFiles(tr.tableId, snap), pushedFilters)
     scanned = files
     // inlined catalog rows are always included (never stats-pruned)
-    val inlined = inlinedDF(tr, cols, snap)
+    val inlined = inlinedDF(tr, cols, snap, withRowId = false, virtual = vset)
     if (files.isEmpty)
       return inlined.getOrElse(
         spark.createDataFrame(new java.util.ArrayList[Row](), outSchema))
 
-    val (withDel, clean) = files.partition(_.deleteFile.isDefined)
-    val cleanScans = clean.groupBy(f => (physOf(ctx, f), injectedValues(ctx, f)))
-      .map { case ((phys, pv), fs) =>
-        readGroup(name, fs, phys, pv, withPos = false)
-      }.toSeq
-    val delScans = withDel.map(morReadFile(name, ctx, _))
-    (cleanScans ++ delScans ++ inlined).reduce(_ unionByName _)
+    if (vset.isEmpty) {
+      val (withDel, clean) = files.partition(_.deleteFile.isDefined)
+      val cleanScans = clean.groupBy(f => (physOf(ctx, f), injectedValues(ctx, f)))
+        .map { case ((phys, pv), fs) =>
+          readGroup(name, fs, phys, pv, withPos = false)
+        }.toSeq
+      val delScans = withDel.map(f => morReadFile(name, ctx, f))
+      (cleanScans ++ delScans ++ inlined).reduce(_ unionByName _)
+    } else {
+      // virtual columns (reference: tests/sqllogictests/sql/virtualcolumns/)
+      // carry PER-FILE values, so the scan reads file-at-a-time — the
+      // diagnostic path; ordinary scans keep the batched groups above
+      val needPos = vset(DuckLake.VirtualRowNumber) || vset(DuckLake.VirtualPos)
+      val scans = files.map { f =>
+        val base = f.deleteFile match {
+          case Some(_) => morReadFile(name, ctx, f, keepPos = needPos)
+          case None => readGroup(name, Seq(f), physOf(ctx, f),
+            injectedValues(ctx, f), withPos = needPos)
+        }
+        val withNum = Seq(DuckLake.VirtualRowNumber, DuckLake.VirtualPos)
+          .filter(vset).foldLeft(base)((d, v) => d.withColumn(v, col("__ducklake_pos")))
+        var d = if (needPos) withNum.drop("__ducklake_pos") else withNum
+        if (vset(DuckLake.VirtualSnapshot))
+          d = d.withColumn(DuckLake.VirtualSnapshot, lit(f.beginSnapshot))
+        if (vset(DuckLake.VirtualFileId))
+          d = d.withColumn(DuckLake.VirtualFileId, lit(f.dataFileId))
+        if (vset(DuckLake.VirtualFilename))
+          d = d.withColumn(DuckLake.VirtualFilename, lit(dataFilePath(name, f)))
+        d
+      }
+      (scans ++ inlined).reduce(_ unionByName _)
+    }
   }
 
   /** Files kept by the last `table()` call (after stats pruning) — test/
@@ -1578,6 +1616,23 @@ final class LakeTransaction private[lake] (lake: DuckLake) {
 }
 
 object DuckLake {
+  /** Hidden queryable VIRTUAL columns (reference:
+    * tests/sqllogictests/sql/virtualcolumns/): selectable by name, never
+    * part of `SELECT *` — surfaced to SQL as DSv2 metadata columns.
+    */
+  final val VirtualSnapshot  = "snapshot_id"
+  final val VirtualFilename  = "filename"
+  final val VirtualRowNumber = "file_row_number"
+  final val VirtualFileId    = "_file_id"
+  final val VirtualPos       = "_pos"
+  final val VirtualNames: Seq[String] =
+    Seq(VirtualSnapshot, VirtualFilename, VirtualRowNumber, VirtualFileId, VirtualPos)
+
+  def virtualType(v: String): DataType = v match {
+    case VirtualFilename => StringType
+    case _               => LongType
+  }
+
   /** Catalog-driven physical directory of a table (A23 path chain):
     * relative table paths resolve under the schema dir; zero-copy clones
     * carry their source's path so shared files resolve byte-free.

@@ -471,21 +471,35 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     * selectable directly (`SELECT _file_id, _pos, * FROM …`) for
     * debugging row lineage.
     */
+  private def metaCol(colName: String, dt: org.apache.spark.sql.types.DataType,
+      nullable: Boolean, desc: String): MetadataColumn = new MetadataColumn {
+    override def name(): String = colName
+    override def dataType(): org.apache.spark.sql.types.DataType = dt
+    override def isNullable: Boolean = nullable
+    override def comment(): String = desc
+  }
+
+  /** Row-address + DuckLake VIRTUAL columns (reference:
+    * tests/sqllogictests/sql/virtualcolumns/): selectable by name, hidden
+    * from `SELECT *`. `_file_id`/`_pos` form the delta row id;
+    * `snapshot_id`/`filename`/`file_row_number` expose row provenance.
+    */
   override def metadataColumns(): Array[MetadataColumn] = Array(
-    new MetadataColumn {
-      override def name(): String = DuckLakePartitionPlanner.FileIdCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = false
-      override def comment(): String = "DuckLake data file id (catalog)"
-    },
-    new MetadataColumn {
-      override def name(): String = DuckLakePartitionPlanner.PosCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = false
-      override def comment(): String = "file-local row position"
-    })
+    metaCol(DuckLakePartitionPlanner.FileIdCol,
+      org.apache.spark.sql.types.LongType, nullable = false,
+      "DuckLake data file id (catalog)"),
+    metaCol(DuckLakePartitionPlanner.PosCol,
+      org.apache.spark.sql.types.LongType, nullable = false,
+      "file-local row position"),
+    metaCol(DuckLake.VirtualSnapshot,
+      org.apache.spark.sql.types.LongType, nullable = false,
+      "snapshot that committed this row"),
+    metaCol(DuckLake.VirtualFilename,
+      org.apache.spark.sql.types.StringType, nullable = true,
+      "physical data file path (null for inlined rows)"),
+    metaCol(DuckLake.VirtualRowNumber,
+      org.apache.spark.sql.types.LongType, nullable = true,
+      "row number within the data file"))
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterToColumn.convert(_).isDefined)
@@ -650,7 +664,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
                   f.transform.exists(graft.lake.PartTransform.BucketRe.matches)) &&
                   required.fieldNames.contains(f.source)) &&
                 required.fields.forall(f =>
-                  DuckLakePartitionPlanner.supportedType(f.dataType))
+                  DuckLakePartitionPlanner.supportedType(f.dataType)) &&
+                !required.fieldNames.exists(DuckLake.VirtualNames.contains)
             }
           if (spjOk)
             new DuckLakeBatchScan(lake, fullName, snapshot, required,
@@ -737,7 +752,10 @@ final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
       override def sizeInBytes: Long = estBytes
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] = {
-        val df = lake.table(fullName, Some(snapshot), filters.toSeq)
+        // metadata/virtual columns requested by name route through the
+        // lake's virtual-column scan (per-file provenance literals)
+        val vreq = required.fieldNames.filter(DuckLake.VirtualNames.contains).toSeq
+        val df = lake.table(fullName, Some(snapshot), filters.toSeq, vreq)
         val projected =
           if (required.isEmpty) df.select() // COUNT(*) zero-column path
           else df.select(required.fieldNames.map(col).toSeq: _*)

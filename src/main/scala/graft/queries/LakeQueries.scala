@@ -865,6 +865,27 @@ object LakeQueries {
       ORDER BY query_id, rnk
     """),
 
+    ("lake_virtual_cols", (s: SparkSession, dir: String) => {
+      // hidden queryable virtual columns (snapshot_id / filename /
+      // file_row_number) over the two-commit orders fixture, reduced to a
+      // deterministic summary: 2 snapshots, 2 files, per-file row numbers
+      // summing to n(n-1)/2 each
+      fixture(s, dir)
+      s.sql("""
+        SELECT CAST(count(DISTINCT snapshot_id) AS BIGINT) AS n_snaps,
+               CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+               sum(file_row_number) AS pos_sum,
+               count(*) AS n_rows
+        FROM ducklake.main.orders""")
+    }, """
+      WITH c1 AS (SELECT count(*) AS n FROM orders),
+           c2 AS (SELECT count(*) AS m FROM orders WHERE o_orderkey % 10 = 0)
+      SELECT 2 AS n_snaps, 2 AS n_files,
+             CAST(n * (n - 1) / 2 + m * (m - 1) / 2 AS BIGINT) AS pos_sum,
+             CAST(n + m AS BIGINT) AS n_rows
+      FROM c1, c2
+    """),
+
     ("lake_sql_time_travel", (s: SparkSession, dir: String) => {
       // SQL `VERSION AS OF <snapshot>` through the connector: the pinned
       // v1 state of orders, before the v2 append — oracle is plain orders
