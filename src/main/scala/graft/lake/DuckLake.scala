@@ -1453,6 +1453,67 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       "file_size_bytes", "record_count", "delete_file_count", "delete_count")
   }
 
+  // ------------------------------------------------------------------
+  // COMMENT ON table/view/column (reference:
+  // tests/sqllogictests/sql/comments/comments.test) — snapshot-versioned
+  // catalog rows, surfaced through information_schema and DESCRIBE
+  // ------------------------------------------------------------------
+
+  /** COMMENT ON TABLE … IS '<comment>' | NULL. Rejects views. */
+  def commentOnTable(name: String, comment: Option[String]): Long = {
+    val (schemaName, tableName) = parse(name)
+    val snap = store.currentSnapshot
+    val sch = store.getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    if (store.getViewId(sch.schemaId, tableName, snap).isDefined)
+      throw new UnsupportedException(s"$name is not a table (COMMENT ON VIEW?)")
+    store.setComment("table", resolveTable(name, snap).tableId, None, comment)
+  }
+
+  /** COMMENT ON VIEW … IS '<comment>' | NULL. Rejects tables. */
+  def commentOnView(name: String, comment: Option[String]): Long = {
+    val (schemaName, viewName) = parse(name)
+    val snap = store.currentSnapshot
+    val sch = store.getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    store.getViewId(sch.schemaId, viewName, snap) match {
+      case Some(vid) => store.setComment("view", vid, None, comment)
+      case None if tableExists(name) =>
+        throw new UnsupportedException(s"$name is not a view (COMMENT ON TABLE?)")
+      case None => throw new TableNotFoundException(s"view $name")
+    }
+  }
+
+  /** COMMENT ON COLUMN t.c — keyed by column_id, so it survives renames. */
+  def commentOnColumn(name: String, colName: String, comment: Option[String]): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val c = store.getTableColumns(tr.tableId, snap).find(_.name == colName)
+      .getOrElse(throw new InvalidConfigException(s"column not found: $colName"))
+    store.setComment("column", tr.tableId, Some(c.columnId), comment)
+  }
+
+  def tableComment(name: String): Option[String] =
+    store.getComment("table",
+      resolveTable(name, store.currentSnapshot).tableId, None, store.currentSnapshot)
+
+  def viewComment(name: String): Option[String] = {
+    val (schemaName, viewName) = parse(name)
+    val snap = store.currentSnapshot
+    store.getSchemaByName(schemaName, snap)
+      .flatMap(s => store.getViewId(s.schemaId, viewName, snap))
+      .flatMap(vid => store.getComment("view", vid, None, snap))
+  }
+
+  /** column name → comment at the current snapshot. */
+  def columnComments(name: String): Map[String, String] = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val byId = store.getColumnComments(tr.tableId, snap)
+    store.getTableColumns(tr.tableId, snap)
+      .flatMap(c => byId.get(c.columnId).map(c.name -> _)).toMap
+  }
+
   def informationSchema(which: String): DataFrame = {
     import spark.implicits._
     val snap = store.currentSnapshot
@@ -1464,15 +1525,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       case "tables" =>
         (for {
           sch <- store.listSchemas(snap); tbl <- store.listTables(sch.schemaId, snap)
-        } yield (tbl.tableId, sch.schemaId, sch.name, tbl.name, tbl.path))
-          .toDF("table_id", "schema_id", "schema_name", "table_name", "path")
+        } yield (tbl.tableId, sch.schemaId, sch.name, tbl.name, tbl.path,
+          store.getComment("table", tbl.tableId, None, snap)))
+          .toDF("table_id", "schema_id", "schema_name", "table_name", "path",
+            "comment")
       case "columns" =>
         (for {
           sch <- store.listSchemas(snap); tbl <- store.listTables(sch.schemaId, snap)
+          comments = store.getColumnComments(tbl.tableId, snap)
           c <- store.getTableColumns(tbl.tableId, snap)
-        } yield (sch.name, tbl.name, c.columnId, c.order, c.name, c.dtype, c.nullsAllowed))
+        } yield (sch.name, tbl.name, c.columnId, c.order, c.name, c.dtype,
+          c.nullsAllowed, comments.get(c.columnId)))
           .toDF("schema_name", "table_name", "column_id", "column_order",
-            "column_name", "column_type", "nulls_allowed")
+            "column_name", "column_type", "nulls_allowed", "comment")
       case "table_info" => tableInfoDF
       case "files" => listFilesDF
       case "partitions" =>

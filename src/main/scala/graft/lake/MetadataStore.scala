@@ -250,6 +250,24 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |  created_at TIMESTAMP NOT NULL)""".stripMargin)
       finally st.close()
     }
+    // COMMENT ON storage: snapshot-versioned comments for tables, views
+    // and columns (column_id NULL = the object itself)
+    val hasComments = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_COMMENT", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasComments) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE ducklake_comment(
+          |  object_type VARCHAR(16) NOT NULL,
+          |  object_id BIGINT NOT NULL,
+          |  column_id BIGINT,
+          |  comment_text VARCHAR(4000) NOT NULL,
+          |  begin_snapshot BIGINT NOT NULL,
+          |  end_snapshot BIGINT)""".stripMargin)
+      finally st.close()
+    }
     // catalogs bootstrapped before add_files: mapping tables + column
     val hasMappings = {
       val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_COLUMN_MAPPING", null)
@@ -759,6 +777,40 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(snap, schemaId))
     snap
   }
+
+  // ---------- comments (COMMENT ON; reference: tests/sqllogictests/sql/comments/) ----------
+
+  /** Set / clear (None) a comment on a table, view, or column — a
+    * snapshot-versioned row, so time travel sees historical comments.
+    */
+  def setComment(objectType: String, objectId: Long, columnId: Option[Long],
+      comment: Option[String]): Long = inSnapshotTxn { snap =>
+    val colPred = if (columnId.isDefined) "column_id = ?" else "column_id IS NULL"
+    update(s"UPDATE ducklake_comment SET end_snapshot = ? WHERE object_type = ? AND object_id = ? AND $colPred AND end_snapshot IS NULL",
+      Seq(snap, objectType, objectId) ++ columnId.toSeq)
+    comment.foreach { c =>
+      update("INSERT INTO ducklake_comment VALUES (?, ?, ?, ?, ?, NULL)",
+        Seq(objectType, objectId, columnId.map(Long.box).orNull, c, snap))
+    }
+    snap
+  }
+
+  def getComment(objectType: String, objectId: Long, columnId: Option[Long],
+      snap: Long): Option[String] = {
+    val colPred = if (columnId.isDefined) "column_id = ?" else "column_id IS NULL"
+    query(s"SELECT comment_text FROM ducklake_comment WHERE object_type = ? AND object_id = ? AND $colPred AND $Vis",
+      Seq(objectType, objectId) ++ columnId.toSeq ++ Seq(snap, snap))(_.getString(1))
+      .headOption
+  }
+
+  /** column_id → comment for one table at `snap`. */
+  def getColumnComments(tableId: Long, snap: Long): Map[Long, String] =
+    query(s"SELECT column_id, comment_text FROM ducklake_comment WHERE object_type = 'column' AND object_id = ? AND column_id IS NOT NULL AND $Vis",
+      Seq(tableId, snap, snap))(rs => rs.getLong(1) -> rs.getString(2)).toMap
+
+  def getViewId(schemaId: Long, name: String, snap: Long): Option[Long] =
+    query(s"SELECT view_id FROM ducklake_view WHERE schema_id = ? AND view_name = ? AND $Vis",
+      Seq(schemaId, name, snap, snap))(_.getLong(1)).headOption
 
   // ---------- views (DuckLake spec ducklake_view) ----------
 

@@ -194,8 +194,14 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     // DESCRIBE shows NOT NULL and the analyzer knows the constraint
     val defaults = lake.columnDefaultsOf(fullName(ident), Some(snap))
     val nullability = lake.columnNullabilityOf(fullName(ident), Some(snap))
+    val comments = try lake.columnComments(fullName(ident))
+      catch { case _: graft.lake.DuckLakeException => Map.empty[String, String] }
     val schema = StructType(df.schema.fields.map { f0 =>
-      val f = f0.copy(nullable = nullability.getOrElse(f0.name, f0.nullable))
+      val f1 = f0.copy(nullable = nullability.getOrElse(f0.name, f0.nullable))
+      val f = comments.get(f1.name).fold(f1) { c =>
+        f1.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f1.metadata).putString("comment", c).build())
+      }
       defaults.get(f.name).fold(f) { sql =>
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -343,6 +349,15 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       case n: TableChange.UpdateColumnNullability =>
         if (n.nullable()) lake.dropNotNull(name, n.fieldNames().mkString("."))
         else lake.setNotNull(name, n.fieldNames().mkString("."))
+      // COMMENT ON TABLE … IS '<c>' arrives as the reserved "comment"
+      // property; IS NULL as an empty value (or a removal)
+      case p: TableChange.SetProperty if p.property() == "comment" =>
+        lake.commentOnTable(name, Option(p.value()).filter(_.nonEmpty))
+      case p: TableChange.RemoveProperty if p.property() == "comment" =>
+        lake.commentOnTable(name, None)
+      case c: TableChange.UpdateColumnComment =>
+        lake.commentOnColumn(name, c.fieldNames().mkString("."),
+          Option(c.newComment()).filter(_.nonEmpty))
       case other =>
         throw new UnsupportedOperationException(s"alterTable change: $other")
     }
@@ -589,6 +604,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
         (files.map(_.recordCount).sum -
           files.flatMap(_.deleteFile).map(_.recordCount).sum).toString)
       m.put("ducklake.size_bytes", files.map(_.fileSizeBytes).sum.toString)
+      lake.store.getComment("table", tbl.tableId, None, snapshot)
+        .foreach(m.put("comment", _))
     }
     m
   }

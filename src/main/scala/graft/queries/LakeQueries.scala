@@ -865,6 +865,26 @@ object LakeQueries {
       ORDER BY query_id, rnk
     """),
 
+    ("lake_comments", (s: SparkSession, dir: String) => {
+      // COMMENT ON table + column round-trip through SQL and
+      // information_schema (idempotent: re-setting the same comment)
+      val (lake, _) = fixture(s, dir)
+      s.sql("COMMENT ON TABLE ducklake.main.docs IS 'training documents'")
+      s.sql("ALTER TABLE ducklake.main.docs ALTER COLUMN num_chars COMMENT 'character count'")
+      val t = lake.informationSchema("tables")
+        .filter(col("table_name") === "docs")
+        .select(lit("table").as("objtype"), col("table_name").as("obj"), col("comment"))
+      val c = lake.informationSchema("columns")
+        .filter(col("table_name") === "docs" && col("column_name") === "num_chars")
+        .select(lit("column").as("objtype"), col("column_name").as("obj"), col("comment"))
+      t.unionAll(c).orderBy("objtype")
+    }, """
+      SELECT * FROM (VALUES
+        ('column', 'num_chars', 'character count'),
+        ('table', 'docs', 'training documents')) t(objtype, obj, "comment")
+      ORDER BY objtype
+    """),
+
     ("lake_virtual_cols", (s: SparkSession, dir: String) => {
       // hidden queryable virtual columns (snapshot_id / filename /
       // file_row_number) over the two-commit orders fixture, reduced to a
