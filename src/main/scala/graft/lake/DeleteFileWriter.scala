@@ -68,7 +68,8 @@ private[lake] object DeleteFileWriter {
           if (fid != cur) {
             closeCurrent()
             cur = fid; lastPos = Long.MinValue; count = 0L
-            name = s"ducklake-delete-${UUID.randomUUID()}.parquet"
+            // reference delete-file naming: ducklake-<uuid>-delete.parquet
+            name = s"ducklake-${UUID.randomUUID()}-delete.parquet"
             key = if (encrypted) GraftCryptoFactory.newKeyB64() else null
             val b = ExampleParquetWriter.builder(new Path(s"$destDir/$name"))
               .withConf(conf.value).withType(msgType)

@@ -73,7 +73,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * turns a partition-filtered scan into an O(matching files) read.
     */
   def createTableAs(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Long =
-    write(df, name, WriteMode.Replace, partitionBy)
+    write(df, name, WriteMode.Replace, partitionBy, redefine = true)
 
   /** CTAS with range-clustering: rows are range-partitioned and sorted on
     * `clusterBy` before writing, so each data file covers a TIGHT,
@@ -173,16 +173,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   }
 
   private def write(df: DataFrame, name: String, mode: WriteMode.Value,
-      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long = {
+      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false,
+      redefine: Boolean = false): Long = {
     val (schemaName, tableName) = parse(name)
     // path hardening BEFORE any filesystem work (same order as the
     // reference, src/metadata_writer.rs:17-36): an invalid name must not
     // leave staged or renamed files behind
     PathResolver.validateTableName(schemaName)
     PathResolver.validateTableName(tableName)
-    // partition keys are fixed at creation; appends inherit them
+    // partition keys are fixed at creation (CREATE OR REPLACE redefines);
+    // appends inherit them
     val existingSpecs = partitionColumnsOf(name)
-    val tableIsNew = !tableExists(name)
+    val tableIsNew = !tableExists(name) || redefine
     val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
     if (!tableIsNew && partitionBy.nonEmpty && requestedSpecs != existingSpecs)
       throw new UnsupportedException(
@@ -217,7 +219,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
     val (spec, renamed) = stageWrite(df, name, mode,
       if (tableIsNew) partSpecs else Nil, partFields, flushInlined)
-    try store.commitWrites(Seq(spec))
+    try store.commitWrites(Seq(spec.copy(redefine = redefine)))
     catch { case e: Throwable => cleanupRenamed(renamed); throw e }
   }
 
@@ -941,7 +943,24 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val p = new Path(raw)
       val matches =
         if (fs.exists(p)) Seq(fs.getFileStatus(p))
-        else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+        else if (raw.contains("**")) {
+          // recursive glob (Hadoop globs are single-level): walk from the
+          // prefix before `**`, keep files matching the final segment
+          val base = new Path(raw.substring(0, raw.indexOf("**")).stripSuffix("/"))
+          val leaf = raw.substring(raw.lastIndexOf('/') + 1)
+          val leafRe = java.util.regex.Pattern.compile(
+            leaf.replace(".", "\\.").replace("*", ".*"))
+          if (!fs.exists(base)) Nil
+          else {
+            val it = fs.listFiles(base, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+            while (it.hasNext) {
+              val f = it.next()
+              if (leafRe.matcher(f.getPath.getName).matches()) buf += f
+            }
+            buf.sortBy(_.getPath.toString).toSeq
+          }
+        } else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
       if (matches.isEmpty)
         throw new InvalidConfigException(s"Failed to add data files: $raw does not exist")
       matches.flatMap { st =>
@@ -1084,6 +1103,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   def renameColumn(name: String, oldName: String, newName: String): Long =
     store.renameColumn(resolveTable(name, store.currentSnapshot).tableId, oldName, newName)
+
+  /** ALTER TABLE … RENAME TO …: catalog-only; the table keeps its id and
+    * directory, so files and time travel are untouched.
+    */
+  def renameTable(name: String, newName: String): Long = {
+    val (schemaName, _) = parse(name)
+    val (newSchema, newTable) = parse(newName)
+    if (newSchema != schemaName)
+      throw new UnsupportedException("cross-schema rename is not supported")
+    store.renameTable(resolveTable(name, store.currentSnapshot).tableId, newTable)
+  }
 
   def dropTable(name: String): Long =
     store.dropTable(resolveTable(name, store.currentSnapshot).tableId)
@@ -1286,6 +1316,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     store.addColumn(resolveTable(name, store.currentSnapshot).tableId, colName, dtype,
       default.map(_.trim), nullable)
   }
+
+  /** ALTER COLUMN … SET DATA TYPE (widening only — the promotion lattice). */
+  def alterColumnType(name: String, colName: String, dtype: String): Long =
+    store.alterColumnType(resolveTable(name, store.currentSnapshot).tableId,
+      colName, dtype)
 
   /** ALTER … SET NOT NULL: validated against the CURRENT data first — a
     * single distributed existence scan; stats-pruned, so files with a

@@ -39,7 +39,8 @@ final case class NameMapEntry(columnId: Long, sourceName: String,
     sourceType: String, isPartition: Boolean)
 final case class TableWriteSpec(schemaName: String, tableName: String,
     columns: Seq[ColumnDef], mode: WriteMode.Value, files: Seq[FileToRegister],
-    partitionBy: Seq[String] = Nil, flushInlined: Boolean = false)
+    partitionBy: Seq[String] = Nil, flushInlined: Boolean = false,
+    redefine: Boolean = false)
 
 object WriteMode extends Enumeration { val Append, Replace = Value }
 
@@ -226,9 +227,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  tag_name VARCHAR(1024) NOT NULL PRIMARY KEY,
             |  snapshot_id BIGINT NOT NULL,
             |  created_at TIMESTAMP NOT NULL)""".stripMargin)
-        // snapshot 0 = empty catalog, like the reference's initial snapshot
+        // snapshot 0 = empty catalog, like the reference's initial snapshot;
+        // the `main` schema exists from birth (DuckLake attach semantics)
         st.executeUpdate(
           "INSERT INTO ducklake_snapshot VALUES (0, CURRENT_TIMESTAMP)")
+        st.executeUpdate(
+          "INSERT INTO ducklake_schema VALUES (0, 'main', 'main/', true, 0, NULL)")
         // format self-description (DuckLake spec ducklake_metadata keys)
         st.executeUpdate(
           "INSERT INTO ducklake_metadata VALUES ('version', '0.2')")
@@ -373,10 +377,19 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(schemaId, snap, snap))(rs =>
       TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
 
+  /** Exact match first, then case-insensitive (DuckDB identifiers are
+    * case-insensitive-preserving; reference: alter/rename_table_case.test).
+    */
   def getTableByName(schemaId: Long, name: String, snap: Long): Option[TableRec] =
     query(s"SELECT table_id, schema_id, table_name, path, path_is_relative FROM ducklake_table WHERE schema_id = ? AND table_name = ? AND $Vis",
       Seq(schemaId, name, snap, snap))(rs =>
-      TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5))).headOption
+      TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
+      .headOption
+      .orElse(query(
+        s"SELECT table_id, schema_id, table_name, path, path_is_relative FROM ducklake_table WHERE schema_id = ? AND UPPER(table_name) = UPPER(?) AND $Vis",
+        Seq(schemaId, name, snap, snap))(rs =>
+        TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
+        .headOption)
 
   def getTableColumns(tableId: Long, snap: Long): Seq[ColumnDef] =
     query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
@@ -557,9 +570,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     */
   def commitWrite(schemaName: String, tableName: String, columns: Seq[ColumnDef],
       mode: WriteMode.Value, files: Seq[FileToRegister],
-      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false): Long =
+      partitionBy: Seq[String] = Nil, flushInlined: Boolean = false,
+      redefine: Boolean = false): Long =
     commitWrites(Seq(TableWriteSpec(schemaName, tableName, columns, mode, files,
-      partitionBy, flushInlined)))
+      partitionBy, flushInlined, redefine)))
 
   /** Register several tables' writes in ONE snapshot — the cross-table
     * atomic commit a SQL-backed catalog makes natural (and file-pointer
@@ -592,6 +606,24 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           Seq(i.toLong, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
             c.nullsAllowed, snap, c.initialDefault.orNull))
       }
+    } else if (redefine && mode == WriteMode.Replace) {
+      // CREATE OR REPLACE TABLE: a full redefinition, not an evolution —
+      // end every current column and insert the new shape under FRESH
+      // column ids (old files' epochs keep resolving for time travel).
+      // Partition keys are redefined below the same way.
+      update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, table.tableId))
+      var nextColId = query(
+        "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
+        Seq(table.tableId))(_.getLong(1)).head
+      columns.zipWithIndex.foreach { case (c, i) =>
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+          Seq(nextColId, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
+            c.nullsAllowed, snap, c.initialDefault.orNull))
+        nextColId += 1
+      }
+      update("UPDATE ducklake_partition_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, table.tableId))
     } else {
       validateEvolution(existing, columns, table.tableId, snap)
     }
@@ -609,10 +641,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(snap, table.tableId))
     }
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
-    // partition keys: set at table creation, immutable afterwards (same
-    // model as the DuckLake spec's ducklake_partition_column)
+    // partition keys: set at table creation (or full redefinition),
+    // immutable afterwards (DuckLake spec ducklake_partition_column model)
+    val freshKeys = existing.isEmpty || (redefine && mode == WriteMode.Replace)
     val currentPartCols = getPartitionColumns(table.tableId, snap)
-    if (existing.isEmpty && partitionBy.nonEmpty) {
+    if (freshKeys && partitionBy.nonEmpty) {
       val defs = getTableColumns(table.tableId, snap)
       partitionBy.map(PartTransform.parse).zipWithIndex.foreach { case (pf, idx) =>
         val cdef = defs.find(_.name == pf.source).getOrElse(
@@ -646,7 +679,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         }
       }
     }
-    val nKeys = if (existing.isEmpty) partitionBy.size else currentPartCols.size
+    val nKeys = if (freshKeys) partitionBy.size else currentPartCols.size
     files.foreach { f =>
       if (f.partitionValues.size != nKeys)
         throw new InternalException(
@@ -1335,6 +1368,30 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** ALTER COLUMN … SET DATA TYPE: explicit promotion along the same
+    * lattice appends use — old files read through their epoch types and
+    * cast up (reference: tests/sqllogictests/sql/alter/promote_type.test).
+    */
+  def alterColumnType(tableId: Long, name: String, newType: String): Long =
+    inSnapshotTxn { snap =>
+      val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
+        throw new InternalException(s"column $name does not exist"))
+      val nt = TypeBridge.normalize(newType)
+      if (TypeBridge.normalize(c.dtype) == nt) snap
+      else {
+        if (!TypeBridge.isPromotable(c.dtype, nt))
+          throw new UnsupportedTypeException(
+            s"column $name: type can only be widened along the promotion " +
+              s"lattice (${c.dtype} -> $nt is not)")
+        update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+          Seq(snap, tableId, c.columnId))
+        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
+          Seq(c.columnId, tableId, c.order, c.name, nt, c.nullsAllowed, snap,
+            c.initialDefault.orNull))
+        snap
+      }
+    }
+
   /** SET / DROP NOT NULL: end the current column row and re-insert with
     * the new nullability (same column_id). Existing-data validation is
     * the caller's job (DuckLake scans before SET NOT NULL).
@@ -1356,12 +1413,38 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   /** Drop a column (end its row; files keep the physical data). */
   def dropColumn(tableId: Long, name: String): Long = inSnapshotTxn { snap =>
-    val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
-      throw new InternalException(s"column not found: $name"))
+    val cols = getTableColumns(tableId, snap)
+    val c = cols.find(_.name == name).getOrElse(
+      throw new InternalException(s"column $name does not exist"))
+    // reference parity: a table must keep at least one column
+    // (tests/sqllogictests/sql/alter/drop_column.test)
+    if (cols.size == 1)
+      throw new UnsupportedException(
+        s"cannot drop column $name: table only has one column remaining")
     if (getPartitionColumns(tableId, snap).exists(_._2 == c.columnId))
       throw new UnsupportedException(s"cannot drop partition column $name")
     update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId, c.columnId))
+    snap
+  }
+
+  /** Rename a table: end the current row, insert one with the new name —
+    * same table_id and SAME path, so existing files stay resolvable and
+    * time travel before the rename still works.
+    */
+  def renameTable(tableId: Long, newName: String): Long = inSnapshotTxn { snap =>
+    PathResolver.validateTableName(newName)
+    val cur = query(
+      s"SELECT schema_id, path, path_is_relative FROM ducklake_table WHERE table_id = ? AND $Vis",
+      Seq(tableId, snap, snap))(rs => (rs.getLong(1), rs.getString(2), rs.getBoolean(3)))
+      .headOption.getOrElse(throw new TableNotFoundException(s"table_id $tableId"))
+    // renaming to a different CASE of the same table is allowed
+    if (getTableByName(cur._1, newName, snap).exists(_.tableId != tableId))
+      throw new UnsupportedException(s"table already exists: $newName")
+    update("UPDATE ducklake_table SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId))
+    update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
+      Seq(tableId, cur._1, newName, cur._2, cur._3, snap))
     snap
   }
 

@@ -308,8 +308,9 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
         }
       override def commitStagedChanges(): Unit = stashed match {
         case Some(df) =>
-          if (lake.tableExists(tableName)) lake.insertInto(df, tableName, WriteMode.Replace)
-          else lake.createTableAs(df, tableName, partitionBy = partNames)
+          // CREATE OR REPLACE TABLE AS is a full redefinition — columns
+          // and partition keys are replaced, not evolution-checked
+          lake.createTableAs(df, tableName, partitionBy = partNames)
         case None => // REPLACE TABLE (no AS): schema-only new version
           val cols = stagedSchema.fields.zipWithIndex.map { case (f, i) =>
             ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
@@ -319,7 +320,7 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
           }
           lake.store.commitWrite(sch, tbl,
             cols, if (lake.tableExists(tableName)) WriteMode.Replace else WriteMode.Append,
-            Nil, partNames)
+            Nil, partNames, redefine = true)
       }
       // nothing moves outside commitStagedChanges; abort is a no-op
       override def abortStagedChanges(): Unit = ()
@@ -346,6 +347,9 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
         }
         lake.addColumn(name, a.fieldNames().mkString("."),
           TypeBridge.fromSpark(a.dataType()), default, nullable = a.isNullable)
+      case t: TableChange.UpdateColumnType =>
+        lake.alterColumnType(name, t.fieldNames().mkString("."),
+          TypeBridge.fromSpark(t.newDataType()))
       case n: TableChange.UpdateColumnNullability =>
         if (n.nullable()) lake.dropNotNull(name, n.fieldNames().mkString("."))
         else lake.setNotNull(name, n.fieldNames().mkString("."))
@@ -369,7 +373,7 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     catch { case _: graft.lake.DuckLakeException => false }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("renameTable")
+    lake.renameTable(fullName(oldIdent), fullName(newIdent))
 
   // ---- views (SQL CREATE/DROP VIEW; DuckLake spec ducklake_view) ----
 
@@ -399,11 +403,13 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       override def query(): String = sqlText
       override def currentCatalog(): String = curCat
       override def currentNamespace(): Array[String] =
-        if (curNs == null || curNs.isEmpty) Array.empty else curNs.split(NameSep)
+        if (curNs == null || curNs.isEmpty) Array.empty
+        else curNs.split(NameSep.charAt(0))
       override def schema(): StructType =
         org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
       override def queryColumnNames(): Array[String] =
-        if (colNames == null || colNames.isEmpty) Array.empty else colNames.split(NameSep)
+        if (colNames == null || colNames.isEmpty) Array.empty
+        else colNames.split(NameSep.charAt(0))
       override def columnAliases(): Array[String] = Array.empty
       override def columnComments(): Array[String] = Array.empty
       override def properties(): util.Map[String, String] = new util.HashMap()

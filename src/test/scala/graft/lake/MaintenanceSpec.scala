@@ -85,11 +85,11 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .coalesce(1), "main.mor_churn")
     lake.deleteWhere("main.mor_churn", col("m") === 0) // delete file A
     lake.deleteWhere("main.mor_churn", col("m") === 1) // delete file B supersedes A
-    val delFilesBefore = filesOnDisk("mor_churn").count(_.startsWith("ducklake-delete-"))
+    val delFilesBefore = filesOnDisk("mor_churn").count(_.endsWith("-delete.parquet"))
     assert(delFilesBefore == 2)
     lake.expireSnapshots(lake.currentSnapshot)
     assert(lake.vacuum() == 1) // file A only
-    assert(filesOnDisk("mor_churn").count(_.startsWith("ducklake-delete-")) == 1)
+    assert(filesOnDisk("mor_churn").count(_.endsWith("-delete.parquet")) == 1)
     // MOR read still correct: m in {0,1} gone
     assert(lake.table("main.mor_churn").count() == 30)
   }

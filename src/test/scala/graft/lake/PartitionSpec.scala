@@ -76,10 +76,20 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.sales", None, Seq(EqualTo("month", "2024-04")))
       .filter(col("month") === "2024-04").count() == 1)
     assert(lake.lastScanFileCount == 1)
+    // an APPEND declaring mismatched keys is rejected…
     intercept[UnsupportedException] {
-      lake.createTableAs(Seq((1L, "x", 0L, 0.0)).toDF("id", "month", "region", "amount"),
-        "main.sales", partitionBy = Seq("region"))
+      lake.transaction { tx =>
+        tx.write(Seq((1L, "x", 0L, 0.0)).toDF("id", "month", "region", "amount")
+          .coalesce(1), "main.sales", WriteMode.Append, partitionBy = Seq("region"))
+      }
     }
+    // …while CREATE OR REPLACE fully redefines partitioning (reference
+    // CREATE OR REPLACE semantics, e.g. add_files_hive_mismatch.test)
+    lake.createTableAs(Seq((1L, "x", 7L, 0.0)).toDF("id", "month", "region", "amount")
+      .coalesce(1), "main.sales_repart_probe", partitionBy = Seq("month"))
+    lake.createTableAs(Seq((2L, "y", 8L, 1.0)).toDF("id", "month", "region", "amount")
+      .coalesce(1), "main.sales_repart_probe", partitionBy = Seq("region"))
+    assert(lake.partitionColumnsOf("main.sales_repart_probe") == Seq("region"))
     // partition columns cannot be dropped
     intercept[UnsupportedException](lake.dropColumn("main.sales", "month"))
   }
@@ -220,9 +230,13 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.insertInto(Seq((1000L, java.sql.Date.valueOf("2024-02-15"), 1.0))
       .toDF("id", "odate", "amount"), "main.torders")
     assert(lake.table("main.torders").count() == 361)
-    intercept[UnsupportedException] {
-      lake.createTableAs(df, "main.torders", partitionBy = Seq("day(odate)"))
-    }
+    // CREATE OR REPLACE redefines the transform spec (full redefinition
+    // semantics); appends still inherit whatever is current
+    lake.createTableAs(df.coalesce(1), "main.torders_repart",
+      partitionBy = Seq("month(odate)"))
+    lake.createTableAs(df.coalesce(1), "main.torders_repart",
+      partitionBy = Seq("day(odate)"))
+    assert(lake.partitionColumnsOf("main.torders_repart") == Seq("day(odate)"))
   }
 
   test("transform partitions: bucket(8, id) prunes equality lookups") {
