@@ -429,6 +429,122 @@ object Analytics {
         round(sum(l_extendedprice) FILTER (l_quantity > 30), 2) AS rev_bulk,
         round(avg(l_extendedprice) FILTER (l_tax = 0), 2) AS avg_untaxed
       FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+
+    // ---------------------------------------------------------------
+    // TPC-DS-shaped plan diversity (the reference benches 99 TPC-DS
+    // queries — benchmark/src/tpcds.rs; these reproduce the heaviest
+    // plan SHAPES over the available tables: multi-CTE full-outer
+    // cumulative comparison (q51), year-over-year channel ratio (q75),
+    // and multi-window per-group quartile screening (q17/q51 hybrid)
+    // ---------------------------------------------------------------
+
+    ("ds_cumulative_compare", (s: SparkSession, dir: String) => {
+      // TPC-DS q51 shape: two channel CTEs (high- vs low-priority
+      // revenue) by month, FULL OUTER JOIN on the spine, running sums
+      // over each side, filter where one cumulative overtakes the other
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_orderpriority") <= "2-HIGH")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("hi_rev"))
+      val lo = o.filter(col("o_orderpriority") > "2-HIGH")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("lo_rev"))
+      val joined = hi.join(lo, Seq("month"), "full_outer")
+      val w = Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .withColumn("cum_hi", round(sum(coalesce(col("hi_rev"), lit(0.0))).over(w), 2))
+        .withColumn("cum_lo", round(sum(coalesce(col("lo_rev"), lit(0.0))).over(w), 2))
+        .filter(col("cum_lo") > col("cum_hi"))
+        .select("month", "cum_hi", "cum_lo")
+        .orderBy("month")
+    }, """
+      WITH hi AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               round(sum(o_totalprice), 2) AS hi_rev
+        FROM orders WHERE o_orderpriority <= '2-HIGH' GROUP BY 1),
+      lo AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               round(sum(o_totalprice), 2) AS lo_rev
+        FROM orders WHERE o_orderpriority > '2-HIGH' GROUP BY 1)
+      SELECT month, cum_hi, cum_lo FROM (
+        SELECT COALESCE(hi.month, lo.month) AS month,
+          round(sum(COALESCE(hi_rev, 0)) OVER (ORDER BY COALESCE(hi.month, lo.month)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_hi,
+          round(sum(COALESCE(lo_rev, 0)) OVER (ORDER BY COALESCE(hi.month, lo.month)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_lo
+        FROM hi FULL OUTER JOIN lo ON hi.month = lo.month)
+      WHERE cum_lo > cum_hi
+      ORDER BY month
+    """),
+
+    ("ds_yoy_growth", (s: SparkSession, dir: String) => {
+      // TPC-DS q75 shape: yearly revenue per segment self-joined on the
+      // previous year, reporting the growth ratio for shrinking segments
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val yearly = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val cur = yearly.select(col("segment"), col("yr"), col("rev").as("cur_rev"))
+      val prev = yearly.select(col("segment"), (col("yr") + 1).as("yr"),
+        col("rev").as("prev_rev"))
+      cur.join(prev, Seq("segment", "yr"))
+        .withColumn("ratio", round(col("cur_rev") / col("prev_rev") + 1e-9, 4))
+        .filter(col("ratio") < 1.0)
+        .select("segment", "yr", "cur_rev", "prev_rev", "ratio")
+        .orderBy("segment", "yr")
+    }, """
+      WITH yearly AS (
+        SELECT c_mktsegment AS segment, year(o_orderdate) AS yr,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+      SELECT cur.segment, cur.yr, cur.rev AS cur_rev, prev.rev AS prev_rev,
+             round(cur.rev / prev.rev + 1e-9, 4) AS ratio
+      FROM yearly cur
+      JOIN yearly prev ON cur.segment = prev.segment AND cur.yr = prev.yr + 1
+      WHERE round(cur.rev / prev.rev + 1e-9, 4) < 1.0
+      ORDER BY cur.segment, cur.yr
+    """),
+
+    ("ds_quartile_screen", (s: SparkSession, dir: String) => {
+      // TPC-DS q17/q51 hybrid: per-segment customer revenue ranked into
+      // quartiles with three windows, keeping each segment's top quartile
+      // and reporting its share of the segment total
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val perCust = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val wq = Window.partitionBy("segment").orderBy(col("rev").desc, col("c_custkey"))
+      val ws = Window.partitionBy("segment")
+      perCust
+        .withColumn("quartile", ntile(4).over(wq))
+        .withColumn("seg_total", sum("rev").over(ws))
+        .filter(col("quartile") === 1)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_top"),
+          round(sum("rev"), 2).as("top_rev"),
+          round((sum("rev") / first("seg_total")) * 100 + 1e-9, 2).as("share_pct"))
+        .orderBy("segment")
+    }, """
+      WITH per_cust AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT segment, rev,
+          ntile(4) OVER (PARTITION BY segment ORDER BY rev DESC, c_custkey) AS quartile,
+          sum(rev) OVER (PARTITION BY segment) AS seg_total
+        FROM per_cust)
+      SELECT segment, count(*) AS n_top, round(sum(rev), 2) AS top_rev,
+             round(sum(rev) / any_value(seg_total) * 100 + 1e-9, 2) AS share_pct
+      FROM ranked WHERE quartile = 1
+      GROUP BY segment ORDER BY segment
     """)
   )
 
