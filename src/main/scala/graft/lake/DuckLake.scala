@@ -674,7 +674,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       // virtual columns (reference: tests/sqllogictests/sql/virtualcolumns/)
       // carry PER-FILE values, so the scan reads file-at-a-time — the
       // diagnostic path; ordinary scans keep the batched groups above
-      val needPos = vset(DuckLake.VirtualRowNumber) || vset(DuckLake.VirtualPos)
+      val needPos = vset(DuckLake.VirtualRowNumber) || vset(DuckLake.VirtualPos) ||
+        vset(DuckLake.VirtualRowId)
       val scans = files.map { f =>
         val base = f.deleteFile match {
           case Some(_) => morReadFile(name, ctx, f, keepPos = needPos)
@@ -683,7 +684,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         }
         val withNum = Seq(DuckLake.VirtualRowNumber, DuckLake.VirtualPos)
           .filter(vset).foldLeft(base)((d, v) => d.withColumn(v, col("__ducklake_pos")))
-        var d = if (needPos) withNum.drop("__ducklake_pos") else withNum
+        // stable per-table row id: the file's claimed range + local position
+        val withRid = if (!vset(DuckLake.VirtualRowId)) withNum
+          else withNum.withColumn(DuckLake.VirtualRowId, f.rowIdStart match {
+            case Some(start) => lit(start) + col("__ducklake_pos")
+            case None        => lit(null).cast(LongType)
+          })
+        var d = if (needPos) withRid.drop("__ducklake_pos") else withRid
         if (vset(DuckLake.VirtualSnapshot))
           d = d.withColumn(DuckLake.VirtualSnapshot, lit(f.beginSnapshot))
         if (vset(DuckLake.VirtualFileId))
@@ -1723,10 +1730,12 @@ object DuckLake {
   final val VirtualSnapshot  = "snapshot_id"
   final val VirtualFilename  = "filename"
   final val VirtualRowNumber = "file_row_number"
+  final val VirtualRowId     = "rowid"
   final val VirtualFileId    = "_file_id"
   final val VirtualPos       = "_pos"
   final val VirtualNames: Seq[String] =
-    Seq(VirtualSnapshot, VirtualFilename, VirtualRowNumber, VirtualFileId, VirtualPos)
+    Seq(VirtualSnapshot, VirtualFilename, VirtualRowNumber, VirtualRowId,
+      VirtualFileId, VirtualPos)
 
   def virtualType(v: String): DataType = v match {
     case VirtualFilename => StringType

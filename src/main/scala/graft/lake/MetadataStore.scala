@@ -10,7 +10,8 @@ final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: Str
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
     deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None,
-    writeEpoch: Long = -1L, mappingId: Option[Long] = None) {
+    writeEpoch: Long = -1L, mappingId: Option[Long] = None,
+    rowIdStart: Option[Long] = None) {
   /** Snapshot whose column names/types the physical parquet was written
     * under. Normally == beginSnapshot; differs for rows revived by
     * rollback or shared by a zero-copy clone, where validity restarts but
@@ -122,7 +123,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  end_snapshot BIGINT,
             |  encryption_key VARCHAR(64),
             |  write_epoch BIGINT NOT NULL,
-            |  mapping_id BIGINT)""".stripMargin)
+            |  mapping_id BIGINT,
+            |  row_id_start BIGINT)""".stripMargin)
         // name-based column mappings for adopted files (DuckLake spec
         // ducklake_column_mapping / ducklake_name_mapping): files taken in
         // via add_files carry a mapping_id resolving catalog column_ids to
@@ -296,6 +298,17 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           "ALTER TABLE ducklake_data_file ADD COLUMN mapping_id BIGINT")
       } finally st.close()
     }
+    // catalogs bootstrapped before stable row ids
+    val hasRowIds = {
+      val rs = conn.getMetaData.getColumns(null, null, "DUCKLAKE_DATA_FILE", "ROW_ID_START")
+      try rs.next() finally rs.close()
+    }
+    if (!hasRowIds) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "ALTER TABLE ducklake_data_file ADD COLUMN row_id_start BIGINT")
+      finally st.close()
+    }
   }
 
   override def close(): Unit = synchronized { conn.close() }
@@ -446,23 +459,25 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(tableId, snap, snap, snap, snap))(rs =>
       rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
         rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).toMap
-    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
+    query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
       Seq(tableId, snap, snap))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1)),
         Option(rs.getString(8)), rs.getLong(9),
-        { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) }))
+        { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) },
+        { val r = rs.getLong(11); if (rs.wasNull()) None else Some(r) }))
   }
 
   /** Data files with begin_snapshot in (from, to] — CDC inserts
     * (reference: src/metadata_provider.rs:77-89).
     */
   def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long): Seq[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
       Seq(tableId, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
-        rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) }))
+        rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) },
+        { val r = rs.getLong(11); if (rs.wasNull()) None else Some(r) }))
 
   /** Delete files with begin_snapshot in (from, to], each with the previous
     * delete file for the same data file (for position deltas), plus
@@ -489,11 +504,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     // full-file deletes: replaced data files in range (no delete file of their own)
     val ended = query(
-      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch, df.mapping_id FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
+      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch, df.mapping_id, df.row_id_start FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
       Seq(tableId, from, to, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
-        rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) }))
+        rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) },
+        { val r = rs.getLong(11); if (rs.wasNull()) None else Some(r) }))
     val endedWithPrev = ended.map { df =>
       val prev = query(
         "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
@@ -506,12 +522,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   }
 
   def getDataFileById(tableId: Long, dataFileId: Long): Option[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
       Seq(tableId, dataFileId))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
         rs.getLong(9),
-        { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) })).headOption
+        { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) },
+        { val r = rs.getLong(11); if (rs.wasNull()) None else Some(r) })).headOption
 
   def listMetadata(): Seq[(String, String)] =
     query("SELECT meta_key, meta_value FROM ducklake_metadata ORDER BY meta_key")(
@@ -680,15 +697,20 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       }
     }
     val nKeys = if (freshKeys) partitionBy.size else currentPartCols.size
+    // stable per-table row ids (DuckLake rowid): each file claims a
+    // contiguous range starting past every id ever assigned
+    var nextRowId = nextRowIdFor(table.tableId)
     files.foreach { f =>
       if (f.partitionValues.size != nKeys)
         throw new InternalException(
           s"file ${f.path}: ${f.partitionValues.size} partition values for $nKeys keys")
       val id = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+      val rowStart = nextRowId
+      nextRowId += f.recordCount
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
         Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount, f.fileSizeBytes,
           f.footerSize, snap, f.encryptionKey.orNull, snap,
-          f.mappingId.map(Long.box).orNull))
+          f.mappingId.map(Long.box).orNull, rowStart))
       f.partitionValues.zipWithIndex.foreach { case (v, idx) =>
         update("INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
           Seq(id, table.tableId, idx.toLong, v.orNull))
@@ -756,6 +778,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
   }
 
+  /** First unassigned stable row id of a table: past every id any file
+    * (live OR ended — ids are never reused) has ever claimed.
+    */
+  private def nextRowIdFor(tableId: Long): Long =
+    query("SELECT COALESCE(MAX(row_id_start + record_count), 0) FROM ducklake_data_file WHERE table_id = ?",
+      Seq(tableId))(_.getLong(1)).head
+
   /** Adopt pre-existing parquet files into a table in ONE snapshot — no
     * data movement; each file carries a name mapping and its footer stats
     * (keyed by resolved column_id). The table must already exist.
@@ -767,12 +796,16 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val table = getTableByName(schema.schemaId, tableName, snap)
       .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
+    var nextRowId = nextRowIdFor(table.tableId)
     files.foreach { case (f, entries) =>
       val mid = getOrCreateMapping(table.tableId, entries)
       val id = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+      val rowStart = nextRowId
+      nextRowId += f.recordCount
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
         Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount,
-          f.fileSizeBytes, f.footerSize, snap, f.encryptionKey.orNull, snap, mid))
+          f.fileSizeBytes, f.footerSize, snap, f.encryptionKey.orNull, snap, mid,
+          rowStart))
       f.stats.foreach { st =>
         colIds.get(st.columnName).foreach { cid =>
           update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
@@ -1144,12 +1177,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
     // --- data files ---------------------------------------------------
     case class F(id: Long, path: String, rel: Boolean, rc: Long, size: Long,
-        footer: Long, key: String, epoch: Long, mapping: Option[Long])
+        footer: Long, key: String, epoch: Long, mapping: Option[Long],
+        rowStart: Option[Long])
     def filesAt(s: Long): Seq[F] = query(
-      s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND $Vis",
+      s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND $Vis",
       Seq(tableId, s, s))(rs => F(rs.getLong(1), rs.getString(2), rs.getBoolean(3),
       rs.getLong(4), rs.getLong(5), rs.getLong(6), rs.getString(7), rs.getLong(8),
-      { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) }))
+      { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) },
+      { val r = rs.getLong(10); if (rs.wasNull()) None else Some(r) }))
     val nowF = filesAt(snap)
     val tgtF = filesAt(target)
     val nowIds = nowF.map(_.id).toSet
@@ -1160,9 +1195,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     val idMap: Map[Long, Long] = tgtF.filterNot(f => nowIds(f.id)).map { f =>
       val nid = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
         Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch,
-          f.mapping.map(Long.box).orNull))
+          f.mapping.map(Long.box).orNull, f.rowStart.map(Long.box).orNull))
       update("INSERT INTO ducklake_file_column_stats " +
         "SELECT CAST(? AS BIGINT), table_id, column_id, value_count, null_count, min_value, max_value " +
         "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, f.id))
@@ -1287,16 +1322,17 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "FROM ducklake_column_mapping WHERE table_id = ?", Seq(tid, srcTableId))
       // current-visible data files: fresh ids, shared paths, kept epochs
       val files = query(
-        s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch, mapping_id FROM ducklake_data_file WHERE table_id = ? AND $Vis",
+        s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND $Vis",
         Seq(srcTableId, snap, snap))(rs => (rs.getLong(1), rs.getString(2),
         rs.getBoolean(3), rs.getLong(4), rs.getLong(5), rs.getLong(6),
         rs.getString(7), rs.getLong(8),
-        { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) }))
-      val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch, mapping) =>
+        { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) },
+        { val r = rs.getLong(10); if (rs.wasNull()) None else Some(r) }))
+      val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch, mapping, rowStart) =>
         val nid = nextId("ducklake_data_file", "data_file_id")
-        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?)",
+        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
           Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch,
-            mapping.map(Long.box).orNull))
+            mapping.map(Long.box).orNull, rowStart.map(Long.box).orNull))
         update("INSERT INTO ducklake_file_column_stats " +
           "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), column_id, value_count, null_count, min_value, max_value " +
           "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, tid, fid))

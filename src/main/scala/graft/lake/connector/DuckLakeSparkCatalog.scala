@@ -520,7 +520,10 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       "physical data file path (null for inlined rows)"),
     metaCol(DuckLake.VirtualRowNumber,
       org.apache.spark.sql.types.LongType, nullable = true,
-      "row number within the data file"))
+      "row number within the data file"),
+    metaCol(DuckLake.VirtualRowId,
+      org.apache.spark.sql.types.LongType, nullable = true,
+      "stable per-table row id (file range start + local position)"))
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterToColumn.convert(_).isDefined)

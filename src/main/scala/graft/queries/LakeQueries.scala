@@ -895,6 +895,8 @@ object LakeQueries {
         SELECT CAST(count(DISTINCT snapshot_id) AS BIGINT) AS n_snaps,
                CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
                sum(file_row_number) AS pos_sum,
+               sum(rowid) AS rowid_sum,
+               CAST(count(DISTINCT rowid) AS BIGINT) AS n_rowids,
                count(*) AS n_rows
         FROM ducklake.main.orders""")
     }, """
@@ -902,6 +904,8 @@ object LakeQueries {
            c2 AS (SELECT count(*) AS m FROM orders WHERE o_orderkey % 10 = 0)
       SELECT 2 AS n_snaps, 2 AS n_files,
              CAST(n * (n - 1) / 2 + m * (m - 1) / 2 AS BIGINT) AS pos_sum,
+             CAST((n + m) * (n + m - 1) / 2 AS BIGINT) AS rowid_sum,
+             CAST(n + m AS BIGINT) AS n_rowids,
              CAST(n + m AS BIGINT) AS n_rows
       FROM c1, c2
     """),

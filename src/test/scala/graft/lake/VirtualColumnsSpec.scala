@@ -65,6 +65,24 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files == 1)
   }
 
+  test("rowid is a stable per-table row id across appends, deletes and compaction-free ops") {
+    sqlSetup()
+    lake.createTableAs(Seq(0, 1, 2).toDF("i").coalesce(1), "main.vr")
+    lake.insertInto(Seq(5, 6).toDF("i").coalesce(1), "main.vr")
+    // sequential across commits: 0,1,2 then 3,4 (reference rowid/ducklake_row_id.test)
+    val got = spark.sql("SELECT rowid, i FROM ducklake.main.vr ORDER BY rowid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((0L, 0), (1L, 1), (2L, 2), (3L, 5), (4L, 6)))
+    assert(spark.sql("SELECT i FROM ducklake.main.vr WHERE rowid = 3")
+      .head.getInt(0) == 5)
+    // deletes keep survivors' ids; new appends never reuse id ranges
+    lake.deleteWhere("main.vr", org.apache.spark.sql.functions.col("i") % 2 === 1)
+    lake.insertInto(Seq(10).toDF("i").coalesce(1), "main.vr")
+    val after = spark.sql("SELECT rowid, i FROM ducklake.main.vr ORDER BY rowid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(after == Seq((0L, 0), (2L, 2), (4L, 6), (5L, 10)))
+  }
+
   test("virtual columns respect MOR deletes and inlined rows") {
     sqlSetup()
     lake.createTableAs(Seq(1, 2, 3, 4).toDF("i").coalesce(1), "main.vm")
