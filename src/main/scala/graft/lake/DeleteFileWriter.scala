@@ -52,9 +52,10 @@ private[lake] object DeleteFileWriter {
       .sortWithinPartitions("__fid", "pos")
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String, Long)]
         val msgType = deleteSchema
         val gf = new SimpleGroupFactory(msgType)
+        val taskFs = new Path(destDir).getFileSystem(conf.value)
         var cur = Long.MinValue
         var lastPos = Long.MinValue
         var w: ParquetWriter[Group] = null
@@ -62,7 +63,10 @@ private[lake] object DeleteFileWriter {
         var key: String = null
         var count = 0L
         def closeCurrent(): Unit = if (w != null) {
-          w.close(); out += ((cur, name, count, key)); w = null
+          w.close()
+          val size = taskFs.getFileStatus(new Path(s"$destDir/$name")).getLen
+          out += ((cur, name, count, key, size))
+          w = null
         }
         it.foreach { case (fid, pos) =>
           if (fid != cur) {
@@ -90,8 +94,8 @@ private[lake] object DeleteFileWriter {
       }
       .collect().toSeq
       .sortBy(_._1)
-      .map { case (fid, name, count, key) =>
-        fid -> FileToRegister(name, count, 0L, 0L, Nil, Option(key))
+      .map { case (fid, name, count, key, size) =>
+        fid -> FileToRegister(name, count, size, 0L, Nil, Option(key))
       }
   }
 }

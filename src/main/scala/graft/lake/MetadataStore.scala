@@ -21,7 +21,7 @@ final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boo
 }
 final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: String,
     pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long,
-    encryptionKey: Option[String] = None)
+    encryptionKey: Option[String] = None, fileSizeBytes: Long = 0L)
 final case class ColumnStatRec(columnName: String, valueCount: Long,
     nullCount: Option[Long], minValue: Option[String], maxValue: Option[String])
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
@@ -151,7 +151,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  record_count BIGINT NOT NULL,
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
-            |  encryption_key VARCHAR(64))""".stripMargin)
+            |  encryption_key VARCHAR(64),
+            |  file_size_bytes BIGINT DEFAULT 0)""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_metadata(
             |  meta_key VARCHAR(256) NOT NULL,
@@ -309,6 +310,16 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "ALTER TABLE ducklake_data_file ADD COLUMN row_id_start BIGINT")
       finally st.close()
     }
+    val hasDelSizes = {
+      val rs = conn.getMetaData.getColumns(null, null, "DUCKLAKE_DELETE_FILE", "FILE_SIZE_BYTES")
+      try rs.next() finally rs.close()
+    }
+    if (!hasDelSizes) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "ALTER TABLE ducklake_delete_file ADD COLUMN file_size_bytes BIGINT DEFAULT 0")
+      finally st.close()
+    }
   }
 
   override def close(): Unit = synchronized { conn.close() }
@@ -337,8 +348,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     } finally ps.close()
   }
 
-  private def nextId(table: String, idCol: String): Long =
-    query(s"SELECT COALESCE(MAX($idCol), -1) + 1 FROM $table")(_.getLong(1)).head
+  private def nextId(table: String, idCol: String, floor: Long = 0L): Long =
+    math.max(query(s"SELECT COALESCE(MAX($idCol), -1) + 1 FROM $table")(_.getLong(1)).head,
+      floor)
 
   private val Vis = "begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)"
 
@@ -449,7 +461,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     def vis(a: String) =
       s"$a.begin_snapshot <= ? AND ($a.end_snapshot IS NULL OR $a.end_snapshot > ?)"
     val dels = query(
-      s"""SELECT d.data_file_id, d.delete_file_id, d.path, d.path_is_relative, d.record_count, d.begin_snapshot, d.encryption_key
+      s"""SELECT d.data_file_id, d.delete_file_id, d.path, d.path_is_relative, d.record_count, d.begin_snapshot, d.encryption_key, d.file_size_bytes
          |FROM ducklake_delete_file d
          |WHERE d.table_id = ? AND ${vis("d")}
          |AND d.begin_snapshot = (
@@ -458,7 +470,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
          |    AND ${vis("d2")})""".stripMargin,
       Seq(tableId, snap, snap, snap, snap))(rs =>
       rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
-        rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).toMap
+        rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)),
+        rs.getLong(8))).toMap
     query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
       Seq(tableId, snap, snap))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
@@ -611,7 +624,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     val schema = getOrCreateSchema(schemaName, snap)
     val table = getTableByName(schema.schemaId, tableName, snap).getOrElse {
-      val id = nextId("ducklake_table", "table_id")
+      // reference numbering: table ids start at 1 (snapshot 0 = empty catalog)
+      val id = nextId("ducklake_table", "table_id", floor = 1L)
       update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
         Seq(id, schema.schemaId, tableName, tableName + "/", true, snap))
       TableRec(id, schema.schemaId, tableName, tableName + "/", pathIsRelative = true)
@@ -1019,9 +1033,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
           Seq(snap, dataFileId))
         val id = nextId("ducklake_delete_file", "delete_file_id")
-        update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+        update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
           Seq(id, dataFileId, tableId, f.path, true, f.recordCount, snap,
-            f.encryptionKey.orNull))
+            f.encryptionKey.orNull, f.fileSizeBytes))
       }
       endInlinedRowIds.foreach { rid =>
         update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND row_id = ? AND end_snapshot IS NULL",
@@ -1049,9 +1063,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
             Seq(snap, dataFileId))
           val id = nextId("ducklake_delete_file", "delete_file_id")
-          update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+          update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
             Seq(id, dataFileId, table.tableId, f.path, true, f.recordCount, snap,
-              f.encryptionKey.orNull))
+              f.encryptionKey.orNull, f.fileSizeBytes))
         }
       }
       snap
@@ -1209,11 +1223,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
     // --- delete files -------------------------------------------------
     case class D(id: Long, dataFileId: Long, path: String, rel: Boolean,
-        rc: Long, key: String)
+        rc: Long, key: String, size: Long)
     def delsAt(s: Long): Seq[D] = query(
-      s"SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND $Vis",
+      s"SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, encryption_key, file_size_bytes FROM ducklake_delete_file WHERE table_id = ? AND $Vis",
       Seq(tableId, s, s))(rs => D(rs.getLong(1), rs.getLong(2), rs.getString(3),
-      rs.getBoolean(4), rs.getLong(5), rs.getString(6)))
+      rs.getBoolean(4), rs.getLong(5), rs.getString(6), rs.getLong(7)))
     val nowD = delsAt(snap)
     val tgtD = delsAt(target)
     val tgtDIds = tgtD.map(_.id).toSet
@@ -1224,9 +1238,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val nowDIds = nowD.map(_.id).toSet
     tgtD.filterNot(d => nowDIds(d.id)).foreach { d =>
       val nid = nextId("ducklake_delete_file", "delete_file_id")
-      update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+      update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
         Seq(nid, idMap.getOrElse(d.dataFileId, d.dataFileId), tableId, d.path,
-          d.rel, d.rc, snap, d.key))
+          d.rel, d.rc, snap, d.key, d.size))
     }
 
     // --- inlined rows -------------------------------------------------
@@ -1304,7 +1318,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // clone would point at the wrong directory
       if (src._1 != sch.schemaId)
         throw new UnsupportedException("cross-schema clone is not supported")
-      val tid = nextId("ducklake_table", "table_id")
+      val tid = nextId("ducklake_table", "table_id", floor = 1L)
       // the clone points at the source's directory: new files written to
       // either table land there under fresh UUID names
       update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
@@ -1343,14 +1357,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       }.toMap
       // newest visible delete file per data file carries the MOR state
       query(
-        s"SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND $Vis",
+        s"SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, encryption_key, file_size_bytes FROM ducklake_delete_file WHERE table_id = ? AND $Vis",
         Seq(srcTableId, snap, snap))(rs => (rs.getLong(2), rs.getString(3),
-        rs.getBoolean(4), rs.getLong(5), rs.getString(6)))
-        .foreach { case (dataFileId, path, rel, rc, key) =>
+        rs.getBoolean(4), rs.getLong(5), rs.getString(6), rs.getLong(7)))
+        .foreach { case (dataFileId, path, rel, rc, key, size) =>
           val nid = nextId("ducklake_delete_file", "delete_file_id")
-          update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?)",
+          update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
             Seq(nid, idMap.getOrElse(dataFileId, dataFileId), tid, path, rel, rc,
-              snap, key))
+              snap, key, size))
         }
       update("INSERT INTO ducklake_inlined_data SELECT CAST(? AS BIGINT), row_id, CAST(? AS BIGINT), CAST(NULL AS BIGINT), row_json " +
         s"FROM ducklake_inlined_data WHERE table_id = ? AND $Vis",

@@ -93,7 +93,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "ducklake.options" -> "attach options table",
     "DETACH" -> "detach/reattach cycles",
     "set_option" -> "engine write-tuning options",
-    "table_info()" -> "duckdb table function syntax",
     "SET NOT NULL" -> "DSv2 forbids nullable->non-null ALTERs",
     "CALL dbgen" -> "tpch generator",
     "INTERVAL" -> "interval literal dialect",
@@ -408,6 +407,7 @@ final class SqlLogicRunner(spark: SparkSession) {
     }
   }
 
+  private val TableInfoRe = """(?i)(?:\w+\.)?(?:ducklake_)?table_info\(\s*(?:'[^']*'\s*)?\)""".r
   private val GlobCountRe =
     """(?is)SELECT\s+COUNT\(\*\)\s+FROM\s+glob\('([^']+)'\)(?:\s+WHERE\s+'([^']+)'\s+IN\s+file(?:\.replace\([^)]*\))?)?\s*;?""".r
   private val ListFilesRe =
@@ -447,6 +447,24 @@ final class SqlLogicRunner(spark: SparkSession) {
           case None    => matched.size.toLong
         }
         Seq(n).toDF("count")
+      case _ if TableInfoRe.findFirstIn(t).isDefined =>
+        // ducklake.table_info() → reference-named per-table summary
+        require(lake != null, "no lake attached")
+        val snap = lake.currentSnapshot
+        val rows = for {
+          sch <- lake.store.listSchemas(snap)
+          tbl <- lake.store.listTables(sch.schemaId, snap)
+        } yield {
+          val files = lake.store.getDataFiles(tbl.tableId, snap)
+          val dels = files.flatMap(_.deleteFile)
+          (tbl.name, sch.schemaId, tbl.tableId, files.size.toLong,
+            files.map(_.fileSizeBytes).sum, dels.size.toLong,
+            dels.map(_.fileSizeBytes).sum)
+        }
+        rows.toDF("table_name", "schema_id", "table_id", "file_count",
+          "file_size_bytes", "delete_file_count", "delete_file_size_bytes")
+          .createOrReplaceTempView("__slt_table_info")
+        spark.sql(translate(TableInfoRe.replaceAllIn(t, "__slt_table_info ")))
       case _ if ListFilesRe.findFirstIn(t).isDefined =>
         // ducklake_list_files('cat','t') → reference-named file listing
         val table = ListFilesRe.findFirstMatchIn(t).get.group(1)
