@@ -132,17 +132,40 @@ class LakeViewSqlParser(session: SparkSession, delegate: ParserInterface)
   */
 case class ResolveLakeViews(session: SparkSession) extends Rule[LogicalPlan] {
 
-  private def lookupViewSql(parts: Seq[String]): Option[(String, String)] =
+  private def lookupView(parts: Seq[String])
+      : Option[(String, String, String, Array[String])] =
     LakeViews.resolveIdent(session, parts).flatMap { case (cat, ident) =>
-      try Some((ident.name(), cat.loadView(ident).query()))
-      catch { case _: Exception => None }
+      try {
+        val v = cat.loadView(ident)
+        Some((ident.name(), v.query(), v.currentCatalog(), v.currentNamespace()))
+      } catch { case _: Exception => None }
+    }
+
+  /** Qualify the view body's bare relation names with the view's HOME
+    * catalog/namespace (captured at CREATE VIEW): a view created inside
+    * `ducklake.main` must keep resolving `test` there, whatever catalog
+    * the READING session currently sits in (classic view binding rules).
+    */
+  private def qualify(plan: LogicalPlan, curCat: String,
+      curNs: Array[String]): LogicalPlan =
+    if (curCat == null || curCat.isEmpty) plan
+    else plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if !u.isStreaming &&
+          u.multipartIdentifier.length <= 2 =>
+        val parts = u.multipartIdentifier match {
+          case Seq(t)     => curCat +: (curNs.toSeq :+ t)
+          case Seq(ns, t) => Seq(curCat, ns, t)
+          case other      => other
+        }
+        u.copy(multipartIdentifier = parts)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation if !u.isStreaming =>
-      lookupViewSql(u.multipartIdentifier) match {
-        case Some((name, sqlText)) =>
-          SubqueryAlias(name, session.sessionState.sqlParser.parsePlan(sqlText))
+      lookupView(u.multipartIdentifier) match {
+        case Some((name, sqlText, curCat, curNs)) =>
+          SubqueryAlias(name,
+            qualify(session.sessionState.sqlParser.parsePlan(sqlText), curCat, curNs))
         case None => u
       }
   }

@@ -45,6 +45,19 @@ class CommentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("not a table"))
   }
 
+  test("view bodies bind bare table names in their HOME catalog, not the reader's") {
+    spark.conf.set("spark.sql.catalog.ducklake",
+      classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    lake.createTableAs(Seq((1, 2)).toDF("i", "j").coalesce(1), "main.vbind")
+    spark.sql("USE ducklake.main")
+    try spark.sql("CREATE VIEW ducklake.main.vbind_v AS SELECT i * 100 AS i FROM vbind")
+    finally spark.sql("USE spark_catalog.default")
+    // reading session sits in spark_catalog; `vbind` must still resolve
+    assert(spark.sql("SELECT i FROM ducklake.main.vbind_v").head.getInt(0) == 100)
+  }
+
   test("column comments key by column_id and survive renames") {
     lake.createTableAs(Seq((1, "a")).toDF("k", "v").coalesce(1), "main.cc")
     lake.commentOnColumn("main.cc", "k", Some("the key"))
