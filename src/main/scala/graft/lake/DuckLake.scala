@@ -341,6 +341,36 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
   }
 
+  /** BEGIN: open a multi-statement transaction. Every subsequent mutation
+    * (DDL, INSERT, DELETE, MERGE …) joins ONE shared snapshot riding the
+    * metadata store's own SQL transaction; [[commitTransaction]] makes it
+    * all visible atomically and [[rollbackTransaction]] discards it —
+    * including the physical data files written meanwhile (reference:
+    * tests/sqllogictests/sql/transaction/basic_transaction.test).
+    */
+  def beginTransaction(): Unit = store.beginTransaction()
+
+  def commitTransaction(): Unit = store.commitTransaction()
+
+  /** Mark the open transaction aborted after an engine-level statement
+    * failure (DuckDB semantics: mutations error until ROLLBACK).
+    */
+  def abortTransaction(): Unit = store.markTransactionAborted()
+
+  def rollbackTransaction(): Unit = {
+    // resolve the transaction's file paths while its catalog rows are
+    // still visible on this connection, then discard metadata + bytes.
+    // Only relative paths — files this transaction WROTE under the table
+    // dir; absolute paths are adopted pre-existing files (add_files) that
+    // a rollback must merely deregister, never delete.
+    val paths = store.openTxnFiles().collect {
+      case (s, t, p, true) => filePath(s"$s.$t", p)
+    }
+    store.rollbackTransaction()
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    paths.foreach(p => fs.delete(new Path(p), false))
+  }
+
   /** Cross-table ATOMIC transaction: every `tx.write` stages immediately,
     * and all registrations commit in ONE snapshot — all tables' rows
     * become visible together, or none do (the multi-table atomicity a

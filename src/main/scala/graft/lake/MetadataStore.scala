@@ -62,6 +62,10 @@ object WriteMode extends Enumeration { val Append, Replace = Value }
 final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   private val conn: Connection = {
+    // register the embedded driver in THIS classloader (DriverManager only
+    // honors drivers whose loader matches the caller's — after an sbt
+    // incremental recompile the old registration is invisible)
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val c = DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
     c.setAutoCommit(true)
     c
@@ -557,22 +561,120 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   // ---------- write side (reference: src/metadata_writer_sqlite.rs:331-511) ----------
 
+  // ---------- multi-statement transactions (BEGIN / COMMIT / ROLLBACK) ----------
+  //
+  // The reference rides the catalog database's own SQL transaction for
+  // multi-statement atomicity (src/metadata_writer_sqlite.rs: one write
+  // transaction spanning the DuckDB transaction); we do the same on the
+  // embedded Derby connection. While a transaction is open every commit
+  // point joins ONE shared snapshot (created lazily by the first mutating
+  // statement), each statement is guarded by a savepoint (a failed
+  // statement rolls back alone, the transaction survives), and
+  // COMMIT / ROLLBACK map to the JDBC commit / rollback.
+
+  private var txnOpen = false
+  private var txnAborted = false
+  private var openTxnSnap: Option[Long] = None
+
+  def inTransaction: Boolean = synchronized(txnOpen)
+
+  def beginTransaction(): Unit = synchronized {
+    if (txnOpen) throw new UnsupportedException("transaction already open")
+    conn.setAutoCommit(false)
+    txnOpen = true
+    txnAborted = false
+    openTxnSnap = None
+  }
+
+  /** A failed statement ABORTS the open transaction (DuckDB semantics for
+    * RUNTIME errors — binder/catalog errors leave the transaction usable,
+    * so the store never marks abort itself; the engine frontend decides
+    * by error class): further mutations error until ROLLBACK.
+    */
+  def markTransactionAborted(): Unit = synchronized {
+    if (txnOpen) txnAborted = true
+  }
+
+  def commitTransaction(): Unit = synchronized {
+    if (txnOpen) {
+      if (txnAborted) {
+        conn.rollback(); conn.setAutoCommit(true)
+        txnOpen = false; txnAborted = false; openTxnSnap = None
+        throw new UnsupportedException(
+          "Current transaction is aborted - cannot COMMIT; changes rolled back")
+      }
+      conn.commit(); conn.setAutoCommit(true)
+      txnOpen = false; openTxnSnap = None
+    }
+  }
+
+  def rollbackTransaction(): Unit = synchronized {
+    if (txnOpen) {
+      conn.rollback(); conn.setAutoCommit(true)
+      txnOpen = false; txnAborted = false; openTxnSnap = None
+    }
+  }
+
+  /** (schemaName, tableName, path, pathIsRelative) of every data/delete
+    * file registered by the open transaction — resolved BEFORE rollback so
+    * the caller can remove the physical files afterwards.
+    */
+  def openTxnFiles(): Seq[(String, String, String, Boolean)] = synchronized {
+    openTxnSnap.toSeq.flatMap { snap =>
+      def files(table: String): Seq[(String, String, String, Boolean)] =
+        query(
+          s"""SELECT s.schema_name, t.table_name, f.path, f.path_is_relative
+             |FROM $table f
+             |JOIN ducklake_table t ON t.table_id = f.table_id
+             |JOIN ducklake_schema s ON s.schema_id = t.schema_id
+             |WHERE f.begin_snapshot = ?""".stripMargin, Seq(snap))(
+          rs => (rs.getString(1), rs.getString(2), rs.getString(3), rs.getBoolean(4)))
+      files("ducklake_data_file") ++ files("ducklake_delete_file")
+    }
+  }
+
   /** Run `body` inside one SQL transaction; creates the new snapshot row
     * first and passes its id. Commits on success, rolls back on failure.
+    * Inside an open [[beginTransaction]] the body instead JOINS the shared
+    * snapshot under a savepoint and the outer COMMIT/ROLLBACK decides.
     */
   private def inSnapshotTxn[A](body: Long => A): A = synchronized {
-    conn.setAutoCommit(false)
-    try {
-      val snap = currentSnapshotTx() + 1
-      val ps = conn.prepareStatement(
-        "INSERT INTO ducklake_snapshot VALUES (?, CURRENT_TIMESTAMP)")
-      try { ps.setLong(1, snap); ps.executeUpdate() } finally ps.close()
-      val r = body(snap)
-      conn.commit()
-      r
-    } catch {
-      case e: Throwable => conn.rollback(); throw e
-    } finally conn.setAutoCommit(true)
+    if (txnOpen) {
+      if (txnAborted) throw new UnsupportedException(
+        "Current transaction is aborted (please ROLLBACK)")
+      val sp = conn.setSavepoint()
+      try {
+        val snap = openTxnSnap.getOrElse {
+          val s = currentSnapshotTx() + 1
+          val ps = conn.prepareStatement(
+            "INSERT INTO ducklake_snapshot VALUES (?, CURRENT_TIMESTAMP)")
+          try { ps.setLong(1, s); ps.executeUpdate() } finally ps.close()
+          s
+        }
+        val r = body(snap)
+        openTxnSnap = Some(snap) // persist only after the statement succeeds
+        conn.releaseSavepoint(sp)
+        r
+      } catch {
+        // savepoint-revert THIS statement only; catalog validation errors
+        // are binder errors that leave the transaction usable (DuckDB
+        // aborts only on runtime failures — the frontend marks those)
+        case e: Throwable => conn.rollback(sp); throw e
+      }
+    } else {
+      conn.setAutoCommit(false)
+      try {
+        val snap = currentSnapshotTx() + 1
+        val ps = conn.prepareStatement(
+          "INSERT INTO ducklake_snapshot VALUES (?, CURRENT_TIMESTAMP)")
+        try { ps.setLong(1, snap); ps.executeUpdate() } finally ps.close()
+        val r = body(snap)
+        conn.commit()
+        r
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.setAutoCommit(true)
+    }
   }
 
   private def currentSnapshotTx(): Long = {
@@ -853,6 +955,26 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def dropSchema(schemaId: Long): Long = inSnapshotTxn { snap =>
     if (listTables(schemaId, snap).nonEmpty)
       throw new UnsupportedException("schema is not empty")
+    update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
+      Seq(snap, schemaId))
+    snap
+  }
+
+  /** DROP SCHEMA … CASCADE: end the schema, its tables (with their files
+    * and inlined rows) and its views in ONE snapshot — earlier snapshots
+    * keep resolving everything (reference corpus:
+    * tests/sqllogictests/sql/catalog/drop_schema.test).
+    */
+  def dropSchemaCascade(schemaId: Long): Long = inSnapshotTxn { snap =>
+    listTables(schemaId, snap).foreach { t =>
+      Seq("ducklake_table", "ducklake_data_file", "ducklake_delete_file",
+        "ducklake_inlined_data").foreach { tbl =>
+        update(s"UPDATE $tbl SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+          Seq(snap, t.tableId))
+      }
+    }
+    update("UPDATE ducklake_view SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
+      Seq(snap, schemaId))
     update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
     snap

@@ -130,9 +130,9 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
-    if (cascade) throw new UnsupportedOperationException("DROP NAMESPACE CASCADE")
     val sch = lake.store.getSchemaByName(namespace(0), lake.currentSnapshot).get
-    lake.store.dropSchema(sch.schemaId)
+    if (cascade) lake.store.dropSchemaCascade(sch.schemaId)
+    else lake.store.dropSchema(sch.schemaId)
     true
   }
 
@@ -416,6 +416,31 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
     }
   }
 
+  /** Resolve a version string the way table time travel does: a snapshot
+    * id, or a named tag.
+    */
+  private[connector] def snapshotForVersion(version: String): Option[Long] =
+    (try Some(version.toLong) catch { case _: NumberFormatException => None })
+      .orElse(lake.snapshotForTag(version))
+
+  /** View definition AS OF a snapshot — (name, sql, currentCatalog,
+    * currentNamespace); None when the view (or its schema) doesn't exist
+    * at that snapshot. Powers `SELECT … FROM v AT (VERSION => n)`.
+    */
+  private[connector] def viewAt(ident: Identifier, snap: Long)
+      : Option[(String, String, String, Array[String])] = {
+    val ns = if (ident.namespace().isEmpty) "main" else ident.namespace().mkString(".")
+    for {
+      sch <- lake.store.getSchemaByName(ns, snap)
+      rec <- lake.store.getView(sch.schemaId, ident.name(), snap)
+    } yield {
+      val (vName, sqlText, curCat, curNs, _, _) = rec
+      val nsArr = if (curNs == null || curNs.isEmpty) Array.empty[String]
+                  else curNs.split(NameSep.charAt(0))
+      (vName, sqlText, curCat, nsArr)
+    }
+  }
+
   override def createView(info: ViewInfo): View = {
     try lake.store.createView(schemaIdOf(info.ident()), info.ident().name(), info.sql(),
       info.currentCatalog(), info.currentNamespace().mkString(NameSep),
@@ -444,6 +469,15 @@ object DuckLakeSparkCatalog {
   /** The catalog-owned lake instance (tests introspect its scan counters). */
   private[lake] def cachedLake(metaDb: String, dataPath: String): Option[DuckLake] =
     lakes.get((metaDb, dataPath))
+
+  /** Share an externally constructed lake handle with the catalog. The
+    * metadata store is ONE embedded-Derby connection; API callers and the
+    * SQL catalog must go through the same instance or an open
+    * multi-statement transaction on one connection blocks (and is
+    * invisible to) the other.
+    */
+  def adopt(lake: DuckLake): Unit =
+    lakes.put((lake.metaDbPath, lake.dataPath), lake)
 }
 
 /** DSv1 `Filter` → `Column` translation for the SQL DELETE path (the

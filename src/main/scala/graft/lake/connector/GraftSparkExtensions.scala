@@ -5,7 +5,7 @@ import scala.util.Try
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, RelationTimeTravel, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
@@ -160,6 +160,32 @@ case class ResolveLakeViews(session: SparkSession) extends Rule[LogicalPlan] {
         u.copy(multipartIdentifier = parts)
     }
 
+  /** View definition AS OF `version` (snapshot id or tag); None when the
+    * name isn't a lake view at that snapshot (tables fall through to the
+    * catalog's own `loadTable(ident, version)`).
+    */
+  private def lookupViewAt(parts: Seq[String], version: String)
+      : Option[(String, String, String, Array[String])] =
+    LakeViews.resolveIdent(session, parts).flatMap { case (cat, ident) =>
+      try cat.snapshotForVersion(version).flatMap(cat.viewAt(ident, _))
+      catch { case _: Exception => None }
+    }
+
+  /** Pin every relation in a time-travelled view's body to the same
+    * version — except relations carrying their OWN explicit time travel
+    * clause, which takes priority (reference:
+    * tests/sqllogictests/sql/time_travel/time_travel_views.test).
+    */
+  private def pin(plan: LogicalPlan, version: String): LogicalPlan = {
+    def go(p: LogicalPlan): LogicalPlan = p match {
+      case t: RelationTimeTravel => t
+      case u: UnresolvedRelation if !u.isStreaming =>
+        RelationTimeTravel(u, None, Some(version))
+      case other => other.mapChildren(go).asInstanceOf[LogicalPlan]
+    }
+    go(plan)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation if !u.isStreaming =>
       lookupView(u.multipartIdentifier) match {
@@ -167,6 +193,15 @@ case class ResolveLakeViews(session: SparkSession) extends Rule[LogicalPlan] {
           SubqueryAlias(name,
             qualify(session.sessionState.sqlParser.parsePlan(sqlText), curCat, curNs))
         case None => u
+      }
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(version))
+        if !u.isStreaming =>
+      lookupViewAt(u.multipartIdentifier, version) match {
+        case Some((name, sqlText, curCat, curNs)) =>
+          SubqueryAlias(name,
+            pin(qualify(session.sessionState.sqlParser.parsePlan(sqlText),
+              curCat, curNs), version))
+        case None => tt
       }
   }
 }

@@ -61,6 +61,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       info(s"  FAIL ${f.stripPrefix(corpusRoot + "/")}: $why") }
     skipped.groupBy(_._2).toSeq.sortBy(-_._2.size).foreach { case (why, fs) =>
       info(s"  SKIP (${fs.size}) $why") }
+    // full report (untruncated) for offline triage
+    val report = new StringBuilder
+    report ++= s"corpus: ${results.size} files -> ${passed.size} passed, ${failed.size} failed, ${skipped.size} skipped\n"
+    passed.foreach(f => report ++= s"PASS ${f.stripPrefix(corpusRoot + "/")}\n")
+    failed.foreach { case (f, why) =>
+      report ++= s"FAIL ${f.stripPrefix(corpusRoot + "/")}: $why\n" }
+    skipped.foreach { case (f, why) =>
+      report ++= s"SKIP ${f.stripPrefix(corpusRoot + "/")}: $why\n" }
+    Files.write(Paths.get("target/corpus-report.txt"),
+      report.toString.getBytes("UTF-8"))
     assert(passed.size >= 30,
       s"only ${passed.size} corpus files passed (target 30); " +
         failed.take(10).map { case (f, w) => s"$f: $w" }.mkString("\n"))

@@ -35,7 +35,6 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   // constructs we refuse to fake (substring → reason)
   private val unsupported: Seq[(String, String)] = Seq(
-    "ROLLBACK" -> "transaction rollback (statements auto-commit here)",
     "hashing to" -> "hashed result blocks",
     "concurrentloop" -> "concurrent loops",
     "restart" -> "connection restart",
@@ -47,6 +46,7 @@ final class SqlLogicRunner(spark: SparkSession) {
     "duckdb_views" -> "duckdb catalog functions",
     "duckdb_columns" -> "duckdb catalog functions",
     "metadata.ducklake_" -> "direct metadata-catalog SQL",
+    "stats(" -> "duckdb stats() introspection text",
     "_meta.ducklake_" -> "direct metadata-catalog SQL",
     "__ducklake_internal" -> "internal duckdb catalog",
     "PRAGMA" -> "pragmas",
@@ -111,8 +111,6 @@ final class SqlLogicRunner(spark: SparkSession) {
       if (lower.contains("default values")) Some("INSERT … DEFAULT VALUES")
       else if (lower.contains("unzip ")) Some("prebuilt binary databases")
       else if (lower.contains("table_changes(")) Some("rowid-shaped CDC function")
-      else if (lower.contains("begin") && lower.contains("glob("))
-        Some("transaction-local file-count accounting (statements auto-commit here)")
       else if ("""(?im)^set\s""".r.findFirstIn(raw).isDefined)
         Some("duckdb settings")
       else if (raw.contains(".\"")) Some("double-quoted identifiers")
@@ -270,8 +268,15 @@ final class SqlLogicRunner(spark: SparkSession) {
           return FileResult(file.toString,
             Failed(s"expected error but succeeded: ${firstLine(sql)}"))
         } catch {
-          case _: Throwable => () // any engine error satisfies `statement error`;
-          // message texts are engine-specific and not comparable across engines
+          case e: Throwable =>
+            // any engine error satisfies `statement error` (message texts
+            // are engine-specific). A RUNTIME failure inside an open
+            // transaction aborts it (DuckDB semantics); binder/analysis
+            // errors (unknown table, parse) leave the transaction usable.
+            val binderError =
+              e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+                e.isInstanceOf[graft.lake.DuckLakeException]
+            if (lake != null && !binderError) lake.abortTransaction()
         }
       case Query(types, rowsort, sql, expected) =>
         val upper = sql.trim.toUpperCase
@@ -333,6 +338,9 @@ final class SqlLogicRunner(spark: SparkSession) {
           .map(_.group(1).toInt)).getOrElse(0)
       lake = new DuckLake(spark, metaPath.stripSuffix(".db") + "-meta",
         dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit)
+      // the SQL catalog must resolve to THIS instance: one metadata
+      // connection, or an open transaction here deadlocks catalog reads
+      graft.lake.connector.DuckLakeSparkCatalog.adopt(lake)
       catalogAlias = alias
       physAlias = s"slt_${SqlLogicRunner.counter.incrementAndGet()}"
       spark.conf.set(s"spark.sql.catalog.$physAlias",
@@ -349,9 +357,14 @@ final class SqlLogicRunner(spark: SparkSession) {
       copyTo(spark.sql(translate(s"SELECT * FROM $table")), target, opts)
     case s if {
       val t = s.trim.stripSuffix(";").trim
-      t.equalsIgnoreCase("BEGIN") || t.equalsIgnoreCase("BEGIN TRANSACTION") ||
-        t.equalsIgnoreCase("COMMIT")
-    } => () // statements auto-commit
+      t.equalsIgnoreCase("BEGIN") || t.equalsIgnoreCase("BEGIN TRANSACTION")
+    } => if (lake != null) lake.beginTransaction()
+    case s if s.trim.stripSuffix(";").trim.equalsIgnoreCase("COMMIT") =>
+      if (lake != null) lake.commitTransaction()
+    case s if {
+      val t = s.trim.stripSuffix(";").trim
+      t.equalsIgnoreCase("ROLLBACK") || t.equalsIgnoreCase("ABORT")
+    } => if (lake != null) lake.rollbackTransaction()
     case UseRe(target) =>
       // `use ducklake;` switches the session's default catalog; map the
       // attach alias to the physical catalog's main namespace
@@ -418,6 +431,17 @@ final class SqlLogicRunner(spark: SparkSession) {
     val t = sql.trim
     val descRe = """(?is)DESCRIBE\s+([\w.]+)\s*;?""".r
     t match {
+      case _ if t.stripSuffix(";").trim.equalsIgnoreCase("SHOW TABLES") =>
+        // DuckDB's SHOW TABLES is a single `name` column
+        spark.sql("SHOW TABLES").select("tableName")
+      case _ if t.contains("duckdb_schemas()") =>
+        // duckdb_schemas() catalog TVF → the lake's schema list
+        require(lake != null, "no lake attached")
+        lake.store.listSchemas(lake.currentSnapshot)
+          .map(s => (s.name, catalogAlias))
+          .toDF("schema_name", "database_name")
+          .createOrReplaceTempView("__slt_schemas")
+        spark.sql(translate(t.replace("duckdb_schemas()", "__slt_schemas")))
       case descRe(name) if name.startsWith(s"$catalogAlias.") =>
         describeDF(name.stripPrefix(s"$catalogAlias."))
       case GlobCountRe(pattern, containsFilter) =>
@@ -541,6 +565,19 @@ final class SqlLogicRunner(spark: SparkSession) {
       .replaceAllIn(s, m => s"ALTER COLUMN ${m.group(1)} TYPE")
     s = """(?i)\bALTER\s+(?!TABLE\b|COLUMN\b)([A-Za-z_]\w*)\s+SET\s+(?:DATA\s+)?TYPE\b""".r
       .replaceAllIn(s, m => s"ALTER COLUMN ${m.group(1)} TYPE")
+    // DuckDB `INSERT INTO t FROM …` shorthand
+    s = """(?i)\bINSERT\s+INTO\s+([\w.]+)\s+FROM\b""".r
+      .replaceAllIn(s, m => s"INSERT INTO ${m.group(1)} SELECT * FROM")
+    // DuckDB `UPDATE t SET … FROM src WHERE c` → MERGE … WHEN MATCHED
+    // UPDATE (guard: the SET list must be paren-balanced, so a scalar
+    // subquery's own FROM never splits the statement)
+    val updFrom = """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+FROM\s+(.+)\s+WHERE\s+(.+?);?\s*$""".r
+    s = updFrom.findFirstMatchIn(s) match {
+      case Some(m) if m.group(2).count(_ == '(') == m.group(2).count(_ == ')') =>
+        s"MERGE INTO ${m.group(1)} USING ${m.group(3)} ON ${m.group(4)} " +
+          s"WHEN MATCHED THEN UPDATE SET ${m.group(2)}"
+      case _ => s
+    }
     // DuckDB `DELETE FROM t USING u WHERE c` → MERGE … WHEN MATCHED DELETE
     s = """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+USING\s+([\w.]+)\s+WHERE\s+(.*?);?\s*$""".r
       .replaceAllIn(s, m =>
