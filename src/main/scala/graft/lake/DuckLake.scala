@@ -25,6 +25,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   import graft.lake.crypto.GraftCryptoFactory
 
   val store = new MetadataStore(metaDbPath)
+
+  // physically unlink files that died inside an open transaction (written
+  // and dropped/superseded before any snapshot could expose them) — only
+  // relative paths, i.e. files this lake wrote; adopted absolute paths
+  // are merely deregistered
+  store.onTxnDeadFiles { dead =>
+    val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
+    dead.foreach { case (s, t, p, rel) =>
+      if (rel) fs.delete(new Path(filePath(s"$s.$t", p)), false)
+    }
+  }
   store.setMetadata("data_path", dataPath)
 
   /** Lake-level Parquet Modular Encryption (reference: A5,
@@ -215,6 +226,25 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
                 s"NOT NULL constraint failed: column ${c.name} of $name")
           }
         return store.commitInlined(tr.tableId, sample.toSeq)
+      }
+    }
+    // CTAS at or under the inline limit: table registration + inlined
+    // rows in ONE snapshot, zero files (matches the reference —
+    // tests/sqllogictests/sql/data_inlining/data_inlining_delete.test)
+    if (inlineRowLimit > 0 && tableIsNew && !flushInlined && partFields.isEmpty) {
+      val sample = df.toJSON.limit(inlineRowLimit + 1).collect()
+      if (sample.length <= inlineRowLimit) {
+        val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType),
+            f.nullable, None)
+        }.toSeq
+        cols.filterNot(_.nullsAllowed).foreach { c =>
+          if (sample.exists(j => !j.contains("\"" + c.name + "\":")))
+            throw new ConstraintViolationException(
+              s"NOT NULL constraint failed: column ${c.name} of $name")
+        }
+        return store.commitWriteWithInlined(TableWriteSpec(schemaName, tableName,
+          cols, mode, Nil, Nil, flushInlined = false, redefine = redefine), sample.toSeq)
       }
     }
     val (spec, renamed) = stageWrite(df, name, mode,
@@ -820,6 +850,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * and register one cumulative positional delete file (Iceberg-style
     * schema `(file_path, pos)`, reference src/table.rs:51-52).
     */
+  /** Unconditional `DELETE FROM t`: a metadata-only truncate — every live
+    * file/inlined row ends at one snapshot, nothing is scanned and no
+    * delete parquet is written. At 100 TB this is the difference between
+    * an O(1) catalog update and writing positional deletes for every row.
+    */
+  def truncateTable(name: String): Long = {
+    val tr = resolveTable(name, store.currentSnapshot)
+    store.truncateTable(tr.tableId)
+  }
+
   def deleteWhere(name: String, cond: Column): Long = {
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)

@@ -633,6 +633,46 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
   }
 
+  /** Called with (schemaName, tableName, path, pathIsRelative) of file
+    * rows that died INSIDE the open transaction (begin == end == the
+    * transaction's snapshot: a file written and superseded/dropped before
+    * anyone could see it). The lake unlinks the physical bytes.
+    */
+  @volatile private var deadFileListener
+      : Seq[(String, String, String, Boolean)] => Unit = _ => ()
+
+  def onTxnDeadFiles(f: Seq[(String, String, String, Boolean)] => Unit): Unit =
+    deadFileListener = f
+
+  /** Purge txn-dead file rows (never visible at any snapshot) and report
+    * them; runs after every successful statement inside a transaction so
+    * the corpus-observable file counts match the reference's eager
+    * transaction-local cleanup (tests/sqllogictests/sql/cleanup/).
+    */
+  private def sweepTxnDeadFiles(snap: Long): Seq[(String, String, String, Boolean)] = {
+    def dead(table: String): Seq[(Long, String, String, String, Boolean)] =
+      query(
+        s"""SELECT f.rid, s.schema_name, t.table_name, f.path, f.path_is_relative FROM
+           |(SELECT ${if (table == "ducklake_data_file") "data_file_id" else "delete_file_id"} AS rid,
+           |        table_id, path, path_is_relative
+           |   FROM $table WHERE begin_snapshot = ? AND end_snapshot = ?) f
+           |JOIN ducklake_table t ON t.table_id = f.table_id
+           |JOIN ducklake_schema s ON s.schema_id = t.schema_id""".stripMargin,
+        Seq(snap, snap))(
+        rs => (rs.getLong(1), rs.getString(2), rs.getString(3), rs.getString(4),
+          rs.getBoolean(5)))
+    val dd = dead("ducklake_data_file")
+    val dl = dead("ducklake_delete_file")
+    dd.foreach { case (id, _, _, _, _) =>
+      update("DELETE FROM ducklake_data_file WHERE data_file_id = ?", Seq(id))
+      update("DELETE FROM ducklake_delete_file WHERE data_file_id = ?", Seq(id))
+    }
+    dl.foreach { case (id, _, _, _, _) =>
+      update("DELETE FROM ducklake_delete_file WHERE delete_file_id = ?", Seq(id))
+    }
+    (dd ++ dl).map { case (_, s, t, p, rel) => (s, t, p, rel) }
+  }
+
   /** Run `body` inside one SQL transaction; creates the new snapshot row
     * first and passes its id. Commits on success, rolls back on failure.
     * Inside an open [[beginTransaction]] the body instead JOINS the shared
@@ -653,7 +693,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         }
         val r = body(snap)
         openTxnSnap = Some(snap) // persist only after the statement succeeds
+        val dead = sweepTxnDeadFiles(snap)
         conn.releaseSavepoint(sp)
+        if (dead.nonEmpty)
+          try deadFileListener(dead)
+          catch { case _: Exception => () } // physical unlink is best-effort
         r
       } catch {
         // savepoint-revert THIS statement only; catalog validation errors
@@ -845,6 +889,27 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   /** Inline a small append: rows live in the catalog itself — no parquet
     * file, no object-store round trip (DuckLake data-inlining semantics).
     */
+  /** CTAS at or under the inline limit: register the table (no files) AND
+    * its inlined rows in ONE snapshot (reference inlines small CTAS too —
+    * tests/sqllogictests/sql/data_inlining/data_inlining_delete.test
+    * expects zero files on disk).
+    */
+  def commitWriteWithInlined(spec: TableWriteSpec, rowsJson: Seq[String]): Long =
+    inSnapshotTxn { snap =>
+      registerWrite(snap, spec)
+      val schema = getSchemaByName(spec.schemaName, snap).get
+      val table = getTableByName(schema.schemaId, spec.tableName, snap).get
+      var rid = query(
+        "SELECT COALESCE(MAX(row_id), -1) + 1 FROM ducklake_inlined_data WHERE table_id = ?",
+        Seq(table.tableId))(_.getLong(1)).head
+      rowsJson.foreach { j =>
+        update("INSERT INTO ducklake_inlined_data VALUES (?, ?, ?, NULL, ?)",
+          Seq(table.tableId, rid, snap, j))
+        rid += 1
+      }
+      snap
+    }
+
   def commitInlined(tableId: Long, rowsJson: Seq[String]): Long = inSnapshotTxn { snap =>
     var rid = query(
       "SELECT COALESCE(MAX(row_id), -1) + 1 FROM ducklake_inlined_data WHERE table_id = ?",
@@ -1617,6 +1682,20 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(snap, tableId))
     update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
       Seq(tableId, cur._1, newName, cur._2, cur._3, snap))
+    snap
+  }
+
+  /** TRUNCATE (unconditional DELETE): end every live data/delete/inlined
+    * row in ONE snapshot — metadata-only, no delete parquet is written
+    * (reference: tests/sqllogictests/sql/delete/truncate_table.test
+    * asserts zero `*-delete.parquet` after `DELETE FROM t`).
+    */
+  def truncateTable(tableId: Long): Long = inSnapshotTxn { snap =>
+    Seq("ducklake_data_file", "ducklake_delete_file", "ducklake_inlined_data")
+      .foreach { t =>
+        update(s"UPDATE $t SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+          Seq(snap, tableId))
+      }
     snap
   }
 

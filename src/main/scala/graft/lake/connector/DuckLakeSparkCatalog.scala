@@ -242,6 +242,7 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requireNamespace(ident)
     val partNames = identityPartitionNames(partitions)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       // `CREATE TABLE (x INT DEFAULT 5)`: the analyzer stores the default
@@ -283,8 +284,19 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     stage(ident, info, replace = true, orCreate = true)
 
+  /** CREATE/CTAS must not resurrect a dropped schema: the store's
+    * get-or-create (needed for first-write bootstrap through the API)
+    * would happily re-register it — the reference errors instead
+    * (corpus: catalog/schema.test `CREATE TABLE … .s1.tbl2` after drop).
+    */
+  private def requireNamespace(ident: Identifier): Unit = {
+    val ns = if (ident.namespace().isEmpty) Array("main") else ident.namespace()
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+  }
+
   private def stage(ident: Identifier, info: TableInfo, replace: Boolean,
       orCreate: Boolean): StagedTable = {
+    requireNamespace(ident)
     val tableName = fullName(ident)
     val exists = lake.tableExists(tableName)
     if (!replace && exists)
@@ -563,10 +575,13 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
     filters.forall(FilterToColumn.convert(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cond = filters.flatMap(FilterToColumn.convert(_))
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true)) // DELETE FROM t
-    lake.deleteWhere(fullName, cond)
+    // `DELETE FROM t` (no filters, or the translated always-true) is a
+    // metadata-only TRUNCATE — no scan, no delete parquet
+    val effective = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    effective.flatMap(FilterToColumn.convert(_)).reduceOption(_ && _) match {
+      case Some(cond) => lake.deleteWhere(fullName, cond)
+      case None       => lake.truncateTable(fullName)
+    }
   }
 
   /** SQL `UPDATE` / `MERGE INTO` via Spark's DELTA row-level operation
@@ -583,8 +598,11 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     // the rewrite's batch scan reads data FILES; move any inlined catalog
     // rows into a file first so they participate in the delta, and pin
-    // the scan AFTER the flush
-    val scanSnap = math.max(snapshot, lake.flushInlined(fullName))
+    // the scan AFTER the flush. LAZY: the flush must only happen if the
+    // row-level plan survives — Spark's metadata-only-delete optimization
+    // may replace it with SupportsDelete.deleteWhere, which handles
+    // inlined rows natively and must not find them flushed to a file
+    lazy val scanSnap = math.max(snapshot, lake.flushInlined(fullName))
     () => new org.apache.spark.sql.connector.write.RowLevelOperation
         with org.apache.spark.sql.connector.write.SupportsDelta {
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =

@@ -25,11 +25,22 @@ class DebugOneSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("replay one corpus file") {
-    val rel = sys.props.getOrElse("sltFile", "alter/rename_table.test")
-    val p = Paths.get("/root/reference/tests/sqllogictests/sql", rel)
-    assume(Files.isRegularFile(p), s"no such corpus file: $p")
-    val r = new SqlLogicRunner(spark).run(p)
-    info(s"outcome: ${r.outcome}")
-    println(s"[debug-one] ${r.file}: ${r.outcome}")
+    val runner = new SqlLogicRunner(spark)
+    sys.props.getOrElse("sltFile", "alter/rename_table.test")
+      .split(",").foreach { rel =>
+        val root = Paths.get("/root/reference/tests/sqllogictests/sql")
+        val targets =
+          if (Files.isDirectory(root.resolve(rel))) {
+            import scala.jdk.CollectionConverters._
+            Files.list(root.resolve(rel)).iterator().asScala
+              .filter(_.toString.endsWith(".test")).toSeq.sortBy(_.toString)
+          } else Seq(root.resolve(rel))
+        targets.foreach { p =>
+          assume(Files.isRegularFile(p), s"no such corpus file: $p")
+          val r = runner.run(p)
+          info(s"outcome: ${r.outcome}")
+          println(s"[debug-one] ${r.file}: ${r.outcome}")
+        }
+      }
   }
 }

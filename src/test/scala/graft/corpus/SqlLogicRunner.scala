@@ -255,7 +255,13 @@ final class SqlLogicRunner(spark: SparkSession) {
     }.toSeq
 
     lake = null
-    parseRecords(substituted).foreach {
+    val verbose = sys.props.contains("sltVerbose")
+    parseRecords(substituted).foreach { rec =>
+      if (verbose) rec match {
+        case Statement(sql, exp) => println(s"[slt] stmt(err=${exp.isDefined}): ${firstLine(sql)}")
+        case Query(_, _, sql, _) => println(s"[slt] query: ${firstLine(sql)}")
+      }
+      rec match {
       case Statement(sql, None) =>
         try execute(sql)
         catch { case e: Throwable =>
@@ -310,6 +316,7 @@ final class SqlLogicRunner(spark: SparkSession) {
               s"result mismatch for: ${firstLine(sql)}\n  expected: ${exp.take(4).mkString(" / ")}" +
                 s"\n  actual:   ${actual.take(4).mkString(" / ")}"))
         }
+      }
     }
     FileResult(file.toString, Passed)
   }
@@ -464,7 +471,8 @@ final class SqlLogicRunner(spark: SparkSession) {
             val fs = org.apache.hadoop.fs.FileSystem.get(
               new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
             Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
-              .map(_.toSeq.map(_.getPath.toUri.getPath)).getOrElse(Nil)
+              .map(_.toSeq.filter(_.isFile) // duckdb glob() lists files, not dirs
+                .map(_.getPath.toUri.getPath)).getOrElse(Nil)
           }).filter(visible)
         val n = Option(containsFilter) match {
           case Some(s) => matched.count(_.contains(s)).toLong

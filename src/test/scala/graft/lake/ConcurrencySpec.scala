@@ -108,8 +108,8 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t.count() == 13)
       assert(t.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ==
         (1 to 12).sum.toLong)
-      // all 12 appends inlined: still just the seed data file
-      assert(inl.listFilesDF.count() == 1)
+      // seed CTAS and all 12 appends inlined: no data files at all
+      assert(inl.listFilesDF.count() == 0)
     } finally inl.close()
   }
 

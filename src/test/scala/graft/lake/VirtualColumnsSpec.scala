@@ -96,14 +96,16 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root2 = Files.createTempDirectory("ducklake-vc-inl").toString
     val inl = new DuckLake(spark, s"$root2/meta", s"$root2/data", inlineRowLimit = 8)
     try {
-      inl.createTableAs(Seq(1).toDF("i").coalesce(1), "main.vi")
-      inl.insertInto(Seq(2).toDF("i"), "main.vi") // inlined into the catalog
+      // seed must EXCEED the inline limit so it lands in a real file
+      // (small CTAS is itself inlined since the reference-parity change)
+      inl.createTableAs((1 to 9).toDF("i").coalesce(1), "main.vi")
+      inl.insertInto(Seq(10).toDF("i"), "main.vi") // inlined into the catalog
       val snapInl = inl.currentSnapshot
       val vdf = inl.table("main.vi", None, Nil,
         Seq(DuckLake.VirtualSnapshot, DuckLake.VirtualFilename))
       val byI = vdf.collect().map(r => r.getInt(0) ->
         (r.getLong(1), Option(r.getString(2)))).toMap
-      assert(byI(2)._1 == snapInl && byI(2)._2.isEmpty) // inlined: no file
+      assert(byI(10)._1 == snapInl && byI(10)._2.isEmpty) // inlined: no file
       assert(byI(1)._2.exists(_.endsWith(".parquet")))
     } finally inl.close()
   }
