@@ -7,11 +7,24 @@ final case class SchemaRec(schemaId: Long, name: String, path: String, pathIsRel
 final case class TableRec(tableId: Long, schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
 final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean,
   initialDefault: Option[String] = None)
+/** One committed row span inside a MERGED data file: rows
+  * [startPos, startPos+rowCount) were originally committed at
+  * `beginSnapshot` with stable ids from `rowIdStart` (DuckLake
+  * merge_adjacent_files; corpus: tests/sqllogictests/sql/compaction/).
+  */
+final case class FileSegment(beginSnapshot: Long, startPos: Long,
+    rowCount: Long, rowIdStart: Option[Long])
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
     deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None,
     writeEpoch: Long = -1L, mappingId: Option[Long] = None,
-    rowIdStart: Option[Long] = None) {
+    rowIdStart: Option[Long] = None, segments: Seq[FileSegment] = Nil) {
+  /** Row prefix of this file visible at `snap`: whole file unless merged
+    * (segments present), then the spans committed at or before `snap`.
+    */
+  def visibleRowsAt(snap: Long): Long =
+    if (segments.isEmpty) recordCount
+    else segments.filter(_.beginSnapshot <= snap).map(_.rowCount).sum
   /** Snapshot whose column names/types the physical parquet was written
     * under. Normally == beginSnapshot; differs for rows revived by
     * rollback or shared by a zero-copy clone, where validity restarts but
@@ -324,6 +337,26 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "ALTER TABLE ducklake_delete_file ADD COLUMN file_size_bytes BIGINT DEFAULT 0")
       finally st.close()
     }
+    // merged-file segment map (DuckLake `merge_adjacent_files` model): a
+    // compacted file REPLACES its sources across all history; each segment
+    // records which row span came from which commit, so time travel reads
+    // a prefix and rowid/snapshot_id stay exact per row
+    val hasPartial = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_PARTIAL_FILE_INFO", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasPartial) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE ducklake_partial_file_info(
+          |  data_file_id BIGINT NOT NULL,
+          |  segment_idx BIGINT NOT NULL,
+          |  begin_snapshot BIGINT NOT NULL,
+          |  start_pos BIGINT NOT NULL,
+          |  row_count BIGINT NOT NULL,
+          |  row_id_start BIGINT)""".stripMargin)
+      finally st.close()
+    }
   }
 
   override def close(): Unit = synchronized { conn.close() }
@@ -352,9 +385,19 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     } finally ps.close()
   }
 
-  private def nextId(table: String, idCol: String, floor: Long = 0L): Long =
-    math.max(query(s"SELECT COALESCE(MAX($idCol), -1) + 1 FROM $table")(_.getLong(1)).head,
-      floor)
+  /** Next id for a catalog sequence — ids are NEVER reused, even after
+    * expiry purges the rows that held the old maximum (DuckLake keeps
+    * monotone ids; corpus: compaction/merge_adjacent_max_files.test). The
+    * high-water mark lives in ducklake_metadata.
+    */
+  private def nextId(table: String, idCol: String, floor: Long = 0L): Long = {
+    val live = query(s"SELECT COALESCE(MAX($idCol), -1) + 1 FROM $table")(_.getLong(1)).head
+    val hwKey = s"seq:$table"
+    val hw = getMetadata(hwKey).map(_.toLong).getOrElse(0L)
+    val id = Seq(live, hw, floor).max
+    setMetadata(hwKey, (id + 1).toString)
+    id
+  }
 
   private val Vis = "begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)"
 
@@ -476,14 +519,30 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       rs.getLong(1) -> DeleteFileRec(rs.getLong(2), rs.getLong(1), rs.getString(3),
         rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)),
         rs.getLong(8))).toMap
+    val segs = getFileSegments(tableId)
     query(s"SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND $Vis ORDER BY data_file_id",
       Seq(tableId, snap, snap))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), dels.get(rs.getLong(1)),
         Option(rs.getString(8)), rs.getLong(9),
         { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) },
-        { val r = rs.getLong(11); if (rs.wasNull()) None else Some(r) }))
+        { val r = rs.getLong(11); if (rs.wasNull()) None else Some(r) },
+        segs.getOrElse(rs.getLong(1), Nil)))
   }
+
+  /** Segment maps of a table's merged files: data_file_id → ordered spans.
+    * One query per scan regardless of file count.
+    */
+  private def getFileSegments(tableId: Long): Map[Long, Seq[FileSegment]] =
+    query(
+      """SELECT p.data_file_id, p.begin_snapshot, p.start_pos, p.row_count, p.row_id_start
+        |FROM ducklake_partial_file_info p
+        |JOIN ducklake_data_file f ON f.data_file_id = p.data_file_id
+        |WHERE f.table_id = ? ORDER BY p.data_file_id, p.segment_idx""".stripMargin,
+      Seq(tableId)) { rs =>
+      rs.getLong(1) -> FileSegment(rs.getLong(2), rs.getLong(3), rs.getLong(4),
+        { val r = rs.getLong(5); if (rs.wasNull()) None else Some(r) })
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
 
   /** Data files with begin_snapshot in (from, to] — CDC inserts
     * (reference: src/metadata_provider.rs:77-89).
@@ -1279,6 +1338,57 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** Commit one adjacent-file merge (DuckLake `merge_adjacent_files`):
+    * the merged file REPLACES its sources across ALL history — it is
+    * registered with the FIRST source's begin_snapshot and a segment map,
+    * the source rows are deleted outright (not ended), and their physical
+    * paths go to the deletion schedule. Time travel keeps resolving
+    * through the merged file's segment prefixes.
+    */
+  def commitMergeAdjacent(schemaName: String, tableName: String,
+      removed: Seq[DataFileRec], file: FileToRegister, beginSnapshot: Long,
+      segments: Seq[FileSegment], writeEpoch: Long,
+      statColIds: Map[String, Long]): Long = inSnapshotTxn { snap =>
+    val schema = getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    val table = getTableByName(schema.schemaId, tableName, snap)
+      .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
+    val colIds = statColIds
+    val id = nextId("ducklake_data_file", "data_file_id")
+    update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
+      Seq(id, table.tableId, file.path, file.pathIsRelative, file.recordCount,
+        file.fileSizeBytes, file.footerSize, beginSnapshot, file.encryptionKey.orNull,
+        writeEpoch, file.mappingId.map(Long.box).orNull,
+        segments.headOption.flatMap(_.rowIdStart).map(Long.box).orNull))
+    segments.zipWithIndex.foreach { case (s, i) =>
+      update("INSERT INTO ducklake_partial_file_info VALUES (?, ?, ?, ?, ?, ?)",
+        Seq(id, i.toLong, s.beginSnapshot, s.startPos, s.rowCount,
+          s.rowIdStart.map(Long.box).orNull))
+    }
+    file.partitionValues.zipWithIndex.foreach { case (v, idx) =>
+      update("INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
+        Seq(id, table.tableId, idx.toLong, v.orNull))
+    }
+    file.stats.foreach { st =>
+      colIds.get(st.columnName).foreach { cid =>
+        update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+          Seq(id, table.tableId, cid, st.valueCount,
+            st.nullCount.map(Long.box).orNull,
+            st.minValue.orNull, st.maxValue.orNull))
+      }
+    }
+    removed.foreach { f =>
+      Seq("ducklake_file_column_stats", "ducklake_file_partition_value",
+        "ducklake_partial_file_info", "ducklake_data_file").foreach { t =>
+        update(s"DELETE FROM $t WHERE data_file_id = ?", Seq(f.dataFileId))
+      }
+      if (f.pathIsRelative)
+        update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
+          Seq(s"${schema.name}/${table.path.stripSuffix("/")}/${f.path}"))
+    }
+    snap
+  }
+
   /** Expire snapshots with id < `before` (the newest snapshot is never
     * expired): time travel below the cutoff stops resolving, and files
     * whose validity ended at or below the new minimum become vacuum
@@ -1290,10 +1400,55 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val expired = query(
       "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id < ? ORDER BY snapshot_id",
       Seq(cutoff))(_.getLong(1))
-    if (expired.nonEmpty)
+    if (expired.nonEmpty) {
       update("DELETE FROM ducklake_snapshot WHERE snapshot_id < ?", Seq(cutoff))
+      scheduleExpiredFiles() // two-phase: orphans go to the schedule now
+    }
     expired
   }
+
+  /** Expire an explicit snapshot list (`ducklake_expire_snapshots(versions
+    * => […])`); the newest snapshot is never expired. Fully-expired
+    * catalog rows are purged and orphaned files scheduled for deletion
+    * (phase 2 = `cleanup_old_files`). Returns the ids actually expired.
+    */
+  def expireSnapshotIds(ids: Seq[Long]): Seq[Long] = synchronized {
+    val newest = currentSnapshot
+    val candidates = ids.distinct.filter(_ < newest)
+    val expired = candidates.filter { id =>
+      val existed = query(
+        "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id = ?",
+        Seq(id))(_.getLong(1)).nonEmpty
+      if (existed)
+        update("DELETE FROM ducklake_snapshot WHERE snapshot_id = ?", Seq(id))
+      existed
+    }
+    if (expired.nonEmpty) scheduleExpiredFiles()
+    expired
+  }
+
+  // ---------- scoped options (DuckLake `set_option`) ----------
+
+  /** Set a lake option; scope precedence at read time is
+    * table > schema > global (DuckLake `ducklake.set_option` semantics).
+    * Stored in ducklake_metadata under a scope-qualified key.
+    */
+  def setOption(key: String, value: String, schema: Option[String] = None,
+      table: Option[String] = None): Unit = {
+    val k = (schema, table) match {
+      case (Some(s), Some(t)) => s"opt:$key:table:$s.$t"
+      case (Some(s), None)    => s"opt:$key:schema:$s"
+      case (None, Some(t))    => s"opt:$key:table:main.$t"
+      case (None, None)       => s"opt:$key"
+    }
+    setMetadata(k, value)
+  }
+
+  /** Most-specific value of an option for a table scope. */
+  def getOption(key: String, schema: String, table: String): Option[String] =
+    getMetadata(s"opt:$key:table:$schema.$table")
+      .orElse(getMetadata(s"opt:$key:schema:$schema"))
+      .orElse(getMetadata(s"opt:$key"))
 
   /** Remove catalog rows for files visible at NO retained snapshot
     * (`end_snapshot <= min(retained)`) and return their resolved
@@ -1302,8 +1457,15 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * transaction; no new snapshot is created.
     */
   def purgeExpiredFiles(): Seq[(String, String, String)] = synchronized {
-    val minS = minSnapshot
-    def gone(a: String) = s"$a.end_snapshot IS NOT NULL AND $a.end_snapshot <= ?"
+    // a catalog row is expired when NO retained snapshot falls inside its
+    // validity window [begin, end) — after version-list expiry this also
+    // catches rows whose entire audience was expired from the middle of
+    // history (corpus: compaction/expire_snapshots.test)
+    def gone(a: String) =
+      s"""$a.end_snapshot IS NOT NULL AND NOT EXISTS (
+         |  SELECT 1 FROM ducklake_snapshot sn
+         |  WHERE sn.snapshot_id >= $a.begin_snapshot
+         |    AND sn.snapshot_id < $a.end_snapshot)""".stripMargin
     val naming =
       """JOIN ducklake_table t ON f.table_id = t.table_id
         |JOIN ducklake_schema s ON t.schema_id = s.schema_id""".stripMargin
@@ -1312,23 +1474,36 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // with the rows they were copied from
     def noLiveRef(tbl: String) =
       s"""NOT EXISTS (SELECT 1 FROM $tbl f2 WHERE f2.path = f.path
-         |AND NOT (f2.end_snapshot IS NOT NULL AND f2.end_snapshot <= ?))""".stripMargin
+         |AND NOT (${gone("f2")}))""".stripMargin
     val dataFiles = query(
-      s"SELECT s.schema_name, t.path, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_data_file")}",
-      Seq(minS, minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+      s"SELECT s.schema_name, t.path, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_data_file")}")(
+      rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     val delFiles = query(
-      s"SELECT s.schema_name, t.path, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_delete_file")}",
-      Seq(minS, minS))(rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
-    val goneBare = "end_snapshot IS NOT NULL AND end_snapshot <= ?"
+      s"SELECT s.schema_name, t.path, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_delete_file")}")(
+      rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     conn.setAutoCommit(false)
     try {
       update("DELETE FROM ducklake_file_column_stats WHERE data_file_id IN " +
-        s"(SELECT data_file_id FROM ducklake_data_file WHERE $goneBare)", Seq(minS))
+        s"""(SELECT data_file_id FROM ducklake_data_file f WHERE ${gone("f")})""")
       update("DELETE FROM ducklake_file_partition_value WHERE data_file_id IN " +
-        s"(SELECT data_file_id FROM ducklake_data_file WHERE $goneBare)", Seq(minS))
-      update(s"DELETE FROM ducklake_data_file WHERE $goneBare", Seq(minS))
-      update(s"DELETE FROM ducklake_delete_file WHERE $goneBare", Seq(minS))
-      update(s"DELETE FROM ducklake_inlined_data WHERE $goneBare", Seq(minS))
+        s"""(SELECT data_file_id FROM ducklake_data_file f WHERE ${gone("f")})""")
+      update("DELETE FROM ducklake_partial_file_info WHERE data_file_id IN " +
+        s"""(SELECT data_file_id FROM ducklake_data_file f WHERE ${gone("f")})""")
+      Seq("ducklake_data_file", "ducklake_delete_file", "ducklake_inlined_data")
+        .foreach(t => update(s"DELETE FROM $t f WHERE ${gone("f")}"))
+      // catalog objects whose whole lifetime was expired: dropped tables,
+      // their columns and partition keys (the reference leaves zero trace)
+      Seq("ducklake_column", "ducklake_partition_column", "ducklake_view")
+        .foreach(t => update(s"DELETE FROM $t f WHERE ${gone("f")}"))
+      query(s"""SELECT f.table_id FROM ducklake_table f WHERE ${gone("f")}""")(
+        _.getLong(1)).foreach { tid =>
+        Seq("ducklake_column", "ducklake_partition_column",
+          "ducklake_file_partition_value", "ducklake_inlined_data").foreach(t =>
+          update(s"DELETE FROM $t WHERE table_id = ?", Seq(tid)))
+        update("DELETE FROM ducklake_file_column_stats WHERE table_id = ?", Seq(tid))
+      }
+      update(s"""DELETE FROM ducklake_table f WHERE ${gone("f")}""")
+      update(s"""DELETE FROM ducklake_schema f WHERE ${gone("f")}""")
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e

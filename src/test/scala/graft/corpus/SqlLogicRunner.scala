@@ -56,12 +56,10 @@ final class SqlLogicRunner(spark: SparkSession) {
     "sqlite_" -> "sqlite metadata backend",
     "postgres" -> "postgres metadata backend",
     "::JSON" -> "json type",
-    "rowid" -> "global row-id virtual column",
     "SET PARTITIONED BY" -> "post-create partition-key ALTERs",
     "THEN INSERT VALUES" -> "merge insert-values shorthand",
     " UUID" -> "uuid type",
     " uuid" -> "uuid type",
-    "merge_adjacent_files" -> "compaction procedure dialect",
     "parquet_schema(" -> "parquet introspection TVF",
     "ducklake_table_info(" -> "duckdb table function syntax",
     "'NaN'" -> "non-finite float literals",
@@ -85,14 +83,8 @@ final class SqlLogicRunner(spark: SparkSession) {
     "snapshot_count" -> "duckdb snapshot introspection",
     "ducklake_snapshots(" -> "duckdb table function syntax",
     "ducklake_table_info(" -> "duckdb table function syntax",
-    "ducklake_expire_snapshots" -> "expire procedure dialect",
-    "ducklake_cleanup" -> "cleanup procedure dialect",
-    "ducklake_merge_adjacent_files" -> "compaction procedure dialect",
-    "ducklake_flush_inlined_data" -> "inline flush dialect",
-    "ducklake_rewrite_data_files" -> "rewrite procedure dialect",
     "ducklake.options" -> "attach options table",
     "DETACH" -> "detach/reattach cycles",
-    "set_option" -> "engine write-tuning options",
     "SET NOT NULL" -> "DSv2 forbids nullable->non-null ALTERs",
     "CALL dbgen" -> "tpch generator",
     "INTERVAL" -> "interval literal dialect",
@@ -330,6 +322,84 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val AddFilesListRe =
     """(?is)CALL\s+ducklake_add_data_files\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*\[([^\]]*)\]\s*(.*?)\)\s*;?""".r
   private val UseRe = """(?is)USE\s+([\w.]+)\s*;?\s*""".r
+  private val MergeAdjRe =
+    """(?is)CALL\s+(?:ducklake_)?merge_adjacent_files\(\s*([^)]*)\)\s*;?""".r
+  private val CleanupCallRe =
+    """(?is)CALL\s+(?:ducklake_)?cleanup_old_files\(\s*(.*)\)\s*;?""".r
+  private val ExpireCallRe =
+    """(?is)CALL\s+(?:ducklake_)?expire_snapshots\(\s*(.*)\)\s*;?""".r
+  private val FlushCallRe =
+    """(?is)CALL\s+(?:ducklake_)?flush_inlined_data\(\s*([^)]*)\)\s*;?""".r
+  private val SetOptionRe =
+    """(?is)CALL\s+(?:[\w.]+\.)?set_option\(\s*'([\w]+)'\s*,\s*('[^']*'|[\w.]+)\s*(.*?)\)\s*;?""".r
+  private val RewriteCallRe =
+    """(?is)CALL\s+(?:ducklake_)?rewrite_data_files\(\s*([^)]*)\)\s*;?""".r
+
+  /** Parse duckdb named-arg call bodies: positional strings + name=>value. */
+  private def callArgs(body: String): (Seq[String], Map[String, String]) = {
+    val named = """(\w+)\s*=>\s*('[^']*'|\[[^\]]*\]|[^,\s)]+)""".r
+      .findAllMatchIn(body).map(m => m.group(1).toLowerCase ->
+        m.group(2).stripPrefix("'").stripSuffix("'")).toMap
+    val withoutNamed = """(\w+)\s*=>\s*('[^']*'|\[[^\]]*\]|[^,\s)]+)""".r
+      .replaceAllIn(body, "")
+    val positional = "'([^']*)'".r.findAllMatchIn(withoutNamed)
+      .map(_.group(1)).toSeq
+    (positional, named)
+  }
+
+  private def tsOf(expr: String): java.sql.Timestamp =
+    if (expr.toLowerCase.contains("now"))
+      new java.sql.Timestamp(System.currentTimeMillis())
+    else java.sql.Timestamp.valueOf(
+      spark.sql(s"SELECT CAST(${expr} AS STRING)").head().getString(0)
+        .replace("T", " "))
+
+  private def runExpire(body: String): Seq[Long] = {
+    val (_, named) = callArgs(body)
+    val versions = named.get("versions").toSeq.flatMap(v =>
+      """\d+""".r.findAllIn(v).map(_.toLong).toSeq)
+    val dryRun = named.get("dry_run").exists(_.toBoolean)
+    lake.expireSnapshotsCall(
+      named.get("older_than").map(tsOf), versions, dryRun)
+  }
+
+  private def runCleanup(body: String): Seq[String] = {
+    val (_, named) = callArgs(body)
+    lake.cleanupOldFiles(
+      cleanupAll = named.get("cleanup_all").exists(_.toBoolean),
+      dryRun = named.get("dry_run").exists(_.toBoolean),
+      olderThan = named.get("older_than").map(tsOf))
+  }
+
+  private def runMergeAdjacent(body: String): Unit = {
+    val (positional, named) = callArgs(body)
+    // first positional string = the attach alias (when present), the
+    // second = a table name; unqualified form has neither
+    val table = positional.drop(1).headOption.orElse(positional.headOption
+      .filterNot(_.equalsIgnoreCase(catalogAlias)))
+    lake.mergeAdjacentFiles(table, named.get("schema"),
+      named.get("max_compacted_files").map { v =>
+        if (v.equalsIgnoreCase("null"))
+          throw new RuntimeException(
+            "The max_compacted_files option must be a non-null integer")
+        v.toInt
+      })
+  }
+
+  private def runFlushInlined(body: String): Unit = {
+    val (_, named) = callArgs(body)
+    lake.flushInlinedScope(named.get("table_name"), named.get("schema_name"))
+  }
+
+  private def runRewrite(body: String): Unit = {
+    val (positional, named) = callArgs(body)
+    val table = positional.drop(1).headOption.orElse(positional.headOption
+      .filterNot(_.equalsIgnoreCase(catalogAlias)))
+      .getOrElse(throw new RuntimeException("rewrite_data_files needs a table"))
+    val threshold = lake.getOption("rewrite_delete_threshold", s"main.$table")
+      .map(_.toDouble).getOrElse(0.95)
+    lake.rewriteFiles(if (table.contains(".")) table else s"main.$table", threshold)
+  }
   private val AddColIfNotExistsRe =
     """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+IF\s+NOT\s+EXISTS\s+(\w+)\s+(.*)""".r
   private val CopyQueryRe = """(?is)COPY\s*\((.*)\)\s*TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?""".r
@@ -359,6 +429,15 @@ final class SqlLogicRunner(spark: SparkSession) {
     case AddFilesListRe(_, table, list, rest) =>
       addFilesCall(table,
         "'([^']*)'".r.findAllMatchIn(list).map(_.group(1)).toSeq, rest)
+    case MergeAdjRe(body) => runMergeAdjacent(body)
+    case CleanupCallRe(body) => runCleanup(body)
+    case ExpireCallRe(body) => runExpire(body)
+    case FlushCallRe(body) => runFlushInlined(body)
+    case RewriteCallRe(body) => runRewrite(body)
+    case SetOptionRe(key, value, rest) =>
+      val (_, named) = callArgs(rest)
+      lake.setOption(key, value.stripPrefix("'").stripSuffix("'"),
+        named.get("schema"), named.get("table_name"))
     case CopyQueryRe(inner, target, opts) => copyTo(spark.sql(translate(inner)), target, opts)
     case CopyTableRe(table, target, opts) =>
       copyTo(spark.sql(translate(s"SELECT * FROM $table")), target, opts)
@@ -427,17 +506,64 @@ final class SqlLogicRunner(spark: SparkSession) {
     }
   }
 
+  private val GlobTvfRe = """(?is)\bglob\('([^']+)'\)""".r
+
+  /** duckdb glob(): matching FILES (never dirs), `**` recursing; Spark's
+    * hidden-file artifacts (.crc, _SUCCESS) excluded — the reference
+    * corpus never sees them.
+    */
+  private def globFiles(pattern: String): Seq[String] = {
+    def visible(p: String): Boolean = {
+      val n = p.substring(p.lastIndexOf('/') + 1)
+      !n.startsWith(".") && !n.startsWith("_")
+    }
+    (if (pattern.contains("**")) {
+      val base = Paths.get(pattern.substring(0, pattern.indexOf("**")).stripSuffix("/"))
+      val rest = pattern.substring(pattern.indexOf("**") + 2).stripPrefix("/")
+      if (Files.isDirectory(base))
+        Files.walk(base).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(_.toString)
+          .filter(p => rest.isEmpty || rest == "*" ||
+            (rest.startsWith("*") && p.endsWith(rest.stripPrefix("*"))))
+          .toSeq
+      else Nil
+    } else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
+        .map(_.toSeq.filter(_.isFile) // duckdb glob() lists files, not dirs
+          .map(_.getPath.toUri.getPath)).getOrElse(Nil)
+    }).filter(visible)
+  }
+
   private val TableInfoRe = """(?i)(?:\w+\.)?(?:ducklake_)?table_info\(\s*(?:'[^']*'\s*)?\)""".r
   private val GlobCountRe =
     """(?is)SELECT\s+COUNT\(\*\)\s+FROM\s+glob\('([^']+)'\)(?:\s+WHERE\s+'([^']+)'\s+IN\s+file(?:\.replace\([^)]*\))?)?\s*;?""".r
   private val ListFilesRe =
     """(?i)ducklake_list_files\(\s*'\w+'\s*,\s*'(\w+)'\s*\)""".r
 
+  private val ExpireTvfRe =
+    """(?is)(?:ducklake_)?expire_snapshots\(((?:[^()]|\([^()]*\))*)\)""".r
+  private val CleanupTvfRe =
+    """(?is)(?:ducklake_)?cleanup_old_files\(((?:[^()]|\([^()]*\))*)\)""".r
+
   private def queryDF(sql: String): DataFrame = {
     import spark.implicits._
     val t = sql.trim
     val descRe = """(?is)DESCRIBE\s+([\w.]+)\s*;?""".r
     t match {
+      case _ if ExpireTvfRe.findFirstIn(t).isDefined =>
+        // expire_snapshots as a table function: one row per expired id
+        val body = ExpireTvfRe.findFirstMatchIn(t).get.group(1)
+        runExpire(body).toDF("snapshot_id")
+          .createOrReplaceTempView("__slt_expired")
+        spark.sql(translate(ExpireTvfRe.replaceAllIn(t, "__slt_expired ")))
+      case _ if CleanupTvfRe.findFirstIn(t).isDefined =>
+        // cleanup_old_files as a table function: one row per file
+        val body = CleanupTvfRe.findFirstMatchIn(t).get.group(1)
+        runCleanup(body).toDF("path")
+          .createOrReplaceTempView("__slt_cleaned")
+        spark.sql(translate(CleanupTvfRe.replaceAllIn(t, "__slt_cleaned ")))
       case _ if t.stripSuffix(";").trim.equalsIgnoreCase("SHOW TABLES") =>
         // DuckDB's SHOW TABLES is a single `name` column
         spark.sql("SHOW TABLES").select("tableName")
@@ -456,29 +582,17 @@ final class SqlLogicRunner(spark: SparkSession) {
         // recurses (Hadoop globs don't, so walk manually)
         // hidden files (Hadoop .crc sidecars, _SUCCESS) are a Spark-side
         // artifact the reference corpus never sees — exclude them
-        def visible(p: String): Boolean = {
-          val n = p.substring(p.lastIndexOf('/') + 1)
-          !n.startsWith(".") && !n.startsWith("_")
-        }
-        val matched: Seq[String] =
-          (if (pattern.contains("**")) {
-            val base = Paths.get(pattern.substring(0, pattern.indexOf("**")).stripSuffix("/"))
-            if (Files.isDirectory(base))
-              Files.walk(base).iterator().asScala
-                .filter(Files.isRegularFile(_)).map(_.toString).toSeq
-            else Nil
-          } else {
-            val fs = org.apache.hadoop.fs.FileSystem.get(
-              new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
-            Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
-              .map(_.toSeq.filter(_.isFile) // duckdb glob() lists files, not dirs
-                .map(_.getPath.toUri.getPath)).getOrElse(Nil)
-          }).filter(visible)
+        val matched = globFiles(pattern)
         val n = Option(containsFilter) match {
           case Some(s) => matched.count(_.contains(s)).toLong
           case None    => matched.size.toLong
         }
         Seq(n).toDF("count")
+      case _ if GlobTvfRe.findFirstIn(t).isDefined =>
+        // generic glob('…') TVF: one row per matching file, column `file`
+        val pattern = GlobTvfRe.findFirstMatchIn(t).get.group(1)
+        globFiles(pattern).toDF("file").createOrReplaceTempView("__slt_glob")
+        spark.sql(translate(GlobTvfRe.replaceAllIn(t, "__slt_glob ")))
       case _ if TableInfoRe.findFirstIn(t).isDefined =>
         // ducklake.table_info() → reference-named per-table summary
         require(lake != null, "no lake attached")
@@ -557,6 +671,9 @@ final class SqlLogicRunner(spark: SparkSession) {
     var s = sql0
     // FROM-first queries: `FROM t …` → `SELECT * FROM t …`
     if (s.trim.toUpperCase.startsWith("FROM ")) s = "SELECT * " + s.trim
+    // `ORDER BY ALL`: row order is irrelevant — results compare as
+    // multisets — and Spark has no ALL shorthand
+    s = """(?i)\bORDER\s+BY\s+ALL(\s+(?:ASC|DESC))?""".r.replaceAllIn(s, "")
     // DuckDB `CREATE TEMPORARY TABLE` → Spark temp view
     s = """(?i)\bCREATE\s+TEMPORARY\s+TABLE\b""".r
       .replaceAllIn(s, "CREATE OR REPLACE TEMPORARY VIEW")

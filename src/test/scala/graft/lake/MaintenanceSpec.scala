@@ -66,8 +66,9 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.insertInto((51 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v")
       .coalesce(1), "main.twophase", WriteMode.Replace)
     lake.expireSnapshots(lake.currentSnapshot)
-    // phase 1: catalog rows purge, physical file stays on disk
-    assert(lake.scheduleVacuum() == 1)
+    // phase 1 rides the expiry itself (DuckLake semantics): catalog rows
+    // purge and the orphan is ALREADY scheduled — physical bytes stay
+    assert(lake.scheduleVacuum() == 0)
     assert(filesOnDisk("twophase").count(_.startsWith("ducklake-")) == 2)
     // a long retention window defers the physical delete
     assert(lake.purgeScheduled(java.time.Duration.ofDays(7)) == 0)
