@@ -625,11 +625,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def readGroup(name: String, fsGroup: Seq[DataFileRec],
       epoch: Seq[(ColumnDef, Option[ColumnDef])],
-      partVals: Map[Long, Option[String]], withPos: Boolean): DataFrame = {
-    val physSchema = StructType(epoch.collect {
+      partVals: Map[Long, Option[String]], withPos: Boolean,
+      withRowIdCol: Boolean = false): DataFrame = {
+    val physSchema0 = StructType(epoch.collect {
       case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
         StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
     })
+    // UPDATE-written files carry an explicit per-row stable id column
+    // (row_id_start NULL in the catalog); request it when the rowid
+    // virtual needs it — absent in legacy files, read as null
+    val physSchema = if (withRowIdCol)
+      physSchema0.add(DuckLake.RowIdPhysCol, LongType, nullable = true)
+    else physSchema0
     val paths = fsGroup.map(f => dataFilePath(name, f))
     val base = reader(fsGroup.map(f => f.path -> f.encryptionKey))
       .schema(physSchema).parquet(paths: _*)
@@ -644,7 +651,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       case (cur, None) => // column added after this file was written:
         // rows get the column's initial default (null when none declared)
         defaultColumn(cur).as(cur.name)
-    }
+    } ++ (if (withRowIdCol) Seq(col(DuckLake.RowIdPhysCol)) else Nil)
     if (withPos) base.select(projection :+ col("_metadata.row_index").as("__ducklake_pos"): _*)
     else base.select(projection: _*)
   }
@@ -653,25 +660,26 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * rename-safe path — scan, deleteWhere, CDC — goes through).
     */
   private def readFile(name: String, ctx: ScanCtx, f: DataFileRec,
-      withPos: Boolean): DataFrame =
-    readGroup(name, Seq(f), physOf(ctx, f), injectedValues(ctx, f), withPos)
+      withPos: Boolean, withRowIdCol: Boolean = false): DataFrame =
+    readGroup(name, Seq(f), physOf(ctx, f), injectedValues(ctx, f), withPos,
+      withRowIdCol)
 
   /** One file's LIVE rows: epoch-projected, MOR delete positions
     * anti-joined away (broadcast — delete sets are small relative to
     * data).
     */
   private def morReadFile(name: String, ctx: ScanCtx, f: DataFileRec,
-      keepPos: Boolean = false): DataFrame =
+      keepPos: Boolean = false, withRowIdCol: Boolean = false): DataFrame =
     f.deleteFile match {
       case None =>
-        readFile(name, ctx, f, withPos = keepPos)
+        readFile(name, ctx, f, withPos = keepPos, withRowIdCol = withRowIdCol)
       case Some(del) =>
         val positions = reader(Seq(del.path -> del.encryptionKey))
           .schema(StructType(Seq(
             StructField("file_path", StringType), StructField("pos", LongType))))
           .parquet(filePath(name, del.path))
           .select(col("pos"))
-        val live = readFile(name, ctx, f, withPos = true)
+        val live = readFile(name, ctx, f, withPos = true, withRowIdCol = withRowIdCol)
           .join(broadcast(positions), col("__ducklake_pos") === col("pos"), "left_anti")
           .drop("pos")
         if (keepPos) live else live.drop("__ducklake_pos")
@@ -682,16 +690,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * `cols` — the inline counterpart of the per-file epoch projection.
     */
   private def inlinedDF(tr: TableRec, cols: Seq[ColumnDef], snap: Long,
-      withRowId: Boolean = false, virtual: Set[String] = Set.empty): Option[DataFrame] = {
+      withRowId: Boolean = false, virtual: Set[String] = Set.empty,
+      txnSnap: Option[Long] = None, txnBase: Long = 0L): Option[DataFrame] = {
     val rows = store.getInlinedRows(tr.tableId, snap)
     if (rows.isEmpty) return None
     import spark.implicits._
     val dfs = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (beginSnap, group) =>
+      val txnLocal = txnSnap.contains(beginSnap)
       val epochCols = store.getTableColumns(tr.tableId, beginSnap)
       val epochSchema = StructType(epochCols.map(c =>
         StructField(c.name, TypeBridge.toSpark(c.dtype), nullable = true)))
       val byId = epochCols.map(c => c.columnId -> c).toMap
-      val parsed = group.map(g => (g._1, g._3)).toDF("__row_id", "__json")
+      val parsed = group.sortBy(_._1).zipWithIndex
+        .map { case (g, i) => (g._1, g._3, i.toLong) }
+        .toDF("__row_id", "__json", "__frn")
         .withColumn("__p", from_json(col("__json"), epochSchema,
           Map("allowNonNumericNumbers" -> "true")))
       val projection = cols.map { c =>
@@ -701,9 +713,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           case None => defaultColumn(c).as(c.name)
         }
       } ++ virtual.toSeq.sorted.map { v =>
-        // inlined rows live in the catalog: their commit snapshot is
-        // real, the file-shaped virtuals are null
-        if (v == DuckLake.VirtualSnapshot) lit(beginSnap).as(v)
+        // inlined rows live in the catalog: commit snapshot and stable
+        // row id are real; txn-local rows show provisional ids and the
+        // reference's inlined pseudo-filenames
+        if (v == DuckLake.VirtualSnapshot)
+          (if (txnLocal) lit(null).cast(LongType) else lit(beginSnap)).as(v)
+        else if (v == DuckLake.VirtualRowId)
+          (if (txnLocal) lit(DuckLake.TxnLocalRowIdBase - txnBase) + col("__row_id")
+           else col("__row_id")).as(v)
+        else if (v == DuckLake.VirtualFilename)
+          lit(if (txnLocal) "__ducklake_inlined_transaction_local_data"
+              else s"ducklake_inlined_data_${tr.tableId}_1").as(v)
+        else if (v == DuckLake.VirtualRowNumber) col("__frn").as(v)
+        else if (v == DuckLake.VirtualFileIndex)
+          lit(if (txnLocal) 1L else 0L).as(v)
         else lit(null).cast(DuckLake.virtualType(v)).as(v)
       }
       if (withRowId) parsed.select(projection :+ col("__row_id"): _*)
@@ -738,8 +761,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val files = pruneByStats(tr, ctx, sparkSchemaOf(cols),
       store.getDataFiles(tr.tableId, snap), pushedFilters)
     scanned = files
+    // rows born inside the OPEN transaction present provisional
+    // transaction-local row ids (1e18-based) and a null snapshot until
+    // COMMIT makes their final ids visible (DuckLake semantics)
+    val txnSnap = store.openTransactionSnapshot.filter(_ == snap)
+    val txnBase: Long = txnSnap.map { s =>
+      val fileMin = files.filter(_.beginSnapshot == s).flatMap(_.rowIdStart)
+      val inlMin = store.getInlinedRows(tr.tableId, snap)
+        .filter(_._2 == s).map(_._1)
+      (fileMin ++ inlMin).minOption.getOrElse(0L)
+    }.getOrElse(0L)
     // inlined catalog rows are always included (never stats-pruned)
-    val inlined = inlinedDF(tr, cols, snap, withRowId = false, virtual = vset)
+    val inlined = inlinedDF(tr, cols, snap, withRowId = false, virtual = vset,
+      txnSnap = txnSnap, txnBase = txnBase)
     if (files.isEmpty)
       return inlined.getOrElse(
         spark.createDataFrame(new java.util.ArrayList[Row](), outSchema))
@@ -770,10 +804,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val scans = files.map { f =>
         val partialPrefix = f.visibleRowsAt(snap) // < recordCount ⇒ merged-file time travel
         val withPos = needPos || partialPrefix < f.recordCount
+        val explicitIds = vset(DuckLake.VirtualRowId) &&
+          f.rowIdStart.isEmpty && f.segments.isEmpty
         val base0 = f.deleteFile match {
-          case Some(_) => morReadFile(name, ctx, f, keepPos = withPos)
+          case Some(_) => morReadFile(name, ctx, f, keepPos = withPos,
+            withRowIdCol = explicitIds)
           case None => readGroup(name, Seq(f), physOf(ctx, f),
-            injectedValues(ctx, f), withPos = withPos)
+            injectedValues(ctx, f), withPos = withPos, withRowIdCol = explicitIds)
         }
         val base = if (partialPrefix < f.recordCount)
           base0.filter(col("__ducklake_pos") < partialPrefix) else base0
@@ -784,26 +821,37 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             when(col("__ducklake_pos") >= s.startPos &&
               col("__ducklake_pos") < s.startPos + s.rowCount, value(s)).otherwise(acc)
           }
+        val txnLocal = txnSnap.contains(f.beginSnapshot)
         val withNum = Seq(DuckLake.VirtualRowNumber, DuckLake.VirtualPos)
           .filter(vset).foldLeft(base)((d, v) => d.withColumn(v, col("__ducklake_pos")))
-        // stable per-table row id: the file's claimed range + local position
+        // stable per-table row id: the file's claimed range + local
+        // position; provisional 1e18-based while its txn is still open
+        val rowIdShift =
+          if (txnLocal) DuckLake.TxnLocalRowIdBase - txnBase else 0L
         val withRid = if (!vset(DuckLake.VirtualRowId)) withNum
           else if (f.segments.nonEmpty)
             withNum.withColumn(DuckLake.VirtualRowId, bySegment(s =>
-              s.rowIdStart.map(r => lit(r) + (col("__ducklake_pos") - s.startPos))
+              s.rowIdStart.map(r => lit(r + rowIdShift) + (col("__ducklake_pos") - s.startPos))
                 .getOrElse(lit(null).cast(LongType))))
           else withNum.withColumn(DuckLake.VirtualRowId, f.rowIdStart match {
-            case Some(start) => lit(start) + col("__ducklake_pos")
-            case None        => lit(null).cast(LongType)
+            case Some(start) => lit(start + rowIdShift) + col("__ducklake_pos")
+            case None => // explicit in-file ids (UPDATE-written): the rows
+              // are updated VERSIONS keeping their original ids — never
+              // shifted to transaction-local, even inside the open txn
+              col(DuckLake.RowIdPhysCol).cast(LongType)
           })
         var d = withRid
         if (vset(DuckLake.VirtualSnapshot))
           d = d.withColumn(DuckLake.VirtualSnapshot,
-            if (f.segments.nonEmpty) bySegment(s => lit(s.beginSnapshot))
+            if (txnLocal) lit(null).cast(LongType)
+            else if (f.segments.nonEmpty) bySegment(s => lit(s.beginSnapshot))
             else lit(f.beginSnapshot))
         if (withPos) d = d.drop("__ducklake_pos")
+        if (explicitIds) d = d.drop(DuckLake.RowIdPhysCol)
         if (vset(DuckLake.VirtualFileId))
           d = d.withColumn(DuckLake.VirtualFileId, lit(f.dataFileId))
+        if (vset(DuckLake.VirtualFileIndex))
+          d = d.withColumn(DuckLake.VirtualFileIndex, lit(files.indexOf(f).toLong))
         if (vset(DuckLake.VirtualFilename))
           d = d.withColumn(DuckLake.VirtualFilename, lit(dataFilePath(name, f)))
         d
@@ -921,9 +969,36 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // Positions NEVER aggregate on the driver: the only collected values
     // are per-file ids — `DELETE WHERE <half the table>` at 100 TB costs
     // a shuffle, not driver heap.
+    // predicates may reference VIRTUAL columns (`DELETE … WHERE rowid=7`,
+    // corpus rowid/ducklake_row_id.test) — materialize the referenced
+    // ones per file before filtering
+    val virtNeeded: Set[String] =
+      org.apache.spark.sql.graftbridge.ColumnBridge.references(cond)
+        .toSet.intersect(DuckLake.VirtualNames.toSet)
+    def rowIdExprFor(f: DataFileRec): Column = f.rowIdStart match {
+      case Some(start) => lit(start) + col("__ducklake_pos")
+      case None if f.segments.nonEmpty =>
+        f.segments.foldRight(lit(null).cast(LongType)) { (sg, acc) =>
+          when(col("__ducklake_pos") >= sg.startPos &&
+            col("__ducklake_pos") < sg.startPos + sg.rowCount,
+            sg.rowIdStart.map(r => lit(r) + (col("__ducklake_pos") - sg.startPos))
+              .getOrElse(lit(null).cast(LongType))).otherwise(acc)
+        }
+      case None => col(DuckLake.RowIdPhysCol).cast(LongType)
+    }
     val matched = files.map { f =>
-      readFile(name, ctx, f, withPos = true)
-        .filter(cond)
+      val needRowCol = virtNeeded(DuckLake.VirtualRowId) &&
+        f.rowIdStart.isEmpty && f.segments.isEmpty
+      var df = readFile(name, ctx, f, withPos = true, withRowIdCol = needRowCol)
+      if (virtNeeded(DuckLake.VirtualRowId))
+        df = df.withColumn(DuckLake.VirtualRowId, rowIdExprFor(f))
+      if (virtNeeded(DuckLake.VirtualSnapshot))
+        df = df.withColumn(DuckLake.VirtualSnapshot, lit(f.beginSnapshot))
+      if (virtNeeded(DuckLake.VirtualRowNumber))
+        df = df.withColumn(DuckLake.VirtualRowNumber, col("__ducklake_pos"))
+      if (virtNeeded(DuckLake.VirtualFilename))
+        df = df.withColumn(DuckLake.VirtualFilename, lit(dataFilePath(name, f)))
+      df.filter(cond)
         .select(lit(f.dataFileId).as("__fid"), col("__ducklake_pos").as("pos"))
     }.reduceOption(_ union _)
     val previous = files.flatMap(f => f.deleteFile.map(d =>
@@ -939,7 +1014,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
     // inlined rows matching the predicate are ended in the same snapshot
     // (bounded by inlineRowLimit — driver-safe by construction)
-    val inlinedIds = inlinedDF(tr, cols, snap, withRowId = true) match {
+    val inlinedIds = inlinedDF(tr, cols, snap, withRowId = true,
+        virtual = virtNeeded) match {
       case Some(df) => df.filter(cond).select("__row_id").collect().map(_.getLong(0)).toSeq
       case None     => Nil
     }
@@ -1004,7 +1080,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private[lake] def commitDeltaStaged(schemaName: String, tableName: String,
       cols: Seq[ColumnDef], stagedNew: Seq[(Path, Seq[Option[String]])],
       dataSchema: StructType, keyOpt: Option[String],
-      deletePartials: Seq[Path]): Long = {
+      deletePartials: Seq[Path],
+      stagedRowId: Seq[(Path, Seq[Option[String]])] = Nil): Long = {
     val name = s"$schemaName.$tableName"
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)
@@ -1027,9 +1104,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
     val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, stagedNew,
       dataSchema, keyOpt)
-    try store.commitRowDelta(schemaName, tableName, cols, newFiles, delRegs)
+    // UPDATE-written files carry each row's stable id as an explicit
+    // column; they register with NULL row_id_start (DuckLake marker)
+    val (rowIdFiles, renamed2) = stageIntoTableDir(schemaName, tableName, stagedRowId,
+      dataSchema, keyOpt)
+    try store.commitRowDelta(schemaName, tableName, cols,
+      newFiles ++ rowIdFiles.map(_.copy(explicitRowIds = true)), delRegs)
     catch { case e: Throwable =>
       cleanupRenamed(renamed)
+      cleanupRenamed(renamed2)
       cleanupRenamed(delRegs.map(d => new Path(s"${tableDirOf(name)}/${d._2.path}")))
       throw e
     }
@@ -1233,8 +1316,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           .map(t => s"${s.name}.${t.name}"))
     }
     targets.count { t =>
-      val before = store.currentSnapshot
-      flushInlined(t) != before
+      // an EXPLICIT auto_compact=false scope defers flushing for that
+      // table (corpus: data_inlining/inlining_global_options.test)
+      if (getOption("auto_compact", t).exists(_.equalsIgnoreCase("false"))) false
+      else {
+        val before = store.currentSnapshot
+        flushInlined(t) != before
+      }
     }
   }
 
@@ -1381,10 +1469,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       colsAt(f.epoch).map(c => (c.columnId, c.name, TypeBridge.normalize(c.dtype)))
     // mergeable: no MOR deletes, not adopted, stable row range known
     // (sources that are themselves merged carry it in their segment map)
-    // packing unit is the file's CONTENT size (footer overhead excluded —
-    // tiny files are mostly footer); with a target set, files already at
-    // or above it never merge
-    def logical(f: DataFileRec): Long = math.max(f.fileSizeBytes - f.footerSize, 1L)
+    // packing unit is an estimate of the file's CONTENT size (parquet
+    // metadata dominates small files; ~4:1 is the observed overhead+
+    // compression factor); with a target set, files at or above it never
+    // merge
+    def logical(f: DataFileRec): Long = math.max(f.fileSizeBytes / 4, 1L)
     val candidates = store.getDataFiles(tr.tableId, snap).filter(f =>
       f.deleteFile.isEmpty && f.mappingId.isEmpty && logical(f) < maxBytes &&
         (f.rowIdStart.isDefined || f.segments.exists(_.rowIdStart.isDefined)))
@@ -2143,11 +2232,22 @@ object DuckLake {
   final val VirtualFilename  = "filename"
   final val VirtualRowNumber = "file_row_number"
   final val VirtualRowId     = "rowid"
+  final val VirtualFileIndex = "file_index"
   final val VirtualFileId    = "_file_id"
   final val VirtualPos       = "_pos"
   final val VirtualNames: Seq[String] =
     Seq(VirtualSnapshot, VirtualFilename, VirtualRowNumber, VirtualRowId,
-      VirtualFileId, VirtualPos)
+      VirtualFileIndex, VirtualFileId, VirtualPos)
+
+  /** First provisional row id of rows born in a still-open transaction
+    * (DuckLake constant; corpus: rowid/ducklake_row_id.test).
+    */
+  final val TxnLocalRowIdBase = 1000000000000000000L
+
+  /** Physical column holding explicit per-row stable ids in files written
+    * by row-level UPDATE (catalog row_id_start NULL).
+    */
+  final val RowIdPhysCol = "_ducklake_row_id"
 
   def virtualType(v: String): DataType = v match {
     case VirtualFilename => StringType

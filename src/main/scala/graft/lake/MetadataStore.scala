@@ -40,7 +40,7 @@ final case class ColumnStatRec(columnName: String, valueCount: Long,
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
     footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None,
     partitionValues: Seq[Option[String]] = Nil, pathIsRelative: Boolean = true,
-    mappingId: Option[Long] = None)
+    mappingId: Option[Long] = None, explicitRowIds: Boolean = false)
 
 /** One column of a name-based mapping for an ADOPTED parquet file
   * (`ducklake_add_data_files`): catalog column_id → the column's name and
@@ -361,6 +361,56 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   override def close(): Unit = synchronized { conn.close() }
 
+  // ---------- metadata-catalog SQL surface ----------
+
+  /** Read-only dump of one catalog table for the METADATA_CATALOG SQL
+    * surface (`<meta>.ducklake_*` queries — DuckLake exposes its catalog
+    * database as an attached catalog). Returns (columns with JDBC type
+    * codes, rows). Synthesized views `ducklake_table_stats` /
+    * `ducklake_table_column_stats` aggregate the per-file stats the way
+    * the DuckLake spec stores them.
+    */
+  def dumpMetadataTable(name: String): (Seq[(String, Int)], Seq[Seq[Any]]) = synchronized {
+    val n = name.toLowerCase
+    val sql = n match {
+      case "ducklake_table_stats" =>
+        """SELECT t.table_id,
+          |  (SELECT COALESCE(SUM(f.record_count), 0) FROM ducklake_data_file f
+          |     WHERE f.table_id = t.table_id AND f.end_snapshot IS NULL) AS record_count,
+          |  (SELECT COALESCE(MAX(f.row_id_start + f.record_count), 0) FROM ducklake_data_file f
+          |     WHERE f.table_id = t.table_id) AS next_row_id,
+          |  (SELECT COALESCE(SUM(f.file_size_bytes), 0) FROM ducklake_data_file f
+          |     WHERE f.table_id = t.table_id AND f.end_snapshot IS NULL) AS file_size_bytes
+          |FROM ducklake_table t WHERE t.end_snapshot IS NULL""".stripMargin
+      case "ducklake_table_column_stats" =>
+        """SELECT s.table_id, s.column_id,
+          |  CASE WHEN SUM(COALESCE(s.null_count, 0)) > 0 THEN true ELSE false END AS contains_null,
+          |  CAST(NULL AS BOOLEAN) AS contains_nan,
+          |  MIN(s.min_value) AS min_value, MAX(s.max_value) AS max_value
+          |FROM ducklake_file_column_stats s
+          |JOIN ducklake_data_file f ON f.data_file_id = s.data_file_id
+          |WHERE f.end_snapshot IS NULL
+          |GROUP BY s.table_id, s.column_id""".stripMargin
+      case "ducklake_partition_info" =>
+        """SELECT table_id, partition_key_index, column_id, transform,
+          |  begin_snapshot, end_snapshot
+          |FROM ducklake_partition_column""".stripMargin
+      case other if other.startsWith("ducklake_") && other.matches("[a-z_]+") =>
+        s"SELECT * FROM $other"
+      case other => throw new InvalidConfigException(s"not a metadata table: $other")
+    }
+    val ps = conn.prepareStatement(sql)
+    try {
+      val rs = ps.executeQuery()
+      val md = rs.getMetaData
+      val cols = (1 to md.getColumnCount)
+        .map(i => (md.getColumnLabel(i).toLowerCase, md.getColumnType(i)))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (rs.next()) rows += (1 to md.getColumnCount).map(rs.getObject(_)).toSeq
+      (cols, rows.toSeq)
+    } finally ps.close()
+  }
+
   // ---------- generic helpers ----------
 
   private def query[A](sql: String, args: Seq[Any] = Nil)(f: ResultSet => A): Seq[A] =
@@ -396,6 +446,21 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val hw = getMetadata(hwKey).map(_.toLong).getOrElse(0L)
     val id = Seq(live, hw, floor).max
     setMetadata(hwKey, (id + 1).toString)
+    id
+  }
+
+  /** Catalog ENTRY ids (schemas, tables, views) draw from one shared
+    * monotone sequence, like the reference's catalog (corpus:
+    * compaction/merge_adjacent_options.test id expectations).
+    */
+  private def nextCatalogId(): Long = {
+    val live = Seq(
+      query("SELECT COALESCE(MAX(schema_id), -1) + 1 FROM ducklake_schema")(_.getLong(1)).head,
+      query("SELECT COALESCE(MAX(table_id), -1) + 1 FROM ducklake_table")(_.getLong(1)).head,
+      query("SELECT COALESCE(MAX(view_id), -1) + 1 FROM ducklake_view")(_.getLong(1)).head).max
+    val hw = getMetadata("seq:catalog").map(_.toLong).getOrElse(0L)
+    val id = math.max(live, hw)
+    setMetadata("seq:catalog", (id + 1).toString)
     id
   }
 
@@ -637,6 +702,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   def inTransaction: Boolean = synchronized(txnOpen)
 
+  /** The open transaction's shared snapshot, if any statement has
+    * committed into it yet — rows born there present TRANSACTION-LOCAL
+    * row ids until COMMIT (corpus: rowid/ducklake_row_id.test).
+    */
+  def openTransactionSnapshot: Option[Long] = synchronized {
+    if (txnOpen) openTxnSnap else None
+  }
+
   def beginTransaction(): Unit = synchronized {
     if (txnOpen) throw new UnsupportedException("transaction already open")
     conn.setAutoCommit(false)
@@ -791,7 +864,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   private def getOrCreateSchema(name: String, snap: Long): SchemaRec =
     getSchemaByName(name, snap).getOrElse {
       PathResolver.validateName(name)
-      val id = nextId("ducklake_schema", "schema_id")
+      val id = nextCatalogId()
       update("INSERT INTO ducklake_schema VALUES (?, ?, ?, ?, ?, NULL)",
         Seq(id, name, name + "/", true, snap))
       SchemaRec(id, name, name + "/", pathIsRelative = true)
@@ -830,7 +903,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val schema = getOrCreateSchema(schemaName, snap)
     val table = getTableByName(schema.schemaId, tableName, snap).getOrElse {
       // reference numbering: table ids start at 1 (snapshot 0 = empty catalog)
-      val id = nextId("ducklake_table", "table_id", floor = 1L)
+      val id = nextCatalogId()
       update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
         Seq(id, schema.schemaId, tableName, tableName + "/", true, snap))
       TableRec(id, schema.schemaId, tableName, tableName + "/", pathIsRelative = true)
@@ -924,8 +997,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new InternalException(
           s"file ${f.path}: ${f.partitionValues.size} partition values for $nKeys keys")
       val id = nextId("ducklake_data_file", "data_file_id")
-      val rowStart = nextRowId
-      nextRowId += f.recordCount
+      // files carrying an explicit _ducklake_row_id column (row-level
+      // UPDATE keeps each row's stable id) register with NULL
+      // row_id_start — the DuckLake marker for "ids live in the file"
+      val rowStart: Any = if (f.explicitRowIds) null else {
+        val r = nextRowId; nextRowId += f.recordCount; Long.box(r)
+      }
       update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
         Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount, f.fileSizeBytes,
           f.footerSize, snap, f.encryptionKey.orNull, snap,
@@ -956,11 +1033,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def commitWriteWithInlined(spec: TableWriteSpec, rowsJson: Seq[String]): Long =
     inSnapshotTxn { snap =>
       registerWrite(snap, spec)
+      nextId("ducklake_data_file", "data_file_id") // id burned, never reused
       val schema = getSchemaByName(spec.schemaName, snap).get
       val table = getTableByName(schema.schemaId, spec.tableName, snap).get
-      var rid = query(
+      var rid = math.max(nextRowIdFor(table.tableId), query(
         "SELECT COALESCE(MAX(row_id), -1) + 1 FROM ducklake_inlined_data WHERE table_id = ?",
-        Seq(table.tableId))(_.getLong(1)).head
+        Seq(table.tableId))(_.getLong(1)).head)
       rowsJson.foreach { j =>
         update("INSERT INTO ducklake_inlined_data VALUES (?, ?, ?, NULL, ?)",
           Seq(table.tableId, rid, snap, j))
@@ -970,9 +1048,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
 
   def commitInlined(tableId: Long, rowsJson: Seq[String]): Long = inSnapshotTxn { snap =>
-    var rid = query(
+    nextId("ducklake_data_file", "data_file_id") // id burned, never reused
+    // inlined rows claim STABLE table row ids from the same sequence as
+    // files (corpus: data_inlining/basic_data_inlining.test rowid block)
+    var rid = math.max(nextRowIdFor(tableId), query(
       "SELECT COALESCE(MAX(row_id), -1) + 1 FROM ducklake_inlined_data WHERE table_id = ?",
-      Seq(tableId))(_.getLong(1)).head
+      Seq(tableId))(_.getLong(1)).head)
     rowsJson.foreach { j =>
       update("INSERT INTO ducklake_inlined_data VALUES (?, ?, ?, NULL, ?)",
         Seq(tableId, rid, snap, j))
@@ -1146,7 +1227,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     PathResolver.validateName(name)
     if (getView(schemaId, name, snap).isDefined)
       throw new UnsupportedException(s"view already exists: $name")
-    val id = nextId("ducklake_view", "view_id")
+    val id = nextCatalogId()
     update("INSERT INTO ducklake_view VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
       Seq(id, schemaId, name, sqlText, currentCatalog, currentNamespace,
         schemaJson, queryColumnNames, snap))
@@ -1680,7 +1761,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // clone would point at the wrong directory
       if (src._1 != sch.schemaId)
         throw new UnsupportedException("cross-schema clone is not supported")
-      val tid = nextId("ducklake_table", "table_id", floor = 1L)
+      val tid = nextCatalogId()
       // the clone points at the source's directory: new files written to
       // either table land there under fresh UUID names
       update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",

@@ -33,7 +33,8 @@ final case class StagedFiles(files: Seq[(String, Seq[Option[String]])])
   * never materializes a delete set.
   */
 final case class DeltaStaged(files: Seq[(String, Seq[Option[String]])],
-    deleteFiles: Seq[String]) extends WriterCommitMessage
+    deleteFiles: Seq[String],
+    rowIdFiles: Seq[(String, Seq[Option[String]])] = Nil) extends WriterCommitMessage
 
 /** Native distributed DELTA write — the merge-on-read half of SQL
   * UPDATE / MERGE (Spark's `SupportsDelta` row-level path): executors
@@ -44,12 +45,20 @@ final case class DeltaStaged(files: Seq[(String, Seq[Option[String]])],
   * table size — the 100 TB property the copy-on-write rewrite lacks.
   */
 final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
-    rowSchema: StructType) extends DeltaWrite with DeltaBatchWrite {
+    rawSchema: StructType) extends DeltaWrite with DeltaBatchWrite {
 
   private val (schemaName, tableName) = fullName.split('.') match {
     case Array(s, t) => (s, t)
     case _           => ("main", fullName)
   }
+  // when a SET expression references a metadata column, Spark appends
+  // ALL metadata columns after the data columns in the write schema —
+  // strip them (values arrive but are not table data)
+  private val metaNames: Set[String] =
+    Set(DuckLakePartitionPlanner.FileIdCol, DuckLakePartitionPlanner.PosCol) ++
+      DuckLake.VirtualNames
+  private val rowSchema =
+    StructType(rawSchema.fields.filterNot(f => metaNames.contains(f.name)))
   private val partFields = lake.partitionFieldsOf(fullName)
   private val partKeys = partFields.map(pf =>
     (rowSchema.fieldIndex(pf.source), pf.transform.orNull)).toArray
@@ -64,9 +73,15 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration)
+    // updated rows keep their stable id: a second writer family appends
+    // the explicit _ducklake_row_id column (read back by the rowid
+    // virtual; catalog rows register with NULL row_id_start)
+    val rowIdSchema = StructType(rowSchema.fields :+
+      StructField(DuckLakePartitionPlanner.RowIdPhysCol, LongType, nullable = true))
     new DeltaGroupWriterFactory(
       new GroupDataWriterFactory(staging, conf, rowSchema, partKeys, keyOpt),
-      staging, conf, keyOpt)
+      new GroupDataWriterFactory(staging, conf, rowIdSchema, partKeys, keyOpt),
+      rowSchema.length, staging, conf, keyOpt)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -76,11 +91,14 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
       val deltas = messages.toSeq.collect { case d: DeltaStaged => d }
       val staged = deltas.flatMap(_.files)
         .map { case (name, pvs) => (new Path(s"$staging/$name"), pvs) }
+      val stagedRowId = deltas.flatMap(_.rowIdFiles)
+        .map { case (name, pvs) => (new Path(s"$staging/$name"), pvs) }
       val cols = rowSchema.fields.zipWithIndex.map { case (f, i) =>
         ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
       }.toSeq
       lake.commitDeltaStaged(schemaName, tableName, cols, staged, dataSchema,
-        keyOpt, deltas.flatMap(_.deleteFiles).map(n => new Path(s"$staging/$n")))
+        keyOpt, deltas.flatMap(_.deleteFiles).map(n => new Path(s"$staging/$n")),
+        stagedRowId)
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -98,17 +116,34 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
   * fixed by `SupportsDelta.rowId`: (_file_id BIGINT, _pos BIGINT).
   */
 final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory,
+    rowIdInner: GroupDataWriterFactory, nDataCols: Int,
     staging: String, hconf: SerializableConfiguration, key: Option[String])
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val insertWriter = inner.createWriter(partitionId, taskId)
+      private var rowIdWriter: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = null
       private var delWriter: ParquetWriter[Group] = null
       private var delName: String = null
       private var delFactory: SimpleGroupFactory = null
 
-      override def insert(row: InternalRow): Unit = insertWriter.write(row)
+      /** Rows may carry TRAILING metadata columns (a SET referenced one);
+        * slice to the data prefix.
+        */
+      private def dataOnly(row: InternalRow): InternalRow =
+        if (row.numFields <= nDataCols) row
+        else {
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nDataCols)
+          var i = 0
+          while (i < nDataCols) {
+            out.update(i, if (row.isNullAt(i)) null else row.get(i, inner.fieldType(i)))
+            i += 1
+          }
+          out
+        }
+
+      override def insert(row: InternalRow): Unit = insertWriter.write(dataOnly(row))
 
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         if (delWriter == null) {
@@ -131,20 +166,42 @@ final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory,
 
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
         delete(meta, id)
-        insert(row)
+        // rowId layout is (_file_id, _pos, rowid): the scan already
+        // resolved the row's stable id — write it INTO the new file
+        if (id.numFields >= 3 && !id.isNullAt(2)) {
+          if (rowIdWriter == null)
+            rowIdWriter = rowIdInner.createWriter(partitionId, taskId + 1000000L)
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nDataCols + 1)
+          var i = 0
+          while (i < nDataCols) {
+            out.update(i, if (row.isNullAt(i)) null
+              else row.get(i, rowIdInner.fieldType(i)))
+            i += 1
+          }
+          out.update(nDataCols, id.getLong(2))
+          rowIdWriter.write(out)
+        } else insert(row)
       }
 
       override def commit(): WriterCommitMessage = {
         if (delWriter != null) delWriter.close()
         val StagedFiles(files) = insertWriter.commit(): @unchecked
-        DeltaStaged(files, Option(delName).toSeq)
+        val rowIdFiles = if (rowIdWriter == null) Nil else {
+          val StagedFiles(fs) = rowIdWriter.commit(): @unchecked
+          fs
+        }
+        DeltaStaged(files, Option(delName).toSeq, rowIdFiles)
       }
 
       override def abort(): Unit = {
         if (delWriter != null) { try delWriter.close() catch { case _: Throwable => () } }
+        if (rowIdWriter != null) rowIdWriter.abort()
         insertWriter.abort()
       }
-      override def close(): Unit = insertWriter.close()
+      override def close(): Unit = {
+        if (rowIdWriter != null) rowIdWriter.close()
+        insertWriter.close()
+      }
     }
 }
 
@@ -218,6 +275,9 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
 final class GroupDataWriterFactory(staging: String, hconf: SerializableConfiguration,
     schema: StructType, partKeys: Array[(Int, String)], key: Option[String])
     extends DataWriterFactory {
+
+  /** Logical type of field `i` (update()'s typed InternalRow copy). */
+  def fieldType(i: Int): DataType = schema.fields(i).dataType
 
   // legacy identity-only signature (kept for binary/test compatibility)
   def this(staging: String, hconf: SerializableConfiguration, schema: StructType,

@@ -40,7 +40,12 @@ final case class DuckLakeFilePartition(path: String, encryptionKey: Option[Strin
     isPartCol: Array[Boolean], partRaw: Array[String],
     deletePath: String = null, deleteKey: Option[String] = None,
     special: Array[Int] = null, dataFileId: Long = -1L,
-    defaultSqls: Array[String] = null) extends InputPartition
+    defaultSqls: Array[String] = null,
+    rowIdStart: Long = -1L,
+    // merged-file segment map: (startPos, rowCount, rowIdStart|-1)
+    rowIdSegments: Array[Array[Long]] = null,
+    // file carries an explicit per-row id column (UPDATE-written)
+    rowIdInFile: Boolean = false) extends InputPartition
 
 /** A file partition tagged with its hive-partition key — the handle
   * Spark's storage-partitioned join (SPJ) machinery groups by: two lake
@@ -76,14 +81,19 @@ private[connector] object DuckLakePartitionPlanner {
     */
   final val FileIdCol = "_file_id"
   final val PosCol = "_pos"
+  /** Physical column name of explicit per-row stable ids in
+    * UPDATE-written files (row_id_start NULL in the catalog).
+    */
+  final val RowIdPhysCol = "_ducklake_row_id"
 
   def plan(lake: DuckLake, tr: TableRec, cols: Seq[ColumnDef],
       files: Seq[DataFileRec], required: StructType,
       basePath: String): Array[InputPartition] = {
     val special = required.fields.map(_.name match {
-      case FileIdCol => 1
-      case PosCol    => 2
-      case _         => 0
+      case FileIdCol                   => 1
+      case PosCol                      => 2
+      case graft.lake.DuckLake.VirtualRowId => 3
+      case _                           => 0
     })
     required.fields.zipWithIndex.foreach { case (f, i) =>
       if (special(i) == 0 && !supportedType(f.dataType))
@@ -134,7 +144,12 @@ private[connector] object DuckLakePartitionPlanner {
         file.deleteFile.map(d => s"$basePath/${d.path}").orNull,
         file.deleteFile.flatMap(_.encryptionKey),
         special, file.dataFileId,
-        if (defaultSqls.forall(_ == null)) null else defaultSqls)
+        if (defaultSqls.forall(_ == null)) null else defaultSqls,
+        file.rowIdStart.getOrElse(-1L),
+        if (file.segments.isEmpty) null
+        else file.segments.map(sg =>
+          Array(sg.startPos, sg.rowCount, sg.rowIdStart.getOrElse(-1L))).toArray,
+        file.rowIdStart.isEmpty && file.segments.isEmpty)
         : InputPartition
     }.toArray
   }
@@ -360,6 +375,23 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
       private var current: Group = _
       private var pos: Long = -1L
 
+      /** Stable row id of the row at file position `pos`: contiguous
+        * range, merged-segment map, or the explicit in-file column.
+        */
+      private def rowIdAt(pos: Long): Any =
+        if (p.rowIdInFile) {
+          if (current.getType.containsField(DuckLakePartitionPlanner.RowIdPhysCol))
+            readField(current, DuckLakePartitionPlanner.RowIdPhysCol, LongType)
+          else null // legacy file without ids
+        }
+        else if (p.rowIdSegments != null) {
+          p.rowIdSegments.collectFirst {
+            case Array(start, count, rid) if pos >= start && pos < start + count =>
+              if (rid < 0) null else Long.box(rid + (pos - start))
+          }.flatMap(Option(_)).orNull
+        } else if (p.rowIdStart >= 0) Long.box(p.rowIdStart + pos)
+        else null
+
       // initial defaults for columns added after this file's epoch,
       // evaluated once per reader to Catalyst internal values
       private val defaultVal: Array[Any] =
@@ -385,6 +417,7 @@ final class DuckLakeFileReaderFactory(hconf: SerializableConfiguration)
           val v =
             if (p.special != null && p.special(i) == 1) p.dataFileId
             else if (p.special != null && p.special(i) == 2) pos
+            else if (p.special != null && p.special(i) == 3) rowIdAt(pos)
             else if (p.isPartCol(i)) parsePartValue(p.partRaw(i), p.fieldTypes(i))
             else if (p.physNames(i) == null && defaultVal != null) defaultVal(i)
             else readField(current, p.physNames(i), p.fieldTypes(i))

@@ -559,8 +559,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       org.apache.spark.sql.types.LongType, nullable = false,
       "file-local row position"),
     metaCol(DuckLake.VirtualSnapshot,
-      org.apache.spark.sql.types.LongType, nullable = false,
-      "snapshot that committed this row"),
+      org.apache.spark.sql.types.LongType, nullable = true,
+      "snapshot that committed this row (null while its txn is open)"),
     metaCol(DuckLake.VirtualFilename,
       org.apache.spark.sql.types.StringType, nullable = true,
       "physical data file path (null for inlined rows)"),
@@ -568,8 +568,11 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
       org.apache.spark.sql.types.LongType, nullable = true,
       "row number within the data file"),
     metaCol(DuckLake.VirtualRowId,
+      org.apache.spark.sql.types.LongType, nullable = false,
+      "stable per-table row id (file range start + local position)"),
+    metaCol(DuckLake.VirtualFileIndex,
       org.apache.spark.sql.types.LongType, nullable = true,
-      "stable per-table row id (file range start + local position)"))
+      "index of the row's source within the scan (inlined storage = 0)"))
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterToColumn.convert(_).isDefined)
@@ -613,10 +616,16 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
         org.apache.spark.sql.connector.expressions.Expressions.column(
           DuckLakePartitionPlanner.FileIdCol),
         org.apache.spark.sql.connector.expressions.Expressions.column(
-          DuckLakePartitionPlanner.PosCol))
+          DuckLakePartitionPlanner.PosCol),
+        // the row's STABLE id rides along so updates can keep it
+        // (DuckLake: updated rows keep their rowid — corpus
+        // rowid/ducklake_row_id.test)
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          DuckLake.VirtualRowId))
 
-      // updates arrive as delete+insert pairs (MOR has no in-place update)
-      override def representUpdateAsDeleteAndInsert(): Boolean = true
+      // updates arrive as update() calls carrying the row id, so the
+      // rewritten row keeps its stable id (delete+insert would lose it)
+      override def representUpdateAsDeleteAndInsert(): Boolean = false
 
       // prunable scan: Spark appends the row-address columns it needs to
       // the pruned schema, and pushes the command's condition — used for

@@ -45,9 +45,7 @@ final class SqlLogicRunner(spark: SparkSession) {
     "duckdb_tables" -> "duckdb catalog functions",
     "duckdb_views" -> "duckdb catalog functions",
     "duckdb_columns" -> "duckdb catalog functions",
-    "metadata.ducklake_" -> "direct metadata-catalog SQL",
     "stats(" -> "duckdb stats() introspection text",
-    "_meta.ducklake_" -> "direct metadata-catalog SQL",
     "__ducklake_internal" -> "internal duckdb catalog",
     "PRAGMA" -> "pragmas",
     "EXPLAIN" -> "engine-specific plans",
@@ -218,6 +216,7 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private var lake: DuckLake = null
   private var catalogAlias: String = "ducklake"
+  private var metaAlias: String = "__ducklake_metadata_ducklake"
   // Spark's CatalogManager caches plugin instances per alias, so every
   // ATTACH binds a FRESH physical alias; `translate` rewrites references
   private var physAlias: String = "ducklake"
@@ -323,7 +322,7 @@ final class SqlLogicRunner(spark: SparkSession) {
     """(?is)CALL\s+ducklake_add_data_files\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*\[([^\]]*)\]\s*(.*?)\)\s*;?""".r
   private val UseRe = """(?is)USE\s+([\w.]+)\s*;?\s*""".r
   private val MergeAdjRe =
-    """(?is)CALL\s+(?:ducklake_)?merge_adjacent_files\(\s*([^)]*)\)\s*;?""".r
+    """(?is)CALL\s+(?:[\w.]+\.)?(?:ducklake_)?merge_adjacent_files\(\s*([^)]*)\)\s*;?""".r
   private val CleanupCallRe =
     """(?is)CALL\s+(?:ducklake_)?cleanup_old_files\(\s*(.*)\)\s*;?""".r
   private val ExpireCallRe =
@@ -415,6 +414,9 @@ final class SqlLogicRunner(spark: SparkSession) {
           .map(_.group(1).toInt)).getOrElse(0)
       lake = new DuckLake(spark, metaPath.stripSuffix(".db") + "-meta",
         dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit)
+      metaAlias = Option(opts).flatMap(o =>
+        """METADATA_CATALOG\s+'([^']+)'""".r.findFirstMatchIn(o).map(_.group(1)))
+        .getOrElse(s"__ducklake_metadata_$alias")
       // the SQL catalog must resolve to THIS instance: one metadata
       // connection, or an open transaction here deadlocks catalog reads
       graft.lake.connector.DuckLakeSparkCatalog.adopt(lake)
@@ -547,8 +549,45 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val CleanupTvfRe =
     """(?is)(?:ducklake_)?cleanup_old_files\(((?:[^()]|\([^()]*\))*)\)""".r
 
-  private def queryDF(sql: String): DataFrame = {
+  /** Rewrite `<metaAlias>.ducklake_*` references to temp views backed by
+    * live reads of the Derby catalog (the METADATA_CATALOG SQL surface).
+    */
+  private def resolveMetaRefs(sql: String): String = {
+    val re = (java.util.regex.Pattern.quote(metaAlias) + """\.(\w+)""").r
+    re.replaceAllIn(sql, m => {
+      val tbl = m.group(1)
+      val (cols, rows) = lake.store.dumpMetadataTable(tbl)
+      val schema = StructType(cols.map { case (cn, jdbcType) =>
+        val dt = jdbcType match {
+          case java.sql.Types.BIGINT   => LongType
+          case java.sql.Types.INTEGER  => IntegerType
+          case java.sql.Types.BOOLEAN  => BooleanType
+          case java.sql.Types.DOUBLE   => DoubleType
+          case java.sql.Types.TIMESTAMP => TimestampNTZType
+          case _                        => StringType
+        }
+        StructField(cn, dt, nullable = true)
+      })
+      val data = rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(r.zip(schema.fields).map {
+          case (null, _) => null
+          case (v: java.sql.Clob, _) => v.getSubString(1, v.length().toInt)
+          case (v: java.sql.Timestamp, _) => v.toLocalDateTime
+          case (v: java.lang.Integer, f) if f.dataType == LongType => v.longValue()
+          case (v, _) => v
+        })
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](data.asJava), schema)
+        .createOrReplaceTempView(s"__sltm_$tbl")
+      Regex.quoteReplacement(s"__sltm_$tbl")
+    })
+  }
+
+  private def queryDF(sql0: String): DataFrame = {
     import spark.implicits._
+    val sql = if (lake != null && sql0.contains(metaAlias + "."))
+      resolveMetaRefs(sql0) else sql0
     val t = sql.trim
     val descRe = """(?is)DESCRIBE\s+([\w.]+)\s*;?""".r
     t match {

@@ -105,7 +105,9 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(DuckLake.VirtualSnapshot, DuckLake.VirtualFilename))
       val byI = vdf.collect().map(r => r.getInt(0) ->
         (r.getLong(1), Option(r.getString(2)))).toMap
-      assert(byI(10)._1 == snapInl && byI(10)._2.isEmpty) // inlined: no file
+      // inlined rows carry the reference's pseudo-filename, not a path
+      assert(byI(10)._1 == snapInl &&
+        byI(10)._2.exists(_.startsWith("ducklake_inlined_data_")))
       assert(byI(1)._2.exists(_.endsWith(".parquet")))
     } finally inl.close()
   }
