@@ -155,6 +155,25 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def partitionColumnsOf(name: String, snapshot: Option[Long] = None): Seq[String] =
     partitionFieldsOf(name, snapshot).map(_.spec)
 
+  /** ALTER TABLE … SET PARTITIONED BY (post-create): register a new
+    * partition scheme — future writes hive-partition under it, existing
+    * files keep their layout (DuckLake partitioning evolution; corpus:
+    * partitioning/basic_partitioning.test). Empty `partitionBy` = RESET.
+    */
+  def setPartitionedBy(name: String, partitionBy: Seq[String]): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val defs = store.getTableColumns(tr.tableId, snap)
+    val keys = partitionBy.map(PartTransform.parse).map { pf =>
+      val cdef = defs.find(_.name.equalsIgnoreCase(pf.source)).getOrElse(
+        throw new InvalidConfigException(s"partition column not found: ${pf.source}"))
+      pf.transform.foreach(t =>
+        PartTransform.validate(t, TypeBridge.toSpark(cdef.dtype), pf.source))
+      (cdef.columnId, pf.transform)
+    }
+    store.setPartitionedBy(tr.tableId, keys)
+  }
+
   /** CTAS with Z-ORDER clustering on two numeric columns: each value is
     * min/max-normalized to 16 bits, Morton-interleaved (codegen'd
     * [[graft.functions.InterleaveBits16]]), and rows are range-partitioned
@@ -1434,8 +1453,12 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             .getOrElse(throw new SchemaNotFoundException(s)))
           case None => store.listSchemas(snap)
         }
+        // lake/schema-wide sweeps honor the most-specific auto_compact
+        // scope (table > schema > global); an explicit table call merges
+        // unconditionally (corpus: compaction/merge_adjacent_global_option)
         schemas.flatMap(s => store.listTables(s.schemaId, snap)
           .map(t => s"${s.name}.${t.name}"))
+          .filterNot(t => getOption("auto_compact", t).exists(_.equalsIgnoreCase("false")))
     }
     var budget = maxCompactedFiles.getOrElse(Int.MaxValue)
     targets.count { t =>
@@ -1930,8 +1953,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   def snapshotsDF: DataFrame = {
     import spark.implicits._
-    store.snapshots.map { case (id, ts) => (id, ts.toLocalDateTime) }
-      .toDF("snapshot_id", "snapshot_time")
+    store.snapshotsWithChanges.map { case (id, ts, ver, changes) =>
+      (id, ts.toLocalDateTime, ver, DuckLake.renderChanges(changes))
+    }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
   }
 
   def listFilesDF: DataFrame = {
@@ -2243,6 +2267,25 @@ object DuckLake {
     * (DuckLake constant; corpus: rowid/ducklake_row_id.test).
     */
   final val TxnLocalRowIdBase = 1000000000000000000L
+
+  /** DuckDB's emission order for snapshot-change kinds (`snapshots()`
+    * renders `{kind=[v, …], …}` — corpus: functions/ducklake_snapshots.test).
+    */
+  private val ChangeKindOrder = Seq(
+    "schemas_created", "schemas_dropped", "tables_created", "views_created",
+    "tables_dropped", "views_dropped", "tables_altered", "views_altered",
+    "tables_inserted_into", "tables_deleted_from",
+    "inlined_insert", "flushed_inlined").zipWithIndex.toMap
+
+  /** Render journal entries the way DuckDB's `snapshots()` does:
+    * `{tables_created=[main.a], tables_inserted_into=[1]}`.
+    */
+  def renderChanges(entries: Seq[(String, String)]): String = {
+    val grouped = entries.groupBy(_._1).toSeq
+      .sortBy { case (k, _) => ChangeKindOrder.getOrElse(k, 99) }
+      .map { case (k, vs) => s"$k=[${vs.map(_._2).distinct.mkString(", ")}]" }
+    grouped.mkString("{", ", ", "}")
+  }
 
   /** Physical column holding explicit per-row stable ids in files written
     * by row-level UPDATE (catalog row_id_start NULL).

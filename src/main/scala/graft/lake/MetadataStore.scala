@@ -141,7 +141,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  encryption_key VARCHAR(64),
             |  write_epoch BIGINT NOT NULL,
             |  mapping_id BIGINT,
-            |  row_id_start BIGINT)""".stripMargin)
+            |  row_id_start BIGINT,
+            |  partition_id BIGINT)""".stripMargin)
         // name-based column mappings for adopted files (DuckLake spec
         // ducklake_column_mapping / ducklake_name_mapping): files taken in
         // via add_files carry a mapping_id resolving catalog column_ids to
@@ -200,7 +201,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  column_id BIGINT NOT NULL,
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
-            |  transform VARCHAR(64))""".stripMargin)
+            |  transform VARCHAR(64),
+            |  partition_id BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_partition_info(
+            |  partition_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_file_partition_value(
             |  data_file_id BIGINT NOT NULL,
@@ -357,6 +365,57 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |  row_id_start BIGINT)""".stripMargin)
       finally st.close()
     }
+    // per-snapshot change journal + schema_version (DuckLake spec table
+    // ducklake_snapshot_changes; `snapshots()` renders it as a map).
+    // Legacy catalogs get the table with only snapshot 0 reconstructed.
+    val hasChanges = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_SNAPSHOT_CHANGES", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasChanges) {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE ducklake_snapshot_changes(
+            |  snapshot_id BIGINT NOT NULL,
+            |  changes_made VARCHAR(32672))""".stripMargin)
+        st.executeUpdate(
+          "INSERT INTO ducklake_snapshot_changes VALUES (0, 'schemas_created:0:main')")
+      } finally st.close()
+    }
+    // post-create SET PARTITIONED BY: partition schemes are first-class
+    // catalog entries (DuckLake spec ducklake_partition_info; data files
+    // record which scheme they were written under)
+    val hasPartInfo = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_PARTITION_INFO", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasPartInfo) {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE ducklake_partition_info(
+            |  partition_id BIGINT NOT NULL,
+            |  table_id BIGINT NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          "ALTER TABLE ducklake_partition_column ADD COLUMN partition_id BIGINT")
+        st.executeUpdate(
+          "ALTER TABLE ducklake_data_file ADD COLUMN partition_id BIGINT")
+      } catch { case _: java.sql.SQLException => () } // fresh catalog: already created
+      finally st.close()
+    }
+    val hasSchemaVersion = {
+      val rs = conn.getMetaData.getColumns(null, null, "DUCKLAKE_SNAPSHOT", "SCHEMA_VERSION")
+      try rs.next() finally rs.close()
+    }
+    if (!hasSchemaVersion) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "ALTER TABLE ducklake_snapshot ADD COLUMN schema_version BIGINT DEFAULT 0")
+      finally st.close()
+    }
   }
 
   override def close(): Unit = synchronized { conn.close() }
@@ -391,10 +450,6 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |JOIN ducklake_data_file f ON f.data_file_id = s.data_file_id
           |WHERE f.end_snapshot IS NULL
           |GROUP BY s.table_id, s.column_id""".stripMargin
-      case "ducklake_partition_info" =>
-        """SELECT table_id, partition_key_index, column_id, transform,
-          |  begin_snapshot, end_snapshot
-          |FROM ducklake_partition_column""".stripMargin
       case other if other.startsWith("ducklake_") && other.matches("[a-z_]+") =>
         s"SELECT * FROM $other"
       case other => throw new InvalidConfigException(s"not a metadata table: $other")
@@ -457,7 +512,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val live = Seq(
       query("SELECT COALESCE(MAX(schema_id), -1) + 1 FROM ducklake_schema")(_.getLong(1)).head,
       query("SELECT COALESCE(MAX(table_id), -1) + 1 FROM ducklake_table")(_.getLong(1)).head,
-      query("SELECT COALESCE(MAX(view_id), -1) + 1 FROM ducklake_view")(_.getLong(1)).head).max
+      query("SELECT COALESCE(MAX(view_id), -1) + 1 FROM ducklake_view")(_.getLong(1)).head,
+      query("SELECT COALESCE(MAX(partition_id), -1) + 1 FROM ducklake_partition_info")(_.getLong(1)).head).max
     val hw = getMetadata("seq:catalog").map(_.toLong).getOrElse(0L)
     val id = math.max(live, hw)
     setMetadata("seq:catalog", (id + 1).toString)
@@ -480,6 +536,18 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def snapshots: Seq[(Long, java.sql.Timestamp)] =
     query("SELECT snapshot_id, snapshot_time FROM ducklake_snapshot ORDER BY snapshot_id")(
       rs => (rs.getLong(1), rs.getTimestamp(2)))
+
+  /** Every snapshot with its schema_version and journal entries
+    * (kind, value) in recorded order — the `snapshots()` surface.
+    */
+  def snapshotsWithChanges: Seq[(Long, java.sql.Timestamp, Long, Seq[(String, String)])] =
+    query(
+      """SELECT s.snapshot_id, s.snapshot_time, s.schema_version, c.changes_made
+        |FROM ducklake_snapshot s
+        |LEFT OUTER JOIN ducklake_snapshot_changes c ON c.snapshot_id = s.snapshot_id
+        |ORDER BY s.snapshot_id""".stripMargin)(rs =>
+      (rs.getLong(1), rs.getTimestamp(2), rs.getLong(3),
+        parseChanges(Option(rs.getString(4)).getOrElse("")).map(e => (e._1, e._3))))
 
   // ---------- snapshot tags (named refs) ----------
 
@@ -735,6 +803,63 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new UnsupportedException(
           "Current transaction is aborted - cannot COMMIT; changes rolled back")
       }
+      // net out create+drop of the same entity within the transaction;
+      // a transaction whose changes fully cancel leaves NO snapshot
+      // (corpus: functions/ducklake_snapshots.test "does nothing in a
+      // round-about way")
+      openTxnSnap.foreach { snap =>
+        val raw = parseChanges(query(
+          "SELECT changes_made FROM ducklake_snapshot_changes WHERE snapshot_id = ?",
+          Seq(snap))(_.getString(1)).headOption.getOrElse(""))
+        def bornAndDied(created: String, dropped: String): Set[Long] =
+          raw.collect { case (`created`, id, _) => id }.toSet
+            .intersect(raw.collect { case (`dropped`, id, _) => id }.toSet)
+        val deadTables = bornAndDied("tables_created", "tables_dropped")
+        val deadViews = bornAndDied("views_created", "views_dropped")
+        val deadSchemas = bornAndDied("schemas_created", "schemas_dropped")
+        val net = raw.filterNot { case (k, id, _) =>
+          (k.startsWith("tables_") && deadTables(id)) ||
+            (k.startsWith("views_") && deadViews(id)) ||
+            (k.startsWith("schemas_") && deadSchemas(id)) ||
+            ((k == "inlined_insert" || k == "flushed_inlined") && deadTables(id))
+        }
+        // purge born-and-died entities entirely and wind the shared id
+        // sequence back so a no-op transaction consumes NO catalog ids
+        // (DuckDB numbering — corpus expects the next real table to get
+        // the id the canceled one briefly held)
+        if (deadTables.nonEmpty || deadViews.nonEmpty || deadSchemas.nonEmpty) {
+          deadTables.foreach { tid =>
+            Seq("ducklake_table", "ducklake_column", "ducklake_data_file",
+              "ducklake_delete_file", "ducklake_inlined_data",
+              "ducklake_file_partition_value", "ducklake_partition_column",
+              "ducklake_partition_info", "ducklake_file_column_stats")
+              .foreach(t =>
+                update(s"DELETE FROM $t WHERE table_id = ?", Seq(tid)))
+          }
+          deadViews.foreach(v =>
+            update("DELETE FROM ducklake_view WHERE view_id = ?", Seq(v)))
+          deadSchemas.foreach(sc =>
+            update("DELETE FROM ducklake_schema WHERE schema_id = ?", Seq(sc)))
+          val liveMax = Seq(
+            query("SELECT COALESCE(MAX(schema_id), -1) + 1 FROM ducklake_schema")(_.getLong(1)).head,
+            query("SELECT COALESCE(MAX(table_id), -1) + 1 FROM ducklake_table")(_.getLong(1)).head,
+            query("SELECT COALESCE(MAX(view_id), -1) + 1 FROM ducklake_view")(_.getLong(1)).head,
+            query("SELECT COALESCE(MAX(partition_id), -1) + 1 FROM ducklake_partition_info")(_.getLong(1)).head).max
+          setMetadata("seq:catalog", liveMax.toString)
+        }
+        if (net.isEmpty && raw.nonEmpty) {
+          update("DELETE FROM ducklake_snapshot_changes WHERE snapshot_id = ?", Seq(snap))
+          update("DELETE FROM ducklake_snapshot WHERE snapshot_id = ?", Seq(snap))
+        } else if (net != raw) {
+          update("UPDATE ducklake_snapshot_changes SET changes_made = ? WHERE snapshot_id = ?",
+            Seq(encodeChanges(net), snap))
+          val prevVersion = query(
+            "SELECT MAX(schema_version) FROM ducklake_snapshot WHERE snapshot_id < ?",
+            Seq(snap))(_.getLong(1)).headOption.getOrElse(0L)
+          update("UPDATE ducklake_snapshot SET schema_version = ? WHERE snapshot_id = ?",
+            Seq(prevVersion + (if (net.exists(e => DdlKinds(e._1))) 1L else 0L), snap))
+        }
+      }
       conn.commit(); conn.setAutoCommit(true)
       txnOpen = false; openTxnSnap = None
     }
@@ -805,12 +930,65 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     (dd ++ dl).map { case (_, s, t, p, rel) => (s, t, p, rel) }
   }
 
+  // ---------- snapshot change journal ----------
+
+  /** Changes accumulated by the statement being committed:
+    * (kind, entity id or -1, rendered value). Flushed into
+    * `ducklake_snapshot_changes` when its snapshot txn commits.
+    */
+  private val pendingChanges =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+
+  private[lake] def recordChange(kind: String, entityId: Long, value: String): Unit =
+    pendingChanges += ((kind, entityId, value))
+
+  /** Parse a stored `kind:id:value` CSV back to entries. */
+  private def parseChanges(s: String): Seq[(String, Long, String)] =
+    if (s == null || s.isEmpty) Nil
+    else s.split(',').toSeq.map { e =>
+      val Array(k, id, v) = e.split(":", 3)
+      (k, id.toLong, v)
+    }
+
+  private def encodeChanges(es: Seq[(String, Long, String)]): String =
+    es.map { case (k, id, v) => s"$k:$id:$v" }.mkString(",")
+
+  /** DDL kinds bump the snapshot's schema_version. */
+  private val DdlKinds = Set("schemas_created", "schemas_dropped",
+    "tables_created", "tables_dropped", "tables_altered",
+    "views_created", "views_dropped", "views_altered")
+
+  /** Merge this statement's pending changes into the snapshot's journal
+    * row and stamp schema_version (prev + 1 when the union holds DDL).
+    * Runs INSIDE the snapshot's SQL transaction.
+    */
+  private def flushChanges(snap: Long): Unit = {
+    val prior = query(
+      "SELECT changes_made FROM ducklake_snapshot_changes WHERE snapshot_id = ?",
+      Seq(snap))(_.getString(1)).headOption
+    val merged = (parseChanges(prior.getOrElse("")) ++ pendingChanges).distinct
+    pendingChanges.clear()
+    if (prior.isDefined)
+      update("UPDATE ducklake_snapshot_changes SET changes_made = ? WHERE snapshot_id = ?",
+        Seq(encodeChanges(merged), snap))
+    else if (merged.nonEmpty)
+      update("INSERT INTO ducklake_snapshot_changes VALUES (?, ?)",
+        Seq(snap, encodeChanges(merged)))
+    val prevVersion = query(
+      "SELECT MAX(schema_version) FROM ducklake_snapshot WHERE snapshot_id < ?",
+      Seq(snap))(_.getLong(1)).headOption.getOrElse(0L)
+    val v = prevVersion + (if (merged.exists(e => DdlKinds(e._1))) 1L else 0L)
+    update("UPDATE ducklake_snapshot SET schema_version = ? WHERE snapshot_id = ?",
+      Seq(v, snap))
+  }
+
   /** Run `body` inside one SQL transaction; creates the new snapshot row
     * first and passes its id. Commits on success, rolls back on failure.
     * Inside an open [[beginTransaction]] the body instead JOINS the shared
     * snapshot under a savepoint and the outer COMMIT/ROLLBACK decides.
     */
   private def inSnapshotTxn[A](body: Long => A): A = synchronized {
+    pendingChanges.clear()
     if (txnOpen) {
       if (txnAborted) throw new UnsupportedException(
         "Current transaction is aborted (please ROLLBACK)")
@@ -819,11 +997,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         val snap = openTxnSnap.getOrElse {
           val s = currentSnapshotTx() + 1
           val ps = conn.prepareStatement(
-            "INSERT INTO ducklake_snapshot VALUES (?, CURRENT_TIMESTAMP)")
+            "INSERT INTO ducklake_snapshot(snapshot_id, snapshot_time) VALUES (?, CURRENT_TIMESTAMP)")
           try { ps.setLong(1, s); ps.executeUpdate() } finally ps.close()
           s
         }
         val r = body(snap)
+        flushChanges(snap)
         openTxnSnap = Some(snap) // persist only after the statement succeeds
         val dead = sweepTxnDeadFiles(snap)
         conn.releaseSavepoint(sp)
@@ -835,20 +1014,21 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         // savepoint-revert THIS statement only; catalog validation errors
         // are binder errors that leave the transaction usable (DuckDB
         // aborts only on runtime failures — the frontend marks those)
-        case e: Throwable => conn.rollback(sp); throw e
+        case e: Throwable => pendingChanges.clear(); conn.rollback(sp); throw e
       }
     } else {
       conn.setAutoCommit(false)
       try {
         val snap = currentSnapshotTx() + 1
         val ps = conn.prepareStatement(
-          "INSERT INTO ducklake_snapshot VALUES (?, CURRENT_TIMESTAMP)")
+          "INSERT INTO ducklake_snapshot(snapshot_id, snapshot_time) VALUES (?, CURRENT_TIMESTAMP)")
         try { ps.setLong(1, snap); ps.executeUpdate() } finally ps.close()
         val r = body(snap)
+        flushChanges(snap)
         conn.commit()
         r
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable => pendingChanges.clear(); conn.rollback(); throw e
       } finally conn.setAutoCommit(true)
     }
   }
@@ -867,6 +1047,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       val id = nextCatalogId()
       update("INSERT INTO ducklake_schema VALUES (?, ?, ?, ?, ?, NULL)",
         Seq(id, name, name + "/", true, snap))
+      recordChange("schemas_created", id, name)
       SchemaRec(id, name, name + "/", pathIsRelative = true)
     }
 
@@ -906,6 +1087,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       val id = nextCatalogId()
       update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
         Seq(id, schema.schemaId, tableName, tableName + "/", true, snap))
+      recordChange("tables_created", id, s"$schemaName.$tableName")
       TableRec(id, schema.schemaId, tableName, tableName + "/", pathIsRelative = true)
     }
     val existing = getTableColumns(table.tableId, snap)
@@ -948,7 +1130,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // inlined rows become the registered files' content in THIS snapshot
       update(s"UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, table.tableId))
-    }
+      recordChange("flushed_inlined", table.tableId, table.tableId.toString)
+    } else if (files.nonEmpty)
+      recordChange("tables_inserted_into", table.tableId, table.tableId.toString)
+    if (mode == WriteMode.Replace && existing.nonEmpty)
+      recordChange("tables_deleted_from", table.tableId, table.tableId.toString)
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
     // partition keys: set at table creation (or full redefinition),
     // immutable afterwards (DuckLake spec ducklake_partition_column model)
@@ -956,13 +1142,16 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val currentPartCols = getPartitionColumns(table.tableId, snap)
     if (freshKeys && partitionBy.nonEmpty) {
       val defs = getTableColumns(table.tableId, snap)
+      val pid = nextCatalogId()
+      update("INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
+        Seq(pid, table.tableId, snap))
       partitionBy.map(PartTransform.parse).zipWithIndex.foreach { case (pf, idx) =>
         val cdef = defs.find(_.name == pf.source).getOrElse(
           throw new InvalidConfigException(s"partition column not found: ${pf.source}"))
         pf.transform.foreach(t =>
           PartTransform.validate(t, TypeBridge.toSpark(cdef.dtype), pf.source))
-        update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?)",
-          Seq(table.tableId, idx.toLong, cdef.columnId, snap, pf.transform.orNull))
+        update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?, ?)",
+          Seq(table.tableId, idx.toLong, cdef.columnId, snap, pf.transform.orNull, pid))
       }
     } else if (partitionBy.nonEmpty) {
       val defs = getTableColumns(table.tableId, snap)
@@ -1003,10 +1192,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       val rowStart: Any = if (f.explicitRowIds) null else {
         val r = nextRowId; nextRowId += f.recordCount; Long.box(r)
       }
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, ?)",
         Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount, f.fileSizeBytes,
           f.footerSize, snap, f.encryptionKey.orNull, snap,
-          f.mappingId.map(Long.box).orNull, rowStart))
+          f.mappingId.map(Long.box).orNull, rowStart,
+          currentPartitionId(table.tableId, snap).map(Long.box).orNull))
       f.partitionValues.zipWithIndex.foreach { case (v, idx) =>
         update("INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
           Seq(id, table.tableId, idx.toLong, v.orNull))
@@ -1044,6 +1234,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           Seq(table.tableId, rid, snap, j))
         rid += 1
       }
+      if (rowsJson.nonEmpty)
+        recordChange("inlined_insert", table.tableId, table.tableId.toString)
       snap
     }
 
@@ -1059,6 +1251,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(tableId, rid, snap, j))
       rid += 1
     }
+    if (rowsJson.nonEmpty) recordChange("inlined_insert", tableId, tableId.toString)
     snap
   }
 
@@ -1123,7 +1316,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       val id = nextId("ducklake_data_file", "data_file_id")
       val rowStart = nextRowId
       nextRowId += f.recordCount
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
         Seq(id, table.tableId, f.path, f.pathIsRelative, f.recordCount,
           f.fileSizeBytes, f.footerSize, snap, f.encryptionKey.orNull, snap, mid,
           rowStart))
@@ -1162,6 +1355,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       throw new UnsupportedException("schema is not empty")
     update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
+    recordChange("schemas_dropped", schemaId, schemaId.toString)
     snap
   }
 
@@ -1177,11 +1371,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update(s"UPDATE $tbl SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
           Seq(snap, t.tableId))
       }
+      recordChange("tables_dropped", t.tableId, t.tableId.toString)
     }
     update("UPDATE ducklake_view SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
     update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
+    recordChange("schemas_dropped", schemaId, schemaId.toString)
     snap
   }
 
@@ -1199,6 +1395,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update("INSERT INTO ducklake_comment VALUES (?, ?, ?, ?, ?, NULL)",
         Seq(objectType, objectId, columnId.map(Long.box).orNull, c, snap))
     }
+    recordChange(if (objectType == "view") "views_altered" else "tables_altered",
+      objectId, objectId.toString)
     snap
   }
 
@@ -1231,6 +1429,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     update("INSERT INTO ducklake_view VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
       Seq(id, schemaId, name, sqlText, currentCatalog, currentNamespace,
         schemaJson, queryColumnNames, snap))
+    val schemaName = query(
+      "SELECT schema_name FROM ducklake_schema WHERE schema_id = ?",
+      Seq(schemaId))(_.getString(1)).headOption.getOrElse("main")
+    recordChange("views_created", id, s"$schemaName.$name")
     snap
   }
 
@@ -1250,8 +1452,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     if (getView(schemaId, name, snap).isEmpty) false
     else {
       inSnapshotTxn { s =>
+        val id = query(
+          "SELECT view_id FROM ducklake_view WHERE schema_id = ? AND view_name = ? AND end_snapshot IS NULL",
+          Seq(schemaId, name))(_.getLong(1)).headOption
         update("UPDATE ducklake_view SET end_snapshot = ? WHERE schema_id = ? AND view_name = ? AND end_snapshot IS NULL",
           Seq(s, schemaId, name))
+        id.foreach(i => recordChange("views_dropped", i, i.toString))
       }
       true
     }
@@ -1278,6 +1484,36 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   /** Partition keys at `snap`: (key index, source column_id, transform —
     * None = identity hive partitioning).
     */
+  /** Live partition scheme id of a table at `snap`, if partitioned. */
+  def currentPartitionId(tableId: Long, snap: Long): Option[Long] =
+    query(s"SELECT partition_id FROM ducklake_partition_info WHERE table_id = ? AND $Vis",
+      Seq(tableId, snap, snap))(_.getLong(1)).headOption
+
+  /** ALTER TABLE … SET PARTITIONED BY / RESET PARTITIONED BY: end the
+    * live scheme and (for SET) register a new one under a fresh catalog
+    * entry id. New writes hive-partition under the new scheme; existing
+    * files keep their layout and their recorded scheme id (DuckLake
+    * partitioning-evolution semantics — corpus: partitioning/).
+    */
+  def setPartitionedBy(tableId: Long, keys: Seq[(Long, Option[String])]): Long =
+    inSnapshotTxn { snap =>
+      update("UPDATE ducklake_partition_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId))
+      update("UPDATE ducklake_partition_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
+        Seq(snap, tableId))
+      if (keys.nonEmpty) {
+        val pid = nextCatalogId()
+        update("INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
+          Seq(pid, tableId, snap))
+        keys.zipWithIndex.foreach { case ((cid, transform), idx) =>
+          update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?, ?)",
+            Seq(tableId, idx.toLong, cid, snap, transform.orNull, pid))
+        }
+      }
+      recordChange("tables_altered", tableId, tableId.toString)
+      snap
+    }
+
   def getPartitionColumns(tableId: Long, snap: Long): Seq[(Int, Long, Option[String])] =
     query(s"SELECT partition_key_index, column_id, transform FROM ducklake_partition_column WHERE table_id = ? AND $Vis ORDER BY partition_key_index",
       Seq(tableId, snap, snap))(rs => (rs.getInt(1), rs.getLong(2), Option(rs.getString(3))))
@@ -1368,6 +1604,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND row_id = ? AND end_snapshot IS NULL",
           Seq(snap, tableId, rid))
       }
+      if (deletes.nonEmpty || endInlinedRowIds.nonEmpty)
+        recordChange("tables_deleted_from", tableId, tableId.toString)
       snap
     }
 
@@ -1394,6 +1632,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             Seq(id, dataFileId, table.tableId, f.path, true, f.recordCount, snap,
               f.encryptionKey.orNull, f.fileSizeBytes))
         }
+        recordChange("tables_deleted_from", table.tableId, table.tableId.toString)
       }
       snap
     }
@@ -1436,11 +1675,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
     val colIds = statColIds
     val id = nextId("ducklake_data_file", "data_file_id")
-    update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
+    update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, ?)",
       Seq(id, table.tableId, file.path, file.pathIsRelative, file.recordCount,
         file.fileSizeBytes, file.footerSize, beginSnapshot, file.encryptionKey.orNull,
         writeEpoch, file.mappingId.map(Long.box).orNull,
-        segments.headOption.flatMap(_.rowIdStart).map(Long.box).orNull))
+        segments.headOption.flatMap(_.rowIdStart).map(Long.box).orNull,
+        currentPartitionId(table.tableId, snap).map(Long.box).orNull))
     segments.zipWithIndex.foreach { case (s, i) =>
       update("INSERT INTO ducklake_partial_file_info VALUES (?, ?, ?, ?, ?, ?)",
         Seq(id, i.toLong, s.beginSnapshot, s.startPos, s.rowCount,
@@ -1483,6 +1723,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(cutoff))(_.getLong(1))
     if (expired.nonEmpty) {
       update("DELETE FROM ducklake_snapshot WHERE snapshot_id < ?", Seq(cutoff))
+      update("DELETE FROM ducklake_snapshot_changes WHERE snapshot_id < ?", Seq(cutoff))
       scheduleExpiredFiles() // two-phase: orphans go to the schedule now
     }
     expired
@@ -1500,8 +1741,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       val existed = query(
         "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id = ?",
         Seq(id))(_.getLong(1)).nonEmpty
-      if (existed)
+      if (existed) {
         update("DELETE FROM ducklake_snapshot WHERE snapshot_id = ?", Seq(id))
+        update("DELETE FROM ducklake_snapshot_changes WHERE snapshot_id = ?", Seq(id))
+      }
       existed
     }
     if (expired.nonEmpty) scheduleExpiredFiles()
@@ -1652,7 +1895,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     val idMap: Map[Long, Long] = tgtF.filterNot(f => nowIds(f.id)).map { f =>
       val nid = nextId("ducklake_data_file", "data_file_id")
-      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
+      update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
         Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch,
           f.mapping.map(Long.box).orNull, f.rowStart.map(Long.box).orNull))
       update("INSERT INTO ducklake_file_column_stats " +
@@ -1733,7 +1976,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(snap, tableId, idx, cid))
     }
     tgtP.filterNot(nowP.contains).foreach { case (idx, cid, t) =>
-      update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?)",
+      update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?, NULL)",
         Seq(tableId, idx, cid, snap, t.orNull))
     }
     snap
@@ -1771,8 +2014,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "column_name, column_type, nulls_allowed, parent_column, begin_snapshot, " +
         "end_snapshot, initial_default FROM ducklake_column WHERE table_id = ?", Seq(tid, srcTableId))
       update("INSERT INTO ducklake_partition_column SELECT CAST(? AS BIGINT), partition_key_index, " +
-        "column_id, begin_snapshot, end_snapshot, transform FROM ducklake_partition_column " +
+        "column_id, begin_snapshot, end_snapshot, transform, partition_id FROM ducklake_partition_column " +
         "WHERE table_id = ?", Seq(tid, srcTableId))
+      update("INSERT INTO ducklake_partition_info SELECT partition_id, CAST(? AS BIGINT), " +
+        "begin_snapshot, end_snapshot FROM ducklake_partition_info WHERE table_id = ?",
+        Seq(tid, srcTableId))
       // adopted-file name mappings resolve per table: mirror the rows so
       // the clone's scans find them under its own table_id
       update("INSERT INTO ducklake_column_mapping SELECT mapping_id, CAST(? AS BIGINT), map_type " +
@@ -1787,7 +2033,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         { val r = rs.getLong(10); if (rs.wasNull()) None else Some(r) }))
       val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch, mapping, rowStart) =>
         val nid = nextId("ducklake_data_file", "data_file_id")
-        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?)",
+        update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
           Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch,
             mapping.map(Long.box).orNull, rowStart.map(Long.box).orNull))
         update("INSERT INTO ducklake_file_column_stats " +
@@ -1812,6 +2058,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update("INSERT INTO ducklake_inlined_data SELECT CAST(? AS BIGINT), row_id, CAST(? AS BIGINT), CAST(NULL AS BIGINT), row_json " +
         s"FROM ducklake_inlined_data WHERE table_id = ? AND $Vis",
         Seq(tid, snap, srcTableId, snap, snap))
+      recordChange("tables_created", tid, s"$schemaName.$dstName")
       tid
     }
 
@@ -1832,6 +2079,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
         Seq(c.columnId, tableId, c.order, newName, c.dtype, c.nullsAllowed, snap,
           c.initialDefault.orNull))
+      recordChange("tables_altered", tableId, tableId.toString)
       snap
     }
 
@@ -1858,6 +2106,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
         Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), nullsAllowed, snap,
           initialDefault.orNull))
+      recordChange("tables_altered", tableId, tableId.toString)
       snap
     }
 
@@ -1881,6 +2130,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
           Seq(c.columnId, tableId, c.order, c.name, nt, c.nullsAllowed, snap,
             c.initialDefault.orNull))
+        recordChange("tables_altered", tableId, tableId.toString)
         snap
       }
     }
@@ -1900,6 +2150,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
           Seq(c.columnId, tableId, c.order, c.name, c.dtype, nullsAllowed, snap,
             c.initialDefault.orNull))
+        recordChange("tables_altered", tableId, tableId.toString)
         snap
       }
     }
@@ -1918,6 +2169,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       throw new UnsupportedException(s"cannot drop partition column $name")
     update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId, c.columnId))
+    recordChange("tables_altered", tableId, tableId.toString)
     snap
   }
 
@@ -1938,6 +2190,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(snap, tableId))
     update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
       Seq(tableId, cur._1, newName, cur._2, cur._3, snap))
+    val schemaName = query(
+      "SELECT schema_name FROM ducklake_schema WHERE schema_id = ?",
+      Seq(cur._1))(_.getString(1)).headOption.getOrElse("main")
+    // DuckDB renders a table rename as tables_created=[new name]
+    recordChange("tables_created", tableId, s"$schemaName.$newName")
     snap
   }
 
@@ -1952,6 +2209,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         update(s"UPDATE $t SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
           Seq(snap, tableId))
       }
+    recordChange("tables_deleted_from", tableId, tableId.toString)
     snap
   }
 
@@ -1968,6 +2226,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       Seq(snap, tableId))
     update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
       Seq(snap, tableId))
+    recordChange("tables_dropped", tableId, tableId.toString)
     snap
   }
 }

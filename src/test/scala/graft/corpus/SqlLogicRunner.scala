@@ -54,7 +54,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "sqlite_" -> "sqlite metadata backend",
     "postgres" -> "postgres metadata backend",
     "::JSON" -> "json type",
-    "SET PARTITIONED BY" -> "post-create partition-key ALTERs",
     "THEN INSERT VALUES" -> "merge insert-values shorthand",
     " UUID" -> "uuid type",
     " uuid" -> "uuid type",
@@ -78,9 +77,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "STRUCT" -> "duckdb struct literals",
     "MAP(" -> "duckdb map literals",
     "UNION(" -> "duckdb union type",
-    "snapshot_count" -> "duckdb snapshot introspection",
-    "ducklake_snapshots(" -> "duckdb table function syntax",
-    "ducklake_table_info(" -> "duckdb table function syntax",
     "ducklake.options" -> "attach options table",
     "DETACH" -> "detach/reattach cycles",
     "SET NOT NULL" -> "DSv2 forbids nullable->non-null ALTERs",
@@ -154,8 +150,16 @@ final class SqlLogicRunner(spark: SparkSession) {
       val line = lines(i).trim
       if (line.isEmpty || line.startsWith("#") || line.startsWith("require") ||
           line.startsWith("test-env")) { i += 1 }
-      else if (line == "statement ok") {
-        i += 1; out += Statement(collectSql(), None)
+      else if (line == "statement ok" || line.matches("statement ok con\\d+")) {
+        // a connection-tagged statement OUTSIDE any transaction is just a
+        // sequential statement; interleaved transactions (tagged BEGIN)
+        // skip the file below
+        i += 1
+        val sql = collectSql()
+        if (line != "statement ok" &&
+            sql.trim.stripSuffix(";").trim.toUpperCase.startsWith("BEGIN"))
+          throw new SkipFile("interleaved multi-connection transactions")
+        out += Statement(sql, None)
         collectExpected() // tolerated trailing block
       } else if (line == "statement error") {
         i += 1
@@ -321,6 +325,12 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val AddFilesListRe =
     """(?is)CALL\s+ducklake_add_data_files\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*\[([^\]]*)\]\s*(.*?)\)\s*;?""".r
   private val UseRe = """(?is)USE\s+([\w.]+)\s*;?\s*""".r
+  private val SetPartRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+  private val ResetPartRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+RESET\s+PARTITIONED\s+BY\s*;?\s*""".r
+  private val CommentViewRe =
+    """(?is)COMMENT\s+ON\s+VIEW\s+([\w.]+)\s+IS\s+('(?:[^']*)'|NULL)\s*;?\s*""".r
   private val MergeAdjRe =
     """(?is)CALL\s+(?:[\w.]+\.)?(?:ducklake_)?merge_adjacent_files\(\s*([^)]*)\)\s*;?""".r
   private val CleanupCallRe =
@@ -368,6 +378,20 @@ final class SqlLogicRunner(spark: SparkSession) {
       cleanupAll = named.get("cleanup_all").exists(_.toBoolean),
       dryRun = named.get("dry_run").exists(_.toBoolean),
       olderThan = named.get("older_than").map(tsOf))
+  }
+
+  /** Normalize a corpus-side table reference (`t`, `s.t`, `alias.s.t`)
+    * to the lake's `schema.table` form.
+    */
+  private def lakeTableName(ref: String): String = {
+    val parts = ref.split('.').toSeq
+    val noCat = if (parts.head.equalsIgnoreCase(catalogAlias) ||
+      parts.head.equalsIgnoreCase(physAlias)) parts.tail else parts
+    noCat match {
+      case Seq(t) => s"main.$t"
+      case Seq(sch, t) => s"$sch.$t"
+      case other => other.mkString(".")
+    }
   }
 
   private def runMergeAdjacent(body: String): Unit = {
@@ -431,6 +455,16 @@ final class SqlLogicRunner(spark: SparkSession) {
     case AddFilesListRe(_, table, list, rest) =>
       addFilesCall(table,
         "'([^']*)'".r.findAllMatchIn(list).map(_.group(1)).toSeq, rest)
+    case SetPartRe(table, keys) =>
+      lake.setPartitionedBy(lakeTableName(table),
+        keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case ResetPartRe(table) =>
+      lake.setPartitionedBy(lakeTableName(table), Nil)
+    case CommentViewRe(view, text) =>
+      // Spark has no COMMENT ON VIEW — route to the lake API
+      lake.commentOnView(lakeTableName(view),
+        if (text.equalsIgnoreCase("NULL")) None
+        else Some(text.stripPrefix("'").stripSuffix("'")))
     case MergeAdjRe(body) => runMergeAdjacent(body)
     case CleanupCallRe(body) => runCleanup(body)
     case ExpireCallRe(body) => runExpire(body)
@@ -539,6 +573,7 @@ final class SqlLogicRunner(spark: SparkSession) {
   }
 
   private val TableInfoRe = """(?i)(?:\w+\.)?(?:ducklake_)?table_info\(\s*(?:'[^']*'\s*)?\)""".r
+  private val SnapshotsTvfRe = """(?i)(?:\w+\.)?(?:ducklake_)?snapshots\(\s*(?:'[^']*'\s*)?\)""".r
   private val GlobCountRe =
     """(?is)SELECT\s+COUNT\(\*\)\s+FROM\s+glob\('([^']+)'\)(?:\s+WHERE\s+'([^']+)'\s+IN\s+file(?:\.replace\([^)]*\))?)?\s*;?""".r
   private val ListFilesRe =
@@ -632,6 +667,12 @@ final class SqlLogicRunner(spark: SparkSession) {
         val pattern = GlobTvfRe.findFirstMatchIn(t).get.group(1)
         globFiles(pattern).toDF("file").createOrReplaceTempView("__slt_glob")
         spark.sql(translate(GlobTvfRe.replaceAllIn(t, "__slt_glob ")))
+      case _ if SnapshotsTvfRe.findFirstIn(t).isDefined =>
+        // snapshots() / ducklake_snapshots('cat'): id, time, schema
+        // version and the rendered change map, straight off the journal
+        require(lake != null, "no lake attached")
+        lake.snapshotsDF.createOrReplaceTempView("__slt_snapshots")
+        spark.sql(translate(SnapshotsTvfRe.replaceAllIn(t, "__slt_snapshots ")))
       case _ if TableInfoRe.findFirstIn(t).isDefined =>
         // ducklake.table_info() → reference-named per-table summary
         require(lake != null, "no lake attached")
