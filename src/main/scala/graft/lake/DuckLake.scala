@@ -36,7 +36,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       if (rel) fs.delete(new Path(filePath(s"$s.$t", p)), false)
     }
   }
-  store.setMetadata("data_path", dataPath)
+  // the catalog remembers its FIRST data path; a later attach with a
+  // different path (OVERRIDE_DATA_PATH) is effective but never persisted
+  // (corpus: general/data_path_tag.test)
+  if (store.getMetadata("data_path").isEmpty)
+    store.setMetadata("data_path", dataPath)
+
+  // Spark's default TimestampType parquet encoding is INT96, which
+  // carries NO column statistics — file skipping on timestamp columns
+  // (the canonical time-range prune at 100 TB) would silently stop
+  // working. The lake writes micros, like the reference engine.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** Lake-level Parquet Modular Encryption (reference: A5,
     * src/encryption.rs): sticky once enabled — reopening the lake without
@@ -171,7 +181,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         PartTransform.validate(t, TypeBridge.toSpark(cdef.dtype), pf.source))
       (cdef.columnId, pf.transform)
     }
-    store.setPartitionedBy(tr.tableId, keys)
+    // SET PARTITIONED BY with the scheme already in force — or RESET on
+    // an already-unpartitioned table — is a no-op: no new scheme id, no
+    // snapshot (corpus: partitioning/partition_nop.test)
+    val live = store.getPartitionColumns(tr.tableId, snap)
+      .sortBy(_._1).map { case (_, cid, t) => (cid, t) }
+    if (keys == live) snap
+    else store.setPartitionedBy(tr.tableId, keys)
   }
 
   /** CTAS with Z-ORDER clustering on two numeric columns: each value is
@@ -238,11 +254,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // data inlining (DuckLake spec): appends at or below the limit live
     // in the catalog as JSON rows — no parquet file, no storage round
     // trip. Only for appends whose schema matches the table exactly
-    // (inlined rows skip the evolution machinery) and only on
-    // unpartitioned tables.
+    // (inlined rows skip the evolution machinery); partitioned tables
+    // inline too — flushing writes the rows out hive-partitioned.
     val inlineLimit = effectiveInlineLimit(name)
     if (inlineLimit > 0 && mode == WriteMode.Append && !tableIsNew &&
-        !flushInlined && partFields.isEmpty && schemaMatchesCurrent(name, df)) {
+        !flushInlined && schemaMatchesCurrent(name, df)) {
       val sample = df.toJSON.limit(inlineLimit + 1).collect()
       if (sample.length <= inlineLimit) {
         val tr = resolveTable(name, store.currentSnapshot)
@@ -302,14 +318,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }.toSeq
     val staging = s"$dataPath/.staging-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
-    // transform keys partition by a derived value column (the hive dir
-    // segment); the SOURCE column stays physically in the parquet —
-    // unlike identity keys, which move into the directory layout
-    val dirCols = partCols.zipWithIndex.map { case (pf, i) =>
-      if (pf.transform.isEmpty) pf.source else s"__pt_$i" }
+    // every key partitions by a derived `__pt_i` value column (the hive
+    // dir segment); the SOURCE column always stays physically in the
+    // parquet — reference behavior: full rows in files, the directory
+    // layout is naming only (corpus: partitioning/disable_hive_partitioning
+    // .test reads part_key straight out of a partition's files)
+    val dirCols = partCols.indices.map(i => s"__pt_$i")
     val toStage = partCols.zipWithIndex.foldLeft(df) { case (d, (pf, i)) =>
-      pf.transform.fold(d)(t =>
-        d.withColumn(s"__pt_$i", PartTransform.valueExpr(t, col(pf.source))))
+      d.withColumn(s"__pt_$i",
+        pf.transform.fold(col(pf.source))(t => PartTransform.valueExpr(t, col(pf.source))))
     }
     // one fresh key per commit; each registered file row carries it
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
@@ -323,11 +340,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val writer = getOption("target_file_size", name).flatMap(parseByteSize)
       .fold(writer0)(_ => writer0.option("maxRecordsPerFile", 122880L))
     (if (dirCols.nonEmpty) writer.partitionBy(dirCols: _*) else writer).parquet(staging)
-    // schema of what's physically in the files: everything except
-    // identity partition columns
-    val identitySources = partCols.filter(_.transform.isEmpty).map(_.source).toSet
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields.filterNot(f => identitySources.contains(f.name)))
+    // full rows land in the files — partition keys included
+    val dataSchema = df.schema
     try {
       val stagingPath = new Path(staging)
       val parts = {
@@ -354,7 +368,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         part -> partValues
       }
       val (files, renamed) = stageIntoTableDir(schemaName, tableName, staged,
-        dataSchema, keyOpt)
+        dataSchema, keyOpt, hiveNamesFor(name, partCols))
       (TableWriteSpec(schemaName, tableName, cols, mode, files, partColsForCreate,
         flushInlined), renamed)
     } finally fs.delete(new Path(staging), true)
@@ -366,23 +380,54 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   private def stageIntoTableDir(schemaName: String, tableName: String,
       staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
-      keyOpt: Option[String]): (Seq[FileToRegister], Seq[Path]) = {
+      keyOpt: Option[String],
+      hiveNames: Seq[String] = Nil): (Seq[FileToRegister], Seq[Path]) = {
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val tableDir = tableDirOf(s"$schemaName.$tableName")
     fs.mkdirs(new Path(tableDir))
     val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val files = staged.map { case (part, partValues) =>
       val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
-      val dest = new Path(s"$tableDir/$fileName")
+      // hive layout: key=value directory per partition key (DuckLake
+      // default file pattern; names are the transform or source column)
+      val relName =
+        if (hiveNames.isEmpty || partValues.isEmpty) fileName
+        else hiveNames.zip(partValues).map { case (n, v) =>
+          s"$n=${v.map(escapePathName).getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+        }.mkString("", "/", s"/$fileName")
+      val dest = new Path(s"$tableDir/$relName")
+      fs.mkdirs(dest.getParent)
       if (!fs.rename(part, dest))
         throw new InternalException(s"rename failed: $part -> $dest")
       renamed += dest
       val st = fs.getFileStatus(dest)
-      FileToRegister(fileName, rowCount(dest, keyOpt), st.getLen,
+      FileToRegister(relName, rowCount(dest, keyOpt), st.getLen,
         footerSize(fs, dest, st.getLen),
         FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
     }
     (files, renamed.toSeq)
+  }
+
+  /** Hive on-disk layout directory names for a table's partition keys
+    * (DuckLake default; the scoped `hive_file_pattern false` option keeps
+    * partitioned files flat — partition values live in the catalog either
+    * way, so pruning is identical). Empty = flat.
+    */
+  private def hiveNamesFor(name: String, pcs: Seq[PartField]): Seq[String] =
+    if (pcs.nonEmpty &&
+        getOption("hive_file_pattern", name).forall(v => !v.equalsIgnoreCase("false")))
+      pcs.map(pf => pf.transform.map(_.takeWhile(_ != '[')).getOrElse(pf.source))
+    else Nil
+
+  /** Hive partition-path escaping (%xx per special char) — must stay the
+    * exact inverse of [[unescapePathName]].
+    */
+  private def escapePathName(s: String): String = {
+    val needs = "%/\\:=?#'\"<>|;"
+    if (!s.exists(c => needs.contains(c) || c < ' ')) s
+    else s.flatMap { c =>
+      if (needs.contains(c) || c < ' ') f"%%${c.toInt}%02X" else c.toString
+    }
   }
 
   private def cleanupRenamed(renamed: Seq[Path]): Unit = {
@@ -666,7 +711,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           case None      => lit(null)
         }).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, Some(phys)) =>
-        col(phys.name).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
+        DuckLake.conform(col(phys.name), TypeBridge.toSpark(phys.dtype),
+          TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, None) => // column added after this file was written:
         // rows get the column's initial default (null when none declared)
         defaultColumn(cur).as(cur.name)
@@ -1121,12 +1167,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       writeDeleteFiles(name, previous.fold(partial)(partial.union).join(fidFilter, "__fid"),
         touched.map(f => f.dataFileId -> dataFilePath(name, f)).toMap)
     }
+    val hiveNames = hiveNamesFor(name, partitionFieldsOf(name))
     val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, stagedNew,
-      dataSchema, keyOpt)
+      dataSchema, keyOpt, hiveNames)
     // UPDATE-written files carry each row's stable id as an explicit
     // column; they register with NULL row_id_start (DuckLake marker)
     val (rowIdFiles, renamed2) = stageIntoTableDir(schemaName, tableName, stagedRowId,
-      dataSchema, keyOpt)
+      dataSchema, keyOpt, hiveNames)
     try store.commitRowDelta(schemaName, tableName, cols,
       newFiles ++ rowIdFiles.map(_.copy(explicitRowIds = true)), delRegs)
     catch { case e: Throwable =>
@@ -1498,12 +1545,14 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // merge
     def logical(f: DataFileRec): Long = math.max(f.fileSizeBytes / 4, 1L)
     val candidates = store.getDataFiles(tr.tableId, snap).filter(f =>
-      f.deleteFile.isEmpty && f.mappingId.isEmpty && logical(f) < maxBytes &&
+      f.deleteFile.isEmpty && logical(f) < maxBytes &&
         (f.rowIdStart.isDefined || f.segments.exists(_.rowIdStart.isDefined)))
     def firstRowId(f: DataFileRec): Long =
       f.segments.headOption.flatMap(_.rowIdStart).orElse(f.rowIdStart).get
     // files never merge across ALTERs (different physical schemas must
-    // stay separately readable for time travel) or partition values
+    // stay separately readable for time travel) or partition values;
+    // adopted files (name mappings) group by their add-time projection —
+    // the merge reads them LOGICALLY and writes our own physical schema
     val groups = candidates.groupBy(f => (ctx.partTuple(f), sig(f))).toSeq
       .flatMap { case ((pv, _), gfs) =>
         // bin-pack in row-id order under the size cap; only runs of ≥2 merge
@@ -1524,19 +1573,28 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val staging = s"$dataPath/.staging-ma-${UUID.randomUUID()}"
     val fs = FileSystem.get(new java.net.URI(staging), hconf)
     try {
-      groups.zipWithIndex.foreach { case ((pv, run), gi) =>
+      val staged = groups.zipWithIndex.map { case ((pv, run), gi) =>
         // raw physical read + ordered single-file write per run: the
         // merged file keeps the sources' epoch schema byte-for-byte, so
-        // time travel under later ALTERs projects exactly as before
-        val epoch = run.head.epoch
-        val physCols = colsAt(epoch)
+        // time travel under later ALTERs projects exactly as before.
+        // Runs holding ADOPTED files read through their name mappings
+        // (logical projection) and write under the current epoch.
+        val hasAdopted = run.exists(_.mappingId.isDefined)
+        val epoch = if (hasAdopted) snap else run.head.epoch
+        val physCols =
+          if (hasAdopted) cols.filterNot(c => identityIds(c.columnId)).sortBy(_.order)
+          else colsAt(epoch)
         val physSchema = StructType(physCols.map(c =>
           StructField(c.name, TypeBridge.toSpark(c.dtype), nullable = true)))
         val union = run.zipWithIndex.map { case (f, i) =>
-          reader(Seq(f.path -> f.encryptionKey)).schema(physSchema)
-            .parquet(dataFilePath(name, f))
-            .select(physCols.map(c => col(c.name)) :+
-              col("_metadata.row_index").as("__ducklake_pos"): _*)
+          (if (hasAdopted)
+            readFile(name, ctx, f, withPos = true)
+              .select(physCols.map(c => col(c.name)) :+ col("__ducklake_pos"): _*)
+          else
+            reader(Seq(f.path -> f.encryptionKey)).schema(physSchema)
+              .parquet(dataFilePath(name, f))
+              .select(physCols.map(c => col(c.name)) :+
+                col("_metadata.row_index").as("__ducklake_pos"): _*))
             .withColumn("__mf", lit(i))
         }.reduce(_ unionByName _)
         val ordered = union.repartition(1)
@@ -1550,7 +1608,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         val part = fs.listStatus(new Path(s"$staging/g$gi"))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
         val (files, renamed) = stageIntoTableDir(schemaName, tableName,
-          Seq(part -> pv), physSchema, keyOpt)
+          Seq(part -> pv), physSchema, keyOpt,
+          hiveNamesFor(name, partitionFieldsOf(name)))
         // segment map: inherit the sources' own segments (re-based), one
         // segment per plain source file
         var off = 0L
@@ -1562,10 +1621,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           off += f.recordCount
           segs
         }
-        try store.commitMergeAdjacent(schemaName, tableName, run, files.head,
-          segments.map(_.beginSnapshot).min, segments, epoch,
-          physCols.map(c => c.name -> c.columnId).toMap)
-        catch { case e: Throwable => cleanupRenamed(renamed); throw e }
+        (run, files.head, segments, epoch,
+          physCols.map(c => c.name -> c.columnId).toMap, renamed)
+      }
+      // ONE snapshot for the whole call, however many runs merged
+      // (reference per-call accounting)
+      try store.commitMergeAdjacentAll(schemaName, tableName,
+        staged.map { case (run, file, segments, epoch, colIds, _) =>
+          (run, file, segments.map(_.beginSnapshot).min, segments, epoch, colIds)
+        })
+      catch { case e: Throwable =>
+        staged.foreach { case (_, _, _, _, _, renamed) => cleanupRenamed(renamed) }
+        throw e
       }
       groups.size
     } finally fs.delete(new Path(staging), true)
@@ -1593,8 +1660,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     else {
       val fsys = FileSystem.get(new java.net.URI(dataPath), hconf)
       store.scheduledDeletions(cutoff).filter { rel =>
+        // absolute entries are adopted files replaced by a merge
+        val target = if (rel.startsWith("/")) rel else s"$dataPath/$rel"
         val gone =
-          try { val p = new Path(s"$dataPath/$rel"); fsys.delete(p, false) || !fsys.exists(p) }
+          try { val p = new Path(target); fsys.delete(p, false) || !fsys.exists(p) }
           catch { case _: java.io.IOException => false }
         if (gone) store.unschedule(rel)
         gone
@@ -1660,10 +1729,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     if (candidates.isEmpty ||
       (candidates.size == 1 && candidates.head.deleteFile.isEmpty)) return snap
     val (schemaName, tableName) = parse(name)
-    val identitySources = partitionFieldsOf(name)
-      .filter(_.transform.isEmpty).map(_.source).toSet
-    val dataSchema = StructType(sparkSchemaOf(cols).fields
-      .filterNot(f => identitySources.contains(f.name)))
+    val dataSchema = sparkSchemaOf(cols)
     val dataColNames = dataSchema.fieldNames.toSeq
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
     val staging = s"$dataPath/.staging-rw-${UUID.randomUUID()}"
@@ -1686,7 +1752,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         (part, pv)
       }
       val (newFiles, renamed) = stageIntoTableDir(schemaName, tableName, staged,
-        dataSchema, keyOpt)
+        dataSchema, keyOpt, hiveNamesFor(name, partitionFieldsOf(name)))
       try store.commitFileRewrites(schemaName, tableName, cols,
         candidates.map(_.dataFileId), newFiles)
       catch { case e: Throwable => cleanupRenamed(renamed); throw e }
@@ -1817,6 +1883,70 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   }
 
   /** ALTER COLUMN … SET DATA TYPE (widening only — the promotion lattice). */
+  /** Rewrite a nested position inside a type: `path` addresses struct
+    * fields by name and array elements by the literal `element` segment
+    * (Spark's TableChange convention). The edited ROOT type then flows
+    * through [[alterColumnType]], so old files project structurally on
+    * read (DuckLake nested evolution — corpus: alter/add_column_nested
+    * .test, struct_evolution_list_alter.test).
+    */
+  private def editNested(dt: org.apache.spark.sql.types.DataType, path: Seq[String])(
+      leaf: (org.apache.spark.sql.types.StructType, String) => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    dt match {
+      case ArrayType(e, n) if path.headOption.exists(_.equalsIgnoreCase("element")) =>
+        if (path.length == 1)
+          throw new UnsupportedException("cannot alter the array element itself")
+        ArrayType(editNested(e, path.tail)(leaf), n)
+      case st: StructType if path.length == 1 => leaf(st, path.head)
+      case st: StructType =>
+        st.fields.find(_.name.equalsIgnoreCase(path.head)) match {
+          case Some(f) => StructType(st.fields.map(x =>
+            if (x eq f) x.copy(dataType = editNested(x.dataType, path.tail)(leaf)) else x))
+          case None => throw new InvalidConfigException(
+            s"field ${path.head} does not exist")
+        }
+      case _ =>
+        throw new UnsupportedException("a field can only be added to structs")
+    }
+  }
+
+  private def alterNested(name: String, path: Seq[String])(
+      leaf: (org.apache.spark.sql.types.StructType, String) => org.apache.spark.sql.types.StructType): Long = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val root = store.getTableColumns(tr.tableId, snap)
+      .find(_.name.equalsIgnoreCase(path.head))
+      .getOrElse(throw new InvalidConfigException(s"column ${path.head} does not exist"))
+    val edited = editNested(TypeBridge.toSpark(root.dtype), path.tail)(leaf)
+    store.alterColumnType(tr.tableId, root.name, TypeBridge.fromSpark(edited))
+  }
+
+  def addNestedField(name: String, path: Seq[String],
+      dtype: org.apache.spark.sql.types.DataType): Long =
+    alterNested(name, path) { (st, fname) =>
+      if (st.fields.exists(_.name.equalsIgnoreCase(fname)))
+        throw new UnsupportedException(s"field $fname already exists")
+      st.add(org.apache.spark.sql.types.StructField(fname, dtype, nullable = true))
+    }
+
+  def dropNestedField(name: String, path: Seq[String]): Long =
+    alterNested(name, path) { (st, fname) =>
+      if (!st.fields.exists(_.name.equalsIgnoreCase(fname)))
+        throw new InvalidConfigException(s"field $fname does not exist")
+      org.apache.spark.sql.types.StructType(
+        st.fields.filterNot(_.name.equalsIgnoreCase(fname)))
+    }
+
+  def renameNestedField(name: String, path: Seq[String], newName: String): Long =
+    alterNested(name, path) { (st, fname) =>
+      if (!st.fields.exists(_.name.equalsIgnoreCase(fname)))
+        throw new InvalidConfigException(s"field $fname does not exist")
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        if (f.name.equalsIgnoreCase(fname)) f.copy(name = newName) else f))
+    }
+
   def alterColumnType(name: String, colName: String, dtype: String): Long =
     store.alterColumnType(resolveTable(name, store.currentSnapshot).tableId,
       colName, dtype)
@@ -1931,6 +2061,149 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         .withColumn("snapshot_id", lit(snapId))
         .withColumn("change_type", lit("delete"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Reference-shaped CDC (`ducklake.table_changes(t, from, to)`):
+    * `(snapshot_id, rowid, change_type, cols…)` over the INCLUSIVE
+    * snapshot range, with a delete+insert of the same rowid in one
+    * snapshot classified as `update_preimage`/`update_postimage`
+    * (reference: src/table_changes.rs; corpus: table_changes/,
+    * add_files/add_files_table_changes.test). Flush-inlined snapshots are
+    * physical reorganization, not logical change — excluded.
+    */
+  def tableChangesFull(name: String, from: Long, to: Long): DataFrame = {
+    if (from > to) throw new InvalidSnapshotException(s"start $from > end $to")
+    val tr = resolveTable(name, to)
+    val cols = store.getTableColumns(tr.tableId, to)
+    val ctx = scanCtx(tr, cols, to)
+    val colExprs = cols.map(c => col(c.name))
+    val head = Seq(col("snapshot_id"), col("rowid"), col("change_type"))
+    val outSchema = StructType(
+      Seq(StructField("snapshot_id", LongType), StructField("rowid", LongType),
+        StructField("change_type", StringType)) ++ sparkSchemaOf(cols).fields)
+    val flushSnaps = store.snapshotsWithChanges.collect {
+      case (id, _, _, changes)
+        if changes.exists(e => e._1 == "flushed_inlined" && e._2 == tr.tableId.toString) => id
+    }.toSet
+
+    // one file's rows with their stable rowid and birth snapshot
+    def piece(f: DataFileRec)(value: FileSegment => Column): Column =
+      f.segments.foldRight(lit(null).cast(LongType)) { (s, acc) =>
+        when(col("__ducklake_pos") >= s.startPos &&
+          col("__ducklake_pos") < s.startPos + s.rowCount, value(s)).otherwise(acc)
+      }
+    def rowsOf(f: DataFileRec): DataFrame = {
+      val explicit = f.rowIdStart.isEmpty && f.segments.isEmpty
+      val base = readFile(name, ctx, f, withPos = true, withRowIdCol = explicit)
+      val withRid =
+        if (explicit) base.withColumn("rowid", col(DuckLake.RowIdPhysCol).cast(LongType))
+        else if (f.segments.nonEmpty)
+          base.withColumn("rowid", piece(f)(s => s.rowIdStart
+            .map(r => lit(r) + (col("__ducklake_pos") - s.startPos))
+            .getOrElse(lit(null).cast(LongType))))
+        else base.withColumn("rowid", lit(f.rowIdStart.get) + col("__ducklake_pos"))
+      if (f.segments.nonEmpty)
+        withRid.withColumn("snapshot_id", piece(f)(s => lit(s.beginSnapshot)))
+      else withRid.withColumn("snapshot_id", lit(f.beginSnapshot))
+    }
+
+    // inlined rows parsed at the range-end schema
+    def inlineRows(rows: Seq[(Long, Long, String)]): Option[DataFrame] = {
+      if (rows.isEmpty) return None
+      import spark.implicits._
+      val schema = sparkSchemaOf(cols)
+      Some(rows.toSeq.toDF("rowid", "snapshot_id", "__json")
+        .withColumn("__p", from_json(col("__json"), schema,
+          Map("allowNonNumericNumbers" -> "true")))
+        .select(Seq(col("snapshot_id"), col("rowid")) ++
+          cols.map(c => col("__p").getField(c.name)
+            .cast(TypeBridge.toSpark(c.dtype)).as(c.name)): _*))
+    }
+    val rawInlined = store.getInlinedRowsRaw(tr.tableId)
+
+    // --- inserted rows: files + inlined, born inside [from, to] ---
+    val segsMap = store.getFileSegments(tr.tableId)
+    def withSegs(f: DataFileRec): DataFileRec =
+      f.copy(segments = segsMap.getOrElse(f.dataFileId, Nil))
+    val insFileDfs = store.getDataFilesAddedBetween(tr.tableId, from - 1, to)
+      .filterNot(f => flushSnaps(f.beginSnapshot))
+      .map(withSegs)
+      .map(f => rowsOf(f)
+        .filter(col("snapshot_id") >= from && col("snapshot_id") <= to)
+        .select(Seq(col("snapshot_id"), col("rowid")) ++ colExprs: _*))
+    val insInline = inlineRows(rawInlined
+      .filter(r => r._2 >= from && r._2 <= to).map(r => (r._1, r._2, r._4)))
+    val inserts = (insFileDfs ++ insInline).reduceOption(_ unionByName _)
+
+    // --- deleted rows: delete-file deltas + ended inlined rows ---
+    val delFileDfs = store.getDeleteFilesAddedBetween(tr.tableId, from - 1, to)
+      .map { case (delOpt, prevOpt, dataFile) =>
+        val current: DataFrame = delOpt match {
+          case Some(d) => reader(Seq(d.path -> d.encryptionKey))
+            .parquet(filePath(name, d.path)).select("pos")
+          case None => spark.range(dataFile.recordCount).select(col("id").as("pos"))
+        }
+        val delta = prevOpt match {
+          case Some(p) => current.except(reader(Seq(p.path -> p.encryptionKey))
+            .parquet(filePath(name, p.path)).select("pos"))
+          case None => current
+        }
+        // full-file deletes happen at the file's END snapshot, not `to`
+        val snapId = delOpt.map(_.beginSnapshot)
+          .orElse(store.dataFileEndSnapshot(dataFile.dataFileId)).getOrElse(to)
+        rowsOf(withSegs(dataFile))
+          .join(broadcast(delta), col("__ducklake_pos") === col("pos"), "left_semi")
+          .withColumn("snapshot_id", lit(snapId))
+          .select(Seq(col("snapshot_id"), col("rowid")) ++ colExprs: _*)
+      }
+    val delInline = inlineRows(rawInlined
+      .filter(r => r._3.exists(e => e >= from && e <= to && !flushSnaps(e)))
+      .map(r => (r._1, r._3.get, r._4)))
+    val deletes = (delFileDfs ++ delInline).reduceOption(_ unionByName _)
+
+    // --- classify: delete+insert of one rowid in one snapshot = update ---
+    (inserts, deletes) match {
+      case (None, None) =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+      case (Some(i), None) =>
+        i.withColumn("change_type", lit("insert")).select(head ++ colExprs: _*)
+      case (None, Some(d)) =>
+        d.withColumn("change_type", lit("delete")).select(head ++ colExprs: _*)
+      case (Some(i), Some(d)) =>
+        val dk = d.select(col("snapshot_id").as("__ds"), col("rowid").as("__dr")).distinct()
+        val ik = i.select(col("snapshot_id").as("__ds"), col("rowid").as("__dr")).distinct()
+        val insOut = i.join(broadcast(dk),
+          col("snapshot_id") === col("__ds") && col("rowid") === col("__dr"), "left")
+          .withColumn("change_type",
+            when(col("__ds").isNotNull, "update_postimage").otherwise(lit("insert")))
+          .select(head ++ colExprs: _*)
+        val delOut = d.join(broadcast(ik),
+          col("snapshot_id") === col("__ds") && col("rowid") === col("__dr"), "left")
+          .withColumn("change_type",
+            when(col("__ds").isNotNull, "update_preimage").otherwise(lit("delete")))
+          .select(head ++ colExprs: _*)
+        insOut.unionByName(delOut)
+    }
+  }
+
+  /** [[tableChangesFull]] over timestamp bounds: the inclusive snapshot
+    * range whose commit times fall inside [tsFrom, tsTo].
+    */
+  def tableChangesFull(name: String, tsFrom: java.sql.Timestamp,
+      tsTo: java.sql.Timestamp): DataFrame = {
+    val snaps = store.snapshots
+    val from = snaps.collectFirst { case (id, t) if !t.before(tsFrom) => id }
+      .getOrElse(Long.MaxValue)
+    val to = snaps.reverse.collectFirst { case (id, t) if !t.after(tsTo) => id }
+      .getOrElse(-1L)
+    if (from > to) {
+      val tr = resolveTable(name, store.currentSnapshot)
+      val cols = store.getTableColumns(tr.tableId, store.currentSnapshot)
+      val outSchema = StructType(
+        Seq(StructField("snapshot_id", LongType), StructField("rowid", LongType),
+          StructField("change_type", StringType)) ++ sparkSchemaOf(cols).fields)
+      spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    } else tableChangesFull(name, from, to)
   }
 
   // ------------------------------------------------------------------
@@ -2285,6 +2558,39 @@ object DuckLake {
       .sortBy { case (k, _) => ChangeKindOrder.getOrElse(k, 99) }
       .map { case (k, vs) => s"$k=[${vs.map(_._2).distinct.mkString(", ")}]" }
     grouped.mkString("{", ", ", "}")
+  }
+
+  /** Project a physically-read value onto the CURRENT catalog type —
+    * plain `cast` for scalars, structural rebuild for nested types:
+    * struct fields resolve by name (added fields read NULL, dropped
+    * fields vanish, shared fields conform recursively), lists map their
+    * elements, maps their values (DuckLake nested evolution — corpus:
+    * alter/struct_evolution.test and friends). At 100 TB this stays a
+    * per-row expression — no rewrite of old files on ALTER, ever.
+    */
+  def conform(c: Column, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fields = t.fields.map { tf =>
+          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(sf) =>
+              conform(c.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(c.isNull, lit(null).cast(t))
+          .otherwise(org.apache.spark.sql.functions.struct(fields.toSeq: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        org.apache.spark.sql.functions.transform(c,
+          x => conform(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        org.apache.spark.sql.functions.transform_values(c,
+          (_, v) => conform(v, f.valueType, t.valueType))
+      case (_, t) => c.cast(t)
+    }
   }
 
   /** Physical column holding explicit per-row stable ids in files written

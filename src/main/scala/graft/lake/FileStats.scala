@@ -67,6 +67,11 @@ object FileStats {
     case (_, null) => None
     case (ByteType | ShortType | IntegerType | LongType | DateType |
           TimestampType | TimestampNTZType, n: Number) => Some(n.longValue().toString)
+    case (d: DecimalType, n: Number) => // footer stores the unscaled value
+      Some(java.math.BigDecimal.valueOf(n.longValue(), d.scale).toPlainString)
+    case (d: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+      Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale)
+        .toPlainString)
     case (FloatType, n: Number)  => Some(n.floatValue().toDouble.toString)
     case (DoubleType, n: Number) => Some(n.doubleValue().toString)
     case (BooleanType, b: java.lang.Boolean) => Some(if (b) "1" else "0")
@@ -79,6 +84,7 @@ object FileStats {
   private def isNumericLike(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | FloatType | DoubleType | BooleanType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -95,6 +101,9 @@ object FileStats {
     case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
       Some(n.longValue().toString)
     case (FloatType | DoubleType, n: Number) => Some(n.doubleValue().toString)
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(d.toPlainString)
+    case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+      Some(d.toJavaBigDecimal.toPlainString)
     case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toString)
     case (TimestampNTZType, t: java.time.LocalDateTime) =>
@@ -181,6 +190,12 @@ object FileStats {
         mightMatch(l, schema, recordCount, stats) && mightMatch(r, schema, recordCount, stats)
       case Or(l, r) =>
         mightMatch(l, schema, recordCount, stats) || mightMatch(r, schema, recordCount, stats)
+      // != v prunes files whose every non-null row IS v (min=max=v; null
+      // rows don't satisfy != either, so they change nothing)
+      case Not(EqualTo(a, v)) =>
+        !range(a).exists { case (dt, mn, mx) =>
+          canonical(dt, v).exists(c => cmp(dt)(mn, c) == 0 && cmp(dt)(mx, c) == 0)
+        }
       case _ => true
     }
   }

@@ -666,7 +666,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   /** Segment maps of a table's merged files: data_file_id → ordered spans.
     * One query per scan regardless of file count.
     */
-  private def getFileSegments(tableId: Long): Map[Long, Seq[FileSegment]] =
+  def getFileSegments(tableId: Long): Map[Long, Seq[FileSegment]] =
     query(
       """SELECT p.data_file_id, p.begin_snapshot, p.start_pos, p.row_count, p.row_id_start
         |FROM ducklake_partial_file_info p
@@ -712,9 +712,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       (Some(d), prev, df)
     }
     // full-file deletes: replaced data files in range (no delete file of their own)
+    // exclude only files whose ending is ALREADY reported by a delete
+    // file at that same snapshot — earlier delete files in the range are
+    // separate events and must not mask the final full-file delete
+    // (corpus: table_changes/ducklake_table_deletions.test 0..11 range)
     val ended = query(
-      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch, df.mapping_id, df.row_id_start FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot > ? AND dl.begin_snapshot <= ?) ORDER BY df.data_file_id",
-      Seq(tableId, from, to, from, to))(rs =>
+      "SELECT df.data_file_id, df.path, df.path_is_relative, df.record_count, df.file_size_bytes, df.footer_size, df.begin_snapshot, df.encryption_key, df.write_epoch, df.mapping_id, df.row_id_start FROM ducklake_data_file df WHERE df.table_id = ? AND df.end_snapshot IS NOT NULL AND df.end_snapshot > ? AND df.end_snapshot <= ? AND NOT EXISTS (SELECT 1 FROM ducklake_delete_file dl WHERE dl.data_file_id = df.data_file_id AND dl.begin_snapshot = df.end_snapshot) ORDER BY df.data_file_id",
+      Seq(tableId, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),
         rs.getLong(9), { val m = rs.getLong(10); if (rs.wasNull()) None else Some(m) },
@@ -729,6 +733,13 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     withPrev ++ endedWithPrev
   }
+
+  /** end_snapshot of one data file (None = still live). */
+  def dataFileEndSnapshot(dataFileId: Long): Option[Long] =
+    query("SELECT end_snapshot FROM ducklake_data_file WHERE data_file_id = ?",
+      Seq(dataFileId))(rs =>
+      { val e = rs.getLong(1); if (rs.wasNull()) None else Some(e) })
+      .headOption.flatten
 
   def getDataFileById(tableId: Long, dataFileId: Long): Option[DataFileRec] =
     query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND data_file_id = ?",
@@ -1295,9 +1306,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   /** First unassigned stable row id of a table: past every id any file
     * (live OR ended — ids are never reused) has ever claimed.
     */
-  private def nextRowIdFor(tableId: Long): Long =
-    query("SELECT COALESCE(MAX(row_id_start + record_count), 0) FROM ducklake_data_file WHERE table_id = ?",
+  private def nextRowIdFor(tableId: Long): Long = {
+    val fileMax = query(
+      "SELECT COALESCE(MAX(row_id_start + record_count), 0) FROM ducklake_data_file WHERE table_id = ?",
       Seq(tableId))(_.getLong(1)).head
+    // merged files hold NON-CONTIGUOUS id ranges: the file-level
+    // start+count under-counts (file [0,2) may carry segments {0},{2}) —
+    // segment claims are the authoritative ceiling (corpus:
+    // compaction/compaction_partitioned_non_adjacent.test rowids)
+    val segMax = query(
+      """SELECT COALESCE(MAX(p.row_id_start + p.row_count), 0)
+        |FROM ducklake_partial_file_info p
+        |JOIN ducklake_data_file f ON f.data_file_id = p.data_file_id
+        |WHERE f.table_id = ?""".stripMargin,
+      Seq(tableId))(_.getLong(1)).head
+    math.max(fileMax, segMax)
+  }
 
   /** Adopt pre-existing parquet files into a table in ONE snapshot — no
     * data movement; each file carries a name mapping and its footer stats
@@ -1335,6 +1359,15 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def countColumnMappings(tableId: Long): Long =
     query("SELECT COUNT(*) FROM ducklake_column_mapping WHERE table_id = ?",
       Seq(tableId))(_.getLong(1)).head
+
+  /** EVERY inlined row of the table, live or ended: (row_id,
+    * begin_snapshot, end_snapshot, json) — the CDC surface needs ended
+    * rows (they are the deletes).
+    */
+  def getInlinedRowsRaw(tableId: Long): Seq[(Long, Long, Option[Long], String)] =
+    query("SELECT row_id, begin_snapshot, end_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? ORDER BY row_id",
+      Seq(tableId))(rs => (rs.getLong(1), rs.getLong(2),
+      { val e = rs.getLong(3); if (rs.wasNull()) None else Some(e) }, rs.getString(4)))
 
   def getInlinedRows(tableId: Long, snap: Long): Seq[(Long, Long, String)] =
     query(s"SELECT row_id, begin_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? AND $Vis ORDER BY row_id",
@@ -1436,12 +1469,43 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     snap
   }
 
+  /** ALTER VIEW … RENAME TO: end the old-name row, open a new-name row
+    * under the SAME view id (like table renames — corpus:
+    * alter/rename_entity.test).
+    */
+  def renameView(schemaId: Long, oldName: String, newName: String): Long =
+    inSnapshotTxn { snap =>
+      PathResolver.validateName(newName)
+      val cur = query(
+        s"SELECT view_id, sql_text, current_catalog, current_namespace, schema_json, query_column_names FROM ducklake_view WHERE schema_id = ? AND view_name = ? AND $Vis",
+        Seq(schemaId, oldName, snap, snap))(rs => (rs.getLong(1), rs.getString(2),
+        rs.getString(3), rs.getString(4), rs.getString(5), rs.getString(6)))
+        .headOption.getOrElse(throw new TableNotFoundException(oldName))
+      if (getView(schemaId, newName, snap).isDefined)
+        throw new UnsupportedException(s"view already exists: $newName")
+      update("UPDATE ducklake_view SET end_snapshot = ? WHERE schema_id = ? AND view_name = ? AND end_snapshot IS NULL",
+        Seq(snap, schemaId, oldName))
+      update("INSERT INTO ducklake_view VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+        Seq(cur._1, schemaId, newName, cur._2, cur._3, cur._4, cur._5, cur._6, snap))
+      val schemaName = query(
+        "SELECT schema_name FROM ducklake_schema WHERE schema_id = ?",
+        Seq(schemaId))(_.getString(1)).headOption.getOrElse("main")
+      recordChange("views_created", cur._1, s"$schemaName.$newName")
+      snap
+    }
+
   /** (name, sql, currentCatalog, currentNamespace, schemaJson, queryColumnNames). */
   def getView(schemaId: Long, name: String, snap: Long)
       : Option[(String, String, String, String, String, String)] =
     query(s"SELECT view_name, sql_text, current_catalog, current_namespace, schema_json, query_column_names FROM ducklake_view WHERE schema_id = ? AND view_name = ? AND $Vis",
       Seq(schemaId, name, snap, snap))(rs => (rs.getString(1), rs.getString(2),
       rs.getString(3), rs.getString(4), rs.getString(5), rs.getString(6))).headOption
+
+  /** Views with ids and bodies (duckdb_views() surface). */
+  def listViewsFull(schemaId: Long, snap: Long): Seq[(Long, String, String)] =
+    query(s"SELECT view_id, view_name, sql_text FROM ducklake_view WHERE schema_id = ? AND $Vis ORDER BY view_name",
+      Seq(schemaId, snap, snap))(rs =>
+      (rs.getLong(1), rs.getString(2), rs.getString(3)))
 
   def listViews(schemaId: Long, snap: Long): Seq[String] =
     query(s"SELECT view_name FROM ducklake_view WHERE schema_id = ? AND $Vis ORDER BY view_name",
@@ -1501,14 +1565,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(snap, tableId))
       update("UPDATE ducklake_partition_info SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, tableId))
-      if (keys.nonEmpty) {
-        val pid = nextCatalogId()
-        update("INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
-          Seq(pid, tableId, snap))
-        keys.zipWithIndex.foreach { case ((cid, transform), idx) =>
-          update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?, ?)",
-            Seq(tableId, idx.toLong, cid, snap, transform.orNull, pid))
-        }
+      // RESET registers an EMPTY scheme (a real catalog entry — DuckDB
+      // counts it in ducklake_partition_info; corpus: partition_nop.test)
+      val pid = nextCatalogId()
+      update("INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
+        Seq(pid, tableId, snap))
+      keys.zipWithIndex.foreach { case ((cid, transform), idx) =>
+        update("INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, NULL, ?, ?)",
+          Seq(tableId, idx.toLong, cid, snap, transform.orNull, pid))
       }
       recordChange("tables_altered", tableId, tableId.toString)
       snap
@@ -1668,7 +1732,19 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
   def commitMergeAdjacent(schemaName: String, tableName: String,
       removed: Seq[DataFileRec], file: FileToRegister, beginSnapshot: Long,
       segments: Seq[FileSegment], writeEpoch: Long,
-      statColIds: Map[String, Long]): Long = inSnapshotTxn { snap =>
+      statColIds: Map[String, Long]): Long =
+    commitMergeAdjacentAll(schemaName, tableName,
+      Seq((removed, file, beginSnapshot, segments, writeEpoch, statColIds)))
+
+  /** Register every merged run of one `merge_adjacent_files` call in ONE
+    * snapshot (the reference's per-call accounting — corpus:
+    * compaction/compaction_partitioned_non_adjacent.test snapshot ids).
+    */
+  def commitMergeAdjacentAll(schemaName: String, tableName: String,
+      groups: Seq[(Seq[DataFileRec], FileToRegister, Long, Seq[FileSegment],
+        Long, Map[String, Long])]): Long = inSnapshotTxn { snap =>
+    groups.foreach { case (removed, file, beginSnapshot, segments, writeEpoch,
+        statColIds) =>
     val schema = getSchemaByName(schemaName, snap)
       .getOrElse(throw new SchemaNotFoundException(schemaName))
     val table = getTableByName(schema.schemaId, tableName, snap)
@@ -1703,9 +1779,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "ducklake_partial_file_info", "ducklake_data_file").foreach { t =>
         update(s"DELETE FROM $t WHERE data_file_id = ?", Seq(f.dataFileId))
       }
-      if (f.pathIsRelative)
-        update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
-          Seq(s"${schema.name}/${table.path.stripSuffix("/")}/${f.path}"))
+      // adopted files live at their registered (absolute) path; merged-
+      // away they are scheduled too — the reference deletes them on
+      // cleanup (corpus: add_files/add_files_compaction.test)
+      update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
+        Seq(if (f.pathIsRelative)
+          s"${schema.name}/${table.path.stripSuffix("/")}/${f.path}"
+        else f.path))
+    }
     }
     snap
   }
@@ -1819,7 +1900,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // their columns and partition keys (the reference leaves zero trace)
       Seq("ducklake_column", "ducklake_partition_column", "ducklake_view")
         .foreach(t => update(s"DELETE FROM $t f WHERE ${gone("f")}"))
-      query(s"""SELECT f.table_id FROM ducklake_table f WHERE ${gone("f")}""")(
+      // a table_id is only DEAD when no table row for it survives: a
+      // rename shares the id between the expired old-name row and the
+      // live new-name row, and purging by id would strip the renamed
+      // table's columns (reference bug — corpus:
+      // alter/expire_snapshot_bug.test)
+      query(s"""SELECT f.table_id FROM ducklake_table f WHERE ${gone("f")}
+               |AND NOT EXISTS (SELECT 1 FROM ducklake_table t2
+               |  WHERE t2.table_id = f.table_id AND NOT (${gone("t2")}))""".stripMargin)(
         _.getLong(1)).foreach { tid =>
         Seq("ducklake_column", "ducklake_partition_column",
           "ducklake_file_partition_value", "ducklake_inlined_data").foreach(t =>
@@ -2121,10 +2209,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       val nt = TypeBridge.normalize(newType)
       if (TypeBridge.normalize(c.dtype) == nt) snap
       else {
-        if (!TypeBridge.isPromotable(c.dtype, nt))
+        if (!TypeBridge.typesCompatible(c.dtype, nt))
           throw new UnsupportedTypeException(
             s"column $name: type can only be widened along the promotion " +
-              s"lattice (${c.dtype} -> $nt is not)")
+              s"lattice or evolve structurally (${c.dtype} -> $nt is not)")
         update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
           Seq(snap, tableId, c.columnId))
         update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",

@@ -76,10 +76,15 @@ object PartTransform {
     * identity partitioning.
     */
   def valueExpr(t: String, c: Column): Column = t match {
+    // DuckDB scalar semantics: year(ts)=2020, month(ts)=1..12,
+    // day(ts)=1..31, hour(ts)=0..23 (corpus: partitioning/year_month_day
+    // .test expects `year=2020/month=1` directories). The cyclic values
+    // don't invert to a source range — pruning rides the source column's
+    // own footer stats instead, which every write captures.
     case "year"  => date_format(c, "yyyy")
-    case "month" => date_format(c, "yyyy-MM")
-    case "day"   => date_format(c, "yyyy-MM-dd")
-    case "hour"  => date_format(c, "yyyy-MM-dd-HH")
+    case "month" => date_format(c, "M")
+    case "day"   => date_format(c, "d")
+    case "hour"  => date_format(c, "H")
     case TruncateRe(n) => substring(c, 1, n.toInt)
     case BucketRe(n) =>
       // md5-derived bucket: engine-portable (any side can recompute it
@@ -110,17 +115,9 @@ object PartTransform {
         case "year" =>
           val y = raw.toInt
           dateRange(LocalDate.of(y, 1, 1), LocalDate.of(y + 1, 1, 1))
-        case "month" =>
-          val ym = YearMonth.parse(raw)
-          dateRange(ym.atDay(1), ym.plusMonths(1).atDay(1))
-        case "day" =>
-          val d = LocalDate.parse(raw)
-          dateRange(d, d.plusDays(1))
-        case "hour" if dt == TimestampType || dt == TimestampNTZType =>
-          val f = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
-          val h = java.time.LocalDateTime.parse(raw, f)
-          val loUs = h.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
-          Some((loUs.toString, (loUs + 3600000000L - 1).toString))
+        // month/day/hour are CYCLIC ordinals (month=3 recurs every year):
+        // no source range exists — None keeps the file, and the source
+        // column's footer stats do the actual pruning
         case TruncateRe(_) if dt == StringType =>
           incrementString(raw).map(hi => (raw, hi))
         case _ => None
@@ -180,9 +177,9 @@ object PartTransform {
       }
       t match {
         case "year"  => f"${d.getYear}%04d"
-        case "month" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
-        case "day"   => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
-        case _ => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d-${d.getHour}%02d"
+        case "month" => d.getMonthValue.toString
+        case "day"   => d.getDayOfMonth.toString
+        case _       => d.getHour.toString
       }
     case TruncateRe(n) =>
       val s = v.toString

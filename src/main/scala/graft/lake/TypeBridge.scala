@@ -185,8 +185,41 @@ object TypeBridge {
   }
 
   /** Whether two types are identical after normalization or promotable
-    * (reference: src/types.rs:406-423 `types_compatible`).
+    * (reference: src/types.rs:406-423 `types_compatible`). Nested types
+    * evolve structurally: struct fields may be added, dropped, or
+    * promoted (DuckLake struct evolution — corpus: alter/struct_evolution
+    * .test); lists and maps evolve through their element/value types.
     */
-  def typesCompatible(from: String, to: String): Boolean =
-    normalize(from) == normalize(to) || isPromotable(from, to)
+  def typesCompatible(from: String, to: String): Boolean = {
+    val (f, t) = (normalize(from), normalize(to))
+    if (f == t || isPromotable(from, to)) return true
+    def inner(s: String, prefix: String): Option[String] =
+      if (s.startsWith(prefix) && s.endsWith(">"))
+        Some(s.substring(prefix.length, s.length - 1))
+      else None
+    (inner(f, "struct<"), inner(t, "struct<")) match {
+      case (Some(ff), Some(tf)) =>
+        def fieldsOf(s: String): Seq[(String, String)] = splitTop(s).map { e =>
+          val i = e.indexOf(':'); (e.substring(0, i).trim.toLowerCase, e.substring(i + 1))
+        }
+        val fm = fieldsOf(ff).toMap
+        return fieldsOf(tf).forall { case (n, tt) =>
+          fm.get(n).forall(ft => typesCompatible(ft, tt)) }
+      case _ => ()
+    }
+    (inner(f, "list<"), inner(t, "list<")) match {
+      case (Some(fe), Some(te)) => return typesCompatible(fe, te)
+      case _ => ()
+    }
+    (inner(f, "map<"), inner(t, "map<")) match {
+      case (Some(fe), Some(te)) =>
+        return (splitTop(fe), splitTop(te)) match {
+          case (Seq(fk, fv), Seq(tk, tv)) =>
+            normalize(fk) == normalize(tk) && typesCompatible(fv, tv)
+          case _ => false
+        }
+      case _ => ()
+    }
+    false
+  }
 }

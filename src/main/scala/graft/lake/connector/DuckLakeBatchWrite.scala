@@ -62,9 +62,9 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
   private val partFields = lake.partitionFieldsOf(fullName)
   private val partKeys = partFields.map(pf =>
     (rowSchema.fieldIndex(pf.source), pf.transform.orNull)).toArray
-  private val identitySources = partFields.filter(_.transform.isEmpty).map(_.source).toSet
-  private val dataSchema =
-    StructType(rowSchema.fields.filterNot(f => identitySources.contains(f.name)))
+  // full rows land in the files — identity partition keys included
+  // (reference behavior; the directory layout is naming only)
+  private val dataSchema = rowSchema
   private val staging = s"${lake.dataPath}/.staging-delta-${UUID.randomUUID()}"
   private val keyOpt =
     if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
@@ -222,9 +222,9 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
   private val partFields = lake.partitionFieldsOf(fullName)
   private val partKeys = partFields.map(pf =>
     (rowSchema.fieldIndex(pf.source), pf.transform.orNull)).toArray
-  private val identitySources = partFields.filter(_.transform.isEmpty).map(_.source).toSet
-  private val dataSchema =
-    StructType(rowSchema.fields.filterNot(f => identitySources.contains(f.name)))
+  // full rows land in the files — identity partition keys included
+  // (reference behavior; the directory layout is naming only)
+  private val dataSchema = rowSchema
   private val staging = s"${lake.dataPath}/.staging-stream-${UUID.randomUUID()}"
   private val epochKey = s"stream_epoch::$queryId::$fullName"
 
@@ -286,11 +286,10 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // identity keys live in the directory; transform keys' SOURCE
-      // columns stay in the data fields
-      private val identityIdx = partKeys.collect { case (i, null) => i }
+      // ALL columns stay in the data fields — partition keys (identity
+      // and transform sources alike) are physically in every file
       private val dataFields: Array[(StructField, Int)] =
-        schema.fields.zipWithIndex.filterNot { case (_, i) => identityIdx.contains(i) }
+        schema.fields.zipWithIndex
       private val msgType: MessageType = {
         val b = Types.buildMessage()
         dataFields.foreach { case (f, _) => b.addField(GroupDataWriterFactory.parquetField(f)) }

@@ -346,6 +346,15 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val name = fullName(ident)
     changes.foreach {
+      // multi-part field names address NESTED struct fields (array
+      // elements via the literal `element` segment) — composed into a
+      // root-column type evolution
+      case r: TableChange.RenameColumn if r.fieldNames().length > 1 =>
+        lake.renameNestedField(name, r.fieldNames().toSeq, r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames().length > 1 =>
+        lake.dropNestedField(name, d.fieldNames().toSeq)
+      case a: TableChange.AddColumn if a.fieldNames().length > 1 =>
+        lake.addNestedField(name, a.fieldNames().toSeq, a.dataType())
       case r: TableChange.RenameColumn =>
         lake.renameColumn(name, r.fieldNames().mkString("."), r.newName())
       case d: TableChange.DeleteColumn =>
@@ -467,8 +476,11 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   override def alterView(ident: Identifier, changes: ViewChange*): View =
     throw new UnsupportedOperationException("alterView")
 
-  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("renameView")
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().sameElements(newIdent.namespace()),
+      "renameView cannot move a view across namespaces")
+    lake.store.renameView(schemaIdOf(oldIdent), oldIdent.name(), newIdent.name())
+  }
 
   override def dropView(ident: Identifier): Boolean =
     lake.store.dropView(schemaIdOf(ident), ident.name())

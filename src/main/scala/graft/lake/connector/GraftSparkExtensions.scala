@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, RelationTimeTravel, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, RenameTable, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -86,11 +86,10 @@ class LakeViewSqlParser(session: SparkSession, delegate: ParserInterface)
         case UnresolvedIdentifier(parts, _) =>
           LakeViews.resolveIdent(session, parts) match {
             case Some((cat, ident)) =>
-              require(cv.userSpecifiedColumns.isEmpty,
-                "lake views do not support explicit column lists")
               val text = cv.originalText.getOrElse(throw new IllegalArgumentException(
                 "CREATE VIEW requires literal SQL text"))
-              CreateLakeViewCommand(cat, ident, text, cv.allowExisting, cv.replace)
+              CreateLakeViewCommand(cat, ident, text, cv.allowExisting, cv.replace,
+                cv.userSpecifiedColumns.map(_._1))
             case None => cv
           }
         case _ => cv
@@ -103,6 +102,20 @@ class LakeViewSqlParser(session: SparkSession, delegate: ParserInterface)
             case None => dv
           }
         case _ => dv
+      }
+    // ALTER VIEW … RENAME TO: route lake views to the ViewCatalog rename
+    // (the analyzer only resolves session-catalog view renames)
+    case rt @ RenameTable(child, newName, true) =>
+      val parts = child match {
+        case UnresolvedIdentifier(p, _) => Some(p)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+          Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(p => LakeViews.resolveIdent(session, p)) match {
+        case Some((cat, ident)) if Try(cat.loadView(ident)).isSuccess =>
+          RenameLakeViewCommand(cat, ident, newName.last)
+        case _ => rt
       }
     case other => other
   }
@@ -212,15 +225,32 @@ case class CreateLakeViewCommand(
     ident: Identifier,
     sqlText: String,
     allowExisting: Boolean,
-    replace: Boolean) extends LeafRunnableCommand {
+    replace: Boolean,
+    userColumns: Seq[String] = Nil) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val exists = Try(catalog.loadView(ident)).isSuccess
     if (exists && allowExisting && !replace) return Seq.empty
-    val schema = session.sql(sqlText).schema // analyze body; validates references
+    val bodySchema = session.sql(sqlText).schema // analyze body; validates refs
+    // CREATE VIEW v(a, …): the column list renames the body's leading
+    // output columns (standard SQL view column aliases)
+    val (text, schema) =
+      if (userColumns.isEmpty) (sqlText, bodySchema)
+      else {
+        require(userColumns.size <= bodySchema.size,
+          s"view column list has ${userColumns.size} names for ${bodySchema.size} columns")
+        val out = bodySchema.fieldNames.zipWithIndex.map { case (c, i) =>
+          if (i < userColumns.size) s"`$c` AS `${userColumns(i)}`" else s"`$c`"
+        }
+        val renamed = org.apache.spark.sql.types.StructType(
+          bodySchema.fields.zipWithIndex.map { case (f, i) =>
+            if (i < userColumns.size) f.copy(name = userColumns(i)) else f
+          })
+        (s"SELECT ${out.mkString(", ")} FROM ($sqlText)", renamed)
+      }
     if (exists && replace) catalog.dropView(ident)
     val cm = session.sessionState.catalogManager
-    catalog.createView(new ViewInfo(ident, sqlText, cm.currentCatalog.name(),
+    catalog.createView(new ViewInfo(ident, text, cm.currentCatalog.name(),
       cm.currentNamespace, schema, Array.empty[String], Array.empty[String],
       Array.empty[String], new java.util.HashMap[String, String]()))
     Seq.empty
@@ -228,6 +258,16 @@ case class CreateLakeViewCommand(
 }
 
 /** `DROP VIEW [IF EXISTS] lake.ns.v` against the lake catalog. */
+case class RenameLakeViewCommand(
+    catalog: DuckLakeSparkCatalog,
+    ident: Identifier,
+    newName: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.renameView(ident, Identifier.of(ident.namespace(), newName))
+    Seq.empty
+  }
+}
+
 case class DropLakeViewCommand(
     catalog: DuckLakeSparkCatalog,
     ident: Identifier,

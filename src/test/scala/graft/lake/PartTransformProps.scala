@@ -26,7 +26,9 @@ object PartTransformProps extends Properties("PartTransform") {
       val v = PartTransform.transformValue(t, DateType, days)
       PartTransform.sourceRange(t, DateType, v) match {
         case Some(r) => within(DateType, days.toLong, r)
-        case None    => false // time transforms must always invert
+        // cyclic ordinals (month=3 recurs every year) have no range
+        // inverse; None keeps the file — conservative by construction
+        case None => t == "month" || t == "day" || v.startsWith("-")
       }
     }
 
@@ -35,9 +37,9 @@ object PartTransformProps extends Properties("PartTransform") {
       val v = PartTransform.transformValue(t, TimestampNTZType, us)
       PartTransform.sourceRange(t, TimestampNTZType, v) match {
         case Some(r) => within(TimestampNTZType, us, r)
-        // pre-epoch extremes may not parse back (e.g. negative years) —
-        // acceptable only by KEEPING the file, which None does
-        case None => v.startsWith("-")
+        // cyclic ordinals never invert; pre-epoch years may not parse —
+        // both acceptable only by KEEPING the file, which None does
+        case None => t != "year" || v.startsWith("-")
       }
     }
 

@@ -46,10 +46,11 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byMonth = back.groupBy("month").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byMonth == Map("2024-01" -> 100, "2024-02" -> 100, "2024-03" -> 100))
-    // the parquet files themselves do NOT contain the partition column
+    // full rows in files: the partition column is physically present
+    // (reference behavior — the hive directory layout is naming only)
     val aFile = lake.listFilesDF.filter(col("table_name") === "sales").head.getString(2)
     val phys = spark.read.parquet(s"$root/data/main/sales/$aFile")
-    assert(!phys.columns.contains("month"))
+    assert(phys.columns.contains("month"))
   }
 
   test("partition pruning: equality filter scans only that partition's files") {
@@ -344,9 +345,9 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.table("main.upd_part", None, Seq(EqualTo("grp", "g2"))).count()
     val total = lake.listFilesDF.filter(col("table_name") === "upd_part").count().toInt
     assert(lake.lastScanFileCount < total && lake.lastScanFileCount >= 1)
-    // and the physical files still exclude the partition column
+    // and the physical files keep the partition column (full rows)
     val aFile = lake.listFilesDF.filter(col("table_name") === "upd_part").head.getString(2)
-    assert(!spark.read.parquet(s"$root/data/main/upd_part/$aFile").columns.contains("grp"))
+    assert(spark.read.parquet(s"$root/data/main/upd_part/$aFile").columns.contains("grp"))
   }
 
   test("SQL UPDATE on an encrypted lake re-encrypts the rewritten files") {
