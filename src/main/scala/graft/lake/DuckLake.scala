@@ -690,7 +690,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def readGroup(name: String, fsGroup: Seq[DataFileRec],
       epoch: Seq[(ColumnDef, Option[ColumnDef])],
       partVals: Map[Long, Option[String]], withPos: Boolean,
-      withRowIdCol: Boolean = false): DataFrame = {
+      withRowIdCol: Boolean = false,
+      history: Seq[(ColumnDef, Long, Option[Long])] = Nil): DataFrame = {
     val physSchema0 = StructType(epoch.collect {
       case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
         StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
@@ -711,8 +712,26 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           case None      => lit(null)
         }).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, Some(phys)) =>
-        DuckLake.conform(col(phys.name), TypeBridge.toSpark(phys.dtype),
-          TypeBridge.toSpark(cur.dtype)).as(cur.name)
+        // conform along the column's VERSION CHAIN when the history has
+        // it: stepwise conformance sees each single ALTER, so a nested
+        // RENAME (field dropped + field added at the same position, same
+        // type, in ONE version step) keeps its values, while drop-then-
+        // re-add across versions correctly reads NULL (corpus:
+        // alter/struct_evolution_alter.test vs struct_evolution_reuse.test)
+        val versions = history.filter(_._1.columnId == cur.columnId)
+          .sortBy(_._2).map(_._1.dtype)
+        val start = versions.indexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(phys.dtype))
+        val end = versions.lastIndexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(cur.dtype))
+        val expr =
+          if (start >= 0 && end > start)
+            versions.slice(start, end + 1).map(TypeBridge.toSpark)
+              .sliding(2).foldLeft(col(phys.name)) {
+                case (c, Seq(a, b)) => DuckLake.conformStep(c, a, b)
+                case (c, _)         => c
+              }
+          else DuckLake.conform(col(phys.name), TypeBridge.toSpark(phys.dtype),
+            TypeBridge.toSpark(cur.dtype))
+        expr.as(cur.name)
       case (cur, None) => // column added after this file was written:
         // rows get the column's initial default (null when none declared)
         defaultColumn(cur).as(cur.name)
@@ -727,7 +746,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def readFile(name: String, ctx: ScanCtx, f: DataFileRec,
       withPos: Boolean, withRowIdCol: Boolean = false): DataFrame =
     readGroup(name, Seq(f), physOf(ctx, f), injectedValues(ctx, f), withPos,
-      withRowIdCol)
+      withRowIdCol, ctx.history)
 
   /** One file's LIVE rows: epoch-projected, MOR delete positions
     * anti-joined away (broadcast — delete sets are small relative to
@@ -850,7 +869,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val (withDel, clean) = whole.partition(_.deleteFile.isDefined)
       val cleanScans = clean.groupBy(f => (physOf(ctx, f), injectedValues(ctx, f)))
         .map { case ((phys, pv), fs) =>
-          readGroup(name, fs, phys, pv, withPos = false)
+          readGroup(name, fs, phys, pv, withPos = false,
+            withRowIdCol = false, history = ctx.history)
         }.toSeq
       val delScans = withDel.map(f => morReadFile(name, ctx, f))
       val partialScans = partial.map { f =>
@@ -875,7 +895,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           case Some(_) => morReadFile(name, ctx, f, keepPos = withPos,
             withRowIdCol = explicitIds)
           case None => readGroup(name, Seq(f), physOf(ctx, f),
-            injectedValues(ctx, f), withPos = withPos, withRowIdCol = explicitIds)
+            injectedValues(ctx, f), withPos = withPos, withRowIdCol = explicitIds,
+            history = ctx.history)
         }
         val base = if (partialPrefix < f.recordCount)
           base0.filter(col("__ducklake_pos") < partialPrefix) else base0
@@ -1220,13 +1241,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         if (fs.exists(p)) Seq(fs.getFileStatus(p))
         else if (raw.contains("**")) {
           // recursive glob (Hadoop globs are single-level): walk from the
-          // prefix before `**`, keep files matching the final segment
-          val base = new Path(raw.substring(0, raw.indexOf("**")).stripSuffix("/"))
+          // prefix before `**`, keep files matching the final segment.
+          // A wildcard INSIDE the prefix (hive dirs: `key=*/**`) expands
+          // through a single-level glob first (corpus:
+          // add_files/add_files_hive.test).
+          val prefix = raw.substring(0, raw.indexOf("**")).stripSuffix("/")
+          val bases: Seq[Path] =
+            if (prefix.contains("*"))
+              Option(fs.globStatus(new Path(prefix)))
+                .map(_.toSeq.map(_.getPath)).getOrElse(Nil)
+            else Seq(new Path(prefix)).filter(fs.exists)
           val leaf = raw.substring(raw.lastIndexOf('/') + 1)
           val leafRe = java.util.regex.Pattern.compile(
             leaf.replace(".", "\\.").replace("*", ".*"))
-          if (!fs.exists(base)) Nil
-          else {
+          bases.flatMap { base =>
             val it = fs.listFiles(base, true)
             val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
             while (it.hasNext) {
@@ -1264,7 +1292,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val regs = resolved.map { p0 =>
       val p = fs.makeQualified(p0)
       val st = fs.getFileStatus(p)
-      val pathStr = p.toString
+      // plain filesystem path — resolved Hadoop paths carry a `file:`
+      // scheme that must not leak into the catalog (cleanup and scans
+      // resolve the stored string)
+      val pathStr =
+        if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       val fSize = footerSize(fs, p, st.getLen) // also validates the magic
       val fileSchema = spark.read.parquet(pathStr).schema
       def fileField(n: String) = fileSchema.fields.find(_.name == n)
@@ -1276,6 +1308,32 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             s"""Column "${f.name}" exists in file $pathStr but not in table "$tableName" (pass ignoreExtraColumns = true to skip it)""")
         }
       }
+      // nested field audit: fields of the table's struct types that the
+      // file lacks (→ NULL-filled, gated on allowMissing) and file
+      // fields the table lacks (gated on ignoreExtraColumns)
+      def nestedDiff(file: org.apache.spark.sql.types.DataType,
+          table: org.apache.spark.sql.types.DataType,
+          prefix: String): (Seq[String], Seq[String]) = (file, table) match {
+        case (f: org.apache.spark.sql.types.StructType,
+              t: org.apache.spark.sql.types.StructType) =>
+          val miss = t.fields.toSeq.flatMap { tf =>
+            f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+              case Some(sf) => nestedDiff(sf.dataType, tf.dataType, s"$prefix.${tf.name}")._1
+              case None => Seq(s"$prefix.${tf.name}")
+            }
+          }
+          val extra = f.fields.toSeq.flatMap { sf =>
+            t.fields.find(_.name.equalsIgnoreCase(sf.name)) match {
+              case Some(tf) => nestedDiff(sf.dataType, tf.dataType, s"$prefix.${sf.name}")._2
+              case None => Seq(s"$prefix.${sf.name}")
+            }
+          }
+          (miss, extra)
+        case (f: org.apache.spark.sql.types.ArrayType,
+              t: org.apache.spark.sql.types.ArrayType) =>
+          nestedDiff(f.elementType, t.elementType, prefix)
+        case _ => (Nil, Nil)
+      }
       val entries: Seq[NameMapEntry] = cols.flatMap { c =>
         fileField(c.name) match {
           case Some(f) =>
@@ -1283,6 +1341,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             if (!TypeBridge.typesCompatible(ft, c.dtype))
               throw new UnsupportedTypeException(
                 s"""Failed to add data files: column "${c.name}" in file $pathStr has type $ft — expected ${c.dtype} or a type promotable to it""")
+            val (miss, extra) = nestedDiff(f.dataType, TypeBridge.toSpark(c.dtype), c.name)
+            if (miss.nonEmpty && !allowMissing)
+              throw new InvalidConfigException(
+                s"""Column "${miss.head}" exists in table "$tableName" but was not found in file $pathStr (pass allowMissing = true to fill with NULL)""")
+            if (extra.nonEmpty && !ignoreExtraColumns)
+              throw new InvalidConfigException(
+                s"""Column "${extra.head}" exists in file $pathStr but not in table "$tableName" (pass ignoreExtraColumns = true to skip it)""")
             Some(NameMapEntry(c.columnId, f.name, TypeBridge.normalize(ft),
               isPartition = false))
           case None =>
@@ -1660,8 +1725,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     else {
       val fsys = FileSystem.get(new java.net.URI(dataPath), hconf)
       store.scheduledDeletions(cutoff).filter { rel =>
-        // absolute entries are adopted files replaced by a merge
-        val target = if (rel.startsWith("/")) rel else s"$dataPath/$rel"
+        // absolute entries (plain or URI-form) are adopted files
+        // replaced by a merge
+        val target =
+          if (rel.startsWith("/") || rel.contains(":/")) rel
+          else s"$dataPath/$rel"
         val gone =
           try { val p = new Path(target); fsys.delete(p, false) || !fsys.exists(p) }
           catch { case _: java.io.IOException => false }
@@ -2589,6 +2657,46 @@ object DuckLake {
       case (f: MapType, t: MapType) =>
         org.apache.spark.sql.functions.transform_values(c,
           (_, v) => conform(v, f.valueType, t.valueType))
+      case (_, t) => c.cast(t)
+    }
+  }
+
+  /** One VERSION-STEP of structural conformance: like [[conform]], but a
+    * target struct field with no name match may claim the source field at
+    * the SAME ordinal with the same type when neither name survives on
+    * the other side — a single-ALTER rename, whose values must carry over
+    * (field-identity semantics; safe only between CONSECUTIVE catalog
+    * versions, where exactly one change happened).
+    */
+  def conformStep(c: Column, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fields = t.fields.zipWithIndex.map { case (tf, ti) =>
+          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(sf) =>
+              conformStep(c.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+            case None =>
+              f.fields.lift(ti).filter { sf =>
+                sf.dataType == tf.dataType &&
+                  !t.fields.exists(_.name.equalsIgnoreCase(sf.name)) &&
+                  !f.fields.exists(_.name.equalsIgnoreCase(tf.name))
+              } match {
+                case Some(sf) => c.getField(sf.name).as(tf.name)
+                case None => lit(null).cast(tf.dataType).as(tf.name)
+              }
+          }
+        }
+        when(c.isNull, lit(null).cast(t))
+          .otherwise(org.apache.spark.sql.functions.struct(fields.toSeq: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        org.apache.spark.sql.functions.transform(c,
+          x => conformStep(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        org.apache.spark.sql.functions.transform_values(c,
+          (_, v) => conformStep(v, f.valueType, t.valueType))
       case (_, t) => c.cast(t)
     }
   }

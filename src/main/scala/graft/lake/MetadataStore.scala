@@ -450,6 +450,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |JOIN ducklake_data_file f ON f.data_file_id = s.data_file_id
           |WHERE f.end_snapshot IS NULL
           |GROUP BY s.table_id, s.column_id""".stripMargin
+      // DuckDB surfaces the options table with (key, value) column names
+      case "ducklake_metadata" =>
+        """SELECT meta_key AS "key", meta_value AS "value" FROM ducklake_metadata"""
       case other if other.startsWith("ducklake_") && other.matches("[a-z_]+") =>
         s"SELECT * FROM $other"
       case other => throw new InvalidConfigException(s"not a metadata table: $other")
@@ -1336,6 +1339,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
     var nextRowId = nextRowIdFor(table.tableId)
     files.foreach { case (f, entries) =>
+      // re-adding a path still live in the table would double-count rows
+      if (query(
+        s"SELECT COUNT(*) FROM ducklake_data_file WHERE table_id = ? AND path = ? AND $Vis",
+        Seq(table.tableId, f.path, snap, snap))(_.getLong(1)).head > 0)
+        throw new InvalidConfigException(
+          s"Failed to add data files: ${f.path} is already registered in the table")
       val mid = getOrCreateMapping(table.tableId, entries)
       val id = nextId("ducklake_data_file", "data_file_id")
       val rowStart = nextRowId

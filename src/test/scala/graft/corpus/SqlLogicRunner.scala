@@ -57,6 +57,7 @@ final class SqlLogicRunner(spark: SparkSession) {
     "sqlite_" -> "sqlite metadata backend",
     "postgres" -> "postgres metadata backend",
     "::JSON" -> "json type",
+    " JSON" -> "json type",
     "THEN INSERT VALUES" -> "merge insert-values shorthand",
     " UUID" -> "uuid type",
     " uuid" -> "uuid type",
@@ -88,6 +89,8 @@ final class SqlLogicRunner(spark: SparkSession) {
     "::TIME" -> "time-of-day type",
     "::DECIMAL" -> "decimal cast dialect",
     "getvariable" -> "duckdb variables",
+    "'quoted'" -> "quoted attach paths",
+    "asd/fgh" -> "special-character names (path hardening rejects)",
     "ATTACH 'ducklake:postgres" -> "postgres backend",
     "ATTACH 'ducklake:sqlite" -> "sqlite backend")
 
@@ -218,6 +221,8 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private var lake: DuckLake = null
   private var catalogAlias: String = "ducklake"
+  // ATTACH … (SNAPSHOT_VERSION n): pinned, read-only
+  private var pinnedSnapshot: Option[Long] = None
   private var metaAlias: String = "__ducklake_metadata_ducklake"
   // Spark's CatalogManager caches plugin instances per alias, so every
   // ATTACH binds a FRESH physical alias; `translate` rewrites references
@@ -506,11 +511,32 @@ final class SqlLogicRunner(spark: SparkSession) {
         classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$physAlias.metaDb", lake.metaDbPath)
       spark.conf.set(s"spark.sql.catalog.$physAlias.dataPath", lake.dataPath)
+      // ATTACH … (SNAPSHOT_VERSION n): pin every read, refuse writes
+      pinnedSnapshot = Option(opts).flatMap(o =>
+        """SNAPSHOT_VERSION\s+(\d+)""".r.findFirstMatchIn(o).map(_.group(1).toLong))
+      pinnedSnapshot.foreach { v =>
+        if (!lake.store.snapshotExists(v)) {
+          lake.close(); lake = null; pinnedSnapshot = None
+          throw new RuntimeException(s"No snapshot found at version $v")
+        }
+      }
     case DetachRe(alias) if alias.equalsIgnoreCase(catalogAlias) =>
       // close the metadata connection; a later re-ATTACH on the same
       // path reopens the catalog (corpus detach/reattach cycles)
       spark.sql("USE spark_catalog.default")
+      pinnedSnapshot = None
       if (lake != null) { lake.close(); lake = null }
+    case DetachRe(alias) if lake != null && alias.equalsIgnoreCase(metaAlias) =>
+      // detaching the METADATA catalog strands the lake: its connection
+      // closes, so every later lake operation errors (DuckDB parity —
+      // corpus: general/detach_ducklake.test)
+      lake.close()
+    case DetachRe(_) => () // detaching an unrelated alias: nothing to do
+    case s if pinnedSnapshot.isDefined &&
+        """(?is)^\s*(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|TRUNCATE|CALL|COPY)\b""".r
+          .findFirstIn(s).isDefined =>
+      throw new RuntimeException(
+        "read-only: catalog attached at a pinned snapshot")
     case AddFilesRe(_, table, path, rest) =>
       addFilesCall(table, Seq(path), rest)
     case AddFilesListRe(_, table, list, rest) =>
@@ -830,7 +856,10 @@ final class SqlLogicRunner(spark: SparkSession) {
           ("memory", None: Option[Map[String, String]]))
           .toDF("database_name", "tags")
           .createOrReplaceTempView("__slt_ddbs")
-        spark.sql(translate(t.replace("duckdb_databases()", "__slt_ddbs")))
+        // DuckDB lets the WHERE reference the select alias; Spark doesn't
+        val q = t.replace("duckdb_databases()", "__slt_ddbs")
+          .replaceAll("(?i)\\bAND\\s+data_path\\s+", "AND tags['data_path'] ")
+        spark.sql(translate(q))
       case _ if t.contains("duckdb_tables()") =>
         // duckdb_tables() catalog TVF → the lake's table list
         require(lake != null, "no lake attached")
@@ -1284,10 +1313,27 @@ final class SqlLogicRunner(spark: SparkSession) {
     s = (s"""(?i)\\b((?:CREATE|DROP)\\s+(?:SCHEMA|NAMESPACE)\\s+(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?)$catalogAlias\\.""").r
       .replaceAllIn(s, m => s"${m.group(1)}$physAlias.")
     // 3-part lake names keep their schema; 2-part default to main
-    s = (s"""(?i)\\b$catalogAlias\\.([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)""").r
-      .replaceAllIn(s, m => s"$physAlias.${m.group(1)}.${m.group(2)}")
-    s = (s"""(?i)\\b$catalogAlias\\.([A-Za-z_]\\w*)""").r
-      .replaceAllIn(s, m => s"$physAlias.main.${m.group(1)}")
+    // (double-quoted segments become backticks — DuckDB identifiers)
+    def seg(g: String): String =
+      if (g.startsWith("\"")) "`" + g.stripPrefix("\"").stripSuffix("\"") + "`" else g
+    s = (s"""(?i)\\b$catalogAlias\\.("[^"]+"|[A-Za-z_]\\w*)\\.("[^"]+"|[A-Za-z_]\\w*)""").r
+      .replaceAllIn(s, m =>
+        Regex.quoteReplacement(s"$physAlias.${seg(m.group(1))}.${seg(m.group(2))}"))
+    s = (s"""(?i)\\b$catalogAlias\\.("[^"]+"|[A-Za-z_]\\w*)""").r
+      .replaceAllIn(s, m =>
+        Regex.quoteReplacement(s"$physAlias.main.${seg(m.group(1))}"))
+    // pinned-snapshot attach: every lake table read time-travels
+    pinnedSnapshot.foreach { v =>
+      s = (s"""\\b$physAlias\\.(\\w+)\\.(\\w+)\\b(?!\\s+VERSION)""").r
+        .replaceAllIn(s, m =>
+          s"$physAlias.${m.group(1)}.${m.group(2)} VERSION AS OF $v")
+    }
+    // a lone-backslash literal `'\'` cannot be lexed by Spark at all
+    // (the lexer always treats \' as an escaped quote) — use chr(92)
+    s = s.replace("'\\'", "chr(92)")
+    // DuckDB `'lit' IN str_col` is substring containment
+    s = """('[^']*'|chr\(\d+\))\s+IN\s+([A-Za-z_]\w*)\b(?!\s*\()""".r
+      .replaceAllIn(s, m => Regex.quoteReplacement(s"contains(${m.group(2)}, ${m.group(1)})"))
     // DuckDB timestamptz ≈ Spark TIMESTAMP (session-zone semantics)
     s = """(?i)\btimestamptz\b""".r.replaceAllIn(s, "TIMESTAMP")
     // bare VARCHAR/TEXT need no length in DuckDB; Spark wants STRING
