@@ -1412,6 +1412,32 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     store.commitAddFiles(schemaName, tableName, regs)
   }
 
+  /** UPDATE over a table whose LIVE rows are all inlined: applied in the
+    * catalog, same row ids, one snapshot — never a flush. Returns None
+    * when the table has data files (caller falls back to the SQL delta
+    * path). `assignments` are (column, SQL expression) pairs; `cond` a
+    * SQL predicate.
+    */
+  def updateInlinedRows(name: String, assignments: Seq[(String, String)],
+      cond: Option[String]): Option[Long] = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    if (store.getDataFiles(tr.tableId, snap).nonEmpty) return None
+    val cols = store.getTableColumns(tr.tableId, snap)
+    val base = inlinedDF(tr, cols, snap, withRowId = true).getOrElse(return Some(snap))
+    val matched = cond.fold(base)(base.filter(_))
+    val applied = assignments.foldLeft(matched) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e).cast(
+        TypeBridge.toSpark(cols.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new InvalidConfigException(s"no such column: $c")).dtype)))
+    }
+    val pairs = applied.select(col("__row_id"),
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(cols.map(c => col(c.name)): _*)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    Some(store.commitInlinedUpdate(tr.tableId, pairs))
+  }
+
   def flushInlined(name: String): Long = {
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)

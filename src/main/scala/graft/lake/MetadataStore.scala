@@ -1269,6 +1269,24 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     snap
   }
 
+  /** Row-level UPDATE over INLINED rows, in place: end each old row and
+    * re-insert its new JSON under the SAME row id in ONE snapshot —
+    * no flush, no file, and CDC sees a delete+insert of one rowid in one
+    * snapshot = an update pair (corpus:
+    * data_inlining/data_inlining_table_changes.test).
+    */
+  def commitInlinedUpdate(tableId: Long, rows: Seq[(Long, String)]): Long =
+    inSnapshotTxn { snap =>
+      rows.foreach { case (rid, json) =>
+        update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND row_id = ? AND end_snapshot IS NULL",
+          Seq(snap, tableId, rid))
+        update("INSERT INTO ducklake_inlined_data VALUES (?, ?, ?, NULL, ?)",
+          Seq(tableId, rid, snap, json))
+      }
+      if (rows.nonEmpty) recordChange("inlined_insert", tableId, tableId.toString)
+      snap
+    }
+
   /** Inlined rows visible at `snap`: (row_id, begin_snapshot, json). */
   // ---------- adopted files (add_files; reference: tests/sqllogictests/sql/add_files/) ----------
 
