@@ -48,7 +48,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "no_extension_autoloading" -> "missing-extension harness",
     "onlyif" -> "engine-conditional blocks",
     "skipif" -> "engine-conditional blocks",
-    "mode skip" -> "mode skip blocks",
     "stats(" -> "duckdb stats() introspection text",
     "__ducklake_internal" -> "internal duckdb catalog",
     "PRAGMA" -> "pragmas",
@@ -88,7 +87,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "TIMETZ" -> "time-with-zone types",
     "::TIME" -> "time-of-day type",
     "::DECIMAL" -> "decimal cast dialect",
-    "getvariable" -> "duckdb variables",
     "'quoted'" -> "quoted attach paths",
     "asd/fgh" -> "special-character names (path hardening rejects)",
     "ATTACH 'ducklake:postgres" -> "postgres backend",
@@ -153,6 +151,12 @@ final class SqlLogicRunner(spark: SparkSession) {
       val line = lines(i).trim
       if (line.isEmpty || line.startsWith("#") || line.startsWith("require") ||
           line.startsWith("test-env")) { i += 1 }
+      else if (line == "mode skip") {
+        // sqllogictest section skip: drop records until `mode unskip`
+        while (i < lines.length && lines(i).trim != "mode unskip") i += 1
+        if (i < lines.length) i += 1
+      }
+      else if (line == "mode unskip") { i += 1 }
       else if (line == "statement ok" || line.matches("statement ok con\\d+")) {
         // a connection-tagged statement OUTSIDE any transaction is just a
         // sequential statement; interleaved transactions (tagged BEGIN)
@@ -223,6 +227,8 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private var lake: DuckLake = null
   private var catalogAlias: String = "ducklake"
+  // SET VARIABLE name = <scalar or list> (DuckDB session variables)
+  private val variables = scala.collection.mutable.Map.empty[String, Any]
   // ATTACH … (SNAPSHOT_VERSION n): pinned, read-only
   private var pinnedSnapshot: Option[Long] = None
   private var metaAlias: String = "__ducklake_metadata_ducklake"
@@ -364,6 +370,29 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val SetPartRe =
     """(?is)ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*;?\s*""".r
   private val DetachRe = """(?is)DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*""".r
+  private val SetVariableRe =
+    """(?is)^\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+)$""".r
+  private val GetVarRe = """(?i)getvariable\('(\w+)'\)""".r
+
+  /** Render a stored variable back into SQL literal form. */
+  private def varLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case ts: java.sql.Timestamp => "TIMESTAMP '" + ts.toString + "'"
+    case ldt: java.time.LocalDateTime =>
+      "TIMESTAMP '" + ldt.toString.replace('T', ' ') + "'"
+    case str: String => "'" + str + "'"
+    case seq: scala.collection.Seq[_] =>
+      seq.map(varLiteral).mkString("array(", ", ", ")")
+    case other => other.toString
+  }
+
+  /** Substitute getvariable('x') occurrences with literal values. */
+  private def substVars(sql: String): String =
+    if (!sql.toLowerCase.contains("getvariable")) sql
+    else GetVarRe.replaceAllIn(sql, m =>
+      Regex.quoteReplacement(varLiteral(
+        variables.getOrElse(m.group(1).toLowerCase,
+          throw new SkipFile(s"unset variable: \${m.group(1)}")))))
 
   /** Split a partition-key list on top-level commas only —
     * `year(ts), month(ts)` must not split inside the transform parens.
@@ -524,6 +553,14 @@ final class SqlLogicRunner(spark: SparkSession) {
           throw new RuntimeException(s"No snapshot found at version $v")
         }
       }
+    case SetVariableRe(vname, body) =>
+      val b = body.trim.stripSuffix(";").trim
+      val v: Any =
+        if (b.startsWith("(")) {
+          val row = queryDF(b.substring(1, b.length - 1)).collect().head
+          if (row.isNullAt(0)) null else row.get(0)
+        } else b
+      variables(vname.toLowerCase) = v
     case DetachRe(alias) if alias.equalsIgnoreCase(catalogAlias) =>
       // close the metadata connection; a later re-ATTACH on the same
       // path reopens the catalog (corpus detach/reattach cycles)
