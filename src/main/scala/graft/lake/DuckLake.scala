@@ -227,6 +227,40 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       .getOrElse(inlineRowLimit)
     catch { case _: Exception => inlineRowLimit }
 
+  /** Per-column stats of a SMALL DataFrame about to inline (one
+    * aggregate pass over ≤ inline-limit rows): canonical min/max for
+    * bounded types, presence counts for all — feeds the same cumulative
+    * ducklake_table_column_stats the file writers feed, so `stats()`
+    * stays exact across inlined inserts and updates (reference:
+    * tests/sqllogictests/sql/data_inlining/data_inlining_update.test).
+    */
+  private def inlineStats(df: DataFrame, cols: Seq[ColumnDef]): Seq[ColumnStatRec] = {
+    import org.apache.spark.sql.functions.{count, lit, max => smax, min => smin}
+    import org.apache.spark.sql.types._
+    def bounded(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType | _: ArrayType | BinaryType => false
+      case _ => true
+    }
+    val typed = cols.map(c => c -> TypeBridge.toSpark(c.dtype))
+    val aggs = typed.zipWithIndex.flatMap { case ((c, dt), i) =>
+      count(df(c.name)).as(s"__c_$i") +:
+        (if (bounded(dt))
+          Seq(smin(df(c.name)).as(s"__mn_$i"), smax(df(c.name)).as(s"__mx_$i"))
+        else Nil)
+    } :+ count(lit(1)).as("__n")
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = r.getAs[Long]("__n")
+    typed.zipWithIndex.map { case ((c, dt), i) =>
+      val nonNull = r.getAs[Long](s"__c_$i")
+      val (mn, mx) =
+        if (bounded(dt))
+          (Option(r.getAs[Any](s"__mn_$i")).flatMap(FileStats.canonicalValue(dt, _)),
+            Option(r.getAs[Any](s"__mx_$i")).flatMap(FileStats.canonicalValue(dt, _)))
+        else (None, None)
+      ColumnStatRec(c.name, n, Some(n - nonNull), mn, mx)
+    }
+  }
+
   private def write(df: DataFrame, name: String, mode: WriteMode.Value,
       partitionBy: Seq[String] = Nil, flushInlined: Boolean = false,
       redefine: Boolean = false): Long = {
@@ -262,15 +296,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val sample = df.toJSON.limit(inlineLimit + 1).collect()
       if (sample.length <= inlineLimit) {
         val tr = resolveTable(name, store.currentSnapshot)
+        val curCols = store.getTableColumns(tr.tableId, store.currentSnapshot)
         // NOT NULL also holds for inlined rows (toJSON omits null fields,
         // so a missing key IS a null)
-        store.getTableColumns(tr.tableId, store.currentSnapshot)
-          .filterNot(_.nullsAllowed).foreach { c =>
-            if (sample.exists(j => !j.contains("\"" + c.name + "\":")))
-              throw new ConstraintViolationException(
-                s"NOT NULL constraint failed: column ${c.name} of $name")
-          }
-        return store.commitInlined(tr.tableId, sample.toSeq)
+        curCols.filterNot(_.nullsAllowed).foreach { c =>
+          if (sample.exists(j => !j.contains("\"" + c.name + "\":")))
+            throw new ConstraintViolationException(
+              s"NOT NULL constraint failed: column ${c.name} of $name")
+        }
+        return store.commitInlined(tr.tableId, sample.toSeq,
+          inlineStats(df, curCols))
       }
     }
     // CTAS at or under the inline limit: table registration + inlined
@@ -289,7 +324,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
               s"NOT NULL constraint failed: column ${c.name} of $name")
         }
         return store.commitWriteWithInlined(TableWriteSpec(schemaName, tableName,
-          cols, mode, Nil, Nil, flushInlined = false, redefine = redefine), sample.toSeq)
+          cols, mode, Nil, Nil, flushInlined = false, redefine = redefine),
+          sample.toSeq, inlineStats(df, cols))
       }
     }
     val (spec, renamed) = stageWrite(df, name, mode,
@@ -445,8 +481,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       staged: Seq[(Path, Seq[Option[String]])], dataSchema: StructType,
       keyOpt: Option[String], partColsForCreate: Seq[String],
       flushInlined: Boolean = false): Long = {
+    // DSv2 writes (MERGE/UPDATE rewrites, streaming epochs) keep the
+    // table's hive directory layout — the writer already split rows by
+    // partition value (corpus: merge/merge_partition_update.test GLOBs
+    // the year=… directories MERGE wrote)
+    val hiveNames =
+      try hiveNamesFor(s"$schemaName.$tableName",
+        partitionFieldsOf(s"$schemaName.$tableName"))
+      catch { case _: DuckLakeException => Nil }
     val (files, renamed) = stageIntoTableDir(schemaName, tableName, staged,
-      dataSchema, keyOpt)
+      dataSchema, keyOpt, hiveNames)
     try store.commitWrite(schemaName, tableName, cols, mode, files, partColsForCreate,
       flushInlined)
     catch { case e: Throwable =>
@@ -779,6 +823,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val rows = store.getInlinedRows(tr.tableId, snap)
     if (rows.isEmpty) return None
     import spark.implicits._
+    // rows REPLACED inside the open txn (same row_id ended at the txn
+    // snapshot) are updated VERSIONS: they keep their stable id in the
+    // rowid virtual, never the provisional 1e18 form (reference:
+    // data_inlining/data_inlining_update.test)
+    val updatedIds: Set[Long] = txnSnap
+      .map(s => store.inlinedRowIdsEndedAt(tr.tableId, s).toSet)
+      .getOrElse(Set.empty)
     val dfs = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (beginSnap, group) =>
       val txnLocal = txnSnap.contains(beginSnap)
       val epochCols = store.getTableColumns(tr.tableId, beginSnap)
@@ -803,8 +854,12 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         if (v == DuckLake.VirtualSnapshot)
           (if (txnLocal) lit(null).cast(LongType) else lit(beginSnap)).as(v)
         else if (v == DuckLake.VirtualRowId)
-          (if (txnLocal) lit(DuckLake.TxnLocalRowIdBase - txnBase) + col("__row_id")
-           else col("__row_id")).as(v)
+          (if (txnLocal && updatedIds.isEmpty)
+            lit(DuckLake.TxnLocalRowIdBase - txnBase) + col("__row_id")
+          else if (txnLocal)
+            when(col("__row_id").isInCollection(updatedIds), col("__row_id"))
+              .otherwise(lit(DuckLake.TxnLocalRowIdBase - txnBase) + col("__row_id"))
+          else col("__row_id")).as(v)
         else if (v == DuckLake.VirtualFilename)
           lit(if (txnLocal) "__ducklake_inlined_transaction_local_data"
               else s"ducklake_inlined_data_${tr.tableId}_1").as(v)
@@ -851,8 +906,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val txnSnap = store.openTransactionSnapshot.filter(_ == snap)
     val txnBase: Long = txnSnap.map { s =>
       val fileMin = files.filter(_.beginSnapshot == s).flatMap(_.rowIdStart)
+      // updated VERSIONS of pre-existing rows keep stable ids — they
+      // neither get nor anchor the provisional txn-local id range
+      val replaced = store.inlinedRowIdsEndedAt(tr.tableId, s).toSet
       val inlMin = store.getInlinedRows(tr.tableId, snap)
-        .filter(_._2 == s).map(_._1)
+        .filter(r => r._2 == s && !replaced(r._1)).map(_._1)
       (fileMin ++ inlMin).minOption.getOrElse(0L)
     }.getOrElse(0L)
     // inlined catalog rows are always included (never stats-pruned)
@@ -1435,17 +1493,60 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         org.apache.spark.sql.functions.to_json(
           org.apache.spark.sql.functions.struct(cols.map(c => col(c.name)): _*)))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    Some(store.commitInlinedUpdate(tr.tableId, pairs))
+    Some(store.commitInlinedUpdate(tr.tableId, pairs,
+      inlineStats(applied.select(cols.map(c => col(c.name)): _*), cols)))
   }
 
   def flushInlined(name: String): Long = {
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
-    inlinedDF(tr, cols, snap) match {
-      case None     => snap
-      case Some(df) => write(df.coalesce(1), name, WriteMode.Append, flushInlined = true)
-    }
+    val rows = store.getInlinedRows(tr.tableId, snap)
+    if (rows.isEmpty) return snap
+    // partitioned tables flush through the hive write path (rows fan out
+    // across partition files, so contiguous segment maps don't apply —
+    // fresh row ids, file begins at the flush snapshot)
+    if (partitionColumnsOf(name).nonEmpty)
+      return inlinedDF(tr, cols, snap) match {
+        case None     => snap
+        case Some(df) => write(df.coalesce(1), name, WriteMode.Append, flushInlined = true)
+      }
+    // unpartitioned: ONE file in row-id order, registered at the earliest
+    // inlined snapshot with a segment map that preserves every row's
+    // stable id and commit snapshot — post-flush reads, time travel and
+    // CDC are indistinguishable from pre-flush (reference semantics:
+    // tests/sqllogictests/sql/data_inlining/data_inlining_flush.test)
+    val df = inlinedDF(tr, cols, snap, withRowId = true).get
+    val (schemaName, tableName) = parse(name)
+    val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
+    val staging = s"$dataPath/.staging-fl-${UUID.randomUUID()}"
+    val fs = FileSystem.get(new java.net.URI(staging), hconf)
+    try {
+      val ordered = df.repartition(1).sortWithinPartitions(col("__row_id"))
+        .select(cols.map(c => col(c.name)): _*)
+      val w = keyOpt.foldLeft(ordered.write.mode("overwrite")) { (wr, k) =>
+        wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
+          .option(GraftCryptoFactory.EncryptKey, k)
+      }
+      w.parquet(staging)
+      val part = fs.listStatus(new Path(staging))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val (files, renamed) = stageIntoTableDir(schemaName, tableName,
+        Seq(part -> Seq.empty), sparkSchemaOf(cols), keyOpt)
+      // compress ordered (row id, snapshot) pairs into contiguous runs
+      val segs = scala.collection.mutable.ArrayBuffer.empty[FileSegment]
+      rows.sortBy(_._1).zipWithIndex.foreach { case ((rid, bs, _), pos) =>
+        segs.lastOption match {
+          case Some(s) if s.beginSnapshot == bs &&
+              s.rowIdStart.contains(rid - (pos - s.startPos)) =>
+            segs(segs.length - 1) = s.copy(rowCount = s.rowCount + 1)
+          case _ => segs += FileSegment(bs, pos.toLong, 1L, Some(rid))
+        }
+      }
+      try store.commitFlushInlined(schemaName, tableName, files.head, segs.toSeq,
+        cols.map(c => c.name -> c.columnId).toMap)
+      catch { case e: Throwable => cleanupRenamed(renamed); throw e }
+    } finally fs.delete(new Path(staging), true)
   }
 
   /** `ducklake_flush_inlined_data`: flush inlined catalog rows to parquet
@@ -1987,12 +2088,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def editNested(dt: org.apache.spark.sql.types.DataType, path: Seq[String])(
       leaf: (org.apache.spark.sql.types.StructType, String) => org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     dt match {
       case ArrayType(e, n) if path.headOption.exists(_.equalsIgnoreCase("element")) =>
         if (path.length == 1)
           throw new UnsupportedException("cannot alter the array element itself")
         ArrayType(editNested(e, path.tail)(leaf), n)
+      // map traversal uses the literal `key`/`value` segments (Spark's
+      // TableChange convention; corpus: alter/struct_evolution_map_alter
+      // .test evolves the struct inside a map's VALUE)
+      case MapType(k, v, n) if path.headOption.exists(_.equalsIgnoreCase("value")) =>
+        if (path.length == 1)
+          throw new UnsupportedException("cannot alter the map value itself")
+        MapType(k, editNested(v, path.tail)(leaf), n)
+      case MapType(k, v, n) if path.headOption.exists(_.equalsIgnoreCase("key")) =>
+        if (path.length == 1)
+          throw new UnsupportedException("cannot alter the map key itself")
+        MapType(editNested(k, path.tail)(leaf), v, n)
       case st: StructType if path.length == 1 => leaf(st, path.head)
       case st: StructType =>
         st.fields.find(_.name.equalsIgnoreCase(path.head)) match {
@@ -2054,8 +2166,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def setNotNull(name: String, colName: String): Long = {
     val tid = resolveTable(name, store.currentSnapshot).tableId
     val cols = store.getTableColumns(tid, store.currentSnapshot)
-    if (!cols.exists(_.name == colName))
-      throw new InvalidConfigException(s"column not found: $colName")
+    val cdef = cols.find(_.name == colName).getOrElse(
+      throw new InvalidConfigException(s"column not found: $colName"))
+    if (!cdef.nullsAllowed)
+      throw new InvalidConfigException(
+        s"column $colName already has a NOT NULL constraint")
     val hasNull = !table(name, None,
       Seq(org.apache.spark.sql.sources.IsNull(colName)))
       .filter(col(colName).isNull).isEmpty
@@ -2068,8 +2183,12 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   /** ALTER … DROP NOT NULL (always safe). */
   def dropNotNull(name: String, colName: String): Long = {
     val tid = resolveTable(name, store.currentSnapshot).tableId
-    if (!store.getTableColumns(tid, store.currentSnapshot).exists(_.name == colName))
-      throw new InvalidConfigException(s"column not found: $colName")
+    val cdef = store.getTableColumns(tid, store.currentSnapshot)
+      .find(_.name == colName).getOrElse(
+        throw new InvalidConfigException(s"column not found: $colName"))
+    if (cdef.nullsAllowed)
+      throw new InvalidConfigException(
+        s"column $colName has no NOT NULL constraint")
     store.alterColumnNullability(tid, colName, nullsAllowed = true)
   }
 
@@ -2336,6 +2455,56 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       f.beginSnapshot, f.deleteFile.map(_.path))
     rows.toDF("schema_name", "table_name", "path", "record_count",
       "file_size_bytes", "footer_size", "begin_snapshot", "delete_file_path")
+  }
+
+  /** `ducklake_list_files('cat', table, schema =>, snapshot_version =>,
+    * snapshot_time =>)`: reference-shaped per-table file listing with
+    * RESOLVED physical paths (readable by `read_parquet` / re-adoptable
+    * by `add_files`), optionally pinned to a snapshot (reference:
+    * tests/sqllogictests/sql/list_files/ducklake_list_files.test).
+    */
+  def listFilesAt(table: String, schema: String = "main",
+      snapshot: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    snapshot.foreach { s =>
+      if (!store.snapshotExists(s))
+        throw new InvalidSnapshotException(s"No snapshot found at version $s")
+    }
+    val snap = snapshot.getOrElse(store.currentSnapshot)
+    val sch = store.getSchemaByName(schema, snap).getOrElse(
+      throw new SchemaNotFoundException(s"schema $schema does not exist"))
+    val tbl = store.getTableByName(sch.schemaId, table, snap).getOrElse(
+      throw new TableNotFoundException(s"table $schema.$table does not exist"))
+    val name = s"$schema.$table"
+    store.getDataFiles(tbl.tableId, snap).map { f =>
+      (dataFilePath(name, f), f.fileSizeBytes, f.footerSize,
+        f.deleteFile.map(d => filePath(name, d.path)),
+        f.deleteFile.map(_.fileSizeBytes))
+    }.toDF("data_file", "data_file_size_bytes", "data_file_footer_size",
+      "delete_file", "delete_file_size_bytes")
+  }
+
+  /** DuckDB `stats(col)` text from the CUMULATIVE catalog stats:
+    * `[Min: m, Max: M][Has Null: b, Has No Null: b]` — bounds widen with
+    * every insert/update and never shrink on delete (optimizer-stat
+    * semantics; reference: tests/sqllogictests/sql/stats/global_stats
+    * .test, data_inlining/data_inlining_update.test). None when the
+    * column's bounds aren't tracked (nested types) — callers fall back
+    * to an exact scan.
+    */
+  def columnStatsText(name: String, colName: String): Option[String] = {
+    val snap = store.currentSnapshot
+    val tr = resolveTable(name, snap)
+    val cdef = store.getTableColumns(tr.tableId, snap)
+      .find(_.name.equalsIgnoreCase(colName)).getOrElse(return None)
+    store.globalColumnStats(tr.tableId, cdef.columnId).map {
+      case (mn, mx, hasNull, hasNotNull) =>
+        val dt = TypeBridge.toSpark(cdef.dtype)
+        def disp(v: Option[String]): String =
+          v.map(DuckLake.displayStat(dt, _)).getOrElse("NULL")
+        s"[Min: ${disp(mn)}, Max: ${disp(mx)}]" +
+          s"[Has Null: $hasNull, Has No Null: $hasNotNull]"
+    }
   }
 
   def tableInfoDF: DataFrame = {
@@ -2619,6 +2788,25 @@ object DuckLake {
     * tests/sqllogictests/sql/virtualcolumns/): selectable by name, never
     * part of `SELECT *` — surfaced to SQL as DSv2 metadata columns.
     */
+  /** Canonical stat value (epoch-number dates/timestamps, 1/0 booleans)
+    * → DuckDB's display form for `stats()` text.
+    */
+  private[lake] def displayStat(dt: org.apache.spark.sql.types.DataType,
+      v: String): String = dt match {
+    case org.apache.spark.sql.types.DateType =>
+      java.time.LocalDate.ofEpochDay(v.toLong).toString
+    case org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.TimestampType =>
+      val micros = v.toLong
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+    case org.apache.spark.sql.types.BooleanType =>
+      if (v == "1") "true" else "false"
+    case _ => v
+  }
+
   final val VirtualSnapshot  = "snapshot_id"
   final val VirtualFilename  = "filename"
   final val VirtualRowNumber = "file_row_number"

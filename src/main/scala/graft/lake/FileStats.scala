@@ -95,6 +95,18 @@ object FileStats {
   private def minOf(dt: DataType)(a: String, b: String): String = if (cmp(dt)(a, b) <= 0) a else b
   private def maxOf(dt: DataType)(a: String, b: String): String = if (cmp(dt)(a, b) >= 0) a else b
 
+  /** Typed pick of the smaller/larger canonical stat value — the global
+    * column-stats merge folds per-write bounds with these.
+    */
+  private[lake] def least(dt: DataType, a: String, b: String): String = minOf(dt)(a, b)
+  private[lake] def greatest(dt: DataType, a: String, b: String): String = maxOf(dt)(a, b)
+
+  /** Canonical stat encoding of a DRIVER-side value (collect() result) —
+    * same encodings [[decode]] produces from parquet footers.
+    */
+  private[lake] def canonicalValue(dt: DataType, v: Any): Option[String] =
+    canonical(dt, v)
+
   /** Canonical form of a *filter literal* (DSv1 `sources.Filter` value). */
   private def canonical(dt: DataType, v: Any): Option[String] = (dt, v) match {
     case (_, null) => None

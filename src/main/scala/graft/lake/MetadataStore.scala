@@ -365,6 +365,30 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |  row_id_start BIGINT)""".stripMargin)
       finally st.close()
     }
+    // cumulative per-table column stats (DuckLake spec table
+    // ducklake_table_column_stats): bounds only WIDEN on insert/update,
+    // never shrink on delete — the optimizer-stat semantics DuckDB's
+    // `stats()` renders (corpus: stats/global_stats.test,
+    // data_inlining/data_inlining_update.test). `bounds_known` goes false
+    // once a write contributes values with no computable bounds.
+    val hasColStats = {
+      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_TABLE_COLUMN_STATS", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasColStats) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE ducklake_table_column_stats(
+          |  table_id BIGINT NOT NULL,
+          |  column_id BIGINT NOT NULL,
+          |  contains_null BOOLEAN NOT NULL,
+          |  contains_nan BOOLEAN,
+          |  min_value VARCHAR(4096),
+          |  max_value VARCHAR(4096),
+          |  contains_not_null BOOLEAN NOT NULL,
+          |  bounds_known BOOLEAN NOT NULL)""".stripMargin)
+      finally st.close()
+    }
     // per-snapshot change journal + schema_version (DuckLake spec table
     // ducklake_snapshot_changes; `snapshots()` renders it as a map).
     // Legacy catalogs get the table with only snapshot 0 reconstructed.
@@ -442,14 +466,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           |     WHERE f.table_id = t.table_id AND f.end_snapshot IS NULL) AS file_size_bytes
           |FROM ducklake_table t WHERE t.end_snapshot IS NULL""".stripMargin
       case "ducklake_table_column_stats" =>
-        """SELECT s.table_id, s.column_id,
-          |  CASE WHEN SUM(COALESCE(s.null_count, 0)) > 0 THEN true ELSE false END AS contains_null,
-          |  CAST(NULL AS BOOLEAN) AS contains_nan,
-          |  MIN(s.min_value) AS min_value, MAX(s.max_value) AS max_value
-          |FROM ducklake_file_column_stats s
-          |JOIN ducklake_data_file f ON f.data_file_id = s.data_file_id
-          |WHERE f.end_snapshot IS NULL
-          |GROUP BY s.table_id, s.column_id""".stripMargin
+        // the MAINTAINED cumulative stats (spec shape; the trailing
+        // bookkeeping columns stay internal)
+        """SELECT table_id, column_id, contains_null, contains_nan,
+          |  min_value, max_value
+          |FROM ducklake_table_column_stats""".stripMargin
       // DuckDB surfaces the options table with (key, value) column names
       case "ducklake_metadata" =>
         """SELECT meta_key AS "key", meta_value AS "value" FROM ducklake_metadata"""
@@ -892,15 +913,22 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     */
   def openTxnFiles(): Seq[(String, String, String, Boolean)] = synchronized {
     openTxnSnap.toSeq.flatMap { snap =>
-      def files(table: String): Seq[(String, String, String, Boolean)] =
+      def files(table: String, cond: String, params: Seq[Any])
+          : Seq[(String, String, String, Boolean)] =
         query(
           s"""SELECT s.schema_name, t.table_name, f.path, f.path_is_relative
              |FROM $table f
              |JOIN ducklake_table t ON t.table_id = f.table_id
              |JOIN ducklake_schema s ON s.schema_id = t.schema_id
-             |WHERE f.begin_snapshot = ?""".stripMargin, Seq(snap))(
+             |WHERE $cond""".stripMargin, params)(
           rs => (rs.getString(1), rs.getString(2), rs.getString(3), rs.getBoolean(4)))
-      files("ducklake_data_file") ++ files("ducklake_delete_file")
+      // data files also match on write_epoch: a flush-inlined file is
+      // registered at the EARLIEST inlined snapshot but physically
+      // written by THIS transaction (write_epoch = txn snapshot), and a
+      // rollback must remove its bytes too
+      files("ducklake_data_file",
+        "f.begin_snapshot = ? OR f.write_epoch = ?", Seq(snap, snap)) ++
+        files("ducklake_delete_file", "f.begin_snapshot = ?", Seq(snap))
     }
   }
 
@@ -1224,6 +1252,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         }
       }
     }
+    val statDefs = getTableColumns(table.tableId, snap)
+    files.foreach { f =>
+      mergeGlobalStats(table.tableId,
+        f.stats.flatMap(st => statDefs.find(_.name == st.columnName).map(_ -> st)))
+    }
   }
 
   /** Inline a small append: rows live in the catalog itself — no parquet
@@ -1234,7 +1267,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * tests/sqllogictests/sql/data_inlining/data_inlining_delete.test
     * expects zero files on disk).
     */
-  def commitWriteWithInlined(spec: TableWriteSpec, rowsJson: Seq[String]): Long =
+  def commitWriteWithInlined(spec: TableWriteSpec, rowsJson: Seq[String],
+      stats: Seq[ColumnStatRec] = Nil): Long =
     inSnapshotTxn { snap =>
       registerWrite(snap, spec)
       nextId("ducklake_data_file", "data_file_id") // id burned, never reused
@@ -1250,10 +1284,20 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       }
       if (rowsJson.nonEmpty)
         recordChange("inlined_insert", table.tableId, table.tableId.toString)
+      mergeInlineStats(table.tableId, snap, stats)
       snap
     }
 
-  def commitInlined(tableId: Long, rowsJson: Seq[String]): Long = inSnapshotTxn { snap =>
+  private def mergeInlineStats(tableId: Long, snap: Long,
+      stats: Seq[ColumnStatRec]): Unit =
+    if (stats.nonEmpty) {
+      val defs = getTableColumns(tableId, snap)
+      mergeGlobalStats(tableId,
+        stats.flatMap(st => defs.find(_.name == st.columnName).map(_ -> st)))
+    }
+
+  def commitInlined(tableId: Long, rowsJson: Seq[String],
+      stats: Seq[ColumnStatRec] = Nil): Long = inSnapshotTxn { snap =>
     nextId("ducklake_data_file", "data_file_id") // id burned, never reused
     // inlined rows claim STABLE table row ids from the same sequence as
     // files (corpus: data_inlining/basic_data_inlining.test rowid block)
@@ -1266,6 +1310,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       rid += 1
     }
     if (rowsJson.nonEmpty) recordChange("inlined_insert", tableId, tableId.toString)
+    mergeInlineStats(tableId, snap, stats)
     snap
   }
 
@@ -1275,7 +1320,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * snapshot = an update pair (corpus:
     * data_inlining/data_inlining_table_changes.test).
     */
-  def commitInlinedUpdate(tableId: Long, rows: Seq[(Long, String)]): Long =
+  def commitInlinedUpdate(tableId: Long, rows: Seq[(Long, String)],
+      stats: Seq[ColumnStatRec] = Nil): Long =
     inSnapshotTxn { snap =>
       rows.foreach { case (rid, json) =>
         update("UPDATE ducklake_inlined_data SET end_snapshot = ? WHERE table_id = ? AND row_id = ? AND end_snapshot IS NULL",
@@ -1284,6 +1330,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           Seq(tableId, rid, snap, json))
       }
       if (rows.nonEmpty) recordChange("inlined_insert", tableId, tableId.toString)
+      mergeInlineStats(tableId, snap, stats)
       snap
     }
 
@@ -1348,6 +1395,68 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * data movement; each file carries a name mapping and its footer stats
     * (keyed by resolved column_id). The table must already exist.
     */
+  /** Fold one write's per-column stats into the table's CUMULATIVE
+    * column stats (ducklake_table_column_stats): bounds widen, the null
+    * flags latch, and `bounds_known` latches FALSE once a contribution
+    * has values but no computable min/max (nested types, >200-char
+    * strings). Values are the same canonical encodings the per-file
+    * stats use, compared through the column's current type.
+    */
+  def mergeGlobalStats(tableId: Long,
+      pairs: Seq[(ColumnDef, ColumnStatRec)]): Unit = synchronized {
+    pairs.foreach { case (cdef, st0) =>
+      val dt = TypeBridge.toSpark(cdef.dtype)
+      // over-long bounds don't fit the catalog row — record them unknown
+      val st = st0.copy(minValue = st0.minValue.filter(_.length <= 2000),
+        maxValue = st0.maxValue.filter(_.length <= 2000))
+      val newHasNull = st.nullCount.forall(_ > 0)
+      val newHasNotNull =
+        st.nullCount.map(st.valueCount - _ > 0).getOrElse(st.valueCount > 0)
+      val allNull = st.nullCount.contains(st.valueCount)
+      val newKnown = (st.minValue.nonEmpty && st.maxValue.nonEmpty) || allNull
+      val existing = query(
+        """SELECT contains_null, min_value, max_value, contains_not_null, bounds_known
+          |FROM ducklake_table_column_stats WHERE table_id = ? AND column_id = ?""".stripMargin,
+        Seq(tableId, cdef.columnId))(rs => (rs.getBoolean(1),
+          Option(rs.getString(2)), Option(rs.getString(3)),
+          rs.getBoolean(4), rs.getBoolean(5))).headOption
+      existing match {
+        case None =>
+          update("INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, NULL, ?, ?, ?, ?)",
+            Seq(tableId, cdef.columnId, newHasNull, st.minValue.orNull,
+              st.maxValue.orNull, newHasNotNull, newKnown))
+        case Some((hadNull, exMin, exMax, hadNotNull, exKnown)) =>
+          def fold(a: Option[String], b: Option[String],
+              pick: (String, String) => String): Option[String] = (a, b) match {
+            case (Some(x), Some(y)) => Some(pick(x, y))
+            case (x, y) => x.orElse(y)
+          }
+          val known = exKnown && newKnown
+          val mn = if (known) fold(exMin, st.minValue, FileStats.least(dt, _, _)) else None
+          val mx = if (known) fold(exMax, st.maxValue, FileStats.greatest(dt, _, _)) else None
+          update(
+            """UPDATE ducklake_table_column_stats SET contains_null = ?,
+              |min_value = ?, max_value = ?, contains_not_null = ?, bounds_known = ?
+              |WHERE table_id = ? AND column_id = ?""".stripMargin,
+            Seq(hadNull || newHasNull, mn.orNull, mx.orNull,
+              hadNotNull || newHasNotNull, known, tableId, cdef.columnId))
+      }
+    }
+  }
+
+  /** Cumulative stats row for one column: (min, max, contains_null,
+    * contains_not_null); None when no write has contributed stats or the
+    * bounds stopped being computable.
+    */
+  def globalColumnStats(tableId: Long, columnId: Long)
+      : Option[(Option[String], Option[String], Boolean, Boolean)] =
+    query(
+      """SELECT min_value, max_value, contains_null, contains_not_null, bounds_known
+        |FROM ducklake_table_column_stats WHERE table_id = ? AND column_id = ?""".stripMargin,
+      Seq(tableId, columnId))(rs => (Option(rs.getString(1)), Option(rs.getString(2)),
+        rs.getBoolean(3), rs.getBoolean(4), rs.getBoolean(5))).headOption
+      .collect { case (mn, mx, hn, hnn, known) if known => (mn, mx, hn, hnn) }
+
   def commitAddFiles(schemaName: String, tableName: String,
       files: Seq[(FileToRegister, Seq[NameMapEntry])]): Long = inSnapshotTxn { snap =>
     val schema = getSchemaByName(schemaName, snap)
@@ -1379,6 +1488,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
               st.minValue.orNull, st.maxValue.orNull))
         }
       }
+      val statDefs = getTableColumns(table.tableId, snap)
+      mergeGlobalStats(table.tableId,
+        f.stats.flatMap(st => statDefs.find(_.name == st.columnName).map(_ -> st)))
     }
     snap
   }
@@ -1395,6 +1507,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     query("SELECT row_id, begin_snapshot, end_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? ORDER BY row_id",
       Seq(tableId))(rs => (rs.getLong(1), rs.getLong(2),
       { val e = rs.getLong(3); if (rs.wasNull()) None else Some(e) }, rs.getString(4)))
+
+  /** Row ids of inlined rows whose version ENDED at `snap` — inside an
+    * open transaction these are the rows UPDATE replaced (their new
+    * versions keep stable ids in the rowid virtual).
+    */
+  def inlinedRowIdsEndedAt(tableId: Long, snap: Long): Seq[Long] =
+    query("SELECT row_id FROM ducklake_inlined_data WHERE table_id = ? AND end_snapshot = ?",
+      Seq(tableId, snap))(_.getLong(1))
 
   def getInlinedRows(tableId: Long, snap: Long): Seq[(Long, Long, String)] =
     query(s"SELECT row_id, begin_snapshot, row_json FROM ducklake_inlined_data WHERE table_id = ? AND $Vis ORDER BY row_id",
@@ -1749,6 +1869,53 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       snap
     }
 
+  /** Flush inlined rows to ONE registered parquet file that keeps each
+    * row's stable id and commit snapshot (segment map). The file is
+    * registered at the EARLIEST inlined snapshot, so post-flush scans,
+    * time travel, and change feeds are indistinguishable from pre-flush
+    * (reference behavior — tests/sqllogictests/sql/data_inlining/
+    * data_inlining_flush.test: rowid/snapshot_id stable across the
+    * flush, `table_changes` ranges that cover the first inlined snapshot
+    * keep resolving, ranges past it go empty). The LIVE inlined rows are
+    * deleted outright — the file now owns their whole history; rows
+    * already ended (inline deletes) stay for the deletion feed.
+    */
+  def commitFlushInlined(schemaName: String, tableName: String,
+      file: FileToRegister, segments: Seq[FileSegment],
+      statColIds: Map[String, Long]): Long = inSnapshotTxn { snap =>
+    val schema = getSchemaByName(schemaName, snap)
+      .getOrElse(throw new SchemaNotFoundException(schemaName))
+    val table = getTableByName(schema.schemaId, tableName, snap)
+      .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
+    val begin = segments.map(_.beginSnapshot).min
+    val id = nextId("ducklake_data_file", "data_file_id")
+    // write_epoch = THIS snapshot: the file is written under the current
+    // column schema even though its visibility starts at `begin`
+    update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, ?)",
+      Seq(id, table.tableId, file.path, file.pathIsRelative, file.recordCount,
+        file.fileSizeBytes, file.footerSize, begin, file.encryptionKey.orNull,
+        snap, file.mappingId.map(Long.box).orNull,
+        segments.headOption.flatMap(_.rowIdStart).map(Long.box).orNull,
+        currentPartitionId(table.tableId, snap).map(Long.box).orNull))
+    segments.zipWithIndex.foreach { case (s, i) =>
+      update("INSERT INTO ducklake_partial_file_info VALUES (?, ?, ?, ?, ?, ?)",
+        Seq(id, i.toLong, s.beginSnapshot, s.startPos, s.rowCount,
+          s.rowIdStart.map(Long.box).orNull))
+    }
+    file.stats.foreach { st =>
+      statColIds.get(st.columnName).foreach { cid =>
+        update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+          Seq(id, table.tableId, cid, st.valueCount,
+            st.nullCount.map(Long.box).orNull,
+            st.minValue.orNull, st.maxValue.orNull))
+      }
+    }
+    update("DELETE FROM ducklake_inlined_data WHERE table_id = ? AND end_snapshot IS NULL",
+      Seq(table.tableId))
+    recordChange("flushed_inlined", table.tableId, table.tableId.toString)
+    snap
+  }
+
   /** Commit one adjacent-file merge (DuckLake `merge_adjacent_files`):
     * the merged file REPLACES its sources across ALL history — it is
     * registered with the FIRST source's begin_snapshot and a segment map,
@@ -1940,6 +2107,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
           "ducklake_file_partition_value", "ducklake_inlined_data").foreach(t =>
           update(s"DELETE FROM $t WHERE table_id = ?", Seq(tid)))
         update("DELETE FROM ducklake_file_column_stats WHERE table_id = ?", Seq(tid))
+        update("DELETE FROM ducklake_table_column_stats WHERE table_id = ?", Seq(tid))
       }
       update(s"""DELETE FROM ducklake_table f WHERE ${gone("f")}""")
       update(s"""DELETE FROM ducklake_schema f WHERE ${gone("f")}""")

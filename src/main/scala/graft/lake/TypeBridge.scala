@@ -81,7 +81,7 @@ object TypeBridge {
     case "float32"      => FloatType
     case "float64"      => DoubleType
     case "date"         => DateType
-    case "time"         => LongType           // µs of day; Spark has no TIME
+    case "time"         => TimeType(6)        // µs-precision time of day
     case "timetz"       => StringType
     case "timestamp"    => TimestampNTZType
     case "timestamptz"  => TimestampType
@@ -138,6 +138,7 @@ object TypeBridge {
     case FloatType           => "float32"
     case DoubleType          => "float64"
     case DateType            => "date"
+    case _: TimeType         => "time"
     case TimestampNTZType    => "timestamp"
     case TimestampType       => "timestamptz"
     case StringType          => "varchar"

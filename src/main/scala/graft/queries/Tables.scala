@@ -13,18 +13,22 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects by
-    * default; read it as raw nanos and convert to a µs timestamp (NTZ, same
-    * truncation DuckDB applies for µs arithmetic on ns values).
+  /** events.ts has varied across driver testdata generations between
+    * parquet TIMESTAMP(NANOS) (unreadable by Spark without nanosAsLong)
+    * and TIMESTAMP(MICROS). Handle both: raw nanos convert with integer
+    * `div` (`/` is double division and ns epochs exceed double's 2^53
+    * integer precision — off-by-1-µs), native timestamps just cast NTZ.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    // `div`, not `/`: Spark's `/` is double division and ns epochs
-    // (~1.7e18) exceed double's 2^53 integer precision — off-by-1-µs
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+      case _ => org.apache.spark.sql.functions.col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 }

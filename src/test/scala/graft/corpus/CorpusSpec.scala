@@ -21,6 +21,9 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // DuckDB's TIMESTAMP has no zone: parse the bare keyword as NTZ
+    // (TIMESTAMPTZ is translated to TIMESTAMP_LTZ explicitly)
+    .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
     .config("spark.sql.warehouse.dir",
       Files.createTempDirectory("slt-wh").toString)
     // single-file writes for tiny VALUES/range inserts, matching the

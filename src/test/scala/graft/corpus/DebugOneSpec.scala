@@ -16,6 +16,7 @@ class DebugOneSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
     .config("spark.sql.warehouse.dir",
       Files.createTempDirectory("slt-wh").toString)
     .config("spark.sql.leafNodeDefaultParallelism", "1")

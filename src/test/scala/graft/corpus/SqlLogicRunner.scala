@@ -48,26 +48,21 @@ final class SqlLogicRunner(spark: SparkSession) {
     "no_extension_autoloading" -> "missing-extension harness",
     "onlyif" -> "engine-conditional blocks",
     "skipif" -> "engine-conditional blocks",
-    "stats(" -> "duckdb stats() introspection text",
     "__ducklake_internal" -> "internal duckdb catalog",
-    "PRAGMA" -> "pragmas",
     "SUMMARIZE" -> "duckdb summarize",
     "CHECKPOINT" -> "duckdb checkpoint",
     "sqlite_" -> "sqlite metadata backend",
     "postgres" -> "postgres metadata backend",
     "::JSON" -> "json type",
     " JSON" -> "json type",
-    "THEN INSERT VALUES" -> "merge insert-values shorthand",
     " UUID" -> "uuid type",
     " uuid" -> "uuid type",
     "parquet_schema(" -> "parquet introspection TVF",
     "ducklake_table_info(" -> "duckdb table function syntax",
-    "'NaN'" -> "non-finite float literals",
     "'infinity'" -> "non-finite timestamp literals",
     "EXCLUDE (" -> "SELECT * EXCLUDE dialect",
     "chr(0)" -> "NUL-byte strings",
     "read_parquet('data/" -> "prebuilt corpus assets",
-    "schema = '" -> "add_files target-schema option",
     "::UTINYINT" -> "unsigned types",
     "::USMALLINT" -> "unsigned types",
     "::UINTEGER" -> "unsigned types",
@@ -76,17 +71,12 @@ final class SqlLogicRunner(spark: SparkSession) {
     "usmallint" -> "unsigned types",
     "uinteger " -> "unsigned types",
     "ubigint" -> "unsigned types",
-    "MAP(" -> "duckdb map literals",
-    "MAP {" -> "duckdb map literals",
     "UNION(" -> "duckdb union type",
+    " TIME '" -> "Spark's TIME type has no parquet IO yet",
     "ducklake.options" -> "attach options table",
-    "SET NOT NULL" -> "DSv2 forbids nullable->non-null ALTERs",
     "CALL dbgen" -> "tpch generator",
     "INTERVAL" -> "interval literal dialect",
-    "TIMESTAMPTZ" -> "session-timezone types",
     "TIMETZ" -> "time-with-zone types",
-    "::TIME" -> "time-of-day type",
-    "::DECIMAL" -> "decimal cast dialect",
     "'quoted'" -> "quoted attach paths",
     "asd/fgh" -> "special-character names (path hardening rejects)",
     "ATTACH 'ducklake:postgres" -> "postgres backend",
@@ -98,7 +88,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     val extraSkip: Option[String] =
       if (file.toString.endsWith("merge_adjacent_max_files.test"))
         Some("id arithmetic tied to the reference writer's physical file sizes")
-      else if (lower.contains("default values")) Some("INSERT … DEFAULT VALUES")
       else if (lower.contains("unzip ")) Some("prebuilt binary databases")
 
       else None
@@ -296,7 +285,7 @@ final class SqlLogicRunner(spark: SparkSession) {
       case Query(types, rowsort, sql, expected) =>
         val upper = sql.trim.toUpperCase
         if (upper.startsWith("DELETE") || upper.startsWith("UPDATE") ||
-            upper.startsWith("INSERT")) {
+            upper.startsWith("INSERT") || upper.startsWith("MERGE")) {
           // DuckDB returns an affected-row count; Spark's DML returns no
           // rows — execute for effect, skip the count comparison
           try execute(sql)
@@ -370,6 +359,11 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val SetPartRe =
     """(?is)ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*;?\s*""".r
   private val DetachRe = """(?is)DETACH\s+(?:DATABASE\s+)?(\w+)\s*;?\s*""".r
+  private val SetNotNullRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  private val DropNotNullRe =
+    """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
+  private val PragmaRe = """(?is)PRAGMA\s+(\w+)\s*;?\s*""".r
   private val SetVariableRe =
     """(?is)^\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+)$""".r
   private val GetVarRe = """(?i)getvariable\('(\w+)'\)""".r
@@ -386,13 +380,28 @@ final class SqlLogicRunner(spark: SparkSession) {
     case other => other.toString
   }
 
-  /** Substitute getvariable('x') occurrences with literal values. */
+  private val GetVarIdxRe = """(?i)getvariable\('(\w+)'\)\s*\[(\d+)\]""".r
+
+  /** Substitute getvariable('x') occurrences with literal values.
+    * Indexed access `getvariable('x')[n]` resolves FIRST (DuckDB lists
+    * are 1-based) so downstream statement regexes (CALL add_files …)
+    * see a plain literal.
+    */
   private def substVars(sql: String): String =
     if (!sql.toLowerCase.contains("getvariable")) sql
-    else GetVarRe.replaceAllIn(sql, m =>
-      Regex.quoteReplacement(varLiteral(
-        variables.getOrElse(m.group(1).toLowerCase,
-          throw new SkipFile(s"unset variable: \${m.group(1)}")))))
+    else {
+      def lookup(name: String): Any =
+        variables.getOrElse(name.toLowerCase,
+          throw new SkipFile(s"unset variable: $name"))
+      val s1 = GetVarIdxRe.replaceAllIn(sql, m =>
+        Regex.quoteReplacement(varLiteral(lookup(m.group(1)) match {
+          case seq: scala.collection.Seq[_] =>
+            seq.lift(m.group(2).toInt - 1).orNull
+          case other => other
+        })))
+      GetVarRe.replaceAllIn(s1, m =>
+        Regex.quoteReplacement(varLiteral(lookup(m.group(1)))))
+    }
 
   /** Split a partition-key list on top-level commas only —
     * `year(ts), month(ts)` must not split inside the transform parens.
@@ -513,7 +522,7 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val CopyQueryRe = """(?is)COPY\s*\((.*)\)\s*TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?""".r
   private val CopyTableRe = """(?is)COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?""".r
 
-  private def execute(sql0: String): Unit = sql0 match {
+  private def execute(sqlRaw: String): Unit = substVars(sqlRaw) match {
     case AttachRe(metaPath, alias, opts) =>
       val dataPath = Option(opts).flatMap(o =>
         """DATA_PATH\s+('[^']+'|[\w./-]+)""".r.findFirstMatchIn(o)
@@ -588,7 +597,7 @@ final class SqlLogicRunner(spark: SparkSession) {
       // Spark's analyzer refuses struct-typed ALTER COLUMN TYPE ("update
       // a struct by updating its fields") — route nested evolution to
       // the lake API, which projects old files structurally on read
-      val ddl = convertArraySuffix(convertStructTypes(newType))
+      val ddl = convertArraySuffix(convertMapTypes(convertStructTypes(newType)))
         .replaceAll("(?i)\\bTEXT\\b", "STRING")
       val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
       lake.alterColumnType(lakeTableName(table), colName,
@@ -605,6 +614,14 @@ final class SqlLogicRunner(spark: SparkSession) {
             Option(whereOpt).map(translate)).isDefined
           catch { case _: graft.lake.DuckLakeException => false }
         } => ()
+    case SetNotNullRe(table, colName) if lake != null =>
+      // Spark's DSv2 refuses nullable→required ALTERs — route to the
+      // lake API (validated against current data there)
+      lake.setNotNull(lakeTableName(table), colName)
+    case DropNotNullRe(table, colName) if lake != null =>
+      lake.dropNotNull(lakeTableName(table), colName)
+    case PragmaRe(name) if name.equalsIgnoreCase("database_size") => ()
+    case PragmaRe(_) => throw new SkipFile("pragmas")
     case SetPartRe(table, keys) =>
       lake.setPartitionedBy(lakeTableName(table), splitKeys(keys))
     case ResetPartRe(table) =>
@@ -667,7 +684,10 @@ final class SqlLogicRunner(spark: SparkSession) {
       val noop = Set("immediate_transaction_mode", "preserve_insertion_order",
         "ducklake_max_retry_count", "ducklake_retry_wait_ms",
         "ducklake_retry_backoff", "parquet_metadata_cache", "threads",
-        "old_implicit_casting")
+        "old_implicit_casting",
+        // the session already runs in UTC; `SET TimeZone='UTC'` is the
+        // only timezone the corpus sets
+        "timezone")
       val name = """(?is)^\s*SET\s+(\w+)""".r.findFirstMatchIn(s).map(_.group(1))
       if (!name.exists(n => noop.contains(n.toLowerCase)))
         throw new SkipFile("duckdb settings")
@@ -723,7 +743,11 @@ final class SqlLogicRunner(spark: SparkSession) {
       (name + """\s*=>\s*(true|false)""").r.findFirstMatchIn(rest.toLowerCase)
         .map(_.group(1) == "true")
     require(lake != null, "no lake attached")
-    lake.addFiles(s"main.$table", paths,
+    // `schema = 'x'` / `schema => 'x'` picks the target schema
+    // (corpus: add_files/add_file_specific_schema.test)
+    val schemaName = """(?i)schema\s*=>?\s*'([^']+)'""".r
+      .findFirstMatchIn(rest).map(_.group(1)).getOrElse("main")
+    lake.addFiles(s"$schemaName.$table", paths,
       allowMissing = flag("allow_missing").getOrElse(false),
       ignoreExtraColumns = flag("ignore_extra_columns").getOrElse(false),
       hivePartitioning = flag("hive_partitioning"))
@@ -769,8 +793,16 @@ final class SqlLogicRunner(spark: SparkSession) {
       if (Files.isDirectory(base))
         Files.walk(base).iterator().asScala
           .filter(Files.isRegularFile(_)).map(_.toString)
-          .filter(p => rest.isEmpty || rest == "*" ||
-            (rest.startsWith("*") && p.endsWith(rest.stripPrefix("*"))))
+          .filter { p =>
+            if (rest.isEmpty || rest == "*") true
+            else {
+              // glob tail after `**`: `*` spans within one segment
+              // (`year=2025/*` must anchor the directory name)
+              val rx = rest.split("\\*", -1)
+                .map(java.util.regex.Pattern.quote).mkString("[^/]*")
+              p.matches("(?s).*/" + rx) || p.matches("(?s)" + rx)
+            }
+          }
           .toSeq
       else Nil
     } else {
@@ -836,7 +868,11 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val GlobCountRe =
     """(?is)SELECT\s+COUNT\(\*\)\s+FROM\s+glob\('([^']+)'\)(?:\s+WHERE\s+'([^']+)'\s+IN\s+file(?:\.replace\([^)]*\))?)?\s*;?""".r
   private val ListFilesRe =
-    """(?i)ducklake_list_files\(\s*'\w+'\s*,\s*'(\w+)'\s*\)""".r
+    """(?i)ducklake_list_files\(\s*'\w+'\s*,\s*'(\w+)'\s*((?:,\s*\w+\s*=>\s*(?:(?:\w+\s+)?'[^']*'|\w+\(\s*\)|[\w.\-]+)\s*)*)\)""".r
+  private val ReadParquetArrayRe =
+    """(?i)read_parquet\(\s*array\(([^)]*)\)\s*\)""".r
+  private val StatsRe =
+    """(?is)^\s*SELECT\s+stats\((.+)\)\s+FROM\s+(\S+?)\s*(?:LIMIT\s+1)?\s*;?\s*$""".r
 
   private val ExpireTvfRe =
     """(?is)(?:ducklake_)?expire_snapshots\(((?:[^()]|\([^()]*\))*)\)""".r
@@ -878,8 +914,9 @@ final class SqlLogicRunner(spark: SparkSession) {
     })
   }
 
-  private def queryDF(sql0: String): DataFrame = {
+  private def queryDF(sqlRaw: String): DataFrame = {
     import spark.implicits._
+    val sql0 = substVars(sqlRaw)
     val sql = if (lake != null && sql0.contains(metaAlias + "."))
       resolveMetaRefs(sql0) else sql0
     val t = sql.trim
@@ -1066,17 +1103,81 @@ final class SqlLogicRunner(spark: SparkSession) {
           .createOrReplaceTempView("__slt_table_info")
         spark.sql(translate(TableInfoRe.replaceAllIn(t, "__slt_table_info ")))
       case _ if ListFilesRe.findFirstIn(t).isDefined =>
-        // ducklake_list_files('cat','t') → reference-named file listing
-        val table = ListFilesRe.findFirstMatchIn(t).get.group(1)
+        // ducklake_list_files('cat','t'[, schema =>, snapshot_version =>,
+        // snapshot_time =>]) → reference-named file listing, resolved
+        // paths, optionally pinned (corpus: list_files/)
         require(lake != null, "no lake attached")
-        import org.apache.spark.sql.functions.col
-        lake.listFilesDF.filter(col("table_name") === table)
-          .select(col("path").as("data_file"),
-            col("file_size_bytes").as("data_file_size_bytes"),
-            col("footer_size").as("data_file_footer_size"),
-            col("delete_file_path").as("delete_file"))
+        val m = ListFilesRe.findFirstMatchIn(t).get
+        val table = m.group(1)
+        val named = Option(m.group(2)).getOrElse("")
+        def arg(k: String): Option[String] =
+          ("(?i)" + k + """\s*=>\s*((?:\w+\s+)?'[^']*'|\w+\(\s*\)|[\w.\-]+)""").r
+            .findFirstMatchIn(named).map(_.group(1))
+        val schemaName = arg("schema")
+          .map(_.stripPrefix("'").stripSuffix("'")).getOrElse("main")
+        val snapV = arg("snapshot_version").map(_.toLong)
+        val snapT = arg("snapshot_time")
+        if (snapV.isDefined && snapT.isDefined)
+          throw new RuntimeException(
+            "cannot specify both SNAPSHOT_VERSION and SNAPSHOT_TIME (not both)")
+        val snapshot: Option[Long] = snapV.orElse(snapT.map { e =>
+          val ts = spark.sql(s"SELECT CAST($e AS TIMESTAMP)")
+            .collect().head.getTimestamp(0)
+          lake.store.snapshots.filter(!_._2.after(ts)).map(_._1).maxOption
+            .getOrElse(throw new RuntimeException(s"no snapshot at time $e"))
+        })
+        lake.listFilesAt(table, schemaName, snapshot)
           .createOrReplaceTempView("__slt_list_files")
         spark.sql(translate(ListFilesRe.replaceAllIn(t, "__slt_list_files ")))
+      case StatsRe(e0, from) =>
+        // DuckDB `SELECT stats(expr) FROM t`: renders the optimizer's
+        // CUMULATIVE column statistics. Plain column refs serve from the
+        // maintained ducklake_table_column_stats (bounds never shrink —
+        // data_inlining_update asserts this exactly); expressions fall
+        // back to an exact aggregate in the same text shape, with `l[n]`
+        // widened to ALL list elements (DuckDB derives element stats
+        // from the list child — types/list.test)
+        val e = e0.trim
+        val catalogText =
+          if (lake != null && e.matches("[A-Za-z_]\\w*"))
+            try lake.columnStatsText(lakeTableName(from), e)
+            catch { case _: Exception => None }
+          else None
+        catalogText match {
+          case Some(txt) => Seq(txt).toDF("stats")
+          case None =>
+            val elemRe = """^([A-Za-z_]\w*)\s*\[\s*\d+\s*\]$""".r
+            val (expr2, from2) = e match {
+              case elemRe(c) =>
+                ("__slt_el", s"(SELECT explode_outer($c) AS __slt_el FROM $from)")
+              case _ => (e, from)
+            }
+            spark.sql(translate(
+              s"""SELECT concat('[Min: ', COALESCE(CAST(MIN($expr2) AS STRING), 'NULL'),
+                 |', Max: ', COALESCE(CAST(MAX($expr2) AS STRING), 'NULL'),
+                 |'][Has Null: ', CAST(COUNT(*) > COUNT($expr2) AS STRING),
+                 |', Has No Null: ', CAST(COUNT($expr2) > 0 AS STRING), ']')
+                 |AS stats FROM $from2""".stripMargin))
+        }
+      case _ if t.toUpperCase.contains("PRAGMA_DATABASE_SIZE") =>
+        // PRAGMA_database_size(): database_name + human-readable size
+        require(lake != null, "no lake attached")
+        val bytes = lake.listFilesDF.agg(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("file_size_bytes"),
+            org.apache.spark.sql.functions.lit(0L))).collect().head.getLong(0)
+        Seq((catalogAlias, s"$bytes bytes"))
+          .toDF("database_name", "database_size")
+          .createOrReplaceTempView("__slt_db_size")
+        spark.sql(translate(
+          """(?i)PRAGMA_database_size\(\s*\)""".r
+            .replaceAllIn(t, "__slt_db_size ")))
+      case _ if ReadParquetArrayRe.findFirstIn(t).isDefined =>
+        // read_parquet([paths]) over a substituted list variable
+        val paths = "'([^']*)'".r.findAllMatchIn(
+          ReadParquetArrayRe.findFirstMatchIn(t).get.group(1)).map(_.group(1)).toSeq
+        spark.read.parquet(paths: _*).createOrReplaceTempView("__slt_read_parquet")
+        spark.sql(translate(ReadParquetArrayRe.replaceAllIn(t, "__slt_read_parquet ")))
       case _ => spark.sql(translate(sql))
     }
   }
@@ -1171,6 +1272,87 @@ final class SqlLogicRunner(spark: SparkSession) {
     s
   }
 
+  /** DuckDB `MAP(K, V)` TYPE syntax → Spark `MAP<K, V>`. The literal
+    * constructor forms (`MAP([k],[v])`, `MAP {k: v}`) are left for
+    * [[convertMapFromArrays]] / [[convertMapLiterals]] — a type's first
+    * token is a type word, never `[` or a quote.
+    */
+  private def convertMapTypes(s0: String): String = {
+    var s = s0
+    val re = """(?i)\bMAP\s*\(""".r
+    var guard = 0
+    var continue = true
+    while (continue && guard < 50) {
+      guard += 1
+      continue = false
+      re.findAllMatchIn(s).find { m =>
+        val head = s.drop(m.end).dropWhile(_.isWhitespace)
+        head.nonEmpty && head.head != '[' && head.head != '\''
+      } match {
+        case Some(m) =>
+          val open = m.end - 1
+          var depth = 0; var i = open
+          while (i < s.length && (depth != 0 || i == open)) {
+            if (s.charAt(i) == '(') depth += 1
+            else if (s.charAt(i) == ')') depth -= 1
+            i += 1
+          }
+          val parts = splitTopLevel(s.substring(open + 1, i - 1))
+          if (parts.size == 2) {
+            s = s.substring(0, m.start) +
+              s"MAP<${parts(0).trim}, ${parts(1).trim}>" + s.substring(i)
+            continue = true
+          }
+        case None => ()
+      }
+    }
+    s
+  }
+
+  /** DuckDB map constructor `MAP([k1, k2], [v1, v2])` →
+    * `map_from_arrays(array(...), array(...))` (the `[…]` lists are
+    * converted right after by [[convertListLiterals]]).
+    */
+  private def convertMapFromArrays(s: String): String =
+    """(?i)\bMAP\s*\(\s*\[""".r.replaceAllIn(s, "map_from_arrays([")
+
+  /** DuckDB map literal `MAP {'k': v, …}` → `map('k', v, …)`;
+    * quote-aware. Pure-numeric quoted keys drop their quotes (DuckDB
+    * coerces `'1'` to an INT key; Spark's ANSI inserts refuse the
+    * string→int map-key cast).
+    */
+  private def convertMapLiterals(s0: String): String = {
+    val re = """(?i)\bMAP\s*\{""".r
+    var s = s0
+    var m = re.findFirstMatchIn(s)
+    var guard = 0
+    while (m.isDefined && guard < 50) {
+      guard += 1
+      val start = m.get.start
+      val open = m.get.end - 1
+      var depth = 0; var j = open; var q = false
+      while (j < s.length && (q || depth != 0 || j == open)) {
+        val cj = s.charAt(j)
+        if (cj == '\'') q = !q
+        else if (!q && cj == '{') depth += 1
+        else if (!q && cj == '}') depth -= 1
+        j += 1
+      }
+      val inner = s.substring(open + 1, j - 1)
+      val parts = splitTopLevel(inner).map { kv =>
+        val ci = kv.indexOf(':')
+        val key0 = kv.substring(0, ci).trim
+        val key =
+          if (key0.matches("'-?\\d+'")) key0.stripPrefix("'").stripSuffix("'")
+          else key0
+        s"$key, ${kv.substring(ci + 1).trim}"
+      }
+      s = s.substring(0, start) + s"map(${parts.mkString(", ")})" + s.substring(j)
+      m = re.findFirstMatchIn(s)
+    }
+    s
+  }
+
   /** DuckDB struct literals `{'a': 1, 'b': {...}}` → `named_struct('a',
     * 1, 'b', named_struct(...))`; quote-aware, recursive.
     */
@@ -1242,16 +1424,14 @@ final class SqlLogicRunner(spark: SparkSession) {
     val sb = new StringBuilder
     var i = 0
     var inQuote = false
-    def prevNonSpace: Char = {
-      var k = sb.length - 1
-      while (k >= 0 && sb.charAt(k).isWhitespace) k -= 1
-      if (k < 0) ' ' else sb.charAt(k)
-    }
     while (i < s0.length) {
       val c = s0.charAt(i)
       if (c == '\'') { inQuote = !inQuote; sb += c; i += 1 }
       else if (!inQuote && c == '[' && {
-        val p = prevNonSpace
+        // index access binds TIGHT (`x[1]`, `arr[i][j]`); any whitespace
+        // (or a non-identifier char) before `[` means a list literal —
+        // `SELECT [true]`, `VALUES ([1, 2])`
+        val p = if (sb.isEmpty) ' ' else sb.charAt(sb.length - 1)
         !(p.isLetterOrDigit || p == '_' || p == ']' || p == '`')
       }) {
         var depth = 0; var j = i; var q = false
@@ -1327,8 +1507,9 @@ final class SqlLogicRunner(spark: SparkSession) {
   }
 
   private[corpus] def translate(sql0: String): String = {
-    var s = convertStructLiterals(convertIndexAccess(convertListLiterals(
-      convertArraySuffix(convertStructTypes(sql0)))))
+    var s = convertStructLiterals(convertMapLiterals(convertIndexAccess(
+      convertListLiterals(convertMapFromArrays(convertArraySuffix(
+        convertMapTypes(convertStructTypes(substVars(sql0)))))))))
     // FROM-first queries: `FROM t …` → `SELECT * FROM t …`
     if (s.trim.toUpperCase.startsWith("FROM ")) s = "SELECT * " + s.trim
     // `ORDER BY ALL`: row order is irrelevant — results compare as
@@ -1342,10 +1523,68 @@ final class SqlLogicRunner(spark: SparkSession) {
     // DuckDB reads parquet straight from a quoted path/glob
     s = """(?i)\bFROM\s+'([^']+\.parquet)'""".r
       .replaceAllIn(s, m => Regex.quoteReplacement(s"FROM parquet.`${m.group(1)}`"))
+    // DuckDB MERGE `USING src alias USING(cols)` — the join-column
+    // shorthand; Spark needs a spelled-out ON. Only rewritten when the
+    // MERGE has no ON of its own (the two forms are exclusive).
+    if ("""(?is)^\s*MERGE\b""".r.findFirstIn(s).isDefined &&
+        """(?i)\bON\b""".r.findFirstIn(s).isEmpty) {
+      """(?is)MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(?!USING\b)(\w+))?""".r
+        .findFirstMatchIn(s).foreach { tm =>
+          val tgt = Option(tm.group(2)).getOrElse(tm.group(1))
+          s = """(?is)\b(\w+)\s+USING\s*\(\s*([\w\s,]+?)\s*\)""".r
+            .replaceAllIn(s, m => {
+              val src = m.group(1)
+              val cond = m.group(2).split(',').map(_.trim).filter(_.nonEmpty)
+                .map(c => s"$tgt.$c = $src.$c").mkString(" AND ")
+              Regex.quoteReplacement(s"$src ON $cond")
+            })
+        }
+    }
     // MERGE shorthands: bare UPDATE/INSERT take the full source row
     s = """(?i)\bTHEN\s+UPDATE(?!\s+SET)\b""".r.replaceAllIn(s, "THEN UPDATE SET *")
     s = """(?i)\bTHEN\s+INSERT(?!\s*\(|\s*\*|\s+VALUES|\s+SET|\s+BY)\b""".r
       .replaceAllIn(s, "THEN INSERT *")
+    // `THEN INSERT VALUES (…)` names the full target column list in
+    // DuckDB; Spark requires it spelled out — resolve from the catalog
+    if (lake != null &&
+        """(?i)\bTHEN\s+INSERT\s+VALUES\b""".r.findFirstIn(s).isDefined) {
+      """(?is)MERGE\s+INTO\s+([\w.]+)""".r.findFirstMatchIn(s).foreach { m =>
+        val Array(sn, tn) = lakeTableName(m.group(1)).split('.')
+        val snap = lake.store.currentSnapshot
+        for {
+          sch <- lake.store.getSchemaByName(sn, snap)
+          tbl <- lake.store.getTableByName(sch.schemaId, tn, snap)
+        } {
+          val names = lake.store.getTableColumns(tbl.tableId, snap).map(_.name)
+          s = """(?i)\bTHEN\s+INSERT\s+VALUES\b""".r.replaceAllIn(s,
+            s"THEN INSERT (${names.mkString(", ")}) VALUES")
+        }
+      }
+    }
+    // `INSERT INTO t DEFAULT VALUES` → one all-DEFAULT row (Spark's
+    // DEFAULT keyword resolves declared defaults, null otherwise)
+    val defValsRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+DEFAULT\s+VALUES\s*;?\s*$""".r
+    defValsRe.findFirstMatchIn(s).foreach { m =>
+      if (lake != null) {
+        val Array(sn, tn) = lakeTableName(m.group(1)).split('.')
+        val snap = lake.store.currentSnapshot
+        for {
+          sch <- lake.store.getSchemaByName(sn, snap)
+          tbl <- lake.store.getTableByName(sch.schemaId, tn, snap)
+        } {
+          val n = lake.store.getTableColumns(tbl.tableId, snap).size
+          s = s"INSERT INTO ${m.group(1)} VALUES (" +
+            Seq.fill(n)("DEFAULT").mkString(", ") + ")"
+        }
+      }
+    }
+    // DuckDB's BOOL alias (Spark only knows BOOLEAN)
+    s = s.replaceAll("(?i)\\bBOOL\\b", "BOOLEAN")
+    s = s.replaceAll("(?i)\\bDOUBLE\\s+PRECISION\\b", "DOUBLE")
+    // DuckDB non-finite float literals (Spark spells them out)
+    s = s.replace("'NaN'", "CAST('NaN' AS FLOAT)")
+      .replace("'-inf'", "CAST('-Infinity' AS FLOAT)")
+      .replace("'inf'", "CAST('Infinity' AS FLOAT)")
     // DuckDB dynamic intervals: `interval (expr) hours` → make_interval
     s = """(?i)\binterval\s*\(([^)]*)\)\s*(year|month|week|day|hour|minute|second)s?\b""".r
       .replaceAllIn(s, m => {
@@ -1360,6 +1599,12 @@ final class SqlLogicRunner(spark: SparkSession) {
     // time travel: AT (VERSION => n) → VERSION AS OF n
     s = """(?i)AT\s*\(\s*VERSION\s*=>\s*(\d+)\s*\)""".r
       .replaceAllIn(s, m => s"VERSION AS OF ${m.group(1)}")
+    // AT (TIMESTAMP => expr) → TIMESTAMP AS OF (expr); the expr may hold
+    // one paren level (NOW(), getvariable-substituted literals)
+    s = """(?i)AT\s*\(\s*TIMESTAMP\s*=>\s*((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => Regex.quoteReplacement(s"TIMESTAMP AS OF (${m.group(1).trim})"))
+    // DuckDB LIST(x) aggregate → array_agg
+    s = """(?i)\bLIST\s*\(""".r.replaceAllIn(s, "array_agg(")
     // DuckDB `ALTER TABLE t RENAME col TO new` → Spark RENAME COLUMN
     s = """(?i)\bRENAME\s+(?!COLUMN\b|TO\b)([A-Za-z_][\w.]*)\s+TO\b""".r
       .replaceAllIn(s, m => s"RENAME COLUMN ${m.group(1)} TO")
@@ -1413,8 +1658,9 @@ final class SqlLogicRunner(spark: SparkSession) {
     // DuckDB `'lit' IN str_col` is substring containment
     s = """('[^']*'|chr\(\d+\))\s+IN\s+([A-Za-z_]\w*)\b(?!\s*\()""".r
       .replaceAllIn(s, m => Regex.quoteReplacement(s"contains(${m.group(2)}, ${m.group(1)})"))
-    // DuckDB timestamptz ≈ Spark TIMESTAMP (session-zone semantics)
-    s = """(?i)\btimestamptz\b""".r.replaceAllIn(s, "TIMESTAMP")
+    // DuckDB timestamptz ≈ Spark TIMESTAMP_LTZ (session-zone semantics;
+    // the bare TIMESTAMP keyword parses as NTZ via spark.sql.timestampType)
+    s = """(?i)\btimestamptz\b""".r.replaceAllIn(s, "TIMESTAMP_LTZ")
     // bare VARCHAR/TEXT need no length in DuckDB; Spark wants STRING
     s = """(?i)\bVARCHAR\b(?!\s*\()""".r.replaceAllIn(s, "STRING")
     s = """(?i)\bTEXT\b""".r.replaceAllIn(s, "STRING")
@@ -1447,7 +1693,19 @@ final class SqlLogicRunner(spark: SparkSession) {
       }.mkString("{", ", ", "}")
     case seq: scala.collection.Seq[_] =>
       seq.map(formatNested).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] => formatMap(m)
     case other => formatValue(other, 'T')
+  }
+
+  /** DuckDB renders MAP values `{k=v, …}` — keys and scalar string
+    * values print BARE, nested values in their nested form.
+    */
+  private def formatMap(m: scala.collection.Map[_, _]): String = {
+    def part(x: Any): String = x match {
+      case s: String => s
+      case other => formatNested(other)
+    }
+    m.toSeq.map(kv => s"${part(kv._1)}=${part(kv._2)}").mkString("{", ", ", "}")
   }
 
   private def formatValue(v: Any, t: Char): String = v match {
@@ -1455,12 +1713,23 @@ final class SqlLogicRunner(spark: SparkSession) {
     case r: org.apache.spark.sql.Row => formatNested(r)
     case seq: scala.collection.Seq[_] =>
       seq.map(formatNested).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] => formatMap(m)
     case b: Boolean => b.toString // duckdb sqllogictest prints true/false
     case f: Float => formatReal(f.toDouble)
     case d: Double => formatReal(d)
     // DuckDB prints decimals at their declared scale (52.700, not 52.7)
     case d: java.math.BigDecimal => d.toPlainString
-    case ts: java.sql.Timestamp => ts.toString.stripSuffix(".0")
+    // session-zone timestamps (duckdb TIMESTAMPTZ) print with the UTC
+    // offset suffix, NTZ timestamps (LocalDateTime below) without
+    case ts: java.sql.Timestamp => ts.toString.stripSuffix(".0") + "+00"
+    case in: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(in, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ') + "+00"
+    // DuckDB prints TIME with full seconds ('12:30:00', never '12:30')
+    case lt: java.time.LocalTime =>
+      if (lt.getNano == 0)
+        f"${lt.getHour}%02d:${lt.getMinute}%02d:${lt.getSecond}%02d"
+      else lt.toString
     case ldt: java.time.LocalDateTime =>
       ldt.toString.replace('T', ' ') + (if (ldt.getSecond == 0 && ldt.getNano == 0) ":00" else "")
     case other => other.toString
