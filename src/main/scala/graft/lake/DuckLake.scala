@@ -268,8 +268,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // path hardening BEFORE any filesystem work (same order as the
     // reference, src/metadata_writer.rs:17-36): an invalid name must not
     // leave staged or renamed files behind
-    PathResolver.validateTableName(schemaName)
-    PathResolver.validateTableName(tableName)
+    PathResolver.validateEntityName(schemaName)
+    PathResolver.validateEntityName(tableName)
     // partition keys are fixed at creation (CREATE OR REPLACE redefines);
     // appends inherit them
     val existingSpecs = partitionColumnsOf(name)
@@ -551,8 +551,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private[lake] def stageForTransaction(tx: LakeTransaction, df: DataFrame,
       name: String, mode: WriteMode.Value, partitionBy: Seq[String]): Unit = {
     val (schemaName, tableName) = parse(name)
-    PathResolver.validateTableName(schemaName)
-    PathResolver.validateTableName(tableName)
+    PathResolver.validateEntityName(schemaName)
+    PathResolver.validateEntityName(tableName)
     val existingSpecs = partitionColumnsOf(name)
     val tableIsNew = !tableExists(name)
     val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
@@ -638,13 +638,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   private def tableDirOf(name: String): String = {
     val (s0, t0) = parse(name)
-    store.getSchemaByName(s0, store.currentSnapshot)
-      .flatMap(s => store.getTableByName(s.schemaId, t0, store.currentSnapshot))
+    val schOpt = store.getSchemaByName(s0, store.currentSnapshot)
+    // directory segments come from the catalog's ESCAPED paths (names
+    // may hold any characters); fall back to escaping the name for
+    // entities whose catalog row doesn't exist yet (first write stages
+    // files before the commit)
+    val schSeg = schOpt.map(_.path.stripSuffix("/"))
+      .getOrElse(PathResolver.safeSegment(s0))
+    schOpt.flatMap(s => store.getTableByName(s.schemaId, t0, store.currentSnapshot))
       .map { tr =>
         val tp = tr.path.stripSuffix("/")
-        if (tr.pathIsRelative) s"$dataPath/$s0/$tp" else tp
+        if (tr.pathIsRelative) s"$dataPath/$schSeg/$tp" else tp
       }
-      .getOrElse(s"$dataPath/$s0/$t0")
+      .getOrElse(s"$dataPath/$schSeg/${PathResolver.safeSegment(t0)}")
   }
 
   private def filePath(name: String, f: String): String = s"${tableDirOf(name)}/$f"
@@ -1357,6 +1363,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       val fSize = footerSize(fs, p, st.getLen) // also validates the magic
       val fileSchema = spark.read.parquet(pathStr).schema
+      // logical annotations Spark's schema erases (unsigned, JSON, UUID)
+      // refine the type-gate comparison
+      val duckRefined = FileStats.footerDuckTypes(p, hconf)
       def fileField(n: String) = fileSchema.fields.find(_.name == n)
         .orElse(fileSchema.fields.find(_.name.equalsIgnoreCase(n)))
       if (!ignoreExtraColumns) {
@@ -1395,7 +1404,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val entries: Seq[NameMapEntry] = cols.flatMap { c =>
         fileField(c.name) match {
           case Some(f) =>
-            val ft = TypeBridge.fromSpark(f.dataType)
+            val ft = duckRefined.getOrElse(f.name.toLowerCase,
+              TypeBridge.fromSpark(f.dataType))
             if (!TypeBridge.typesCompatible(ft, c.dtype))
               throw new UnsupportedTypeException(
                 s"""Failed to add data files: column "${c.name}" in file $pathStr has type $ft — expected ${c.dtype} or a type promotable to it""")
@@ -2156,6 +2166,23 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def alterColumnType(name: String, colName: String, dtype: String): Long =
     store.alterColumnType(resolveTable(name, store.currentSnapshot).tableId,
       colName, dtype)
+
+  /** Refine a column's LOGICAL duck type in place, no snapshot: for
+    * duck types richer than their Spark mapping (json ≙ string,
+    * uint8 ≙ int16 …) that SQL DDL cannot spell. The physical Spark
+    * type must stay identical, so every scan/write keeps working.
+    */
+  def refineColumnType(name: String, colName: String, dtype: String): Unit = {
+    val snap = store.currentSnapshot
+    val tid = resolveTable(name, snap).tableId
+    val cur = store.getTableColumns(tid, snap)
+      .find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new InvalidConfigException(s"no such column: $colName"))
+    if (TypeBridge.toSpark(cur.dtype) != TypeBridge.toSpark(dtype))
+      throw new UnsupportedTypeException(
+        s"refinement must keep the physical type: ${cur.dtype} -> $dtype")
+    store.refineColumnType(tid, cur.name, TypeBridge.normalize(dtype))
+  }
 
   /** ALTER … SET NOT NULL: validated against the CURRENT data first — a
     * single distributed existence scan; stats-pruned, so files with a
@@ -2929,9 +2956,9 @@ object DuckLake {
     * relative table paths resolve under the schema dir; zero-copy clones
     * carry their source's path so shared files resolve byte-free.
     */
-  def tableDir(dataPath: String, schemaName: String, tr: TableRec): String = {
+  def tableDir(dataPath: String, schemaSeg: String, tr: TableRec): String = {
     val tp = tr.path.stripSuffix("/")
-    if (tr.pathIsRelative) s"$dataPath/$schemaName/$tp" else tp
+    if (tr.pathIsRelative) s"$dataPath/${schemaSeg.stripSuffix("/")}/$tp" else tp
   }
 
   /** Evaluate a column's `initial_default` SQL text to a Catalyst internal

@@ -107,6 +107,36 @@ object FileStats {
   private[lake] def canonicalValue(dt: DataType, v: Any): Option[String] =
     canonical(dt, v)
 
+  /** DuckDB-refined logical types of TOP-LEVEL primitive columns, read
+    * straight from the parquet footer: annotations Spark's reader erases
+    * (unsigned int widths, JSON, UUID). The add_files type gate needs
+    * them — a UINT_8 file must not pass as int16 (reference:
+    * tests/sqllogictests/sql/add_files/add_files_type_check_integer.test).
+    */
+  def footerDuckTypes(path: Path, conf: Configuration,
+      decryptKey: Option[String] = None): Map[String, String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val opts = org.apache.parquet.HadoopReadOptions.builder(conf, path)
+    decryptKey.foreach(k =>
+      opts.withDecryption(graft.lake.crypto.GraftCryptoFactory.decryptionProps(k)))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf), opts.build())
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { f =>
+        if (!f.isPrimitive) None
+        else f.asPrimitiveType().getLogicalTypeAnnotation match {
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>
+            Some(f.getName.toLowerCase -> s"uint${i.getBitWidth}")
+          case _: LogicalTypeAnnotation.JsonLogicalTypeAnnotation =>
+            Some(f.getName.toLowerCase -> "json")
+          case _: LogicalTypeAnnotation.UUIDLogicalTypeAnnotation =>
+            Some(f.getName.toLowerCase -> "uuid")
+          case _ => None
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
   /** Canonical form of a *filter literal* (DSv1 `sources.Filter` value). */
   private def canonical(dt: DataType, v: Any): Option[String] = (dt, v) match {
     case (_, null) => None

@@ -1085,12 +1085,15 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   private def getOrCreateSchema(name: String, snap: Long): SchemaRec =
     getSchemaByName(name, snap).getOrElse {
-      PathResolver.validateName(name)
+      PathResolver.validateEntityName(name)
+      // the stored path segment escapes path-dangerous characters, so
+      // ANY printable schema name is safe (corpus: general/paths.test)
+      val seg = PathResolver.safeSegment(name)
       val id = nextCatalogId()
       update("INSERT INTO ducklake_schema VALUES (?, ?, ?, ?, ?, NULL)",
-        Seq(id, name, name + "/", true, snap))
+        Seq(id, name, seg + "/", true, snap))
       recordChange("schemas_created", id, name)
-      SchemaRec(id, name, name + "/", pathIsRelative = true)
+      SchemaRec(id, name, seg + "/", pathIsRelative = true)
     }
 
   /** One transactional write commit: new snapshot → get-or-create schema
@@ -1118,7 +1121,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   private def registerWrite(snap: Long, spec: TableWriteSpec): Unit = {
     import spec._
-    PathResolver.validateTableName(tableName)
+    PathResolver.validateEntityName(tableName)
     files.foreach { f =>
       if (f.fileSizeBytes < 0) throw new InvalidConfigException(s"negative file size for ${f.path}")
       if (f.recordCount < 0) throw new InvalidConfigException(s"negative record count for ${f.path}")
@@ -1127,10 +1130,11 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val table = getTableByName(schema.schemaId, tableName, snap).getOrElse {
       // reference numbering: table ids start at 1 (snapshot 0 = empty catalog)
       val id = nextCatalogId()
+      val seg = PathResolver.safeSegment(tableName)
       update("INSERT INTO ducklake_table VALUES (?, ?, ?, ?, ?, ?, NULL)",
-        Seq(id, schema.schemaId, tableName, tableName + "/", true, snap))
+        Seq(id, schema.schemaId, tableName, seg + "/", true, snap))
       recordChange("tables_created", id, s"$schemaName.$tableName")
-      TableRec(id, schema.schemaId, tableName, tableName + "/", pathIsRelative = true)
+      TableRec(id, schema.schemaId, tableName, seg + "/", pathIsRelative = true)
     }
     val existing = getTableColumns(table.tableId, snap)
     if (existing.isEmpty) {
@@ -1495,6 +1499,15 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     snap
   }
 
+  /** In-place LOGICAL type refinement (same physical type — json over
+    * varchar, unsigned widths over their signed carriers): rewrites the
+    * LIVE column row only, no snapshot, validity untouched.
+    */
+  def refineColumnType(tableId: Long, colName: String, dtype: String): Unit =
+    update(
+      "UPDATE ducklake_column SET column_type = ? WHERE table_id = ? AND column_name = ? AND end_snapshot IS NULL",
+      Seq(dtype, tableId, colName))
+
   def countColumnMappings(tableId: Long): Long =
     query("SELECT COUNT(*) FROM ducklake_column_mapping WHERE table_id = ?",
       Seq(tableId))(_.getLong(1)).head
@@ -1763,10 +1776,15 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     incoming.foreach { c =>
       byName.get(c.name) match {
         case Some(old) =>
-          if (!TypeBridge.typesCompatible(old.dtype, c.dtype))
+          // a write in the column's CARRIER type (varchar for json,
+          // signed width for unsigned) is not an evolution — the richer
+          // declared type stays (DuckDB casts on insert)
+          val carrierWrite = TypeBridge.toSpark(old.dtype) == TypeBridge.toSpark(c.dtype)
+          if (!carrierWrite && !TypeBridge.typesCompatible(old.dtype, c.dtype))
             throw new UnsupportedTypeException(
               s"column ${c.name}: cannot change type ${old.dtype} -> ${c.dtype}")
-          if (TypeBridge.normalize(old.dtype) != TypeBridge.normalize(c.dtype)) changed = true
+          if (!carrierWrite &&
+              TypeBridge.normalize(old.dtype) != TypeBridge.normalize(c.dtype)) changed = true
         case None =>
           if (!c.nullsAllowed)
             throw new UnsupportedException(
@@ -1978,7 +1996,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // cleanup (corpus: add_files/add_files_compaction.test)
       update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
         Seq(if (f.pathIsRelative)
-          s"${schema.name}/${table.path.stripSuffix("/")}/${f.path}"
+          s"${schema.path.stripSuffix("/")}/${table.path.stripSuffix("/")}/${f.path}"
         else f.path))
     }
     }
@@ -2075,10 +2093,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       s"""NOT EXISTS (SELECT 1 FROM $tbl f2 WHERE f2.path = f.path
          |AND NOT (${gone("f2")}))""".stripMargin
     val dataFiles = query(
-      s"SELECT s.schema_name, t.path, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_data_file")}")(
+      s"SELECT s.path, t.path, f.path FROM ducklake_data_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_data_file")}")(
       rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     val delFiles = query(
-      s"SELECT s.schema_name, t.path, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_delete_file")}")(
+      s"SELECT s.path, t.path, f.path FROM ducklake_delete_file f $naming WHERE ${gone("f")} AND ${noLiveRef("ducklake_delete_file")}")(
       rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     conn.setAutoCommit(false)
     try {
@@ -2128,7 +2146,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val files = purgeExpiredFiles()
     files.foreach { case (sch, tbl, p) =>
       update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
-        Seq(s"$sch/${tbl.stripSuffix("/")}/$p"))
+        Seq(s"${sch.stripSuffix("/")}/${tbl.stripSuffix("/")}/$p"))
     }
     files.size
   }
@@ -2274,7 +2292,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     */
   def cloneTable(schemaName: String, srcTableId: Long, dstName: String): Long =
     inSnapshotTxn { snap =>
-      PathResolver.validateTableName(dstName)
+      PathResolver.validateEntityName(dstName)
       val sch = getSchemaByName(schemaName, snap)
         .getOrElse(throw new SchemaNotFoundException(schemaName))
       if (getTableByName(sch.schemaId, dstName, snap).isDefined)
@@ -2461,7 +2479,7 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * time travel before the rename still works.
     */
   def renameTable(tableId: Long, newName: String): Long = inSnapshotTxn { snap =>
-    PathResolver.validateTableName(newName)
+    PathResolver.validateEntityName(newName)
     val cur = query(
       s"SELECT schema_id, path, path_is_relative FROM ducklake_table WHERE table_id = ? AND $Vis",
       Seq(tableId, snap, snap))(rs => (rs.getLong(1), rs.getString(2), rs.getBoolean(3)))

@@ -66,4 +66,40 @@ object PathResolver {
       throw new InvalidConfigException(s"invalid table name: $name")
     name
   }
+
+  /** Entity names as the reference accepts them: ANY printable
+    * characters — schemas named `asd/fgh`, emoji tables — except the
+    * bare traversal names. Safety comes from [[safeSegment]]: the STORED
+    * path escapes every path-dangerous byte, so names never reach the
+    * filesystem raw (corpus: general/paths.test, catalog/
+    * quoted_identifiers.test).
+    */
+  def validateEntityName(name: String): String = {
+    validateName(name)
+    if (name == "." || name == "..")
+      throw new InvalidConfigException(s"invalid entity name: $name")
+    name
+  }
+
+  /** Filesystem-safe directory segment for an entity name: separators,
+    * escapes and shell-dangerous bytes percent-encode (the same scheme
+    * hive partition values use), so the result always passes
+    * [[validate]] and never traverses or nests.
+    */
+  def safeSegment(name: String): String = {
+    validateEntityName(name)
+    val needs = "%/\\:=?#'\"<>|;*"
+    val sb = new StringBuilder
+    // byte-wise over UTF-8: non-ASCII escapes too, so directory names
+    // stay locale-independent (a POSIX-locale JVM cannot create emoji
+    // filenames)
+    name.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val i = b & 0xff
+      val c = i.toChar
+      if (i >= 0x80 || needs.contains(c) || c < ' ' || c == '\u007f')
+        sb.append(f"%%$i%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
 }

@@ -181,7 +181,17 @@ object TypeBridge {
         ip2 >= ip1 && s2.toInt >= s1.toInt
       case _ => false
     }
-    chainOk(intWidening) || chainOk(uintWidening) ||
+    // unsigned widths fit the NEXT-wider signed type (uint8 ⊂ int16 …);
+    // the reverse never holds (reference acceptance matrix — corpus:
+    // add_files/add_files_type_check_integer.test)
+    val uintToInt = {
+      val (fi, ti) = (uintWidening.indexOf(f), intWidening.indexOf(t))
+      fi >= 0 && ti > fi
+    }
+    // json is varchar-compatible physically; varchar carries no json
+    // guarantee, so only the widening direction holds… neither direction
+    // actually: DuckDB rejects varchar files into JSON columns too.
+    chainOk(intWidening) || chainOk(uintWidening) || uintToInt ||
       intToFloat64 || floatWiden || tsToTz || decimalWiden
   }
 

@@ -185,12 +185,14 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
     val (a, b) = (start.asInstanceOf[SnapshotOffset].snapshot,
       end.asInstanceOf[SnapshotOffset].snapshot)
     val tr = tableRec
+    val schSeg = lake.store.getSchemaByName(schemaName, b)
+      .map(_.path).getOrElse(schemaName + "/")
     val cols = lake.store.getTableColumns(tr.tableId, b)
     // appends-only semantics: delete files are NOT applied to streamed rows
     val files = lake.store.getDataFilesAddedBetween(tr.tableId, a, b)
       .map(_.copy(deleteFile = None))
     DuckLakePartitionPlanner.plan(lake, tr, cols, files, required,
-      graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
+      graft.lake.DuckLake.tableDir(lake.dataPath, schSeg, tr))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -258,7 +260,7 @@ final class DuckLakeBatchScan(lake: DuckLake, fullName: String, snapshot: Long,
     val files = lake.pruneDataFiles(tr, cols, snapshot,
       lake.store.getDataFiles(tr.tableId, snapshot), pushedFilters)
     val parts = DuckLakePartitionPlanner.plan(lake, tr, cols, files, schema,
-      graft.lake.DuckLake.tableDir(lake.dataPath, schemaName, tr))
+      graft.lake.DuckLake.tableDir(lake.dataPath, sch.path, tr))
     if (!spj || !spjEligible) parts
     else {
       // key values in catalog partition-column order, typed as Catalyst

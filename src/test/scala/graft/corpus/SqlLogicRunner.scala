@@ -43,7 +43,6 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val unsupported: Seq[(String, String)] = Seq(
     "hashing to" -> "hashed result blocks",
     "concurrentloop" -> "concurrent loops",
-    "restart" -> "connection restart",
     "require-env" -> "environment requirements",
     "no_extension_autoloading" -> "missing-extension harness",
     "onlyif" -> "engine-conditional blocks",
@@ -53,32 +52,18 @@ final class SqlLogicRunner(spark: SparkSession) {
     "CHECKPOINT" -> "duckdb checkpoint",
     "sqlite_" -> "sqlite metadata backend",
     "postgres" -> "postgres metadata backend",
-    "::JSON" -> "json type",
-    " JSON" -> "json type",
-    " UUID" -> "uuid type",
-    " uuid" -> "uuid type",
+    "uuid '" -> "parquet UUID logical type (no Spark IO)",
+    "UUID '" -> "parquet UUID logical type (no Spark IO)",
     "parquet_schema(" -> "parquet introspection TVF",
     "ducklake_table_info(" -> "duckdb table function syntax",
     "'infinity'" -> "non-finite timestamp literals",
     "EXCLUDE (" -> "SELECT * EXCLUDE dialect",
-    "chr(0)" -> "NUL-byte strings",
     "read_parquet('data/" -> "prebuilt corpus assets",
-    "::UTINYINT" -> "unsigned types",
-    "::USMALLINT" -> "unsigned types",
-    "::UINTEGER" -> "unsigned types",
-    "::UBIGINT" -> "unsigned types",
-    "utinyint" -> "unsigned types",
-    "usmallint" -> "unsigned types",
-    "uinteger " -> "unsigned types",
-    "ubigint" -> "unsigned types",
     "UNION(" -> "duckdb union type",
     " TIME '" -> "Spark's TIME type has no parquet IO yet",
-    "ducklake.options" -> "attach options table",
     "CALL dbgen" -> "tpch generator",
     "INTERVAL" -> "interval literal dialect",
     "TIMETZ" -> "time-with-zone types",
-    "'quoted'" -> "quoted attach paths",
-    "asd/fgh" -> "special-character names (path hardening rejects)",
     "ATTACH 'ducklake:postgres" -> "postgres backend",
     "ATTACH 'ducklake:sqlite" -> "sqlite backend")
 
@@ -88,6 +73,8 @@ final class SqlLogicRunner(spark: SparkSession) {
     val extraSkip: Option[String] =
       if (file.toString.endsWith("merge_adjacent_max_files.test"))
         Some("id arithmetic tied to the reference writer's physical file sizes")
+      else if (file.toString.endsWith("add_files_complex_nested_stats_mre.test"))
+        Some("unsigned widths inside NESTED structs (top-level only here)")
       else if (lower.contains("unzip ")) Some("prebuilt binary databases")
 
       else None
@@ -148,14 +135,20 @@ final class SqlLogicRunner(spark: SparkSession) {
       else if (line == "mode unskip") { i += 1 }
       else if (line == "statement ok" || line.matches("statement ok con\\d+")) {
         // a connection-tagged statement OUTSIDE any transaction is just a
-        // sequential statement; interleaved transactions (tagged BEGIN)
-        // skip the file below
+        // sequential statement. Interleaved transactions replay
+        // SEQUENTIALLY (each tagged BEGIN/COMMIT dropped) when nothing
+        // in the file observes the interleaving — no tagged queries, no
+        // expected conflict errors; otherwise the file skips.
         i += 1
         val sql = collectSql()
+        val bare = sql.trim.stripSuffix(";").trim.toUpperCase
         if (line != "statement ok" &&
-            sql.trim.stripSuffix(";").trim.toUpperCase.startsWith("BEGIN"))
-          throw new SkipFile("interleaved multi-connection transactions")
-        out += Statement(sql, None)
+            (bare.startsWith("BEGIN") || bare == "COMMIT" || bare == "ROLLBACK" ||
+              bare == "ABORT")) {
+          if (!seqTxns)
+            throw new SkipFile("interleaved multi-connection transactions")
+          // dropped: sequential replay commits every statement directly
+        } else out += Statement(sql, None)
         collectExpected() // tolerated trailing block
       } else if (line == "statement error") {
         i += 1
@@ -215,6 +208,9 @@ final class SqlLogicRunner(spark: SparkSession) {
   // ---------------- execution ----------------
 
   private var lake: DuckLake = null
+  // tagged (conN) transactions replay sequentially when legal — set per
+  // file before parsing
+  private var seqTxns: Boolean = false
   private var catalogAlias: String = "ducklake"
   // SET VARIABLE name = <scalar or list> (DuckDB session variables)
   private val variables = scala.collection.mutable.Map.empty[String, Any]
@@ -226,6 +222,11 @@ final class SqlLogicRunner(spark: SparkSession) {
   private var physAlias: String = "ducklake"
 
   private def runBody(file: Path, raw: String, testDir: String): FileResult = {
+    // sequential replay of interleaved transactions is only sound when
+    // nothing observes the interleaving: no tagged queries, no tagged
+    // expected-error statements (write-conflict tests)
+    seqTxns = !"""(?m)^statement error con\d+""".r.findFirstIn(raw).isDefined &&
+      !"""(?m)^query\s+\S*\s*con\d+""".r.findFirstIn(raw).isDefined
     // reset session state: previous file may have switched catalogs or
     // left bare-name tables in spark_catalog's default db
     spark.sql("USE spark_catalog.default")
@@ -346,7 +347,7 @@ final class SqlLogicRunner(spark: SparkSession) {
   private def firstLine(sql: String): String = sql.linesIterator.next().take(120)
 
   private val AttachRe =
-    """(?is)ATTACH\s+'ducklake:([^']+)'\s+AS\s+(\w+)\s*(?:\((.*)\))?\s*;?""".r
+    """(?is)ATTACH\s+'ducklake:((?:[^']|'')+)'\s+AS\s+(\w+)\s*(?:\((.*)\))?\s*;?""".r
   private val AddFilesRe =
     """(?is)CALL\s+ducklake_add_data_files\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*(.*?)\)\s*;?""".r
   private val AddFilesListRe =
@@ -523,10 +524,12 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val CopyTableRe = """(?is)COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?""".r
 
   private def execute(sqlRaw: String): Unit = substVars(sqlRaw) match {
-    case AttachRe(metaPath, alias, opts) =>
+    case AttachRe(metaPath0, alias, opts) =>
+      // SQL-escaped quotes ('' → ') may appear in any path or option
+      val metaPath = metaPath0.replace("''", "'")
       val dataPath = Option(opts).flatMap(o =>
-        """DATA_PATH\s+('[^']+'|[\w./-]+)""".r.findFirstMatchIn(o)
-          .map(_.group(1).stripPrefix("'").stripSuffix("'")))
+        """DATA_PATH\s+('(?:[^']|'')+'|[\w./-]+)""".r.findFirstMatchIn(o)
+          .map(_.group(1).stripPrefix("'").stripSuffix("'").replace("''", "'")))
         .orElse {
           // no DATA_PATH: an existing catalog supplies its stored one
           val meta = metaPath.stripSuffix(".db") + "-meta"
@@ -542,7 +545,8 @@ final class SqlLogicRunner(spark: SparkSession) {
       lake = new DuckLake(spark, metaPath.stripSuffix(".db") + "-meta",
         dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit)
       metaAlias = Option(opts).flatMap(o =>
-        """METADATA_CATALOG\s+'([^']+)'""".r.findFirstMatchIn(o).map(_.group(1)))
+        """METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
+          .map(_.group(1).replace("''", "'")))
         .getOrElse(s"__ducklake_metadata_$alias")
       // the SQL catalog must resolve to THIS instance: one metadata
       // connection, or an open transaction here deadlocks catalog reads
@@ -592,6 +596,28 @@ final class SqlLogicRunner(spark: SparkSession) {
     case AddFilesListRe(_, table, list, rest) =>
       addFilesCall(table,
         "'([^']*)'".r.findAllMatchIn(list).map(_.group(1)).toSeq, rest)
+    case s if lake != null &&
+        """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b""".r.findFirstIn(s).isDefined &&
+        RefineTypeRe.findFirstIn(s).isDefined =>
+      // duck-only column types (JSON, unsigned ints) ride their Spark
+      // carrier types through DDL; refine the catalog's logical type
+      // right after, so typeof()/DESCRIBE and the add_files type gate
+      // see the declared duck type
+      spark.sql(translate(s)).collect()
+      val tbl = """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`"]+)""".r
+        .findFirstMatchIn(s).get.group(1)
+      RefineTypeRe.findAllMatchIn(s).foreach { m =>
+        val duck = m.group(2).toUpperCase match {
+          case "JSON" => "json"
+          case "UTINYINT" => "uint8"
+          case "USMALLINT" => "uint16"
+          case "UINTEGER" => "uint32"
+          case "UBIGINT" => "uint64"
+        }
+        val col = m.group(1).stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`")
+        lake.refineColumnType(lakeTableName(tbl), col, duck)
+      }
     case AlterNestedTypeRe(table, colName, newType)
         if """(?i)STRUCT\s*\(|\[\]|MAP\s*\(""".r.findFirstIn(newType).isDefined =>
       // Spark's analyzer refuses struct-typed ALTER COLUMN TYPE ("update
@@ -645,7 +671,8 @@ final class SqlLogicRunner(spark: SparkSession) {
       val (_, named) = callArgs(rest)
       lake.setOption(key, value.stripPrefix("'").stripSuffix("'"),
         named.get("schema"), named.get("table_name"))
-    case CopyQueryRe(inner, target, opts) => copyTo(spark.sql(translate(inner)), target, opts)
+    case CopyQueryRe(inner, target, opts) =>
+      copyTo(spark.sql(translate(inner)), target, opts, duckCopyTypes(inner))
     case CopyTableRe(table, target, opts) =>
       copyTo(spark.sql(translate(s"SELECT * FROM $table")), target, opts)
     case s if {
@@ -753,10 +780,100 @@ final class SqlLogicRunner(spark: SparkSession) {
       hivePartitioning = flag("hive_partitioning"))
   }
 
+  /** Duck-only types appearing as TOP-LEVEL casts in a COPY's select
+    * list: Spark cannot write their parquet annotations (unsigned
+    * widths, JSON), so [[copyTo]] routes such queries through a
+    * parquet-mr writer. One entry per select item, None = plain.
+    */
+  private def duckCopyTypes(inner: String): Seq[Option[String]] = {
+    val m = """(?is)^\s*SELECT\s+(.*?)(\s+FROM\b.*)?$""".r
+      .findFirstMatchIn(inner.trim).getOrElse(return Nil)
+    val castRe = """(?i)::\s*(UTINYINT|USMALLINT|UINTEGER|UBIGINT|JSON)\b""".r
+    splitTopLevel(m.group(1)).map(item =>
+      castRe.findFirstMatchIn(item).map(_.group(1).toUpperCase match {
+        case "UTINYINT" => "uint8"
+        case "USMALLINT" => "uint16"
+        case "UINTEGER" => "uint32"
+        case "UBIGINT" => "uint64"
+        case "JSON" => "json"
+      }))
+  }
+
+  /** parquet-mr write of a SMALL result with DuckDB logical annotations
+    * Spark's writer cannot produce (UINT_8…UINT_64, JSON) — the
+    * add_files corpus type checks distinguish files by these footers.
+    */
+  private def copyTyped(df: DataFrame, target: String,
+      duck: Seq[Option[String]]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types => PT}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.io.api.Binary
+    val rows = df.collect()
+    val b = org.apache.parquet.schema.Types.buildMessage()
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val field = duck.lift(i).flatten match {
+        case Some("uint8")  => PT.optional(INT32).as(L.intType(8, false))
+        case Some("uint16") => PT.optional(INT32).as(L.intType(16, false))
+        case Some("uint32") => PT.optional(INT32).as(L.intType(32, false))
+        case Some("uint64") => PT.optional(INT64).as(L.intType(64, false))
+        case Some("json")   => PT.optional(BINARY).as(L.jsonType())
+        case _ => f.dataType match {
+          case org.apache.spark.sql.types.ByteType =>
+            PT.optional(INT32).as(L.intType(8, true))
+          case org.apache.spark.sql.types.ShortType =>
+            PT.optional(INT32).as(L.intType(16, true))
+          case org.apache.spark.sql.types.IntegerType => PT.optional(INT32)
+          case org.apache.spark.sql.types.LongType => PT.optional(INT64)
+          case org.apache.spark.sql.types.FloatType => PT.optional(FLOAT)
+          case org.apache.spark.sql.types.DoubleType => PT.optional(DOUBLE)
+          case org.apache.spark.sql.types.BooleanType => PT.optional(BOOLEAN)
+          case org.apache.spark.sql.types.BinaryType => PT.optional(BINARY)
+          case _ => PT.optional(BINARY).as(L.stringType())
+        }
+      }
+      b.addField(field.named(f.name))
+    }
+    val msg = b.named("duckdb_schema")
+    val factory = new SimpleGroupFactory(msg)
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.deleteIfExists(Paths.get(target))
+    val w = ExampleParquetWriter.builder(
+      new org.apache.hadoop.fs.Path(target))
+      .withConf(spark.sparkContext.hadoopConfiguration).withType(msg).build()
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) (duck.lift(i).flatten, r.get(i)) match {
+          case (Some("uint8") | Some("uint16") | Some("uint32"), v: Number) =>
+            g.add(f.name, v.intValue())
+          case (Some("uint64"), v) => g.add(f.name,
+            new java.math.BigDecimal(v.toString).longValueExact())
+          case (Some("json"), v) => g.add(f.name, Binary.fromString(v.toString))
+          case (_, v: Byte) => g.add(f.name, v.toInt)
+          case (_, v: Short) => g.add(f.name, v.toInt)
+          case (_, v: Int) => g.add(f.name, v)
+          case (_, v: Long) => g.add(f.name, v)
+          case (_, v: Float) => g.add(f.name, v)
+          case (_, v: Double) => g.add(f.name, v)
+          case (_, v: Boolean) => g.add(f.name, v)
+          case (_, v: Array[Byte]) => g.add(f.name, Binary.fromConstantByteArray(v))
+          case (_, v) => g.add(f.name, Binary.fromString(v.toString))
+        }
+      }
+      w.write(g)
+    } finally w.close()
+    // parquet-mr leaves a .crc sidecar the corpus' glob assertions must
+    // not count — harmless, globFiles filters hidden files already
+  }
+
   /** COPY … TO: single parquet file (rename the one part file onto the
     * target) or hive-partitioned directory tree when PARTITION_BY given.
     */
-  private def copyTo(df: DataFrame, target: String, opts: String): Unit = {
+  private def copyTo(df: DataFrame, target: String, opts: String,
+      duck: Seq[Option[String]] = Nil): Unit = {
+    if (duck.exists(_.isDefined)) return copyTyped(df, target, duck)
     val partBy = Option(opts).flatMap(o =>
       """(?i)PARTITION_BY\s*\(([^)]*)\)""".r.findFirstMatchIn(o).map(_.group(1)))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -873,6 +990,11 @@ final class SqlLogicRunner(spark: SparkSession) {
     """(?i)read_parquet\(\s*array\(([^)]*)\)\s*\)""".r
   private val StatsRe =
     """(?is)^\s*SELECT\s+stats\((.+)\)\s+FROM\s+(\S+?)\s*(?:LIMIT\s+1)?\s*;?\s*$""".r
+  private val OptionsTvfRe = """(?i)(?:\w+\.)?\boptions\(\s*\)""".r
+  private val RefineTypeRe =
+    """(?i)[(,]\s*([\w`"]+)\s+(JSON|UTINYINT|USMALLINT|UINTEGER|UBIGINT)\s*(?=[,)])""".r
+  private val TypeofRe =
+    """(?is)^\s*SELECT\s+typeof\((\w+)\)\s+FROM\s+(\S+?)\s*(?:LIMIT\s+\d+)?\s*;?\s*$""".r
 
   private val ExpireTvfRe =
     """(?is)(?:ducklake_)?expire_snapshots\(((?:[^()]|\([^()]*\))*)\)""".r
@@ -1121,14 +1243,36 @@ final class SqlLogicRunner(spark: SparkSession) {
           throw new RuntimeException(
             "cannot specify both SNAPSHOT_VERSION and SNAPSHOT_TIME (not both)")
         val snapshot: Option[Long] = snapV.orElse(snapT.map { e =>
-          val ts = spark.sql(s"SELECT CAST($e AS TIMESTAMP)")
-            .collect().head.getTimestamp(0)
+          val ts = spark.sql(s"SELECT CAST($e AS TIMESTAMP_LTZ)")
+            .collect().head.get(0) match {
+              case t: java.sql.Timestamp => t
+              case i: java.time.Instant => java.sql.Timestamp.from(i)
+              case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l)
+            }
           lake.store.snapshots.filter(!_._2.after(ts)).map(_._1).maxOption
             .getOrElse(throw new RuntimeException(s"no snapshot at time $e"))
         })
         lake.listFilesAt(table, schemaName, snapshot)
           .createOrReplaceTempView("__slt_list_files")
         spark.sql(translate(ListFilesRe.replaceAllIn(t, "__slt_list_files ")))
+      case TypeofRe(colName, from) if lake != null &&
+          (from.toLowerCase.startsWith(catalogAlias.toLowerCase + ".") ||
+            from.toLowerCase.startsWith(physAlias.toLowerCase + ".")) =>
+        // DuckDB typeof() reports the DECLARED type — serve it from the
+        // catalog (duck-only types like JSON survive refinement there)
+        val full = lakeTableName(from)
+        val Array(sn, tn) = full.split('.')
+        val snap = lake.store.currentSnapshot
+        val dtype = (for {
+          sch <- lake.store.getSchemaByName(sn, snap)
+          tbl <- lake.store.getTableByName(sch.schemaId, tn, snap)
+          c <- lake.store.getTableColumns(tbl.tableId, snap)
+            .find(_.name.equalsIgnoreCase(colName))
+        } yield duckTypeName(c.dtype)).getOrElse(
+          throw new RuntimeException(s"no such column: $from.$colName"))
+        val n = spark.sql(translate(s"SELECT COUNT(*) FROM $from"))
+          .collect().head.getLong(0)
+        Seq.fill(n.toInt)(dtype).toDF("typeof")
       case StatsRe(e0, from) =>
         // DuckDB `SELECT stats(expr) FROM t`: renders the optimizer's
         // CUMULATIVE column statistics. Plain column refs serve from the
@@ -1159,6 +1303,31 @@ final class SqlLogicRunner(spark: SparkSession) {
                  |', Has No Null: ', CAST(COUNT($expr2) > 0 AS STRING), ']')
                  |AS stats FROM $from2""".stripMargin))
         }
+      case _ if lake != null && OptionsTvfRe.findFirstIn(t).isDefined =>
+        // ducklake.options(): every scoped option set on this catalog
+        val descs = Map(
+          "data_inlining_row_limit" -> "maximum row count for catalog-inlined inserts",
+          "parquet_compression" -> "compression codec for written data files",
+          "parquet_version" -> "parquet format version for written files",
+          "target_file_size" -> "split threshold for large inserts",
+          "hive_file_pattern" -> "key=value directory layout for partitioned files",
+          "auto_compact" -> "merge adjacent small files after appends",
+          "expire_older_than" -> "default retention for expire_snapshots",
+          "delete_older_than" -> "default retention for cleanup_old_files",
+          "per_thread_output" -> "one output file per writer task",
+          "encrypted" -> "parquet modular encryption for data files")
+        val rows = lake.store.listMetadata().collect {
+          case (k, v) if k.startsWith("opt:") =>
+            val parts = k.split(':')
+            val (scope, entry) =
+              if (parts.length >= 4) (parts(2).toUpperCase, parts(3))
+              else ("GLOBAL", null: String)
+            (parts(1), descs.getOrElse(parts(1), s"DuckLake option ${parts(1)}"),
+              v, scope, entry)
+        }
+        rows.toDF("option_name", "description", "value", "scope", "scope_entry")
+          .createOrReplaceTempView("__slt_options")
+        spark.sql(translate(OptionsTvfRe.replaceAllIn(t, "__slt_options ")))
       case _ if t.toUpperCase.contains("PRAGMA_DATABASE_SIZE") =>
         // PRAGMA_database_size(): database_name + human-readable size
         require(lake != null, "no lake attached")
@@ -1210,6 +1379,10 @@ final class SqlLogicRunner(spark: SparkSession) {
     case "int16" => "SMALLINT"
     case "int32" => "INTEGER"
     case "int64" => "BIGINT"
+    case "uint8" => "UTINYINT"
+    case "uint16" => "USMALLINT"
+    case "uint32" => "UINTEGER"
+    case "uint64" => "UBIGINT"
     case "float32" => "FLOAT"
     case "float64" => "DOUBLE"
     case "varchar" => "VARCHAR"
@@ -1506,10 +1679,38 @@ final class SqlLogicRunner(spark: SparkSession) {
     s
   }
 
+  /** DuckDB double-quoted identifiers → Spark backticks (handles the
+    * `""` escape); single-quoted strings pass through untouched.
+    */
+  private def convertQuotedIdents(s0: String): String = {
+    if (!s0.contains('"')) return s0
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < s0.length) {
+      val c = s0.charAt(i)
+      if (c == '\'') { inStr = !inStr; sb += c; i += 1 }
+      else if (!inStr && c == '"') {
+        val inner = new StringBuilder
+        i += 1
+        var done = false
+        while (i < s0.length && !done) {
+          val cj = s0.charAt(i)
+          if (cj == '"' && i + 1 < s0.length && s0.charAt(i + 1) == '"') {
+            inner += '"'; i += 2
+          } else if (cj == '"') { done = true; i += 1 }
+          else { inner += cj; i += 1 }
+        }
+        sb ++= "`" + inner.toString.replace("`", "``") + "`"
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   private[corpus] def translate(sql0: String): String = {
     var s = convertStructLiterals(convertMapLiterals(convertIndexAccess(
       convertListLiterals(convertMapFromArrays(convertArraySuffix(
-        convertMapTypes(convertStructTypes(substVars(sql0)))))))))
+        convertMapTypes(convertStructTypes(convertQuotedIdents(substVars(sql0))))))))))
     // FROM-first queries: `FROM t …` → `SELECT * FROM t …`
     if (s.trim.toUpperCase.startsWith("FROM ")) s = "SELECT * " + s.trim
     // `ORDER BY ALL`: row order is irrelevant — results compare as
@@ -1578,9 +1779,36 @@ final class SqlLogicRunner(spark: SparkSession) {
         }
       }
     }
+    // DuckDB blob literals with \xNN escapes → unhex of the exact bytes
+    s = """'((?:\\x[0-9A-Fa-f]{2}|[^'\\])*)'\s*::\s*BLOB""".r.replaceAllIn(s, m => {
+      val lit = m.group(1)
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var i = 0
+      while (i < lit.length) {
+        if (i + 3 < lit.length && lit.charAt(i) == '\\' && lit.charAt(i + 1) == 'x') {
+          bytes += Integer.parseInt(lit.substring(i + 2, i + 4), 16).toByte; i += 4
+        } else { bytes ++= lit.substring(i, i + 1).getBytes("UTF-8"); i += 1 }
+      }
+      Regex.quoteReplacement(
+        s"CAST(unhex('${bytes.map(b => f"${b & 0xff}%02X").mkString}') AS BINARY)")
+    })
     // DuckDB's BOOL alias (Spark only knows BOOLEAN)
     s = s.replaceAll("(?i)\\bBOOL\\b", "BOOLEAN")
     s = s.replaceAll("(?i)\\bDOUBLE\\s+PRECISION\\b", "DOUBLE")
+    // duck-only types ride their physical Spark carriers; execute()
+    // refines the catalog's logical type after CREATE (json, unsigned)
+    s = s.replaceAll("(?i)\\bJSON\\b", "STRING")
+    s = s.replaceAll("(?i)\\bUTINYINT\\b", "SMALLINT")
+    s = s.replaceAll("(?i)\\bUSMALLINT\\b", "INT")
+    s = s.replaceAll("(?i)\\bUINTEGER\\b", "BIGINT")
+    s = s.replaceAll("(?i)\\bUBIGINT\\b", "DECIMAL(20,0)")
+    // uuid: 36-char text on the Spark side; uuidv4/v7 generators → uuid()
+    s = s.replaceAll("(?i)\\buuidv[47]\\s*\\(\\s*\\)", "uuid()")
+    // the version nibble is the 15th character of the 8-4-4-4-12 text
+    s = """(?i)\buuid_extract_version\s*\(([^)]*)\)""".r.replaceAllIn(s,
+      m => Regex.quoteReplacement(
+        s"CAST(conv(substr(CAST(${m.group(1)} AS STRING), 15, 1), 16, 10) AS INT)"))
+    s = s.replaceAll("(?i)\\bUUID\\b(?!\\s*\\()", "STRING")
     // DuckDB non-finite float literals (Spark spells them out)
     s = s.replace("'NaN'", "CAST('NaN' AS FLOAT)")
       .replace("'-inf'", "CAST('-Infinity' AS FLOAT)")
@@ -1640,10 +1868,10 @@ final class SqlLogicRunner(spark: SparkSession) {
     // (double-quoted segments become backticks — DuckDB identifiers)
     def seg(g: String): String =
       if (g.startsWith("\"")) "`" + g.stripPrefix("\"").stripSuffix("\"") + "`" else g
-    s = (s"""(?i)\\b$catalogAlias\\.("[^"]+"|[A-Za-z_]\\w*)\\.("[^"]+"|[A-Za-z_]\\w*)""").r
+    s = (s"""(?i)\\b$catalogAlias\\.(`[^`]+`|"[^"]+"|[A-Za-z_]\\w*)\\.(`[^`]+`|"[^"]+"|[A-Za-z_]\\w*)""").r
       .replaceAllIn(s, m =>
         Regex.quoteReplacement(s"$physAlias.${seg(m.group(1))}.${seg(m.group(2))}"))
-    s = (s"""(?i)\\b$catalogAlias\\.("[^"]+"|[A-Za-z_]\\w*)""").r
+    s = (s"""(?i)\\b$catalogAlias\\.(`[^`]+`|"[^"]+"|[A-Za-z_]\\w*)""").r
       .replaceAllIn(s, m =>
         Regex.quoteReplacement(s"$physAlias.main.${seg(m.group(1))}"))
     // pinned-snapshot attach: every lake table read time-travels
@@ -1710,6 +1938,8 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private def formatValue(v: Any, t: Char): String = v match {
     case null => "NULL"
+    // DuckDB's sqllogictest renders embedded NUL as the two chars `\0`
+    case s: String if s.indexOf(0.toChar) >= 0 => s.replace("\u0000", "\\0")
     case r: org.apache.spark.sql.Row => formatNested(r)
     case seq: scala.collection.Seq[_] =>
       seq.map(formatNested).mkString("[", ", ", "]")
@@ -1725,6 +1955,13 @@ final class SqlLogicRunner(spark: SparkSession) {
     case in: java.time.Instant =>
       java.time.LocalDateTime.ofInstant(in, java.time.ZoneOffset.UTC)
         .toString.replace('T', ' ') + "+00"
+    // DuckDB blob rendering: printable ASCII raw, other bytes \xNN
+    case b: Array[Byte] =>
+      b.map { x =>
+        val i = x & 0xff
+        if (i >= 0x20 && i <= 0x7e && i != '\\'.toInt) i.toChar.toString
+        else f"\\x$i%02X"
+      }.mkString
     // DuckDB prints TIME with full seconds ('12:30:00', never '12:30')
     case lt: java.time.LocalTime =>
       if (lt.getNano == 0)

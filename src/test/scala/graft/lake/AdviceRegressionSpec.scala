@@ -110,13 +110,19 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(dir.listFiles().map(_.getName).toSet == before,
       "orphan data files left behind by a failed commit")
-    // invalid table / schema names rejected before anything is written
-    intercept[InvalidConfigException] {
-      lake.createTableAs(Seq((1L, 1L)).toDF("a", "b"), "main.bad/tbl")
-    }
-    intercept[InvalidConfigException] {
-      lake.createTableAs(Seq((1L, 1L)).toDF("a", "b"), "sch/ema.t")
-    }
+    // special-character names are ACCEPTED (reference parity — corpus
+    // general/paths.test creates schema "asd/fgh" and an emoji table) but
+    // their physical directories PERCENT-ESCAPE the separators, so no
+    // name can nest or traverse; traversal names stay rejected outright
+    lake.createTableAs(Seq((1L, 1L)).toDF("a", "b").coalesce(1), "main.bad/tbl")
+    assert(new java.io.File(s"$root/data/main/bad%2Ftbl").isDirectory,
+      "slash in a table name must escape to one directory segment")
+    assert(!new java.io.File(s"$root/data/main/bad").exists,
+      "slash in a table name must not create a nested directory")
+    intercept[InvalidConfigException](
+      graft.lake.PathResolver.safeSegment(".."))
+    intercept[InvalidConfigException](
+      graft.lake.PathResolver.validate("a/../b"))
     val stray = new java.io.File(s"$root/data").listFiles()
       .filter(f => f.getName.startsWith(".staging-"))
     assert(stray.isEmpty, s"staging dirs left behind: ${stray.mkString(",")}")
