@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   * bounded by delete counts and broadcast by Catalyst.
   */
 final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPath: String,
-    encrypted: Boolean = false, val inlineRowLimit: Int = 0) {
+    encrypted: Boolean = false, val inlineRowLimit: Int = 0,
+    metadataSchema: Option[String] = None) {
   import graft.lake.crypto.GraftCryptoFactory
 
-  val store = new MetadataStore(metaDbPath)
+  val store = new MetadataStore(metaDbPath, metadataSchema)
 
   // physically unlink files that died inside an open transaction (written
   // and dropped/superseded before any snapshot could expose them) — only
@@ -119,7 +120,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   def insertInto(df: DataFrame, name: String, mode: WriteMode.Value = WriteMode.Append): Long =
     write(df, name, mode)
 
-  /** Column name → declared default SQL at `snap` (empty when none). */
+  /** Column name → CURRENT default SQL at `snap` (empty when none) —
+    * rendered from the stored `(default_value, default_value_type)` pair,
+    * which ALTER … SET/DROP DEFAULT versions independently of the
+    * initial default pre-existing rows read.
+    */
   def columnDefaultsOf(name: String, snapshot: Option[Long] = None): Map[String, String] = {
     val snap = snapshot.getOrElse(store.currentSnapshot)
     val (schemaName, tableName) = parse(name)
@@ -127,7 +132,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       sch <- store.getSchemaByName(schemaName, snap)
       tbl <- store.getTableByName(sch.schemaId, tableName, snap)
     } yield store.getTableColumns(tbl.tableId, snap)
-      .flatMap(c => c.initialDefault.map(c.name -> _)).toMap).getOrElse(Map.empty)
+      .flatMap(c => ColumnDefaults.render(c.defaultValue, c.defaultType, c.dtype)
+        .map(c.name -> _)).toMap).getOrElse(Map.empty)
+  }
+
+  /** ALTER TABLE … ALTER <col> SET DEFAULT <sql> (None = DROP DEFAULT):
+    * future inserts resolve the new default; existing rows are untouched.
+    */
+  def setColumnDefault(name: String, column: String, sql: Option[String]): Long = {
+    val (dv, dt) = sql.map(ColumnDefaults.classify).getOrElse((None, "literal"))
+    store.setColumnDefault(resolveTable(name, store.currentSnapshot).tableId,
+      column, dv, dt)
   }
 
   /** Column name → nulls_allowed at `snap` (empty when the table is
@@ -668,7 +683,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val partCols = store.getPartitionColumns(tr.tableId, snap)
     ScanCtx(cols, store.getColumnHistory(tr.tableId), partCols,
       if (partCols.isEmpty) Map.empty else store.getFilePartitionValues(tr.tableId),
-      store.getNameMappings(tr.tableId))
+      store.getNameMappings(tr.tableId),
+      store.getNestedDefaults(tr.tableId, snap))
   }
 
   /** Physical column defs for one file's epoch: what each pinned catalog
@@ -741,7 +757,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       epoch: Seq[(ColumnDef, Option[ColumnDef])],
       partVals: Map[Long, Option[String]], withPos: Boolean,
       withRowIdCol: Boolean = false,
-      history: Seq[(ColumnDef, Long, Option[Long])] = Nil): DataFrame = {
+      history: Seq[(ColumnDef, Long, Option[Long])] = Nil,
+      nestedDefaults: Map[Long, Map[String, String]] = Map.empty): DataFrame = {
     val physSchema0 = StructType(epoch.collect {
       case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
         StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
@@ -768,20 +785,22 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         // type, in ONE version step) keeps its values, while drop-then-
         // re-add across versions correctly reads NULL (corpus:
         // alter/struct_evolution_alter.test vs struct_evolution_reuse.test)
+        val defaults = nestedDefaults.getOrElse(cur.columnId, Map.empty)
+          .map { case (p, sql) => p.split('.').toSeq -> expr(sql) }
         val versions = history.filter(_._1.columnId == cur.columnId)
           .sortBy(_._2).map(_._1.dtype)
         val start = versions.indexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(phys.dtype))
         val end = versions.lastIndexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(cur.dtype))
-        val expr =
+        val projected =
           if (start >= 0 && end > start)
             versions.slice(start, end + 1).map(TypeBridge.toSpark)
               .sliding(2).foldLeft(col(phys.name)) {
-                case (c, Seq(a, b)) => DuckLake.conformStep(c, a, b)
+                case (c, Seq(a, b)) => DuckLake.conformStep(c, a, b, defaults)
                 case (c, _)         => c
               }
           else DuckLake.conform(col(phys.name), TypeBridge.toSpark(phys.dtype),
-            TypeBridge.toSpark(cur.dtype))
-        expr.as(cur.name)
+            TypeBridge.toSpark(cur.dtype), defaults)
+        projected.as(cur.name)
       case (cur, None) => // column added after this file was written:
         // rows get the column's initial default (null when none declared)
         defaultColumn(cur).as(cur.name)
@@ -796,7 +815,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def readFile(name: String, ctx: ScanCtx, f: DataFileRec,
       withPos: Boolean, withRowIdCol: Boolean = false): DataFrame =
     readGroup(name, Seq(f), physOf(ctx, f), injectedValues(ctx, f), withPos,
-      withRowIdCol, ctx.history)
+      withRowIdCol, ctx.history, ctx.nestedDefaults)
 
   /** One file's LIVE rows: epoch-projected, MOR delete positions
     * anti-joined away (broadcast — delete sets are small relative to
@@ -934,7 +953,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val cleanScans = clean.groupBy(f => (physOf(ctx, f), injectedValues(ctx, f)))
         .map { case ((phys, pv), fs) =>
           readGroup(name, fs, phys, pv, withPos = false,
-            withRowIdCol = false, history = ctx.history)
+            withRowIdCol = false, history = ctx.history,
+            nestedDefaults = ctx.nestedDefaults)
         }.toSeq
       val delScans = withDel.map(f => morReadFile(name, ctx, f))
       val partialScans = partial.map { f =>
@@ -960,7 +980,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             withRowIdCol = explicitIds)
           case None => readGroup(name, Seq(f), physOf(ctx, f),
             injectedValues(ctx, f), withPos = withPos, withRowIdCol = explicitIds,
-            history = ctx.history)
+            history = ctx.history, nestedDefaults = ctx.nestedDefaults)
         }
         val base = if (partialPrefix < f.recordCount)
           base0.filter(col("__ducklake_pos") < partialPrefix) else base0
@@ -2082,6 +2102,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   def addColumn(name: String, colName: String, dtype: String,
       default: Option[String] = None, nullable: Boolean = true): Long = {
+    // ADD COLUMN takes LITERAL defaults only (the value becomes the
+    // initial_default every pre-existing row reads); expressions need an
+    // explicit SET DEFAULT (reference: default/default_expressions.test)
+    default.filter(sql => ColumnDefaults.classify(sql)._2 == "expression")
+      .foreach { sql =>
+        throw new UnsupportedException(
+          "We cannot add a column with a non-literal default value. Add the " +
+            "column and then explicitly set the default for new values using " +
+            "\"ALTER ... SET DEFAULT\"" + s" (got: $sql)")
+      }
     default.foreach(sql => DuckLake.evalDefault(sql, TypeBridge.toSpark(dtype)))
     store.addColumn(resolveTable(name, store.currentSnapshot).tableId, colName, dtype,
       default.map(_.trim), nullable)
@@ -2128,7 +2158,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
   }
 
-  private def alterNested(name: String, path: Seq[String])(
+  private def alterNested(name: String, path: Seq[String],
+      nestedAdd: Option[(String, String, String)] = None,
+      nestedEnd: Seq[String] = Nil,
+      nestedRename: Seq[(String, String)] = Nil)(
       leaf: (org.apache.spark.sql.types.StructType, String) => org.apache.spark.sql.types.StructType): Long = {
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)
@@ -2136,19 +2169,34 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       .find(_.name.equalsIgnoreCase(path.head))
       .getOrElse(throw new InvalidConfigException(s"column ${path.head} does not exist"))
     val edited = editNested(TypeBridge.toSpark(root.dtype), path.tail)(leaf)
-    store.alterColumnType(tr.tableId, root.name, TypeBridge.fromSpark(edited))
+    store.alterColumnType(tr.tableId, root.name, TypeBridge.fromSpark(edited),
+      nestedAdd, nestedEnd, nestedRename)
   }
 
   def addNestedField(name: String, path: Seq[String],
-      dtype: org.apache.spark.sql.types.DataType): Long =
-    alterNested(name, path) { (st, fname) =>
+      dtype: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): Long = {
+    // nested ADD with DEFAULT: LITERAL only (same rule as top-level —
+    // the value fills the field for every pre-existing row)
+    default.foreach { sql =>
+      if (ColumnDefaults.classify(sql)._2 == "expression")
+        throw new UnsupportedException(
+          "We cannot add a column with a non-literal default value. Add the " +
+            "column and then explicitly set the default for new values using " +
+            "\"ALTER ... SET DEFAULT\"")
+      DuckLake.evalDefault(sql, dtype)
+    }
+    alterNested(name, path,
+      nestedAdd = default.map(d =>
+        (path.tail.mkString("."), TypeBridge.fromSpark(dtype), d))) { (st, fname) =>
       if (st.fields.exists(_.name.equalsIgnoreCase(fname)))
         throw new UnsupportedException(s"field $fname already exists")
       st.add(org.apache.spark.sql.types.StructField(fname, dtype, nullable = true))
     }
+  }
 
   def dropNestedField(name: String, path: Seq[String]): Long =
-    alterNested(name, path) { (st, fname) =>
+    alterNested(name, path, nestedEnd = Seq(path.tail.mkString("."))) { (st, fname) =>
       if (!st.fields.exists(_.name.equalsIgnoreCase(fname)))
         throw new InvalidConfigException(s"field $fname does not exist")
       org.apache.spark.sql.types.StructType(
@@ -2156,7 +2204,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
 
   def renameNestedField(name: String, path: Seq[String], newName: String): Long =
-    alterNested(name, path) { (st, fname) =>
+    alterNested(name, path,
+      nestedRename = Seq((path.tail.mkString("."),
+        (path.tail.dropRight(1) :+ newName).mkString(".")))) { (st, fname) =>
       if (!st.fields.exists(_.name.equalsIgnoreCase(fname)))
         throw new InvalidConfigException(s"field $fname does not exist")
       org.apache.spark.sql.types.StructType(st.fields.map(f =>
@@ -2733,7 +2783,8 @@ private[lake] final case class ScanCtx(cols: Seq[ColumnDef],
     history: Seq[(ColumnDef, Long, Option[Long])],
     partCols: Seq[(Int, Long, Option[String])],
     partValsByFile: Map[Long, Map[Int, Option[String]]],
-    mappings: Map[Long, Seq[NameMapEntry]] = Map.empty) {
+    mappings: Map[Long, Seq[NameMapEntry]] = Map.empty,
+    nestedDefaults: Map[Long, Map[String, String]] = Map.empty) {
   /** column_id → raw hive value of IDENTITY partition keys for one file —
     * the values injected as literal columns on read (transform keys'
     * sources live in the parquet itself, nothing to inject).
@@ -2878,7 +2929,9 @@ object DuckLake {
     * per-row expression — no rewrite of old files on ALTER, ever.
     */
   def conform(c: Column, from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Column = {
+      to: org.apache.spark.sql.types.DataType,
+      defaults: Map[Seq[String], Column] = Map.empty,
+      path: Seq[String] = Nil): Column = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     (from, to) match {
       case (f, t) if f == t => c
@@ -2886,18 +2939,24 @@ object DuckLake {
         val fields = t.fields.map { tf =>
           f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
             case Some(sf) =>
-              conform(c.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
-            case None => lit(null).cast(tf.dataType).as(tf.name)
+              conform(c.getField(sf.name), sf.dataType, tf.dataType,
+                defaults, path :+ tf.name).as(tf.name)
+            case None =>
+              // field added after this file's epoch: its declared nested
+              // initial default when one exists, null otherwise
+              // (corpus: default/struct_field_default.test)
+              defaults.getOrElse(path :+ tf.name, lit(null))
+                .cast(tf.dataType).as(tf.name)
           }
         }
         when(c.isNull, lit(null).cast(t))
           .otherwise(org.apache.spark.sql.functions.struct(fields.toSeq: _*))
       case (f: ArrayType, t: ArrayType) =>
         org.apache.spark.sql.functions.transform(c,
-          x => conform(x, f.elementType, t.elementType))
+          x => conform(x, f.elementType, t.elementType, defaults, path))
       case (f: MapType, t: MapType) =>
         org.apache.spark.sql.functions.transform_values(c,
-          (_, v) => conform(v, f.valueType, t.valueType))
+          (_, v) => conform(v, f.valueType, t.valueType, defaults, path))
       case (_, t) => c.cast(t)
     }
   }
@@ -2910,7 +2969,9 @@ object DuckLake {
     * versions, where exactly one change happened).
     */
   def conformStep(c: Column, from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Column = {
+      to: org.apache.spark.sql.types.DataType,
+      defaults: Map[Seq[String], Column] = Map.empty,
+      path: Seq[String] = Nil): Column = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     (from, to) match {
       case (f, t) if f == t => c
@@ -2918,7 +2979,8 @@ object DuckLake {
         val fields = t.fields.zipWithIndex.map { case (tf, ti) =>
           f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
             case Some(sf) =>
-              conformStep(c.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+              conformStep(c.getField(sf.name), sf.dataType, tf.dataType,
+                defaults, path :+ tf.name).as(tf.name)
             case None =>
               f.fields.lift(ti).filter { sf =>
                 sf.dataType == tf.dataType &&
@@ -2926,7 +2988,9 @@ object DuckLake {
                   !f.fields.exists(_.name.equalsIgnoreCase(tf.name))
               } match {
                 case Some(sf) => c.getField(sf.name).as(tf.name)
-                case None => lit(null).cast(tf.dataType).as(tf.name)
+                case None =>
+                  defaults.getOrElse(path :+ tf.name, lit(null))
+                    .cast(tf.dataType).as(tf.name)
               }
           }
         }
@@ -2934,10 +2998,10 @@ object DuckLake {
           .otherwise(org.apache.spark.sql.functions.struct(fields.toSeq: _*))
       case (f: ArrayType, t: ArrayType) =>
         org.apache.spark.sql.functions.transform(c,
-          x => conformStep(x, f.elementType, t.elementType))
+          x => conformStep(x, f.elementType, t.elementType, defaults, path))
       case (f: MapType, t: MapType) =>
         org.apache.spark.sql.functions.transform_values(c,
-          (_, v) => conformStep(v, f.valueType, t.valueType))
+          (_, v) => conformStep(v, f.valueType, t.valueType, defaults, path))
       case (_, t) => c.cast(t)
     }
   }

@@ -6,7 +6,53 @@ import java.sql.{Connection, DriverManager, ResultSet}
 final case class SchemaRec(schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
 final case class TableRec(tableId: Long, schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
 final case class ColumnDef(columnId: Long, order: Long, name: String, dtype: String, nullsAllowed: Boolean,
-  initialDefault: Option[String] = None)
+  initialDefault: Option[String] = None, defaultValue: Option[String] = None,
+  defaultType: String = "literal")
+
+/** DuckLake stores column defaults as `(default_value, default_value_type)`:
+  * literal defaults keep their VALUE (string literals unquoted — which is
+  * why `DEFAULT 'NULL'` round-trips to SQL NULL, a spec'd quirk the corpus
+  * asserts in default/default_values.test), while anything else keeps its
+  * SQL text as an `expression` evaluated per insert
+  * (reference: tests/sqllogictests/sql/default/default_expressions.test).
+  */
+object ColumnDefaults {
+  private val Quoted = """(?s)^'((?:[^']|'')*)'$""".r
+  private val Numeric = """^[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?$""".r
+
+  /** DDL DEFAULT text → (stored value, value type). */
+  def classify(sql0: String): (Option[String], String) = {
+    val sql = sql0.trim
+    sql match {
+      case s if s.equalsIgnoreCase("null")  => (Some("NULL"), "literal")
+      case Quoted(v)                        => (Some(v.replace("''", "'")), "literal")
+      case Numeric()                        => (Some(sql), "literal")
+      case s if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+        (Some(s.toLowerCase), "literal")
+      case _                                => (Some(sql), "expression")
+    }
+  }
+
+  /** Creation-time derivation: the declared default becomes BOTH the
+    * initial (pre-existing rows) and current (future inserts) default.
+    */
+  def derive(initial: Option[String]): (Option[String], String) =
+    initial.map(classify).getOrElse((None, "literal"))
+
+  /** Stored form → SQL text an analyzer can evaluate for an INSERT.
+    * Literal values of string-shaped columns re-quote; the stored text
+    * `NULL` is indistinguishable from the keyword and reads as SQL NULL.
+    */
+  def render(value: Option[String], vtype: String, dtype: String): Option[String] =
+    value.map { v =>
+      if (vtype == "expression") v
+      else if (v.equalsIgnoreCase("null")) "NULL"
+      else TypeBridge.normalize(dtype) match {
+        case "varchar" | "json" => "'" + v.replace("'", "''") + "'"
+        case _ => v
+      }
+    }
+}
 /** One committed row span inside a MERGED data file: rows
   * [startPos, startPos+rowCount) were originally committed at
   * `beginSnapshot` with stable ids from `rowIdStart` (DuckLake
@@ -72,7 +118,8 @@ object WriteMode extends Enumeration { val Append, Replace = Value }
   * monitor (matches the reference's SQLite-backend semantics,
   * SURVEY.md §7.4).
   */
-final class MetadataStore(dbPath: String) extends AutoCloseable {
+final class MetadataStore(dbPath: String,
+    metadataSchema: Option[String] = None) extends AutoCloseable {
 
   private val conn: Connection = {
     // register the embedded driver in THIS classloader (DriverManager only
@@ -81,6 +128,19 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val c = DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
     c.setAutoCommit(true)
+    // METADATA_SCHEMA: several independent DuckLake catalogs share ONE
+    // metadata database under different schemas (reference:
+    // transaction/transaction_schema.test) — scope every unqualified
+    // table reference to this catalog's schema
+    metadataSchema.foreach { sch =>
+      val name = sch.toUpperCase.replace("\"", "")
+      val st = c.createStatement()
+      try {
+        try st.executeUpdate(s"CREATE SCHEMA \"$name\"")
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y68" => () }
+        st.executeUpdate(s"SET SCHEMA \"$name\"")
+      } finally st.close()
+    }
     c
   }
 
@@ -88,7 +148,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   private def bootstrap(): Unit = synchronized {
     val existing = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_SNAPSHOT", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_SNAPSHOT", null)
       try rs.next() finally rs.close()
     }
     if (!existing) {
@@ -126,7 +187,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
             |  parent_column BIGINT,
             |  begin_snapshot BIGINT NOT NULL,
             |  end_snapshot BIGINT,
-            |  initial_default VARCHAR(4000))""".stripMargin)
+            |  initial_default VARCHAR(4000),
+            |  default_value VARCHAR(4000),
+            |  default_value_type VARCHAR(32) DEFAULT 'literal' NOT NULL,
+            |  default_value_dialect VARCHAR(32) DEFAULT 'duckdb' NOT NULL)""".stripMargin)
         st.executeUpdate(
           """CREATE TABLE ducklake_data_file(
             |  data_file_id BIGINT NOT NULL,
@@ -270,7 +334,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     // catalogs bootstrapped before tags existed: add the table in place
     val hasTags = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_TAG", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_TAG", null)
       try rs.next() finally rs.close()
     }
     if (!hasTags) {
@@ -285,7 +350,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // COMMENT ON storage: snapshot-versioned comments for tables, views
     // and columns (column_id NULL = the object itself)
     val hasComments = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_COMMENT", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_COMMENT", null)
       try rs.next() finally rs.close()
     }
     if (!hasComments) {
@@ -302,7 +368,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     // catalogs bootstrapped before add_files: mapping tables + column
     val hasMappings = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_COLUMN_MAPPING", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_COLUMN_MAPPING", null)
       try rs.next() finally rs.close()
     }
     if (!hasMappings) {
@@ -326,7 +393,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     }
     // catalogs bootstrapped before stable row ids
     val hasRowIds = {
-      val rs = conn.getMetaData.getColumns(null, null, "DUCKLAKE_DATA_FILE", "ROW_ID_START")
+      val rs = conn.getMetaData.getColumns(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_DATA_FILE", "ROW_ID_START")
       try rs.next() finally rs.close()
     }
     if (!hasRowIds) {
@@ -336,7 +404,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       finally st.close()
     }
     val hasDelSizes = {
-      val rs = conn.getMetaData.getColumns(null, null, "DUCKLAKE_DELETE_FILE", "FILE_SIZE_BYTES")
+      val rs = conn.getMetaData.getColumns(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_DELETE_FILE", "FILE_SIZE_BYTES")
       try rs.next() finally rs.close()
     }
     if (!hasDelSizes) {
@@ -350,7 +419,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // records which row span came from which commit, so time travel reads
     // a prefix and rowid/snapshot_id stay exact per row
     val hasPartial = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_PARTIAL_FILE_INFO", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_PARTIAL_FILE_INFO", null)
       try rs.next() finally rs.close()
     }
     if (!hasPartial) {
@@ -372,7 +442,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // data_inlining/data_inlining_update.test). `bounds_known` goes false
     // once a write contributes values with no computable bounds.
     val hasColStats = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_TABLE_COLUMN_STATS", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_TABLE_COLUMN_STATS", null)
       try rs.next() finally rs.close()
     }
     if (!hasColStats) {
@@ -393,7 +464,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // ducklake_snapshot_changes; `snapshots()` renders it as a map).
     // Legacy catalogs get the table with only snapshot 0 reconstructed.
     val hasChanges = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_SNAPSHOT_CHANGES", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_SNAPSHOT_CHANGES", null)
       try rs.next() finally rs.close()
     }
     if (!hasChanges) {
@@ -411,7 +483,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     // catalog entries (DuckLake spec ducklake_partition_info; data files
     // record which scheme they were written under)
     val hasPartInfo = {
-      val rs = conn.getMetaData.getTables(null, null, "DUCKLAKE_PARTITION_INFO", null)
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_PARTITION_INFO", null)
       try rs.next() finally rs.close()
     }
     if (!hasPartInfo) {
@@ -431,7 +504,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       finally st.close()
     }
     val hasSchemaVersion = {
-      val rs = conn.getMetaData.getColumns(null, null, "DUCKLAKE_SNAPSHOT", "SCHEMA_VERSION")
+      val rs = conn.getMetaData.getColumns(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_SNAPSHOT", "SCHEMA_VERSION")
       try rs.next() finally rs.close()
     }
     if (!hasSchemaVersion) {
@@ -620,11 +694,27 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         TableRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5)))
         .headOption)
 
+  /** One column-version row. `dv`/`dt` are the CURRENT default (value,
+    * type) — creation sites derive them from the initial default, while
+    * carry-forward sites (rename/retype/renullify) pass the previous
+    * version's pair through unchanged (a DROP DEFAULT must survive later
+    * alters).
+    */
+  private[lake] def insertColumnRow(colId: Long, tableId: Long, order: Long,
+      name: String, dtype: String, nulls: Boolean, parent: Option[Long],
+      snap: Long, initial: Option[String], dv: Option[String], dt: String): Unit =
+    update("INSERT INTO ducklake_column (column_id, table_id, column_order, " +
+      "column_name, column_type, nulls_allowed, parent_column, begin_snapshot, " +
+      "end_snapshot, initial_default, default_value, default_value_type, " +
+      "default_value_dialect) VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, 'duckdb')",
+      Seq(colId, tableId, order, name, dtype, nulls, parent.map(Long.box).orNull,
+        snap, initial.orNull, dv.orNull, dt))
+
   def getTableColumns(tableId: Long, snap: Long): Seq[ColumnDef] =
-    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
+    query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default, default_value, default_value_type FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
       Seq(tableId, snap, snap))(rs =>
       ColumnDef(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getString(4), rs.getBoolean(5),
-        Option(rs.getString(6))))
+        Option(rs.getString(6)), Option(rs.getString(7)), rs.getString(8)))
 
   /** The column row (name/type) visible at `snap` for a given column_id —
     * rename/promotion history used to map a file's physical schema to the
@@ -1139,9 +1229,12 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     val existing = getTableColumns(table.tableId, snap)
     if (existing.isEmpty) {
       columns.zipWithIndex.foreach { case (c, i) =>
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-          Seq(i.toLong, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
-            c.nullsAllowed, snap, c.initialDefault.orNull))
+        val (dv, dt) = ColumnDefaults.derive(c.initialDefault)
+        // reference numbering: column ids start at 1 within a table
+        // (corpus: default/add_column_with_default.test)
+        insertColumnRow(i.toLong + 1, table.tableId, i.toLong, c.name,
+          TypeBridge.normalize(c.dtype), c.nullsAllowed, None, snap,
+          c.initialDefault, dv, dt)
       }
     } else if (redefine && mode == WriteMode.Replace) {
       // CREATE OR REPLACE TABLE: a full redefinition, not an evolution —
@@ -1154,9 +1247,10 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
         Seq(table.tableId))(_.getLong(1)).head
       columns.zipWithIndex.foreach { case (c, i) =>
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-          Seq(nextColId, table.tableId, i.toLong, c.name, TypeBridge.normalize(c.dtype),
-            c.nullsAllowed, snap, c.initialDefault.orNull))
+        val (dv, dt) = ColumnDefaults.derive(c.initialDefault)
+        insertColumnRow(nextColId, table.tableId, i.toLong, c.name,
+          TypeBridge.normalize(c.dtype), c.nullsAllowed, None, snap,
+          c.initialDefault, dv, dt)
         nextColId += 1
       }
       update("UPDATE ducklake_partition_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
@@ -1544,7 +1638,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
   /** Drop an empty schema (end its row). */
   def dropSchema(schemaId: Long): Long = inSnapshotTxn { snap =>
-    if (listTables(schemaId, snap).nonEmpty)
+    // VIEWS keep a schema alive too (corpus: view/ducklake_view_schema.test
+    // drops the schema only after its view is dropped)
+    if (listTables(schemaId, snap).nonEmpty || listViews(schemaId, snap).nonEmpty)
       throw new UnsupportedException("schema is not empty")
     update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
@@ -1807,9 +1903,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         ColumnDef(maxId, 0L, c.name, TypeBridge.normalize(c.dtype), c.nullsAllowed)
       }
       merged.zipWithIndex.foreach { case (c, i) =>
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-          Seq(c.columnId, tableId, i.toLong, c.name, c.dtype, c.nullsAllowed, snap,
-            c.initialDefault.orNull))
+        insertColumnRow(c.columnId, tableId, i.toLong, c.name, c.dtype,
+          c.nullsAllowed, None, snap, c.initialDefault, c.defaultValue,
+          c.defaultType)
       }
     }
   }
@@ -2247,13 +2343,14 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
 
     // --- columns (full tuple identity, rename/add/drop restoration) ---
     case class C(columnId: Long, order: Long, name: String, dtype: String,
-        nulls: Boolean, parent: Option[Long], default: Option[String])
+        nulls: Boolean, parent: Option[Long], default: Option[String],
+        dv: Option[String], dt: String)
     def colsAt(s: Long): Seq[C] = query(
-      s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, parent_column, initial_default FROM ducklake_column WHERE table_id = ? AND $Vis",
+      s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, parent_column, initial_default, default_value, default_value_type FROM ducklake_column WHERE table_id = ? AND $Vis",
       Seq(tableId, s, s))(rs => C(rs.getLong(1), rs.getLong(2), rs.getString(3),
       rs.getString(4), rs.getBoolean(5),
       { val p = rs.getLong(6); if (rs.wasNull()) None else Some(p) },
-      Option(rs.getString(7))))
+      Option(rs.getString(7)), Option(rs.getString(8)), rs.getString(9)))
     val nowC = colsAt(snap)
     val tgtC = colsAt(target)
     nowC.filterNot(tgtC.contains).foreach { c =>
@@ -2261,9 +2358,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         Seq(snap, tableId, c.columnId))
     }
     tgtC.filterNot(nowC.contains).foreach { c =>
-      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?)",
-        Seq(c.columnId, tableId, c.order, c.name, c.dtype, c.nulls,
-          c.parent.map(Long.box).orNull, snap, c.default.orNull))
+      insertColumnRow(c.columnId, tableId, c.order, c.name, c.dtype, c.nulls,
+        c.parent, snap, c.default, c.dv, c.dt)
     }
 
     // --- partition keys ----------------------------------------------
@@ -2313,7 +2409,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       // full column history (original validity) — files keep write epochs
       update("INSERT INTO ducklake_column SELECT column_id, CAST(? AS BIGINT), column_order, " +
         "column_name, column_type, nulls_allowed, parent_column, begin_snapshot, " +
-        "end_snapshot, initial_default FROM ducklake_column WHERE table_id = ?", Seq(tid, srcTableId))
+        "end_snapshot, initial_default, default_value, default_value_type, " +
+        "default_value_dialect FROM ducklake_column WHERE table_id = ?", Seq(tid, srcTableId))
       update("INSERT INTO ducklake_partition_column SELECT CAST(? AS BIGINT), partition_key_index, " +
         "column_id, begin_snapshot, end_snapshot, transform, partition_id FROM ducklake_partition_column " +
         "WHERE table_id = ?", Seq(tid, srcTableId))
@@ -2377,9 +2474,8 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         throw new UnsupportedException(s"column already exists: $newName")
       update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
         Seq(snap, tableId, c.columnId))
-      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-        Seq(c.columnId, tableId, c.order, newName, c.dtype, c.nullsAllowed, snap,
-          c.initialDefault.orNull))
+      insertColumnRow(c.columnId, tableId, c.order, newName, c.dtype,
+        c.nullsAllowed, None, snap, c.initialDefault, c.defaultValue, c.defaultType)
       recordChange("tables_altered", tableId, tableId.toString)
       snap
     }
@@ -2404,9 +2500,9 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
         "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
         Seq(tableId))(_.getLong(1)).head
       val order = cols.map(_.order).maxOption.getOrElse(-1L) + 1
-      update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-        Seq(newId, tableId, order, name, TypeBridge.normalize(dtype), nullsAllowed, snap,
-          initialDefault.orNull))
+      val (dv, dt) = ColumnDefaults.derive(initialDefault)
+      insertColumnRow(newId, tableId, order, name, TypeBridge.normalize(dtype),
+        nullsAllowed, None, snap, initialDefault, dv, dt)
       recordChange("tables_altered", tableId, tableId.toString)
       snap
     }
@@ -2415,12 +2511,16 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
     * lattice appends use — old files read through their epoch types and
     * cast up (reference: tests/sqllogictests/sql/alter/promote_type.test).
     */
-  def alterColumnType(tableId: Long, name: String, newType: String): Long =
+  def alterColumnType(tableId: Long, name: String, newType: String,
+      nestedAdd: Option[(String, String, String)] = None,
+      nestedEnd: Seq[String] = Nil,
+      nestedRename: Seq[(String, String)] = Nil): Long =
     inSnapshotTxn { snap =>
       val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
         throw new InternalException(s"column $name does not exist"))
       val nt = TypeBridge.normalize(newType)
-      if (TypeBridge.normalize(c.dtype) == nt) snap
+      if (TypeBridge.normalize(c.dtype) == nt && nestedAdd.isEmpty &&
+        nestedEnd.isEmpty && nestedRename.isEmpty) snap
       else {
         if (!TypeBridge.typesCompatible(c.dtype, nt))
           throw new UnsupportedTypeException(
@@ -2428,13 +2528,53 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
               s"lattice or evolve structurally (${c.dtype} -> $nt is not)")
         update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
           Seq(snap, tableId, c.columnId))
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-          Seq(c.columnId, tableId, c.order, c.name, nt, c.nullsAllowed, snap,
-            c.initialDefault.orNull))
+        insertColumnRow(c.columnId, tableId, c.order, c.name, nt,
+          c.nullsAllowed, None, snap, c.initialDefault, c.defaultValue,
+          c.defaultType)
+        // nested-field metadata (CHILD rows, parent_column = the root
+        // column): ADD COLUMN <root>.<field> DEFAULT records the field's
+        // initial default here; DROP/RENAME of nested fields keep the
+        // child rows consistent (corpus: default/struct_field_default.test)
+        nestedEnd.foreach { p =>
+          update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND parent_column = ? AND (column_name = ? OR column_name LIKE ?) AND end_snapshot IS NULL",
+            Seq(snap, tableId, c.columnId, p, p + ".%"))
+        }
+        nestedRename.foreach { case (oldP, newP) =>
+          val live = query(
+            s"SELECT column_id, column_name, column_type, initial_default, default_value, default_value_type FROM ducklake_column WHERE table_id = ? AND parent_column = ? AND (column_name = ? OR column_name LIKE ?) AND end_snapshot IS NULL",
+            Seq(tableId, c.columnId, oldP, oldP + ".%"))(rs =>
+            (rs.getLong(1), rs.getString(2), rs.getString(3),
+              Option(rs.getString(4)), Option(rs.getString(5)), rs.getString(6)))
+          live.foreach { case (cid, cname, ctype, ini, dv, dt) =>
+            update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+              Seq(snap, tableId, cid))
+            insertColumnRow(cid, tableId, 0L, newP + cname.stripPrefix(oldP),
+              ctype, true, Some(c.columnId), snap, ini, dv, dt)
+          }
+        }
+        nestedAdd.foreach { case (path, dtype, dv) =>
+          val newId = query(
+            "SELECT COALESCE(MAX(column_id), 0) + 1 FROM ducklake_column WHERE table_id = ?",
+            Seq(tableId))(_.getLong(1)).head
+          val (v, t) = ColumnDefaults.derive(Some(dv))
+          insertColumnRow(newId, tableId, 0L, path, TypeBridge.normalize(dtype),
+            true, Some(c.columnId), snap, Some(dv), v, t)
+        }
         recordChange("tables_altered", tableId, tableId.toString)
         snap
       }
     }
+
+  /** Nested-field initial defaults visible at `snap`:
+    * root column_id → (dotted path below the root → default SQL).
+    */
+  def getNestedDefaults(tableId: Long, snap: Long): Map[Long, Map[String, String]] =
+    query(s"SELECT parent_column, column_name, initial_default FROM ducklake_column WHERE table_id = ? AND parent_column IS NOT NULL AND initial_default IS NOT NULL AND $Vis",
+      Seq(tableId, snap, snap))(rs =>
+      (rs.getLong(1), rs.getString(2), rs.getString(3)))
+      .groupBy(_._1).map { case (root, rows) =>
+        root -> rows.map(r => r._2 -> r._3).toMap
+      }
 
   /** SET / DROP NOT NULL: end the current column row and re-insert with
     * the new nullability (same column_id). Existing-data validation is
@@ -2448,13 +2588,30 @@ final class MetadataStore(dbPath: String) extends AutoCloseable {
       else {
         update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
           Seq(snap, tableId, c.columnId))
-        update("INSERT INTO ducklake_column VALUES (?, ?, ?, ?, ?, ?, NULL, ?, NULL, ?)",
-          Seq(c.columnId, tableId, c.order, c.name, c.dtype, nullsAllowed, snap,
-            c.initialDefault.orNull))
+        insertColumnRow(c.columnId, tableId, c.order, c.name, c.dtype,
+          nullsAllowed, None, snap, c.initialDefault, c.defaultValue,
+          c.defaultType)
         recordChange("tables_altered", tableId, tableId.toString)
         snap
       }
     }
+
+  /** ALTER … SET DEFAULT / DROP DEFAULT: version the column row with a
+    * new `default_value` for FUTURE inserts; `initial_default` (what
+    * pre-existing files read for the column) never changes
+    * (corpus: default/add_column_with_default.test).
+    */
+  def setColumnDefault(tableId: Long, name: String, dv: Option[String],
+      dt: String): Long = inSnapshotTxn { snap =>
+    val c = getTableColumns(tableId, snap).find(_.name == name).getOrElse(
+      throw new InternalException(s"column not found: $name"))
+    update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
+      Seq(snap, tableId, c.columnId))
+    insertColumnRow(c.columnId, tableId, c.order, c.name, c.dtype,
+      c.nullsAllowed, None, snap, c.initialDefault, dv, dt)
+    recordChange("tables_altered", tableId, tableId.toString)
+    snap
+  }
 
   /** Drop a column (end its row; files keep the physical data). */
   def dropColumn(tableId: Long, name: String): Long = inSnapshotTxn { snap =>

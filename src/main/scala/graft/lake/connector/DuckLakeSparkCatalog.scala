@@ -354,7 +354,10 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       case d: TableChange.DeleteColumn if d.fieldNames().length > 1 =>
         lake.dropNestedField(name, d.fieldNames().toSeq)
       case a: TableChange.AddColumn if a.fieldNames().length > 1 =>
-        lake.addNestedField(name, a.fieldNames().toSeq, a.dataType())
+        lake.addNestedField(name, a.fieldNames().toSeq, a.dataType(),
+          Option(a.defaultValue()).map { dv =>
+            Option(dv.getSql).getOrElse(String.valueOf(dv.getValue))
+          })
       case r: TableChange.RenameColumn =>
         lake.renameColumn(name, r.fieldNames().mkString("."), r.newName())
       case d: TableChange.DeleteColumn =>
@@ -383,6 +386,11 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
       case c: TableChange.UpdateColumnComment =>
         lake.commentOnColumn(name, c.fieldNames().mkString("."),
           Option(c.newComment()).filter(_.nonEmpty))
+      // ALTER … SET DEFAULT <sql> / DROP DEFAULT (empty string) — the
+      // CURRENT default for future inserts; initial_default is untouched
+      case d: TableChange.UpdateColumnDefaultValue =>
+        lake.setColumnDefault(name, d.fieldNames().mkString("."),
+          Option(d.newDefaultValue()).map(_.trim).filter(_.nonEmpty))
       case other =>
         throw new UnsupportedOperationException(s"alterTable change: $other")
     }

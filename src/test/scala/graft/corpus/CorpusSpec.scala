@@ -37,10 +37,11 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val corpusRoot = "/root/reference/tests/sqllogictests/sql"
   private val dirs = Seq("add_files", "alter", "catalog", "cleanup",
-    "comments", "compaction", "constraints", "data_inlining", "delete",
-    "functions", "general", "insert", "list_files", "merge", "partitioning",
-    "rowid", "schema_evolution", "snapshot_info", "stats", "time_travel",
-    "types", "update")
+    "comments", "compaction", "constraints", "data_inlining", "default",
+    "delete", "functions", "general", "insert", "list_files", "merge",
+    "partitioning", "rowid", "schema_evolution", "snapshot_info", "stats",
+    "table_changes", "time_travel", "transaction", "types", "update",
+    "view", "virtualcolumns")
 
   test("reference sqllogictest corpus: >=30 files pass end to end") {
     assume(Files.isDirectory(Paths.get(corpusRoot)), "reference corpus not present")

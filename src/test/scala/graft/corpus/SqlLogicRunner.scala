@@ -542,8 +542,13 @@ final class SqlLogicRunner(spark: SparkSession) {
       val inlineLimit = Option(opts).flatMap(o =>
         """DATA_INLINING_ROW_LIMIT\s+(\d+)""".r.findFirstMatchIn(o)
           .map(_.group(1).toInt)).getOrElse(0)
+      // METADATA_SCHEMA 'x': several catalogs share one metadata db,
+      // each scoped to its own schema (corpus: transaction_schema.test)
+      val metaSchema = Option(opts).flatMap(o =>
+        """METADATA_SCHEMA\s+'([^']+)'""".r.findFirstMatchIn(o).map(_.group(1)))
       lake = new DuckLake(spark, metaPath.stripSuffix(".db") + "-meta",
-        dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit)
+        dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit,
+        metadataSchema = metaSchema)
       metaAlias = Option(opts).flatMap(o =>
         """METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
           .map(_.group(1).replace("''", "'")))
@@ -1341,6 +1346,52 @@ final class SqlLogicRunner(spark: SparkSession) {
         spark.sql(translate(
           """(?i)PRAGMA_database_size\(\s*\)""".r
             .replaceAllIn(t, "__slt_db_size ")))
+      case _ if lake != null &&
+          """(?i)\binformation_schema\.(columns|tables)\b""".r.findFirstIn(t).isDefined =>
+        // ANSI information_schema over the lake: BASE TABLE and VIEW
+        // columns (view schemas analyzed from their stored bodies),
+        // honoring a pinned-snapshot attach
+        // (corpus: view/ducklake_view_info_columns.test)
+        val snap = pinnedSnapshot.getOrElse(lake.currentSnapshot)
+        val colRows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, String, Long, String, String, String)]
+        val tblRows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, String)]
+        lake.store.listSchemas(snap).foreach { sch =>
+          lake.store.listTables(sch.schemaId, snap).foreach { tbl =>
+            tblRows += ((catalogAlias, sch.name, tbl.name, "BASE TABLE"))
+            lake.store.getTableColumns(tbl.tableId, snap).zipWithIndex.foreach {
+              case (c, i) =>
+                colRows += ((catalogAlias, sch.name, tbl.name, c.name,
+                  i.toLong + 1, duckTypeName(c.dtype),
+                  if (c.nullsAllowed) "YES" else "NO",
+                  graft.lake.ColumnDefaults.render(c.defaultValue, c.defaultType, c.dtype).orNull))
+            }
+          }
+          lake.store.listViewsFull(sch.schemaId, snap).foreach { case (_, vname, body) =>
+            tblRows += ((catalogAlias, sch.name, vname, "VIEW"))
+            val schema = try {
+              val prev = spark.catalog.currentCatalog()
+              try {
+                spark.sql(s"USE $physAlias.${sch.name}")
+                spark.sql(s"SELECT * FROM (${translate(body.stripSuffix(";"))}) __slt_v LIMIT 0").schema
+              } finally spark.sql(s"USE $prev")
+            } catch { case _: Exception => StructType(Nil) }
+            schema.fields.zipWithIndex.foreach { case (f, i) =>
+              colRows += ((catalogAlias, sch.name, vname, f.name, i.toLong + 1,
+                duckTypeName(graft.lake.TypeBridge.fromSpark(f.dataType)), "YES",
+                null))
+            }
+          }
+        }
+        colRows.toSeq.toDF("table_catalog", "table_schema", "table_name",
+          "column_name", "ordinal_position", "data_type", "is_nullable",
+          "column_default").createOrReplaceTempView("__slt_is_columns")
+        tblRows.toSeq.toDF("table_catalog", "table_schema", "table_name",
+          "table_type").createOrReplaceTempView("__slt_is_tables")
+        spark.sql(translate(t
+          .replaceAll("(?i)\\binformation_schema\\.columns\\b", "__slt_is_columns")
+          .replaceAll("(?i)\\binformation_schema\\.tables\\b", "__slt_is_tables")))
       case _ if ReadParquetArrayRe.findFirstIn(t).isDefined =>
         // read_parquet([paths]) over a substituted list variable
         val paths = "'([^']*)'".r.findAllMatchIn(
@@ -1886,6 +1937,14 @@ final class SqlLogicRunner(spark: SparkSession) {
     // DuckDB `'lit' IN str_col` is substring containment
     s = """('[^']*'|chr\(\d+\))\s+IN\s+([A-Za-z_]\w*)\b(?!\s*\()""".r
       .replaceAllIn(s, m => Regex.quoteReplacement(s"contains(${m.group(2)}, ${m.group(1)})"))
+    // DuckDB current_database() names the CURRENT CATALOG (Spark's names
+    // the current schema) — substitute the session's catalog literal
+    if ("""(?i)\bcurrent_database\s*\(\s*\)""".r.findFirstIn(s).isDefined) {
+      val cur = try spark.catalog.currentCatalog()
+        catch { case _: Exception => "spark_catalog" }
+      val nm = if (cur.equalsIgnoreCase(physAlias)) catalogAlias else "memory"
+      s = """(?i)\bcurrent_database\s*\(\s*\)""".r.replaceAllIn(s, s"'$nm'")
+    }
     // DuckDB timestamptz ≈ Spark TIMESTAMP_LTZ (session-zone semantics;
     // the bare TIMESTAMP keyword parses as NTZ via spark.sql.timestampType)
     s = """(?i)\btimestamptz\b""".r.replaceAllIn(s, "TIMESTAMP_LTZ")
@@ -1938,6 +1997,8 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private def formatValue(v: Any, t: Char): String = v match {
     case null => "NULL"
+    // sqllogictest renders the empty string as the literal `(empty)`
+    case s: String if s.isEmpty => "(empty)"
     // DuckDB's sqllogictest renders embedded NUL as the two chars `\0`
     case s: String if s.indexOf(0.toChar) >= 0 => s.replace("\u0000", "\\0")
     case r: org.apache.spark.sql.Row => formatNested(r)
