@@ -360,6 +360,42 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * catalog registration is NOT committed — callers commit one or many
     * staged specs atomically ([[write]], [[transaction]]).
     */
+  /** Scoped parquet tuning options (the DuckLake settings surface —
+    * corpus: tests/sqllogictests/sql/settings/) rendered as Spark/
+    * parquet-mr writer options. Resolution is most-specific-first:
+    * table > schema > global (store.getOption).
+    */
+  private def writerTuning(name: String): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    getOption("parquet_compression", name).foreach { c =>
+      m += "compression" -> (c.toLowerCase match {
+        case "lz4" => "lz4_raw" // duck lz4 ≙ parquet LZ4_RAW
+        case other => other
+      })
+    }
+    getOption("parquet_compression_level", name).foreach { l =>
+      m += "parquet.compression.codec.zstd.level" -> l
+    }
+    getOption("parquet_version", name).foreach { v =>
+      m += "parquet.writer.version" ->
+        (if (v.trim == "2") "PARQUET_2_0" else "PARQUET_1_0")
+    }
+    getOption("parquet_row_group_size", name).foreach(n =>
+      m += "parquet.block.row.count.limit" -> n.trim)
+    getOption("parquet_row_group_size_bytes", name).flatMap(parseByteSize)
+      .foreach { b =>
+        m += "parquet.block.size" -> b.toString
+        // small row groups need matching page granularity to take effect
+        m += "parquet.page.size" -> math.max(1024L, b / 8).toString
+      }
+    m.toMap
+  }
+
+  private def tuned[W](name: String,
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    writerTuning(name).foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
+
   private def stageWrite(df: DataFrame, name: String, mode: WriteMode.Value,
       partColsForCreate: Seq[String], partCols: Seq[PartField],
       flushInlined: Boolean): (TableWriteSpec, Seq[Path]) = {
@@ -381,10 +417,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
     // one fresh key per commit; each registered file row carries it
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
-    val writer0 = keyOpt.foldLeft(toStage.write.mode("overwrite")) { (w, k) =>
+    // per_thread_output: explicit true fans the write out across cores
+    // (one file per task); explicit false forces a single file
+    // (corpus: settings/per_thread_output.test)
+    val shaped = getOption("per_thread_output", name).map(_.toLowerCase) match {
+      case Some("true")  => toStage.repartition(
+        math.min(8, math.max(2, spark.sparkContext.defaultParallelism)))
+      case Some("false") => toStage.coalesce(1)
+      case _             => toStage
+    }
+    val writer0 = tuned(name, keyOpt.foldLeft(shaped.write.mode("overwrite")) { (w, k) =>
       w.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
         .option(GraftCryptoFactory.EncryptKey, k)
-    }
+    })
     // with a target_file_size set, large writes split at parquet
     // row-group granularity (DuckLake insert splitting — corpus:
     // insert/insert_file_size.test); tiny writes stay one file
@@ -465,7 +510,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * way, so pruning is identical). Empty = flat.
     */
   private def hiveNamesFor(name: String, pcs: Seq[PartField]): Seq[String] =
-    if (pcs.nonEmpty &&
+    // an ENCRYPTED lake never leaks partition values into paths —
+    // files stay partitioned (values in the catalog), names opaque
+    // (corpus: encryption/partitioning_encryption.test)
+    if (pcs.nonEmpty && !encryptionEnabled &&
         getOption("hive_file_pattern", name).forall(v => !v.equalsIgnoreCase("false")))
       pcs.map(pf => pf.transform.map(_.takeWhile(_ != '[')).getOrElse(pf.source))
     else Nil
@@ -1554,10 +1602,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     try {
       val ordered = df.repartition(1).sortWithinPartitions(col("__row_id"))
         .select(cols.map(c => col(c.name)): _*)
-      val w = keyOpt.foldLeft(ordered.write.mode("overwrite")) { (wr, k) =>
+      val w = tuned(name, keyOpt.foldLeft(ordered.write.mode("overwrite")) { (wr, k) =>
         wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
           .option(GraftCryptoFactory.EncryptKey, k)
-      }
+      })
       w.parquet(staging)
       val part = fs.listStatus(new Path(staging))
         .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
@@ -1822,10 +1870,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         val ordered = union.repartition(1)
           .sortWithinPartitions(col("__mf"), col("__ducklake_pos"))
           .select(physCols.map(c => col(c.name)): _*)
-        val w = keyOpt.foldLeft(ordered.write.mode("overwrite")) { (wr, k) =>
+        val w = tuned(name, keyOpt.foldLeft(ordered.write.mode("overwrite")) { (wr, k) =>
           wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
             .option(GraftCryptoFactory.EncryptKey, k)
-        }
+        })
         w.parquet(s"$staging/g$gi")
         val part = fs.listStatus(new Path(s"$staging/g$gi"))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
@@ -1866,6 +1914,84 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * files) is drained. `olderThan` bounds the schedule timestamps;
     * `cleanupAll` ignores it. Dry run reports without deleting.
     */
+  /** `ducklake_delete_orphaned_files`: files under the data path that NO
+    * metadata row (any snapshot, data or delete file) references —
+    * typically crash leftovers or hand-copied files. Distinct from
+    * [[cleanupOldFiles]], which removes files the catalog scheduled for
+    * deletion (corpus: tests/sqllogictests/sql/remove_orphans/).
+    */
+  def deleteOrphanedFiles(cleanupAll: Boolean = false, dryRun: Boolean = false,
+      olderThan: Option[java.sql.Timestamp] = None): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val known: Set[String] = (store.allRegisteredFiles().map {
+      case (sp, tp, tRel, fp, fRel) =>
+        val tableDir =
+          if (tRel) s"$dataPath/${sp.stripSuffix("/")}/${tp.stripSuffix("/")}"
+          else tp.stripSuffix("/")
+        if (fRel) s"$tableDir/$fp" else fp
+    } ++ // files awaiting scheduled deletion are still catalog-known
+      store.scheduledDeletions(java.sql.Timestamp.valueOf("9999-01-01 00:00:00"))
+        .map(rel => if (rel.startsWith("/") || rel.contains(":/")) rel
+        else s"$dataPath/$rel"))
+      .map(p => java.nio.file.Paths.get(p).normalize.toString).toSet
+    val cutoff: Long =
+      if (cleanupAll) Long.MaxValue
+      else olderThan.map(_.getTime).getOrElse {
+        store.getOption("delete_older_than", "main", "")
+          .filter(_.nonEmpty)
+          .map(iv => System.currentTimeMillis() - DuckLake.parseIntervalMillis(iv))
+          .getOrElse(Long.MaxValue)
+      }
+    val root = java.nio.file.Paths.get(dataPath)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val walked = java.nio.file.Files.walk(root)
+    val orphans = try walked.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+      .filterNot(p => known.contains(p.normalize.toString))
+      .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+      .map(_.toString).toList
+    finally walked.close()
+    if (!dryRun) orphans.foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    orphans
+  }
+
+  /** DuckDB `CHECKPOINT` on a DuckLake catalog — the maintenance bundle
+    * (corpus: tests/sqllogictests/sql/checkpoint/): flush inlined data,
+    * rewrite delete-heavy files at each table's effective threshold,
+    * then — only when the retention options say so — expire old
+    * snapshots and remove scheduled + orphaned files. Inside an open
+    * transaction it is a no-op (DuckDB checkpoints skip active txns).
+    */
+  def checkpoint(): Unit = {
+    if (store.inTransaction) return
+    flushInlinedScope(None, None)
+    val snap = store.currentSnapshot
+    for {
+      sch <- store.listSchemas(snap)
+      tbl <- store.listTables(sch.schemaId, snap)
+    } {
+      val name = s"${sch.name}.${tbl.name}"
+      val thr = getOption("rewrite_delete_threshold", name)
+        .map(_.toDouble).getOrElse(0.95)
+      rewriteFiles(name, thr)
+    }
+    getOption("expire_older_than", "main").foreach { iv =>
+      expireSnapshotsCall(Some(new java.sql.Timestamp(
+        System.currentTimeMillis() - DuckLake.parseIntervalMillis(iv))))
+    }
+    getOption("delete_older_than", "main").foreach { iv =>
+      val cutoff = new java.sql.Timestamp(
+        System.currentTimeMillis() - DuckLake.parseIntervalMillis(iv))
+      cleanupOldFiles(olderThan = Some(cutoff))
+      deleteOrphanedFiles(olderThan = Some(cutoff))
+    }
+  }
+
   def cleanupOldFiles(cleanupAll: Boolean = false, dryRun: Boolean = false,
       olderThan: Option[java.sql.Timestamp] = None): Seq[String] = {
     val cutoff =
@@ -1903,7 +2029,32 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       table: Option[String] = None): Unit = {
     if (!DuckLake.KnownOptions(key))
       throw new InvalidConfigException(s"unknown option: $key")
-    store.setOption(key, value, schema, table)
+    // retention options must hold a parseable interval (empty clears)
+    if (key.endsWith("_older_than") && value.nonEmpty)
+      try DuckLake.parseIntervalMillis(value)
+      catch {
+        case _: DuckLakeException => throw new InvalidConfigException(
+          s"$key is not a valid interval value.")
+      }
+    // byte-size options normalize to plain byte counts in the catalog
+    // (reference: '10KB' reads back as 10000)
+    val stored =
+      if (key.endsWith("_size_bytes") || key == "target_file_size")
+        parseByteSize(value).map(_.toString).getOrElse(value)
+      else value
+    // scoped options must name EXISTING entities
+    // (corpus: settings/per_table_settings.test)
+    val snap = store.currentSnapshot
+    val schemaName = schema.getOrElse("main")
+    if (schema.isDefined || table.isDefined) {
+      val sch = store.getSchemaByName(schemaName, snap).getOrElse(
+        throw new SchemaNotFoundException(s"no such schema: $schemaName"))
+      table.foreach { t =>
+        if (store.getTableByName(sch.schemaId, t, snap).isEmpty)
+          throw new TableNotFoundException(s"no such table: $schemaName.$t")
+      }
+    }
+    store.setOption(key, stored, schema, table)
   }
 
   def getOption(key: String, table: String): Option[String] = {
@@ -1916,12 +2067,17 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val m = """(?i)\s*(\d+)\s*(B|KB|KIB|MB|MIB|GB|GIB|TB|TIB)?\s*""".r
     s match {
       case m(n, unit) =>
+        // DuckDB units: KB/MB/… are SI (10KB = 10000), KiB/… binary
         val mult = Option(unit).map(_.toUpperCase) match {
-          case None | Some("B")       => 1L
-          case Some("KB") | Some("KIB") => 1L << 10
-          case Some("MB") | Some("MIB") => 1L << 20
-          case Some("GB") | Some("GIB") => 1L << 30
-          case _                        => 1L << 40
+          case None | Some("B") => 1L
+          case Some("KB")       => 1000L
+          case Some("MB")       => 1000000L
+          case Some("GB")       => 1000000000L
+          case Some("TB")       => 1000000000000L
+          case Some("KIB")      => 1L << 10
+          case Some("MIB")      => 1L << 20
+          case Some("GIB")      => 1L << 30
+          case _                => 1L << 40
         }
         Some(n.toLong * mult)
       case _ => None
@@ -1967,10 +2123,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val staged = groups.zipWithIndex.map { case ((pv, gfs), i) =>
         val df = gfs.map(morReadFile(name, ctx, _)).reduce(_ unionByName _)
           .select(dataColNames.map(col): _*)
-        val w = keyOpt.foldLeft(df.coalesce(1).write.mode("overwrite")) { (wr, k) =>
+        val w = tuned(name, keyOpt.foldLeft(df.coalesce(1).write.mode("overwrite")) { (wr, k) =>
           wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
             .option(GraftCryptoFactory.EncryptKey, k)
-        }
+        })
         w.parquet(s"$staging/g$i")
         val part = fs.listStatus(new Path(s"$staging/g$i"))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
@@ -2372,7 +2528,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       Seq(StructField("snapshot_id", LongType), StructField("rowid", LongType),
         StructField("change_type", StringType)) ++ sparkSchemaOf(cols).fields)
     val flushSnaps = store.snapshotsWithChanges.collect {
-      case (id, _, _, changes)
+      case (id, _, _, changes, _, _, _)
         if changes.exists(e => e._1 == "flushed_inlined" && e._2 == tr.tableId.toString) => id
     }.toSet
 
@@ -2516,9 +2672,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   def snapshotsDF: DataFrame = {
     import spark.implicits._
-    store.snapshotsWithChanges.map { case (id, ts, ver, changes) =>
-      (id, ts.toLocalDateTime, ver, DuckLake.renderChanges(changes))
-    }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
+    store.snapshotsWithChanges.map { case (id, ts, ver, changes, a, m, x) =>
+      (id, ts.toLocalDateTime, ver, DuckLake.renderChanges(changes), a, m, x)
+    }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes",
+      "author", "commit_message", "commit_extra_info")
   }
 
   def listFilesDF: DataFrame = {

@@ -514,6 +514,52 @@ final class MetadataStore(dbPath: String,
         "ALTER TABLE ducklake_snapshot ADD COLUMN schema_version BIGINT DEFAULT 0")
       finally st.close()
     }
+    val hasAuthor = {
+      val rs = conn.getMetaData.getColumns(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_SNAPSHOT", "AUTHOR")
+      try rs.next() finally rs.close()
+    }
+    if (!hasAuthor) {
+      // commit audit info (corpus: audit/test_base_audit.test)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("ALTER TABLE ducklake_snapshot ADD COLUMN author VARCHAR(4000)")
+        st.executeUpdate("ALTER TABLE ducklake_snapshot ADD COLUMN commit_message VARCHAR(4000)")
+        st.executeUpdate("ALTER TABLE ducklake_snapshot ADD COLUMN commit_extra_info VARCHAR(4000)")
+      } finally st.close()
+    }
+  }
+
+  // ---------- commit audit info (set_commit_message) ----------
+
+  /** Pending (author, message, extra_info) for the NEXT committed
+    * snapshot; the LAST call before COMMIT wins, ROLLBACK discards
+    * (corpus: audit/test_base_audit.test).
+    */
+  private var pendingCommitInfo:
+      Option[(Option[String], Option[String], Option[String])] = None
+
+  def setCommitMessage(author: Option[String], message: Option[String],
+      extra: Option[String]): Unit = synchronized {
+    pendingCommitInfo = Some((author, message, extra))
+  }
+
+  private def requireCommitInfo: Boolean =
+    getOption("require_commit_message", "main", "")
+      .exists(_.equalsIgnoreCase("true"))
+
+  private def commitInfoMissing(): Boolean =
+    pendingCommitInfo.isEmpty && requireCommitInfo
+
+  private val CommitInfoRequired =
+    "Commit Information for the snapshot is required but has not been provided."
+
+  private def stampCommitInfo(snap: Long): Unit = {
+    pendingCommitInfo.foreach { case (a, m, x) =>
+      update("UPDATE ducklake_snapshot SET author = ?, commit_message = ?, commit_extra_info = ? WHERE snapshot_id = ?",
+        Seq(a.orNull, m.orNull, x.orNull, snap))
+    }
+    pendingCommitInfo = None
   }
 
   override def close(): Unit = synchronized { conn.close() }
@@ -593,6 +639,22 @@ final class MetadataStore(dbPath: String,
     * monotone ids; corpus: compaction/merge_adjacent_max_files.test). The
     * high-water mark lives in ducklake_metadata.
     */
+  /** data_file_id and delete_file_id draw from ONE shared sequence — the
+    * reference interleaves them (corpus:
+    * rewrite_data_files/test_last_snapshot_rewrite.test: ids 0=data,
+    * 1..3=deletes, 4=rewritten data, 5=next delete).
+    */
+  private def nextFileId(): Long = {
+    val liveD = query("SELECT COALESCE(MAX(data_file_id), -1) + 1 FROM ducklake_data_file")(_.getLong(1)).head
+    val liveX = query("SELECT COALESCE(MAX(delete_file_id), -1) + 1 FROM ducklake_delete_file")(_.getLong(1)).head
+    val hw = (getMetadata("seq:ducklake_file") ++
+      getMetadata("seq:ducklake_data_file") ++
+      getMetadata("seq:ducklake_delete_file")).map(_.toLong)
+    val id = (Seq(liveD, liveX) ++ hw).max
+    setMetadata("seq:ducklake_file", (id + 1).toString)
+    id
+  }
+
   private def nextId(table: String, idCol: String, floor: Long = 0L): Long = {
     val live = query(s"SELECT COALESCE(MAX($idCol), -1) + 1 FROM $table")(_.getLong(1)).head
     val hwKey = s"seq:$table"
@@ -638,14 +700,17 @@ final class MetadataStore(dbPath: String,
   /** Every snapshot with its schema_version and journal entries
     * (kind, value) in recorded order — the `snapshots()` surface.
     */
-  def snapshotsWithChanges: Seq[(Long, java.sql.Timestamp, Long, Seq[(String, String)])] =
+  def snapshotsWithChanges: Seq[(Long, java.sql.Timestamp, Long, Seq[(String, String)],
+      Option[String], Option[String], Option[String])] =
     query(
-      """SELECT s.snapshot_id, s.snapshot_time, s.schema_version, c.changes_made
+      """SELECT s.snapshot_id, s.snapshot_time, s.schema_version, c.changes_made,
+        |  s.author, s.commit_message, s.commit_extra_info
         |FROM ducklake_snapshot s
         |LEFT OUTER JOIN ducklake_snapshot_changes c ON c.snapshot_id = s.snapshot_id
         |ORDER BY s.snapshot_id""".stripMargin)(rs =>
       (rs.getLong(1), rs.getTimestamp(2), rs.getLong(3),
-        parseChanges(Option(rs.getString(4)).getOrElse("")).map(e => (e._1, e._3))))
+        parseChanges(Option(rs.getString(4)).getOrElse("")).map(e => (e._1, e._3)),
+        Option(rs.getString(5)), Option(rs.getString(6)), Option(rs.getString(7))))
 
   // ---------- snapshot tags (named refs) ----------
 
@@ -985,6 +1050,13 @@ final class MetadataStore(dbPath: String,
             Seq(prevVersion + (if (net.exists(e => DdlKinds(e._1))) 1L else 0L), snap))
         }
       }
+      if (openTxnSnap.isDefined && commitInfoMissing()) {
+        conn.rollback(); conn.setAutoCommit(true)
+        txnOpen = false; txnAborted = false; openTxnSnap = None
+        throw new UnsupportedException(CommitInfoRequired)
+      }
+      openTxnSnap.foreach(stampCommitInfo)
+      pendingCommitInfo = None
       conn.commit(); conn.setAutoCommit(true)
       txnOpen = false; openTxnSnap = None
     }
@@ -992,6 +1064,7 @@ final class MetadataStore(dbPath: String,
 
   def rollbackTransaction(): Unit = synchronized {
     if (txnOpen) {
+      pendingCommitInfo = None
       conn.rollback(); conn.setAutoCommit(true)
       txnOpen = false; txnAborted = false; openTxnSnap = None
     }
@@ -1157,6 +1230,9 @@ final class MetadataStore(dbPath: String,
         try { ps.setLong(1, snap); ps.executeUpdate() } finally ps.close()
         val r = body(snap)
         flushChanges(snap)
+        if (commitInfoMissing())
+          throw new UnsupportedException(CommitInfoRequired)
+        stampCommitInfo(snap)
         conn.commit()
         r
       } catch {
@@ -1325,7 +1401,7 @@ final class MetadataStore(dbPath: String,
       if (f.partitionValues.size != nKeys)
         throw new InternalException(
           s"file ${f.path}: ${f.partitionValues.size} partition values for $nKeys keys")
-      val id = nextId("ducklake_data_file", "data_file_id")
+      val id = nextFileId()
       // files carrying an explicit _ducklake_row_id column (row-level
       // UPDATE keeps each row's stable id) register with NULL
       // row_id_start — the DuckLake marker for "ids live in the file"
@@ -1369,7 +1445,7 @@ final class MetadataStore(dbPath: String,
       stats: Seq[ColumnStatRec] = Nil): Long =
     inSnapshotTxn { snap =>
       registerWrite(snap, spec)
-      nextId("ducklake_data_file", "data_file_id") // id burned, never reused
+      nextFileId() // id burned, never reused
       val schema = getSchemaByName(spec.schemaName, snap).get
       val table = getTableByName(schema.schemaId, spec.tableName, snap).get
       var rid = math.max(nextRowIdFor(table.tableId), query(
@@ -1396,7 +1472,7 @@ final class MetadataStore(dbPath: String,
 
   def commitInlined(tableId: Long, rowsJson: Seq[String],
       stats: Seq[ColumnStatRec] = Nil): Long = inSnapshotTxn { snap =>
-    nextId("ducklake_data_file", "data_file_id") // id burned, never reused
+    nextFileId() // id burned, never reused
     // inlined rows claim STABLE table row ids from the same sequence as
     // files (corpus: data_inlining/basic_data_inlining.test rowid block)
     var rid = math.max(nextRowIdFor(tableId), query(
@@ -1571,7 +1647,7 @@ final class MetadataStore(dbPath: String,
         throw new InvalidConfigException(
           s"Failed to add data files: ${f.path} is already registered in the table")
       val mid = getOrCreateMapping(table.tableId, entries)
-      val id = nextId("ducklake_data_file", "data_file_id")
+      val id = nextFileId()
       val rowStart = nextRowId
       nextRowId += f.recordCount
       update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
@@ -1637,6 +1713,19 @@ final class MetadataStore(dbPath: String,
   }
 
   /** Drop an empty schema (end its row). */
+  /** Every data/delete-file path EVER registered (any snapshot), with
+    * its schema/table directory info for absolute-path resolution —
+    * the anti-join side of orphan detection.
+    */
+  def allRegisteredFiles(): Seq[(String, String, Boolean, String, Boolean)] =
+    Seq("ducklake_data_file", "ducklake_delete_file").flatMap { tbl =>
+      query(s"SELECT sc.path, t.path, t.path_is_relative, f.path, f.path_is_relative " +
+        s"FROM $tbl f, ducklake_table t, ducklake_schema sc " +
+        "WHERE f.table_id = t.table_id AND t.schema_id = sc.schema_id")(rs =>
+        (rs.getString(1), rs.getString(2), rs.getBoolean(3), rs.getString(4),
+          rs.getBoolean(5)))
+    }.distinct
+
   def dropSchema(schemaId: Long): Long = inSnapshotTxn { snap =>
     // VIEWS keep a schema alive too (corpus: view/ducklake_view_schema.test
     // drops the schema only after its view is dropped)
@@ -1920,7 +2009,7 @@ final class MetadataStore(dbPath: String,
       deletes.foreach { case (dataFileId, f) =>
         update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
           Seq(snap, dataFileId))
-        val id = nextId("ducklake_delete_file", "delete_file_id")
+        val id = nextFileId()
         update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
           Seq(id, dataFileId, tableId, f.path, true, f.recordCount, snap,
             f.encryptionKey.orNull, f.fileSizeBytes))
@@ -1952,7 +2041,7 @@ final class MetadataStore(dbPath: String,
         deletes.foreach { case (dataFileId, f) =>
           update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
             Seq(snap, dataFileId))
-          val id = nextId("ducklake_delete_file", "delete_file_id")
+          val id = nextFileId()
           update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
             Seq(id, dataFileId, table.tableId, f.path, true, f.recordCount, snap,
               f.encryptionKey.orNull, f.fileSizeBytes))
@@ -1967,19 +2056,63 @@ final class MetadataStore(dbPath: String,
     * targeted maintenance (delete-ratio / small-file rewrites), touching
     * only the listed files.
     */
+  /** Rewrite commit — the reference's "last snapshot" semantics
+    * (corpus: rewrite_data_files/test_rewrite_db.test): the rewrite runs
+    * in a fresh snapshot with an EMPTY change map (a rewrite is not a
+    * user-visible change), but file visibility is BACKDATED to the
+    * table's last-modifying snapshot — old files end there, the merged
+    * file begins there — so time travel at that snapshot already reads
+    * the compacted file. A delete file that BEGAN at the backdate point
+    * serves no snapshot anymore: its row is removed outright and the
+    * physical file scheduled for deletion.
+    */
   def commitFileRewrites(schemaName: String, tableName: String,
       cols: Seq[ColumnDef], endFileIds: Seq[Long],
       newFiles: Seq[FileToRegister]): Long =
     inSnapshotTxn { snap =>
+      val schema = getSchemaByName(schemaName, snap)
+        .getOrElse(throw new SchemaNotFoundException(schemaName))
+      val table = getTableByName(schema.schemaId, tableName, snap)
+        .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
+      val tid = table.tableId
+      val backSnap = (
+        query("SELECT COALESCE(MAX(begin_snapshot), -1) FROM ducklake_data_file WHERE table_id = ? AND end_snapshot IS NULL",
+          Seq(tid))(_.getLong(1)) ++
+        query("SELECT COALESCE(MAX(begin_snapshot), -1) FROM ducklake_delete_file WHERE table_id = ? AND end_snapshot IS NULL",
+          Seq(tid))(_.getLong(1))).max match {
+          case -1L => snap
+          case b   => b
+        }
       endFileIds.foreach { fid =>
+        // a delete file born AT the backdate point never serves a
+        // snapshot once the rewrite lands — drop the row, schedule bytes
+        val bornAt = query(
+          "SELECT path, path_is_relative FROM ducklake_delete_file WHERE data_file_id = ? AND end_snapshot IS NULL AND begin_snapshot = ?",
+          Seq(fid, backSnap))(rs => (rs.getString(1), rs.getBoolean(2)))
+        bornAt.foreach { case (p, rel) =>
+          update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",
+            Seq(if (rel)
+              s"${schema.path.stripSuffix("/")}/${table.path.stripSuffix("/")}/$p"
+            else p))
+        }
+        update("DELETE FROM ducklake_delete_file WHERE data_file_id = ? AND end_snapshot IS NULL AND begin_snapshot = ?",
+          Seq(fid, backSnap))
         update("UPDATE ducklake_data_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
-          Seq(snap, fid))
+          Seq(backSnap, fid))
         update("UPDATE ducklake_delete_file SET end_snapshot = ? WHERE data_file_id = ? AND end_snapshot IS NULL",
-          Seq(snap, fid))
+          Seq(backSnap, fid))
       }
-      if (newFiles.nonEmpty)
+      if (newFiles.nonEmpty) {
+        val mark = pendingChanges.size
         registerWrite(snap, TableWriteSpec(schemaName, tableName, cols,
           WriteMode.Append, newFiles))
+        // not a user-visible change: the rewrite snapshot renders {}
+        pendingChanges.remove(mark, pendingChanges.size - mark)
+        newFiles.foreach { f =>
+          update("UPDATE ducklake_data_file SET begin_snapshot = ? WHERE table_id = ? AND path = ? AND end_snapshot IS NULL",
+            Seq(backSnap, tid, f.path))
+        }
+      }
       snap
     }
 
@@ -2002,7 +2135,7 @@ final class MetadataStore(dbPath: String,
     val table = getTableByName(schema.schemaId, tableName, snap)
       .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
     val begin = segments.map(_.beginSnapshot).min
-    val id = nextId("ducklake_data_file", "data_file_id")
+    val id = nextFileId()
     // write_epoch = THIS snapshot: the file is written under the current
     // column schema even though its visibility starts at `begin`
     update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, ?)",
@@ -2058,7 +2191,7 @@ final class MetadataStore(dbPath: String,
     val table = getTableByName(schema.schemaId, tableName, snap)
       .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
     val colIds = statColIds
-    val id = nextId("ducklake_data_file", "data_file_id")
+    val id = nextFileId()
     update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, ?)",
       Seq(id, table.tableId, file.path, file.pathIsRelative, file.recordCount,
         file.fileSizeBytes, file.footerSize, beginSnapshot, file.encryptionKey.orNull,
@@ -2291,7 +2424,7 @@ final class MetadataStore(dbPath: String,
         Seq(snap, f.id))
     }
     val idMap: Map[Long, Long] = tgtF.filterNot(f => nowIds(f.id)).map { f =>
-      val nid = nextId("ducklake_data_file", "data_file_id")
+      val nid = nextFileId()
       update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
         Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch,
           f.mapping.map(Long.box).orNull, f.rowStart.map(Long.box).orNull))
@@ -2320,7 +2453,7 @@ final class MetadataStore(dbPath: String,
     }
     val nowDIds = nowD.map(_.id).toSet
     tgtD.filterNot(d => nowDIds(d.id)).foreach { d =>
-      val nid = nextId("ducklake_delete_file", "delete_file_id")
+      val nid = nextFileId()
       update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
         Seq(nid, idMap.getOrElse(d.dataFileId, d.dataFileId), tableId, d.path,
           d.rel, d.rc, snap, d.key, d.size))
@@ -2430,7 +2563,7 @@ final class MetadataStore(dbPath: String,
         { val m = rs.getLong(9); if (rs.wasNull()) None else Some(m) },
         { val r = rs.getLong(10); if (rs.wasNull()) None else Some(r) }))
       val idMap = files.map { case (fid, path, rel, rc, size, footer, key, epoch, mapping, rowStart) =>
-        val nid = nextId("ducklake_data_file", "data_file_id")
+        val nid = nextFileId()
         update("INSERT INTO ducklake_data_file VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
           Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch,
             mapping.map(Long.box).orNull, rowStart.map(Long.box).orNull))
@@ -2448,7 +2581,7 @@ final class MetadataStore(dbPath: String,
         Seq(srcTableId, snap, snap))(rs => (rs.getLong(2), rs.getString(3),
         rs.getBoolean(4), rs.getLong(5), rs.getString(6), rs.getLong(7)))
         .foreach { case (dataFileId, path, rel, rc, key, size) =>
-          val nid = nextId("ducklake_delete_file", "delete_file_id")
+          val nid = nextFileId()
           update("INSERT INTO ducklake_delete_file VALUES (?, ?, ?, ?, ?, ?, ?, NULL, ?, ?)",
             Seq(nid, idMap.getOrElse(dataFileId, dataFileId), tid, path, rel, rc,
               snap, key, size))

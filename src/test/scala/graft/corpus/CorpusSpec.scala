@@ -36,22 +36,24 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private val corpusRoot = "/root/reference/tests/sqllogictests/sql"
-  private val dirs = Seq("add_files", "alter", "catalog", "cleanup",
-    "comments", "compaction", "constraints", "data_inlining", "default",
-    "delete", "functions", "general", "insert", "list_files", "merge",
-    "partitioning", "rowid", "schema_evolution", "snapshot_info", "stats",
-    "table_changes", "time_travel", "transaction", "types", "update",
-    "view", "virtualcolumns")
+  private val dirs = Seq("add_files", "alter", "attach", "audit", "catalog",
+    "cleanup", "comments", "compaction", "concurrent", "constraints",
+    "data_inlining", "default", "delete", "encryption", "functions",
+    "general", "initialize", "insert", "issues", "list_files", "merge",
+    "metadata", "partitioning", "remove_orphans", "rewrite_data_files",
+    "rowid", "schema_evolution", "snapshot_info", "stats", "table_changes",
+    "time_travel", "transaction", "types", "update", "view",
+    "virtualcolumns")
 
   test("reference sqllogictest corpus: >=30 files pass end to end") {
     assume(Files.isDirectory(Paths.get(corpusRoot)), "reference corpus not present")
     val runner = new SqlLogicRunner(spark)
-    val files = dirs.flatMap { d =>
+    val files = (dirs.flatMap { d =>
       val p = Paths.get(corpusRoot, d)
       if (Files.isDirectory(p))
         Files.list(p).iterator().asScala.filter(_.toString.endsWith(".test")).toSeq
       else Nil
-    }.sortBy(_.toString)
+    } :+ Paths.get(corpusRoot, "ducklake_basic.test")).sortBy(_.toString)
     val results = files.map(runner.run)
     val passed = results.collect { case r if r.outcome == runner.Passed => r.file }
     val failed = results.collect {

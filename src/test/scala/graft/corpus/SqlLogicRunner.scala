@@ -49,7 +49,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "skipif" -> "engine-conditional blocks",
     "__ducklake_internal" -> "internal duckdb catalog",
     "SUMMARIZE" -> "duckdb summarize",
-    "CHECKPOINT" -> "duckdb checkpoint",
     "sqlite_" -> "sqlite metadata backend",
     "postgres" -> "postgres metadata backend",
     "uuid '" -> "parquet UUID logical type (no Spark IO)",
@@ -62,7 +61,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "UNION(" -> "duckdb union type",
     " TIME '" -> "Spark's TIME type has no parquet IO yet",
     "CALL dbgen" -> "tpch generator",
-    "INTERVAL" -> "interval literal dialect",
     "TIMETZ" -> "time-with-zone types",
     "ATTACH 'ducklake:postgres" -> "postgres backend",
     "ATTACH 'ducklake:sqlite" -> "sqlite backend")
@@ -75,6 +73,10 @@ final class SqlLogicRunner(spark: SparkSession) {
         Some("id arithmetic tied to the reference writer's physical file sizes")
       else if (file.toString.endsWith("add_files_complex_nested_stats_mre.test"))
         Some("unsigned widths inside NESTED structs (top-level only here)")
+      else if (file.toString.endsWith("settings/parquet_compression.test"))
+        Some("expected footer ENCODINGS are DuckDB-writer-specific " +
+          "(parquet-mr v2 encodes BINARY as DELTA_BYTE_ARRAY, not " +
+          "DELTA_LENGTH_BYTE_ARRAY)")
       else if (lower.contains("unzip ")) Some("prebuilt binary databases")
 
       else None
@@ -214,6 +216,12 @@ final class SqlLogicRunner(spark: SparkSession) {
   private var catalogAlias: String = "ducklake"
   // SET VARIABLE name = <scalar or list> (DuckDB session variables)
   private val variables = scala.collection.mutable.Map.empty[String, Any]
+  // SET ducklake_* engine settings, served back by current_setting()
+  private val duckSettings = scala.collection.mutable.Map.empty[String, String]
+  private val duckSettingDefaults = Map(
+    "ducklake_max_retry_count" -> "10",
+    "ducklake_retry_wait_ms" -> "100",
+    "ducklake_retry_backoff" -> "1.5")
   // ATTACH … (SNAPSHOT_VERSION n): pinned, read-only
   private var pinnedSnapshot: Option[Long] = None
   private var metaAlias: String = "__ducklake_metadata_ducklake"
@@ -251,6 +259,8 @@ final class SqlLogicRunner(spark: SparkSession) {
     }.toSeq
 
     lake = null
+    variables.clear()
+    duckSettings.clear()
     val verbose = sys.props.contains("sltVerbose")
     parseRecords(substituted).foreach { rec =>
       if (verbose) rec match {
@@ -347,7 +357,9 @@ final class SqlLogicRunner(spark: SparkSession) {
   private def firstLine(sql: String): String = sql.linesIterator.next().take(120)
 
   private val AttachRe =
-    """(?is)ATTACH\s+'ducklake:((?:[^']|'')+)'\s+AS\s+(\w+)\s*(?:\((.*)\))?\s*;?""".r
+    """(?is)ATTACH\s+(?:OR\s+REPLACE\s*)?(?:IF\s+NOT\s+EXISTS\s+)?'ducklake:((?:[^']|'')+)'\s+AS\s+(\w+)\s*(?:\((.*)\))?\s*;?""".r
+  private val PlainAttachRe =
+    """(?is)ATTACH\s+(?:OR\s+REPLACE\s*)?'(?!ducklake:)[^']+'\s+AS\s+(\w+)\s*(?:\(.*\))?\s*;?""".r
   private val AddFilesRe =
     """(?is)CALL\s+ducklake_add_data_files\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*(.*?)\)\s*;?""".r
   private val AddFilesListRe =
@@ -430,6 +442,10 @@ final class SqlLogicRunner(spark: SparkSession) {
     """(?is)CALL\s+(?:[\w.]+\.)?(?:ducklake_)?merge_adjacent_files\(\s*([^)]*)\)\s*;?""".r
   private val CleanupCallRe =
     """(?is)CALL\s+(?:ducklake_)?cleanup_old_files\(\s*(.*)\)\s*;?""".r
+  private val OrphanCallRe =
+    """(?is)CALL\s+(?:ducklake_)?delete_orphaned_files\(\s*(.*)\)\s*;?""".r
+  private val CommitMsgRe =
+    """(?is)CALL\s+(?:[\w.]+\.)?set_commit_message\(\s*(.*)\)\s*;?""".r
   private val ExpireCallRe =
     """(?is)CALL\s+(?:ducklake_)?expire_snapshots\(\s*(.*)\)\s*;?""".r
   private val FlushCallRe =
@@ -452,11 +468,16 @@ final class SqlLogicRunner(spark: SparkSession) {
   }
 
   private def tsOf(expr: String): java.sql.Timestamp =
-    if (expr.toLowerCase.contains("now"))
+    // callArgs may clip `now()` to `now(` — both mean the current instant
+    if (expr.trim.toLowerCase.matches("now\\(\\)?"))
       new java.sql.Timestamp(System.currentTimeMillis())
-    else java.sql.Timestamp.valueOf(
-      spark.sql(s"SELECT CAST(${expr} AS STRING)").head().getString(0)
-        .replace("T", " "))
+    else {
+      // arbitrary timestamp EXPRESSIONS (NOW() - INTERVAL '1 week',
+      // DATE/TIMESTAMP literals) evaluate through Spark
+      val s = spark.sql(s"SELECT CAST((${expr}) AS STRING)").head().getString(0)
+        .replace("T", " ")
+      java.sql.Timestamp.valueOf(if (s.contains(":")) s else s + " 00:00:00")
+    }
 
   private def runExpire(body: String): Seq[Long] = {
     val (_, named) = callArgs(body)
@@ -473,6 +494,44 @@ final class SqlLogicRunner(spark: SparkSession) {
       cleanupAll = named.get("cleanup_all").exists(_.toBoolean),
       dryRun = named.get("dry_run").exists(_.toBoolean),
       olderThan = named.get("older_than").map(tsOf))
+  }
+
+  /** Split a call-argument list on top-level commas: quote- and
+    * paren-aware, but NOT `<`/`>`-aware — `=>` named-argument arrows must
+    * not unbalance the depth (unlike [[splitTopLevel]], which serves type
+    * lists).
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; cur += c }
+      else if (inQuote) cur += c
+      else c match {
+        case '(' | '[' | '{' => depth += 1; cur += c
+        case ')' | ']' | '}' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def runOrphans(body: String): Seq[String] = {
+    // named args may hold whole EXPRESSIONS (older_than => NOW() -
+    // INTERVAL '1 week') — split on top-level commas, not callArgs
+    val args = splitArgs(body)
+    def named(k: String): Option[String] = args.collectFirst {
+      case a if a.toLowerCase.matches("(?s)" + k + "\\s*=>.*") =>
+        a.substring(a.indexOf("=>") + 2).trim
+    }
+    lake.deleteOrphanedFiles(
+      cleanupAll = named("cleanup_all").exists(_.toBoolean),
+      dryRun = named("dry_run").exists(_.toBoolean),
+      olderThan = named("older_than").map(tsOf))
   }
 
   /** Normalize a corpus-side table reference (`t`, `s.t`, `alias.s.t`)
@@ -511,12 +570,22 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private def runRewrite(body: String): Unit = {
     val (positional, named) = callArgs(body)
-    val table = positional.drop(1).headOption.orElse(positional.headOption
-      .filterNot(_.equalsIgnoreCase(catalogAlias)))
-      .getOrElse(throw new RuntimeException("rewrite_data_files needs a table"))
-    val threshold = lake.getOption("rewrite_delete_threshold", s"main.$table")
-      .map(_.toDouble).getOrElse(0.95)
-    lake.rewriteFiles(if (table.contains(".")) table else s"main.$table", threshold)
+    val tables: Seq[String] = positional.drop(1).headOption
+      .orElse(positional.headOption.filterNot(_.equalsIgnoreCase(catalogAlias)))
+      .map(t => Seq(if (t.contains(".")) t else s"main.$t"))
+      .getOrElse { // no table: rewrite the whole catalog
+        val snap = lake.currentSnapshot
+        for {
+          sch <- lake.store.listSchemas(snap)
+          tbl <- lake.store.listTables(sch.schemaId, snap)
+        } yield s"${sch.name}.${tbl.name}"
+      }
+    tables.foreach { t =>
+      val threshold = named.get("delete_threshold").map(_.toDouble)
+        .orElse(lake.getOption("rewrite_delete_threshold", t).map(_.toDouble))
+        .getOrElse(0.95)
+      lake.rewriteFiles(t, threshold)
+    }
   }
   private val AddColIfNotExistsRe =
     """(?is)ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+IF\s+NOT\s+EXISTS\s+([\w.]+)\s+(.*)""".r
@@ -524,6 +593,23 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val CopyTableRe = """(?is)COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?""".r
 
   private def execute(sqlRaw: String): Unit = substVars(sqlRaw) match {
+    case PlainAttachRe(_) =>
+      // a non-ducklake ATTACH (plain DuckDB database): nothing to mount
+      // on the Spark side — the corpus only creates and detaches these
+      ()
+    case AttachRe(metaPath0, alias, opts) if Option(opts).exists(o =>
+        """(?i)\bREADONLY\b""".r.findFirstIn(o).isDefined) =>
+      // READONLY attach: never bootstraps a new catalog
+      // (corpus: initialize/read_only_mode.test)
+      val metaPath = metaPath0.replace("''", "'")
+      val metaDir = metaPath.stripSuffix(".db") + "-meta"
+      if (!Files.isDirectory(Paths.get(metaDir)))
+        throw new RuntimeException(
+          if ("""(?i)CREATE_IF_NOT_EXISTS\s+true""".r.findFirstIn(opts).isDefined)
+            "cannot CREATE on database attached in read-only mode"
+          else "creating a new DuckLake is explicitly disabled")
+      execute(s"ATTACH 'ducklake:${metaPath0}' AS $alias")
+      pinnedSnapshot = Some(lake.currentSnapshot)
     case AttachRe(metaPath0, alias, opts) =>
       // SQL-escaped quotes ('' → ') may appear in any path or option
       val metaPath = metaPath0.replace("''", "'")
@@ -548,7 +634,9 @@ final class SqlLogicRunner(spark: SparkSession) {
         """METADATA_SCHEMA\s+'([^']+)'""".r.findFirstMatchIn(o).map(_.group(1)))
       lake = new DuckLake(spark, metaPath.stripSuffix(".db") + "-meta",
         dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit,
-        metadataSchema = metaSchema)
+        metadataSchema = metaSchema,
+        encrypted = Option(opts).exists(o =>
+          """(?i)\bENCRYPTED\b""".r.findFirstIn(o).isDefined))
       metaAlias = Option(opts).flatMap(o =>
         """METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
           .map(_.group(1).replace("''", "'")))
@@ -669,6 +757,26 @@ final class SqlLogicRunner(spark: SparkSession) {
         else Some(text.stripPrefix("'").stripSuffix("'")))
     case MergeAdjRe(body) => runMergeAdjacent(body)
     case CleanupCallRe(body) => runCleanup(body)
+    case OrphanCallRe(body) => runOrphans(body)
+    case CommitMsgRe(body) =>
+      // set_commit_message(author, message[, extra_info => '...']):
+      // audit info for the NEXT committed snapshot
+      // (corpus: audit/test_base_audit.test)
+      def lit(s: String): Option[String] = {
+        val t = s.trim
+        if (t.equalsIgnoreCase("null")) None
+        else Some(t.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+      }
+      val args = splitArgs(body)
+      val positional = args.filterNot(_.contains("=>"))
+      val extra = args.collectFirst {
+        case a if a.toLowerCase.matches("(?s)extra_info\\s*=>.*") =>
+          a.substring(a.indexOf("=>") + 2)
+      }
+      lake.store.setCommitMessage(
+        positional.headOption.flatMap(lit),
+        positional.lift(1).flatMap(lit),
+        extra.flatMap(lit))
     case ExpireCallRe(body) => runExpire(body)
     case FlushCallRe(body) => runFlushInlined(body)
     case RewriteCallRe(body) => runRewrite(body)
@@ -680,6 +788,9 @@ final class SqlLogicRunner(spark: SparkSession) {
       copyTo(spark.sql(translate(inner)), target, opts, duckCopyTypes(inner))
     case CopyTableRe(table, target, opts) =>
       copyTo(spark.sql(translate(s"SELECT * FROM $table")), target, opts)
+    case s if """(?is)^\s*(?:FORCE\s+)?CHECKPOINT(\s+\w+)?\s*;?\s*$""".r
+        .findFirstIn(s).isDefined =>
+      if (lake != null) lake.checkpoint()
     case s if {
       val t = s.trim.stripSuffix(";").trim
       t.equalsIgnoreCase("BEGIN") || t.equalsIgnoreCase("BEGIN TRANSACTION")
@@ -720,9 +831,21 @@ final class SqlLogicRunner(spark: SparkSession) {
         // the session already runs in UTC; `SET TimeZone='UTC'` is the
         // only timezone the corpus sets
         "timezone")
-      val name = """(?is)^\s*SET\s+(\w+)""".r.findFirstMatchIn(s).map(_.group(1))
+      val name = """(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)""".r
+        .findFirstMatchIn(s).map(_.group(1))
+      // ducklake_* knobs are remembered for current_setting() readback
+      name.filter(_.toLowerCase.startsWith("ducklake_")).foreach { n =>
+        """=\s*('[^']*'|[\w.]+)\s*;?\s*$""".r.findFirstMatchIn(s).foreach { m =>
+          duckSettings(n.toLowerCase) =
+            m.group(1).stripPrefix("'").stripSuffix("'")
+        }
+      }
       if (!name.exists(n => noop.contains(n.toLowerCase)))
         throw new SkipFile("duckdb settings")
+    case s if """(?is)^\s*RESET\s+\w+\s*;?\s*$""".r.findFirstIn(s).isDefined =>
+      // RESET <setting>: back to its default
+      """(?is)^\s*RESET\s+(\w+)""".r.findFirstMatchIn(s)
+        .foreach(m => duckSettings.remove(m.group(1).toLowerCase))
     case s if """(?is)^\s*(SELECT|FROM|WITH)\b""".r.findFirstIn(s).isDefined =>
       // `statement ok` blocks can hold SELECTs over TVFs (snapshots(),
       // table_info(), glob()) — route through the query machinery
@@ -996,6 +1119,7 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val StatsRe =
     """(?is)^\s*SELECT\s+stats\((.+)\)\s+FROM\s+(\S+?)\s*(?:LIMIT\s+1)?\s*;?\s*$""".r
   private val OptionsTvfRe = """(?i)(?:\w+\.)?\boptions\(\s*\)""".r
+  private val ParquetMetaRe = """(?i)\bparquet_metadata\('([^']+)'\)""".r
   private val RefineTypeRe =
     """(?i)[(,]\s*([\w`"]+)\s+(JSON|UTINYINT|USMALLINT|UINTEGER|UBIGINT)\s*(?=[,)])""".r
   private val TypeofRe =
@@ -1005,6 +1129,8 @@ final class SqlLogicRunner(spark: SparkSession) {
     """(?is)(?:ducklake_)?expire_snapshots\(((?:[^()]|\([^()]*\))*)\)""".r
   private val CleanupTvfRe =
     """(?is)(?:ducklake_)?cleanup_old_files\(((?:[^()]|\([^()]*\))*)\)""".r
+  private val OrphanTvfRe =
+    """(?is)(?:ducklake_)?delete_orphaned_files\(((?:[^()]|\([^()]*\))*)\)""".r
 
   /** Rewrite `<metaAlias>.ducklake_*` references to temp views backed by
     * live reads of the Derby catalog (the METADATA_CATALOG SQL surface).
@@ -1089,6 +1215,12 @@ final class SqlLogicRunner(spark: SparkSession) {
         runCleanup(body).toDF("path")
           .createOrReplaceTempView("__slt_cleaned")
         spark.sql(translate(CleanupTvfRe.replaceAllIn(t, "__slt_cleaned ")))
+      case _ if OrphanTvfRe.findFirstIn(t).isDefined =>
+        // delete_orphaned_files as a table function: one row per orphan
+        val body = OrphanTvfRe.findFirstMatchIn(t).get.group(1)
+        runOrphans(body).toDF("path")
+          .createOrReplaceTempView("__slt_orphans")
+        spark.sql(translate(OrphanTvfRe.replaceAllIn(t, "__slt_orphans ")))
       case _ if t.stripSuffix(";").trim.equalsIgnoreCase("SHOW TABLES") =>
         // DuckDB's SHOW TABLES is a single `name` column
         spark.sql("SHOW TABLES").select("tableName")
@@ -1392,6 +1524,43 @@ final class SqlLogicRunner(spark: SparkSession) {
         spark.sql(translate(t
           .replaceAll("(?i)\\binformation_schema\\.columns\\b", "__slt_is_columns")
           .replaceAll("(?i)\\binformation_schema\\.tables\\b", "__slt_is_tables")))
+      case _ if ParquetMetaRe.findFirstIn(t).isDefined =>
+        // duckdb parquet_metadata(): per-column-chunk footer facts read
+        // straight off the globbed files via parquet-mr
+        // (corpus: settings/parquet_row_group_size_bytes.test)
+        val pattern = ParquetMetaRe.findFirstMatchIn(t).get.group(1)
+        val rows = globFiles(pattern).sorted
+          .filter(_.endsWith(".parquet")).flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            spark.sparkContext.hadoopConfiguration)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            (0 until blocks.size()).flatMap { rg =>
+              val block = blocks.get(rg)
+              val chunks = block.getColumns
+              (0 until chunks.size()).map { ci =>
+                val c = chunks.get(ci)
+                import scala.jdk.CollectionConverters._
+                // duckdb lists DATA encodings; parquet-mr's set also
+                // carries the levels' RLE — drop it when data encodings
+                // exist
+                val encs = c.getEncodings.asScala.map(_.name).toSeq.sorted
+                val dataEncs = encs.filterNot(_ == "RLE") match {
+                  case Nil => encs; case es => es
+                }
+                (f, rg.toLong, block.getRowCount, ci.toLong,
+                  c.getPath.toDotString, c.getCodec.name,
+                  dataEncs.mkString(", "), c.getValueCount)
+              }
+            }
+          } finally reader.close()
+        }
+        rows.toDF("file_name", "row_group_id", "row_group_num_rows",
+          "column_id", "path_in_schema", "compression", "encodings",
+          "num_values").createOrReplaceTempView("__slt_pqmeta")
+        spark.sql(translate(ParquetMetaRe.replaceAllIn(t, "__slt_pqmeta ")))
       case _ if ReadParquetArrayRe.findFirstIn(t).isDefined =>
         // read_parquet([paths]) over a substituted list variable
         val paths = "'([^']*)'".r.findAllMatchIn(
@@ -1843,6 +2012,8 @@ final class SqlLogicRunner(spark: SparkSession) {
       Regex.quoteReplacement(
         s"CAST(unhex('${bytes.map(b => f"${b & 0xff}%02X").mkString}') AS BINARY)")
     })
+    // DuckDB `SHOW ALL TABLES` (multi-catalog listing) ≈ SHOW TABLES
+    s = """(?i)\bSHOW\s+ALL\s+TABLES\b""".r.replaceAllIn(s, "SHOW TABLES")
     // DuckDB's BOOL alias (Spark only knows BOOLEAN)
     s = s.replaceAll("(?i)\\bBOOL\\b", "BOOLEAN")
     s = s.replaceAll("(?i)\\bDOUBLE\\s+PRECISION\\b", "DOUBLE")
@@ -1895,6 +2066,17 @@ final class SqlLogicRunner(spark: SparkSession) {
     // DuckDB `INSERT INTO t FROM …` shorthand
     s = """(?i)\bINSERT\s+INTO\s+([\w.]+)\s+FROM\b""".r
       .replaceAllIn(s, m => s"INSERT INTO ${m.group(1)} SELECT * FROM")
+    // numeric literals may carry readability underscores (100_000)
+    var uGuard = 0
+    while ("""(?<![\w.])(\d+)_(\d)""".r.findFirstIn(s).isDefined && uGuard < 20) {
+      uGuard += 1
+      s = """(?<![\w.])(\d+)_(\d)""".r.replaceAllIn(s, m => s"${m.group(1)}${m.group(2)}")
+    }
+    // DuckDB's range(...) TVF names its column `range` (Spark: `id`);
+    // an explicit alias list still renames it downstream
+    s = """(?i)\bFROM\s+range\s*\(([^)]*)\)""".r.replaceAllIn(s, m =>
+      Regex.quoteReplacement(
+        s"FROM (SELECT id AS range FROM range(${m.group(1)}))"))
     // DuckDB `UPDATE t SET … FROM src WHERE c` → MERGE … WHEN MATCHED
     // UPDATE (guard: the SET list must be paren-balanced, so a scalar
     // subquery's own FROM never splits the statement)
@@ -1937,6 +2119,13 @@ final class SqlLogicRunner(spark: SparkSession) {
     // DuckDB `'lit' IN str_col` is substring containment
     s = """('[^']*'|chr\(\d+\))\s+IN\s+([A-Za-z_]\w*)\b(?!\s*\()""".r
       .replaceAllIn(s, m => Regex.quoteReplacement(s"contains(${m.group(2)}, ${m.group(1)})"))
+    // current_setting('x'): session engine knobs with their defaults
+    s = """(?i)\bcurrent_setting\s*\(\s*'(\w+)'\s*\)""".r.replaceAllIn(s, m => {
+      val k = m.group(1).toLowerCase
+      val v = duckSettings.get(k).orElse(duckSettingDefaults.get(k))
+        .getOrElse(throw new SkipFile(s"unknown setting: $k"))
+      Regex.quoteReplacement(if (v.forall(c => c.isDigit || c == '.')) v else s"'$v'")
+    })
     // DuckDB current_database() names the CURRENT CATALOG (Spark's names
     // the current schema) — substitute the session's catalog literal
     if ("""(?i)\bcurrent_database\s*\(\s*\)""".r.findFirstIn(s).isDefined) {
@@ -1953,6 +2142,9 @@ final class SqlLogicRunner(spark: SparkSession) {
     s = """(?i)\bTEXT\b""".r.replaceAllIn(s, "STRING")
     s = """(?i)\bBLOB\b""".r.replaceAllIn(s, "BINARY")
     s = """(?i)\bSTRLEN\s*\(""".r.replaceAllIn(s, "LENGTH(")
+    // DuckDB ends_with/starts_with → Spark endswith/startswith
+    s = """(?i)\bends_with\s*\(""".r.replaceAllIn(s, "endswith(")
+    s = """(?i)\bstarts_with\s*\(""".r.replaceAllIn(s, "startswith(")
     s
   }
 
