@@ -3063,7 +3063,10 @@ object DuckLake {
     */
   private val ChangeKindOrder = Seq(
     "schemas_created", "schemas_dropped", "tables_created", "views_created",
-    "tables_dropped", "views_dropped", "tables_altered", "views_altered",
+    "scalar_macros_created", "table_macros_created",
+    "tables_dropped", "views_dropped",
+    "scalar_macros_dropped", "table_macros_dropped",
+    "tables_altered", "views_altered",
     "tables_inserted_into", "tables_deleted_from",
     "inlined_insert", "flushed_inlined").zipWithIndex.toMap
 

@@ -60,6 +60,12 @@ object ColumnDefaults {
   */
 final case class FileSegment(beginSnapshot: Long, startPos: Long,
     rowCount: Long, rowIdStart: Option[Long])
+/** SQL macro records (corpus: tests/sqllogictests/sql/macros/). */
+final case class MacroParam(name: String, ptype: String,
+    default: Option[String], defaultType: String)
+final case class MacroImpl(params: Seq[MacroParam], body: String)
+final case class MacroRec(schemaId: Long, macroId: Long, name: String,
+    macroType: String, impls: Seq[MacroImpl])
 final case class DataFileRec(dataFileId: Long, path: String, pathIsRelative: Boolean,
     recordCount: Long, fileSizeBytes: Long, footerSize: Long, beginSnapshot: Long,
     deleteFile: Option[DeleteFileRec], encryptionKey: Option[String] = None,
@@ -366,6 +372,42 @@ final class MetadataStore(dbPath: String,
           |  end_snapshot BIGINT)""".stripMargin)
       finally st.close()
     }
+    // SQL macros (corpus: tests/sqllogictests/sql/macros/): one entity
+    // row per (macro, implementation) in ducklake_macro; bodies and
+    // parameters keyed by (entity id, impl index)
+    val hasMacros = {
+      val rs = conn.getMetaData.getTables(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_MACRO", null)
+      try rs.next() finally rs.close()
+    }
+    if (!hasMacros) {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE ducklake_macro(
+            |  schema_id BIGINT NOT NULL,
+            |  macro_id BIGINT NOT NULL,
+            |  macro_name VARCHAR(1024) NOT NULL,
+            |  begin_snapshot BIGINT NOT NULL,
+            |  end_snapshot BIGINT)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_macro_impl(
+            |  macro_id BIGINT NOT NULL,
+            |  impl_index BIGINT NOT NULL,
+            |  dialect VARCHAR(32) NOT NULL,
+            |  body VARCHAR(8000) NOT NULL,
+            |  macro_type VARCHAR(16) NOT NULL)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE ducklake_macro_parameters(
+            |  macro_id BIGINT NOT NULL,
+            |  impl_index BIGINT NOT NULL,
+            |  param_index BIGINT NOT NULL,
+            |  param_name VARCHAR(1024) NOT NULL,
+            |  param_type VARCHAR(256) NOT NULL,
+            |  default_value VARCHAR(4000),
+            |  default_value_type VARCHAR(256) NOT NULL)""".stripMargin)
+      } finally st.close()
+    }
     // catalogs bootstrapped before add_files: mapping tables + column
     val hasMappings = {
       val rs = conn.getMetaData.getTables(null,
@@ -562,7 +604,15 @@ final class MetadataStore(dbPath: String,
     pendingCommitInfo = None
   }
 
-  override def close(): Unit = synchronized { conn.close() }
+  override def close(): Unit = synchronized {
+    conn.close()
+    // closing the CONNECTION leaves the embedded database BOOTED with its
+    // page-cache file handles open — shut the database down explicitly or
+    // a long-lived JVM (full test suite, notebook session) exhausts fds.
+    // Derby signals successful shutdown via SQLState 08006.
+    try { DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true"); () }
+    catch { case _: java.sql.SQLException => () }
+  }
 
   // ---------- metadata-catalog SQL surface ----------
 
@@ -1161,7 +1211,9 @@ final class MetadataStore(dbPath: String,
   /** DDL kinds bump the snapshot's schema_version. */
   private val DdlKinds = Set("schemas_created", "schemas_dropped",
     "tables_created", "tables_dropped", "tables_altered",
-    "views_created", "views_dropped", "views_altered")
+    "views_created", "views_dropped", "views_altered",
+    "scalar_macros_created", "scalar_macros_dropped",
+    "table_macros_created", "table_macros_dropped")
 
   /** Merge this statement's pending changes into the snapshot's journal
     * row and stamp schema_version (prev + 1 when the union holds DDL).
@@ -1726,11 +1778,83 @@ final class MetadataStore(dbPath: String,
           rs.getBoolean(5)))
     }.distinct
 
+  // ---------- SQL macros (corpus: tests/sqllogictests/sql/macros/) ----
+
+  /** Create a macro entity (one catalog id) with its implementations —
+    * scalar and table macros are SEPARATE entities that may share a name.
+    */
+  def createMacro(schemaId: Long, schemaName: String, name: String,
+      macroType: String, impls: Seq[MacroImpl]): Long = inSnapshotTxn { snap =>
+    if (liveMacros(snap).exists(m => m.schemaId == schemaId &&
+        m.name.equalsIgnoreCase(name) && m.macroType == macroType))
+      throw new UnsupportedException(
+        (if (macroType == "table") "Table Macro Function" else "Macro Function") +
+          s""" with name "$name" already exists""")
+    val id = nextCatalogId()
+    update("INSERT INTO ducklake_macro VALUES (?, ?, ?, ?, NULL)",
+      Seq(schemaId, id, name, snap))
+    impls.zipWithIndex.foreach { case (impl, i) =>
+      update("INSERT INTO ducklake_macro_impl VALUES (?, ?, 'duckdb', ?, ?)",
+        Seq(id, i.toLong, impl.body, macroType))
+      impl.params.zipWithIndex.foreach { case (p, pi) =>
+        update("INSERT INTO ducklake_macro_parameters VALUES (?, ?, ?, ?, ?, ?, ?)",
+          Seq(id, i.toLong, pi.toLong, p.name, p.ptype, p.default.orNull,
+            p.defaultType))
+      }
+    }
+    // change-map rendering matches the reference exactly:
+    // scalar_macros_created=['main."simple"'] (corpus: test_attach_timetravel)
+    recordChange(s"${macroKind(macroType)}_macros_created", id,
+      "'" + schemaName + ".\"" + name + "\"'")
+    snap
+  }
+
+  private def macroKind(t: String): String =
+    if (t == "table") "table" else "scalar"
+
+  def dropMacro(schemaId: Long, name: String, macroType: String): Long =
+    inSnapshotTxn { snap =>
+      val m = liveMacros(snap).find(m => m.schemaId == schemaId &&
+        m.name.equalsIgnoreCase(name) && m.macroType == macroType)
+        .getOrElse(throw new InternalException(
+          (if (macroType == "table") "Table Function" else "Scalar Function") +
+            s" with name $name does not exist!"))
+      update("UPDATE ducklake_macro SET end_snapshot = ? WHERE macro_id = ? AND end_snapshot IS NULL",
+        Seq(snap, m.macroId))
+      recordChange(s"${macroKind(macroType)}_macros_dropped", m.macroId,
+        m.macroId.toString)
+      snap
+    }
+
+  /** Every macro visible at `snap`, with implementations and params. */
+  def liveMacros(snap: Long): Seq[MacroRec] =
+    query(s"SELECT schema_id, macro_id, macro_name FROM ducklake_macro WHERE $Vis",
+      Seq(snap, snap))(rs => (rs.getLong(1), rs.getLong(2), rs.getString(3)))
+      .map { case (sid, mid, nm) =>
+        val impls = query(
+          "SELECT impl_index, body, macro_type FROM ducklake_macro_impl WHERE macro_id = ? ORDER BY impl_index",
+          Seq(mid))(rs => (rs.getLong(1), rs.getString(2), rs.getString(3)))
+        val params = query(
+          "SELECT impl_index, param_name, param_type, default_value, default_value_type FROM ducklake_macro_parameters WHERE macro_id = ? ORDER BY impl_index, param_index",
+          Seq(mid))(rs => (rs.getLong(1),
+            MacroParam(rs.getString(2), rs.getString(3),
+              Option(rs.getString(4)), rs.getString(5))))
+          .groupBy(_._1)
+        MacroRec(sid, mid, nm,
+          impls.headOption.map(_._3).getOrElse("scalar"),
+          impls.map { case (ii, body, _) =>
+            MacroImpl(params.getOrElse(ii, Nil).map(_._2), body)
+          })
+      }
+
   def dropSchema(schemaId: Long): Long = inSnapshotTxn { snap =>
-    // VIEWS keep a schema alive too (corpus: view/ducklake_view_schema.test
-    // drops the schema only after its view is dropped)
-    if (listTables(schemaId, snap).nonEmpty || listViews(schemaId, snap).nonEmpty)
-      throw new UnsupportedException("schema is not empty")
+    // VIEWS and MACROS keep a schema alive too (corpus:
+    // view/ducklake_view_schema.test, macros/test_macro_transactions.test
+    // — DROP without CASCADE refuses while any object remains)
+    if (listTables(schemaId, snap).nonEmpty || listViews(schemaId, snap).nonEmpty ||
+        liveMacros(snap).exists(_.schemaId == schemaId))
+      throw new UnsupportedException(
+        "schema is not empty - use CASCADE to drop it and its objects")
     update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
     recordChange("schemas_dropped", schemaId, schemaId.toString)
@@ -1752,6 +1876,8 @@ final class MetadataStore(dbPath: String,
       recordChange("tables_dropped", t.tableId, t.tableId.toString)
     }
     update("UPDATE ducklake_view SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
+      Seq(snap, schemaId))
+    update("UPDATE ducklake_macro SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))
     update("UPDATE ducklake_schema SET end_snapshot = ? WHERE schema_id = ? AND end_snapshot IS NULL",
       Seq(snap, schemaId))

@@ -84,7 +84,7 @@ class DuckLakeSparkCatalog extends CatalogPlugin with TableCatalog
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") DuckLakeBucketFunction
-    else throw new UnsupportedOperationException(s"function: ${ident.name()}")
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- maintenance procedures: CALL <catalog>.system.<proc>(…) ----
 
@@ -510,6 +510,12 @@ object DuckLakeSparkCatalog {
     */
   def adopt(lake: DuckLake): Unit =
     lakes.put((lake.metaDbPath, lake.dataPath), lake)
+
+  /** Remove one adopted handle (callers that close per-test catalogs must
+    * also unregister them, or the registry pins the closed connection).
+    */
+  def forget(lake: DuckLake): Unit =
+    lakes.remove((lake.metaDbPath, lake.dataPath), lake)
 }
 
 /** DSv1 `Filter` → `Column` translation for the SQL DELETE path (the

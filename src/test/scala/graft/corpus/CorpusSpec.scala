@@ -37,13 +37,13 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val corpusRoot = "/root/reference/tests/sqllogictests/sql"
   private val dirs = Seq("add_files", "alter", "attach", "audit", "catalog",
-    "cleanup", "comments", "compaction", "concurrent", "constraints",
-    "data_inlining", "default", "delete", "encryption", "functions",
-    "general", "initialize", "insert", "issues", "list_files", "merge",
-    "metadata", "partitioning", "remove_orphans", "rewrite_data_files",
-    "rowid", "schema_evolution", "snapshot_info", "stats", "table_changes",
-    "time_travel", "transaction", "types", "update", "view",
-    "virtualcolumns")
+    "checkpoint", "cleanup", "comments", "compaction", "concurrent",
+    "constraints", "data_inlining", "default", "delete", "encryption",
+    "functions", "general", "initialize", "insert", "issues", "list_files",
+    "macros", "merge", "metadata", "partitioning", "remove_orphans",
+    "rewrite_data_files", "rowid", "schema_evolution", "settings",
+    "snapshot_info", "stats", "table_changes", "time_travel", "transaction",
+    "types", "update", "view", "virtualcolumns")
 
   test("reference sqllogictest corpus: >=30 files pass end to end") {
     assume(Files.isDirectory(Paths.get(corpusRoot)), "reference corpus not present")

@@ -210,6 +210,8 @@ final class SqlLogicRunner(spark: SparkSession) {
   // ---------------- execution ----------------
 
   private var lake: DuckLake = null
+  // every lake THIS runner attached (closed + unregistered per file)
+  private val openedLakes = scala.collection.mutable.ArrayBuffer.empty[DuckLake]
   // tagged (conN) transactions replay sequentially when legal — set per
   // file before parsing
   private var seqTxns: Boolean = false
@@ -258,7 +260,17 @@ final class SqlLogicRunner(spark: SparkSession) {
       l.replace("__TEST_DIR__", testDir)
     }.toSeq
 
+    // the previous file's catalog connections would otherwise leak until
+    // the JVM's fd limit (each embedded-Derby db holds many handles; a
+    // full-suite run attaches hundreds of catalogs) — close and
+    // unregister exactly the lakes THIS runner opened
+    openedLakes.foreach { l =>
+      graft.lake.connector.DuckLakeSparkCatalog.forget(l)
+      try l.close() catch { case _: Exception => () }
+    }
+    openedLakes.clear()
     lake = null
+    macroCache = (null, -1L, Nil)
     variables.clear()
     duckSettings.clear()
     val verbose = sys.props.contains("sltVerbose")
@@ -291,6 +303,7 @@ final class SqlLogicRunner(spark: SparkSession) {
             val binderError =
               e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
                 e.isInstanceOf[graft.lake.DuckLakeException]
+            if (verbose) println(s"[slt]   error class: ${e.getClass.getName}: ${trim(e.getMessage)}")
             if (lake != null && !binderError) lake.abortTransaction()
         }
       case Query(types, rowsort, sql, expected) =>
@@ -446,6 +459,146 @@ final class SqlLogicRunner(spark: SparkSession) {
     """(?is)CALL\s+(?:ducklake_)?delete_orphaned_files\(\s*(.*)\)\s*;?""".r
   private val CommitMsgRe =
     """(?is)CALL\s+(?:[\w.]+\.)?set_commit_message\(\s*(.*)\)\s*;?""".r
+  private val CreateMacroRe =
+    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([\w."]+)\s*(\(.*)""".r
+  private val DropMacroRe =
+    """(?is)DROP\s+MACRO\s+(TABLE\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s*;?\s*""".r
+
+  /** Resolve a macro's (schemaId, schemaName) from its qualified name. */
+  private def macroSchema(qname: String): (Long, String, String) = {
+    val parts = qname.split('.').toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\""))
+    val noCat = if (parts.length > 1 && (parts.head.equalsIgnoreCase(catalogAlias) ||
+      parts.head.equalsIgnoreCase(physAlias))) parts.tail else parts
+    val (schName, name) = noCat match {
+      case Seq(n)    => (currentLakeSchema(), n)
+      case Seq(s, n) => (s, n)
+      case other     => (other.init.last, other.last)
+    }
+    val sch = lake.store.getSchemaByName(schName, lake.currentSnapshot)
+      .getOrElse(throw new RuntimeException(s"no such schema: $schName"))
+    (sch.schemaId, schName, name)
+  }
+
+  /** The lake schema bare names resolve in (after `USE ducklake[.sch]`). */
+  private def currentLakeSchema(): String =
+    try {
+      if (spark.catalog.currentCatalog().equalsIgnoreCase(physAlias))
+        spark.catalog.currentDatabase
+      else "main"
+    } catch { case _: Exception => "main" }
+
+  /** Parse `(params) AS body[, (params) AS body …]` overload lists;
+    * `AS TABLE <query>` bodies are single-implementation.
+    */
+  private def parseMacroImpls(tail0: String): (String, Seq[graft.lake.MacroImpl]) = {
+    val tail = tail0.trim.stripSuffix(";").trim
+    val isTable = """(?is)\bAS\s+TABLE\b""".r.findFirstIn(tail).isDefined
+    val pieces = if (isTable) Seq(tail) else splitArgs(tail)
+    val implRe = """(?is)^\((.*?)\)\s*AS\s+(?:TABLE\s+)?(.*)$""".r
+    val impls = pieces.map {
+      case implRe(params, body) =>
+        val ps = splitArgs(params).map { p0 =>
+          val p = p0.trim
+          val (decl, default) = p.split(":=") match {
+            case Array(d)    => (d.trim, None)
+            case Array(d, v) => (d.trim, Some(v.trim))
+          }
+          val (pname, ptype) = decl.split("\\s+") match {
+            case Array(n)    => (n, "unknown")
+            case Array(n, t) => (n, graft.lake.TypeBridge.normalize(t))
+          }
+          val defType = default.map { v =>
+            if (v.matches("[-+]?\\d+")) "int32"
+            else if (v.matches("[-+]?\\d*\\.\\d+")) "float64"
+            else if (v.startsWith("'")) "varchar" else "unknown"
+          }.getOrElse("unknown")
+          graft.lake.MacroParam(pname, ptype,
+            default.map(_.stripPrefix("'").stripSuffix("'")), defType)
+        }
+        graft.lake.MacroImpl(ps,
+          MacroSyntax.renderBody(body, isTable))
+      case other => throw new SkipFile(s"macro overload shape: ${other.take(60)}")
+    }
+    (if (isTable) "table" else "scalar", impls)
+  }
+
+  /** Macros visible at the session's (possibly pinned) snapshot —
+    * cached per (lake, snapshot): translate() runs many times per
+    * statement and the defs only change on DDL.
+    */
+  private var macroCache: (AnyRef, Long, Seq[(String, graft.lake.MacroRec)]) =
+    (null, -1L, Nil)
+
+  private def macroDefs(): Seq[(String, graft.lake.MacroRec)] =
+    if (lake == null) Nil
+    else {
+      val snap = pinnedSnapshot.getOrElse(lake.currentSnapshot)
+      if ((macroCache._1 eq lake) && macroCache._2 == snap) macroCache._3
+      else {
+        val schemas = lake.store.listSchemas(snap).map(s => s.schemaId -> s.name).toMap
+        val defs = lake.store.liveMacros(snap).map(m =>
+          schemas.getOrElse(m.schemaId, "main") -> m)
+        macroCache = (lake, snap, defs)
+        defs
+      }
+    }
+
+  private var macroAlias = 0
+
+  /** Expand macro INVOCATIONS textually: scalar calls become their
+    * parenthesized bodies with arguments substituted, table-macro calls
+    * become derived tables (DuckDB binds macros by inlining too).
+    */
+  private def expandMacros(sql0: String): String = {
+    val defs = macroDefs()
+    if (defs.isEmpty) return sql0
+    var s = sql0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 20) {
+      guard += 1
+      changed = false
+      defs.foreach { case (schName, m) =>
+        val nameRe = ("(?i)(?<![\\w.\"])((?:" +
+          java.util.regex.Pattern.quote(schName) + "\\.)?" +
+          java.util.regex.Pattern.quote(m.name) + ")\\s*\\(").r
+        nameRe.findFirstMatchIn(s).foreach { mt =>
+          var depth = 1; var j = mt.end; var q = false
+          while (j < s.length && depth > 0) {
+            val c = s.charAt(j)
+            if (c == '\'') q = !q
+            else if (!q && c == '(') depth += 1
+            else if (!q && c == ')') depth -= 1
+            j += 1
+          }
+          val argsText = s.substring(mt.end, j - 1)
+          val args = if (argsText.trim.isEmpty) Nil else splitArgs(argsText)
+          // pick the implementation by arity (defaults fill the tail)
+          m.impls.find(impl => args.size <= impl.params.size &&
+            args.size >= impl.params.count(_.default.isEmpty)) match {
+            case Some(impl) =>
+              var body = impl.body
+              impl.params.zipWithIndex.foreach { case (p, pi) =>
+                val v = args.lift(pi).getOrElse(p.default.getOrElse("NULL"))
+                body = ("(?i)(?<![\\w.\"'])" +
+                  java.util.regex.Pattern.quote(p.name) + "\\b").r
+                  .replaceAllIn(body,
+                    java.util.regex.Matcher.quoteReplacement(s"($v)"))
+              }
+              macroAlias += 1
+              val replacement =
+                if (m.macroType == "table") s"($body) __slt_mac$macroAlias"
+                else s"($body)"
+              s = s.substring(0, mt.start) + replacement + s.substring(j)
+              changed = true
+            case None => () // arity mismatch: leave for the engine to reject
+          }
+        }
+      }
+    }
+    s
+  }
   private val ExpireCallRe =
     """(?is)CALL\s+(?:ducklake_)?expire_snapshots\(\s*(.*)\)\s*;?""".r
   private val FlushCallRe =
@@ -637,6 +790,7 @@ final class SqlLogicRunner(spark: SparkSession) {
         metadataSchema = metaSchema,
         encrypted = Option(opts).exists(o =>
           """(?i)\bENCRYPTED\b""".r.findFirstIn(o).isDefined))
+      openedLakes += lake
       metaAlias = Option(opts).flatMap(o =>
         """METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
           .map(_.group(1).replace("''", "'")))
@@ -758,6 +912,18 @@ final class SqlLogicRunner(spark: SparkSession) {
     case MergeAdjRe(body) => runMergeAdjacent(body)
     case CleanupCallRe(body) => runCleanup(body)
     case OrphanCallRe(body) => runOrphans(body)
+    case CreateMacroRe(qname, tail) if lake != null =>
+      val (schemaId, schemaName, name) = macroSchema(qname)
+      val (mtype, impls) = parseMacroImpls(tail)
+      // txn-local DDL reuses the open snapshot — the cache key can't
+      // tell, so macro DDL always invalidates
+      macroCache = (null, -1L, Nil)
+      lake.store.createMacro(schemaId, schemaName, name, mtype, impls)
+    case DropMacroRe(tbl, qname) if lake != null =>
+      val (schemaId, _, name) = macroSchema(qname)
+      macroCache = (null, -1L, Nil)
+      lake.store.dropMacro(schemaId, name,
+        if (tbl != null) "table" else "scalar")
     case CommitMsgRe(body) =>
       // set_commit_message(author, message[, extra_info => '...']):
       // audit info for the NEXT committed snapshot
@@ -1930,7 +2096,8 @@ final class SqlLogicRunner(spark: SparkSession) {
   private[corpus] def translate(sql0: String): String = {
     var s = convertStructLiterals(convertMapLiterals(convertIndexAccess(
       convertListLiterals(convertMapFromArrays(convertArraySuffix(
-        convertMapTypes(convertStructTypes(convertQuotedIdents(substVars(sql0))))))))))
+        convertMapTypes(convertStructTypes(convertQuotedIdents(
+          expandMacros(substVars(sql0)))))))))))
     // FROM-first queries: `FROM t …` → `SELECT * FROM t …`
     if (s.trim.toUpperCase.startsWith("FROM ")) s = "SELECT * " + s.trim
     // `ORDER BY ALL`: row order is irrelevant — results compare as
