@@ -22,10 +22,23 @@ import org.apache.spark.sql.types._
   */
 final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPath: String,
     encrypted: Boolean = false, val inlineRowLimit: Int = 0,
-    metadataSchema: Option[String] = None) {
+    metadataSchema: Option[String] = None,
+    overrideDataPath: Boolean = false) {
   import graft.lake.crypto.GraftCryptoFactory
 
   val store = new MetadataStore(metaDbPath, metadataSchema)
+  // a catalog is bound to ONE data path; re-attaching with another is an
+  // error unless explicitly overridden (never persisted — corpus:
+  // attach/different_paths.test)
+  if (!overrideDataPath)
+    store.getMetadata("data_path")
+      .filter(_.stripSuffix("/") != dataPath.stripSuffix("/"))
+      .foreach { stored =>
+        store.close()
+        throw new InvalidConfigException(
+          s"given DATA_PATH '$dataPath' does not match existing data path " +
+            s"in the catalog ('$stored'); set OVERRIDE_DATA_PATH to use it anyway")
+      }
 
   // physically unlink files that died inside an open transaction (written
   // and dropped/superseded before any snapshot could expose them) — only
@@ -1533,7 +1546,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         val c = colById(e.columnId)
         hivePathValue(pathStr, e.sourceName) match {
           case Some(raw) =>
-            val canon = FileStats.canonicalPartition(TypeBridge.toSpark(c.dtype), raw)
+            val sparkT = TypeBridge.toSpark(c.dtype)
+            val canon = FileStats.canonicalPartition(sparkT, raw)
+            // a hive value of a parseable type that fails to parse is a
+            // TYPE mismatch, not a missing stat (corpus:
+            // add_files/add_files_hive_mismatch.test); exotic partition
+            // types never canonicalize and are not errors
+            val parseable = sparkT match {
+              case ByteType | ShortType | IntegerType | LongType |
+                   BooleanType | DateType | FloatType | DoubleType => true
+              case _ => false
+            }
+            if (canon.isEmpty && parseable)
+              throw new UnsupportedTypeException(
+                s"""Failed to add data files: hive value "$raw" of partition column "${c.name}" cannot be cast to the column type ${c.dtype}""")
             ColumnStatRec(c.name, rc, Some(0L), canon, canon)
           case None =>
             if (!c.nullsAllowed)
@@ -1968,7 +1994,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * transaction it is a no-op (DuckDB checkpoints skip active txns).
     */
   def checkpoint(): Unit = {
-    if (store.inTransaction) return
+    if (store.inTransaction) { store.noteCheckpointDuringTransaction(); return }
     flushInlinedScope(None, None)
     val snap = store.currentSnapshot
     for {
@@ -2095,6 +2121,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   def rewriteFiles(name: String, minDeleteRatio: Double = 0.1,
       smallFileBytes: Long = 0L): Long = {
+    if (minDeleteRatio < 0 || minDeleteRatio > 1)
+      throw new InvalidConfigException(
+        "The delete_threshold option must be between 0 and 1")
     val snap = store.currentSnapshot
     val tr = resolveTable(name, snap)
     val cols = store.getTableColumns(tr.tableId, snap)
@@ -3074,7 +3103,10 @@ object DuckLake {
     * `{tables_created=[main.a], tables_inserted_into=[1]}`.
     */
   def renderChanges(entries: Seq[(String, String)]): String = {
-    val grouped = entries.groupBy(_._1).toSeq
+    // `_`-prefixed kinds are INTERNAL journal entries (physical
+    // reorganization intents the conflict detector consumes) — DuckDB's
+    // snapshots() never shows reorganizations, so neither do we
+    val grouped = entries.filterNot(_._1.startsWith("_")).groupBy(_._1).toSeq
       .sortBy { case (k, _) => ChangeKindOrder.getOrElse(k, 99) }
       .map { case (k, vs) => s"$k=[${vs.map(_._2).distinct.mkString(", ")}]" }
     grouped.mkString("{", ", ", "}")

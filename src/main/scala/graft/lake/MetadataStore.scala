@@ -60,6 +60,13 @@ object ColumnDefaults {
   */
 final case class FileSegment(beginSnapshot: Long, startPos: Long,
     rowCount: Long, rowIdStart: Option[Long])
+/** One optimistic-commit intent, in journal vocabulary — the conflict
+  * check compares a transaction's intents against everything committed
+  * since its base snapshot (corpus: transaction/transaction_conflicts*).
+  */
+final case class TxnIntent(kind: String, entityId: Option[Long] = None,
+    name: Option[String] = None, schemaId: Option[Long] = None,
+    schemaName: Option[String] = None)
 /** SQL macro records (corpus: tests/sqllogictests/sql/macros/). */
 final case class MacroParam(name: String, ptype: String,
     default: Option[String], defaultType: String)
@@ -1023,7 +1030,19 @@ final class MetadataStore(dbPath: String,
     conn.setAutoCommit(false)
     txnOpen = true
     txnAborted = false
+    txnCheckpointed = false
     openTxnSnap = None
+  }
+
+  /** A CHECKPOINT ran while this transaction was open: the maintenance
+    * actor may have rewritten the very files the transaction deleted
+    * from — its COMMIT then conflicts (reference:
+    * checkpoint/checkpoint_updates_interleaved.test; inserts never
+    * conflict with reorganization).
+    */
+  private var txnCheckpointed = false
+  def noteCheckpointDuringTransaction(): Unit = synchronized {
+    if (txnOpen) txnCheckpointed = true
   }
 
   /** A failed statement ABORTS the open transaction (DuckDB semantics for
@@ -1100,6 +1119,20 @@ final class MetadataStore(dbPath: String,
             Seq(prevVersion + (if (net.exists(e => DdlKinds(e._1))) 1L else 0L), snap))
         }
       }
+      if (txnCheckpointed && openTxnSnap.exists { snap =>
+        parseChanges(query(
+          "SELECT changes_made FROM ducklake_snapshot_changes WHERE snapshot_id = ?",
+          Seq(snap))(_.getString(1)).headOption.getOrElse(""))
+          .exists(_._1 == "tables_deleted_from")
+      }) {
+        conn.rollback(); conn.setAutoCommit(true)
+        txnOpen = false; txnAborted = false; openTxnSnap = None
+        txnCheckpointed = false
+        throw new UnsupportedException(
+          "Transaction conflict: a CHECKPOINT reorganized files this " +
+            "transaction deleted from")
+      }
+      txnCheckpointed = false
       if (openTxnSnap.isDefined && commitInfoMissing()) {
         conn.rollback(); conn.setAutoCommit(true)
         txnOpen = false; txnAborted = false; openTxnSnap = None
@@ -1346,6 +1379,11 @@ final class MetadataStore(dbPath: String,
     }
     val schema = getOrCreateSchema(schemaName, snap)
     val table = getTableByName(schema.schemaId, tableName, snap).getOrElse {
+      // tables and views share one namespace (corpus:
+      // transaction/create_conflict.test)
+      if (getView(schema.schemaId, tableName, snap).isDefined)
+        throw new UnsupportedException(
+          s"""an entity with name "$tableName" already exists""")
       // reference numbering: table ids start at 1 (snapshot 0 = empty catalog)
       val id = nextCatalogId()
       val seg = PathResolver.safeSegment(tableName)
@@ -1778,6 +1816,91 @@ final class MetadataStore(dbPath: String,
           rs.getBoolean(5)))
     }.distinct
 
+  // ---------- optimistic commit-conflict detection --------------------
+  //
+  // DuckLake's multi-writer model: transactions work against a BASE
+  // snapshot and publish at commit; the publisher compares its intents
+  // with everything committed since the base and aborts on conflicting
+  // pairs (corpus: transaction/transaction_conflicts*.test,
+  // compaction/compaction_delete_conflict.test). The rules live here so
+  // any coordinator (the SQL frontend, an external writer, the corpus
+  // replayer) can ask the same question.
+
+  /** Journal entries of every snapshot committed AFTER `base`. */
+  def changesSince(base: Long): Seq[(String, String)] =
+    query(
+      """SELECT c.changes_made FROM ducklake_snapshot_changes c
+        |WHERE c.snapshot_id > ?""".stripMargin, Seq(base))(_.getString(1))
+      .flatMap(parseChanges).map(e => (e._1, e._3))
+
+  /** Conflicting committed entries for a transaction with `intents`
+    * based at snapshot `base` (empty = safe to publish). Intents use the
+    * journal vocabulary; `entityId`/`name` address the touched object,
+    * `schemaName` scopes creations for drop-schema conflicts.
+    */
+  def commitConflicts(base: Long, intents: Seq[TxnIntent]): Seq[String] = {
+    val committed = changesSince(base)
+    def has(kinds: Seq[String], value: String): Boolean =
+      committed.exists(c => kinds.contains(c._1) && c._2 == value)
+    def hasId(kinds: Seq[String], id: Option[Long]): Boolean =
+      id.exists(i => has(kinds, i.toString))
+    def createdIn(schemaName: String): Boolean =
+      committed.exists(c =>
+        Seq("tables_created", "views_created").contains(c._1) &&
+          c._2.startsWith(schemaName + "."))
+    intents.flatMap { in =>
+      val hit = in.kind match {
+        case "tables_created" | "views_created" =>
+          in.name.exists(n => has(Seq("tables_created", "views_created"), n)) ||
+            hasId(Seq("schemas_dropped"), in.schemaId)
+        case "tables_dropped" =>
+          hasId(Seq("tables_dropped", "tables_altered"), in.entityId)
+        case "tables_altered" =>
+          hasId(Seq("tables_altered", "tables_dropped"), in.entityId)
+        case "tables_inserted_into" =>
+          hasId(Seq("tables_dropped", "tables_altered"), in.entityId)
+        case "tables_deleted_from" =>
+          hasId(Seq("tables_deleted_from", "tables_dropped", "tables_altered",
+            "_files_compacted", "_files_rewritten", "flushed_inlined"), in.entityId)
+        case "schemas_created" =>
+          in.name.exists(n => has(Seq("schemas_created"), n))
+        case "schemas_dropped" =>
+          hasId(Seq("schemas_dropped"), in.entityId) ||
+            in.name.exists(createdIn)
+        case "views_dropped" | "views_altered" =>
+          hasId(Seq("views_dropped", "views_altered"), in.entityId)
+        case "scalar_macros_created" | "table_macros_created" =>
+          in.name.exists(n => has(Seq(in.kind), n))
+        case "scalar_macros_dropped" | "table_macros_dropped" =>
+          hasId(Seq("scalar_macros_dropped", "table_macros_dropped"), in.entityId)
+        case "flushed_inlined" =>
+          hasId(Seq("flushed_inlined", "tables_deleted_from", "_files_compacted",
+            "inlined_insert"), in.entityId) ||
+            (in.entityId.isEmpty && committed.exists(c =>
+              Seq("flushed_inlined", "tables_deleted_from", "_files_compacted",
+                "inlined_insert").contains(c._1)))
+        case "_files_compacted" =>
+          hasId(Seq("_files_compacted", "tables_deleted_from", "_files_rewritten"),
+            in.entityId) ||
+            // whole-catalog compaction conflicts with any of those
+            (in.entityId.isEmpty && committed.exists(c =>
+              Seq("_files_compacted", "tables_deleted_from", "_files_rewritten")
+                .contains(c._1)))
+        case "_files_rewritten" =>
+          hasId(Seq("_files_rewritten", "tables_deleted_from", "_files_compacted"),
+            in.entityId) ||
+            (in.entityId.isEmpty && committed.exists(c =>
+              Seq("_files_rewritten", "tables_deleted_from", "_files_compacted")
+                .contains(c._1)))
+        case _ => false
+      }
+      if (hit)
+        Some(s"Transaction conflict: ${in.kind} on " +
+          in.name.orElse(in.entityId.map(_.toString)).getOrElse("catalog"))
+      else None
+    }
+  }
+
   // ---------- SQL macros (corpus: tests/sqllogictests/sql/macros/) ----
 
   /** Create a macro entity (one catalog id) with its implementations —
@@ -1929,6 +2052,11 @@ final class MetadataStore(dbPath: String,
     PathResolver.validateName(name)
     if (getView(schemaId, name, snap).isDefined)
       throw new UnsupportedException(s"view already exists: $name")
+    // tables and views share one namespace (corpus:
+    // transaction/create_conflict.test)
+    if (getTableByName(schemaId, name, snap).isDefined)
+      throw new UnsupportedException(
+        s"""an entity with name "$name" already exists""")
     val id = nextCatalogId()
     update("INSERT INTO ducklake_view VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
       Seq(id, schemaId, name, sqlText, currentCatalog, currentNamespace,
@@ -2232,8 +2360,10 @@ final class MetadataStore(dbPath: String,
         val mark = pendingChanges.size
         registerWrite(snap, TableWriteSpec(schemaName, tableName, cols,
           WriteMode.Append, newFiles))
-        // not a user-visible change: the rewrite snapshot renders {}
+        // not a user-visible change: the rewrite snapshot renders {} —
+        // but the conflict detector still sees the reorganization
         pendingChanges.remove(mark, pendingChanges.size - mark)
+        recordChange("_files_rewritten", tid, tid.toString)
         newFiles.foreach { f =>
           update("UPDATE ducklake_data_file SET begin_snapshot = ? WHERE table_id = ? AND path = ? AND end_snapshot IS NULL",
             Seq(backSnap, tid, f.path))
@@ -2314,6 +2444,10 @@ final class MetadataStore(dbPath: String,
         statColIds) =>
     val schema = getSchemaByName(schemaName, snap)
       .getOrElse(throw new SchemaNotFoundException(schemaName))
+    // internal journal entry (never rendered): compactions conflict with
+    // concurrent deletes/compactions of the same table
+    getTableByName(schema.schemaId, tableName, snap).foreach(t =>
+      recordChange("_files_compacted", t.tableId, t.tableId.toString))
     val table = getTableByName(schema.schemaId, tableName, snap)
       .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
     val colIds = statColIds
@@ -2725,6 +2859,7 @@ final class MetadataStore(dbPath: String,
     */
   def renameColumn(tableId: Long, oldName: String, newName: String): Long =
     inSnapshotTxn { snap =>
+      forbidTxnLocalInlined(tableId)
       PathResolver.validateName(newName)
       val cols = getTableColumns(tableId, snap)
       val c = cols.find(_.name == oldName).getOrElse(
@@ -2739,6 +2874,20 @@ final class MetadataStore(dbPath: String,
       snap
     }
 
+  /** ALTERing a table that holds TRANSACTION-LOCAL inlined rows is
+    * rejected — the inlined JSON was encoded under the pre-ALTER shape
+    * inside this very transaction (reference:
+    * data_inlining/data_inlining_transaction_local_alter.test).
+    */
+  private def forbidTxnLocalInlined(tableId: Long): Unit =
+    openTransactionSnapshot.foreach { snap =>
+      val n = query(
+        "SELECT COUNT(*) FROM ducklake_inlined_data WHERE table_id = ? AND begin_snapshot = ?",
+        Seq(tableId, snap))(_.getLong(1)).headOption.getOrElse(0L)
+      if (n > 0) throw new UnsupportedException(
+        "cannot ALTER a table with transaction-local inlined data")
+    }
+
   /** Add a nullable column (files written earlier read it as null via the
     * epoch projection). A fresh column_id is allocated past every id the
     * table ever used, so dropped ids are never reused.
@@ -2746,6 +2895,7 @@ final class MetadataStore(dbPath: String,
   def addColumn(tableId: Long, name: String, dtype: String,
       initialDefault: Option[String] = None, nullsAllowed: Boolean = true): Long =
     inSnapshotTxn { snap =>
+      forbidTxnLocalInlined(tableId)
       PathResolver.validateName(name)
       // ADD COLUMN NOT NULL needs a default: existing rows would otherwise
       // read NULL in violation (reference: constraints/not_null.test)

@@ -73,6 +73,9 @@ final class SqlLogicRunner(spark: SparkSession) {
         Some("id arithmetic tied to the reference writer's physical file sizes")
       else if (file.toString.endsWith("add_files_complex_nested_stats_mre.test"))
         Some("unsigned widths inside NESTED structs (top-level only here)")
+      else if (file.toString.endsWith("transaction_conflict_cleanup.test"))
+        Some("observes transaction-local files ON DISK mid-interleaving " +
+          "(buffered optimistic replay stages nothing before COMMIT)")
       else if (file.toString.endsWith("settings/parquet_compression.test"))
         Some("expected footer ENCODINGS are DuckDB-writer-specific " +
           "(parquet-mr v2 encodes BINARY as DELTA_BYTE_ARRAY, not " +
@@ -103,9 +106,10 @@ final class SqlLogicRunner(spark: SparkSession) {
   // ---------------- record parsing ----------------
 
   private sealed trait Record
-  private case class Statement(sql: String, expectError: Option[String]) extends Record
+  private case class Statement(sql: String, expectError: Option[String],
+      conn: Option[String] = None) extends Record
   private case class Query(types: String, rowsort: Boolean, sql: String,
-      expected: Seq[String]) extends Record
+      expected: Seq[String], conn: Option[String] = None) extends Record
 
   private def parseRecords(lines: Seq[String]): Seq[Record] = {
     val out = Seq.newBuilder[Record]
@@ -137,34 +141,44 @@ final class SqlLogicRunner(spark: SparkSession) {
       else if (line == "mode unskip") { i += 1 }
       else if (line == "statement ok" || line.matches("statement ok con\\d+")) {
         // a connection-tagged statement OUTSIDE any transaction is just a
-        // sequential statement. Interleaved transactions replay
+        // sequential statement. Interleaved transactions either replay
         // SEQUENTIALLY (each tagged BEGIN/COMMIT dropped) when nothing
-        // in the file observes the interleaving — no tagged queries, no
-        // expected conflict errors; otherwise the file skips.
+        // in the file observes the interleaving, or — when the file
+        // expects COMMIT conflicts — through the buffered
+        // optimistic-replay mode (conn tags preserved).
         i += 1
+        val conn = if (line == "statement ok") None else Some(line.split("\\s+").last)
         val sql = collectSql()
         val bare = sql.trim.stripSuffix(";").trim.toUpperCase
-        if (line != "statement ok" &&
+        if (conn.isDefined &&
             (bare.startsWith("BEGIN") || bare == "COMMIT" || bare == "ROLLBACK" ||
               bare == "ABORT")) {
-          if (!seqTxns)
+          if (interleaved) out += Statement(sql, None, conn)
+          else if (!seqTxns)
             throw new SkipFile("interleaved multi-connection transactions")
-          // dropped: sequential replay commits every statement directly
-        } else out += Statement(sql, None)
+          // else dropped: sequential replay commits every statement directly
+        } else out += Statement(sql, None, if (interleaved) conn else None)
         collectExpected() // tolerated trailing block
-      } else if (line == "statement error") {
+      } else if (line == "statement error" || line.matches("statement error con\\d+")) {
+        val conn = if (line == "statement error") None else Some(line.split("\\s+").last)
         i += 1
         val sql = collectSql()
         val exp = collectExpected()
-        out += Statement(sql, Some(exp.mkString("\n")))
+        if (conn.isDefined && !interleaved)
+          throw new SkipFile("interleaved multi-connection transactions")
+        out += Statement(sql, Some(exp.mkString("\n")), conn)
       } else if (line.startsWith("statement maybe")) {
         i += 1; collectSql(); collectExpected() // either outcome accepted
       } else if (line.startsWith("query")) {
         val parts = line.split("\\s+")
         val types = if (parts.length > 1) parts(1) else ""
         val rowsort = parts.contains("rowsort")
+        val conn = parts.find(_.matches("con\\d+"))
+        if (conn.isDefined && !interleaved)
+          throw new SkipFile("interleaved multi-connection transactions")
         i += 1
-        out += Query(types, rowsort, collectSql(), collectExpected())
+        out += Query(types, rowsort, collectSql(), collectExpected(),
+          if (interleaved) conn else None)
       } else if (line.startsWith("foreach")) {
         // expand foreach VAR v1 v2 … / endloop
         val parts = line.split("\\s+")
@@ -215,6 +229,8 @@ final class SqlLogicRunner(spark: SparkSession) {
   // tagged (conN) transactions replay sequentially when legal — set per
   // file before parsing
   private var seqTxns: Boolean = false
+  // conflict-observing files replay through the buffered optimistic mode
+  private var interleaved: Boolean = false
   private var catalogAlias: String = "ducklake"
   // SET VARIABLE name = <scalar or list> (DuckDB session variables)
   private val variables = scala.collection.mutable.Map.empty[String, Any]
@@ -231,12 +247,119 @@ final class SqlLogicRunner(spark: SparkSession) {
   // ATTACH binds a FRESH physical alias; `translate` rewrites references
   private var physAlias: String = "ducklake"
 
+  /** Journal-vocabulary intents of one buffered statement — the store's
+    * commit-conflict check consumes these. Entity ids resolve at the
+    * transaction's BASE snapshot (the state it logically ran against).
+    */
+  private def intentsOf(sql0: String, base: Long): Seq[graft.lake.TxnIntent] = {
+    if (lake == null) return Nil
+    import graft.lake.TxnIntent
+    val s = substVars(sql0).trim.stripSuffix(";").trim
+    def resolve(ref: String): (String, String) =
+      lakeTableName(ref).split('.') match {
+        case Array(a, b) => (a, b); case other => ("main", other.last)
+      }
+    def schemaIdOf(n: String): Option[Long] =
+      lake.store.getSchemaByName(n, base).map(_.schemaId)
+    def tableIdOf(ref: String): Option[Long] = {
+      val (sn, tn) = resolve(ref)
+      for {
+        sch <- lake.store.getSchemaByName(sn, base)
+        t <- lake.store.getTableByName(sch.schemaId, tn, base)
+      } yield t.tableId
+    }
+    def viewIdOf(ref: String): Option[Long] = {
+      val (sn, vn) = resolve(ref)
+      lake.store.getSchemaByName(sn, base).flatMap(sch =>
+        lake.store.listViewsFull(sch.schemaId, base)
+          .find(_._2.equalsIgnoreCase(vn)).map(_._1))
+    }
+    def named(ref: String): String = {
+      val (sn, tn) = resolve(ref); s"$sn.$tn"
+    }
+    val CreateTbl = """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+).*""".r
+    val CreateView = """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w."]+).*""".r
+    val CreateSch = """(?is)^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+).*""".r
+    val DropSch = """(?is)^DROP\s+SCHEMA\s+([\w."]+).*""".r
+    val DropTbl = """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+).*""".r
+    val DropView = """(?is)^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w."]+).*""".r
+    val AlterTbl = """(?is)^ALTER\s+TABLE\s+([\w."]+).*""".r
+    val AlterView = """(?is)^ALTER\s+VIEW\s+([\w."]+).*""".r
+    val Ins = """(?is)^INSERT\s+INTO\s+([\w."]+).*""".r
+    val Del = """(?is)^(?:DELETE\s+FROM|TRUNCATE(?:\s+TABLE)?|UPDATE|MERGE\s+INTO)\s+([\w."]+).*""".r
+    val CommentView = """(?is)^COMMENT\s+ON\s+VIEW\s+([\w."]+).*""".r
+    val CommentTbl = """(?is)^COMMENT\s+ON\s+(?:TABLE|COLUMN)\s+([\w."]+).*""".r
+    val MergeCall = """(?is).*CALL\s+.*merge_adjacent_files\(([^)]*)\).*""".r
+    val RewriteCall = """(?is).*CALL\s+.*rewrite_data_files\(([^)]*)\).*""".r
+    val FlushCall = """(?is).*CALL\s+.*flush_inlined_data\(([^)]*)\).*""".r
+    def callTable(body: String): Option[Long] = {
+      val (positional, namedArgs) = callArgs(body)
+      namedArgs.get("table_name")
+        .orElse(positional.drop(1).headOption)
+        .orElse(positional.headOption.filterNot(_.equalsIgnoreCase(catalogAlias)))
+        .flatMap(tableIdOf)
+    }
+    s match {
+      case CreateTbl(r) =>
+        val (sn, _) = resolve(r)
+        Seq(TxnIntent("tables_created", name = Some(named(r)),
+          schemaId = schemaIdOf(sn), schemaName = Some(sn)))
+      case CreateView(r) =>
+        val (sn, _) = resolve(r)
+        Seq(TxnIntent("views_created", name = Some(named(r)),
+          schemaId = schemaIdOf(sn), schemaName = Some(sn)))
+      case CreateSch(r) =>
+        Seq(TxnIntent("schemas_created",
+          name = Some(r.split('.').last.replace("\"", ""))))
+      case DropSch(r) =>
+        val n = r.split('.').last.replace("\"", "")
+        Seq(TxnIntent("schemas_dropped", entityId = schemaIdOf(n), name = Some(n)))
+      case DropTbl(r) => Seq(TxnIntent("tables_dropped", entityId = tableIdOf(r)))
+      case DropView(r) => Seq(TxnIntent("views_dropped", entityId = viewIdOf(r)))
+      case AlterView(r) => Seq(TxnIntent("views_altered", entityId = viewIdOf(r)))
+      case AlterTbl(r) => Seq(TxnIntent("tables_altered", entityId = tableIdOf(r)))
+      case CommentView(r) => Seq(TxnIntent("views_altered", entityId = viewIdOf(r)))
+      case CommentTbl(r) =>
+        // COMMENT ON COLUMN t.col — strip the trailing column segment
+        val ref = r
+        Seq(TxnIntent("tables_altered", entityId = tableIdOf(ref)
+          .orElse(tableIdOf(ref.split('.').dropRight(1).mkString(".")))))
+      case Ins(r) => Seq(TxnIntent("tables_inserted_into", entityId = tableIdOf(r)))
+      case Del(r) => Seq(TxnIntent("tables_deleted_from", entityId = tableIdOf(r)))
+      case MergeCall(body) => Seq(TxnIntent("_files_compacted", entityId = callTable(body)))
+      case RewriteCall(body) => Seq(TxnIntent("_files_rewritten", entityId = callTable(body)))
+      case FlushCall(body) => Seq(TxnIntent("flushed_inlined", entityId = callTable(body)))
+      case m if """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s""".r.findFirstIn(m).isDefined =>
+        """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([\w."]+)""".r.findFirstMatchIn(m).toSeq.map { mm =>
+          val (sn, nm) = resolve(mm.group(1))
+          val kind = if ("""(?is)\bAS\s+TABLE\b""".r.findFirstIn(m).isDefined)
+            "table_macros_created" else "scalar_macros_created"
+          TxnIntent(kind, name = Some("'" + sn + ".\"" + nm + "\"'"),
+            schemaId = schemaIdOf(sn), schemaName = Some(sn))
+        }
+      case m if """(?is)^DROP\s+MACRO\s""".r.findFirstIn(m).isDefined =>
+        """(?is)^DROP\s+MACRO\s+(TABLE\s+)?([\w."]+)""".r.findFirstMatchIn(m).toSeq.map { mm =>
+          val (sn, nm) = resolve(mm.group(2))
+          val mtype = if (mm.group(1) != null) "table" else "scalar"
+          val id = schemaIdOf(sn).flatMap(sid =>
+            lake.store.liveMacros(base).find(x => x.schemaId == sid &&
+              x.name.equalsIgnoreCase(nm) && x.macroType == mtype).map(_.macroId))
+          TxnIntent(s"${mtype}_macros_dropped", entityId = id)
+        }
+      case _ => Nil
+    }
+  }
+
   private def runBody(file: Path, raw: String, testDir: String): FileResult = {
     // sequential replay of interleaved transactions is only sound when
     // nothing observes the interleaving: no tagged queries, no tagged
-    // expected-error statements (write-conflict tests)
+    // expected-error statements (write-conflict tests). Files that DO
+    // observe conflicts go through the buffered optimistic-replay mode:
+    // tagged transactions buffer until COMMIT, then publish through the
+    // store's commit-conflict check against their base snapshot.
     seqTxns = !"""(?m)^statement error con\d+""".r.findFirstIn(raw).isDefined &&
       !"""(?m)^query\s+\S*\s*con\d+""".r.findFirstIn(raw).isDefined
+    interleaved = !seqTxns
     // reset session state: previous file may have switched catalogs or
     // left bare-name tables in spark_catalog's default db
     spark.sql("USE spark_catalog.default")
@@ -274,25 +397,27 @@ final class SqlLogicRunner(spark: SparkSession) {
     variables.clear()
     duckSettings.clear()
     val verbose = sys.props.contains("sltVerbose")
-    parseRecords(substituted).foreach { rec =>
+
+    // one record's outcome: None = fine, Some(failure) ends the file
+    def step(rec: Record): Option[FileResult] = {
       if (verbose) rec match {
-        case Statement(sql, exp) => println(s"[slt] stmt(err=${exp.isDefined}): ${firstLine(sql)}")
-        case Query(_, _, sql, _) => println(s"[slt] query: ${firstLine(sql)}")
+        case Statement(sql, exp, c) => println(s"[slt] stmt(err=${exp.isDefined}${c.fold("")(" " + _)}): ${firstLine(sql)}")
+        case Query(_, _, sql, _, c) => println(s"[slt] query${c.fold("")(" " + _)}: ${firstLine(sql)}")
       }
       rec match {
-      case Statement(sql, None) =>
-        try execute(sql)
+      case Statement(sql, None, _) =>
+        try { execute(sql); None }
         catch {
           case sk: SkipFile => throw sk
           case e: Throwable =>
-          return FileResult(file.toString,
-            Failed(s"statement failed: ${firstLine(sql)} -> ${trim(e.getMessage)}"))
+          Some(FileResult(file.toString,
+            Failed(s"statement failed: ${firstLine(sql)} -> ${trim(e.getMessage)}")))
         }
-      case Statement(sql, Some(expected)) =>
+      case Statement(sql, Some(expected), _) =>
         try {
           execute(sql)
-          return FileResult(file.toString,
-            Failed(s"expected error but succeeded: ${firstLine(sql)}"))
+          Some(FileResult(file.toString,
+            Failed(s"expected error but succeeded: ${firstLine(sql)}")))
         } catch {
           case sk: SkipFile => throw sk
           case e: Throwable =>
@@ -305,27 +430,28 @@ final class SqlLogicRunner(spark: SparkSession) {
                 e.isInstanceOf[graft.lake.DuckLakeException]
             if (verbose) println(s"[slt]   error class: ${e.getClass.getName}: ${trim(e.getMessage)}")
             if (lake != null && !binderError) lake.abortTransaction()
+            None
         }
-      case Query(types, rowsort, sql, expected) =>
+      case Query(types, rowsort, sql, expected, _) =>
         val upper = sql.trim.toUpperCase
         if (upper.startsWith("DELETE") || upper.startsWith("UPDATE") ||
             upper.startsWith("INSERT") || upper.startsWith("MERGE")) {
           // DuckDB returns an affected-row count; Spark's DML returns no
           // rows — execute for effect, skip the count comparison
-          try execute(sql)
+          try { execute(sql); None }
           catch {
             case sk: SkipFile => throw sk
             case e: Throwable =>
-            return FileResult(file.toString,
-              Failed(s"dml failed: ${firstLine(sql)} -> ${trim(e.getMessage)}"))
+            Some(FileResult(file.toString,
+              Failed(s"dml failed: ${firstLine(sql)} -> ${trim(e.getMessage)}")))
           }
         } else {
           val got = try formatRows(queryDF(sql), types)
           catch {
             case sk: SkipFile => throw sk
             case e: Throwable =>
-            return FileResult(file.toString,
-              Failed(s"query failed: ${firstLine(sql)} -> ${trim(e.getMessage)}"))
+            return Some(FileResult(file.toString,
+              Failed(s"query failed: ${firstLine(sql)} -> ${trim(e.getMessage)}")))
           }
           // compare as multisets: scan order over multi-file tables is an
           // engine artifact DuckDB's corpus relies on but ours legitimately
@@ -358,10 +484,95 @@ final class SqlLogicRunner(spark: SparkSession) {
               }
             }
           if (!matched)
-            return FileResult(file.toString, Failed(
+            Some(FileResult(file.toString, Failed(
               s"result mismatch for: ${firstLine(sql)}\n  expected: ${exp.take(20).mkString(" / ")}" +
-                s"\n  actual:   ${actual.take(20).mkString(" / ")}"))
+                s"\n  actual:   ${actual.take(20).mkString(" / ")}")))
+          else None
         }
+      }
+    }
+
+    // buffered tagged transactions (optimistic-replay mode)
+    val openTagged =
+      scala.collection.mutable.Map.empty[String, (Long, scala.collection.mutable.ArrayBuffer[Record])]
+
+    def replayTagged(conn: String, expectCommitError: Option[String]): Option[FileResult] = {
+      val (base, buf) = openTagged.remove(conn).getOrElse((0L, scala.collection.mutable.ArrayBuffer.empty[Record]))
+      // expected-error statements never took effect — a statement-level
+      // conflict (e.g. a maintenance CALL hitting an in-flight one) is
+      // surfaced at ITS position, not the commit's, and leaves the
+      // transaction's own intent set
+      val (_, liveRecs) = buf.toSeq.partition {
+        case Statement(sql, Some(_), _) =>
+          lake != null && lake.store.commitConflicts(base, intentsOf(sql, base)).nonEmpty
+        case _ => false
+      }
+      val intents = liveRecs.flatMap {
+        case Statement(sql, None, _) => intentsOf(sql, base)
+        case Query(_, _, sql, _, _) => intentsOf(sql, base) // DML-as-query
+        case _ => Nil
+      }
+      val conflicts = if (lake == null) Nil else lake.store.commitConflicts(base, intents)
+      if (conflicts.nonEmpty) {
+        // doomed transaction: nothing it did becomes visible — its
+        // buffered effects are simply not applied (exactly the visible
+        // outcome of an optimistic abort)
+        if (verbose) println(s"[slt] $conn conflict: ${conflicts.head}")
+        if (expectCommitError.isEmpty)
+          Some(FileResult(file.toString,
+            Failed(s"COMMIT $conn unexpectedly conflicted: ${conflicts.head}")))
+        else None
+      } else {
+        if (lake != null) lake.beginTransaction()
+        // statement-level conflicts already consumed their expected error
+        val failure = liveRecs.iterator.map(step).collectFirst { case Some(f) => f }
+        failure.orElse {
+          try {
+            if (lake != null) lake.commitTransaction()
+            if (expectCommitError.isDefined)
+              Some(FileResult(file.toString,
+                Failed(s"expected COMMIT $conn to fail but it succeeded")))
+            else None
+          } catch {
+            case _: Throwable if expectCommitError.isDefined => None
+            case e: Throwable => Some(FileResult(file.toString,
+              Failed(s"COMMIT $conn failed: ${trim(e.getMessage)}")))
+          }
+        }
+      }
+    }
+
+    parseRecords(substituted).foreach { rec =>
+      val connOf = rec match {
+        case Statement(_, _, c) => c
+        case Query(_, _, _, _, c) => c
+      }
+      connOf match {
+        case Some(conn) if interleaved =>
+          val sqlOf = rec match {
+            case Statement(sql, _, _) => sql
+            case Query(_, _, sql, _, _) => sql
+          }
+          val bare = sqlOf.trim.stripSuffix(";").trim.toUpperCase
+          val expErr = rec match {
+            case Statement(_, e, _) => e
+            case _ => None
+          }
+          if (bare.startsWith("BEGIN")) {
+            openTagged(conn) = (if (lake != null) lake.currentSnapshot else 0L,
+              scala.collection.mutable.ArrayBuffer.empty[Record])
+          } else if (openTagged.contains(conn) && (bare == "COMMIT" || bare == "ABORT")) {
+            replayTagged(conn, expErr).foreach(r => return r)
+          } else if (openTagged.contains(conn) && bare == "ROLLBACK") {
+            openTagged.remove(conn)
+          } else if (openTagged.contains(conn)) {
+            openTagged(conn)._2 += rec
+          } else {
+            // tagged statement outside any transaction: plain sequential
+            step(rec).foreach(r => return r)
+          }
+        case _ =>
+          step(rec).foreach(r => return r)
       }
     }
     FileResult(file.toString, Passed)
@@ -751,9 +962,9 @@ final class SqlLogicRunner(spark: SparkSession) {
       // on the Spark side — the corpus only creates and detaches these
       ()
     case AttachRe(metaPath0, alias, opts) if Option(opts).exists(o =>
-        """(?i)\bREADONLY\b""".r.findFirstIn(o).isDefined) =>
-      // READONLY attach: never bootstraps a new catalog
-      // (corpus: initialize/read_only_mode.test)
+        """(?i)\bREAD[_ ]?ONLY\b""".r.findFirstIn(o).isDefined) =>
+      // READ_ONLY attach: never bootstraps a new catalog
+      // (corpus: initialize/read_only_mode.test, general/ducklake_read_only.test)
       val metaPath = metaPath0.replace("''", "'")
       val metaDir = metaPath.stripSuffix(".db") + "-meta"
       if (!Files.isDirectory(Paths.get(metaDir)))
@@ -761,11 +972,46 @@ final class SqlLogicRunner(spark: SparkSession) {
           if ("""(?i)CREATE_IF_NOT_EXISTS\s+true""".r.findFirstIn(opts).isDefined)
             "cannot CREATE on database attached in read-only mode"
           else "creating a new DuckLake is explicitly disabled")
-      execute(s"ATTACH 'ducklake:${metaPath0}' AS $alias")
+      execute(s"ATTACH 'ducklake:${metaPath0}' AS $alias" +
+        (if ("""(?i)DATA_PATH""".r.findFirstIn(opts).isDefined)
+          s" (${"""(?i)DATA_PATH\s+(?:'[^']*'|[\w./-]+)""".r.findFirstIn(opts).getOrElse("")})"
+        else ""))
       pinnedSnapshot = Some(lake.currentSnapshot)
-    case AttachRe(metaPath0, alias, opts) =>
+    case AttachRe(_, _, opts) if Option(opts).exists(o =>
+        """(?i)\bSNAPSHOT_VERSION\b""".r.findFirstIn(o).isDefined &&
+          """(?i)\b(READ_WRITE|SNAPSHOT_TIME)\b""".r.findFirstIn(o).isDefined) =>
+      // a pinned-snapshot attach can only be read-only, and version/time
+      // pins are mutually exclusive (corpus: general/attach_at_snapshot.test)
+      throw new RuntimeException(
+        "SNAPSHOT_VERSION can only be used in read-only mode (and not " +
+          "combined with SNAPSHOT_TIME)")
+    case AttachRe(_, _, opts) if Option(opts).exists(o =>
+        """(?i)META_TYPE\s+'?(\w+)'?""".r.findFirstMatchIn(o)
+          .exists(!_.group(1).equalsIgnoreCase("duckdb"))) =>
+      // only the duckdb metadata backend exists here
+      // (corpus: general/metadata_parameters.test)
+      val t = """(?i)META_TYPE\s+'?(\w+)'?""".r.findFirstMatchIn(opts).get.group(1)
+      throw new RuntimeException(s"unsupported metadata backend: ${t.toLowerCase}")
+    case AttachRe(_, alias, opts) if Option(opts).exists(o =>
+        """(?i)METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
+          .exists(_.group(1).equalsIgnoreCase(alias))) =>
+      // the metadata catalog cannot BE the ducklake catalog
+      // (corpus: general/recursive_metadata_catalog.test)
+      throw new RuntimeException(
+        s"metadata catalog cannot be the DuckLake catalog itself: $alias")
+    case AttachRe(metaPath0, _, opts) if Option(opts).exists(o =>
+        """(?i)CREATE_IF_NOT_EXISTS\s+false""".r.findFirstIn(o).isDefined) &&
+        !Files.isDirectory(Paths.get(
+          metaPath0.replace("''", "'").stripSuffix(".db") + "-meta")) =>
+      // (corpus: initialize/ducklake_create_new.test)
+      throw new RuntimeException("creating a new DuckLake is explicitly disabled")
+    case stmt @ AttachRe(metaPath0, alias, opts) =>
       // SQL-escaped quotes ('' → ') may appear in any path or option
       val metaPath = metaPath0.replace("''", "'")
+      // ATTACH OR REPLACE rebinds the attachment — including its data
+      // path (corpus: attach/attach_replace.test)
+      val orReplace =
+        """(?is)^\s*ATTACH\s+OR\s+REPLACE""".r.findFirstIn(stmt).isDefined
       val dataPath = Option(opts).flatMap(o =>
         """DATA_PATH\s+('(?:[^']|'')+'|[\w./-]+)""".r.findFirstMatchIn(o)
           .map(_.group(1).stripPrefix("'").stripSuffix("'").replace("''", "'")))
@@ -789,7 +1035,9 @@ final class SqlLogicRunner(spark: SparkSession) {
         dataPath.stripSuffix("/"), inlineRowLimit = inlineLimit,
         metadataSchema = metaSchema,
         encrypted = Option(opts).exists(o =>
-          """(?i)\bENCRYPTED\b""".r.findFirstIn(o).isDefined))
+          """(?i)\bENCRYPTED\b""".r.findFirstIn(o).isDefined),
+        overrideDataPath = orReplace || Option(opts).exists(o =>
+          """(?i)OVERRIDE_DATA_PATH\s+TRUE""".r.findFirstIn(o).isDefined))
       openedLakes += lake
       metaAlias = Option(opts).flatMap(o =>
         """METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
@@ -1012,6 +1260,19 @@ final class SqlLogicRunner(spark: SparkSession) {
       // RESET <setting>: back to its default
       """(?is)^\s*RESET\s+(\w+)""".r.findFirstMatchIn(s)
         .foreach(m => duckSettings.remove(m.group(1).toLowerCase))
+    case s if lake != null &&
+        """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)""".r
+          .findFirstMatchIn(s).exists { m =>
+            val parts = lakeTableName(m.group(1)).split('.')
+            val snap = lake.currentSnapshot
+            parts.length == 2 && lake.store.getSchemaByName(parts(0), snap)
+              .exists(sch => lake.store.listViews(sch.schemaId, snap)
+                .exists(_.equalsIgnoreCase(parts(1).stripPrefix("\"").stripSuffix("\""))))
+          } =>
+      // DROP TABLE over a VIEW errors even with IF EXISTS
+      // (corpus: view/ducklake_view_table_conflict.test)
+      throw new RuntimeException(
+        "Cannot drop a VIEW with DROP TABLE - use DROP VIEW")
     case s if """(?is)^\s*(SELECT|FROM|WITH)\b""".r.findFirstIn(s).isDefined =>
       // `statement ok` blocks can hold SELECTs over TVFs (snapshots(),
       // table_info(), glob()) — route through the query machinery
@@ -1275,6 +1536,8 @@ final class SqlLogicRunner(spark: SparkSession) {
   }
 
   private val TableInfoRe = """(?i)(?:\w+\.)?(?:ducklake_)?table_info\(\s*(?:'[^']*'\s*)?\)""".r
+  private val CurrentSnapRe =
+    """(?i)(?:\w+\.)?(?:ducklake_)?current_snapshot\(\s*(?:'[^']*'\s*)?\)""".r
   private val SnapshotsTvfRe = """(?i)(?:\w+\.)?(?:ducklake_)?snapshots\(\s*(?:'[^']*'\s*)?\)""".r
   private val GlobCountRe =
     """(?is)SELECT\s+COUNT\(\*\)\s+FROM\s+glob\('([^']+)'\)(?:\s+WHERE\s+'([^']+)'\s+IN\s+file(?:\.replace\([^)]*\))?)?\s*;?""".r
@@ -1335,7 +1598,12 @@ final class SqlLogicRunner(spark: SparkSession) {
 
   private def queryDF(sqlRaw: String): DataFrame = {
     import spark.implicits._
-    val sql0 = substVars(sqlRaw)
+    // duckdb catalog TVFs may appear WITHOUT parens (duckdb_views is
+    // also a system view name)
+    val sql00 = substVars(sqlRaw).replaceAll(
+      "\\bduckdb_(views|tables|columns|schemas|databases)\\b(?!\\s*\\()",
+      "duckdb_$1()")
+    val sql0 = sql00
     val sql = if (lake != null && sql0.contains(metaAlias + "."))
       resolveMetaRefs(sql0) else sql0
     val t = sql.trim
@@ -1503,6 +1771,14 @@ final class SqlLogicRunner(spark: SparkSession) {
           else lake.tableChangesFull(tbl, fromId, toId)
         df.createOrReplaceTempView("__slt_changes")
         spark.sql(translate(TableChangesRe.replaceAllIn(t, "__slt_changes ")))
+      case _ if CurrentSnapRe.findFirstIn(t).isDefined =>
+        // ducklake_current_snapshot('cat'): the last COMMITTED snapshot
+        // (an open transaction's provisional snapshot never shows)
+        require(lake != null, "no lake attached")
+        val id = lake.store.openTransactionSnapshot.map(_ - 1)
+          .getOrElse(lake.currentSnapshot)
+        Seq(id).toDF("snapshot_id").createOrReplaceTempView("__slt_cursnap")
+        spark.sql(translate(CurrentSnapRe.replaceAllIn(t, "__slt_cursnap ")))
       case _ if SnapshotsTvfRe.findFirstIn(t).isDefined =>
         // snapshots() / ducklake_snapshots('cat'): id, time, schema
         // version and the rendered change map, straight off the journal

@@ -125,4 +125,43 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.conc_stable", Some(pinned)).count() == before)
     assert(lake.table("main.conc_stable").count() == 51)
   }
+
+  test("optimistic commit-conflict rules (reference transaction_conflicts semantics)") {
+    import spark.implicits._
+    val base = lake.currentSnapshot
+    lake.createTableAs(Seq((1L, "a")).toDF("k", "v").coalesce(1), "main.ccr_t")
+    val tid = {
+      val snap = lake.currentSnapshot
+      val sch = lake.store.getSchemaByName("main", snap).get
+      lake.store.getTableByName(sch.schemaId, "ccr_t", snap).get.tableId
+    }
+    val mainId = lake.store.getSchemaByName("main", lake.currentSnapshot).get.schemaId
+    // same-name create vs create → conflict; different name → fine
+    assert(lake.store.commitConflicts(base,
+      Seq(TxnIntent("tables_created", name = Some("main.ccr_t"),
+        schemaId = Some(mainId)))).nonEmpty)
+    assert(lake.store.commitConflicts(base,
+      Seq(TxnIntent("tables_created", name = Some("main.other"),
+        schemaId = Some(mainId)))).isEmpty)
+    // a VIEW of the same name also conflicts (shared namespace)
+    assert(lake.store.commitConflicts(base,
+      Seq(TxnIntent("views_created", name = Some("main.ccr_t"),
+        schemaId = Some(mainId)))).nonEmpty)
+    // insert vs insert → fine; delete vs delete → conflict
+    val base2 = lake.currentSnapshot
+    lake.insertInto(Seq((2L, "b")).toDF("k", "v").coalesce(1), "main.ccr_t")
+    assert(lake.store.commitConflicts(base2,
+      Seq(TxnIntent("tables_inserted_into", entityId = Some(tid)))).isEmpty)
+    val base3 = lake.currentSnapshot
+    lake.deleteWhere("main.ccr_t", org.apache.spark.sql.functions.col("k") === 1L)
+    assert(lake.store.commitConflicts(base3,
+      Seq(TxnIntent("tables_deleted_from", entityId = Some(tid)))).nonEmpty)
+    assert(lake.store.commitConflicts(base3,
+      Seq(TxnIntent("tables_inserted_into", entityId = Some(tid)))).isEmpty)
+    // compaction vs the committed delete → conflict; vs nothing → fine
+    assert(lake.store.commitConflicts(base3,
+      Seq(TxnIntent("_files_compacted", entityId = Some(tid)))).nonEmpty)
+    assert(lake.store.commitConflicts(lake.currentSnapshot,
+      Seq(TxnIntent("_files_compacted", entityId = Some(tid)))).isEmpty)
+  }
 }
