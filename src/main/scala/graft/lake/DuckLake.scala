@@ -61,6 +61,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   // (the canonical time-range prune at 100 TB) would silently stop
   // working. The lake writes micros, like the reference engine.
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // DuckLake spec: data files carry parquet field_ids (column_id) so
+  // field-id-based readers resolve columns without name mappings
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
   /** Lake-level Parquet Modular Encryption (reference: A5,
     * src/encryption.rs): sticky once enabled — reopening the lake without
@@ -409,6 +412,35 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     writerTuning(name).foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
 
+  /** Annotate the outgoing schema with parquet FIELD IDS (DuckLake spec:
+    * column_id ≙ parquet field_id, so field-id-based readers resolve
+    * columns without name mappings — reference src/types.rs:440-498).
+    * Top-level fields carry their CATALOG column ids; Spark's writer has
+    * no channel for NESTED field ids (array/map elements), so subtrees
+    * stay unannotated — our own reader projects by catalog epoch and
+    * never needs them.
+    */
+  private def annotateFieldIds(df: DataFrame, name: String): DataFrame = {
+    val snap = store.currentSnapshot
+    val ids: Map[String, Long] = (for {
+      sch <- store.getSchemaByName(parse(name)._1, snap)
+      tbl <- store.getTableByName(sch.schemaId, parse(name)._2, snap)
+    } yield store.getTableColumns(tbl.tableId, snap)
+      .map(c => c.name -> c.columnId).toMap).getOrElse {
+      // first write of a CTAS: the catalog rows land at commit with
+      // 1-based positional ids — mirror that numbering here
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
+    }
+    df.select(df.schema.fields.map { f =>
+      val q = s"`${f.name.replace("`", "``")}`"
+      ids.get(f.name).fold(col(q)) { id =>
+        col(q).as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build())
+      }
+    }: _*)
+  }
+
   private def stageWrite(df: DataFrame, name: String, mode: WriteMode.Value,
       partColsForCreate: Seq[String], partCols: Seq[PartField],
       flushInlined: Boolean): (TableWriteSpec, Seq[Path]) = {
@@ -424,9 +456,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // layout is naming only (corpus: partitioning/disable_hive_partitioning
     // .test reads part_key straight out of a partition's files)
     val dirCols = partCols.indices.map(i => s"__pt_$i")
-    val toStage = partCols.zipWithIndex.foldLeft(df) { case (d, (pf, i)) =>
-      d.withColumn(s"__pt_$i",
-        pf.transform.fold(col(pf.source))(t => PartTransform.valueExpr(t, col(pf.source))))
+    val toStage = partCols.zipWithIndex.foldLeft(annotateFieldIds(df, name)) {
+      case (d, (pf, i)) =>
+        d.withColumn(s"__pt_$i",
+          pf.transform.fold(col(pf.source))(t => PartTransform.valueExpr(t, col(pf.source))))
     }
     // one fresh key per commit; each registered file row carries it
     val keyOpt = if (encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None

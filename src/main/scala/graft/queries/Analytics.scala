@@ -545,6 +545,97 @@ object Analytics {
              round(sum(rev) / any_value(seg_total) * 100 + 1e-9, 2) AS share_pct
       FROM ranked WHERE quartile = 1
       GROUP BY segment ORDER BY segment
+    """),
+
+    ("ds_channel_rollup", (s: SparkSession, dir: String) => {
+      // TPC-DS q5/q77 shape: a UNION ALL of two revenue channels (order
+      // headers vs returned line items) feeding one ROLLUP — partial
+      // aggregation must survive the union and the grouping-sets expand
+      // each branch reads its OWN scans — shared parents across a union
+      // trip the self-join ambiguity check
+      val orders = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(lit("order").as("channel"), col("n_name").as("grp"),
+          col("o_totalprice").as("amt"))
+      val returns = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(lit("return").as("channel"), col("n_name").as("grp"),
+          col("l_extendedprice").as("amt"))
+      orders.unionAll(returns).toDF("channel", "grp", "amt")
+        .createOrReplaceTempView("__ds_sales")
+      s.sql("""SELECT channel, grp, round(sum(amt), 2) AS rev,
+          count(*) AS n_rows
+        FROM __ds_sales GROUP BY ROLLUP(channel, grp)
+        ORDER BY channel ASC NULLS FIRST, grp ASC NULLS FIRST""")
+    }, """
+      WITH sales AS (
+        SELECT 'order' AS channel, n_name AS grp, o_totalprice AS amt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'return' AS channel, n_name AS grp, l_extendedprice AS amt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R')
+      SELECT channel, grp, round(sum(amt), 2) AS rev, count(*) AS n_rows
+      FROM sales GROUP BY ROLLUP(channel, grp)
+      ORDER BY channel NULLS FIRST, grp NULLS FIRST
+    """),
+
+    ("ds_monthly_deviation", (s: SparkSession, dir: String) => {
+      // TPC-DS q47 shape: per-segment monthly revenue with the segment
+      // average, previous and next month in one window stack; report
+      // months deviating >10% from their segment's average
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val m = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val wSeg = Window.partitionBy("seg")
+      val wOrd = Window.partitionBy("seg").orderBy("month")
+      m.withColumn("seg_avg", round(avg("rev").over(wSeg), 2))
+        .withColumn("prev_rev", lag("rev", 1).over(wOrd))
+        .withColumn("next_rev", lead("rev", 1).over(wOrd))
+        .filter(col("prev_rev").isNotNull && col("next_rev").isNotNull &&
+          abs(col("rev") - col("seg_avg")) / col("seg_avg") > 0.1)
+        .select("seg", "month", "rev", "seg_avg", "prev_rev", "next_rev")
+        .orderBy("seg", "month")
+    }, """
+      WITH m AS (
+        SELECT c_mktsegment AS seg, date_trunc('month', o_orderdate) AS month,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      w AS (
+        SELECT seg, month, rev,
+          round(avg(rev) OVER (PARTITION BY seg), 2) AS seg_avg,
+          lag(rev) OVER (PARTITION BY seg ORDER BY month) AS prev_rev,
+          lead(rev) OVER (PARTITION BY seg ORDER BY month) AS next_rev
+        FROM m)
+      SELECT seg, month, rev, seg_avg, prev_rev, next_rev FROM w
+      WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+        AND abs(rev - seg_avg) / seg_avg > 0.1
+      ORDER BY seg, month
+    """),
+
+    ("ds_cohort_setchain", (s: SparkSession, dir: String) => {
+      // TPC-DS q87 shape: INTERSECT then EXCEPT over customer cohorts of
+      // consecutive years, reduced to one exact count
+      val o = t(s, dir, "orders")
+      def cohort(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      cohort(1993).intersect(cohort(1994)).except(cohort(1995))
+        .agg(count(lit(1)).as("n_lapsed"))
+    }, """
+      SELECT count(*) AS n_lapsed FROM (
+        (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1993
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994)
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995) t
     """)
   )
 

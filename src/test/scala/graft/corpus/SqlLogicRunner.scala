@@ -55,7 +55,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     "UUID '" -> "parquet UUID logical type (no Spark IO)",
     "parquet_schema(" -> "parquet introspection TVF",
     "ducklake_table_info(" -> "duckdb table function syntax",
-    "'infinity'" -> "non-finite timestamp literals",
     "EXCLUDE (" -> "SELECT * EXCLUDE dialect",
     "read_parquet('data/" -> "prebuilt corpus assets",
     "UNION(" -> "duckdb union type",
@@ -2474,6 +2473,11 @@ final class SqlLogicRunner(spark: SparkSession) {
       m => Regex.quoteReplacement(
         s"CAST(conv(substr(CAST(${m.group(1)} AS STRING), 15, 1), 16, 10) AS INT)"))
     s = s.replaceAll("(?i)\\bUUID\\b(?!\\s*\\()", "STRING")
+    // DuckDB's INFINITE timestamps have no Spark counterpart — map to
+    // min/max sentinel instants (they only ever participate in
+    // comparisons — corpus: types/timestamp.test)
+    s = s.replace("'-infinity'", "TIMESTAMP '0001-01-01 00:00:00'")
+      .replace("'infinity'", "TIMESTAMP '9999-12-31 23:59:59.999999'")
     // DuckDB non-finite float literals (Spark spells them out)
     s = s.replace("'NaN'", "CAST('NaN' AS FLOAT)")
       .replace("'-inf'", "CAST('-Infinity' AS FLOAT)")

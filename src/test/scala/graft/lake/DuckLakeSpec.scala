@@ -351,4 +351,34 @@ class DuckLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.deleteWhere("main.nested_t", col("id") === 1L)
     assert(lake.table("main.nested_t").count() == 1)
   }
+
+  test("data files carry parquet field_ids = catalog column ids (spec interop)") {
+    import spark.implicits._
+    lake.createTableAs(Seq((1L, "a", 1.5)).toDF("k", "v", "w").coalesce(1), "main.fid_t")
+    lake.addColumn("main.fid_t", "z", "int32")
+    lake.insertInto(Seq((2L, "b", 2.5, 9)).toDF("k", "v", "w", "z").coalesce(1), "main.fid_t")
+    val snap = lake.currentSnapshot
+    val sch = lake.store.getSchemaByName("main", snap).get
+    val tbl = lake.store.getTableByName(sch.schemaId, "fid_t", snap).get
+    val wantIds = lake.store.getTableColumns(tbl.tableId, snap)
+      .map(c => c.name -> c.columnId).toMap
+    val files = lake.store.getDataFiles(tbl.tableId, snap)
+    assert(files.size == 2)
+    files.foreach { f =>
+      val path = s"$root/data/main/fid_t/${f.path}"
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val got = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .flatMap(fld => Option(fld.getId).map(id => fld.getName -> id.intValue.toLong))
+          .toMap
+        got.foreach { case (n, id) => assert(wantIds(n) == id,
+          s"field $n: file id $id != catalog ${wantIds(n)}") }
+        assert(got.nonEmpty)
+      } finally r.close()
+    }
+  }
 }
