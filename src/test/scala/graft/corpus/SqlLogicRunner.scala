@@ -42,11 +42,9 @@ final class SqlLogicRunner(spark: SparkSession) {
   // constructs we refuse to fake (substring → reason)
   private val unsupported: Seq[(String, String)] = Seq(
     "hashing to" -> "hashed result blocks",
-    "concurrentloop" -> "concurrent loops",
     "require-env" -> "environment requirements",
     "no_extension_autoloading" -> "missing-extension harness",
     "onlyif" -> "engine-conditional blocks",
-    "skipif" -> "engine-conditional blocks",
     "__ducklake_internal" -> "internal duckdb catalog",
     "SUMMARIZE" -> "duckdb summarize",
     "sqlite_" -> "sqlite metadata backend",
@@ -72,6 +70,9 @@ final class SqlLogicRunner(spark: SparkSession) {
         Some("id arithmetic tied to the reference writer's physical file sizes")
       else if (file.toString.endsWith("add_files_complex_nested_stats_mre.test"))
         Some("unsigned widths inside NESTED structs (top-level only here)")
+      else if (file.toString.endsWith("settings/max_retry_count.test"))
+        Some("asserts that SOME concurrent writers lose under retry " +
+          "exhaustion; serialized replay loses none")
       else if (file.toString.endsWith("transaction_conflict_cleanup.test"))
         Some("observes transaction-local files ON DISK mid-interleaving " +
           "(buffered optimistic replay stages nothing before COMMIT)")
@@ -107,9 +108,25 @@ final class SqlLogicRunner(spark: SparkSession) {
   private sealed trait Record
   private case class Statement(sql: String, expectError: Option[String],
       conn: Option[String] = None) extends Record
+  /** `statement maybe`: execute for effect, either outcome accepted. */
+  private case class MaybeStatement(sql: String) extends Record
   private case class Query(types: String, rowsort: Boolean, sql: String,
       expected: Seq[String], conn: Option[String] = None) extends Record
 
+  /** Index just past the next record block starting at `i` (its
+    * directive line, SQL, and optional ---- expected block).
+    */
+  private def skipOneRecord(lines: Seq[String], i0: Int): Int = {
+    var i = i0
+    while (i < lines.length && lines(i).trim.isEmpty) i += 1
+    if (i < lines.length) i += 1 // the directive line
+    while (i < lines.length && lines(i).trim.nonEmpty && lines(i).trim != "----") i += 1
+    if (i < lines.length && lines(i).trim == "----") {
+      i += 1
+      while (i < lines.length && lines(i).nonEmpty) i += 1
+    }
+    i
+  }
   private def parseRecords(lines: Seq[String]): Seq[Record] = {
     val out = Seq.newBuilder[Record]
     var i = 0
@@ -167,7 +184,24 @@ final class SqlLogicRunner(spark: SparkSession) {
           throw new SkipFile("interleaved multi-connection transactions")
         out += Statement(sql, Some(exp.mkString("\n")), conn)
       } else if (line.startsWith("statement maybe")) {
-        i += 1; collectSql(); collectExpected() // either outcome accepted
+        i += 1
+        out += MaybeStatement(collectSql()) // either outcome accepted
+        collectExpected()
+      } else if (line.startsWith("skipif ") || line.startsWith("onlyif ")) {
+        // loop-variable conditionals (`skipif i>25` post-substitution is
+        // `3>25`): evaluate numerically; non-numeric conditions are
+        // engine-conditionals this harness refuses to fake
+        val cond = line.substring(7).trim
+        val m = """(-?\d+)\s*(>=|<=|>|<|=|==)\s*(-?\d+)""".r.findFirstMatchIn(cond)
+          .getOrElse(throw new SkipFile("engine-conditional blocks"))
+        val (a, op, b) = (m.group(1).toLong, m.group(2), m.group(3).toLong)
+        val truth = op match {
+          case ">" => a > b; case "<" => a < b; case ">=" => a >= b
+          case "<=" => a <= b; case _ => a == b
+        }
+        val drop = if (line.startsWith("skipif")) truth else !truth
+        i += 1
+        if (drop) i = skipOneRecord(lines, i) // drop the NEXT record
       } else if (line.startsWith("query")) {
         val parts = line.split("\\s+")
         val types = if (parts.length > 1) parts(1) else ""
@@ -188,7 +222,8 @@ final class SqlLogicRunner(spark: SparkSession) {
         var depth = 1
         while (i < lines.length && depth > 0) {
           val l = lines(i).trim
-          if (l.startsWith("foreach") || l.startsWith("loop")) depth += 1
+          if (l.startsWith("foreach") || l.startsWith("loop") ||
+            l.startsWith("concurrentloop")) depth += 1
           if (l == "endloop") depth -= 1
           if (depth > 0) body += lines(i)
           i += 1
@@ -197,7 +232,10 @@ final class SqlLogicRunner(spark: SparkSession) {
         values.foreach { v =>
           out ++= parseRecords(bodyLines.map(_.replace("${" + varName + "}", v)))
         }
-      } else if (line.startsWith("loop")) {
+      } else if (line.startsWith("loop") || line.startsWith("concurrentloop")) {
+        // concurrentloop: N writers race in the reference harness; this
+        // single-store replay serializes them — the committed OUTCOME is
+        // the serializable one the final assertions check
         val parts = line.split("\\s+") // loop i start end
         val varName = parts(1)
         val (start, end) = (parts(2).toInt, parts(3).toInt)
@@ -206,14 +244,22 @@ final class SqlLogicRunner(spark: SparkSession) {
         var depth = 1
         while (i < lines.length && depth > 0) {
           val l = lines(i).trim
-          if (l.startsWith("foreach") || l.startsWith("loop")) depth += 1
+          if (l.startsWith("foreach") || l.startsWith("loop") ||
+            l.startsWith("concurrentloop")) depth += 1
           if (l == "endloop") depth -= 1
           if (depth > 0) body += lines(i)
           i += 1
         }
         val bodyLines = body.result()
         (start until end).foreach { v =>
-          out ++= parseRecords(bodyLines.map(_.replace("${" + varName + "}", v.toString)))
+          out ++= parseRecords(bodyLines.map { l0 =>
+            val l = l0.replace("${" + varName + "}", v.toString)
+            // skipif/onlyif conditions reference the loop var BARE
+            if (l.trim.startsWith("skipif") || l.trim.startsWith("onlyif"))
+              l.replaceAll("\\b" + java.util.regex.Pattern.quote(varName) + "\\b",
+                v.toString)
+            else l
+          })
         }
       } else throw new SkipFile(s"directive not supported: $line")
     }
@@ -401,9 +447,13 @@ final class SqlLogicRunner(spark: SparkSession) {
     def step(rec: Record): Option[FileResult] = {
       if (verbose) rec match {
         case Statement(sql, exp, c) => println(s"[slt] stmt(err=${exp.isDefined}${c.fold("")(" " + _)}): ${firstLine(sql)}")
+        case MaybeStatement(sql) => println(s"[slt] maybe: ${firstLine(sql)}")
         case Query(_, _, sql, _, c) => println(s"[slt] query${c.fold("")(" " + _)}: ${firstLine(sql)}")
       }
       rec match {
+      case MaybeStatement(sql) =>
+        try { execute(sql); None }
+        catch { case sk: SkipFile => throw sk; case _: Throwable => None }
       case Statement(sql, None, _) =>
         try { execute(sql); None }
         catch {
@@ -545,12 +595,14 @@ final class SqlLogicRunner(spark: SparkSession) {
       val connOf = rec match {
         case Statement(_, _, c) => c
         case Query(_, _, _, _, c) => c
+        case _ => None
       }
       connOf match {
         case Some(conn) if interleaved =>
           val sqlOf = rec match {
             case Statement(sql, _, _) => sql
             case Query(_, _, sql, _, _) => sql
+            case MaybeStatement(sql) => sql
           }
           val bare = sqlOf.trim.stripSuffix(";").trim.toUpperCase
           val expErr = rec match {
@@ -1038,6 +1090,7 @@ final class SqlLogicRunner(spark: SparkSession) {
         overrideDataPath = orReplace || Option(opts).exists(o =>
           """(?i)OVERRIDE_DATA_PATH\s+TRUE""".r.findFirstIn(o).isDefined))
       openedLakes += lake
+      attachSnapshot = lake.currentSnapshot
       metaAlias = Option(opts).flatMap(o =>
         """METADATA_CATALOG\s+'((?:[^']|'')+)'""".r.findFirstMatchIn(o)
           .map(_.group(1).replace("''", "'")))
@@ -1537,6 +1590,11 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val TableInfoRe = """(?i)(?:\w+\.)?(?:ducklake_)?table_info\(\s*(?:'[^']*'\s*)?\)""".r
   private val CurrentSnapRe =
     """(?i)(?:\w+\.)?(?:ducklake_)?current_snapshot\(\s*(?:'[^']*'\s*)?\)""".r
+  private val LastCommitRe =
+    """(?i)(?:\w+\.)?(?:ducklake_)?last_committed_snapshot\(\s*(?:'[^']*'\s*)?\)""".r
+  // snapshot id current when THIS attach happened — last_committed_snapshot
+  // reports commits of the CURRENT session only
+  private var attachSnapshot: Long = -1L
   private val SnapshotsTvfRe = """(?i)(?:\w+\.)?(?:ducklake_)?snapshots\(\s*(?:'[^']*'\s*)?\)""".r
   private val GlobCountRe =
     """(?is)SELECT\s+COUNT\(\*\)\s+FROM\s+glob\('([^']+)'\)(?:\s+WHERE\s+'([^']+)'\s+IN\s+file(?:\.replace\([^)]*\))?)?\s*;?""".r
@@ -1770,6 +1828,16 @@ final class SqlLogicRunner(spark: SparkSession) {
           else lake.tableChangesFull(tbl, fromId, toId)
         df.createOrReplaceTempView("__slt_changes")
         spark.sql(translate(TableChangesRe.replaceAllIn(t, "__slt_changes ")))
+      case _ if LastCommitRe.findFirstIn(t).isDefined =>
+        // ducklake_last_committed_snapshot: the last snapshot THIS
+        // session committed (NULL right after attach, however many
+        // snapshots the catalog already has)
+        require(lake != null, "no lake attached")
+        val cur = lake.store.openTransactionSnapshot.map(_ - 1)
+          .getOrElse(lake.currentSnapshot)
+        val v: Option[Long] = if (cur > attachSnapshot) Some(cur) else None
+        Seq(v).toDF("snapshot_id").createOrReplaceTempView("__slt_lastsnap")
+        spark.sql(translate(LastCommitRe.replaceAllIn(t, "__slt_lastsnap ")))
       case _ if CurrentSnapRe.findFirstIn(t).isDefined =>
         // ducklake_current_snapshot('cat'): the last COMMITTED snapshot
         // (an open transaction's provisional snapshot never shows)
@@ -2589,6 +2657,8 @@ final class SqlLogicRunner(spark: SparkSession) {
     s = """(?i)\bTEXT\b""".r.replaceAllIn(s, "STRING")
     s = """(?i)\bBLOB\b""".r.replaceAllIn(s, "BINARY")
     s = """(?i)\bSTRLEN\s*\(""".r.replaceAllIn(s, "LENGTH(")
+    // DuckDB allows COUNT() for COUNT(*)
+    s = """(?i)\bCOUNT\(\s*\)""".r.replaceAllIn(s, "COUNT(*)")
     // DuckDB ends_with/starts_with → Spark endswith/startswith
     s = """(?i)\bends_with\s*\(""".r.replaceAllIn(s, "endswith(")
     s = """(?i)\bstarts_with\s*\(""".r.replaceAllIn(s, "startswith(")
