@@ -360,7 +360,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       }
     }
     val (spec, renamed) = stageWrite(df, name, mode,
-      if (tableIsNew) partSpecs else Nil, partFields, flushInlined)
+      if (tableIsNew) partSpecs else Nil, partFields, flushInlined, redefine)
     val snap =
       try store.commitWrites(Seq(spec.copy(redefine = redefine)))
       catch { case e: Throwable => cleanupRenamed(renamed); throw e }
@@ -420,16 +420,25 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * stay unannotated — our own reader projects by catalog epoch and
     * never needs them.
     */
-  private def annotateFieldIds(df: DataFrame, name: String): DataFrame = {
+  private def annotateFieldIds(df: DataFrame, name: String,
+      redefine: Boolean = false): DataFrame = {
     val snap = store.currentSnapshot
-    val ids: Map[String, Long] = (for {
+    val existing: Option[(Long, Seq[ColumnDef])] = for {
       sch <- store.getSchemaByName(parse(name)._1, snap)
       tbl <- store.getTableByName(sch.schemaId, parse(name)._2, snap)
-    } yield store.getTableColumns(tbl.tableId, snap)
-      .map(c => c.name -> c.columnId).toMap).getOrElse {
-      // first write of a CTAS: the catalog rows land at commit with
-      // 1-based positional ids — mirror that numbering here
-      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
+    } yield tbl.tableId -> store.getTableColumns(tbl.tableId, snap)
+    val ids: Map[String, Long] = existing match {
+      case Some((tid, _)) if redefine =>
+        // CREATE OR REPLACE assigns FRESH ids past every id the table
+        // ever used — the files must carry those, not the old shape's
+        val base = store.maxColumnId(tid)
+        df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          n -> (base + 1L + i) }.toMap
+      case Some((_, cols)) => cols.map(c => c.name -> c.columnId).toMap
+      case None =>
+        // first write of a CTAS: the catalog rows land at commit with
+        // 1-based positional ids — mirror that numbering here
+        df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
     }
     df.select(df.schema.fields.map { f =>
       val q = s"`${f.name.replace("`", "``")}`"
@@ -443,7 +452,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def stageWrite(df: DataFrame, name: String, mode: WriteMode.Value,
       partColsForCreate: Seq[String], partCols: Seq[PartField],
-      flushInlined: Boolean): (TableWriteSpec, Seq[Path]) = {
+      flushInlined: Boolean, redefine: Boolean = false): (TableWriteSpec, Seq[Path]) = {
     val (schemaName, tableName) = parse(name)
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType), f.nullable)
@@ -456,7 +465,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // layout is naming only (corpus: partitioning/disable_hive_partitioning
     // .test reads part_key straight out of a partition's files)
     val dirCols = partCols.indices.map(i => s"__pt_$i")
-    val toStage = partCols.zipWithIndex.foldLeft(annotateFieldIds(df, name)) {
+    val toStage = partCols.zipWithIndex.foldLeft(annotateFieldIds(df, name, redefine)) {
       case (d, (pf, i)) =>
         d.withColumn(s"__pt_$i",
           pf.transform.fold(col(pf.source))(t => PartTransform.valueExpr(t, col(pf.source))))

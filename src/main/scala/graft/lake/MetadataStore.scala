@@ -563,6 +563,23 @@ final class MetadataStore(dbPath: String,
         "ALTER TABLE ducklake_snapshot ADD COLUMN schema_version BIGINT DEFAULT 0")
       finally st.close()
     }
+    val hasDefaultValue = {
+      val rs = conn.getMetaData.getColumns(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_COLUMN", "DEFAULT_VALUE")
+      try rs.next() finally rs.close()
+    }
+    if (!hasDefaultValue) {
+      // catalogs bootstrapped before the full default surface: the
+      // current default starts out as the initial default (creation-time
+      // semantics), types default to 'literal'/'duckdb'
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("ALTER TABLE ducklake_column ADD COLUMN default_value VARCHAR(4000)")
+        st.executeUpdate("ALTER TABLE ducklake_column ADD COLUMN default_value_type VARCHAR(32) DEFAULT 'literal' NOT NULL")
+        st.executeUpdate("ALTER TABLE ducklake_column ADD COLUMN default_value_dialect VARCHAR(32) DEFAULT 'duckdb' NOT NULL")
+        st.executeUpdate("UPDATE ducklake_column SET default_value = initial_default WHERE initial_default IS NOT NULL")
+      } finally st.close()
+    }
     val hasAuthor = {
       val rs = conn.getMetaData.getColumns(null,
         metadataSchema.map(_.toUpperCase).getOrElse("APP"), "DUCKLAKE_SNAPSHOT", "AUTHOR")
@@ -611,14 +628,22 @@ final class MetadataStore(dbPath: String,
     pendingCommitInfo = None
   }
 
+  MetadataStore.openCount.merge(dbPath, 1, (a, b) => Integer.valueOf(a + b))
+
   override def close(): Unit = synchronized {
     conn.close()
     // closing the CONNECTION leaves the embedded database BOOTED with its
     // page-cache file handles open — shut the database down explicitly or
     // a long-lived JVM (full test suite, notebook session) exhausts fds.
-    // Derby signals successful shutdown via SQLState 08006.
-    try { DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true"); () }
-    catch { case _: java.sql.SQLException => () }
+    // But ONLY when no sibling store shares the database (METADATA_SCHEMA
+    // puts several catalogs in one db); Derby signals successful shutdown
+    // via SQLState 08006.
+    val remaining = MetadataStore.openCount.merge(dbPath, -1, (a, b) => Integer.valueOf(a + b))
+    if (remaining <= 0) {
+      MetadataStore.openCount.remove(dbPath)
+      try { DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 
   // ---------- metadata-catalog SQL surface ----------
@@ -831,6 +856,11 @@ final class MetadataStore(dbPath: String,
       "default_value_dialect) VALUES (?, ?, ?, ?, ?, ?, ?, ?, NULL, ?, ?, ?, 'duckdb')",
       Seq(colId, tableId, order, name, dtype, nulls, parent.map(Long.box).orNull,
         snap, initial.orNull, dv.orNull, dt))
+
+  /** Highest column id the table ever used (dropped ids included). */
+  def maxColumnId(tableId: Long): Long =
+    query("SELECT COALESCE(MAX(column_id), 0) FROM ducklake_column WHERE table_id = ?",
+      Seq(tableId))(_.getLong(1)).headOption.getOrElse(0L)
 
   def getTableColumns(tableId: Long, snap: Long): Seq[ColumnDef] =
     query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default, default_value, default_value_type FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
@@ -1059,6 +1089,7 @@ final class MetadataStore(dbPath: String,
       if (txnAborted) {
         conn.rollback(); conn.setAutoCommit(true)
         txnOpen = false; txnAborted = false; openTxnSnap = None
+        pendingCommitInfo = None // the audit info died with the txn
         throw new UnsupportedException(
           "Current transaction is aborted - cannot COMMIT; changes rolled back")
       }
@@ -2944,21 +2975,25 @@ final class MetadataStore(dbPath: String,
         // column): ADD COLUMN <root>.<field> DEFAULT records the field's
         // initial default here; DROP/RENAME of nested fields keep the
         // child rows consistent (corpus: default/struct_field_default.test)
+        // LIKE patterns must escape `_`/`%` — field names may hold them
+        def likeEsc(p: String): String =
+          p.replace("\\", "\\\\").replace("_", "\\_").replace("%", "\\%")
         nestedEnd.foreach { p =>
-          update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND parent_column = ? AND (column_name = ? OR column_name LIKE ?) AND end_snapshot IS NULL",
-            Seq(snap, tableId, c.columnId, p, p + ".%"))
+          update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND parent_column = ? AND (column_name = ? OR column_name LIKE ? ESCAPE '\\') AND end_snapshot IS NULL",
+            Seq(snap, tableId, c.columnId, p, likeEsc(p) + ".%"))
         }
         nestedRename.foreach { case (oldP, newP) =>
           val live = query(
-            s"SELECT column_id, column_name, column_type, initial_default, default_value, default_value_type FROM ducklake_column WHERE table_id = ? AND parent_column = ? AND (column_name = ? OR column_name LIKE ?) AND end_snapshot IS NULL",
-            Seq(tableId, c.columnId, oldP, oldP + ".%"))(rs =>
+            s"SELECT column_id, column_name, column_type, initial_default, default_value, default_value_type, column_order, nulls_allowed FROM ducklake_column WHERE table_id = ? AND parent_column = ? AND (column_name = ? OR column_name LIKE ? ESCAPE '\\') AND end_snapshot IS NULL",
+            Seq(tableId, c.columnId, oldP, likeEsc(oldP) + ".%"))(rs =>
             (rs.getLong(1), rs.getString(2), rs.getString(3),
-              Option(rs.getString(4)), Option(rs.getString(5)), rs.getString(6)))
-          live.foreach { case (cid, cname, ctype, ini, dv, dt) =>
+              Option(rs.getString(4)), Option(rs.getString(5)), rs.getString(6),
+              rs.getLong(7), rs.getBoolean(8)))
+          live.foreach { case (cid, cname, ctype, ini, dv, dt, order, nulls) =>
             update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND column_id = ? AND end_snapshot IS NULL",
               Seq(snap, tableId, cid))
-            insertColumnRow(cid, tableId, 0L, newP + cname.stripPrefix(oldP),
-              ctype, true, Some(c.columnId), snap, ini, dv, dt)
+            insertColumnRow(cid, tableId, order, newP + cname.stripPrefix(oldP),
+              ctype, nulls, Some(c.columnId), snap, ini, dv, dt)
           }
         }
         nestedAdd.foreach { case (path, dtype, dv) =>
@@ -3096,4 +3131,12 @@ final class MetadataStore(dbPath: String,
     recordChange("tables_dropped", tableId, tableId.toString)
     snap
   }
+}
+
+object MetadataStore {
+  /** Live stores per Derby database path — the db only shuts down when
+    * its LAST store closes (METADATA_SCHEMA shares one db).
+    */
+  private val openCount =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }

@@ -109,7 +109,8 @@ final class SqlLogicRunner(spark: SparkSession) {
   private case class Statement(sql: String, expectError: Option[String],
       conn: Option[String] = None) extends Record
   /** `statement maybe`: execute for effect, either outcome accepted. */
-  private case class MaybeStatement(sql: String) extends Record
+  private case class MaybeStatement(sql: String,
+      conn: Option[String] = None) extends Record
   private case class Query(types: String, rowsort: Boolean, sql: String,
       expected: Seq[String], conn: Option[String] = None) extends Record
 
@@ -184,8 +185,10 @@ final class SqlLogicRunner(spark: SparkSession) {
           throw new SkipFile("interleaved multi-connection transactions")
         out += Statement(sql, Some(exp.mkString("\n")), conn)
       } else if (line.startsWith("statement maybe")) {
+        val conn = line.split("\\s+").find(_.matches("con\\d+"))
         i += 1
-        out += MaybeStatement(collectSql()) // either outcome accepted
+        out += MaybeStatement(collectSql(),
+          if (interleaved) conn else None) // either outcome accepted
         collectExpected()
       } else if (line.startsWith("skipif ") || line.startsWith("onlyif ")) {
         // loop-variable conditionals (`skipif i>25` post-substitution is
@@ -447,11 +450,11 @@ final class SqlLogicRunner(spark: SparkSession) {
     def step(rec: Record): Option[FileResult] = {
       if (verbose) rec match {
         case Statement(sql, exp, c) => println(s"[slt] stmt(err=${exp.isDefined}${c.fold("")(" " + _)}): ${firstLine(sql)}")
-        case MaybeStatement(sql) => println(s"[slt] maybe: ${firstLine(sql)}")
+        case MaybeStatement(sql, _) => println(s"[slt] maybe: ${firstLine(sql)}")
         case Query(_, _, sql, _, c) => println(s"[slt] query${c.fold("")(" " + _)}: ${firstLine(sql)}")
       }
       rec match {
-      case MaybeStatement(sql) =>
+      case MaybeStatement(sql, _) =>
         try { execute(sql); None }
         catch { case sk: SkipFile => throw sk; case _: Throwable => None }
       case Statement(sql, None, _) =>
@@ -595,14 +598,14 @@ final class SqlLogicRunner(spark: SparkSession) {
       val connOf = rec match {
         case Statement(_, _, c) => c
         case Query(_, _, _, _, c) => c
-        case _ => None
+        case MaybeStatement(_, c) => c
       }
       connOf match {
         case Some(conn) if interleaved =>
           val sqlOf = rec match {
             case Statement(sql, _, _) => sql
             case Query(_, _, sql, _, _) => sql
-            case MaybeStatement(sql) => sql
+            case MaybeStatement(sql, _) => sql
           }
           val bare = sqlOf.trim.stripSuffix(";").trim.toUpperCase
           val expErr = rec match {
@@ -722,7 +725,7 @@ final class SqlLogicRunner(spark: SparkSession) {
   private val CommitMsgRe =
     """(?is)CALL\s+(?:[\w.]+\.)?set_commit_message\(\s*(.*)\)\s*;?""".r
   private val CreateMacroRe =
-    """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([\w."]+)\s*(\(.*)""".r
+    """(?is)CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w."]+)\s*(\(.*)""".r
   private val DropMacroRe =
     """(?is)DROP\s+MACRO\s+(TABLE\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s*;?\s*""".r
 
@@ -842,7 +845,11 @@ final class SqlLogicRunner(spark: SparkSession) {
             case Some(impl) =>
               var body = impl.body
               impl.params.zipWithIndex.foreach { case (p, pi) =>
-                val v = args.lift(pi).getOrElse(p.default.getOrElse("NULL"))
+                // stored defaults are UNQUOTED values; string-typed ones
+                // re-quote at substitution
+                val v = args.lift(pi).getOrElse(p.default.map(d =>
+                  if (p.defaultType == "varchar") "'" + d.replace("'", "''") + "'"
+                  else d).getOrElse("NULL"))
                 body = ("(?i)(?<![\\w.\"'])" +
                   java.util.regex.Pattern.quote(p.name) + "\\b").r
                   .replaceAllIn(body,
@@ -1212,12 +1219,15 @@ final class SqlLogicRunner(spark: SparkSession) {
     case MergeAdjRe(body) => runMergeAdjacent(body)
     case CleanupCallRe(body) => runCleanup(body)
     case OrphanCallRe(body) => runOrphans(body)
-    case CreateMacroRe(qname, tail) if lake != null =>
+    case CreateMacroRe(orReplace, qname, tail) if lake != null =>
       val (schemaId, schemaName, name) = macroSchema(qname)
       val (mtype, impls) = parseMacroImpls(tail)
       // txn-local DDL reuses the open snapshot — the cache key can't
       // tell, so macro DDL always invalidates
       macroCache = (null, -1L, Nil)
+      if (orReplace != null)
+        try lake.store.dropMacro(schemaId, name, mtype)
+        catch { case _: graft.lake.DuckLakeException => () } // absent: plain create
       lake.store.createMacro(schemaId, schemaName, name, mtype, impls)
     case DropMacroRe(tbl, qname) if lake != null =>
       val (schemaId, _, name) = macroSchema(qname)
