@@ -381,7 +381,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * parquet-mr writer options. Resolution is most-specific-first:
     * table > schema > global (store.getOption).
     */
-  private def writerTuning(name: String): Map[String, String] = {
+  private[lake] def writerTuning(name: String): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
     getOption("parquet_compression", name).foreach { c =>
       m += "compression" -> (c.toLowerCase match {
@@ -420,6 +420,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * stay unannotated — our own reader projects by catalog epoch and
     * never needs them.
     */
+  /** Catalog column ids of the CURRENT shape (empty when absent). */
+  private[lake] def fieldIdsOf(name: String): Map[String, Long] = {
+    val snap = store.currentSnapshot
+    (for {
+      sch <- store.getSchemaByName(parse(name)._1, snap)
+      tbl <- store.getTableByName(sch.schemaId, parse(name)._2, snap)
+    } yield store.getTableColumns(tbl.tableId, snap)
+      .map(c => c.name -> c.columnId).toMap).getOrElse(Map.empty)
+  }
+
   private def annotateFieldIds(df: DataFrame, name: String,
       redefine: Boolean = false): DataFrame = {
     val snap = store.currentSnapshot

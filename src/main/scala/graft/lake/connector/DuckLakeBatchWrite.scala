@@ -78,9 +78,13 @@ final class DuckLakeDeltaWrite(lake: DuckLake, fullName: String,
     // virtual; catalog rows register with NULL row_id_start)
     val rowIdSchema = StructType(rowSchema.fields :+
       StructField(DuckLakePartitionPlanner.RowIdPhysCol, LongType, nullable = true))
+    val tuning = lake.writerTuning(fullName)
+    val ids = lake.fieldIdsOf(fullName)
     new DeltaGroupWriterFactory(
-      new GroupDataWriterFactory(staging, conf, rowSchema, partKeys, keyOpt),
-      new GroupDataWriterFactory(staging, conf, rowIdSchema, partKeys, keyOpt),
+      new GroupDataWriterFactory(staging, conf, rowSchema, partKeys, keyOpt,
+        tuning, ids),
+      new GroupDataWriterFactory(staging, conf, rowIdSchema, partKeys, keyOpt,
+        tuning, ids),
       rowSchema.length, staging, conf, keyOpt)
   }
 
@@ -234,7 +238,8 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
     val keyOpt = if (lake.encryptionEnabled) Some(GraftCryptoFactory.newKeyB64()) else None
     val batch = new GroupDataWriterFactory(staging,
       new SerializableConfiguration(lake.spark.sparkContext.hadoopConfiguration),
-      rowSchema, partKeys, keyOpt)
+      rowSchema, partKeys, keyOpt,
+      lake.writerTuning(fullName), lake.fieldIdsOf(fullName))
     lastKey = keyOpt
     (partitionId: Int, taskId: Long, _: Long) => batch.createWriter(partitionId, taskId)
   }
@@ -273,7 +278,9 @@ final class DuckLakeStreamingWrite(lake: DuckLake, fullName: String,
   * task); partition columns stay out of the file, as on the read side.
   */
 final class GroupDataWriterFactory(staging: String, hconf: SerializableConfiguration,
-    schema: StructType, partKeys: Array[(Int, String)], key: Option[String])
+    schema: StructType, partKeys: Array[(Int, String)], key: Option[String],
+    tuning: Map[String, String] = Map.empty,
+    fieldIds: Map[String, Long] = Map.empty)
     extends DataWriterFactory {
 
   /** Logical type of field `i` (update()'s typed InternalRow copy). */
@@ -292,7 +299,11 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
         schema.fields.zipWithIndex
       private val msgType: MessageType = {
         val b = Types.buildMessage()
-        dataFields.foreach { case (f, _) => b.addField(GroupDataWriterFactory.parquetField(f)) }
+        dataFields.foreach { case (f, _) =>
+          val pf = GroupDataWriterFactory.parquetField(f)
+          // DuckLake spec: field_id = catalog column_id (interop)
+          b.addField(fieldIds.get(f.name).fold(pf)(id => pf.withId(id.toInt)))
+        }
         b.named("spark_schema")
       }
       private val groupFactory = new SimpleGroupFactory(msgType)
@@ -317,8 +328,23 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
         }
         val (w, _) = writers.getOrElseUpdate(pv, {
           val name = s"part-$partitionId-$taskId-${writers.size}-${UUID.randomUUID().toString.take(8)}.parquet"
+          tuning.get("parquet.compression.codec.zstd.level")
+            .foreach(l => hconf.value.set("parquet.compression.codec.zstd.level", l))
           val builder = ExampleParquetWriter.builder(new Path(s"$staging/$name"))
             .withConf(hconf.value).withType(msgType)
+          // scoped writer tuning applies to DELTA files too
+          // (same option surface as staged appends)
+          tuning.get("compression").foreach(c =>
+            builder.withCompressionCodec(
+              org.apache.parquet.hadoop.metadata.CompressionCodecName
+                .valueOf(c.toUpperCase)))
+          tuning.get("parquet.writer.version").foreach(v =>
+            builder.withWriterVersion(
+              org.apache.parquet.column.ParquetProperties.WriterVersion.fromString(v)))
+          tuning.get("parquet.block.size").foreach(b2 =>
+            builder.withRowGroupSize(b2.toLong))
+          tuning.get("parquet.block.row.count.limit").foreach(n =>
+            builder.withRowGroupRowCountLimit(n.toInt))
           key.foreach(k => builder.withEncryption(GraftCryptoFactory.encryptionProps(k)))
           (builder.build(), name)
         })
