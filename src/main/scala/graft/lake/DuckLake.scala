@@ -412,6 +412,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     writerTuning(name).foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
 
+  /** Catalog (tableId, current columns) of `name`, None when absent. */
+  private def tableShape(name: String): Option[(Long, Seq[ColumnDef])] = {
+    val snap = store.currentSnapshot
+    for {
+      sch <- store.getSchemaByName(parse(name)._1, snap)
+      tbl <- store.getTableByName(sch.schemaId, parse(name)._2, snap)
+    } yield tbl.tableId -> store.getTableColumns(tbl.tableId, snap)
+  }
+
+  /** Catalog column ids of the CURRENT shape (empty when absent). */
+  private[lake] def fieldIdsOf(name: String): Map[String, Long] =
+    tableShape(name)
+      .map(_._2.map(c => c.name -> c.columnId).toMap).getOrElse(Map.empty)
+
   /** Annotate the outgoing schema with parquet FIELD IDS (DuckLake spec:
     * column_id ≙ parquet field_id, so field-id-based readers resolve
     * columns without name mappings — reference src/types.rs:440-498).
@@ -420,23 +434,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * stay unannotated — our own reader projects by catalog epoch and
     * never needs them.
     */
-  /** Catalog column ids of the CURRENT shape (empty when absent). */
-  private[lake] def fieldIdsOf(name: String): Map[String, Long] = {
-    val snap = store.currentSnapshot
-    (for {
-      sch <- store.getSchemaByName(parse(name)._1, snap)
-      tbl <- store.getTableByName(sch.schemaId, parse(name)._2, snap)
-    } yield store.getTableColumns(tbl.tableId, snap)
-      .map(c => c.name -> c.columnId).toMap).getOrElse(Map.empty)
-  }
-
   private def annotateFieldIds(df: DataFrame, name: String,
       redefine: Boolean = false): DataFrame = {
-    val snap = store.currentSnapshot
-    val existing: Option[(Long, Seq[ColumnDef])] = for {
-      sch <- store.getSchemaByName(parse(name)._1, snap)
-      tbl <- store.getTableByName(sch.schemaId, parse(name)._2, snap)
-    } yield tbl.tableId -> store.getTableColumns(tbl.tableId, snap)
+    val existing: Option[(Long, Seq[ColumnDef])] = tableShape(name)
     val ids: Map[String, Long] = existing match {
       case Some((tid, _)) if redefine =>
         // CREATE OR REPLACE assigns FRESH ids past every id the table

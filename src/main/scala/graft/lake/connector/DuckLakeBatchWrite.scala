@@ -156,8 +156,11 @@ final class DeltaGroupWriterFactory(inner: GroupDataWriterFactory,
             .addField(Types.optional(PrimitiveTypeName.INT64).named("pos"))
             .named("spark_schema")
           delName = s"deletes-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
-          val b = ExampleParquetWriter.builder(new Path(s"$staging/$delName"))
-            .withConf(hconf.value).withType(msgType)
+          // delete-position files follow the same scoped tuning as the
+          // delta data files
+          val b = inner.applyTuning(ExampleParquetWriter
+            .builder(new Path(s"$staging/$delName"))
+            .withConf(hconf.value).withType(msgType))
           key.foreach(k => b.withEncryption(GraftCryptoFactory.encryptionProps(k)))
           delWriter = b.build()
           delFactory = new SimpleGroupFactory(msgType)
@@ -283,6 +286,24 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
     fieldIds: Map[String, Long] = Map.empty)
     extends DataWriterFactory {
 
+  /** One place for the scoped writer options on a parquet-mr builder —
+    * identical semantics to the staged-append path.
+    */
+  private[connector] def applyTuning[B <: org.apache.parquet.hadoop.ParquetWriter.Builder[Group, B]](
+      builder: B): B = {
+    tuning.get("compression").foreach(c =>
+      builder.withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.valueOf(c.toUpperCase)))
+    tuning.get("parquet.writer.version").foreach(v =>
+      builder.withWriterVersion(
+        org.apache.parquet.column.ParquetProperties.WriterVersion.fromString(v)))
+    tuning.get("parquet.block.size").foreach(b2 => builder.withRowGroupSize(b2.toLong))
+    tuning.get("parquet.page.size").foreach(p2 => builder.withPageSize(p2.toInt))
+    tuning.get("parquet.block.row.count.limit").foreach(n =>
+      builder.withRowGroupRowCountLimit(n.toInt))
+    builder
+  }
+
   /** Logical type of field `i` (update()'s typed InternalRow copy). */
   def fieldType(i: Int): DataType = schema.fields(i).dataType
 
@@ -301,8 +322,10 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
         val b = Types.buildMessage()
         dataFields.foreach { case (f, _) =>
           val pf = GroupDataWriterFactory.parquetField(f)
-          // DuckLake spec: field_id = catalog column_id (interop)
-          b.addField(fieldIds.get(f.name).fold(pf)(id => pf.withId(id.toInt)))
+          // DuckLake spec: field_id = catalog column_id (interop);
+          // parquet field ids are 32-bit — never stamp a wrapped value
+          b.addField(fieldIds.get(f.name)
+            .filter(_ <= Int.MaxValue).fold(pf)(id => pf.withId(id.toInt)))
         }
         b.named("spark_schema")
       }
@@ -330,21 +353,11 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
           val name = s"part-$partitionId-$taskId-${writers.size}-${UUID.randomUUID().toString.take(8)}.parquet"
           tuning.get("parquet.compression.codec.zstd.level")
             .foreach(l => hconf.value.set("parquet.compression.codec.zstd.level", l))
-          val builder = ExampleParquetWriter.builder(new Path(s"$staging/$name"))
-            .withConf(hconf.value).withType(msgType)
           // scoped writer tuning applies to DELTA files too
           // (same option surface as staged appends)
-          tuning.get("compression").foreach(c =>
-            builder.withCompressionCodec(
-              org.apache.parquet.hadoop.metadata.CompressionCodecName
-                .valueOf(c.toUpperCase)))
-          tuning.get("parquet.writer.version").foreach(v =>
-            builder.withWriterVersion(
-              org.apache.parquet.column.ParquetProperties.WriterVersion.fromString(v)))
-          tuning.get("parquet.block.size").foreach(b2 =>
-            builder.withRowGroupSize(b2.toLong))
-          tuning.get("parquet.block.row.count.limit").foreach(n =>
-            builder.withRowGroupRowCountLimit(n.toInt))
+          val builder = applyTuning(ExampleParquetWriter
+            .builder(new Path(s"$staging/$name"))
+            .withConf(hconf.value).withType(msgType))
           key.foreach(k => builder.withEncryption(GraftCryptoFactory.encryptionProps(k)))
           (builder.build(), name)
         })
