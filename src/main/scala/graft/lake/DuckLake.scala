@@ -59,11 +59,68 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   // Spark's default TimestampType parquet encoding is INT96, which
   // carries NO column statistics — file skipping on timestamp columns
   // (the canonical time-range prune at 100 TB) would silently stop
-  // working. The lake writes micros, like the reference engine.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-  // DuckLake spec: data files carry parquet field_ids (column_id) so
-  // field-id-based readers resolve columns without name mappings
-  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  // working. The lake writes micros, like the reference engine, and
+  // stamps parquet field_ids (DuckLake spec: column_id ≙ field_id).
+  // Both confs are scoped to LAKE writes only via
+  // [[withWriterSessionConf]] — constructing a DuckLake must never
+  // change the output schema of an unrelated `df.write.parquet` in the
+  // same session.
+  private val lakeWriterConfs = Seq(
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    "spark.sql.parquet.fieldId.write.enabled" -> "true")
+
+  /** Run one staged lake write with the lake's parquet session confs
+    * pinned, restoring the caller's values (or the Spark defaults)
+    * afterwards. Spark's parquet writer reads these from the session
+    * conf at job-planning time — there is no per-write option for them —
+    * so the pin lives exactly as long as the staging job.
+    */
+  private def withWriterSessionConf[T](body: => T): T = {
+    val saved = lakeWriterConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    lakeWriterConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** JSON options for INLINED row storage, shared by every write
+    * (to_json) and read (from_json) of `ducklake_inlined_data`: to_json's
+    * default millisecond rendering silently truncated µs timestamps, and
+    * its zone-less LTZ rendering didn't parse back inside arrays (corpus:
+    * data_inlining/data_inlining_types.test) — pin micro-precision NTZ
+    * and offset-bearing LTZ formats symmetric across both directions.
+    */
+  private[lake] val inlineJsonOpts: Map[String, String] = Map(
+    "allowNonNumericNumbers" -> "true",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** One JSON document per row, with [[inlineJsonOpts]] (Dataset.toJSON
+    * takes no options, so inlining serializes through to_json).
+    */
+  private def inlineJson(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import df.sparkSession.implicits._
+    df.select(to_json(struct(df.columns.map(col): _*), inlineJsonOpts).as("__j"))
+      .as[String]
+  }
+
+  /** from_json read schema for inlined rows with every timestamp leaf
+    * downgraded to STRING: Spark's JSON parser silently nulls
+    * TIMESTAMP_LTZ values (even offset-tagged ones) when the session's
+    * `spark.sql.timestampType` is NTZ, while a string→timestamp CAST is
+    * conf-independent — the inlined-read projections already cast every
+    * field to its true catalog type.
+    */
+  private def inlineReadType(dt: DataType): DataType = dt match {
+    case TimestampType | TimestampNTZType => StringType
+    case ArrayType(e, n)  => ArrayType(inlineReadType(e), n)
+    case StructType(fs)   =>
+      StructType(fs.map(f => f.copy(dataType = inlineReadType(f.dataType))))
+    case MapType(k, v, n) => MapType(inlineReadType(k), inlineReadType(v), n)
+    case other            => other
+  }
 
   /** Lake-level Parquet Modular Encryption (reference: A5,
     * src/encryption.rs): sticky once enabled — reopening the lake without
@@ -292,9 +349,52 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     }
   }
 
+  /** Optimistic-concurrency retry budget for concurrent appends to one
+    * table (the DuckLake `ducklake_max_retry_count` setting — corpus:
+    * settings/max_retry_count.test). A writer whose base snapshot
+    * advanced at publish time re-runs its whole write (restage included)
+    * from a fresh base, up to this many retries.
+    */
+  @volatile var maxRetryCount: Int = 10
+  /** Wait before a CAS re-publish, growing `retryBackoff`× per attempt
+    * (capped at 1 s) — the DuckLake `ducklake_retry_wait_ms` /
+    * `ducklake_retry_backoff` settings.
+    */
+  @volatile var retryWaitMs: Long = 100
+  @volatile var retryBackoff: Double = 1.5
+
   private def write(df: DataFrame, name: String, mode: WriteMode.Value,
       partitionBy: Seq[String] = Nil, flushInlined: Boolean = false,
       redefine: Boolean = false): Long = {
+    // optimistic-concurrency driver: a SnapshotCasRetry from the publish
+    // gate re-runs the WHOLE write from a fresh base snapshot, up to the
+    // retry budget, then surfaces the reference's retry-exhaustion error.
+    // Re-running includes the staging job — the transaction's view of the
+    // catalog (partition spec, inline eligibility, schema epoch) was read
+    // at the stale base and must be re-derived. (Reusing already-staged
+    // files across retries is a possible future optimization for huge
+    // appends whose plan provably doesn't depend on the base.)
+    var attempt = 0
+    while (true) {
+      try return writeOnce(df, name, mode, partitionBy, flushInlined, redefine)
+      catch {
+        case _: MetadataStore.SnapshotCasRetry =>
+          attempt += 1
+          val budget = maxRetryCount
+          if (attempt > budget)
+            throw new TransactionConflictException(
+              s"Exceeded the maximum retry count of $budget set by the " +
+                "ducklake_max_retry_count setting.")
+          Thread.sleep(math.min(200.0,
+            2L * attempt * retryBackoff).toLong)
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def writeOnce(df: DataFrame, name: String, mode: WriteMode.Value,
+      partitionBy: Seq[String], flushInlined: Boolean,
+      redefine: Boolean): Long = {
     val (schemaName, tableName) = parse(name)
     // path hardening BEFORE any filesystem work (same order as the
     // reference, src/metadata_writer.rs:17-36): an invalid name must not
@@ -305,6 +405,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // appends inherit them
     val existingSpecs = partitionColumnsOf(name)
     val tableIsNew = !tableExists(name) || redefine
+    // optimistic base for concurrent appends to an EXISTING table (CTAS
+    // and replaces publish unconditionally — their internal bootstrap may
+    // legitimately advance the snapshot mid-write): captured before any
+    // staging, validated atomically at publish time
+    val casBase: Option[Long] =
+      if (mode == WriteMode.Append && !tableIsNew && !flushInlined)
+        Some(store.currentSnapshot) else None
     val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
     if (!tableIsNew && partitionBy.nonEmpty && requestedSpecs != existingSpecs)
       throw new UnsupportedException(
@@ -322,9 +429,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // (inlined rows skip the evolution machinery); partitioned tables
     // inline too — flushing writes the rows out hive-partitioned.
     val inlineLimit = effectiveInlineLimit(name)
+    // reference parity (corpus: geo/ducklake_geometry_inlining.test):
+    // GEOMETRY columns don't inline — the bbox summary-stats machinery is
+    // file-based; the reference errors at bind time rather than silently
+    // spilling, so any write to a geometry table under an inline limit
+    // fails loudly
+    if (inlineLimit > 0 && !flushInlined &&
+        tableShape(name).exists(_._2.exists(c => TypeBridge.isGeometry(c.dtype))))
+      throw new UnsupportedTypeException(
+        "DuckLake does not yet support data-inlining of 'GEOMETRY' columns")
     if (inlineLimit > 0 && mode == WriteMode.Append && !tableIsNew &&
         !flushInlined && schemaMatchesCurrent(name, df)) {
-      val sample = df.toJSON.limit(inlineLimit + 1).collect()
+      val sample = inlineJson(df).limit(inlineLimit + 1).collect()
       if (sample.length <= inlineLimit) {
         val tr = resolveTable(name, store.currentSnapshot)
         val curCols = store.getTableColumns(tr.tableId, store.currentSnapshot)
@@ -335,15 +451,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             throw new ConstraintViolationException(
               s"NOT NULL constraint failed: column ${c.name} of $name")
         }
-        return store.commitInlined(tr.tableId, sample.toSeq,
-          inlineStats(df, curCols))
+        return store.withSnapshotCas(casBase)(
+          store.commitInlined(tr.tableId, sample.toSeq,
+            inlineStats(df, curCols)))
       }
     }
     // CTAS at or under the inline limit: table registration + inlined
     // rows in ONE snapshot, zero files (matches the reference —
     // tests/sqllogictests/sql/data_inlining/data_inlining_delete.test)
     if (inlineLimit > 0 && tableIsNew && !flushInlined && partFields.isEmpty) {
-      val sample = df.toJSON.limit(inlineLimit + 1).collect()
+      val sample = inlineJson(df).limit(inlineLimit + 1).collect()
       if (sample.length <= inlineLimit) {
         val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
           ColumnDef(i.toLong, i.toLong, f.name, TypeBridge.fromSpark(f.dataType),
@@ -362,7 +479,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val (spec, renamed) = stageWrite(df, name, mode,
       if (tableIsNew) partSpecs else Nil, partFields, flushInlined, redefine)
     val snap =
-      try store.commitWrites(Seq(spec.copy(redefine = redefine)))
+      try store.withSnapshotCas(casBase)(
+        store.commitWrites(Seq(spec.copy(redefine = redefine))))
       catch { case e: Throwable => cleanupRenamed(renamed); throw e }
     // auto_compact: merge adjacent small files right after the append
     // (scoped option; DuckLake default behavior on small inserts)
@@ -500,7 +618,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // insert/insert_file_size.test); tiny writes stay one file
     val writer = getOption("target_file_size", name).flatMap(parseByteSize)
       .fold(writer0)(_ => writer0.option("maxRecordsPerFile", 122880L))
-    (if (dirCols.nonEmpty) writer.partitionBy(dirCols: _*) else writer).parquet(staging)
+    withWriterSessionConf(
+      (if (dirCols.nonEmpty) writer.partitionBy(dirCols: _*) else writer).parquet(staging))
     // full rows land in the files — partition keys included
     val dataSchema = df.schema
     try {
@@ -546,6 +665,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val fs = FileSystem.get(new java.net.URI(dataPath), hconf)
     val tableDir = tableDirOf(s"$schemaName.$tableName")
     fs.mkdirs(new Path(tableDir))
+    // GEOMETRY-typed catalog columns get a bbox/type `extra_stats`
+    // summary per file (corpus: geo/ducklake_geometry.test) — computed
+    // by one distributed pass over the staged file's WKB column
+    val geoCols: Seq[String] = tableShape(s"$schemaName.$tableName")
+      .map(_._2.filter(c => TypeBridge.isGeometry(c.dtype)).map(_.name))
+      .getOrElse(Nil)
+      .filter(n => dataSchema.fieldNames.contains(n))
     val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val files = staged.map { case (part, partValues) =>
       val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
@@ -562,11 +688,50 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         throw new InternalException(s"rename failed: $part -> $dest")
       renamed += dest
       val st = fs.getFileStatus(dest)
+      val footerStats = FileStats.fromFooter(dest, hconf, dataSchema, keyOpt)
+      val stats =
+        if (geoCols.isEmpty) footerStats
+        else {
+          val geo = geoFileStats(dest, geoCols, keyOpt)
+          footerStats.map { s =>
+            if (geoCols.contains(s.columnName))
+              s.copy(minValue = None, maxValue = None,
+                extraStats = geo.get(s.columnName)
+                  .filter(_.types.nonEmpty).map(_.toJson))
+            else s
+          }
+        }
       FileToRegister(relName, rowCount(dest, keyOpt), st.getLen,
-        footerSize(fs, dest, st.getLen),
-        FileStats.fromFooter(dest, hconf, dataSchema, keyOpt), keyOpt, partValues)
+        footerSize(fs, dest, st.getLen), stats, keyOpt, partValues)
     }
     (files, renamed.toSeq)
+  }
+
+  /** One distributed pass over a staged file's geometry columns: per
+    * column, the merged bbox + type-tag set. Partial aggregation per
+    * partition, tiny merge on the driver — O(one extra columnar read of
+    * the new file), never a per-row collect.
+    */
+  private def geoFileStats(dest: Path, geoCols: Seq[String],
+      keyOpt: Option[String]): Map[String, Geo.GeoStats] = {
+    val df = reader(Seq(dest.getName -> keyOpt))
+      .parquet(dest.toString).select(geoCols.map(col): _*)
+    val n = geoCols.length
+    val zero = Array.fill(n)(Geo.emptyStats)
+    val agg = df.rdd.mapPartitions { it =>
+      val acc = Array.fill(n)(Geo.emptyStats)
+      it.foreach { r =>
+        var i = 0
+        while (i < n) {
+          if (!r.isNullAt(i))
+            Geo.statsOfWkb(r.getAs[Array[Byte]](i))
+              .foreach(s => acc(i) = acc(i).merge(s))
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.fold(zero)((a, b) => a.zip(b).map { case (x, y) => x.merge(y) })
+    geoCols.zip(agg).toMap
   }
 
   /** Hive on-disk layout directory names for a table's partition keys
@@ -972,13 +1137,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val txnLocal = txnSnap.contains(beginSnap)
       val epochCols = store.getTableColumns(tr.tableId, beginSnap)
       val epochSchema = StructType(epochCols.map(c =>
-        StructField(c.name, TypeBridge.toSpark(c.dtype), nullable = true)))
+        StructField(c.name, inlineReadType(TypeBridge.toSpark(c.dtype)),
+          nullable = true)))
       val byId = epochCols.map(c => c.columnId -> c).toMap
       val parsed = group.sortBy(_._1).zipWithIndex
         .map { case (g, i) => (g._1, g._3, i.toLong) }
         .toDF("__row_id", "__json", "__frn")
-        .withColumn("__p", from_json(col("__json"), epochSchema,
-          Map("allowNonNumericNumbers" -> "true")))
+        .withColumn("__p", from_json(col("__json"), epochSchema, inlineJsonOpts))
       val projection = cols.map { c =>
         byId.get(c.columnId) match {
           case Some(e) => col("__p").getField(e.name)
@@ -1580,11 +1745,29 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           case TimestampType | TimestampNTZType => true
           case _ => false
         }).map(_.sourceName).toSet
-      val fileStats = FileStats.fromFooter(p, hconf, physSchema, None).map { s =>
+      val fileStats0 = FileStats.fromFooter(p, hconf, physSchema, None).map { s =>
         val renamed = s.copy(columnName = srcToCol.getOrElse(s.columnName, s.columnName))
         if (isTs(s.columnName)) renamed.copy(minValue = None, maxValue = None)
         else renamed
       }
+      // adopted geometry columns get the same bbox/type summary a native
+      // write computes (corpus: geo/ducklake_geometry_add_files.test)
+      val adoptedGeoCols = cols.filter(c => TypeBridge.isGeometry(c.dtype))
+        .map(_.name).filter(n => srcToCol.values.exists(_ == n))
+      val fileStats =
+        if (adoptedGeoCols.isEmpty) fileStats0
+        else {
+          val bySrc = srcToCol.map(_.swap) // table name -> file name
+          val geo = geoFileStats(p, adoptedGeoCols.map(bySrc), None)
+            .map { case (src, st) => srcToCol(src) -> st }
+          fileStats0.map { s =>
+            if (adoptedGeoCols.contains(s.columnName))
+              s.copy(minValue = None, maxValue = None,
+                extraStats = geo.get(s.columnName)
+                  .filter(_.types.nonEmpty).map(_.toJson))
+            else s
+          }
+        }
       // adopted data must already satisfy NOT NULL declarations: the
       // footer's null counts make the check free
       cols.filter(!_.nullsAllowed).foreach { c =>
@@ -1646,8 +1829,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           .getOrElse(throw new InvalidConfigException(s"no such column: $c")).dtype)))
     }
     val pairs = applied.select(col("__row_id"),
-        org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.struct(cols.map(c => col(c.name)): _*)))
+        to_json(struct(cols.map(c => col(c.name)): _*), inlineJsonOpts))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     Some(store.commitInlinedUpdate(tr.tableId, pairs,
       inlineStats(applied.select(cols.map(c => col(c.name)): _*), cols)))
@@ -1684,7 +1866,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
           .option(GraftCryptoFactory.EncryptKey, k)
       })
-      w.parquet(staging)
+      withWriterSessionConf(w.parquet(staging))
       val part = fs.listStatus(new Path(staging))
         .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
       val (files, renamed) = stageIntoTableDir(schemaName, tableName,
@@ -1952,7 +2134,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
             .option(GraftCryptoFactory.EncryptKey, k)
         })
-        w.parquet(s"$staging/g$gi")
+        withWriterSessionConf(w.parquet(s"$staging/g$gi"))
         val part = fs.listStatus(new Path(s"$staging/g$gi"))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
         val (files, renamed) = stageIntoTableDir(schemaName, tableName,
@@ -2208,7 +2390,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           wr.option(GraftCryptoFactory.FactoryClass, classOf[GraftCryptoFactory].getName)
             .option(GraftCryptoFactory.EncryptKey, k)
         })
-        w.parquet(s"$staging/g$i")
+        withWriterSessionConf(w.parquet(s"$staging/g$i"))
         val part = fs.listStatus(new Path(s"$staging/g$i"))
           .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
         (part, pv)
@@ -2638,10 +2820,10 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     def inlineRows(rows: Seq[(Long, Long, String)]): Option[DataFrame] = {
       if (rows.isEmpty) return None
       import spark.implicits._
-      val schema = sparkSchemaOf(cols)
+      val schema = inlineReadType(sparkSchemaOf(cols))
+        .asInstanceOf[StructType]
       Some(rows.toSeq.toDF("rowid", "snapshot_id", "__json")
-        .withColumn("__p", from_json(col("__json"), schema,
-          Map("allowNonNumericNumbers" -> "true")))
+        .withColumn("__p", from_json(col("__json"), schema, inlineJsonOpts))
         .select(Seq(col("snapshot_id"), col("rowid")) ++
           cols.map(c => col("__p").getField(c.name)
             .cast(TypeBridge.toSpark(c.dtype)).as(c.name)): _*))

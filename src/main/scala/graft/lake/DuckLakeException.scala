@@ -17,5 +17,6 @@ final class InvalidConfigException(msg: String) extends DuckLakeException(msg)
 final class UnsupportedTypeException(msg: String) extends DuckLakeException(msg)
 final class UnsupportedException(msg: String) extends DuckLakeException(msg)
 final class ConstraintViolationException(msg: String) extends DuckLakeException(msg)
+final class TransactionConflictException(msg: String) extends DuckLakeException(msg)
 final class InternalException(msg: String, cause: Throwable = null)
     extends DuckLakeException(msg, cause)

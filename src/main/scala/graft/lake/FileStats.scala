@@ -122,8 +122,20 @@ object FileStats {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf), opts.build())
     try {
       import scala.jdk.CollectionConverters._
-      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { f =>
+      val meta = reader.getFooter.getFileMetaData
+      // GeoParquet v1 files carry a "geo" file-metadata document naming
+      // their geometry columns — those columns must NOT silently adopt as
+      // native geometry (the encodings differ; the reference refuses them
+      // — corpus: geo/ducklake_geometry_add_files.test)
+      val geoCols: Set[String] =
+        Option(meta.getKeyValueMetaData.get("geo")).map { doc =>
+          "\"([A-Za-z_][A-Za-z0-9_]*)\"\\s*:\\s*\\{".r.findAllMatchIn(doc)
+            .map(_.group(1).toLowerCase).toSet -- Set("columns")
+        }.getOrElse(Set.empty)
+      meta.getSchema.getFields.asScala.flatMap { f =>
         if (!f.isPrimitive) None
+        else if (geoCols.contains(f.getName.toLowerCase))
+          Some(f.getName.toLowerCase -> "geoparquet")
         else f.asPrimitiveType().getLogicalTypeAnnotation match {
           case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>
             Some(f.getName.toLowerCase -> s"uint${i.getBitWidth}")

@@ -95,7 +95,8 @@ final case class DeleteFileRec(deleteFileId: Long, dataFileId: Long, path: Strin
     pathIsRelative: Boolean, recordCount: Long, beginSnapshot: Long,
     encryptionKey: Option[String] = None, fileSizeBytes: Long = 0L)
 final case class ColumnStatRec(columnName: String, valueCount: Long,
-    nullCount: Option[Long], minValue: Option[String], maxValue: Option[String])
+    nullCount: Option[Long], minValue: Option[String], maxValue: Option[String],
+    extraStats: Option[String] = None)
 final case class FileToRegister(path: String, recordCount: Long, fileSizeBytes: Long,
     footerSize: Long, stats: Seq[ColumnStatRec] = Nil, encryptionKey: Option[String] = None,
     partitionValues: Seq[Option[String]] = Nil, pathIsRelative: Boolean = true,
@@ -266,7 +267,8 @@ final class MetadataStore(dbPath: String,
             |  value_count BIGINT,
             |  null_count BIGINT,
             |  min_value VARCHAR(256),
-            |  max_value VARCHAR(256))""".stripMargin)
+            |  max_value VARCHAR(256),
+            |  extra_stats VARCHAR(4000))""".stripMargin)
         // hive-style partitioning (DuckLake spec tables
         // ducklake_partition_column / ducklake_file_partition_value):
         // partition keys are column_ids (rename-stable); per-file values
@@ -506,7 +508,8 @@ final class MetadataStore(dbPath: String,
           |  min_value VARCHAR(4096),
           |  max_value VARCHAR(4096),
           |  contains_not_null BOOLEAN NOT NULL,
-          |  bounds_known BOOLEAN NOT NULL)""".stripMargin)
+          |  bounds_known BOOLEAN NOT NULL,
+          |  extra_stats VARCHAR(4000))""".stripMargin)
       finally st.close()
     }
     // per-snapshot change journal + schema_version (DuckLake spec table
@@ -594,6 +597,20 @@ final class MetadataStore(dbPath: String,
         st.executeUpdate("ALTER TABLE ducklake_snapshot ADD COLUMN commit_extra_info VARCHAR(4000)")
       } finally st.close()
     }
+    val hasExtraStats = {
+      val rs = conn.getMetaData.getColumns(null,
+        metadataSchema.map(_.toUpperCase).getOrElse("APP"),
+        "DUCKLAKE_FILE_COLUMN_STATS", "EXTRA_STATS")
+      try rs.next() finally rs.close()
+    }
+    if (!hasExtraStats) {
+      // geometry bbox/type summaries (corpus: geo/ducklake_geometry.test)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("ALTER TABLE ducklake_file_column_stats ADD COLUMN extra_stats VARCHAR(4000)")
+        st.executeUpdate("ALTER TABLE ducklake_table_column_stats ADD COLUMN extra_stats VARCHAR(4000)")
+      } finally st.close()
+    }
   }
 
   // ---------- commit audit info (set_commit_message) ----------
@@ -671,7 +688,7 @@ final class MetadataStore(dbPath: String,
         // the MAINTAINED cumulative stats (spec shape; the trailing
         // bookkeeping columns stay internal)
         """SELECT table_id, column_id, contains_null, contains_nan,
-          |  min_value, max_value
+          |  min_value, max_value, extra_stats
           |FROM ducklake_table_column_stats""".stripMargin
       // DuckDB surfaces the options table with (key, value) column names
       case "ducklake_metadata" =>
@@ -1308,6 +1325,20 @@ final class MetadataStore(dbPath: String,
     * Inside an open [[beginTransaction]] the body instead JOINS the shared
     * snapshot under a savepoint and the outer COMMIT/ROLLBACK decides.
     */
+  /** Optimistic snapshot CAS for CONCURRENT writers (DuckLake-spec
+    * behavior over a shared catalog, corpus settings/max_retry_count): a
+    * writer that began at `expected` must observe an unchanged snapshot
+    * at publish time, or retry its whole write from a fresh base
+    * ([[graft.lake.DuckLake]]'s retry loop). Shares this store's monitor
+    * with [[inSnapshotTxn]], so check + publish are atomic.
+    */
+  def withSnapshotCas[T](expected: Option[Long])(body: => T): T = synchronized {
+    expected.foreach { e =>
+      if (currentSnapshot != e) throw new MetadataStore.SnapshotCasRetry
+    }
+    body
+  }
+
   private def inSnapshotTxn[A](body: Long => A): A = synchronized {
     pendingChanges.clear()
     if (txnOpen) {
@@ -1540,10 +1571,10 @@ final class MetadataStore(dbPath: String,
       }
       f.stats.foreach { st =>
         colIds.get(st.columnName).foreach { cid =>
-          update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+          update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
             Seq(id, table.tableId, cid, st.valueCount,
               st.nullCount.map(Long.box).orNull,
-              st.minValue.orNull, st.maxValue.orNull))
+              st.minValue.orNull, st.maxValue.orNull, st.extraStats.orNull))
         }
       }
     }
@@ -1710,17 +1741,17 @@ final class MetadataStore(dbPath: String,
       val allNull = st.nullCount.contains(st.valueCount)
       val newKnown = (st.minValue.nonEmpty && st.maxValue.nonEmpty) || allNull
       val existing = query(
-        """SELECT contains_null, min_value, max_value, contains_not_null, bounds_known
+        """SELECT contains_null, min_value, max_value, contains_not_null, bounds_known, extra_stats
           |FROM ducklake_table_column_stats WHERE table_id = ? AND column_id = ?""".stripMargin,
         Seq(tableId, cdef.columnId))(rs => (rs.getBoolean(1),
           Option(rs.getString(2)), Option(rs.getString(3)),
-          rs.getBoolean(4), rs.getBoolean(5))).headOption
+          rs.getBoolean(4), rs.getBoolean(5), Option(rs.getString(6)))).headOption
       existing match {
         case None =>
-          update("INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, NULL, ?, ?, ?, ?)",
+          update("INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?)",
             Seq(tableId, cdef.columnId, newHasNull, st.minValue.orNull,
-              st.maxValue.orNull, newHasNotNull, newKnown))
-        case Some((hadNull, exMin, exMax, hadNotNull, exKnown)) =>
+              st.maxValue.orNull, newHasNotNull, newKnown, st.extraStats.orNull))
+        case Some((hadNull, exMin, exMax, hadNotNull, exKnown, exExtra)) =>
           def fold(a: Option[String], b: Option[String],
               pick: (String, String) => String): Option[String] = (a, b) match {
             case (Some(x), Some(y)) => Some(pick(x, y))
@@ -1729,12 +1760,16 @@ final class MetadataStore(dbPath: String,
           val known = exKnown && newKnown
           val mn = if (known) fold(exMin, st.minValue, FileStats.least(dt, _, _)) else None
           val mx = if (known) fold(exMax, st.maxValue, FileStats.greatest(dt, _, _)) else None
+          // geometry bbox/type summaries union across files
+          val extra = Geo.mergeStatsJson(exExtra, st.extraStats)
           update(
             """UPDATE ducklake_table_column_stats SET contains_null = ?,
-              |min_value = ?, max_value = ?, contains_not_null = ?, bounds_known = ?
+              |min_value = ?, max_value = ?, contains_not_null = ?, bounds_known = ?,
+              |extra_stats = ?
               |WHERE table_id = ? AND column_id = ?""".stripMargin,
             Seq(hadNull || newHasNull, mn.orNull, mx.orNull,
-              hadNotNull || newHasNotNull, known, tableId, cdef.columnId))
+              hadNotNull || newHasNotNull, known, extra.orNull,
+              tableId, cdef.columnId))
       }
     }
   }
@@ -1777,10 +1812,10 @@ final class MetadataStore(dbPath: String,
           rowStart))
       f.stats.foreach { st =>
         colIds.get(st.columnName).foreach { cid =>
-          update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+          update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
             Seq(id, table.tableId, cid, st.valueCount,
               st.nullCount.map(Long.box).orNull,
-              st.minValue.orNull, st.maxValue.orNull))
+              st.minValue.orNull, st.maxValue.orNull, st.extraStats.orNull))
         }
       }
       val statDefs = getTableColumns(table.tableId, snap)
@@ -2438,10 +2473,10 @@ final class MetadataStore(dbPath: String,
     }
     file.stats.foreach { st =>
       statColIds.get(st.columnName).foreach { cid =>
-        update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+        update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
           Seq(id, table.tableId, cid, st.valueCount,
             st.nullCount.map(Long.box).orNull,
-            st.minValue.orNull, st.maxValue.orNull))
+            st.minValue.orNull, st.maxValue.orNull, st.extraStats.orNull))
       }
     }
     update("DELETE FROM ducklake_inlined_data WHERE table_id = ? AND end_snapshot IS NULL",
@@ -2500,10 +2535,10 @@ final class MetadataStore(dbPath: String,
     }
     file.stats.foreach { st =>
       colIds.get(st.columnName).foreach { cid =>
-        update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+        update("INSERT INTO ducklake_file_column_stats VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
           Seq(id, table.tableId, cid, st.valueCount,
             st.nullCount.map(Long.box).orNull,
-            st.minValue.orNull, st.maxValue.orNull))
+            st.minValue.orNull, st.maxValue.orNull, st.extraStats.orNull))
       }
     }
     removed.foreach { f =>
@@ -2720,7 +2755,7 @@ final class MetadataStore(dbPath: String,
         Seq(nid, tableId, f.path, f.rel, f.rc, f.size, f.footer, snap, f.key, f.epoch,
           f.mapping.map(Long.box).orNull, f.rowStart.map(Long.box).orNull))
       update("INSERT INTO ducklake_file_column_stats " +
-        "SELECT CAST(? AS BIGINT), table_id, column_id, value_count, null_count, min_value, max_value " +
+        "SELECT CAST(? AS BIGINT), table_id, column_id, value_count, null_count, min_value, max_value, extra_stats " +
         "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, f.id))
       update("INSERT INTO ducklake_file_partition_value " +
         "SELECT CAST(? AS BIGINT), table_id, partition_key_index, partition_value " +
@@ -2859,7 +2894,7 @@ final class MetadataStore(dbPath: String,
           Seq(nid, tid, path, rel, rc, size, footer, snap, key, epoch,
             mapping.map(Long.box).orNull, rowStart.map(Long.box).orNull))
         update("INSERT INTO ducklake_file_column_stats " +
-          "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), column_id, value_count, null_count, min_value, max_value " +
+          "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), column_id, value_count, null_count, min_value, max_value, extra_stats " +
           "FROM ducklake_file_column_stats WHERE data_file_id = ?", Seq(nid, tid, fid))
         update("INSERT INTO ducklake_file_partition_value " +
           "SELECT CAST(? AS BIGINT), CAST(? AS BIGINT), partition_key_index, partition_value " +
@@ -3139,4 +3174,11 @@ object MetadataStore {
     */
   private val openCount =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Control-flow signal of [[MetadataStore.withSnapshotCas]]: the base
+    * snapshot advanced under a concurrent writer — retry from a fresh
+    * base (never user-visible; DuckLake's retry loop consumes it).
+    */
+  final class SnapshotCasRetry extends RuntimeException(
+    "snapshot advanced during write", null, false, false)
 }

@@ -46,6 +46,13 @@ object TypeBridge {
     * go through alias normalization. Throws [[UnsupportedTypeException]]
     * for invalid/oversized decimals (src/types.rs:167-251).
     */
+  /** The geometry type family (WKB-carried; reference src/types.rs:67-68). */
+  def isGeometry(t0: String): Boolean = {
+    val s = t0.toLowerCase
+    s == "geometry" || s.startsWith("point") || s.startsWith("linestring") ||
+      s.startsWith("polygon") || s.startsWith("multi")
+  }
+
   def toSpark(t: String): DataType = {
     val raw = t.trim
     val lower = raw.toLowerCase
@@ -91,8 +98,7 @@ object TypeBridge {
     case "json"         => StringType
     case "blob"         => BinaryType
     case "uuid"         => BinaryType
-    case s if s.startsWith("point") || s.startsWith("linestring") ||
-      s.startsWith("polygon") || s.startsWith("multi") || s == "geometry" =>
+    case s if isGeometry(s) =>
       BinaryType                              // WKB, as in reference
     case DecimalRe(p, sc) =>
       val (prec, scale) = (p.toInt, sc.toInt)
@@ -204,6 +210,10 @@ object TypeBridge {
   def typesCompatible(from: String, to: String): Boolean = {
     val (f, t) = (normalize(from), normalize(to))
     if (f == t || isPromotable(from, to)) return true
+    // plain WKB blobs adopt into geometry columns (native-parquet
+    // geometry IS a blob column; corpus: geo/ducklake_geometry_add_files
+    // — GeoParquet-marked files are surfaced as 'geoparquet' and refused)
+    if (f == "blob" && isGeometry(t)) return true
     def inner(s: String, prefix: String): Option[String] =
       if (s.startsWith(prefix) && s.endsWith(">"))
         Some(s.substring(prefix.length, s.length - 1))

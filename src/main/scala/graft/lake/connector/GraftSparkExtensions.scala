@@ -40,6 +40,21 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(ResolveLakeViews.apply)
     ext.injectParser((session, delegate) => new LakeViewSqlParser(session, delegate))
+    // geometry scalar surface over the WKB carrier (geo corpus)
+    ext.injectFunction((FunctionIdentifier("st_point"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StPoint].getName, "st_point"),
+      (args: Seq[Expression]) => StPoint(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.DoubleType))))
+    ext.injectFunction((FunctionIdentifier("st_geomfromtext"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StGeomFromText].getName, "st_geomfromtext"),
+      (args: Seq[Expression]) => StGeomFromText(args.head)))
+    ext.injectFunction((FunctionIdentifier("st_astext"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StAsText].getName, "st_astext"),
+      (args: Seq[Expression]) => StAsText(args.head)))
   }
 }
 

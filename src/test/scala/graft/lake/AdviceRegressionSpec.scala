@@ -24,7 +24,7 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-reg").toString
+  private lazy val root = Files.createTempDirectory("dladv-reg").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
@@ -167,13 +167,63 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.wide_del").count() ==
       (1L to 200000L).count(i => (i - 1) % 2 != 0 && (i - 1) % 3 != 0))
     // SQL UPDATE routes deletes through executor-side partial files too
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dladv",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
-    spark.sql("UPDATE ducklake.main.wide_del SET bucket = -1 WHERE id % 5 = 1")
+    spark.conf.set("spark.sql.catalog.dladv.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dladv.dataPath", lake.dataPath)
+    spark.sql("UPDATE dladv.main.wide_del SET bucket = -1 WHERE id % 5 = 1")
     assert(spark.sql(
-      "SELECT count(*) FROM ducklake.main.wide_del WHERE bucket = -1").head.getLong(0) ==
+      "SELECT count(*) FROM dladv.main.wide_del WHERE bucket = -1").head.getLong(0) ==
       (0L until 200000L).count(i => i % 2 != 0 && i % 3 != 0 && i % 5 == 1))
+  }
+
+  test("constructing a DuckLake never changes an unrelated write's parquet schema") {
+    // r5 regression: the constructor used to spark.conf.set the session's
+    // outputTimestampType/fieldId confs, silently flipping the schema of
+    // every LATER plain parquet write in the session. The confs are now
+    // pinned per lake write and restored.
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+    def tsPhysicalType(dir: String): PrimitiveTypeName = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.toString), new Configuration()))
+      try r.getFooter.getFileMetaData.getSchema
+        .getType(Seq("ts"): _*).asPrimitiveType().getPrimitiveTypeName
+      finally r.close()
+    }
+
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val keys = Seq("spark.sql.parquet.outputTimestampType",
+      "spark.sql.parquet.fieldId.write.enabled")
+    val before = keys.map(k => k -> s2.conf.get(k))
+    val croot = Files.createTempDirectory("dladv-conf").toString
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    df.write.parquet(s"$croot/plain-before")
+
+    val l2 = new DuckLake(s2, s"$croot/meta", s"$croot/data")
+    l2.createTableAs(df, "main.tconf")
+    assert(keys.map(k => k -> s2.conf.get(k)) == before,
+      "lake constructor/write mutated session parquet confs")
+    df.write.parquet(s"$croot/plain-after")
+    // a plain session write has the same physical encoding before & after
+    assert(tsPhysicalType(s"$croot/plain-after") ==
+      tsPhysicalType(s"$croot/plain-before"))
+    // …while the lake's own file carries stats-bearing INT64 micros
+    val lakeFile = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$croot/data"))
+        .filter(_.getName.endsWith(".parquet")).head.getParentFile.toString
+    }
+    assert(tsPhysicalType(lakeFile) == PrimitiveTypeName.INT64)
+    l2.close()
   }
 }

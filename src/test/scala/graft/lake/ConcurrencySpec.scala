@@ -37,6 +37,12 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("16 concurrent appenders: distinct snapshots, no lost rows") {
     import spark.implicits._
     lake.createTableAs(Seq((0L, "seed")).toDF("id", "tag").coalesce(1), "main.conc")
+    // optimistic-CAS contract: N simultaneous single-table appenders can
+    // each lose up to N-1 publish races, so no-loss needs a retry budget
+    // ≥ N-1 (the default 10 covers realistic contention, not a 16-way
+    // synchronized barrage; corpus settings/max_retry_count asserts the
+    // EXHAUSTION side of the same contract)
+    lake.maxRetryCount = 32
     val base = lake.currentSnapshot
     val snaps = Await.result(Future.sequence((1 to 16).map { w =>
       Future {
@@ -51,6 +57,7 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == (1 to 16).sum.toLong)
     // pinned read at base is untouched by the 16 later commits
     assert(lake.table("main.conc", Some(base)).count() == 1)
+    lake.maxRetryCount = 10
   }
 
   test("concurrent writers to DIFFERENT tables don't interleave state") {
