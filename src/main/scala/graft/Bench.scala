@@ -35,7 +35,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // 5 iterations: the per-query headline is min-of-N, and the persisted
+    // σ detail (below) is what makes a contended run self-evident — both
+    // need enough samples to separate engine time from host noise
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
@@ -92,12 +95,14 @@ object Bench {
       "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f}"""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).collect { case s if s.nonEmpty => s.min }.sum
-    // detail goes on its own tagged line; the driver-facing contract line
-    // stays compact (and last) so it survives log-tail truncation
+    // the avg/min/max/σ detail rides INSIDE the contract line so the
+    // driver's BENCH artifact preserves it — a contended run (uniformly
+    // elevated minima with high σ) is then adjudicable from the artifact
+    // alone instead of dying with the stderr log
     System.err.println(s"""[bench-detail] {"stats":$detail,"iters":$iterations}""")
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"detail":$detail}""")
     System.out.flush()
   }
 }

@@ -70,6 +70,16 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Multi-probe masks generated COMBINATORIALLY — C(nBits, ≤probeBits)
+    * of them, never 2^nBits: at a realistic 20-24-bit signature the old
+    * full-range filter enumerated millions of longs on the driver for
+    * the same ~2k masks.
+    */
+  private[ops] def probeMasks(nBits: Int, probeBits: Int): Seq[Long] =
+    (0 to math.min(probeBits, nBits)).flatMap(k =>
+      (0 until nBits).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+
   /** ANN top-k via LSH buckets with multi-probe on the query side: each
     * query probes its own bucket plus every bucket within `probeBits`
     * flipped signature bits, then ranks the candidate union exactly.
@@ -82,8 +92,7 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshSignature(col(vecCol), dim, nBits).as("__bucket"))
-    val masks = (0L until (1L << nBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    val masks = probeMasks(nBits, probeBits)
     val probes = array(masks.map(lit): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         lshSignature(col(vecCol), dim, nBits).as("__qb"))

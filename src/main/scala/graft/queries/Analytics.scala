@@ -56,8 +56,12 @@ object Analytics {
     ("w_running_monthly_revenue", (s: SparkSession, dir: String) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
+      // timestamp_ntz: DuckDB's date_trunc is timezone-naive; the cast
+      // makes the written parquet schema independent of any session-level
+      // outputTimestampType a co-resident writer may have set
       val monthly = o.join(c, col("c_custkey") === col("o_custkey"))
-        .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(col("c_mktsegment"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("monthly_rev"))
       val w = Window.partitionBy("c_mktsegment").orderBy("month")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -80,7 +84,7 @@ object Analytics {
     ("w_mom_growth", (s: SparkSession, dir: String) => {
       val o = t(s, dir, "orders")
       val monthly = o
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
       // global window is safe here: its input is the per-month aggregate,
       // O(calendar months) rows regardless of data scale — the heavy
@@ -445,10 +449,10 @@ object Analytics {
       // over each side, filter where one cumulative overtakes the other
       val o = t(s, dir, "orders")
       val hi = o.filter(col("o_orderpriority") <= "2-HIGH")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(round(sum("o_totalprice"), 2).as("hi_rev"))
       val lo = o.filter(col("o_orderpriority") > "2-HIGH")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(round(sum("o_totalprice"), 2).as("lo_rev"))
       val joined = hi.join(lo, Seq("month"), "full_outer")
       val w = Window.orderBy("month")
@@ -636,6 +640,84 @@ object Analytics {
          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994)
         EXCEPT
         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995) t
+    """),
+
+    ("ds_crosschannel_items", (s: SparkSession, dir: String) => {
+      // TPC-DS q14 shape: a cross_items CTE (parts sold through EVERY
+      // channel — ship modes stand in for store/catalog/web) feeding a
+      // union of per-channel aggregates restricted to those items. The
+      // candidate set is one hash aggregate (count of distinct channels
+      // per part), broadcast into each channel branch — at 100 TB the
+      // branches scan in parallel and share the small semi-join side.
+      val l = t(s, dir, "lineitem")
+      val modes = Seq("A", "N", "R") // return-flag channels in the testdata
+      val inChannels = l.filter(col("l_returnflag").isin(modes: _*))
+      val crossItems = inChannels
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_returnflag")).as("__nch"))
+        .filter(col("__nch") === modes.length)
+        .select(col("l_partkey"))
+      val perChannel = inChannels
+        .join(broadcast(crossItems), Seq("l_partkey"), "left_semi")
+        .groupBy(col("l_returnflag").as("channel"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      perChannel.orderBy("channel")
+    }, """
+      WITH cross_items AS (
+        SELECT l_partkey FROM lineitem
+        WHERE l_returnflag IN ('A', 'N', 'R')
+        GROUP BY l_partkey
+        HAVING count(DISTINCT l_returnflag) = 3)
+      SELECT l_returnflag AS channel, count(*) AS n_items,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      WHERE l_returnflag IN ('A', 'N', 'R')
+        AND l_partkey IN (SELECT l_partkey FROM cross_items)
+      GROUP BY 1 ORDER BY 1
+    """),
+
+    ("ds_quarter_share_shift", (s: SparkSession, dir: String) => {
+      // TPC-DS q31 shape: per-(nation, quarter) aggregates as separate
+      // CTE instances JOINED on the entity key (not a window lag), with
+      // a cross-period ratio filter — exercises multi-aggregate join
+      // reuse; every join side is an already-reduced aggregate
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val base = o.filter(year(col("o_orderdate")) === 1994)
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(n, col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"), quarter(col("o_orderdate")).cast("int").as("qtr"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val q1 = base.filter(col("qtr") === 1).select(col("n_name"), col("rev").as("rev_q1"))
+      val q2 = base.filter(col("qtr") === 2).select(col("n_name"), col("rev").as("rev_q2"))
+      val q3 = base.filter(col("qtr") === 3).select(col("n_name"), col("rev").as("rev_q3"))
+      q1.join(q2, Seq("n_name")).join(q3, Seq("n_name"))
+        .filter(col("rev_q2") / col("rev_q1") > col("rev_q3") / col("rev_q2"))
+        .select(col("n_name"),
+          round(col("rev_q1"), 2).as("rev_q1"),
+          round(col("rev_q2") / col("rev_q1"), 4).as("g12"),
+          round(col("rev_q3") / col("rev_q2"), 4).as("g23"))
+        .orderBy("n_name")
+    }, """
+      WITH base AS (
+        SELECT n_name, CAST(quarter(o_orderdate) AS INT) AS qtr,
+          sum(o_totalprice) AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE year(o_orderdate) = 1994
+        GROUP BY 1, 2)
+      SELECT q1.n_name, round(q1.rev, 2) AS rev_q1,
+        round(q2.rev / q1.rev, 4) AS g12,
+        round(q3.rev / q2.rev, 4) AS g23
+      FROM (SELECT n_name, rev FROM base WHERE qtr = 1) q1
+      JOIN (SELECT n_name, rev FROM base WHERE qtr = 2) q2 ON q1.n_name = q2.n_name
+      JOIN (SELECT n_name, rev FROM base WHERE qtr = 3) q3 ON q2.n_name = q3.n_name
+      WHERE q2.rev / q1.rev > q3.rev / q2.rev
+      ORDER BY q1.n_name
     """)
   )
 

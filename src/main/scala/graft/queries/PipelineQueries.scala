@@ -432,13 +432,16 @@ object PipelineQueries {
 
     ("ev_gapfill_hours", (s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events")
+      // timestamp_ntz end-to-end: the spine and the counts key both carry
+      // the naive type, so the gate's parquet schema can't be flipped by
+      // session-level writer confs (and matches DuckDB's naive date_trunc)
       val spine = ev
-        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-          date_trunc("hour", max(col("ts"))).as("hi"))
+        .agg(date_trunc("hour", min(col("ts"))).cast("timestamp_ntz").as("lo"),
+          date_trunc("hour", max(col("ts"))).cast("timestamp_ntz").as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("interval 1 hour"))).as("hour"))
       val counts = ev.filter(col("event_type") === "purchase")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       spine.join(counts, Seq("hour"), "left")
         .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),

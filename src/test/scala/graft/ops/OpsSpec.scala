@@ -80,6 +80,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.45, s"LSH recall@3 $recall < 0.45")
   }
 
+  test("probe masks are combinatorial and lshTopK runs at a realistic 20-bit width") {
+    // equivalence with the full-range-filter definition at a small width
+    val byFilter = (0L until (1L << 10))
+      .filter(m => java.lang.Long.bitCount(m) <= 2).toSet
+    assert(Similarity.probeMasks(10, 2).toSet == byFilter)
+    // C(20,0)+C(20,1)+C(20,2)+C(20,3) = 1351 distinct masks, never 2^20
+    val m20 = Similarity.probeMasks(20, 3)
+    assert(m20.size == 1351 && m20.distinct.size == 1351)
+    assert(m20.forall(m => java.lang.Long.bitCount(m) <= 3 && m < (1L << 20)))
+    // the operator itself stays correct at the realistic width: every
+    // returned pair's similarity matches the exact cosine ranking source
+    val queries = emb.filter(col("vec_id") < 5)
+    val wide = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+      dim = 64, nBits = 20, probeBits = 2).collect()
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      k = Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    wide.foreach { r =>
+      assert(math.abs(exact((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("IVF ANN approximates brute-force top-k (recall@3)") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
