@@ -39,7 +39,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dirs = Seq("add_files", "alter", "attach", "audit", "catalog",
     "checkpoint", "cleanup", "comments", "compaction", "concurrent",
     "constraints", "data_inlining", "default", "delete", "encryption",
-    "functions", "general", "initialize", "insert", "issues", "list_files",
+    "functions", "general", "geo", "initialize", "insert", "issues", "list_files",
     "macros", "merge", "metadata", "partitioning", "remove_orphans",
     "rewrite_data_files", "rowid", "schema_evolution", "settings",
     "snapshot_info", "stats", "table_changes", "time_travel", "transaction",

@@ -25,7 +25,7 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-add").toString
+  private lazy val root = Files.createTempDirectory("dladd-add").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
@@ -171,12 +171,12 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[InvalidConfigException](
       lake.addFiles("main.proc", Seq(s"$root/nope.parquet")))
     assert(e.getMessage.contains("Failed to add data files"))
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dladd",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.conf.set("spark.sql.catalog.dladd.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dladd.dataPath", lake.dataPath)
     val f = ext(Seq((2, "b")).toDF("k", "v"))
-    spark.sql(s"CALL ducklake.system.add_files('main.proc', '$f')").collect()
-    assert(spark.sql("SELECT * FROM ducklake.main.proc").count() == 2)
+    spark.sql(s"CALL dladd.system.add_files('main.proc', '$f')").collect()
+    assert(spark.sql("SELECT * FROM dladd.main.proc").count() == 2)
   }
 }

@@ -20,7 +20,7 @@ class CommentSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-cmt").toString
+  private lazy val root = Files.createTempDirectory("dlcmt-cmt").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
@@ -46,16 +46,16 @@ class CommentSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("view bodies bind bare table names in their HOME catalog, not the reader's") {
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dlcmt",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.conf.set("spark.sql.catalog.dlcmt.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dlcmt.dataPath", lake.dataPath)
     lake.createTableAs(Seq((1, 2)).toDF("i", "j").coalesce(1), "main.vbind")
-    spark.sql("USE ducklake.main")
-    try spark.sql("CREATE VIEW ducklake.main.vbind_v AS SELECT i * 100 AS i FROM vbind")
+    spark.sql("USE dlcmt.main")
+    try spark.sql("CREATE VIEW dlcmt.main.vbind_v AS SELECT i * 100 AS i FROM vbind")
     finally spark.sql("USE spark_catalog.default")
     // reading session sits in spark_catalog; `vbind` must still resolve
-    assert(spark.sql("SELECT i FROM ducklake.main.vbind_v").head.getInt(0) == 100)
+    assert(spark.sql("SELECT i FROM dlcmt.main.vbind_v").head.getInt(0) == 100)
   }
 
   test("column comments key by column_id and survive renames") {
@@ -70,26 +70,26 @@ class CommentSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("SQL surface: COMMENT ON TABLE + ALTER COLUMN COMMENT, DESCRIBE-visible") {
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dlcmt",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.conf.set("spark.sql.catalog.dlcmt.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dlcmt.dataPath", lake.dataPath)
     lake.createTableAs(Seq((1, "a")).toDF("k", "v").coalesce(1), "main.sqlc")
-    spark.sql("COMMENT ON TABLE ducklake.main.sqlc IS 'sql table comment'")
+    spark.sql("COMMENT ON TABLE dlcmt.main.sqlc IS 'sql table comment'")
     assert(lake.tableComment("main.sqlc").contains("sql table comment"))
-    spark.sql("ALTER TABLE ducklake.main.sqlc ALTER COLUMN v COMMENT 'sql col comment'")
+    spark.sql("ALTER TABLE dlcmt.main.sqlc ALTER COLUMN v COMMENT 'sql col comment'")
     assert(lake.columnComments("main.sqlc") == Map("v" -> "sql col comment"))
     // DESCRIBE surfaces the column comment from field metadata
-    val desc = spark.sql("DESCRIBE TABLE ducklake.main.sqlc").collect()
+    val desc = spark.sql("DESCRIBE TABLE dlcmt.main.sqlc").collect()
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(desc("v") == "sql col comment")
     // DESCRIBE EXTENDED surfaces the table comment via properties
-    val ext = spark.sql("DESCRIBE TABLE EXTENDED ducklake.main.sqlc").collect()
+    val ext = spark.sql("DESCRIBE TABLE EXTENDED dlcmt.main.sqlc").collect()
       .map(r => (r.getString(0), r.getString(1)))
     assert(ext.exists { case (k, v) =>
       k.toLowerCase.contains("comment") && v.contains("sql table comment") } ||
       ext.exists(_._2.contains("sql table comment")))
-    spark.sql("COMMENT ON TABLE ducklake.main.sqlc IS NULL")
+    spark.sql("COMMENT ON TABLE dlcmt.main.sqlc IS NULL")
     assert(lake.tableComment("main.sqlc").isEmpty)
   }
 }

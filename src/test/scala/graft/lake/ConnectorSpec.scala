@@ -8,12 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 /** End-to-end DSv2 connector behavior: `spark.sql` through the registered
-  * `ducklake` catalog — SELECT with pushdown, INSERT INTO, CTAS, DROP —
+  * `dlconn` catalog — SELECT with pushdown, INSERT INTO, CTAS, DROP —
   * plus min/max file skipping from catalog stats.
   */
 class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val root = Files.createTempDirectory("ducklake-conn").toString
+  private lazy val root = Files.createTempDirectory("dlconn-conn").toString
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -21,10 +21,10 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.catalog.ducklake",
+    .config("spark.sql.catalog.dlconn",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    .config("spark.sql.catalog.ducklake.metaDb", s"$root/meta")
-    .config("spark.sql.catalog.ducklake.dataPath", s"$root/data")
+    .config("spark.sql.catalog.dlconn.metaDb", s"$root/meta")
+    .config("spark.sql.catalog.dlconn.dataPath", s"$root/data")
     .getOrCreate()
 
   private lazy val lake = {
@@ -42,7 +42,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake // force fixture
     val got = spark.sql(
       "SELECT grp, count(*) AS n, round(sum(amount), 2) AS total " +
-        "FROM ducklake.main.items GROUP BY grp ORDER BY grp")
+        "FROM dlconn.main.items GROUP BY grp ORDER BY grp")
     assert(got.count() == 7)
     assert(got.agg(sum("n")).head.getLong(0) == 100L)
   }
@@ -50,21 +50,21 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("filter + projection pushdown reach the connector") {
     lake
     val got = spark.sql(
-      "SELECT name FROM ducklake.main.items WHERE id <= 3 ORDER BY name")
+      "SELECT name FROM dlconn.main.items WHERE id <= 3 ORDER BY name")
     assert(got.collect().map(_.getString(0)).toSeq == Seq("name_1", "name_2", "name_3"))
   }
 
   test("COUNT(*) zero-column scan") {
     lake
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.items").head.getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.items").head.getLong(0) == 100L)
   }
 
   test("INSERT INTO through SQL appends a snapshot") {
     lake
     val before = lake.currentSnapshot
-    spark.sql("INSERT INTO ducklake.main.items VALUES (101, 'name_101', 5.0, 3)")
+    spark.sql("INSERT INTO dlconn.main.items VALUES (101, 'name_101', 5.0, 3)")
     assert(lake.currentSnapshot > before)
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.items").head.getLong(0) == 101L)
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.items").head.getLong(0) == 101L)
     // pre-insert snapshot still intact via the programmatic API
     assert(lake.table("main.items", Some(before)).count() == 100L)
   }
@@ -72,49 +72,49 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("INSERT OVERWRITE replaces visible data") {
     import spark.implicits._
     lake.createTableAs(Seq((1L, "x")).toDF("k", "v").coalesce(1), "main.ow")
-    spark.sql("INSERT OVERWRITE ducklake.main.ow VALUES (2, 'y')")
-    val rows = spark.sql("SELECT k, v FROM ducklake.main.ow").collect()
+    spark.sql("INSERT OVERWRITE dlconn.main.ow VALUES (2, 'y')")
+    val rows = spark.sql("SELECT k, v FROM dlconn.main.ow").collect()
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "y")))
   }
 
   test("CTAS through SQL") {
     lake
     spark.sql(
-      "CREATE TABLE ducklake.main.big_items AS " +
-        "SELECT id, amount FROM ducklake.main.items WHERE amount > 100")
-    val got = spark.sql("SELECT count(*), round(min(amount), 2) FROM ducklake.main.big_items").head
+      "CREATE TABLE dlconn.main.big_items AS " +
+        "SELECT id, amount FROM dlconn.main.items WHERE amount > 100")
+    val got = spark.sql("SELECT count(*), round(min(amount), 2) FROM dlconn.main.big_items").head
     assert(got.getLong(0) == spark.sql(
-      "SELECT count(*) FROM ducklake.main.items WHERE amount > 100").head.getLong(0))
+      "SELECT count(*) FROM dlconn.main.items WHERE amount > 100").head.getLong(0))
   }
 
-  test("CALL ducklake.system.<proc>: maintenance procedures via SQL") {
+  test("CALL dlconn.system.<proc>: maintenance procedures via SQL") {
     import spark.implicits._
     val l = lake
     l.createTableAs((1 to 40).map(i => (i.toLong, s"p$i")).toDF("k", "v")
       .repartition(4), "main.proctbl")
     val preCompact = l.currentSnapshot
     // compact to one file, via CALL
-    val snap = spark.sql("CALL ducklake.system.compact('main.proctbl')")
+    val snap = spark.sql("CALL dlconn.system.compact('main.proctbl')")
       .head.getLong(0)
     assert(snap > preCompact)
     assert(l.listFilesDF.filter(col("table_name") === "proctbl").count() == 1)
     // tag + time travel to the tag
-    spark.sql(s"CALL ducklake.system.tag_snapshot('precompact', $preCompact)")
+    spark.sql(s"CALL dlconn.system.tag_snapshot('precompact', $preCompact)")
     assert(spark.sql(
-      "SELECT count(*) FROM ducklake.main.proctbl VERSION AS OF 'precompact'")
+      "SELECT count(*) FROM dlconn.main.proctbl VERSION AS OF 'precompact'")
       .head.getLong(0) == 40L)
     // rollback via CALL restores the 4-file layout
-    spark.sql(s"CALL ducklake.system.rollback('main.proctbl', $preCompact)")
+    spark.sql(s"CALL dlconn.system.rollback('main.proctbl', $preCompact)")
     assert(l.listFilesDF.filter(col("table_name") === "proctbl").count() == 4)
     // expire + two-phase vacuum via CALL (procedure defaults exercised)
-    spark.sql(s"CALL ducklake.system.expire_snapshots(${l.currentSnapshot})")
+    spark.sql(s"CALL dlconn.system.expire_snapshots(${l.currentSnapshot})")
     // expiry schedules its orphans itself (DuckLake two-phase semantics);
     // an extra schedule pass finds nothing new, the purge reclaims bytes
-    assert(spark.sql("CALL ducklake.system.schedule_vacuum()").head.getInt(0) == 0)
-    assert(spark.sql("CALL ducklake.system.purge_scheduled()").head.getInt(0) >= 1)
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.proctbl").head.getLong(0) == 40L)
+    assert(spark.sql("CALL dlconn.system.schedule_vacuum()").head.getInt(0) == 0)
+    assert(spark.sql("CALL dlconn.system.purge_scheduled()").head.getInt(0) >= 1)
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.proctbl").head.getLong(0) == 40L)
     // multi-row procedure: per-table snapshot history
-    val hist = spark.sql("CALL ducklake.system.table_history('main.proctbl')")
+    val hist = spark.sql("CALL dlconn.system.table_history('main.proctbl')")
     assert(hist.columns.toSeq == Seq("snapshot_id", "snapshot_time", "retained"))
     assert(hist.count() >= 2) // post-expiry snapshots (rollback + latest)
   }
@@ -124,7 +124,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l = lake
     l.createTableAs((1 to 500).map(i => (i.toLong, i * 1.5)).toDF("k", "x")
       .repartition(2), "main.metaagg")
-    val df = spark.sql("SELECT count(*), count(x), min(k), max(k) FROM ducklake.main.metaagg")
+    val df = spark.sql("SELECT count(*), count(x), min(k), max(k) FROM dlconn.main.metaagg")
     val plan = df.queryExecution.executedPlan.toString
     // the whole aggregation folded into a one-row metadata scan: no
     // parquet reader anywhere in the physical plan
@@ -133,7 +133,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // MOR deletes invalidate per-column pushdown (an extreme row may be
     // gone) but COUNT(*) stays metadata-exact; either way values stay right
     l.deleteWhere("main.metaagg", col("k") === 500L)
-    val after = spark.sql("SELECT count(*), max(k) FROM ducklake.main.metaagg").head
+    val after = spark.sql("SELECT count(*), max(k) FROM dlconn.main.metaagg").head
     assert(after.toSeq == Seq(499L, 499L))
   }
 
@@ -141,20 +141,20 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     lake.createTableAs(Seq((1L, "a")).toDF("k", "v").coalesce(1), "main.dropme")
     val snapBefore = lake.currentSnapshot
-    spark.sql("DROP TABLE ducklake.main.dropme")
+    spark.sql("DROP TABLE dlconn.main.dropme")
     assert(!lake.tableExists("main.dropme"))
     assert(lake.table("main.dropme", Some(snapBefore)).count() == 1)
   }
 
   test("SHOW TABLES lists lake tables") {
     lake
-    val names = spark.sql("SHOW TABLES IN ducklake.main").collect().map(_.getString(1)).toSet
+    val names = spark.sql("SHOW TABLES IN dlconn.main").collect().map(_.getString(1)).toSet
     assert(names.contains("items"))
   }
 
   test("DESCRIBE EXTENDED surfaces catalog-derived table stats") {
     lake
-    val props = spark.sql("DESCRIBE TABLE EXTENDED ducklake.main.items")
+    val props = spark.sql("DESCRIBE TABLE EXTENDED dlconn.main.items")
       .filter(col("col_name") === "Table Properties").head.getString(1)
     assert(props.contains("ducklake.file_count"))
     assert(props.contains("ducklake.record_count"))
@@ -190,7 +190,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.lastScanFileCount == 0)
     // SQL through the connector also skips (filters arrive via pushdown);
     // the catalog scans through ITS OWN lake instance, so check that one
-    val viaSql = spark.sql("SELECT count(*) FROM ducklake.main.ranged WHERE id = 100500")
+    val viaSql = spark.sql("SELECT count(*) FROM dlconn.main.ranged WHERE id = 100500")
     assert(viaSql.head.getLong(0) == 1L)
     val catalogLake = graft.lake.connector.DuckLakeSparkCatalog
       .cachedLake(s"$root/meta", s"$root/data").get
@@ -219,8 +219,8 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     l.createTableAs((1 to 2000).map(i => (i.toLong, (i % 5 + 1).toLong)).toDF("rowid", "dim_id")
       .coalesce(1), "main.stat_fact")
     val joined = spark.sql("""
-      SELECT f.rowid, d.label FROM ducklake.main.stat_fact f
-      JOIN ducklake.main.stat_dim d ON f.dim_id = d.id""")
+      SELECT f.rowid, d.label FROM dlconn.main.stat_fact f
+      JOIN dlconn.main.stat_dim d ON f.dim_id = d.id""")
     assert(joined.count() == 2000)
     joined.collect() // materialize -> AQE finalizes the plan
     // static stats are hidden by V1ScanWrapper; AQE must still end at a
@@ -245,17 +245,17 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snapV1 = l.currentSnapshot
     l.insertInto((31 to 45).map(i => (i.toLong, s"v2_$i")).toDF("id", "tag")
       .coalesce(1), "main.tt")
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.tt").head().getLong(0) == 45)
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.tt").head().getLong(0) == 45)
     assert(spark.sql(
-      s"SELECT count(*) FROM ducklake.main.tt VERSION AS OF $snapV1")
+      s"SELECT count(*) FROM dlconn.main.tt VERSION AS OF $snapV1")
       .head().getLong(0) == 30)
     // a timestamp far in the future resolves to the newest snapshot
     assert(spark.sql(
-      "SELECT count(*) FROM ducklake.main.tt TIMESTAMP AS OF '2100-01-01'")
+      "SELECT count(*) FROM dlconn.main.tt TIMESTAMP AS OF '2100-01-01'")
       .head().getLong(0) == 45)
     // before the first snapshot -> no table
     intercept[Exception] {
-      spark.sql("SELECT * FROM ducklake.main.tt TIMESTAMP AS OF '1990-01-01'").collect()
+      spark.sql("SELECT * FROM dlconn.main.tt TIMESTAMP AS OF '1990-01-01'").collect()
     }
   }
 
@@ -267,7 +267,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     l.insertInto((51 to 60).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
       .coalesce(1), "main.stream_t")
     // both snapshots consumed from offset 0
-    val q = spark.readStream.table("ducklake.main.stream_t")
+    val q = spark.readStream.table("dlconn.main.stream_t")
       .groupBy().agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("stream_t_agg").start()
@@ -276,7 +276,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == 60L)
     assert(row.getLong(1) == (1 to 60).map(_.toLong).sum)
     // incremental: a running query picks up exactly the appended delta
-    val q2 = spark.readStream.table("ducklake.main.stream_t")
+    val q2 = spark.readStream.table("dlconn.main.stream_t")
       .writeStream.outputMode("append").format("memory")
       .queryName("stream_t_rows").start()
     try {
@@ -295,13 +295,13 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     l.createTableAs((1 to 40).map(i => (i.toLong, i % 4)).toDF("k", "m")
       .coalesce(1), "main.sqldel")
     val pre = l.currentSnapshot
-    spark.sql("DELETE FROM ducklake.main.sqldel WHERE m = 0 AND k > 10")
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.sqldel").head.getLong(0) == 40 - 8)
+    spark.sql("DELETE FROM dlconn.main.sqldel WHERE m = 0 AND k > 10")
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.sqldel").head.getLong(0) == 40 - 8)
     // time travel still sees the pre-delete rows (merge-on-read)
     assert(l.table("main.sqldel", Some(pre)).count() == 40)
     // unconditional DELETE clears the table
-    spark.sql("DELETE FROM ducklake.main.sqldel")
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.sqldel").head.getLong(0) == 0)
+    spark.sql("DELETE FROM dlconn.main.sqldel")
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.sqldel").head.getLong(0) == 0)
   }
 
   test("SQL ALTER TABLE: rename, add nullable, drop") {
@@ -309,17 +309,17 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l = lake
     l.createTableAs(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "tag", "x")
       .coalesce(1), "main.sqlalter")
-    spark.sql("ALTER TABLE ducklake.main.sqlalter RENAME COLUMN tag TO label")
-    spark.sql("ALTER TABLE ducklake.main.sqlalter ADD COLUMN note STRING")
-    spark.sql("ALTER TABLE ducklake.main.sqlalter DROP COLUMN x")
+    spark.sql("ALTER TABLE dlconn.main.sqlalter RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE dlconn.main.sqlalter ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE dlconn.main.sqlalter DROP COLUMN x")
     val got = spark.sql(
-      "SELECT id, label, note FROM ducklake.main.sqlalter ORDER BY id").collect()
+      "SELECT id, label, note FROM dlconn.main.sqlalter ORDER BY id").collect()
     assert(got.map(_.getString(1)).toSeq == Seq("a", "b"))
     assert(got.forall(_.isNullAt(2)))
-    assert(spark.table("ducklake.main.sqlalter").columns.toSeq == Seq("id", "label", "note"))
+    assert(spark.table("dlconn.main.sqlalter").columns.toSeq == Seq("id", "label", "note"))
     // non-nullable add is rejected
     intercept[Exception] {
-      spark.sql("ALTER TABLE ducklake.main.sqlalter ADD COLUMN hard STRING NOT NULL")
+      spark.sql("ALTER TABLE dlconn.main.sqlalter ADD COLUMN hard STRING NOT NULL")
     }
   }
 
@@ -329,24 +329,24 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     l.createTableAs(Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1),
       "main.defcol")
     val preAlter = l.currentSnapshot
-    spark.sql("ALTER TABLE ducklake.main.defcol ADD COLUMN status STRING DEFAULT 'pending'")
-    spark.sql("ALTER TABLE ducklake.main.defcol ADD COLUMN score INT DEFAULT 7")
-    spark.sql("INSERT INTO ducklake.main.defcol VALUES (3, 'c', 'live', 1)")
+    spark.sql("ALTER TABLE dlconn.main.defcol ADD COLUMN status STRING DEFAULT 'pending'")
+    spark.sql("ALTER TABLE dlconn.main.defcol ADD COLUMN score INT DEFAULT 7")
+    spark.sql("INSERT INTO dlconn.main.defcol VALUES (3, 'c', 'live', 1)")
     // V1 scan path: old rows materialize defaults, new row keeps values
     val got = spark.sql(
-      "SELECT id, status, score FROM ducklake.main.defcol ORDER BY id").collect()
+      "SELECT id, status, score FROM dlconn.main.defcol ORDER BY id").collect()
     assert(got.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq((1L, "pending", 7), (2L, "pending", 7), (3L, "live", 1)))
     // native row-reader path (row-level UPDATE scans via DuckLakeFilePartition):
     // the WHERE matches on a defaulted value of a pre-ALTER row
-    spark.sql("UPDATE ducklake.main.defcol SET status = 'done' WHERE id = 1")
+    spark.sql("UPDATE dlconn.main.defcol SET status = 'done' WHERE id = 1")
     val after = spark.sql(
-      "SELECT id, status, score FROM ducklake.main.defcol ORDER BY id").collect()
+      "SELECT id, status, score FROM dlconn.main.defcol ORDER BY id").collect()
     assert(after.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq((1L, "done", 7), (2L, "pending", 7), (3L, "live", 1)))
     // time travel to before the ALTER shows the original two columns
     assert(spark.sql(
-      s"SELECT * FROM ducklake.main.defcol VERSION AS OF $preAlter").columns.toSeq ==
+      s"SELECT * FROM dlconn.main.defcol VERSION AS OF $preAlter").columns.toSeq ==
       Seq("id", "tag"))
     // non-constant defaults are rejected at ALTER time
     intercept[Exception] {
@@ -355,14 +355,14 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("CREATE TABLE column DEFAULT resolves INSERTs with missing columns") {
-    spark.sql("""CREATE TABLE ducklake.main.defcreate (
+    spark.sql("""CREATE TABLE dlconn.main.defcreate (
       id BIGINT, status STRING DEFAULT 'open', score INT DEFAULT 3)""")
     // subset insert: missing columns fill from CURRENT_DEFAULT metadata
-    spark.sql("INSERT INTO ducklake.main.defcreate (id) VALUES (1)")
+    spark.sql("INSERT INTO dlconn.main.defcreate (id) VALUES (1)")
     // DEFAULT keyword
-    spark.sql("INSERT INTO ducklake.main.defcreate VALUES (2, DEFAULT, 9)")
+    spark.sql("INSERT INTO dlconn.main.defcreate VALUES (2, DEFAULT, 9)")
     val got = spark.sql(
-      "SELECT id, status, score FROM ducklake.main.defcreate ORDER BY id").collect()
+      "SELECT id, status, score FROM dlconn.main.defcreate ORDER BY id").collect()
     assert(got.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq((1L, "open", 3), (2L, "open", 9)))
   }
@@ -377,8 +377,8 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.store.getTableByName(l.store.getSchemaByName("main", pre).get.schemaId,
         "squpd", pre).get.tableId, pre)
     assert(preFiles.size == 1 && preFiles.head.deleteFile.isEmpty)
-    spark.sql("UPDATE ducklake.main.squpd SET v = v * 10, tag = 'bumped' WHERE k <= 5")
-    val got = spark.sql("SELECT k, v, tag FROM ducklake.main.squpd ORDER BY k").collect()
+    spark.sql("UPDATE dlconn.main.squpd SET v = v * 10, tag = 'bumped' WHERE k <= 5")
+    val got = spark.sql("SELECT k, v, tag FROM dlconn.main.squpd ORDER BY k").collect()
     assert(got.take(5).map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
     assert(got.take(5).forall(_.getString(2) == "bumped"))
     assert(got.drop(5).forall(r => r.getDouble(1) == r.getLong(0) * 1.0 && r.getString(2) == "keep"))
@@ -412,13 +412,13 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .coalesce(1), "main.dprune")
     // the condition reaches the native scan as a pushed filter
     val plan = spark.sql(
-      "EXPLAIN UPDATE ducklake.main.dprune SET v = 1.0 WHERE k = 150")
+      "EXPLAIN UPDATE dlconn.main.dprune SET v = 1.0 WHERE k = 150")
       .head().getString(0)
     assert(plan.contains("DuckLakeBatchScan") && plan.contains("PushedFilters"),
       s"condition must reach the delta scan:\n$plan")
-    spark.sql("UPDATE ducklake.main.dprune SET v = 1.0 WHERE k = 150")
+    spark.sql("UPDATE dlconn.main.dprune SET v = 1.0 WHERE k = 150")
     assert(spark.sql(
-      "SELECT count(*) FROM ducklake.main.dprune WHERE v = 1.0").head().getLong(0) == 1)
+      "SELECT count(*) FROM dlconn.main.dprune WHERE v = 1.0").head().getLong(0) == 1)
     // only the middle file is touched: one delete file, 1 position
     val snap = l.currentSnapshot
     val files = l.store.getDataFiles(
@@ -435,9 +435,9 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .coalesce(1), "main.rowaddr")
     Seq(2L, 4L).toDF("k").createOrReplaceTempView("raddr_src")
     spark.sql("""
-      MERGE INTO ducklake.main.rowaddr t USING raddr_src s ON t.k = s.k
+      MERGE INTO dlconn.main.rowaddr t USING raddr_src s ON t.k = s.k
       WHEN MATCHED THEN DELETE""")
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.rowaddr").head().getLong(0) == 8)
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.rowaddr").head().getLong(0) == 8)
     // MOR: single original data file remains, with a 2-position delete file
     val snap = l.currentSnapshot
     val files = l.store.getDataFiles(
@@ -453,10 +453,10 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .coalesce(1), "main.mtarget")
     Seq((2L, 5.0), (4L, 40.0)).toDF("id", "amt").createOrReplaceTempView("msource")
     spark.sql("""
-      MERGE INTO ducklake.main.mtarget t USING msource s ON t.id = s.id
+      MERGE INTO dlconn.main.mtarget t USING msource s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET bal = t.bal + s.amt
       WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.amt)""")
-    val got = spark.sql("SELECT id, bal FROM ducklake.main.mtarget ORDER BY id").collect()
+    val got = spark.sql("SELECT id, bal FROM dlconn.main.mtarget ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, 40.0)))
   }
@@ -489,11 +489,11 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("k", "s").writeStream
       .option("checkpointLocation", s"$root/ckpt-sink")
-      .toTable("ducklake.main.stream_sink")
+      .toTable("dlconn.main.stream_sink")
     try {
       mem.addData((1L, "a"), (2L, "b"))
       q.processAllAvailable()
-      assert(spark.sql("SELECT count(*) FROM ducklake.main.stream_sink").head.getLong(0) == 3)
+      assert(spark.sql("SELECT count(*) FROM dlconn.main.stream_sink").head.getLong(0) == 3)
       mem.addData((3L, "c"))
       q.processAllAvailable()
       val got = l.table("main.stream_sink").orderBy("k").collect()
@@ -508,18 +508,18 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
     val l = lake
     val expect = spark.sql(
-      "SELECT count(*) FROM ducklake.main.items WHERE amount > 100").head.getLong(0)
+      "SELECT count(*) FROM dlconn.main.items WHERE amount > 100").head.getLong(0)
     l.createView("main.pricey",
-      "SELECT id, name, amount FROM ducklake.main.items WHERE amount > 100")
+      "SELECT id, name, amount FROM dlconn.main.items WHERE amount > 100")
     assert(l.view("main.pricey").count() == expect)
     // late binding: data appended after creation is visible
-    spark.sql("INSERT INTO ducklake.main.items VALUES (9001, 'name_9001', 999.0, 1)")
+    spark.sql("INSERT INTO dlconn.main.items VALUES (9001, 'name_9001', 999.0, 1)")
     assert(l.view("main.pricey").count() == expect + 1)
     // registerViews exposes catalog views as temp views for lake.sql
     l.registerViews()
     assert(l.sql("SELECT count(*) FROM lake_main_pricey").head.getLong(0) == expect + 1)
     // the DSv2 ViewCatalog surface serves the same definitions
-    val cat = spark.sessionState.catalogManager.catalog("ducklake")
+    val cat = spark.sessionState.catalogManager.catalog("dlconn")
       .asInstanceOf[ViewCatalog]
     val ident = Identifier.of(Array("main"), "pricey")
     assert(cat.viewExists(ident))
@@ -535,82 +535,82 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("SQL view surface: CREATE / SELECT / CREATE OR REPLACE / DROP VIEW") {
     lake // force fixture
     spark.sql(
-      """CREATE VIEW ducklake.main.vw_items AS
+      """CREATE VIEW dlconn.main.vw_items AS
          SELECT grp, count(*) AS n, round(sum(amount), 2) AS amt
-         FROM ducklake.main.items WHERE amount > 50 GROUP BY grp""")
+         FROM dlconn.main.items WHERE amount > 50 GROUP BY grp""")
     // SELECT resolves the view through the injected analyzer rule
     val viaView = spark.sql(
-      "SELECT sum(n) FROM ducklake.main.vw_items").head.getLong(0)
+      "SELECT sum(n) FROM dlconn.main.vw_items").head.getLong(0)
     val direct = spark.sql(
-      "SELECT count(*) FROM ducklake.main.items WHERE amount > 50").head.getLong(0)
+      "SELECT count(*) FROM dlconn.main.items WHERE amount > 50").head.getLong(0)
     assert(viaView == direct)
     // late binding: new rows visible without recreating the view
-    spark.sql("INSERT INTO ducklake.main.items VALUES (9101, 'name_9101', 500.0, 2)")
-    assert(spark.sql("SELECT sum(n) FROM ducklake.main.vw_items")
+    spark.sql("INSERT INTO dlconn.main.items VALUES (9101, 'name_9101', 500.0, 2)")
+    assert(spark.sql("SELECT sum(n) FROM dlconn.main.vw_items")
       .head.getLong(0) == direct + 1)
     // view-on-view resolution
-    spark.sql("CREATE VIEW ducklake.main.vw_grps AS " +
-      "SELECT grp FROM ducklake.main.vw_items WHERE n > 1")
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.vw_grps").head.getLong(0) > 0)
+    spark.sql("CREATE VIEW dlconn.main.vw_grps AS " +
+      "SELECT grp FROM dlconn.main.vw_items WHERE n > 1")
+    assert(spark.sql("SELECT count(*) FROM dlconn.main.vw_grps").head.getLong(0) > 0)
     // CREATE without OR REPLACE on an existing view fails; OR REPLACE works
     intercept[Exception](spark.sql(
-      "CREATE VIEW ducklake.main.vw_items AS SELECT 1 AS one"))
+      "CREATE VIEW dlconn.main.vw_items AS SELECT 1 AS one"))
     spark.sql(
-      """CREATE OR REPLACE VIEW ducklake.main.vw_items AS
-         SELECT grp, count(*) AS n FROM ducklake.main.items GROUP BY grp""")
-    assert(spark.sql("SELECT sum(n) FROM ducklake.main.vw_items").head.getLong(0) ==
-      spark.table("ducklake.main.items").count())
+      """CREATE OR REPLACE VIEW dlconn.main.vw_items AS
+         SELECT grp, count(*) AS n FROM dlconn.main.items GROUP BY grp""")
+    assert(spark.sql("SELECT sum(n) FROM dlconn.main.vw_items").head.getLong(0) ==
+      spark.table("dlconn.main.items").count())
     // IF NOT EXISTS no-ops on existing
-    spark.sql("CREATE VIEW IF NOT EXISTS ducklake.main.vw_items AS SELECT 1 AS one")
-    assert(spark.sql("SELECT * FROM ducklake.main.vw_items").columns.length == 2)
-    spark.sql("DROP VIEW ducklake.main.vw_grps")
-    spark.sql("DROP VIEW ducklake.main.vw_items")
-    intercept[Exception](spark.sql("SELECT * FROM ducklake.main.vw_items"))
+    spark.sql("CREATE VIEW IF NOT EXISTS dlconn.main.vw_items AS SELECT 1 AS one")
+    assert(spark.sql("SELECT * FROM dlconn.main.vw_items").columns.length == 2)
+    spark.sql("DROP VIEW dlconn.main.vw_grps")
+    spark.sql("DROP VIEW dlconn.main.vw_items")
+    intercept[Exception](spark.sql("SELECT * FROM dlconn.main.vw_items"))
     // DROP VIEW IF EXISTS on a missing view is a no-op
-    spark.sql("DROP VIEW IF EXISTS ducklake.main.vw_items")
+    spark.sql("DROP VIEW IF EXISTS dlconn.main.vw_items")
   }
 
   test("atomic CREATE OR REPLACE TABLE AS via StagingTableCatalog") {
     lake
-    spark.sql("CREATE TABLE ducklake.main.rt AS SELECT id, name FROM ducklake.main.items WHERE id <= 10")
-    assert(spark.table("ducklake.main.rt").count() == 10)
+    spark.sql("CREATE TABLE dlconn.main.rt AS SELECT id, name FROM dlconn.main.items WHERE id <= 10")
+    assert(spark.table("dlconn.main.rt").count() == 10)
     val before = lake.currentSnapshot
     // atomic replace: new contents, same table identity
-    spark.sql("CREATE OR REPLACE TABLE ducklake.main.rt AS SELECT id, name FROM ducklake.main.items WHERE id <= 3")
-    assert(spark.table("ducklake.main.rt").count() == 3)
+    spark.sql("CREATE OR REPLACE TABLE dlconn.main.rt AS SELECT id, name FROM dlconn.main.items WHERE id <= 3")
+    assert(spark.table("dlconn.main.rt").count() == 3)
     // time travel across the replace still resolves the old version
-    assert(spark.sql(s"SELECT count(*) FROM ducklake.main.rt VERSION AS OF $before")
+    assert(spark.sql(s"SELECT count(*) FROM dlconn.main.rt VERSION AS OF $before")
       .head().getLong(0) == 10)
     // REPLACE TABLE AS on an existing table
-    spark.sql("REPLACE TABLE ducklake.main.rt AS SELECT id FROM ducklake.main.items WHERE id <= 5")
-    assert(spark.table("ducklake.main.rt").count() == 5)
+    spark.sql("REPLACE TABLE dlconn.main.rt AS SELECT id FROM dlconn.main.items WHERE id <= 5")
+    assert(spark.table("dlconn.main.rt").count() == 5)
     // REPLACE TABLE of a missing table refuses; CREATE of an existing refuses
     intercept[Exception](spark.sql(
-      "REPLACE TABLE ducklake.main.rt_missing AS SELECT 1 AS x"))
+      "REPLACE TABLE dlconn.main.rt_missing AS SELECT 1 AS x"))
     intercept[Exception](spark.sql(
-      "CREATE TABLE ducklake.main.rt AS SELECT 1 AS x"))
-    spark.sql("DROP TABLE ducklake.main.rt")
+      "CREATE TABLE dlconn.main.rt AS SELECT 1 AS x"))
+    spark.sql("DROP TABLE dlconn.main.rt")
   }
 
   test("CREATE/DROP NAMESPACE through the catalog") {
     lake
-    spark.sql("CREATE NAMESPACE ducklake.staging")
-    assert(spark.sql("SHOW NAMESPACES IN ducklake").collect()
+    spark.sql("CREATE NAMESPACE dlconn.staging")
+    assert(spark.sql("SHOW NAMESPACES IN dlconn").collect()
       .map(_.getString(0)).contains("staging"))
-    spark.sql("CREATE TABLE ducklake.staging.t (id BIGINT)")
-    spark.sql("INSERT INTO ducklake.staging.t VALUES (1), (2)")
-    assert(spark.sql("SELECT count(*) FROM ducklake.staging.t").head.getLong(0) == 2)
+    spark.sql("CREATE TABLE dlconn.staging.t (id BIGINT)")
+    spark.sql("INSERT INTO dlconn.staging.t VALUES (1), (2)")
+    assert(spark.sql("SELECT count(*) FROM dlconn.staging.t").head.getLong(0) == 2)
     // non-empty namespace cannot be dropped
-    intercept[Exception](spark.sql("DROP NAMESPACE ducklake.staging"))
-    spark.sql("DROP TABLE ducklake.staging.t")
-    spark.sql("DROP NAMESPACE ducklake.staging")
-    assert(!spark.sql("SHOW NAMESPACES IN ducklake").collect()
+    intercept[Exception](spark.sql("DROP NAMESPACE dlconn.staging"))
+    spark.sql("DROP TABLE dlconn.staging.t")
+    spark.sql("DROP NAMESPACE dlconn.staging")
+    assert(!spark.sql("SHOW NAMESPACES IN dlconn").collect()
       .map(_.getString(0)).contains("staging"))
   }
 
   test("readStream over an encrypted lake table decrypts via catalog keys") {
     import spark.implicits._
-    val eroot = Files.createTempDirectory("ducklake-enc-stream").toString
+    val eroot = Files.createTempDirectory("dlconn-enc-stream").toString
     val enc = new DuckLake(spark, s"$eroot/meta", s"$eroot/data", encrypted = true)
     try {
       enc.createTableAs((1 to 20).map(i => (i.toLong, s"s$i")).toDF("k", "s")
@@ -636,7 +636,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.createTableAs((1 to 100).map(i => (i.toLong, i % 5, i * 2.0))
       .toDF("b_id", "k", "bv").repartition(2), "main.spj_b", partitionBy = Seq("k"))
     val sql = """SELECT a.k, count(*) AS n, round(sum(a.av + b.bv), 2) AS s
-      FROM ducklake.main.spj_a a JOIN ducklake.main.spj_b b ON a.k = b.k
+      FROM dlconn.main.spj_a a JOIN dlconn.main.spj_b b ON a.k = b.k
       GROUP BY a.k ORDER BY a.k"""
     // expected via the ordinary (shuffling) path
     val expected = spark.sql(sql).collect().map(_.toSeq).toSeq
@@ -669,7 +669,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id", "bv").repartition(2), "main.bspj_b",
       partitionBy = Seq("bucket(8, id)"))
     val sql = """SELECT count(*) AS n, round(sum(a.av + b.bv), 2) AS s
-      FROM ducklake.main.bspj_a a JOIN ducklake.main.bspj_b b ON a.id = b.id"""
+      FROM dlconn.main.bspj_a a JOIN dlconn.main.bspj_b b ON a.id = b.id"""
     val expected = spark.sql(sql).collect().map(_.toSeq).toSeq
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
@@ -686,7 +686,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("the bucket partition function is callable as a catalog SQL function") {
     lake
     // same md5 bucketing the writers use — directly evaluable in SQL
-    val b = spark.sql("SELECT ducklake.system.bucket(8, CAST(42 AS BIGINT))")
+    val b = spark.sql("SELECT dlconn.system.bucket(8, CAST(42 AS BIGINT))")
       .head.getInt(0)
     assert(b == graft.lake.PartTransform.bucketOf(java.lang.Long.valueOf(42L), 8).get)
   }
@@ -699,11 +699,11 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
       // projection without the partition column: V1 vectorized path
-      val df = spark.sql("SELECT sum(cv) FROM ducklake.main.spj_c")
+      val df = spark.sql("SELECT sum(cv) FROM dlconn.main.spj_c")
       assert(df.head.getDouble(0) == (1 to 60).map(_ * 1.0).sum)
       assert(!df.queryExecution.executedPlan.toString.contains("DuckLakeBatchScan"))
       // with the key in the projection, the native SPJ scan serves the read
-      val withKey = spark.sql("SELECT k, sum(cv) AS s FROM ducklake.main.spj_c GROUP BY k")
+      val withKey = spark.sql("SELECT k, sum(cv) AS s FROM dlconn.main.spj_c GROUP BY k")
       assert(withKey.collect().map(_.getDouble(1)).sum == (1 to 60).map(_ * 1.0).sum)
       assert(withKey.queryExecution.executedPlan.toString.contains("DuckLakeBatchScan"))
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")

@@ -23,7 +23,7 @@ class ConstraintSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-nn").toString
+  private lazy val root = Files.createTempDirectory("dlcons-nn").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data",
     inlineRowLimit = 0)
 
@@ -46,7 +46,7 @@ class ConstraintSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("inlined appends enforce NOT NULL in the catalog commit") {
-    val root2 = Files.createTempDirectory("ducklake-nn-inl").toString
+    val root2 = Files.createTempDirectory("dlcons-nn-inl").toString
     val inl = new DuckLake(spark, s"$root2/meta", s"$root2/data", inlineRowLimit = 16)
     try {
       inl.createTableAs(Seq((1, "a")).toDF("i", "j").coalesce(1), "main.nni")
@@ -93,10 +93,10 @@ class ConstraintSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Spark's analyzer forbids nullable->non-nullable ALTERs on DSv2
     // tables outright, so SET NOT NULL is API-only (lake.setNotNull);
     // the relaxing direction round-trips through SQL
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dlcons",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.conf.set("spark.sql.catalog.dlcons.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dlcons.dataPath", lake.dataPath)
     lake.createTableAs(Seq((Some(1), "a")).toDF("i", "j").coalesce(1), "main.nn4")
     lake.setNotNull("main.nn4", "i")
     val e = intercept[Exception] {
@@ -104,8 +104,8 @@ class ConstraintSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("NOT NULL"))
     // DESCRIBE-visible: the DSv2 schema reflects the constraint
-    assert(!spark.table("ducklake.main.nn4").schema("i").nullable)
-    spark.sql("ALTER TABLE ducklake.main.nn4 ALTER COLUMN i DROP NOT NULL")
+    assert(!spark.table("dlcons.main.nn4").schema("i").nullable)
+    spark.sql("ALTER TABLE dlcons.main.nn4 ALTER COLUMN i DROP NOT NULL")
     lake.insertInto(Seq((None: Option[Int], "b")).toDF("i", "j").coalesce(1), "main.nn4")
     assert(lake.table("main.nn4").count() == 2)
   }

@@ -22,7 +22,7 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-maint").toString
+  private lazy val root = Files.createTempDirectory("dlmnt-maint").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
@@ -130,7 +130,7 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("catalog state survives lake close + reopen (Derby durability)") {
     import spark.implicits._
-    val droot = Files.createTempDirectory("ducklake-reopen").toString
+    val droot = Files.createTempDirectory("dlmnt-reopen").toString
     val first = new DuckLake(spark, s"$droot/meta", s"$droot/data", inlineRowLimit = 8)
     first.createTableAs((1L to 50L).map(i => (i, s"r$i")).toDF("k", "s")
       .coalesce(1), "main.durable", partitionBy = Nil)
@@ -302,14 +302,14 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.tagSnapshot("release-1", v1)
     assert(lake.snapshotForTag("release-1").contains(v1))
     // SQL resolution through the catalog plugin
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dlmnt",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.conf.set("spark.sql.catalog.dlmnt.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dlmnt.dataPath", lake.dataPath)
     assert(spark.sql(
-      "SELECT count(*) FROM ducklake.main.tagged VERSION AS OF 'release-1'")
+      "SELECT count(*) FROM dlmnt.main.tagged VERSION AS OF 'release-1'")
       .head().getLong(0) == 10)
-    assert(spark.sql("SELECT count(*) FROM ducklake.main.tagged")
+    assert(spark.sql("SELECT count(*) FROM dlmnt.main.tagged")
       .head().getLong(0) == 15)
     // CDC between tagged refs: the rows appended after release-1
     lake.tagSnapshot("release-2", lake.currentSnapshot)
@@ -318,14 +318,14 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // retag moves the ref
     lake.tagSnapshot("release-1", lake.currentSnapshot)
     assert(spark.sql(
-      "SELECT count(*) FROM ducklake.main.tagged VERSION AS OF 'release-1'")
+      "SELECT count(*) FROM dlmnt.main.tagged VERSION AS OF 'release-1'")
       .head().getLong(0) == 15)
     // guards: numeric names shadow snapshot ids; missing snapshots refuse
     intercept[InvalidConfigException](lake.tagSnapshot("123", v1))
     intercept[InvalidSnapshotException](lake.tagSnapshot("ghost", 999999L))
     // unknown tag in SQL is a clear error
     val e = intercept[Exception](spark.sql(
-      "SELECT * FROM ducklake.main.tagged VERSION AS OF 'nope'").collect())
+      "SELECT * FROM dlmnt.main.tagged VERSION AS OF 'nope'").collect())
     assert(e.getMessage.contains("nope"))
     // drop removes resolution, data untouched
     assert(lake.dropTag("release-1"))

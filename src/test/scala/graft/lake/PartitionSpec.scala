@@ -23,7 +23,7 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-part").toString
+  private lazy val root = Files.createTempDirectory("dlpart-part").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
@@ -272,28 +272,28 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("transform partitions: SQL PARTITIONED BY (months(...)), delta UPDATE") {
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dlpart",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", s"$root/meta")
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", s"$root/data")
-    spark.sql("""CREATE TABLE ducklake.main.tsql (
+    spark.conf.set("spark.sql.catalog.dlpart.metaDb", s"$root/meta")
+    spark.conf.set("spark.sql.catalog.dlpart.dataPath", s"$root/data")
+    spark.sql("""CREATE TABLE dlpart.main.tsql (
       id BIGINT, d DATE, v DOUBLE) PARTITIONED BY (months(d))""")
-    spark.sql("""INSERT INTO ducklake.main.tsql VALUES
+    spark.sql("""INSERT INTO dlpart.main.tsql VALUES
       (1, DATE'2024-01-05', 1.0), (2, DATE'2024-02-05', 2.0),
       (3, DATE'2024-02-20', 3.0)""")
-    assert(spark.sql("SELECT * FROM ducklake.main.tsql").count() == 3)
+    assert(spark.sql("SELECT * FROM dlpart.main.tsql").count() == 3)
     // partition values recorded month-wise
     val parts = lake.informationSchema("partitions")
       .filter(col("table_name") === "tsql").collect()
     assert(parts.length == 1 && parts.head.getString(5) == "month")
     // the delta (merge-on-read) writer derives the transform for new rows
-    spark.sql("UPDATE ducklake.main.tsql SET v = v + 10 WHERE id = 2")
-    val got = spark.sql("SELECT id, v FROM ducklake.main.tsql ORDER BY id").collect()
+    spark.sql("UPDATE dlpart.main.tsql SET v = v + 10 WHERE id = 2")
+    val got = spark.sql("SELECT id, v FROM dlpart.main.tsql ORDER BY id").collect()
     assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       Seq((1L, 1.0), (2L, 12.0), (3L, 3.0)))
     // month files: Jan and Feb dirs → pruning on a Feb predicate
     val febCnt = spark.sql(
-      "SELECT count(*) FROM ducklake.main.tsql WHERE d >= DATE'2024-02-01' AND d < DATE'2024-03-01'")
+      "SELECT count(*) FROM dlpart.main.tsql WHERE d >= DATE'2024-02-01' AND d < DATE'2024-03-01'")
       .head.getLong(0)
     assert(febCnt == 2)
   }
@@ -352,7 +352,7 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("SQL UPDATE on an encrypted lake re-encrypts the rewritten files") {
     import spark.implicits._
-    val eroot = Files.createTempDirectory("ducklake-enc-upd").toString
+    val eroot = Files.createTempDirectory("dlpart-enc-upd").toString
     val enc = new DuckLake(spark, s"$eroot/meta", s"$eroot/data", encrypted = true)
     try {
       enc.createTableAs((1 to 30).map(i => (i.toLong, i * 1.0)).toDF("k", "v")

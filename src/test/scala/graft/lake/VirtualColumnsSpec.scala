@@ -21,7 +21,7 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val root = Files.createTempDirectory("ducklake-vc").toString
+  private lazy val root = Files.createTempDirectory("dlvirt-vc").toString
   private lazy val lake = new DuckLake(spark, s"$root/meta", s"$root/data")
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
@@ -29,10 +29,10 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
   import spark.implicits._
 
   private def sqlSetup(): Unit = {
-    spark.conf.set("spark.sql.catalog.ducklake",
+    spark.conf.set("spark.sql.catalog.dlvirt",
       classOf[graft.lake.connector.DuckLakeSparkCatalog].getName)
-    spark.conf.set("spark.sql.catalog.ducklake.metaDb", lake.metaDbPath)
-    spark.conf.set("spark.sql.catalog.ducklake.dataPath", lake.dataPath)
+    spark.conf.set("spark.sql.catalog.dlvirt.metaDb", lake.metaDbPath)
+    spark.conf.set("spark.sql.catalog.dlvirt.dataPath", lake.dataPath)
   }
 
   test("snapshot_id tracks each row's committing snapshot") {
@@ -43,24 +43,24 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s2 = lake.currentSnapshot
     lake.insertInto(Seq(3).toDF("i").coalesce(1), "main.vs")
     val s3 = lake.currentSnapshot
-    val got = spark.sql("SELECT snapshot_id, i FROM ducklake.main.vs ORDER BY i")
+    val got = spark.sql("SELECT snapshot_id, i FROM dlvirt.main.vs ORDER BY i")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got == Seq((s1, 1), (s2, 2), (s3, 3)))
     // hidden from SELECT *
-    assert(spark.sql("SELECT * FROM ducklake.main.vs").columns.toSeq == Seq("i"))
+    assert(spark.sql("SELECT * FROM dlvirt.main.vs").columns.toSeq == Seq("i"))
   }
 
   test("file_row_number and filename; filter on a virtual column") {
     sqlSetup()
     lake.createTableAs(Seq(1, 2, 3).toDF("i").coalesce(1), "main.vf")
     val rows = spark.sql(
-      "SELECT file_row_number, i FROM ducklake.main.vf ORDER BY file_row_number")
+      "SELECT file_row_number, i FROM dlvirt.main.vf ORDER BY file_row_number")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(rows.map(_._1) == Seq(0L, 1L, 2L))
     assert(spark.sql(
-      "SELECT i FROM ducklake.main.vf WHERE file_row_number = 1").count() == 1)
+      "SELECT i FROM dlvirt.main.vf WHERE file_row_number = 1").count() == 1)
     val files = spark.sql(
-      "SELECT count(DISTINCT filename) FROM ducklake.main.vf WHERE filename LIKE '%.parquet'")
+      "SELECT count(DISTINCT filename) FROM dlvirt.main.vf WHERE filename LIKE '%.parquet'")
       .head.getLong(0)
     assert(files == 1)
   }
@@ -70,15 +70,15 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.createTableAs(Seq(0, 1, 2).toDF("i").coalesce(1), "main.vr")
     lake.insertInto(Seq(5, 6).toDF("i").coalesce(1), "main.vr")
     // sequential across commits: 0,1,2 then 3,4 (reference rowid/ducklake_row_id.test)
-    val got = spark.sql("SELECT rowid, i FROM ducklake.main.vr ORDER BY rowid")
+    val got = spark.sql("SELECT rowid, i FROM dlvirt.main.vr ORDER BY rowid")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got == Seq((0L, 0), (1L, 1), (2L, 2), (3L, 5), (4L, 6)))
-    assert(spark.sql("SELECT i FROM ducklake.main.vr WHERE rowid = 3")
+    assert(spark.sql("SELECT i FROM dlvirt.main.vr WHERE rowid = 3")
       .head.getInt(0) == 5)
     // deletes keep survivors' ids; new appends never reuse id ranges
     lake.deleteWhere("main.vr", org.apache.spark.sql.functions.col("i") % 2 === 1)
     lake.insertInto(Seq(10).toDF("i").coalesce(1), "main.vr")
-    val after = spark.sql("SELECT rowid, i FROM ducklake.main.vr ORDER BY rowid")
+    val after = spark.sql("SELECT rowid, i FROM dlvirt.main.vr ORDER BY rowid")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(after == Seq((0L, 0), (2L, 2), (4L, 6), (5L, 10)))
   }
@@ -89,11 +89,11 @@ class VirtualColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.deleteWhere("main.vm", org.apache.spark.sql.functions.col("i") === 2)
     // deleted row's position is gone; survivors keep their ORIGINAL positions
     val got = spark.sql(
-      "SELECT file_row_number, i FROM ducklake.main.vm ORDER BY i")
+      "SELECT file_row_number, i FROM dlvirt.main.vm ORDER BY i")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got == Seq((0L, 1), (2L, 3), (3L, 4)))
 
-    val root2 = Files.createTempDirectory("ducklake-vc-inl").toString
+    val root2 = Files.createTempDirectory("dlvirt-vc-inl").toString
     val inl = new DuckLake(spark, s"$root2/meta", s"$root2/data", inlineRowLimit = 8)
     try {
       // seed must EXCEED the inline limit so it lands in a real file
