@@ -67,7 +67,19 @@ def main():
             n_fail += 1
             continue
         try:
-            got = normalize(pd.concat([pd.read_parquet(p) for p in sorted(pq)]))
+            got = pd.concat([pd.read_parquet(p) for p in sorted(pq)])
+            # driver-parity tz strictness: the driver's schema compare
+            # fails a tz-AWARE spark column against DuckDB's naive
+            # timestamps BEFORE normalize() can hide it (this caught the
+            # round-5 outputTimestampType regression only driver-side)
+            tz_aware = [c for c in got.columns
+                        if isinstance(got[c].dtype, pd.DatetimeTZDtype)]
+            if tz_aware:
+                print(f"FAIL {name}: tz-aware timestamp columns {tz_aware} "
+                      "(driver schema check rejects; write timestamp_ntz)")
+                n_fail += 1
+                continue
+            got = normalize(got)
             want = normalize(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: {e}")

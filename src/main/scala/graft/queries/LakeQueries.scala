@@ -978,6 +978,44 @@ object LakeQueries {
         ('l_shipdate', 'timestamp', 10))
       t(column_name, column_type, column_order)
       ORDER BY column_order
+    """),
+
+    ("lake_geometry_stats", (s: SparkSession, dir: String) => {
+      // the geometry surface end to end: WKT→WKB ingest into a
+      // geometry-typed lake column, per-file bbox/type extra_stats
+      // computed by the distributed write-side pass, read back from the
+      // catalog and emitted as exact numbers (the values are constants,
+      // so the DuckDB oracle is a VALUES row — SF-independent)
+      import graft.lake.Geo
+      val root = s"/tmp/graft-geo-${UUID.randomUUID().toString.take(8)}"
+      val lake = new DuckLake(s, s"$root/meta", s"$root/data")
+      try {
+        val enc = org.apache.spark.sql.Encoders.BINARY
+        lake.createTableAs(
+          s.createDataset(Seq(Geo.wktToWkb("POINT (1 2)")))(enc).toDF("g")
+            .coalesce(1), "main.geo")
+        lake.refineColumnType("main.geo", "g", "geometry")
+        lake.insertInto(
+          s.createDataset(Seq(
+            Geo.wktToWkb("LINESTRING Z (5 5 5, 10 10 10)"),
+            Geo.wktToWkb("POINT M (20 20 5)")))(enc).toDF("g").coalesce(1),
+          "main.geo")
+        val (cols, rows) = lake.store.dumpMetadataTable("ducklake_file_column_stats")
+        val ei = cols.indexWhere(_._1.equalsIgnoreCase("extra_stats"))
+        val stats = rows.flatMap(r => Option(r(ei)).map(_.toString))
+          .flatMap(Geo.parseStatsJson)
+        val u = stats.foldLeft(Geo.emptyStats)(_ merge _)
+        import s.implicits._
+        Seq((stats.size, u.xmin, u.xmax, u.ymin, u.ymax, u.zmin, u.zmax,
+          u.mmin, u.mmax, u.types.toSeq.sorted.mkString(",")))
+          .toDF("n_geo_files", "xmin", "xmax", "ymin", "ymax",
+            "zmin", "zmax", "mmin", "mmax", "types_csv")
+      } finally lake.close()
+    }, """
+      SELECT CAST(1 AS INT) AS n_geo_files,
+        5.0 AS xmin, 20.0 AS xmax, 5.0 AS ymin, 20.0 AS ymax,
+        5.0 AS zmin, 10.0 AS zmax, 5.0 AS mmin, 5.0 AS mmax,
+        'linestring_z,point_m' AS types_csv
     """)
   )
 

@@ -55,7 +55,9 @@ final class SqlLogicRunner(spark: SparkSession) {
     "ducklake_table_info(" -> "duckdb table function syntax",
     "read_parquet('data/" -> "prebuilt corpus assets",
     "UNION(" -> "duckdb union type",
-    " TIME '" -> "Spark's TIME type has no parquet IO yet",
+    " TIME '" -> ("Spark's TIME type has no parquet IO, and the same " +
+      "file's TIMESTAMP_NS section renders nanosecond precision Spark's " +
+      "µs timestamps cannot carry"),
     "CALL dbgen" -> "tpch generator",
     "TIMETZ" -> "time-with-zone types",
     "ATTACH 'ducklake:postgres" -> "postgres backend",

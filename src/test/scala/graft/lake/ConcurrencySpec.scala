@@ -104,6 +104,9 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val iroot = Files.createTempDirectory("ducklake-conc-inl").toString
     val inl = new DuckLake(spark, s"$iroot/meta", s"$iroot/data", inlineRowLimit = 8)
+    // 12 simultaneous same-table appenders under the optimistic CAS: the
+    // budget must cover racers-1 (see the 16-appender test)
+    inl.maxRetryCount = 24
     try {
       inl.createTableAs(Seq((0L, "seed")).toDF("id", "tag").coalesce(1), "main.ci")
       Await.result(Future.sequence((1 to 12).map { w =>
@@ -170,5 +173,40 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(TxnIntent("_files_compacted", entityId = Some(tid)))).nonEmpty)
     assert(lake.store.commitConflicts(lake.currentSnapshot,
       Seq(TxnIntent("_files_compacted", entityId = Some(tid)))).isEmpty)
+  }
+
+  test("append CAS: a zero-retry writer that loses the race fails with the budget error") {
+    import spark.implicits._
+    lake.createTableAs(Seq((0L, "seed")).toDF("id", "tag").coalesce(1), "main.cas0")
+    lake.maxRetryCount = 0
+    try {
+      // two appenders released together: with ZERO retries at most one
+      // can survive the publish race; rerun until the race actually
+      // happens (same-JVM scheduling can serialize a lucky pair)
+      val loser = (1 to 8).iterator.map { round =>
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val ts = (1 to 2).map { w =>
+          new Thread(() => {
+            barrier.await()
+            try lake.insertInto(
+              Seq((round * 10L + w, s"w$w")).toDF("id", "tag").coalesce(1),
+              "main.cas0")
+            catch { case e: Throwable => errs.add(e) }
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join(60000))
+        Option(errs.peek())
+      }.collectFirst { case Some(e) => e }
+      assert(loser.isDefined,
+        "two synchronized zero-retry appenders never collided in 8 rounds")
+      assert(loser.get.isInstanceOf[TransactionConflictException] &&
+        loser.get.getMessage.contains(
+          "maximum retry count of 0 set by the ducklake_max_retry_count"),
+        s"unexpected loser error: ${loser.get}")
+    } finally lake.maxRetryCount = 10
+    // and losers never corrupt state: every surviving row is intact
+    val rows = lake.table("main.cas0").count()
+    assert(rows >= 2) // seed + at least the winners
   }
 }
