@@ -1750,6 +1750,36 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         if (isTs(s.columnName)) renamed.copy(minValue = None, maxValue = None)
         else renamed
       }
+      // nested LEAF stats (spec depth-first node ids): per-leaf min/max
+      // from the footer's inner chunks, keyed table-side so the store
+      // resolves them through statIdMap (corpus:
+      // add_files/add_files_complex_nested_stats_mre.test)
+      val nestedLeafStats: Seq[ColumnStatRec] = {
+        val colBySrc = srcToCol // file name -> table name
+        val wanted: Seq[(String, (String, DataType))] = for {
+          c <- cols.toSeq
+          leaf <- TypeBridge.leafNodes(c.name, c.dtype)
+          src <- colBySrc.collectFirst { case (s0, t0) if t0 == c.name => s0 }.toSeq
+        } yield {
+          val suffix = leaf._1.stripPrefix(c.name)
+          (s"$src$suffix", (leaf._1, TypeBridge.toSpark(leaf._3)))
+        }
+        if (wanted.isEmpty) Nil
+        else {
+          val byFilePath = wanted.toMap
+          FileStats.fromFooterNested(p, hconf,
+            byFilePath.map { case (fp, (_, dt)) => fp -> dt })
+            .map { s =>
+              val (tablePath, dt) = byFilePath(s.columnName)
+              val renamed = s.copy(columnName = tablePath)
+              dt match { // foreign writers' time units are not re-verified
+                case TimestampType | TimestampNTZType =>
+                  renamed.copy(minValue = None, maxValue = None)
+                case _ => renamed
+              }
+            }
+        }
+      }
       // adopted geometry columns get the same bbox/type summary a native
       // write computes (corpus: geo/ducklake_geometry_add_files.test)
       val adoptedGeoCols = cols.filter(c => TypeBridge.isGeometry(c.dtype))
@@ -1803,7 +1833,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             ColumnStatRec(c.name, rc, Some(rc), None, None)
         }
       }
-      (FileToRegister(pathStr, rc, st.getLen, fSize, fileStats ++ hiveStats,
+      (FileToRegister(pathStr, rc, st.getLen, fSize,
+        fileStats ++ nestedLeafStats ++ hiveStats,
         None, Nil, pathIsRelative = false), entries)
     }
     store.commitAddFiles(schemaName, tableName, regs)

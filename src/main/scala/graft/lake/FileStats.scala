@@ -107,6 +107,53 @@ object FileStats {
   private[lake] def canonicalValue(dt: DataType, v: Any): Option[String] =
     canonical(dt, v)
 
+  /** Footer stats of NESTED leaf chunks, keyed by the catalog's node
+    * dot-path: parquet's structural `list`/`key_value` (and legacy
+    * `bag`/`array`) segments are dropped, so `data_array.list.element`
+    * keys as `data_array.element` — the spec's depth-first node naming.
+    * Only paths in `wanted` (path → leaf Spark type) are returned; the
+    * per-leaf stats rows the adoption path registers key by node id
+    * (corpus: add_files/add_files_complex_nested_stats_mre.test).
+    */
+  def fromFooterNested(path: Path, conf: Configuration,
+      wanted: Map[String, DataType],
+      decryptKey: Option[String] = None): Seq[ColumnStatRec] = {
+    if (wanted.isEmpty) return Nil
+    val opts = org.apache.parquet.HadoopReadOptions.builder(conf, path)
+    decryptKey.foreach(k =>
+      opts.withDecryption(graft.lake.crypto.GraftCryptoFactory.decryptionProps(k)))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf), opts.build())
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      def canonical(p: Array[String]): String =
+        p.filterNot(t => t == "list" || t == "key_value" || t == "bag" ||
+          t == "array").mkString(".")
+      wanted.toSeq.sortBy(_._1).flatMap { case (leafPath, dt) =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(c => canonical(c.getPath.toArray) == leafPath))
+        if (chunks.isEmpty) None
+        else {
+          val valueCount = chunks.map(_.getValueCount).sum
+          val nullCounts = chunks.map(c => Option(c.getStatistics)
+            .filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L))
+          val nullCount = if (nullCounts.exists(_ < 0)) None else Some(nullCounts.sum)
+          if (chunks.exists(c => c.getStatistics == null || !c.getStatistics.hasNonNullValue))
+            Some(ColumnStatRec(leafPath, valueCount, nullCount, None, None))
+          else {
+            val mins = chunks.map(c => decode(dt, c.getStatistics.genericGetMin))
+            val maxs = chunks.map(c => decode(dt, c.getStatistics.genericGetMax))
+            val (mn, mx) =
+              if (mins.contains(None) || maxs.contains(None)) (None, None)
+              else (mins.flatten.reduceOption(minOf(dt)),
+                maxs.flatten.reduceOption(maxOf(dt)))
+            Some(ColumnStatRec(leafPath, valueCount, nullCount, mn, mx))
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
   /** DuckDB-refined logical types of TOP-LEVEL primitive columns, read
     * straight from the parquet footer: annotations Spark's reader erases
     * (unsigned int widths, JSON, UUID). The add_files type gate needs

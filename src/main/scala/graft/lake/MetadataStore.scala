@@ -1456,13 +1456,19 @@ final class MetadataStore(dbPath: String,
     }
     val existing = getTableColumns(table.tableId, snap)
     if (existing.isEmpty) {
+      // reference numbering: column ids start at 1 within a table and run
+      // DEPTH-FIRST through nested nodes (a list element, struct field or
+      // map key/value occupies an id of its own even though only the
+      // top-level row is materialized here) — per-leaf file stats key by
+      // those node ids (corpus: add_files_complex_nested_stats_mre.test,
+      // default/add_column_with_default.test)
+      var cid = 1L
       columns.zipWithIndex.foreach { case (c, i) =>
         val (dv, dt) = ColumnDefaults.derive(c.initialDefault)
-        // reference numbering: column ids start at 1 within a table
-        // (corpus: default/add_column_with_default.test)
-        insertColumnRow(i.toLong + 1, table.tableId, i.toLong, c.name,
+        insertColumnRow(cid, table.tableId, i.toLong, c.name,
           TypeBridge.normalize(c.dtype), c.nullsAllowed, None, snap,
           c.initialDefault, dv, dt)
+        cid += TypeBridge.nodeCount(c.dtype)
       }
     } else if (redefine && mode == WriteMode.Replace) {
       // CREATE OR REPLACE TABLE: a full redefinition, not an evolution —
@@ -1479,7 +1485,7 @@ final class MetadataStore(dbPath: String,
         insertColumnRow(nextColId, table.tableId, i.toLong, c.name,
           TypeBridge.normalize(c.dtype), c.nullsAllowed, None, snap,
           c.initialDefault, dv, dt)
-        nextColId += 1
+        nextColId += TypeBridge.nodeCount(c.dtype)
       }
       update("UPDATE ducklake_partition_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, table.tableId))
@@ -1686,7 +1692,10 @@ final class MetadataStore(dbPath: String,
     getNameMappings(tableId).collectFirst {
       case (mid, es) if es.sortBy(_.columnId) == key => mid
     }.getOrElse {
-      val mid = nextId("ducklake_column_mapping", "mapping_id")
+      // the reference allocates mapping ids from the SHARED file-id
+      // sequence — an adoption's first data file lands at mapping_id + 1
+      // (corpus: add_files_complex_nested_stats_mre.test file ids)
+      val mid = nextFileId()
       update("INSERT INTO ducklake_column_mapping VALUES (?, ?, ?)",
         Seq(mid, tableId, "map_by_name"))
       entries.foreach { e =>
@@ -1787,13 +1796,30 @@ final class MetadataStore(dbPath: String,
         rs.getBoolean(3), rs.getBoolean(4), rs.getBoolean(5))).headOption
       .collect { case (mn, mx, hn, hnn, known) if known => (mn, mx, hn, hnn) }
 
+  /** name → column_id for TOP-LEVEL columns plus their nested LEAF
+    * dot-paths under the depth-first node numbering ("data_array.element"
+    * → root id + offset): per-leaf stats rows key by node id.
+    */
+  private def statIdMap(tableId: Long, snap: Long): Map[String, Long] =
+    getTableColumns(tableId, snap).flatMap(c =>
+      (c.name -> c.columnId) +: TypeBridge.leafNodes(c.name, c.dtype)
+        .map(l => l._1 -> (c.columnId + l._2))).toMap
+
+  /** Synthetic [[ColumnDef]]s for nested leaves (cumulative-stats merge
+    * needs an id + a type to fold min/max).
+    */
+  private def leafDefs(tableId: Long, snap: Long): Map[String, ColumnDef] =
+    getTableColumns(tableId, snap).flatMap(c =>
+      TypeBridge.leafNodes(c.name, c.dtype).map(l =>
+        l._1 -> ColumnDef(c.columnId + l._2, c.order, l._1, l._3, true))).toMap
+
   def commitAddFiles(schemaName: String, tableName: String,
       files: Seq[(FileToRegister, Seq[NameMapEntry])]): Long = inSnapshotTxn { snap =>
     val schema = getSchemaByName(schemaName, snap)
       .getOrElse(throw new SchemaNotFoundException(schemaName))
     val table = getTableByName(schema.schemaId, tableName, snap)
       .getOrElse(throw new TableNotFoundException(s"$schemaName.$tableName"))
-    val colIds = getTableColumns(table.tableId, snap).map(c => c.name -> c.columnId).toMap
+    val colIds = statIdMap(table.tableId, snap)
     var nextRowId = nextRowIdFor(table.tableId)
     files.foreach { case (f, entries) =>
       // re-adding a path still live in the table would double-count rows
@@ -1819,8 +1845,10 @@ final class MetadataStore(dbPath: String,
         }
       }
       val statDefs = getTableColumns(table.tableId, snap)
+      val leaves = leafDefs(table.tableId, snap)
       mergeGlobalStats(table.tableId,
-        f.stats.flatMap(st => statDefs.find(_.name == st.columnName).map(_ -> st)))
+        f.stats.flatMap(st => statDefs.find(_.name == st.columnName)
+          .orElse(leaves.get(st.columnName)).map(_ -> st)))
     }
     snap
   }

@@ -113,6 +113,52 @@ object TypeBridge {
       throw new UnsupportedTypeException(s"unknown DuckLake type: $other")
   }
 
+  /** Immediate child nodes of a nested type under the DuckLake column
+    * model: a list's `element`, a struct's fields, a map's `key`/`value`.
+    * Primitives have none.
+    */
+  private def childNodes(t: String): Seq[(String, String)] = {
+    val n = normalize(t)
+    def inner(prefix: String): Option[String] =
+      if (n.startsWith(prefix) && n.endsWith(">"))
+        Some(n.substring(prefix.length, n.length - 1)) else None
+    inner("list<").map(e => Seq("element" -> e))
+      .orElse(inner("struct<").map(fs => splitTop(fs).map { f =>
+        val i = f.indexOf(':'); (f.substring(0, i).trim, f.substring(i + 1))
+      }))
+      .orElse(inner("map<").map(kv => splitTop(kv) match {
+        case Seq(k, v) => Seq("key" -> k, "value" -> v)
+        case _ => Nil
+      }))
+      .getOrElse {
+        if (n.endsWith("[]")) Seq("element" -> n.dropRight(2)) else Nil
+      }
+  }
+
+  /** Number of `ducklake_column` NODES a type occupies under the spec's
+    * depth-first numbering (the root plus every nested node — list
+    * elements, struct fields, map key/value each get their own id).
+    */
+  def nodeCount(t: String): Int =
+    1 + childNodes(t).map(c => nodeCount(c._2)).sum
+
+  /** Depth-first LEAF nodes inside `t`: (dot-path from the root column
+    * name, id offset relative to the root's id, leaf duck type). A
+    * primitive type has no entries — its root IS the leaf.
+    */
+  def leafNodes(rootName: String, t: String): Seq[(String, Int, String)] = {
+    val out = Seq.newBuilder[(String, Int, String)]
+    var next = 1 // offset 0 = the root node itself
+    def walk(path: String, ty: String): Unit = childNodes(ty).foreach {
+      case (cn, ct) =>
+        val off = next; next += 1
+        if (childNodes(ct).isEmpty) out += ((s"$path.$cn", off, normalize(ct)))
+        else walk(s"$path.$cn", ct)
+    }
+    walk(rootName, t)
+    out.result()
+  }
+
   /** Split a nested-type argument list on top-level commas only
     * (`a:int32,b:struct<c:int64,d:varchar>` → two parts).
     */

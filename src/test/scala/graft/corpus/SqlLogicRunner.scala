@@ -69,11 +69,6 @@ final class SqlLogicRunner(spark: SparkSession) {
     val extraSkip: Option[String] =
       if (file.toString.endsWith("merge_adjacent_max_files.test"))
         Some("id arithmetic tied to the reference writer's physical file sizes")
-      else if (file.toString.endsWith("add_files_complex_nested_stats_mre.test"))
-        Some("asserts raw ducklake_file_column_stats rows for NESTED " +
-          "leaves under spec depth-first column ids (2,5,6,7); this " +
-          "catalog numbers top-level columns only and keeps nested " +
-          "stats at file granularity")
       else if (file.toString.endsWith("settings/parquet_compression.test"))
         Some("expected footer ENCODINGS are DuckDB-writer-specific " +
           "(parquet-mr v2 encodes BINARY as DELTA_BYTE_ARRAY, not " +
@@ -1577,29 +1572,39 @@ final class SqlLogicRunner(spark: SparkSession) {
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.io.api.Binary
     val rows = df.collect()
+    // Spark field → standard parquet type (3-level lists, groups), so a
+    // COPY of nested data adopts like a foreign writer's native file
+    def nestedType(name: String, dt: org.apache.spark.sql.types.DataType)
+        : org.apache.parquet.schema.Type = dt match {
+      case org.apache.spark.sql.types.ByteType =>
+        PT.optional(INT32).as(L.intType(8, true)).named(name)
+      case org.apache.spark.sql.types.ShortType =>
+        PT.optional(INT32).as(L.intType(16, true)).named(name)
+      case org.apache.spark.sql.types.IntegerType => PT.optional(INT32).named(name)
+      case org.apache.spark.sql.types.LongType => PT.optional(INT64).named(name)
+      case org.apache.spark.sql.types.FloatType => PT.optional(FLOAT).named(name)
+      case org.apache.spark.sql.types.DoubleType => PT.optional(DOUBLE).named(name)
+      case org.apache.spark.sql.types.BooleanType => PT.optional(BOOLEAN).named(name)
+      case org.apache.spark.sql.types.BinaryType => PT.optional(BINARY).named(name)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        PT.optionalList().element(nestedType("element", a.elementType)).named(name)
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.foldLeft(PT.optionalGroup()) { (g, f2) =>
+          g.addField(nestedType(f2.name, f2.dataType))
+        }.named(name)
+      case _ => PT.optional(BINARY).as(L.stringType()).named(name)
+    }
     val b = org.apache.parquet.schema.Types.buildMessage()
     df.schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val field = duck.lift(i).flatten match {
-        case Some("uint8")  => PT.optional(INT32).as(L.intType(8, false))
-        case Some("uint16") => PT.optional(INT32).as(L.intType(16, false))
-        case Some("uint32") => PT.optional(INT32).as(L.intType(32, false))
-        case Some("uint64") => PT.optional(INT64).as(L.intType(64, false))
-        case Some("json")   => PT.optional(BINARY).as(L.jsonType())
-        case _ => f.dataType match {
-          case org.apache.spark.sql.types.ByteType =>
-            PT.optional(INT32).as(L.intType(8, true))
-          case org.apache.spark.sql.types.ShortType =>
-            PT.optional(INT32).as(L.intType(16, true))
-          case org.apache.spark.sql.types.IntegerType => PT.optional(INT32)
-          case org.apache.spark.sql.types.LongType => PT.optional(INT64)
-          case org.apache.spark.sql.types.FloatType => PT.optional(FLOAT)
-          case org.apache.spark.sql.types.DoubleType => PT.optional(DOUBLE)
-          case org.apache.spark.sql.types.BooleanType => PT.optional(BOOLEAN)
-          case org.apache.spark.sql.types.BinaryType => PT.optional(BINARY)
-          case _ => PT.optional(BINARY).as(L.stringType())
-        }
+      val field: org.apache.parquet.schema.Type = duck.lift(i).flatten match {
+        case Some("uint8")  => PT.optional(INT32).as(L.intType(8, false)).named(f.name)
+        case Some("uint16") => PT.optional(INT32).as(L.intType(16, false)).named(f.name)
+        case Some("uint32") => PT.optional(INT32).as(L.intType(32, false)).named(f.name)
+        case Some("uint64") => PT.optional(INT64).as(L.intType(64, false)).named(f.name)
+        case Some("json")   => PT.optional(BINARY).as(L.jsonType()).named(f.name)
+        case _ => nestedType(f.name, f.dataType)
       }
-      b.addField(field.named(f.name))
+      b.addField(field)
     }
     val msg = b.named("duckdb_schema")
     val factory = new SimpleGroupFactory(msg)
@@ -1618,6 +1623,32 @@ final class SqlLogicRunner(spark: SparkSession) {
           s""""columns": {${geoCols.map(c => s""""$c": {"encoding": "WKB"}""").mkString(", ")}}}"""))
     }
     val w = builder.build()
+    def appendValue(g: org.apache.parquet.example.data.Group, name: String,
+        dt: org.apache.spark.sql.types.DataType, v: Any): Unit = dt match {
+      case a: org.apache.spark.sql.types.ArrayType =>
+        val lg = g.addGroup(name)
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
+          val item = lg.addGroup("list")
+          if (e != null) appendValue(item, "element", a.elementType, e)
+        }
+      case st: org.apache.spark.sql.types.StructType =>
+        val sg = g.addGroup(name)
+        val row = v.asInstanceOf[org.apache.spark.sql.Row]
+        st.fields.zipWithIndex.foreach { case (f2, j) =>
+          if (!row.isNullAt(j)) appendValue(sg, f2.name, f2.dataType, row.get(j))
+        }
+      case _ => v match {
+        case x: Byte => g.add(name, x.toInt)
+        case x: Short => g.add(name, x.toInt)
+        case x: Int => g.add(name, x)
+        case x: Long => g.add(name, x)
+        case x: Float => g.add(name, x)
+        case x: Double => g.add(name, x)
+        case x: Boolean => g.add(name, x)
+        case x: Array[Byte] => g.add(name, Binary.fromConstantByteArray(x))
+        case x => g.add(name, Binary.fromString(x.toString))
+      }
+    }
     try rows.foreach { r =>
       val g = factory.newGroup()
       df.schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -1627,15 +1658,7 @@ final class SqlLogicRunner(spark: SparkSession) {
           case (Some("uint64"), v) => g.add(f.name,
             new java.math.BigDecimal(v.toString).longValueExact())
           case (Some("json"), v) => g.add(f.name, Binary.fromString(v.toString))
-          case (_, v: Byte) => g.add(f.name, v.toInt)
-          case (_, v: Short) => g.add(f.name, v.toInt)
-          case (_, v: Int) => g.add(f.name, v)
-          case (_, v: Long) => g.add(f.name, v)
-          case (_, v: Float) => g.add(f.name, v)
-          case (_, v: Double) => g.add(f.name, v)
-          case (_, v: Boolean) => g.add(f.name, v)
-          case (_, v: Array[Byte]) => g.add(f.name, Binary.fromConstantByteArray(v))
-          case (_, v) => g.add(f.name, Binary.fromString(v.toString))
+          case (_, v) => appendValue(g, f.name, f.dataType, v)
         }
       }
       w.write(g)
