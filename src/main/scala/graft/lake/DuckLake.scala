@@ -75,15 +75,22 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * conf at job-planning time — there is no per-write option for them —
     * so the pin lives exactly as long as the staging job.
     */
-  private def withWriterSessionConf[T](body: => T): T = {
-    val saved = lakeWriterConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    lakeWriterConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+  private def withWriterSessionConf[T](body: => T): T =
+    // GLOBAL lock: the pinned confs are session-level, so two concurrent
+    // lake stagings would otherwise interleave save/set/restore and leak
+    // the pinned values into the session (or write one file unpinned).
+    // Concurrent appends therefore serialize their STAGING jobs; the
+    // optimistic CAS races on publish order, which is captured before
+    // this lock — conflict semantics are unchanged.
+    DuckLake.writerConfLock.synchronized {
+      val saved = lakeWriterConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      lakeWriterConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
-  }
 
   /** JSON options for INLINED row storage, shared by every write
     * (to_json) and read (from_json) of `ducklake_inlined_data`: to_json's
@@ -385,8 +392,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             throw new TransactionConflictException(
               s"Exceeded the maximum retry count of $budget set by the " +
                 "ducklake_max_retry_count setting.")
-          Thread.sleep(math.min(200.0,
-            2L * attempt * retryBackoff).toLong)
+          Thread.sleep(math.min(1000.0,
+            retryWaitMs * math.pow(retryBackoff, (attempt - 1).toDouble)).toLong)
       }
     }
     -1L // unreachable
@@ -434,7 +441,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // file-based; the reference errors at bind time rather than silently
     // spilling, so any write to a geometry table under an inline limit
     // fails loudly
-    if (inlineLimit > 0 && !flushInlined &&
+    if (inlineLimit > 0 && !flushInlined && !tableIsNew &&
         tableShape(name).exists(_._2.exists(c => TypeBridge.isGeometry(c.dtype))))
       throw new UnsupportedTypeException(
         "DuckLake does not yet support data-inlining of 'GEOMETRY' columns")
@@ -555,18 +562,27 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
   private def annotateFieldIds(df: DataFrame, name: String,
       redefine: Boolean = false): DataFrame = {
     val existing: Option[(Long, Seq[ColumnDef])] = tableShape(name)
+    // ids run DEPTH-FIRST through nested nodes (spec numbering, mirrors
+    // registerWrite): the stamped top-level field id is the root node id
+    def depthFirst(base: Long): Map[String, Long] = {
+      var cid = base + 1L
+      df.schema.fields.map { f =>
+        val id = cid
+        cid += (try TypeBridge.nodeCount(TypeBridge.fromSpark(f.dataType))
+          catch { case _: Exception => 1 })
+        f.name -> id
+      }.toMap
+    }
     val ids: Map[String, Long] = existing match {
       case Some((tid, _)) if redefine =>
-        // CREATE OR REPLACE assigns FRESH ids past every id the table
-        // ever used — the files must carry those, not the old shape's
-        val base = store.maxColumnId(tid)
-        df.schema.fieldNames.zipWithIndex.map { case (n, i) =>
-          n -> (base + 1L + i) }.toMap
+        // CREATE OR REPLACE assigns FRESH ids past every NODE id the
+        // table ever occupied — the files must carry those
+        depthFirst(store.maxColumnId(tid))
       case Some((_, cols)) => cols.map(c => c.name -> c.columnId).toMap
       case None =>
-        // first write of a CTAS: the catalog rows land at commit with
-        // 1-based positional ids — mirror that numbering here
-        df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
+        // first write of a CTAS: mirror the 1-based numbering the
+        // catalog rows land with at commit
+        depthFirst(0L)
     }
     df.select(df.schema.fields.map { f =>
       val q = s"`${f.name.replace("`", "``")}`"
@@ -673,7 +689,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       .getOrElse(Nil)
       .filter(n => dataSchema.fieldNames.contains(n))
     val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val files = staged.map { case (part, partValues) =>
+    val placed = staged.map { case (part, partValues) =>
       val fileName = s"ducklake-${UUID.randomUUID()}.parquet"
       // hive layout: key=value directory per partition key (DuckLake
       // default file pattern; names are the transform or source column)
@@ -687,12 +703,22 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       if (!fs.rename(part, dest))
         throw new InternalException(s"rename failed: $part -> $dest")
       renamed += dest
+      (dest, relName, partValues)
+    }
+    // ONE distributed pass over every staged file for the geometry
+    // summaries (never a Spark job per file — a partitioned write
+    // staging hundreds of files would otherwise pay hundreds of
+    // job-scheduling round trips at commit)
+    val geoByFile: Map[String, Map[String, Geo.GeoStats]] =
+      if (geoCols.isEmpty) Map.empty
+      else geoFileStatsMulti(placed.map(_._1), geoCols, keyOpt)
+    val files = placed.map { case (dest, relName, partValues) =>
       val st = fs.getFileStatus(dest)
       val footerStats = FileStats.fromFooter(dest, hconf, dataSchema, keyOpt)
       val stats =
         if (geoCols.isEmpty) footerStats
         else {
-          val geo = geoFileStats(dest, geoCols, keyOpt)
+          val geo = geoByFile.getOrElse(dest.getName, Map.empty)
           footerStats.map { s =>
             if (geoCols.contains(s.columnName))
               s.copy(minValue = None, maxValue = None,
@@ -705,6 +731,44 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         footerSize(fs, dest, st.getLen), stats, keyOpt, partValues)
     }
     (files, renamed.toSeq)
+  }
+
+  /** One distributed pass over SEVERAL staged files' geometry columns:
+    * file name → column → merged bbox + type tags. Partial per-partition
+    * accumulators keyed by `input_file_name`, tiny driver merge.
+    */
+  private def geoFileStatsMulti(paths: Seq[Path], geoCols: Seq[String],
+      keyOpt: Option[String]): Map[String, Map[String, Geo.GeoStats]] = {
+    if (paths.isEmpty) return Map.empty
+    val df = reader(paths.map(p => p.getName -> keyOpt))
+      .parquet(paths.map(_.toString): _*)
+      .select(input_file_name().as("__f") +: geoCols.map(col): _*)
+    val n = geoCols.length
+    val partials = df.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map.empty[String, Array[Geo.GeoStats]]
+      it.foreach { r =>
+        val f = r.getString(0)
+        val a = acc.getOrElseUpdate(f, Array.fill(n)(Geo.emptyStats))
+        var i = 0
+        while (i < n) {
+          if (!r.isNullAt(i + 1))
+            Geo.statsOfWkb(r.getAs[Array[Byte]](i + 1))
+              .foreach(s => a(i) = a(i).merge(s))
+          i += 1
+        }
+      }
+      Iterator.single(acc.toMap)
+    }.fold(Map.empty[String, Array[Geo.GeoStats]]) { (m1, m2) =>
+      (m1.keySet ++ m2.keySet).map { k =>
+        k -> ((m1.get(k), m2.get(k)) match {
+          case (Some(a), Some(b)) => a.zip(b).map { case (x, y) => x.merge(y) }
+          case (a, b)             => a.orElse(b).get
+        })
+      }.toMap
+    }
+    partials.map { case (uri, arr) =>
+      uri.substring(uri.lastIndexOf('/') + 1) -> geoCols.zip(arr).toMap
+    }
   }
 
   /** One distributed pass over a staged file's geometry columns: per
@@ -3281,6 +3345,11 @@ final class LakeTransaction private[lake] (lake: DuckLake) {
 }
 
 object DuckLake {
+  /** Serializes [[DuckLake.withWriterSessionConf]] save/set/restore
+    * across every lake in the JVM (the pinned confs are session-global).
+    */
+  private[lake] val writerConfLock = new Object
+
   /** Recognized `set_option` keys (DuckLake option surface; unknown keys
     * error — corpus: merge_adjacent_options.test 'parquet_bla').
     */

@@ -126,9 +126,49 @@ object FileStats {
     try {
       import scala.jdk.CollectionConverters._
       val blocks = reader.getFooter.getBlocks.asScala
+      // STRUCTURAL canonicalization: walk the file schema and name each
+      // primitive's path in catalog node terms — a LIST group's repeated
+      // wrapper level disappears and its element is `element`, a MAP's
+      // key_value level disappears with `key`/`value` children. Dropping
+      // by NAME would break user columns literally called list/key_value.
+      val canonicalByChunk: Map[String, String] = {
+        import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, Type}
+        val out = Map.newBuilder[String, String]
+        def walk(t: Type, phys: String, canon: String): Unit =
+          if (t.isPrimitive) out += (phys -> canon)
+          else {
+            val g = t.asGroupType()
+            t.getLogicalTypeAnnotation match {
+              case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation
+                  if g.getFieldCount == 1 =>
+                val c0 = g.getType(0)
+                if (c0.isPrimitive) // legacy 2-level list, primitive element
+                  walk(c0, s"$phys.${c0.getName}", s"$canon.element")
+                else {
+                  val rep = c0.asGroupType()
+                  if (rep.getFieldCount == 1) // standard 3-level list
+                    walk(rep.getType(0),
+                      s"$phys.${rep.getName}.${rep.getType(0).getName}",
+                      s"$canon.element")
+                  else // legacy 2-level list, group element
+                    walk(c0, s"$phys.${c0.getName}", s"$canon.element")
+                }
+              case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation
+                  if g.getFieldCount == 1 && !g.getType(0).isPrimitive =>
+                val kv = g.getType(0).asGroupType()
+                kv.getFields.asScala.foreach(f =>
+                  walk(f, s"$phys.${kv.getName}.${f.getName}", s"$canon.${f.getName}"))
+              case _ =>
+                g.getFields.asScala.foreach(f =>
+                  walk(f, s"$phys.${f.getName}", s"$canon.${f.getName}"))
+            }
+          }
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .foreach(f => walk(f, f.getName, f.getName))
+        out.result()
+      }
       def canonical(p: Array[String]): String =
-        p.filterNot(t => t == "list" || t == "key_value" || t == "bag" ||
-          t == "array").mkString(".")
+        canonicalByChunk.getOrElse(p.mkString("."), p.mkString("."))
       wanted.toSeq.sortBy(_._1).flatMap { case (leafPath, dt) =>
         val chunks = blocks.flatMap(_.getColumns.asScala
           .filter(c => canonical(c.getPath.toArray) == leafPath))
@@ -176,8 +216,40 @@ object FileStats {
       // — corpus: geo/ducklake_geometry_add_files.test)
       val geoCols: Set[String] =
         Option(meta.getKeyValueMetaData.get("geo")).map { doc =>
-          "\"([A-Za-z_][A-Za-z0-9_]*)\"\\s*:\\s*\\{".r.findAllMatchIn(doc)
-            .map(_.group(1).toLowerCase).toSet -- Set("columns")
+          // only the keys of the "columns" OBJECT name geometry columns —
+          // other object-valued keys (covering, bbox, crs…) are metadata
+          val start = "\"columns\"\\s*:\\s*\\{".r.findFirstMatchIn(doc)
+          start.map { m =>
+            var depth = 1; var i = m.end
+            while (i < doc.length && depth > 0) {
+              doc.charAt(i) match {
+                case '{' => depth += 1
+                case '}' => depth -= 1
+                case _ => ()
+              }
+              i += 1
+            }
+            val body = doc.substring(m.end, math.max(m.end, i - 1))
+            // top-level keys of the columns object only (depth-0 inside it)
+            val keys = Set.newBuilder[String]
+            var d = 0; var j = 0
+            val keyRe = "\\G\\s*\"([^\"]+)\"\\s*:".r
+            while (j < body.length) {
+              body.charAt(j) match {
+                case '{' => d += 1
+                case '}' => d -= 1
+                case '"' if d == 0 =>
+                  keyRe.findFirstMatchIn(body.substring(j)) match {
+                    case Some(k) =>
+                      keys += k.group(1).toLowerCase; j += k.matched.length - 1
+                    case None => ()
+                  }
+                case _ => ()
+              }
+              j += 1
+            }
+            keys.result()
+          }.getOrElse(Set.empty[String])
         }.getOrElse(Set.empty)
       meta.getSchema.getFields.asScala.flatMap { f =>
         if (!f.isPrimitive) None

@@ -874,10 +874,17 @@ final class MetadataStore(dbPath: String,
       Seq(colId, tableId, order, name, dtype, nulls, parent.map(Long.box).orNull,
         snap, initial.orNull, dv.orNull, dt))
 
-  /** Highest column id the table ever used (dropped ids included). */
+  /** Highest column NODE id the table ever occupied (dropped ids
+    * included): a root row RESERVES its whole depth-first nested range —
+    * leaf stats and parquet field ids key into it even though only root
+    * rows are materialized — so every allocator must skip past it, or a
+    * later ADD COLUMN would collide with an existing column's leaf id.
+    */
   def maxColumnId(tableId: Long): Long =
-    query("SELECT COALESCE(MAX(column_id), 0) FROM ducklake_column WHERE table_id = ?",
-      Seq(tableId))(_.getLong(1)).headOption.getOrElse(0L)
+    query("SELECT column_id, column_type FROM ducklake_column WHERE table_id = ?",
+      Seq(tableId))(rs =>
+        rs.getLong(1) + TypeBridge.nodeCount(rs.getString(2)) - 1)
+      .maxOption.getOrElse(0L)
 
   def getTableColumns(tableId: Long, snap: Long): Seq[ColumnDef] =
     query(s"SELECT column_id, column_order, column_name, column_type, nulls_allowed, initial_default, default_value, default_value_type FROM ducklake_column WHERE table_id = ? AND parent_column IS NULL AND $Vis ORDER BY column_order",
@@ -1477,9 +1484,7 @@ final class MetadataStore(dbPath: String,
       // Partition keys are redefined below the same way.
       update("UPDATE ducklake_column SET end_snapshot = ? WHERE table_id = ? AND end_snapshot IS NULL",
         Seq(snap, table.tableId))
-      var nextColId = query(
-        "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
-        Seq(table.tableId))(_.getLong(1)).head
+      var nextColId = maxColumnId(table.tableId) + 1
       columns.zipWithIndex.foreach { case (c, i) =>
         val (dv, dt) = ColumnDefaults.derive(c.initialDefault)
         insertColumnRow(nextColId, table.tableId, i.toLong, c.name,
@@ -2999,9 +3004,7 @@ final class MetadataStore(dbPath: String,
       val cols = getTableColumns(tableId, snap)
       if (cols.exists(_.name == name))
         throw new UnsupportedException(s"column already exists: $name")
-      val newId = query(
-        "SELECT COALESCE(MAX(column_id), -1) + 1 FROM ducklake_column WHERE table_id = ?",
-        Seq(tableId))(_.getLong(1)).head
+      val newId = maxColumnId(tableId) + 1
       val order = cols.map(_.order).maxOption.getOrElse(-1L) + 1
       val (dv, dt) = ColumnDefaults.derive(initialDefault)
       insertColumnRow(newId, tableId, order, name, TypeBridge.normalize(dtype),
@@ -3060,9 +3063,7 @@ final class MetadataStore(dbPath: String,
           }
         }
         nestedAdd.foreach { case (path, dtype, dv) =>
-          val newId = query(
-            "SELECT COALESCE(MAX(column_id), 0) + 1 FROM ducklake_column WHERE table_id = ?",
-            Seq(tableId))(_.getLong(1)).head
+          val newId = maxColumnId(tableId) + 1
           val (v, t) = ColumnDefaults.derive(Some(dv))
           insertColumnRow(newId, tableId, 0L, path, TypeBridge.normalize(dtype),
             true, Some(c.columnId), snap, Some(dv), v, t)

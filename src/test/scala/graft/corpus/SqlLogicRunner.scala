@@ -505,6 +505,11 @@ final class SqlLogicRunner(spark: SparkSession) {
           })
         }
         threads.foreach(_.start()); threads.foreach(_.join(120000))
+        // a writer still alive after the join budget is a hang, not a
+        // pass — and it would keep mutating the lake under the file's
+        // later assertions
+        threads.filter(_.isAlive).foreach(t =>
+          failures.add(s"writer thread still running after 120s: ${t.getName}"))
         Option(failures.peek()).map(f =>
           FileResult(file.toString, Failed(s"concurrentloop: $f")))
       case MaybeStatement(sql, _) =>

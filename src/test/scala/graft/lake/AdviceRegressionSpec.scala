@@ -177,6 +177,28 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L until 200000L).count(i => i % 2 != 0 && i % 3 != 0 && i % 5 == 1))
   }
 
+  test("ADD COLUMN allocates past a nested column's reserved leaf-id range") {
+    import spark.implicits._
+    // docs STRUCT<a,b> occupies node ids 2..4 (root 2, leaves 3/4) after
+    // id INT at 1; a later ADD COLUMN must NOT land inside that range —
+    // leaf stats and parquet field ids key into it
+    val df = spark.range(3).select(col("id"),
+      org.apache.spark.sql.functions.struct(
+        col("id").as("a"), (col("id") * 2).as("b")).as("docs"))
+    lake.createTableAs(df.coalesce(1), "main.leafids")
+    lake.addColumn("main.leafids", "extra", "int64")
+    val snap = lake.currentSnapshot
+    val tid = lake.store.getTableByName(
+      lake.store.getSchemaByName("main", snap).get.schemaId, "leafids", snap)
+      .get.tableId
+    val cols = lake.store.getTableColumns(tid, snap)
+    val byName = cols.map(c => c.name -> c.columnId).toMap
+    assert(byName("id") == 1 && byName("docs") == 2,
+      s"depth-first root ids: $byName")
+    assert(byName("extra") >= 5,
+      s"ADD COLUMN id ${byName("extra")} collides with docs' leaf range 3..4")
+  }
+
   test("constructing a DuckLake never changes an unrelated write's parquet schema") {
     // r5 regression: the constructor used to spark.conf.set the session's
     // outputTimestampType/fieldId confs, silently flipping the schema of
