@@ -37,29 +37,34 @@ object FileStats {
         val chunks = blocks.flatMap(_.getColumns.asScala
           .filter(_.getPath.toDotString == field.name))
         if (chunks.isEmpty) None
-        else {
-          val valueCount = chunks.map(_.getValueCount).sum
-          // null count is valid independently of min/max: an all-null
-          // chunk has no min/max but a perfectly known (and crucial —
-          // `WHERE x IS NULL` pruning) null count. Record None (unknown)
-          // when any chunk's footer doesn't carry it, never a fake 0.
-          val nullCounts = chunks.map(c => Option(c.getStatistics)
-            .filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L))
-          val nullCount = if (nullCounts.exists(_ < 0)) None else Some(nullCounts.sum)
-          if (chunks.exists(c => c.getStatistics == null || !c.getStatistics.hasNonNullValue))
-            Some(ColumnStatRec(field.name, valueCount, nullCount, None, None))
-          else {
-            val mins = chunks.map(c => decode(field.dataType, c.getStatistics.genericGetMin))
-            val maxs = chunks.map(c => decode(field.dataType, c.getStatistics.genericGetMax))
-            val (mn, mx) =
-              if (mins.contains(None) || maxs.contains(None)) (None, None)
-              else (mins.flatten.reduceOption(minOf(field.dataType)),
-                maxs.flatten.reduceOption(maxOf(field.dataType)))
-            Some(ColumnStatRec(field.name, valueCount, nullCount, mn, mx))
-          }
-        }
+        else Some(statsOfChunks(field.name, field.dataType, chunks.toSeq))
       }
     } finally reader.close()
+  }
+
+  /** Fold one column's chunk footers into a stats row. Null count is
+    * valid independently of min/max: an all-null chunk has no min/max
+    * but a perfectly known (and crucial — `WHERE x IS NULL` pruning)
+    * null count; record None (unknown) when any chunk's footer doesn't
+    * carry it, never a fake 0.
+    */
+  private def statsOfChunks(name: String, dt: DataType,
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]): ColumnStatRec = {
+    val valueCount = chunks.map(_.getValueCount).sum
+    val nullCounts = chunks.map(c => Option(c.getStatistics)
+      .filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L))
+    val nullCount = if (nullCounts.exists(_ < 0)) None else Some(nullCounts.sum)
+    if (chunks.exists(c => c.getStatistics == null || !c.getStatistics.hasNonNullValue))
+      ColumnStatRec(name, valueCount, nullCount, None, None)
+    else {
+      val mins = chunks.map(c => decode(dt, c.getStatistics.genericGetMin))
+      val maxs = chunks.map(c => decode(dt, c.getStatistics.genericGetMax))
+      val (mn, mx) =
+        if (mins.contains(None) || maxs.contains(None)) (None, None)
+        else (mins.flatten.reduceOption(minOf(dt)),
+          maxs.flatten.reduceOption(maxOf(dt)))
+      ColumnStatRec(name, valueCount, nullCount, mn, mx)
+    }
   }
 
   /** Parquet footer value → canonical string, per logical Spark type. */
@@ -167,29 +172,14 @@ object FileStats {
           .foreach(f => walk(f, f.getName, f.getName))
         out.result()
       }
-      def canonical(p: Array[String]): String =
-        canonicalByChunk.getOrElse(p.mkString("."), p.mkString("."))
+      // one pass over the chunks, grouped by canonical path — never a
+      // rescan per requested leaf
+      val chunksByLeaf = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(c => canonicalByChunk.getOrElse(
+          c.getPath.toArray.mkString("."), c.getPath.toArray.mkString(".")))
       wanted.toSeq.sortBy(_._1).flatMap { case (leafPath, dt) =>
-        val chunks = blocks.flatMap(_.getColumns.asScala
-          .filter(c => canonical(c.getPath.toArray) == leafPath))
-        if (chunks.isEmpty) None
-        else {
-          val valueCount = chunks.map(_.getValueCount).sum
-          val nullCounts = chunks.map(c => Option(c.getStatistics)
-            .filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L))
-          val nullCount = if (nullCounts.exists(_ < 0)) None else Some(nullCounts.sum)
-          if (chunks.exists(c => c.getStatistics == null || !c.getStatistics.hasNonNullValue))
-            Some(ColumnStatRec(leafPath, valueCount, nullCount, None, None))
-          else {
-            val mins = chunks.map(c => decode(dt, c.getStatistics.genericGetMin))
-            val maxs = chunks.map(c => decode(dt, c.getStatistics.genericGetMax))
-            val (mn, mx) =
-              if (mins.contains(None) || maxs.contains(None)) (None, None)
-              else (mins.flatten.reduceOption(minOf(dt)),
-                maxs.flatten.reduceOption(maxOf(dt)))
-            Some(ColumnStatRec(leafPath, valueCount, nullCount, mn, mx))
-          }
-        }
+        chunksByLeaf.get(leafPath).filter(_.nonEmpty)
+          .map(chunks => statsOfChunks(leafPath, dt, chunks.toSeq))
       }
     } finally reader.close()
   }

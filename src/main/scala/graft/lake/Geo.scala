@@ -259,15 +259,19 @@ object Geo {
     }
   }
 
-  /** Stats contribution of one geometry. */
+  /** Stats contribution of one geometry. Runs once per ROW inside the
+    * distributed write-side pass — mutable accumulators, no per-
+    * coordinate case-class copies.
+    */
   def statsOf(g: Geom): GeoStats = {
-    var s = emptyStats.copy(types = Set(typeTag(g)))
+    var (x0, x1, y0, y1) = (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    var (z0, z1, m0, m1) = (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     def touch(c: Array[Double], hasZ: Boolean, hasM: Boolean): Unit = {
-      s = s.copy(xmin = nmin(s.xmin, c(0)), xmax = nmax(s.xmax, c(0)),
-        ymin = nmin(s.ymin, c(1)), ymax = nmax(s.ymax, c(1)))
+      x0 = nmin(x0, c(0)); x1 = nmax(x1, c(0))
+      y0 = nmin(y0, c(1)); y1 = nmax(y1, c(1))
       var i = 2
-      if (hasZ) { s = s.copy(zmin = nmin(s.zmin, c(i)), zmax = nmax(s.zmax, c(i))); i += 1 }
-      if (hasM) s = s.copy(mmin = nmin(s.mmin, c(i)), mmax = nmax(s.mmax, c(i)))
+      if (hasZ) { z0 = nmin(z0, c(i)); z1 = nmax(z1, c(i)); i += 1 }
+      if (hasM) { m0 = nmin(m0, c(i)); m1 = nmax(m1, c(i)) }
     }
     def walk(g: Geom): Unit = g match {
       case Pt(_, z, m, c)     => touch(c, z, m)
@@ -276,7 +280,7 @@ object Geo {
       case Multi(_, _, _, ps) => ps.foreach(walk)
     }
     walk(g)
-    s
+    GeoStats(x0, x1, y0, y1, z0, z1, m0, m1, Set(typeTag(g)))
   }
 
   /** WKB bytes → stats (None when not valid WKB). */

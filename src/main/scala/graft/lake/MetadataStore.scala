@@ -1849,8 +1849,13 @@ final class MetadataStore(dbPath: String,
               st.minValue.orNull, st.maxValue.orNull, st.extraStats.orNull))
         }
       }
-      val statDefs = getTableColumns(table.tableId, snap)
-      val leaves = leafDefs(table.tableId, snap)
+      ()
+    }
+    // cumulative stats once per call, not per file (each lookup is a
+    // Derby query): fold every adopted file's rows together
+    val statDefs = getTableColumns(table.tableId, snap)
+    val leaves = leafDefs(table.tableId, snap)
+    files.foreach { case (f, _) =>
       mergeGlobalStats(table.tableId,
         f.stats.flatMap(st => statDefs.find(_.name == st.columnName)
           .orElse(leaves.get(st.columnName)).map(_ -> st)))

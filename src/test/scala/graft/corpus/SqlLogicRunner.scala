@@ -51,7 +51,9 @@ final class SqlLogicRunner(spark: SparkSession) {
     "postgres" -> "postgres metadata backend",
     "uuid '" -> "parquet UUID logical type (no Spark IO)",
     "UUID '" -> "parquet UUID logical type (no Spark IO)",
-    "parquet_schema(" -> "parquet introspection TVF",
+    "parquet_schema(" -> ("parquet introspection TVF, and the file " +
+      "asserts field ids stamped on LIST ELEMENT nodes, which Spark's " +
+      "parquet writer has no channel for (top-level/struct ids only)"),
     "ducklake_table_info(" -> "duckdb table function syntax",
     "read_parquet('data/" -> "prebuilt corpus assets",
     "UNION(" -> "duckdb union type",
