@@ -980,6 +980,55 @@ object LakeQueries {
       ORDER BY column_order
     """),
 
+    ("lake_stream_upsert", (s: SparkSession, dir: String) => {
+      // streaming UPSERT: foreachBatch runs a per-micro-batch MERGE INTO
+      // the lake (the CDC-apply loop of a continuously-maintained
+      // aggregate). Two micro-batches of events fold into per-user
+      // running totals; the final table must equal the one-shot batch
+      // aggregate. At 100 TB each micro-batch MERGE is a delta write —
+      // cost tracks the batch, never the table.
+      val (lake, _) = fixture(s, dir)
+      if (!lake.tableExists("main.upsert_users")) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        s.sql("""CREATE TABLE IF NOT EXISTS ducklake.main.upsert_users
+                 (user_id BIGINT, n BIGINT, total DOUBLE)""")
+        val rows = t(s, dir, "events").select("user_id", "value")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val mem = MemoryStream[(Long, Double)]
+        val q = mem.toDF().toDF("user_id", "value")
+          .writeStream
+          .option("checkpointLocation",
+            s"/tmp/graft-upsert-ckpt-${UUID.randomUUID().toString.take(8)}")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy("user_id")
+              .agg(count(lit(1)).as("n"), sum("value").as("total"))
+              .createOrReplaceTempView("__upsert_batch")
+            batch.sparkSession.sql(
+              """MERGE INTO ducklake.main.upsert_users t
+                 USING __upsert_batch b ON t.user_id = b.user_id
+                 WHEN MATCHED THEN UPDATE SET
+                   n = t.n + b.n, total = t.total + b.total
+                 WHEN NOT MATCHED THEN INSERT (user_id, n, total)
+                 VALUES (b.user_id, b.n, b.total)""")
+            ()
+          }
+          .start()
+        try {
+          val (first, rest) = rows.splitAt(rows.length / 2)
+          mem.addData(first.toSeq); q.processAllAvailable()
+          mem.addData(rest.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      lake.table("main.upsert_users")
+        .select(col("user_id"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy("user_id")
+    }, """
+      SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+
     ("lake_geometry_stats", (s: SparkSession, dir: String) => {
       // the geometry surface end to end: WKT→WKB ingest into a
       // geometry-typed lake column, per-file bbox/type extra_stats
