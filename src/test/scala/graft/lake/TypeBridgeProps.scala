@@ -93,6 +93,44 @@ object TypeBridgeProps extends Properties("TypeBridge") {
         TypeBridge.toSpark(b); true // no exception
       }
     }
+
+  // ---- depth-first node numbering (nested column ids) ----------------
+
+  private val genNested: Gen[String] = {
+    val prim = Gen.oneOf("int32", "int64", "varchar", "float64", "boolean")
+    def tree(depth: Int): Gen[String] =
+      if (depth <= 0) prim
+      else Gen.frequency(
+        3 -> prim,
+        1 -> tree(depth - 1).map(e => s"list<$e>"),
+        1 -> (for {
+          n <- Gen.chooseNum(1, 3)
+          fs <- Gen.listOfN(n, tree(depth - 1))
+        } yield fs.zipWithIndex.map { case (t, i) => s"f$i:$t" }
+          .mkString("struct<", ",", ">")),
+        1 -> (for { k <- prim; v <- tree(depth - 1) } yield s"map<$k,$v>"))
+    tree(3)
+  }
+
+  property("node count = 1 (root) + every nested node, leaves within range") =
+    forAll(genNested) { t =>
+      val n = TypeBridge.nodeCount(t)
+      val leaves = TypeBridge.leafNodes("c", t)
+      val offsets = leaves.map(_._2)
+      // offsets are unique, strictly inside the root's reserved range,
+      // and depth-first means they never exceed nodeCount - 1
+      (n >= 1) :| s"nodeCount $n" &&
+        (offsets.distinct.size == offsets.size) :| "unique offsets" &&
+        offsets.forall(o => o >= 1 && o <= n - 1) :| s"offsets $offsets in 1..${n - 1}" &&
+        (leaves.map(_._1).distinct.size == leaves.size) :| "unique leaf paths" &&
+        leaves.forall(_._1.startsWith("c.")) :| "paths rooted at the column"
+    }
+
+  property("primitives occupy exactly one node and have no leaves") =
+    forAll(Gen.oneOf("int32", "varchar", "float64", "date", "uint32")) { t =>
+      TypeBridge.nodeCount(t) == 1 && TypeBridge.leafNodes("c", t).isEmpty
+    }
+
 }
 
 /** Path-validation properties (reference: src/path_resolver.rs:354+ tests). */
@@ -140,4 +178,6 @@ object PathResolverProps extends Properties("PathResolver") {
     PathResolver.validateName(name) == name &&
       PathResolver.validateTableName(name) == name
   }
+
+
 }
