@@ -30,7 +30,9 @@ object Bench {
         "ev_pivot_type",
         "txt_tfidf_keywords", "txt_chunk", "txt_lm_score",
         "dedup_keep_latest", "dedup_semantic",
-        "w_range_frame", "agg_filter_clause")).distinct
+        "w_range_frame", "agg_filter_clause",
+        "cb_regexp_group", "cb_multi_agg", "cb_many_sums",
+        "cb_group_cd_topk")).distinct
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,12 +58,10 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
     // warmup pass with row-count verification, as the reference protocol
     // does before timing (benchmark/src/runner.rs:38-57): a query that
-    // stops returning rows must fail the bench loudly, not time a bug
-    // queries whose emptiness is data-dependent, not a bug: embedding
-    // near-dup has no planted twins at every SF, and TPC-H Q11's fixed
-    // threshold fraction legitimately filters everything at higher SFs
-    // (the spec scales it by 1/SF)
-    val mayBeEmpty = Set("dedup_embedding", "q11_important_parts")
+    // stops returning rows must fail the bench loudly, not time a bug.
+    // TPC-H Q11's fixed threshold fraction legitimately filters
+    // everything at higher SFs (the spec scales it by 1/SF)
+    val mayBeEmpty = Set("q11_important_parts")
     names.foreach { n =>
       try {
         run(n) // same plan as the timed runs -> codegen/caches fully warm
@@ -87,22 +87,45 @@ object Bench {
       val sd = math.sqrt(s.map(x => (x - avg) * (x - avg)).sum / s.size)
       (avg, s.min, s.max, sd)
     }
-    val qs = timings.map { case (k, s) =>
-      "\"" + k + "\":" + f"${if (s.isEmpty) -1.0 else s.min}%.4f"
-    }.mkString("{", ",", "}")
     val detail = timings.map { case (k, s) =>
       val (avg, mn, mx, sd) = stats(s)
       "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f}"""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).collect { case s if s.nonEmpty => s.min }.sum
-    // the avg/min/max/σ detail rides INSIDE the contract line so the
-    // driver's BENCH artifact preserves it — a contended run (uniformly
-    // elevated minima with high σ) is then adjudicable from the artifact
-    // alone instead of dying with the stderr log
-    System.err.println(s"""[bench-detail] {"stats":$detail,"iters":$iterations}""")
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val minsMap = timings.map { case (k, s) =>
+      k -> (if (s.isEmpty) -1.0 else s.min)
+    }.toMap
+
+    val scale10 = ScaleBench.maybeRun(spark, sfDir, minsMap)
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"detail":$detail}""")
+
+    // Full results go to a self-contained file: the driver's BENCH
+    // artifact keeps only a 2 KB stdout tail, which in r5/r6 truncated
+    // the in-line detail and lost the headline entirely.
+    val fullJson = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":$sfNum,"iters":$iterations,"detail":$detail${scale10.map(s => s""","scale10":${s._2}""").getOrElse("")}}"""
+    val outFile = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile, (fullJson + "\n").getBytes("UTF-8"))
+
+    // The stdout contract line must survive the 2 KB tail window intact
+    // (plus sbt's trailing "[success]" line, ~75 chars). Cap it at 1750
+    // chars by dropping the FASTEST queries from the map first — the
+    // slow ones are the perf-relevant evidence; the full map is in
+    // target/bench.json regardless.
+    val mins = timings.map { case (k, s) => k -> (if (s.isEmpty) -1.0 else s.min) }
+    def line(qpairs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = qpairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations$om,"bench_file":"target/bench.json"${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}}"""
+    }
+    val bySlowest = mins.sortBy { case (_, v) => -v }
+    var keep = mins.size
+    while (keep > 1 && line(bySlowest.take(keep), mins.size - keep).length > 1750)
+      keep -= 1
+    val kept = bySlowest.take(keep).toSet
+    println(line(mins.filter(kept.contains), mins.size - keep))
     System.out.flush()
   }
 }

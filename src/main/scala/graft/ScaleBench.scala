@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress bench: replays the heaviest gates on a 10× corpus built
+  * by deterministic key-shifted replication of the bench SF dir. This is
+  * the measured half of the 100×-scale claim — it catches what sf0.1
+  * alone can't: broadcast-threshold flips, bucket skew from dup-heavy
+  * corpora (each document gains 9 identical replicas), and memory cliffs
+  * in the multi-pass dedup shapes.
+  *
+  * Replication is seedless and deterministic: replica `i` shifts every
+  * join key by `i * SHIFT` so each replica is a self-contained TPC-H-ish
+  * world (join fan-outs scale linearly, not quadratically), while
+  * `documents.text` and `embeddings.embedding` are kept IDENTICAL across
+  * replicas — the worst case for dedup blocking keys, since every
+  * MinHash/fingerprint bucket is 10× hotter than at sf0.1.
+  */
+object ScaleBench {
+
+  /** Shift for TPC-H surrogate keys (orderkey/custkey/partkey/suppkey). */
+  private val KeyShift = 1000000000L
+  /** Shift for doc/vec ids — far above the +100000 planted-twin offset
+    * the dedup gates add, so twins stay inside their replica block.
+    */
+  private val IdShift = 1000000L
+
+  val replicas = 10
+
+  /** Gates re-run at 10×; all read their tables unsubsetted, so the
+    * replicated corpus actually flows through them. (dedup_semantic and
+    * dedup_embedding are fixture-bounded — their scale analog is the
+    * production LSH path timed separately below.)
+    */
+  val heavy: Seq[String] = Seq(
+    "q09_product_profit", "q13_customer_distribution", "q18_large_orders",
+    "dedup_minhash", "dedup_exact", "pipe_curation", "txt_lm_score",
+    "txt_tfidf_keywords")
+
+  private def rep(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+    val r = df.sparkSession.range(replicas).select(col("id").as("__rep"))
+    val shifted = shifts.foldLeft(df.crossJoin(r)) { case (d, (c, s)) =>
+      d.withColumn(c, col(c) + col("__rep") * s)
+    }
+    shifted.drop("__rep")
+  }
+
+  /** Build (or reuse) the 10× corpus under /tmp. Idempotent: a marker
+    * file keyed on the source dir skips the rebuild on later runs.
+    */
+  def buildCorpus(spark: SparkSession, srcDir: String): String = {
+    val outDir = s"/tmp/graft_scale10_${srcDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE10_DONE")
+    if (marker.exists()) return outDir
+
+    def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    write(src("region"), "region")
+    write(src("nation"), "nation")
+    write(rep(src("customer"), Map("c_custkey" -> KeyShift)), "customer")
+    write(rep(src("supplier"), Map("s_suppkey" -> KeyShift)), "supplier")
+    write(rep(src("part"), Map("p_partkey" -> KeyShift)), "part")
+    write(rep(src("orders"),
+      Map("o_orderkey" -> KeyShift, "o_custkey" -> KeyShift)), "orders")
+    write(rep(src("lineitem"),
+      Map("l_orderkey" -> KeyShift, "l_partkey" -> KeyShift,
+        "l_suppkey" -> KeyShift)), "lineitem")
+    write(rep(src("documents"), Map("doc_id" -> IdShift)), "documents")
+    write(rep(src("embeddings"), Map("vec_id" -> IdShift)), "embeddings")
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, srcDir.getBytes("UTF-8"))
+    outDir
+  }
+
+  /** Production-path semantic near-dup (banded LSH -> exact verify) on
+    * the FULL embeddings table — the scale analog of the fixture-bounded
+    * `dedup_semantic` gate. Every vector has 9 identical replicas, so
+    * every LSH bucket carries maximal duplicate pressure.
+    */
+  private def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    graft.ops.Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", dim = dim, threshold = 0.95)
+  }
+
+  /** Runs the scale pass; returns (shortJson, fullJson) — the short form
+    * rides the driver's 2 KB stdout tail, the full form goes into
+    * target/bench.json.
+    */
+  def maybeRun(spark: SparkSession, sfDir: String,
+      sf01Mins: Map[String, Double]): Option[(String, String)] = {
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "0") return None
+    if (!sfDir.contains("sf0.1")) return None
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE10_ITERS", "2").toInt
+    try {
+      val t0 = System.nanoTime()
+      val dir = buildCorpus(spark, sfDir)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+
+      def time(mk: () => DataFrame): Double = {
+        def once(): Double = {
+          val s = System.nanoTime()
+          mk().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - s) / 1e9
+        }
+        once() // warmup
+        (1 to iters).map(_ => once()).min
+      }
+
+      val names = heavy.filter(SparkEntry.queries.contains)
+      val rows = names.map { n =>
+        val t = time(() => SparkEntry.queries(n)(spark, dir))
+        val lin = sf01Mins.get(n).filter(_ > 0)
+          .map(m => t / (replicas * m))
+        (n, t, lin)
+      }
+      // semantic LSH production path, timed at both scales for its own ratio
+      val semBase = time(() => semanticNearDup(spark, sfDir))
+      val semScale = time(() => semanticNearDup(spark, dir))
+      val all = rows :+ (("semantic_neardup_lsh", semScale,
+        Some(semScale / (replicas * semBase))))
+
+      val total = all.map(_._2).sum
+      val worst = all.flatMap(_._3) match {
+        case s if s.nonEmpty => s.max
+        case _ => -1.0
+      }
+      val detail = all.map { case (n, t, lin) =>
+        val l = lin.map(x => f""","linear_x":$x%.2f""").getOrElse("")
+        "\"" + n + "\":" + f"""{"sec":$t%.4f$l}"""
+      }.mkString("{", ",", "}")
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"queries":$detail}"""
+      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"n":${all.size}}"""
+      Some((short, full))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
+        None
+    }
+  }
+}

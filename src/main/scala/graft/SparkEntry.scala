@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.LakeQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.FuncQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CbQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.LakeQueries.oracle ++
       graft.queries.OpsQueries.oracle ++
       graft.queries.FuncQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.CbQueries.oracle
 }

@@ -99,6 +99,12 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * data_inlining/data_inlining_types.test) — pin micro-precision NTZ
     * and offset-bearing LTZ formats symmetric across both directions.
     */
+  /** Test seam: runs after a write's staging, just before its publish
+    * gate — concurrency specs inject a racing commit here to exercise
+    * the CAS/conflict paths deterministically. No-op in production.
+    */
+  private[lake] var beforePublishHook: () => Unit = () => ()
+
   private[lake] val inlineJsonOpts: Map[String, String] = Map(
     "allowNonNumericNumbers" -> "true",
     "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
@@ -109,7 +115,11 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   private def inlineJson(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
     import df.sparkSession.implicits._
-    df.select(to_json(struct(df.columns.map(col): _*), inlineJsonOpts).as("__j"))
+    // backtick-escape each name (same quoting as annotateFieldIds):
+    // col("a.b") would parse as a FIELD PATH, mis-resolving dotted or
+    // backticked column names
+    val fields = df.schema.fields.map(f => col(s"`${f.name.replace("`", "``")}`"))
+    df.select(to_json(struct(fields.toIndexedSeq: _*), inlineJsonOpts).as("__j"))
       .as[String]
   }
 
@@ -337,10 +347,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       case _ => true
     }
     val typed = cols.map(c => c -> TypeBridge.toSpark(c.dtype))
+    // backtick-escape: df("a.b") parses as a field path, df("c`d") as a
+    // syntax error — same quoting as inlineJson/annotateFieldIds
+    def qc(name: String) = df(s"`${name.replace("`", "``")}`")
     val aggs = typed.zipWithIndex.flatMap { case ((c, dt), i) =>
-      count(df(c.name)).as(s"__c_$i") +:
+      count(qc(c.name)).as(s"__c_$i") +:
         (if (bounded(dt))
-          Seq(smin(df(c.name)).as(s"__mn_$i"), smax(df(c.name)).as(s"__mx_$i"))
+          Seq(smin(qc(c.name)).as(s"__mn_$i"), smax(qc(c.name)).as(s"__mx_$i"))
         else Nil)
     } :+ count(lit(1)).as("__n")
     val r = df.agg(aggs.head, aggs.tail: _*).collect().head
@@ -419,6 +432,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val casBase: Option[Long] =
       if (mode == WriteMode.Append && !tableIsNew && !flushInlined)
         Some(store.currentSnapshot) else None
+    // Replace of an EXISTING table (compact/sort/zorder/insert-overwrite;
+    // redefine=false, so not the CREATE OR REPLACE drop+create path): a
+    // concurrent append committing between this write's table read and
+    // its publish would be silently erased by a last-wins publish. The
+    // reference surfaces a transaction conflict instead — so does this
+    // gate. No retry: the staged content was derived from the stale
+    // snapshot, so re-running could only repeat the erasure.
+    val replaceCasBase: Option[Long] =
+      if (mode == WriteMode.Replace && !tableIsNew && !redefine && !flushInlined)
+        Some(store.currentSnapshot) else None
     val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
     if (!tableIsNew && partitionBy.nonEmpty && requestedSpecs != existingSpecs)
       throw new UnsupportedException(
@@ -439,9 +462,12 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // reference parity (corpus: geo/ducklake_geometry_inlining.test):
     // GEOMETRY columns don't inline — the bbox summary-stats machinery is
     // file-based; the reference errors at bind time rather than silently
-    // spilling, so any write to a geometry table under an inline limit
-    // fails loudly
-    if (inlineLimit > 0 && !flushInlined && !tableIsNew &&
+    // spilling. Only APPENDS can take the inlined branch (the condition
+    // two blocks below), so only appends are rejected — Replace-mode
+    // maintenance (compact/sort/zorder rewrites) never inlines and must
+    // keep working on geometry tables under an inline limit.
+    if (inlineLimit > 0 && mode == WriteMode.Append && !flushInlined &&
+        !tableIsNew &&
         tableShape(name).exists(_._2.exists(c => TypeBridge.isGeometry(c.dtype))))
       throw new UnsupportedTypeException(
         "DuckLake does not yet support data-inlining of 'GEOMETRY' columns")
@@ -486,8 +512,18 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     val (spec, renamed) = stageWrite(df, name, mode,
       if (tableIsNew) partSpecs else Nil, partFields, flushInlined, redefine)
     val snap =
-      try store.withSnapshotCas(casBase)(
-        store.commitWrites(Seq(spec.copy(redefine = redefine))))
+      try {
+        beforePublishHook()
+        store.withSnapshotCas(casBase) {
+          replaceCasBase.foreach { base =>
+            if (store.currentSnapshot != base)
+              throw new TransactionConflictException(
+                s"transaction conflict replacing $name: a concurrent " +
+                  "transaction committed after this write began")
+          }
+          store.commitWrites(Seq(spec.copy(redefine = redefine)))
+        }
+      }
       catch { case e: Throwable => cleanupRenamed(renamed); throw e }
     // auto_compact: merge adjacent small files right after the append
     // (scoped option; DuckLake default behavior on small inserts)

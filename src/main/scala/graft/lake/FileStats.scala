@@ -204,42 +204,22 @@ object FileStats {
       // their geometry columns — those columns must NOT silently adopt as
       // native geometry (the encodings differ; the reference refuses them
       // — corpus: geo/ducklake_geometry_add_files.test)
+      // only the keys of the "columns" OBJECT name geometry columns —
+      // other keys (covering, bbox, crs…) are metadata. Parsed with a
+      // real JSON parser (Jackson, shipped with Spark): hand-counting
+      // braces mis-scoped when a string VALUE contained '{'/'}' — e.g. a
+      // PROJJSON crs document embedded inside the columns object.
       val geoCols: Set[String] =
-        Option(meta.getKeyValueMetaData.get("geo")).map { doc =>
-          // only the keys of the "columns" OBJECT name geometry columns —
-          // other object-valued keys (covering, bbox, crs…) are metadata
-          val start = "\"columns\"\\s*:\\s*\\{".r.findFirstMatchIn(doc)
-          start.map { m =>
-            var depth = 1; var i = m.end
-            while (i < doc.length && depth > 0) {
-              doc.charAt(i) match {
-                case '{' => depth += 1
-                case '}' => depth -= 1
-                case _ => ()
-              }
-              i += 1
+        Option(meta.getKeyValueMetaData.get("geo")).flatMap { doc =>
+          try {
+            val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+            Option(root.get("columns")).filter(_.isObject).map { cols =>
+              val it = cols.fieldNames()
+              val b = Set.newBuilder[String]
+              while (it.hasNext) b += it.next().toLowerCase
+              b.result()
             }
-            val body = doc.substring(m.end, math.max(m.end, i - 1))
-            // top-level keys of the columns object only (depth-0 inside it)
-            val keys = Set.newBuilder[String]
-            var d = 0; var j = 0
-            val keyRe = "\\G\\s*\"([^\"]+)\"\\s*:".r
-            while (j < body.length) {
-              body.charAt(j) match {
-                case '{' => d += 1
-                case '}' => d -= 1
-                case '"' if d == 0 =>
-                  keyRe.findFirstMatchIn(body.substring(j)) match {
-                    case Some(k) =>
-                      keys += k.group(1).toLowerCase; j += k.matched.length - 1
-                    case None => ()
-                  }
-                case _ => ()
-              }
-              j += 1
-            }
-            keys.result()
-          }.getOrElse(Set.empty[String])
+          } catch { case _: Exception => None }
         }.getOrElse(Set.empty)
       meta.getSchema.getFields.asScala.flatMap { f =>
         if (!f.isPrimitive) None

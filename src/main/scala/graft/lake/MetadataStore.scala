@@ -611,6 +611,25 @@ final class MetadataStore(dbPath: String,
         st.executeUpdate("ALTER TABLE ducklake_table_column_stats ADD COLUMN extra_stats VARCHAR(4000)")
       } finally st.close()
     }
+    // scan-planning indexes: every per-scan query filters on table_id (and
+    // the delete-file lookup correlates on data_file_id) — without these a
+    // 100k-file catalog pays a full table scan PER PLANNED SCAN. Applied
+    // idempotently so pre-index catalogs adopt them on open. (The
+    // reference roadmaps metadata-side caching for the same hot path —
+    // src/metadata_provider.rs:569.)
+    val st = conn.createStatement()
+    try Seq(
+      "CREATE INDEX dl_df_table ON ducklake_data_file(table_id, begin_snapshot)",
+      "CREATE INDEX dl_df_id ON ducklake_data_file(data_file_id)",
+      "CREATE INDEX dl_fcs_table ON ducklake_file_column_stats(table_id)",
+      "CREATE INDEX dl_fcs_file ON ducklake_file_column_stats(data_file_id)",
+      "CREATE INDEX dl_del_table ON ducklake_delete_file(table_id, data_file_id)",
+      "CREATE INDEX dl_pfv_file ON ducklake_file_partition_value(data_file_id)",
+      "CREATE INDEX dl_pfi_file ON ducklake_partial_file_info(data_file_id)"
+    ).foreach { ddl =>
+      try st.executeUpdate(ddl)
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    } finally st.close()
   }
 
   // ---------- commit audit info (set_commit_message) ----------

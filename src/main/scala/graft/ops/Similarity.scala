@@ -138,13 +138,18 @@ object Similarity {
     }
     for (_ <- 0 until lloydIters) {
       val assigned = nearestCell(col("__cv"), centroidDF)(c)
-      val updated = assigned.groupBy("cell")
-        .agg(collect_list(col("__cv")).as("vs"))
-        .select(col("cell"), expr(
-          """transform(sequence(0, size(vs[0]) - 1),
-            |  d -> aggregate(vs, 0D, (a, v) -> a + v[d]) / size(vs))""".stripMargin)
-          .as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      // per-dimension mean via posexplode -> groupBy(cell, dim): the
+      // partial aggregate keeps every row O(1) regardless of cell
+      // population — a collect_list-of-vectors mean would materialize a
+      // hot cell's millions of vectors as one giant array row. The
+      // O(nCells * dim) means are reassembled driver-side.
+      val updated = assigned
+        .select(col("cell"), posexplode(col("__cv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0)).map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
       if (updated.nonEmpty) centroids = updated
     }
 

@@ -994,8 +994,10 @@ object LakeQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         s.sql("""CREATE TABLE IF NOT EXISTS ducklake.main.upsert_users
                  (user_id BIGINT, n BIGINT, total DOUBLE)""")
-        val rows = t(s, dir, "events").select("user_id", "value")
-          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        // bounded feed: toLocalIterator streams the source partition by
+        // partition, so the driver holds at most one chunk — never the
+        // whole table — and each chunk becomes its own micro-batch MERGE
+        val src = t(s, dir, "events").select("user_id", "value")
         val mem = MemoryStream[(Long, Double)]
         val q = mem.toDF().toDF("user_id", "value")
           .writeStream
@@ -1016,9 +1018,17 @@ object LakeQueries {
           }
           .start()
         try {
-          val (first, rest) = rows.splitAt(rows.length / 2)
-          mem.addData(first.toSeq); q.processAllAvailable()
-          mem.addData(rest.toSeq); q.processAllAvailable()
+          val it = src.toLocalIterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          while (it.hasNext) {
+            buf.clear()
+            while (it.hasNext && buf.size < 4096) {
+              val r = it.next()
+              buf += ((r.getLong(0), r.getDouble(1)))
+            }
+            mem.addData(buf.toSeq)
+            q.processAllAvailable()
+          }
         } finally q.stop()
       }
       lake.table("main.upsert_users")

@@ -415,12 +415,16 @@ object OpsQueries {
     }),
 
     ("dedup_embedding", (s: SparkSession, dir: String) => {
+      // Planted twins: a pure scale (cosine-invariant, sim = 1.0) plus a
+      // small additive nudge so the pair lands just above—not exactly at—
+      // the 0.9 gate. The r6 "+0.1 every dimension" twins never reached
+      // 0.9 in high dim, leaving the gate green on an empty set.
       val base = t(s, dir, "embeddings").filter(col("vec_id") < 100)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val corpus = base.unionByName(base
         .withColumn("vec_id", col("vec_id") + 100000L)
-        .withColumn("embedding", transform(col("embedding"), x => x + 0.1)))
+        .withColumn("embedding", transform(col("embedding"), x => x * 1.01 + 0.005)))
       val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
       val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -433,7 +437,7 @@ object OpsQueries {
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings WHERE vec_id < 100
         UNION ALL
-        SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.1)
+        SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.005)
         FROM embeddings WHERE vec_id < 100)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(list_cosine_similarity(a.v, b.v), 4) AS sim

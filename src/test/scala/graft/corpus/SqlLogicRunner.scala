@@ -474,8 +474,17 @@ final class SqlLogicRunner(spark: SparkSession) {
         // one thread per iteration, all released together; each runs its
         // statements through the REAL SQL path, so concurrent appends
         // race on the lake's optimistic snapshot CAS. Only SET/INSERT
-        // shapes appear in these loops; `statement maybe` swallows the
-        // retry-exhaustion losers the file counts afterwards.
+        // shapes appear in these loops; `statement maybe` accepts only
+        // the retry-exhaustion/conflict losers the file counts
+        // afterwards — any OTHER exception is a genuine writer bug.
+        def concurrencyError(e: Throwable): Boolean = {
+          val m = Option(e.getMessage).getOrElse("")
+          e.isInstanceOf[graft.lake.TransactionConflictException] ||
+            m.contains("maximum retry count") ||
+            m.contains("transaction conflict") ||
+            // Spark wraps the lake's exception in its own SQL-layer error
+            Option(e.getCause).exists(concurrencyError)
+        }
         val barrier = new java.util.concurrent.CyclicBarrier(iterations.size)
         val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
         val threads = iterations.map { recs =>
@@ -496,10 +505,24 @@ final class SqlLogicRunner(spark: SparkSession) {
                 case Statement(sql, Some(_), _) =>
                   try { spark.sql(translate(sql)).collect()
                     failures.add(s"expected error but succeeded: ${firstLine(sql)}") }
-                  catch { case _: Throwable => () }
+                  catch {
+                    case e: Throwable if !concurrencyError(e) =>
+                      // in a concurrentloop the only expected failure is
+                      // the CAS retry/conflict surface — a writer dying
+                      // of a staging race or internal bug must FAIL the
+                      // file, not satisfy `statement error`
+                      failures.add(
+                        s"wrong error class for ${firstLine(sql)} -> ${trim(e.getMessage)}")
+                    case _: Throwable => ()
+                  }
                 case MaybeStatement(sql, _) =>
                   try spark.sql(translate(sql)).collect()
-                  catch { case _: Throwable => () }
+                  catch {
+                    case e: Throwable if !concurrencyError(e) =>
+                      failures.add(
+                        s"maybe-statement died of a non-concurrency error: ${firstLine(sql)} -> ${trim(e.getMessage)}")
+                    case _: Throwable => ()
+                  }
                 case other =>
                   failures.add(s"unsupported record in concurrentloop: $other")
               }

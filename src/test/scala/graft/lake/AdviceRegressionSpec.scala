@@ -248,4 +248,41 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tsPhysicalType(lakeFile) == PrimitiveTypeName.INT64)
     l2.close()
   }
+
+  test("geometry table under an inline limit: Replace-mode maintenance still works") {
+    // the inlining rejection is an APPEND bind-time gate (reference
+    // parity); compact()'s Replace rewrite never inlines and must not
+    // be rejected on a geometry table with data_inlining_row_limit set
+    val enc = org.apache.spark.sql.Encoders.BINARY
+    lake.createTableAs(
+      spark.createDataset(Seq(Geo.wktToWkb("POINT (1 2)")))(enc).toDF("g")
+        .coalesce(1), "main.geo_maint")
+    lake.refineColumnType("main.geo_maint", "g", "geometry")
+    lake.insertInto(
+      spark.createDataset(Seq(Geo.wktToWkb("POINT (3 4)")))(enc).toDF("g")
+        .coalesce(1), "main.geo_maint")
+    lake.setOption("data_inlining_row_limit", "8", table = Some("geo_maint"))
+    // appends must still be rejected while the limit is on…
+    intercept[UnsupportedTypeException] {
+      lake.insertInto(
+        spark.createDataset(Seq(Geo.wktToWkb("POINT (5 6)")))(enc).toDF("g")
+          .coalesce(1), "main.geo_maint")
+    }
+    // …but the Replace rewrite goes through and keeps every row
+    lake.compact("main.geo_maint")
+    assert(lake.table("main.geo_maint").count() == 2)
+  }
+
+  test("inlined writes serialize dotted/backticked column names correctly") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a.b", "c`d")
+    lake.setOption("data_inlining_row_limit", "8", None)
+    try {
+      lake.createTableAs(df.coalesce(1), "main.dotted")
+      lake.insertInto(Seq((3L, "z")).toDF("a.b", "c`d").coalesce(1), "main.dotted")
+      val got = lake.table("main.dotted").orderBy(col("`a.b`"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    } finally lake.setOption("data_inlining_row_limit", "0", None)
+  }
 }

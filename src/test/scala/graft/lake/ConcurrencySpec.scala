@@ -209,4 +209,29 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = lake.table("main.cas0").count()
     assert(rows >= 2) // seed + at least the winners
   }
+
+  test("replace CAS: an append landing during compact raises a conflict, never last-wins") {
+    import spark.implicits._
+    lake.createTableAs(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1), "main.repl")
+    // deterministic interleave: inject the racing append between the
+    // replace's staging and its publish gate (the hook resets itself so
+    // the injected append publishes normally)
+    lake.beforePublishHook = () => {
+      lake.beforePublishHook = () => ()
+      lake.insertInto(Seq((99L, "raced")).toDF("id", "tag").coalesce(1),
+        "main.repl")
+    }
+    try {
+      val e = intercept[TransactionConflictException](lake.compact("main.repl"))
+      assert(e.getMessage.contains("conflict"))
+    } finally lake.beforePublishHook = () => ()
+    // the concurrent append's row survived; the stale rewrite published nothing
+    assert(lake.table("main.repl")
+      .filter(org.apache.spark.sql.functions.col("id") === 99L).count() == 1)
+    assert(lake.table("main.repl").count() == 3)
+    // a CLEAN compact (no race) still succeeds afterwards
+    lake.compact("main.repl")
+    assert(lake.table("main.repl").count() == 3)
+  }
 }
