@@ -1136,7 +1136,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       partVals: Map[Long, Option[String]], withPos: Boolean,
       withRowIdCol: Boolean = false,
       history: Seq[(ColumnDef, Long, Option[Long])] = Nil,
-      nestedDefaults: Map[Long, Map[String, String]] = Map.empty): DataFrame = {
+      nestedDefaults: Map[Long, Map[String, String]] = Map.empty,
+      withFilePath: Boolean = false): DataFrame = {
     val physSchema0 = StructType(epoch.collect {
       case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
         StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
@@ -1183,8 +1184,48 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         // rows get the column's initial default (null when none declared)
         defaultColumn(cur).as(cur.name)
     } ++ (if (withRowIdCol) Seq(col(DuckLake.RowIdPhysCol)) else Nil)
-    if (withPos) base.select(projection :+ col("_metadata.row_index").as("__ducklake_pos"): _*)
-    else base.select(projection: _*)
+    val metaCols =
+      (if (withPos) Seq(col("_metadata.row_index").as("__ducklake_pos")) else Nil) ++
+        (if (withFilePath) Seq(col("_metadata.file_path").as("__ducklake_file")) else Nil)
+    base.select(projection ++ metaCols: _*)
+  }
+
+  /** LIVE rows of a same-epoch GROUP of delete-carrying files: ONE
+    * multi-file scan plus ONE combined delete-position read, anti-joined
+    * on (file, pos). Keeps the plan O(epoch groups) — not O(files) — when
+    * churn leaves many files carrying MOR deletes; the reference pays a
+    * DeleteFilterExec per file here (src/delete_filter.rs), and our
+    * previous shape unioned one sub-plan per file.
+    */
+  private def morReadGroup(name: String, ctx: ScanCtx, fs: Seq[DataFileRec],
+      phys: Seq[(ColumnDef, Option[ColumnDef])],
+      partVals: Map[Long, Option[String]]): DataFrame = {
+    if (fs.size == 1) return morReadFile(name, ctx, fs.head)
+    // (delete-file qualified path) -> (data-file qualified path), exactly
+    // as `_metadata.file_path` renders them — the join key that pairs each
+    // position with its own data file even when adopted files share
+    // basenames across directories
+    val fsys = FileSystem.get(new java.net.URI(dataPath), hconf)
+    def qual(p: String) = fsys.makeQualified(new Path(p)).toString
+    val delToData = fs.map { f =>
+      val d = f.deleteFile.get
+      qual(filePath(name, d.path)) -> qual(dataFilePath(name, f))
+    }.toMap
+    val dels = reader(fs.map { f =>
+      val d = f.deleteFile.get; d.path -> d.encryptionKey
+    })
+      .schema(StructType(Seq(StructField("pos", LongType))))
+      .parquet(fs.map(f => filePath(name, f.deleteFile.get.path)): _*)
+      .select(
+        element_at(typedLit(delToData), col("_metadata.file_path")).as("__del_file"),
+        col("pos").as("__del_pos"))
+    readGroup(name, fs, phys, partVals, withPos = true,
+        history = ctx.history, nestedDefaults = ctx.nestedDefaults,
+        withFilePath = true)
+      .join(broadcast(dels),
+        col("__ducklake_file") === col("__del_file") &&
+          col("__ducklake_pos") === col("__del_pos"), "left_anti")
+      .drop("__ducklake_file", "__ducklake_pos")
   }
 
   /** One file with its epoch projection (the per-file read every
@@ -1334,7 +1375,9 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
             withRowIdCol = false, history = ctx.history,
             nestedDefaults = ctx.nestedDefaults)
         }.toSeq
-      val delScans = withDel.map(f => morReadFile(name, ctx, f))
+      val delScans = withDel.groupBy(f => (physOf(ctx, f), injectedValues(ctx, f)))
+        .map { case ((phys, pv), fs) => morReadGroup(name, ctx, fs, phys, pv) }
+        .toSeq
       val partialScans = partial.map { f =>
         morReadFile(name, ctx, f, keepPos = true)
           .filter(col("__ducklake_pos") < f.visibleRowsAt(snap))

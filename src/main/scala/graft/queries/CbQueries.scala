@@ -232,6 +232,72 @@ object CbQueries {
         ORDER BY c DESC, user_id, props LIMIT 10)
     """),
 
+    // q19 shape: point lookup on a high-cardinality key
+    ("cb_point_lookup", (s: SparkSession, dir: String) => {
+      t(s, dir, "events").filter(col("event_id") === 4242L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }, """
+      SELECT event_id, user_id, event_type FROM events WHERE event_id = 4242
+    """),
+
+    // q25 shape: filtered projection, string sort, top-k
+    ("cb_order_limit", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents").filter(col("lang") =!= "")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+        .limit(10)
+    }, """
+      SELECT doc_id, lang FROM documents WHERE lang <> ''
+      ORDER BY lang, doc_id LIMIT 10
+    """),
+
+    // q26 shape: top-k ordered by a column NOT in the projection
+    ("cb_sort_by_time", (s: SparkSession, dir: String) => {
+      t(s, dir, "events").filter(col("event_type") =!= "")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("event_type"))
+        .limit(10)
+    }, """
+      SELECT event_id, event_type FROM (
+        SELECT event_id, event_type, ts FROM events WHERE event_type <> ''
+        ORDER BY ts, event_id LIMIT 10)
+      ORDER BY ts, event_id
+    """),
+
+    // q17 shape: group -> top-k page -> regroup -> COUNT reduction
+    // (the literal ClickBench query pages an unordered LIMIT; a
+    // deterministic ORDER BY keeps both engines on the same page)
+    ("cb_nested_group_limit", (s: SparkSession, dir: String) => {
+      val inner = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id"), col("event_type"))
+        .limit(10)
+      inner.select("user_id", "event_type").distinct()
+        .agg(count(lit(1)).as("n"))
+    }, """
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT user_id, event_type FROM (
+          SELECT user_id, event_type, count(*) AS c FROM events
+          GROUP BY user_id, event_type
+          ORDER BY c DESC, user_id, event_type LIMIT 10))
+    """),
+
+    // q35 shape: several arithmetic expressions of one column as group keys
+    ("cb_expr_group_keys", (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id").as("u"),
+          (col("user_id") - 1).as("u1"), (col("user_id") - 2).as("u2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u"))
+        .limit(10)
+    }, """
+      SELECT user_id AS u, user_id - 1 AS u1, user_id - 2 AS u2,
+        count(*) AS c
+      FROM events
+      GROUP BY 1, 2, 3 ORDER BY c DESC, u LIMIT 10
+    """),
+
     // q38/q41 shape: top-k page with OFFSET feeding a reduction
     ("cb_offset_reduce", (s: SparkSession, dir: String) => {
       val page = t(s, dir, "events").filter(col("value") > 0)

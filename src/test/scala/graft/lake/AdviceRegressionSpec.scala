@@ -273,6 +273,33 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lake.table("main.geo_maint").count() == 2)
   }
 
+  test("delete-carrying files batch into ONE scan per epoch group (plan stays O(groups))") {
+    import spark.implicits._
+    // three separate appends -> three data files; one delete touches all
+    (1 to 3).foreach { i =>
+      val df = ((i * 100L) until (i * 100L + 50L)).map(v => (v, s"t$v")).toDF("id", "tag")
+      if (i == 1) lake.createTableAs(df.coalesce(1), "main.morgrp")
+      else lake.insertInto(df.coalesce(1), "main.morgrp")
+    }
+    lake.deleteWhere("main.morgrp", col("id") % 10 === 0)
+    val scan = lake.table("main.morgrp")
+    // results first: MOR semantics intact across the grouped read
+    assert(scan.count() == 135)
+    assert(scan.filter(col("id") % 10 === 0).count() == 0)
+    assert(scan.agg(sum("id")).head().getLong(0) ==
+      (100L until 150L).sum + (200L until 250L).sum + (300L until 350L).sum -
+        Seq(100L, 110L, 120L, 130L, 140L, 200L, 210L, 220L, 230L, 240L,
+          300L, 310L, 320L, 330L, 340L).sum)
+    // plan shape: one multi-file data relation + one combined delete-
+    // position relation — NOT one per delete-carrying file (counted on
+    // the optimized logical plan; AQE hides the physical scans)
+    val rels = scan.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rels.size == 2,
+      s"expected 2 parquet relations (grouped data + combined deletes), got ${rels.size}")
+  }
+
   test("inlined writes serialize dotted/backticked column names correctly") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("a.b", "c`d")
