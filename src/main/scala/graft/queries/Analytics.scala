@@ -787,7 +787,28 @@ object Analytics {
         ON a.p_brand = b.p_brand AND a.n_name = b.n_name
       WHERE b.rev > a.rev
       ORDER BY a.p_brand, a.n_name
-    """)
+    """),
+
+    ("ds_timeband_counts", (s: SparkSession, dir: String) => {
+      // TPC-DS q88 shape: EIGHT independent filtered single-row
+      // aggregates cross-joined into one row — the multi-subquery scan
+      // pattern. Each band is its own aggregate over the shared events
+      // scan; Catalyst reuses the exchange, and at 100 TB the eight
+      // single-row sides are trivially broadcast.
+      val ev = t(s, dir, "events")
+      def band(h: Int) = ev
+        .filter(hour(col("ts")) >= h && hour(col("ts")) < h + 3 &&
+          col("event_type").isin("click", "view"))
+        .agg(count(lit(1)).as(s"h$h"))
+      Seq(0, 3, 6, 9, 12, 15, 18, 21).map(band).reduce(_ crossJoin _)
+    }, {
+      val subs = Seq(0, 3, 6, 9, 12, 15, 18, 21).map(h =>
+        s"""(SELECT count(*) AS h$h FROM events
+            WHERE hour(ts) >= $h AND hour(ts) < ${h + 3}
+              AND event_type IN ('click', 'view')) b$h""")
+        .mkString(", ")
+      s"SELECT * FROM $subs"
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
