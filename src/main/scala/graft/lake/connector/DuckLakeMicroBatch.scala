@@ -162,7 +162,10 @@ private[connector] object DuckLakePartitionPlanner {
   * files), planned from the catalog with no data listing.
   */
 final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private val (schemaName, tableName) = fullName.split('.') match {
     case Array(s, t) => (s, t)
@@ -178,6 +181,41 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   override def initialOffset(): Offset = SnapshotOffset(0L)
 
   override def latestOffset(): Offset = SnapshotOffset(lake.store.currentSnapshot)
+
+  // ---- admission control (`maxFilesPerTrigger` read option) ----
+  // At 100 TB a stream bootstrapping from offset 0 must NOT plan the
+  // whole table as one micro-batch: the batch end advances snapshot by
+  // snapshot until the file budget is spent (always at least one
+  // file-bearing snapshot, so progress is guaranteed). Planned purely
+  // from the catalog — one metadata query, no data listing.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
+    SnapshotOffset(lake.store.currentSnapshot)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val a = start.asInstanceOf[SnapshotOffset].snapshot
+    val cur = lake.store.currentSnapshot
+    limit match {
+      case mf: ReadMaxFiles if cur > a =>
+        val bySnap = lake.store.getDataFilesAddedBetween(tableRec.tableId, a, cur)
+          .groupBy(_.beginSnapshot).toSeq.sortBy(_._1)
+        var end = a
+        var budget = mf.maxFiles()
+        var stop = false
+        bySnap.foreach { case (s, fs) =>
+          if (!stop && (fs.size <= budget || end == a)) {
+            budget -= fs.size; end = s
+          } else stop = true
+        }
+        // every file-bearing snapshot consumed: jump over any trailing
+        // metadata-only snapshots so the stream reaches the head
+        SnapshotOffset(if (stop) end else cur)
+      case _ => SnapshotOffset(cur)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)
 

@@ -783,7 +783,9 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
           if (spjOk)
             new DuckLakeBatchScan(lake, fullName, snapshot, required,
               filters.toSeq, spj = true)
-          else new DuckLakeV1Scan(lake, fullName, snapshot, required, filters)
+          else new DuckLakeV1Scan(lake, fullName, snapshot, required, filters,
+            // streaming admission control (`.option("maxFilesPerTrigger", n)`)
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt))
       }
     }
 
@@ -822,7 +824,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
   * of the bridged relation.
   */
 final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
   extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -855,7 +858,7 @@ final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new DuckLakeMicroBatchStream(lake, fullName, required)
+    new DuckLakeMicroBatchStream(lake, fullName, required, maxFilesPerTrigger)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

@@ -289,6 +289,35 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("stream_t_rows").agg(max("k")).head().getLong(0) == 61L)
   }
 
+  test("readStream maxFilesPerTrigger paces the backfill (admission control)") {
+    import spark.implicits._
+    val l = lake
+    // three separate appends -> three file-bearing snapshots
+    (1 to 3).foreach { i =>
+      val df = ((i * 100) until (i * 100 + 10)).map(v => (v.toLong, v * 1.0))
+        .toDF("k", "v").coalesce(1)
+      if (i == 1) l.createTableAs(df, "main.paced_t")
+      else l.insertInto(df, "main.paced_t")
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("dlconn.main.paced_t")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) batchSizes.add(n); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the 30-row backfill arrives as THREE 10-row micro-batches, one per
+    // file — never one table-sized batch
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.iterator().asScala.toSeq
+    assert(sizes.size == 3, s"batches: $sizes")
+    assert(sizes.forall(_ == 10L), s"batches: $sizes")
+    assert(sizes.sum == 30L)
+  }
+
   test("SQL DELETE FROM maps to MOR positional deletes") {
     import spark.implicits._
     val l = lake
