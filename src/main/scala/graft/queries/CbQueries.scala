@@ -232,6 +232,45 @@ object CbQueries {
         ORDER BY c DESC, user_id, props LIMIT 10)
     """),
 
+    // q22 shape: LIKE + NOT LIKE combined predicates feeding a group
+    ("cb_not_like", (s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .filter(col("text").like("%table%") && !col("text").like("%merge%") &&
+          col("lang") =!= "")
+        .groupBy(col("lang"))
+        .agg(min(col("source")).as("min_src"), count(lit(1)).as("c"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("c").desc, col("lang"))
+        .limit(10)
+    }, """
+      SELECT lang, min(source) AS min_src, count(*) AS c,
+        count(DISTINCT doc_id) AS n_docs
+      FROM documents
+      WHERE text LIKE '%table%' AND text NOT LIKE '%merge%' AND lang <> ''
+      GROUP BY lang ORDER BY c DESC, lang LIMIT 10
+    """),
+
+    // q39 shape: a CASE-computed column as one of the group keys
+    ("cb_case_group_key", (s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          when(col("value") < 5, "low")
+            .when(col("value") < 20, "mid")
+            .otherwise("high").as("band"))
+        .agg(count(lit(1)).as("pv"),
+          round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("pv").desc, col("event_type"), col("band"))
+        .limit(15)
+    }, """
+      SELECT event_type,
+        CASE WHEN value < 5 THEN 'low'
+             WHEN value < 20 THEN 'mid'
+             ELSE 'high' END AS band,
+        count(*) AS pv, round(sum(value), 2) AS sum_v
+      FROM events
+      GROUP BY 1, 2 ORDER BY pv DESC, event_type, band LIMIT 15
+    """),
+
     // q19 shape: point lookup on a high-cardinality key
     ("cb_point_lookup", (s: SparkSession, dir: String) => {
       t(s, dir, "events").filter(col("event_id") === 4242L)
