@@ -942,7 +942,45 @@ final class MetadataStore(dbPath: String,
     * (reference: SQL_GET_DATA_FILES src/metadata_provider.rs:26-49).
     * Derby lacks LATERAL → window-function rewrite (SURVEY.md §7.4).
     */
-  def getDataFiles(tableId: Long, snap: Long): Seq[DataFileRec] = {
+  // ---------- scan-planning cache ----------
+  // The reference roadmaps metadata caching for exactly this hot path
+  // (src/metadata_provider.rs:569): repeated queries against an
+  // unchanged table re-pay the full file listing + stats fetch per plan
+  // (~450 ms at 100k files). Entries are validated by currentSnapshot
+  // equality — every commit (normal, merge-adjacent, backdated rewrite)
+  // goes through inSnapshotTxn and advances the snapshot, so a matching
+  // snapshot id proves the catalog content the entry was built from is
+  // unchanged. Expire/vacuum don't advance the snapshot but only remove
+  // rows invisible at any retained snapshot; they clear the cache anyway
+  // for belt-and-braces. OPEN transactions bypass the cache entirely:
+  // their provisional snapshot ids can repeat across rollbacks with
+  // different content.
+  private val planCacheMax = 8
+  private val fileListCache =
+    scala.collection.mutable.LinkedHashMap.empty[(Long, Long), (Long, Seq[DataFileRec])]
+  private val fileStatsCache =
+    scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Map[(Long, Long), (Option[Long], Option[String], Option[String])])]
+
+  private[lake] def clearPlanCache(): Unit = synchronized {
+    fileListCache.clear(); fileStatsCache.clear()
+  }
+
+  def getDataFiles(tableId: Long, snap: Long): Seq[DataFileRec] = synchronized {
+    if (txnOpen) return loadDataFiles(tableId, snap)
+    val cur = currentSnapshot
+    fileListCache.get((tableId, snap)) match {
+      case Some((g, files)) if g == cur => files
+      case _ =>
+        val files = loadDataFiles(tableId, snap)
+        if (fileListCache.size >= planCacheMax)
+          fileListCache.remove(fileListCache.head._1)
+        fileListCache((tableId, snap)) = (cur, files)
+        files
+    }
+  }
+
+  private def loadDataFiles(tableId: Long, snap: Long): Seq[DataFileRec] = {
     // newest visible delete file per data file. Derby lacks LATERAL and
     // partitioned window functions → correlated MAX subquery rewrite
     // (SURVEY.md §7.4); under our write discipline commitDeletes ends the
@@ -2316,7 +2354,21 @@ final class MetadataStore(dbPath: String,
     * (data_file_id, column_id): (nullCount, min, max). A SQL-NULL
     * null_count means "unknown" — file skipping must not prune on it.
     */
-  def getFileStats(tableId: Long): Map[(Long, Long), (Option[Long], Option[String], Option[String])] =
+  def getFileStats(tableId: Long): Map[(Long, Long), (Option[Long], Option[String], Option[String])] = synchronized {
+    if (txnOpen) return loadFileStats(tableId)
+    val cur = currentSnapshot
+    fileStatsCache.get(tableId) match {
+      case Some((g, stats)) if g == cur => stats
+      case _ =>
+        val stats = loadFileStats(tableId)
+        if (fileStatsCache.size >= planCacheMax)
+          fileStatsCache.remove(fileStatsCache.head._1)
+        fileStatsCache(tableId) = (cur, stats)
+        stats
+    }
+  }
+
+  private def loadFileStats(tableId: Long): Map[(Long, Long), (Option[Long], Option[String], Option[String])] =
     query("SELECT data_file_id, column_id, null_count, min_value, max_value FROM ducklake_file_column_stats WHERE table_id = ?",
       Seq(tableId)) { rs =>
       val nc = rs.getLong(3)
@@ -2622,6 +2674,7 @@ final class MetadataStore(dbPath: String,
     * the expired ids.
     */
   def expireSnapshots(before: Long): Seq[Long] = synchronized {
+    clearPlanCache()
     val cutoff = math.min(before, currentSnapshot)
     val expired = query(
       "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id < ? ORDER BY snapshot_id",
@@ -2686,6 +2739,7 @@ final class MetadataStore(dbPath: String,
     * transaction; no new snapshot is created.
     */
   def purgeExpiredFiles(): Seq[(String, String, String)] = synchronized {
+    clearPlanCache()
     // a catalog row is expired when NO retained snapshot falls inside its
     // validity window [begin, end) — after version-list expiry this also
     // catches rows whose entire audience was expired from the middle of
@@ -2755,6 +2809,7 @@ final class MetadataStore(dbPath: String,
     * working until phase 2 runs. Returns the number scheduled.
     */
   def scheduleExpiredFiles(): Int = synchronized {
+    clearPlanCache()
     val files = purgeExpiredFiles()
     files.foreach { case (sch, tbl, p) =>
       update("INSERT INTO ducklake_files_scheduled_for_deletion VALUES (?, CURRENT_TIMESTAMP)",

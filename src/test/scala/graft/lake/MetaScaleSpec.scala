@@ -89,8 +89,9 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       pf.close(); ps.close()
     } finally conn.close()
 
-    // warm one round (Derby page cache), then measure
+    // warm one round (Derby page cache), then measure the UNCACHED path
     lake.store.getDataFiles(tr.tableId, snapBase)
+    lake.store.clearPlanCache()
 
     val (files, listMs) = timeMs(lake.store.getDataFiles(tr.tableId, snapBase))
     assert(files.size == NumFiles + 1)
@@ -99,7 +100,8 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // stats-based pruning: point filter must keep exactly the one
     // synthetic file whose [min,max] covers the key (plus the seed file,
-    // whose stats cover id=1 only)
+    // whose stats cover id=1 only) — measured uncached
+    lake.store.clearPlanCache()
     val (kept, pruneMs) = timeMs(
       lake.pruneDataFiles(tr, cols, snapBase, files,
         Seq(EqualTo("id", 50000500L))))
@@ -114,5 +116,23 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     info(f"full planning round trip: $planMs%.0f ms")
     assert(planMs < 1000, f"planning took $planMs%.0f ms (> 1 s)")
+
+    // ---- planning cache (reference roadmap: metadata caching) ----
+    // repeat plans against an unchanged catalog answer from the cache:
+    // one snapshot-id probe instead of the 100k-row listing
+    val (cachedFiles, cachedMs) = timeMs(
+      lake.store.getDataFiles(tr.tableId, snapBase))
+    assert(cachedFiles.size == NumFiles + 1)
+    info(f"cached file listing: $cachedMs%.1f ms")
+    assert(cachedMs < 100, f"cached listing took $cachedMs%.1f ms (expected ~1 ms)")
+
+    // any commit invalidates: the cache must never serve a stale listing
+    lake.insertInto(
+      Seq((999999999L, "fresh")).toDF("id", "tag").coalesce(1), "main.big")
+    val snapNew = lake.currentSnapshot
+    assert(lake.store.getDataFiles(tr.tableId, snapNew).size == NumFiles + 2,
+      "post-commit plan must see the new file")
+    // the old snapshot's listing stays pre-append (snapshot isolation)
+    assert(lake.store.getDataFiles(tr.tableId, snapBase).size == NumFiles + 1)
   }
 }
