@@ -789,6 +789,54 @@ object Analytics {
       ORDER BY a.p_brand, a.n_name
     """),
 
+    ("ds_monthly_outliers", (s: SparkSession, dir: String) => {
+      // TPC-DS q47 shape: per-entity monthly series with a CENTERED
+      // moving average (1 preceding..1 following) and a rank filter —
+      // windows stacked on an aggregate, partitioned by the entity so
+      // the sort stays inside each nation's partition at scale
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val monthly = o.filter(year(col("o_orderdate")) === 1997)
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(n, col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"),
+          month(col("o_orderdate")).cast("int").as("mon"))
+        .agg(round(sum(col("o_totalprice")) + lit(1e-9), 2).as("rev"))
+      val wAvg = Window.partitionBy("n_name").orderBy("mon")
+        .rowsBetween(-1, 1)
+      val wRank = Window.partitionBy("n_name").orderBy(col("dev").desc, col("mon"))
+      monthly
+        .withColumn("ma3", round(avg(col("rev")).over(wAvg) + lit(1e-9), 2))
+        .withColumn("dev", round(abs(col("rev") - col("ma3")), 2))
+        .withColumn("rnk", rank().over(wRank).cast("int"))
+        .filter(col("rnk") <= 2)
+        .select("n_name", "mon", "rev", "ma3", "dev", "rnk")
+        .orderBy("n_name", "rnk", "mon")
+    }, """
+      WITH monthly AS (
+        SELECT n_name, CAST(month(o_orderdate) AS INT) AS mon,
+          round(sum(o_totalprice) + 0.000000001, 2) AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE year(o_orderdate) = 1997
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT n_name, mon, rev,
+          round(avg(rev) OVER (PARTITION BY n_name ORDER BY mon
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) + 0.000000001, 2) AS ma3
+        FROM monthly)
+      SELECT n_name, mon, rev, ma3, dev, rnk FROM (
+        SELECT n_name, mon, rev, ma3,
+          round(abs(rev - ma3), 2) AS dev,
+          CAST(rank() OVER (PARTITION BY n_name
+            ORDER BY round(abs(rev - ma3), 2) DESC, mon) AS INT) AS rnk
+        FROM scored)
+      WHERE rnk <= 2
+      ORDER BY n_name, rnk, mon
+    """),
+
     ("ds_timeband_counts", (s: SparkSession, dir: String) => {
       // TPC-DS q88 shape: EIGHT independent filtered single-row
       // aggregates cross-joined into one row — the multi-subquery scan
