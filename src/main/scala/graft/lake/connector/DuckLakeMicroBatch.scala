@@ -162,10 +162,11 @@ private[connector] object DuckLakePartitionPlanner {
   * files), planned from the catalog with no data listing.
   */
 final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
-    required: StructType, maxFilesPerTrigger: Option[Int] = None)
+    required: StructType, maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private val (schemaName, tableName) = fullName.split('.') match {
     case Array(s, t) => (s, t)
@@ -190,6 +191,7 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   // from the catalog — one metadata query, no data listing.
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .orElse(maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)))
       .getOrElse(ReadLimit.allAvailable())
 
   override def reportLatestOffset(): Offset =
@@ -198,21 +200,24 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val a = start.asInstanceOf[SnapshotOffset].snapshot
     val cur = lake.store.currentSnapshot
+    def walk(cost: Seq[graft.lake.DataFileRec] => Long, budget0: Long): Offset = {
+      val bySnap = lake.store.getDataFilesAddedBetween(tableRec.tableId, a, cur)
+        .groupBy(_.beginSnapshot).toSeq.sortBy(_._1)
+      var end = a
+      var budget = budget0
+      var stop = false
+      bySnap.foreach { case (s, fs) =>
+        if (!stop && (cost(fs) <= budget || end == a)) {
+          budget -= cost(fs); end = s
+        } else stop = true
+      }
+      // every file-bearing snapshot consumed: jump over any trailing
+      // metadata-only snapshots so the stream reaches the head
+      SnapshotOffset(if (stop) end else cur)
+    }
     limit match {
-      case mf: ReadMaxFiles if cur > a =>
-        val bySnap = lake.store.getDataFilesAddedBetween(tableRec.tableId, a, cur)
-          .groupBy(_.beginSnapshot).toSeq.sortBy(_._1)
-        var end = a
-        var budget = mf.maxFiles()
-        var stop = false
-        bySnap.foreach { case (s, fs) =>
-          if (!stop && (fs.size <= budget || end == a)) {
-            budget -= fs.size; end = s
-          } else stop = true
-        }
-        // every file-bearing snapshot consumed: jump over any trailing
-        // metadata-only snapshots so the stream reaches the head
-        SnapshotOffset(if (stop) end else cur)
+      case mf: ReadMaxFiles if cur > a => walk(_.size.toLong, mf.maxFiles().toLong)
+      case mr: ReadMaxRows if cur > a => walk(_.map(_.recordCount).sum, mr.maxRows())
       case _ => SnapshotOffset(cur)
     }
   }

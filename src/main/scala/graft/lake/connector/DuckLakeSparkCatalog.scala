@@ -784,8 +784,9 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
             new DuckLakeBatchScan(lake, fullName, snapshot, required,
               filters.toSeq, spj = true)
           else new DuckLakeV1Scan(lake, fullName, snapshot, required, filters,
-            // streaming admission control (`.option("maxFilesPerTrigger", n)`)
-            Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+            // streaming admission control read options
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+            Option(options.get("maxRowsPerTrigger")).map(_.toLong))
       }
     }
 
@@ -825,7 +826,8 @@ final class DuckLakeV2Table(lake: DuckLake, fullName: String, snapshot: Long,
   */
 final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
     required: StructType, filters: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
   extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -858,7 +860,8 @@ final class DuckLakeV1Scan(lake: DuckLake, fullName: String, snapshot: Long,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new DuckLakeMicroBatchStream(lake, fullName, required, maxFilesPerTrigger)
+    new DuckLakeMicroBatchStream(lake, fullName, required, maxFilesPerTrigger,
+      maxRowsPerTrigger)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

@@ -316,6 +316,22 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.size == 3, s"batches: $sizes")
     assert(sizes.forall(_ == 10L), s"batches: $sizes")
     assert(sizes.sum == 30L)
+
+    // rows-based pacing: a 20-row budget takes two 10-row files per batch
+    val batches2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = spark.readStream
+      .option("maxRowsPerTrigger", "20")
+      .table("dlconn.main.paced_t")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) batches2.add(n); ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sizes2 = batches2.iterator().asScala.toSeq
+    assert(sizes2.sum == 30L, s"batches: $sizes2")
+    assert(sizes2.forall(_ <= 20L), s"batches: $sizes2")
+    assert(sizes2.size == 2, s"batches: $sizes2")
   }
 
   test("SQL DELETE FROM maps to MOR positional deletes") {
