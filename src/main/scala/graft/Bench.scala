@@ -113,7 +113,7 @@ object Bench {
     // chars by dropping the FASTEST queries from the map first — the
     // slow ones are the perf-relevant evidence; the full map is in
     // target/bench.json regardless.
-    val mins = timings.map { case (k, s) => k -> (if (s.isEmpty) -1.0 else s.min) }
+    val mins = timings.map { case (k, _) => k -> minsMap(k) }
     def line(qpairs: Seq[(String, Double)], omitted: Int): String = {
       val qs = qpairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")

@@ -52,7 +52,16 @@ object ScaleBench {
   def buildCorpus(spark: SparkSession, srcDir: String): String = {
     val outDir = s"/tmp/graft_scale10_${srcDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALE10_DONE")
-    if (marker.exists()) return outDir
+    // marker records a content fingerprint of the SOURCE dir (sizes +
+    // mtimes): a driver-regenerated fixture must rebuild the replica,
+    // not silently reuse timings data from a previous generation
+    val fingerprint = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fingerprint)
+      return outDir
 
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -71,7 +80,7 @@ object ScaleBench {
     write(rep(src("documents"), Map("doc_id" -> IdShift)), "documents")
     write(rep(src("embeddings"), Map("vec_id" -> IdShift)), "embeddings")
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, srcDir.getBytes("UTF-8"))
+    java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
     outDir
   }
 

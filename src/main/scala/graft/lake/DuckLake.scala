@@ -1206,7 +1206,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // position with its own data file even when adopted files share
     // basenames across directories
     val fsys = FileSystem.get(new java.net.URI(dataPath), hconf)
-    def qual(p: String) = fsys.makeQualified(new Path(p)).toString
+    // `_metadata.file_path` renders as `new Path(<decoded qualified
+    // string>).toUri.toString` — URI-ENCODED (space -> %20, '%' -> %25)
+    // with a null authority ("file:/" not "file:///"). Reproduce that
+    // recipe exactly: a direct makeQualified(...).toUri renders the
+    // empty authority as "//" and never matches, while an unencoded
+    // string mismatches any path with escapable characters, silently
+    // resurfacing its deleted rows.
+    def qual(p: String) =
+      new Path(fsys.makeQualified(new Path(p)).toString).toUri.toString
     val delToData = fs.map { f =>
       val d = f.deleteFile.get
       qual(filePath(name, d.path)) -> qual(dataFilePath(name, f))

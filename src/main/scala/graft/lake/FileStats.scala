@@ -212,7 +212,14 @@ object FileStats {
       val geoCols: Set[String] =
         Option(meta.getKeyValueMetaData.get("geo")).flatMap { doc =>
           try {
-            val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+            // lenient: some GeoParquet writers emit NaN in bbox arrays
+            // and other non-strict JSON that strict Jackson rejects
+            val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+              .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
+              .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES)
+              .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES)
+              .build()
+            val root = mapper.readTree(doc)
             Option(root.get("columns")).filter(_.isObject).map { cols =>
               val it = cols.fieldNames()
               val b = Set.newBuilder[String]

@@ -166,7 +166,7 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
     maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private val (schemaName, tableName) = fullName.split('.') match {
     case Array(s, t) => (s, t)
@@ -189,10 +189,13 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   // snapshot until the file budget is spent (always at least one
   // file-bearing snapshot, so progress is guaranteed). Planned purely
   // from the catalog — one metadata query, no data listing.
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .orElse(maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = (maxFilesPerTrigger, maxRowsPerTrigger) match {
+    case (Some(f), Some(r)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(r)) => ReadLimit.maxRows(r)
+    case _ => ReadLimit.allAvailable()
+  }
 
   override def reportLatestOffset(): Offset =
     SnapshotOffset(lake.store.currentSnapshot)
@@ -215,11 +218,17 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
       // metadata-only snapshots so the stream reaches the head
       SnapshotOffset(if (stop) end else cur)
     }
-    limit match {
+    def applyLimit(l: ReadLimit): Offset = l match {
       case mf: ReadMaxFiles if cur > a => walk(_.size.toLong, mf.maxFiles().toLong)
       case mr: ReadMaxRows if cur > a => walk(_.map(_.recordCount).sum, mr.maxRows())
+      case comp: CompositeReadLimit if cur > a =>
+        // both budgets bind: the batch ends at the EARLIEST end offset
+        comp.getReadLimits.map(applyLimit)
+          .map(_.asInstanceOf[SnapshotOffset].snapshot)
+          .minOption.map(SnapshotOffset.apply).getOrElse(SnapshotOffset(cur))
       case _ => SnapshotOffset(cur)
     }
+    applyLimit(limit)
   }
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset(json.toLong)

@@ -300,6 +300,24 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected 2 parquet relations (grouped data + combined deletes), got ${rels.size}")
   }
 
+  test("grouped MOR read joins on URI-ENCODED paths (escapable chars in table dir)") {
+    import spark.implicits._
+    // a space in the table name -> safeSegment stores the dir with a
+    // percent-escape -> the physical path contains '%', which
+    // _metadata.file_path renders URI-encoded ('%25'); the delete-map
+    // keys must use the same rendering or deleted rows resurface
+    val name = "main.mor grp uri"
+    (1 to 3).foreach { i =>
+      val df = ((i * 100L) until (i * 100L + 20L)).map(v => (v, v * 2.0)).toDF("id", "x")
+      if (i == 1) lake.createTableAs(df.coalesce(1), name)
+      else lake.insertInto(df.coalesce(1), name)
+    }
+    lake.deleteWhere(name, col("id") % 4 === 0)
+    val scan = lake.table(name)
+    assert(scan.count() == 45, "grouped MOR read must drop all deleted rows")
+    assert(scan.filter(col("id") % 4 === 0).count() == 0)
+  }
+
   test("inlined writes serialize dotted/backticked column names correctly") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("a.b", "c`d")
