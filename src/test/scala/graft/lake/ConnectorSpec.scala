@@ -332,6 +332,22 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes2.sum == 30L, s"batches: $sizes2")
     assert(sizes2.forall(_ <= 20L), s"batches: $sizes2")
     assert(sizes2.size == 2, s"batches: $sizes2")
+
+    // composite: files budget would allow 2 files/batch but the rows
+    // budget (10) binds first -> three 1-file batches again
+    val batches3 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q3 = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .option("maxRowsPerTrigger", "10")
+      .table("dlconn.main.paced_t")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) batches3.add(n); ()
+      }
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    val sizes3 = batches3.iterator().asScala.toSeq
+    assert(sizes3 == Seq(10L, 10L, 10L), s"batches: $sizes3")
   }
 
   test("SQL DELETE FROM maps to MOR positional deletes") {
