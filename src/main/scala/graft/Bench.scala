@@ -56,6 +56,10 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
 
     val names = headline.filter(SparkEntry.queries.contains)
+    // phase breakdown (reference: benchmark/src/datafusion_runner.rs:42-81
+    // plan_ms vs exec_ms): planning = analysis + optimization + physical
+    // planning, measured once per query on a fresh Dataset
+    val planMs = scala.collection.mutable.Map.empty[String, Double]
     // warmup pass with row-count verification, as the reference protocol
     // does before timing (benchmark/src/runner.rs:38-57): a query that
     // stops returning rows must fail the bench loudly, not time a bug.
@@ -65,8 +69,15 @@ object Bench {
     names.foreach { n =>
       try {
         run(n) // same plan as the timed runs -> codegen/caches fully warm
-        if (!mayBeEmpty(n) && SparkEntry.queries(n)(spark, sfDir).isEmpty)
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (!mayBeEmpty(n) && df.isEmpty)
           System.err.println(s"[bench] WARN $n returned 0 rows")
+        // plan phase, measured warm (metadata caches populated): the
+        // fresh Dataset below hasn't planned yet, so forcing
+        // executedPlan times analysis -> optimization -> physical
+        val p0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        planMs(n) = (System.nanoTime() - p0) / 1e6
       } catch {
         case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
@@ -89,7 +100,8 @@ object Bench {
     }
     val detail = timings.map { case (k, s) =>
       val (avg, mn, mx, sd) = stats(s)
-      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f}"""
+      val plan = planMs.get(k).map(p => f""","plan_ms":$p%.1f""").getOrElse("")
+      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f$plan}"""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).collect { case s if s.nonEmpty => s.min }.sum
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
