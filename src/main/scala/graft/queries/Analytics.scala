@@ -789,6 +789,32 @@ object Analytics {
       ORDER BY a.p_brand, a.n_name
     """),
 
+    ("ds_attr_exists_filter", (s: SparkSession, dir: String) => {
+      // TPC-DS q41 shape: DISTINCT names of parts for which a correlated
+      // EXISTS finds a sibling (same brand) satisfying a disjunction of
+      // attribute conjunctions — the decorrelation-heavy filter pattern.
+      // Expressed as a left-semi join on the correlation key with the
+      // disjunction pushed into the sibling side (what Catalyst's
+      // RewritePredicateSubquery produces from EXISTS).
+      val p = t(s, dir, "part")
+      val sib = p.filter(
+        (col("p_type").contains("PROMO") && col("p_size").between(1, 15)) ||
+          (col("p_type").contains("ECONOMY") && col("p_size").between(20, 40)))
+        .select(col("p_brand").as("__b"))
+      p.join(sib, col("p_brand") === col("__b"), "left_semi")
+        .filter(col("p_retailprice") > 990)
+        .select(col("p_name")).distinct()
+        .orderBy("p_name").limit(50)
+    }, """
+      SELECT DISTINCT p_name FROM part p1
+      WHERE p_retailprice > 990
+        AND EXISTS (
+          SELECT 1 FROM part p2 WHERE p2.p_brand = p1.p_brand
+            AND ((p2.p_type LIKE '%PROMO%' AND p2.p_size BETWEEN 1 AND 15)
+              OR (p2.p_type LIKE '%ECONOMY%' AND p2.p_size BETWEEN 20 AND 40)))
+      ORDER BY p_name LIMIT 50
+    """),
+
     ("ds_monthly_outliers", (s: SparkSession, dir: String) => {
       // TPC-DS q47 shape: per-entity monthly series with a CENTERED
       // moving average (1 preceding..1 following) and a rank filter —
