@@ -236,6 +236,16 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[SnapshotOffset].snapshot,
       end.asInstanceOf[SnapshotOffset].snapshot)
+    // a checkpointed offset that points into EXPIRED history must fail
+    // loudly: files both added and removed inside the expired range may
+    // already be purged, so resuming from it would silently skip rows
+    // the stream never delivered (the stream contract is every appended
+    // row exactly once)
+    if (a > 0 && !lake.store.snapshotExists(a))
+      throw new graft.lake.InvalidSnapshotException(
+        s"stream offset $a refers to an expired snapshot of $fullName; " +
+          "the checkpoint is no longer replayable — restart the stream " +
+          "with a fresh checkpoint location")
     val tr = tableRec
     val schSeg = lake.store.getSchemaByName(schemaName, b)
       .map(_.path).getOrElse(schemaName + "/")

@@ -348,6 +348,17 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q3.processAllAvailable() finally q3.stop()
     val sizes3 = batches3.iterator().asScala.toSeq
     assert(sizes3 == Seq(10L, 10L, 10L), s"batches: $sizes3")
+
+    // a checkpointed offset pointing into EXPIRED history fails loudly
+    // instead of silently skipping purged rows
+    val stream = new graft.lake.connector.DuckLakeMicroBatchStream(
+      lake, "main.paced_t", lake.table("main.paced_t").schema)
+    val mid = lake.currentSnapshot - 1
+    lake.expireSnapshots(lake.currentSnapshot) // expire everything before head
+    intercept[InvalidSnapshotException] {
+      stream.planInputPartitions(graft.lake.connector.SnapshotOffset(mid),
+        graft.lake.connector.SnapshotOffset(lake.currentSnapshot))
+    }
   }
 
   test("SQL DELETE FROM maps to MOR positional deletes") {
