@@ -789,6 +789,37 @@ object Analytics {
       ORDER BY a.p_brand, a.n_name
     """),
 
+    ("ds_revenue_histogram", (s: SparkSession, dir: String) => {
+      // TPC-DS q54 shape: a customer cohort derived by INTERSECT (bought
+      // in BOTH "channels" — order-priority classes stand in), joined
+      // back to the fact table, per-customer revenue bucketed into a
+      // histogram. Set-op -> semi-join -> re-aggregate -> bucket count:
+      // the cohort is dimension-sized and broadcasts at scale.
+      val o = t(s, dir, "orders")
+      def buyers(prio: String) = o.filter(col("o_orderpriority") === prio)
+        .select(col("o_custkey")).distinct()
+      val cohort = buyers("1-URGENT").intersect(buyers("2-HIGH"))
+      val spend = o.join(cohort, Seq("o_custkey"), "left_semi")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      spend
+        .groupBy(floor(col("rev") / 50000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("bucket")
+    }, """
+      WITH cohort AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+      spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders
+        WHERE o_custkey IN (SELECT o_custkey FROM cohort)
+        GROUP BY o_custkey)
+      SELECT CAST(floor(rev / 50000) AS INT) AS bucket, count(*) AS n_cust
+      FROM spend GROUP BY 1 ORDER BY bucket
+    """),
+
     ("ds_attr_exists_filter", (s: SparkSession, dir: String) => {
       // TPC-DS q41 shape: DISTINCT names of parts for which a correlated
       // EXISTS finds a sibling (same brand) satisfying a disjunction of
