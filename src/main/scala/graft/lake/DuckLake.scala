@@ -565,6 +565,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         // small row groups need matching page granularity to take effect
         m += "parquet.page.size" -> math.max(1024L, b / 8).toString
       }
+    // Bloom filters: beyond-reference writer extension — the reference's
+    // scan path already consumes blooms "if available"
+    // (reference src/table.rs:593) but its writer never produces them.
+    // At 100 TB an equality/IN predicate on a high-cardinality UNSORTED
+    // key (user id, doc id) gets no min/max pruning; a per-row-group
+    // bloom skips those row groups at the reader. CSV of column names;
+    // optional shared false-positive rate.
+    getOption("parquet_bloom_filter_columns", name).foreach { cols =>
+      val fpp = getOption("parquet_bloom_filter_fpp", name)
+      cols.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+        m += s"parquet.bloom.filter.enabled#$c" -> "true"
+        fpp.foreach(f => m += s"parquet.bloom.filter.fpp#$c" -> f)
+      }
+    }
     m.toMap
   }
 
@@ -3442,7 +3456,8 @@ object DuckLake {
     */
   final val KnownOptions: Set[String] = Set(
     "auto_compact", "data_inlining_row_limit", "delete_older_than",
-    "expire_older_than", "hive_file_pattern", "parquet_compression",
+    "expire_older_than", "hive_file_pattern", "parquet_bloom_filter_columns",
+    "parquet_bloom_filter_fpp", "parquet_compression",
     "parquet_compression_level", "parquet_row_group_size",
     "parquet_row_group_size_bytes", "parquet_version", "per_thread_output",
     "require_commit_message", "rewrite_delete_threshold", "target_file_size")

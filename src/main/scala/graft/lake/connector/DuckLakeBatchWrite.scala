@@ -301,6 +301,15 @@ final class GroupDataWriterFactory(staging: String, hconf: SerializableConfigura
     tuning.get("parquet.page.size").foreach(p2 => builder.withPageSize(p2.toInt))
     tuning.get("parquet.block.row.count.limit").foreach(n =>
       builder.withRowGroupRowCountLimit(n.toInt))
+    tuning.foreach {
+      case (k, _) if k.startsWith("parquet.bloom.filter.enabled#") =>
+        builder.withBloomFilterEnabled(
+          k.stripPrefix("parquet.bloom.filter.enabled#"), true)
+      case (k, v) if k.startsWith("parquet.bloom.filter.fpp#") =>
+        builder.withBloomFilterFPP(
+          k.stripPrefix("parquet.bloom.filter.fpp#"), v.toDouble)
+      case _ => ()
+    }
     builder
   }
 

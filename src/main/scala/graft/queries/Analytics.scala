@@ -913,7 +913,106 @@ object Analytics {
               AND event_type IN ('click', 'view')) b$h""")
         .mkString(", ")
       s"SELECT * FROM $subs"
-    })
+    }),
+
+    ("ds_rollup_ranked", (s: SparkSession, dir: String) => {
+      // TPC-DS q67 shape: revenue rolled up over (segment, year), then a
+      // rank() window OVER the rollup's own output, partitioned by
+      // grouping level so detail rows, segment subtotals, and the grand
+      // total each keep their own top-3. Window-over-grouping-sets is a
+      // distinct plan class: an exchange on (gs, gy, seg) stacked on the
+      // rollup's expand+aggregate — both partial-aggregated map-side, and
+      // the window partitions are at most |segments| wide, never
+      // data-sized.
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .createOrReplaceTempView("__ds_rr")
+      s.sql("""
+        WITH m AS (
+          SELECT c_mktsegment AS seg, year(o_orderdate) AS yr,
+                 grouping(c_mktsegment) AS gs,
+                 grouping(year(o_orderdate)) AS gy,
+                 round(sum(o_totalprice) + 1e-9, 2) AS rev
+          FROM __ds_rr
+          GROUP BY ROLLUP(c_mktsegment, year(o_orderdate))),
+        w AS (
+          SELECT seg, yr, rev,
+                 rank() OVER (PARTITION BY gs, gy, seg ORDER BY rev DESC)
+                   AS rk
+          FROM m)
+        SELECT seg, yr, rev, rk FROM w WHERE rk <= 3
+        ORDER BY seg ASC NULLS FIRST, yr ASC NULLS FIRST, rk""")
+    }, """
+      WITH m AS (
+        SELECT c_mktsegment AS seg, CAST(year(o_orderdate) AS INT) AS yr,
+               grouping(c_mktsegment) AS gs,
+               grouping(year(o_orderdate)) AS gy,
+               round(sum(o_totalprice) + 1e-9, 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP(c_mktsegment, year(o_orderdate))),
+      w AS (
+        SELECT seg, yr, rev,
+               CAST(rank() OVER (PARTITION BY gs, gy, seg ORDER BY rev DESC)
+                 AS INT) AS rk
+        FROM m)
+      SELECT seg, yr, rev, rk FROM w WHERE rk <= 3
+      ORDER BY seg NULLS FIRST, yr NULLS FIRST, rk
+    """),
+
+    ("ds_cumulative_crossover", (s: SparkSession, dir: String) => {
+      // TPC-DS q51 shape: two channel aggregates (returned vs accepted
+      // line items) FULL OUTER joined on (brand, week) — at sf0.01 ~1600
+      // of 8484 cells are one-sided, so the outer semantics are really
+      // exercised — then per-brand cumulative counts compared week by
+      // week. The filter compares exact integers (counts, not floating
+      // sums), so the gate can't flip on dyadic rounding. At 100 TB both
+      // channel aggregates partial-aggregate map-side to (brand, week)
+      // grain before the one shuffle each, and the window partitions are
+      // per-brand week series, never data-sized.
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      def chan(flag: String, alias: String) = base
+        .filter(col("l_returnflag") === flag)
+        .groupBy(col("p_brand").as("brand"),
+          date_trunc("week", col("o_orderdate")).as("wk"))
+        .agg(count(lit(1)).as(alias))
+      val j = chan("A", "a_cnt")
+        .join(chan("R", "r_cnt"), Seq("brand", "wk"), "full_outer")
+      val w = Window.partitionBy("brand").orderBy("wk")
+      j.withColumn("cum_a", sum(coalesce(col("a_cnt"), lit(0L))).over(w))
+        .withColumn("cum_r", sum(coalesce(col("r_cnt"), lit(0L))).over(w))
+        .filter(col("cum_a") > col("cum_r"))
+        .select("brand", "wk", "cum_a", "cum_r")
+        .orderBy("brand", "wk")
+    }, """
+      WITH a AS (
+        SELECT p_brand AS brand, date_trunc('week', o_orderdate) AS wk,
+               count(*) AS a_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A' GROUP BY 1, 2),
+      r AS (
+        SELECT p_brand AS brand, date_trunc('week', o_orderdate) AS wk,
+               count(*) AS r_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(a.brand, r.brand) AS brand,
+               coalesce(a.wk, r.wk) AS wk,
+               coalesce(a_cnt, 0) AS a_cnt, coalesce(r_cnt, 0) AS r_cnt
+        FROM a FULL OUTER JOIN r ON a.brand = r.brand AND a.wk = r.wk),
+      c AS (
+        SELECT brand, wk,
+          CAST(sum(a_cnt) OVER (PARTITION BY brand ORDER BY wk) AS BIGINT)
+            AS cum_a,
+          CAST(sum(r_cnt) OVER (PARTITION BY brand ORDER BY wk) AS BIGINT)
+            AS cum_r
+        FROM j)
+      SELECT brand, wk, cum_a, cum_r FROM c WHERE cum_a > cum_r
+      ORDER BY brand, wk
+    """)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
