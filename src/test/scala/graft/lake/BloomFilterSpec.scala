@@ -110,5 +110,20 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.close()
     assert(bloomOffsets(s"$root/group", "id").exists(_ >= 0))
     assert(bloomOffsets(s"$root/group", "v").forall(_ < 0))
+    // the bloom is FUNCTIONAL, not just present: every written id (the
+    // residues 0..999 — 7919 is coprime to 1000, so all occur) answers
+    // "might contain"; most absent ids answer "definitely not" (fpp 0.05
+    // → expect ~95/101 definite negatives; >50 is a safe floor)
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(out, conf))
+    try {
+      val block = rd.getFooter.getBlocks.get(0)
+      val idCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      val bloom = rd.getBloomFilterDataReader(block).readBloomFilter(idCol)
+      assert((0L to 999L).forall(x => bloom.findHash(bloom.hash(x))),
+        "a written value must never be a definite negative")
+      assert((1000L to 1100L).count(x => !bloom.findHash(bloom.hash(x))) > 50,
+        "absent values should be mostly definite negatives")
+    } finally rd.close()
   }
 }
