@@ -383,10 +383,19 @@ object Dedup {
       .distinct()
       .persist()
     val ids = und.select(col("__s").as("id")).distinct()
+    // eager localCheckpoint per round: each round's logical plan would
+    // otherwise NEST the previous round's (persist caches data but the
+    // analyzer still walks the full tree), making analysis cost O(rounds²)
+    // — measured ~1 s of plan time by round 4-5 at sf0.1, and worse with
+    // more rounds. Checkpointing truncates the lineage to a LogicalRDD,
+    // so every round plans in O(1). Blocks of superseded rounds are freed
+    // by the ContextCleaner as their frames go out of scope; a deployment
+    // that must survive executor loss mid-computation can substitute a
+    // reliable `checkpoint()` by setting a checkpoint dir — the loop
+    // structure is unchanged.
     var labels = vertices.map(v => ids.union(v.toDF("id")).distinct()).getOrElse(ids)
       .withColumn("component", col("id"))
-      .persist()
-    labels.count() // materialize so each round starts from a computed frame
+      .localCheckpoint(false)
 
     var converged = false
     var iter = 0
@@ -397,10 +406,11 @@ object Dedup {
       val next = labels.select(col("id"), col("component"))
         .union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
+        // lazy: the changed-count action below materializes the
+        // checkpoint, so each round still runs exactly one job
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .filter(col("component") < col("__old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
