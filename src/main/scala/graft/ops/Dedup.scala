@@ -364,12 +364,19 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair graph → duplicate
     * CLUSTERS (the step after pair generation: keep one doc per component
-    * at corpus scale). Iterative min-label propagation — each round every
-    * vertex adopts the smallest label among itself and its neighbors, so
-    * labels converge to the component's minimum id in O(component
-    * diameter) rounds. Dup clusters have tiny diameters, so this beats
-    * the constant-factor-heavy small-star/large-star variant here while
-    * staying fully distributed: 2 shuffles per round, no driver state.
+    * at corpus scale). Shiloach–Vishkin-style hook + shortcut: each round
+    * (1) HOOKS at the parents — every edge whose endpoints sit in
+    * different trees votes the larger PARENT down to the smaller parent,
+    * aggregated min per target, so whole trees merge at their roots in
+    * one step — then (2) SHORTCUTS twice (parent ← parent(parent)),
+    * halving tree depth. Tree sizes at least double per round →
+    * O(log n) rounds on ANY graph shape, including the adversarial
+    * path. (Plain min-label propagation is O(diameter) rounds — a
+    * near-length chain at sf0.1 blows past any fixed round cap — and
+    * naive "follow your label's label" jumping does NOT fix it: min-id
+    * labels aren't parent pointers, so label-of-label lands wherever
+    * the min id happens to sit instead of doubling reach.) Fully
+    * distributed: ~5 narrow shuffles per round, no driver state.
     *
     * `vertices` (optional, single id column) adds isolated vertices as
     * their own singleton components. Returns (id, component). Label ids
@@ -377,38 +384,72 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           vertices: Option[DataFrame] = None,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 40): DataFrame = {
+    val session = edges.sparkSession
+
+    // Per-round frame boundary. Each round MUST restart from a frame
+    // whose plan carries nothing of the previous round, for three
+    // reasons measured at sf0.1 (Spark 4.1):
+    //  - plain persist() caches data but the analyzer still walks the
+    //    nested tree every round → O(rounds²) analysis, driver OOM on a
+    //    long-diameter graph;
+    //  - Dataset.localCheckpoint TRUNCATES the plan but BAKES the origin
+    //    plan's stats and constraints onto its LogicalRDD
+    //    (rewriteStatsAndConstraints): the self-join below then SQUARES
+    //    the baked sizeInBytes estimate every round — the BigInteger
+    //    doubles its bit length per round until the optimizer spends
+    //    minutes in multiplyToomCook3 — and chained constraints
+    //    accumulate dangling attribute ids that crash the next round's
+    //    Union constraint rewrite (`key not found: id#N`);
+    //  - so: drop to the RDD (Catalyst-free boundary), localCheckpoint
+    //    it (lineage truncation + storage, blocks freed by the
+    //    ContextCleaner as rounds are superseded), and re-lift via
+    //    createDataFrame — a fresh LogicalRDD with default stats and no
+    //    constraints. The Row round-trip costs one boxing pass per
+    //    round, linear and distributed.
+    def freshen(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      session.createDataFrame(rdd, df.schema)
+    }
+
     val und = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
       .distinct()
       .persist()
     val ids = und.select(col("__s").as("id")).distinct()
-    // eager localCheckpoint per round: each round's logical plan would
-    // otherwise NEST the previous round's (persist caches data but the
-    // analyzer still walks the full tree), making analysis cost O(rounds²)
-    // — measured ~1 s of plan time by round 4-5 at sf0.1, and worse with
-    // more rounds. Checkpointing truncates the lineage to a LogicalRDD,
-    // so every round plans in O(1). Blocks of superseded rounds are freed
-    // by the ContextCleaner as their frames go out of scope; a deployment
-    // that must survive executor loss mid-computation can substitute a
-    // reliable `checkpoint()` by setting a checkpoint dir — the loop
-    // structure is unchanged.
-    var labels = vertices.map(v => ids.union(v.toDF("id")).distinct()).getOrElse(ids)
-      .withColumn("component", col("id"))
-      .localCheckpoint(false)
+    var labels = freshen(
+      vertices.map(v => ids.union(v.toDF("id")).distinct()).getOrElse(ids)
+        .withColumn("component", col("id")))
+
+    // parent ← parent(parent): parents are always vertex ids present in
+    // the table, so the lookup is an inner self-join
+    def shortcut(par: DataFrame): DataFrame = par.as("a")
+      .join(par.select(col("id").as("__i"), col("component").as("__pp"))
+        .as("b"), col("a.component") === col("__i"))
+      .select(col("a.id").as("id"), col("__pp").as("component"))
 
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor messages: for edge s->d, d's current label reaches s
-      val msgs = und.join(labels, und("__d") === labels("id"))
-        .select(col("__s").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        // lazy: the changed-count action below materializes the
-        // checkpoint, so each round still runs exactly one job
-        .localCheckpoint(false)
+      // hook: resolve both endpoints' parents, and for every cross-tree
+      // edge vote the LARGER parent down to the smaller one (min per
+      // target). Hooking parents — not endpoints — is what merges whole
+      // trees per round.
+      val ps = und
+        .join(labels.select(col("id").as("__si"), col("component").as("__ps")),
+          col("__s") === col("__si"))
+        .join(labels.select(col("id").as("__di"), col("component").as("__pd")),
+          col("__d") === col("__di"))
+        .filter(col("__ps") =!= col("__pd"))
+        .select(greatest(col("__ps"), col("__pd")).as("id"),
+          least(col("__ps"), col("__pd")).as("__cand"))
+        .groupBy("id").agg(min("__cand").as("__cand"))
+      val hooked = labels.join(ps, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__cand"), col("component")))
+            .as("component"))
+      val next = freshen(shortcut(shortcut(hooked)))
       val changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .filter(col("component") < col("__old")).count()
       labels = next
@@ -416,6 +457,13 @@ object Dedup {
       iter += 1
     }
     und.unpersist()
+    // tree sizes at least double per round, so the default maxIter covers
+    // any graph that fits in storage — exhaustion means a bug, and
+    // silently returning half-merged clusters would corrupt a dedup
+    // downstream
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 }

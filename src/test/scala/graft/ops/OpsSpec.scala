@@ -300,4 +300,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
+
+  test("connected components: scrambled long path converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 2000-vertex PATH with ids placed by a fixed multiplicative
+    // permutation — the adversary for label propagation (O(diameter)
+    // rounds) and for naive label-of-label jumping (min-id labels are
+    // not parent pointers, so reach never doubles). The hook+shortcut
+    // loop must merge it to ONE component with the true minimum as the
+    // label, well inside the default round cap (it throws if not).
+    val n = 2000
+    val perm = (0 until n).map(i => (i * 2654435761L) % 1000000007L)
+    val edges = (0 until n - 1).map(i => (perm(i), perm(i + 1))).toDF("src", "dst")
+    val out = Dedup.connectedComponents(edges, "src", "dst")
+    assert(out.select(countDistinct("component")).head.getLong(0) == 1L)
+    assert(out.select(min("component")).head.getLong(0) == perm.min)
+    assert(out.count() == n.toLong)
+  }
 }
