@@ -102,28 +102,52 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       ExampleParquetWriter.builder(out).withConf(conf)
         .withDictionaryEncoding("id", false)).build()
     val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    // EVEN ids only (2× the residues 0..999 — 7919 is coprime to 1000,
+    // so all occur): every odd value in [1, 1997] is ABSENT but inside
+    // the min/max range, so statistics pruning can never eliminate it —
+    // only the bloom can
     (1L to 2000L).foreach { i =>
       val g: Group = gf.newGroup()
-      g.add("id", i * 7919L % 1000L); g.add("v", s"v$i")
+      g.add("id", (i * 7919L % 1000L) * 2L); g.add("v", s"v$i")
       w.write(g)
     }
     w.close()
     assert(bloomOffsets(s"$root/group", "id").exists(_ >= 0))
     assert(bloomOffsets(s"$root/group", "v").forall(_ < 0))
-    // the bloom is FUNCTIONAL, not just present: every written id (the
-    // residues 0..999 — 7919 is coprime to 1000, so all occur) answers
+    // the bloom is FUNCTIONAL, not just present: every written id answers
     // "might contain"; most absent ids answer "definitely not" (fpp 0.05
-    // → expect ~95/101 definite negatives; >50 is a safe floor)
+    // → expect ~95/100 definite negatives; >50 is a safe floor)
     val rd = ParquetFileReader.open(HadoopInputFile.fromPath(out, conf))
-    try {
-      val block = rd.getFooter.getBlocks.get(0)
-      val idCol = block.getColumns.asScala
-        .find(_.getPath.toDotString == "id").get
-      val bloom = rd.getBloomFilterDataReader(block).readBloomFilter(idCol)
-      assert((0L to 999L).forall(x => bloom.findHash(bloom.hash(x))),
-        "a written value must never be a definite negative")
-      assert((1000L to 1100L).count(x => !bloom.findHash(bloom.hash(x))) > 50,
-        "absent values should be mostly definite negatives")
-    } finally rd.close()
+    val absentNegative =
+      try {
+        val block = rd.getFooter.getBlocks.get(0)
+        val idCol = block.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        val bloom = rd.getBloomFilterDataReader(block).readBloomFilter(idCol)
+        assert((0L to 999L).forall(x => bloom.findHash(bloom.hash(x * 2L))),
+          "a written value must never be a definite negative")
+        val odds = (1L to 199L by 2L)
+        assert(odds.count(x => !bloom.findHash(bloom.hash(x))) > 50,
+          "absent values should be mostly definite negatives")
+        odds.find(x => !bloom.findHash(bloom.hash(x))).get
+      } finally rd.close()
+    // end-to-end row-group elimination through the same parquet-mr
+    // filter path Spark's scan uses: an equality predicate on a
+    // bloom-negative absent value drops the row group entirely (stats
+    // alone could not — the value is in range); a present value keeps it
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    def survivingRowGroups(v: Long): Int = {
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf, out)
+        .withRecordFilter(FilterCompat.get(
+          FilterApi.eq(FilterApi.longColumn("id"), java.lang.Long.valueOf(v))))
+        .build()
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(out, conf), opts)
+      try r.getRowGroups.size() finally r.close()
+    }
+    assert(survivingRowGroups(absentNegative) == 0,
+      "bloom-negative point lookup must eliminate the row group")
+    assert(survivingRowGroups(0L) == 1,
+      "present-value lookup must keep the row group")
   }
 }
