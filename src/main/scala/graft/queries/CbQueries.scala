@@ -351,6 +351,27 @@ object CbQueries {
         SELECT props, count(*) AS pv FROM events
         WHERE value > 0
         GROUP BY props ORDER BY pv DESC, props LIMIT 10 OFFSET 50)
+    """),
+
+    // q36 shape: GROUP BY ALL (the DuckDB-originated syntax the
+    // reference suite leans on) — every non-aggregate select item
+    // becomes a group key, here one plain column and one computed
+    // bucket, topped and reduced. SQL-only surface: the DataFrame API
+    // has no GROUP BY ALL, so this goes through the parser on both
+    // engines.
+    ("cb_group_by_all", (s: SparkSession, dir: String) => {
+      t(s, dir, "events").createOrReplaceTempView("__cb_ev_gba")
+      s.sql("""
+        SELECT min(pv) AS min_pv, max(pv) AS max_pv, count(*) AS n
+        FROM (SELECT event_type, user_id % 100 AS ub, count(*) AS pv
+              FROM __cb_ev_gba WHERE value > 5
+              GROUP BY ALL ORDER BY pv DESC, event_type, ub LIMIT 50)""")
+    }, """
+      SELECT min(pv) AS min_pv, max(pv) AS max_pv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT event_type, user_id % 100 AS ub, count(*) AS pv
+            FROM events WHERE value > 5
+            GROUP BY ALL ORDER BY pv DESC, event_type, ub LIMIT 50)
     """)
   )
 
