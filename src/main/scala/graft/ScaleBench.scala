@@ -134,8 +134,24 @@ object ScaleBench {
       // semantic LSH production path, timed at both scales for its own ratio
       val semBase = time(() => semanticNearDup(spark, sfDir))
       val semScale = time(() => semanticNearDup(spark, dir))
+      // isolated CC stress: a 500k-vertex scrambled PATH — the worst
+      // shape for any propagation-style algorithm (diameter = n) and the
+      // exact class that drove the r7 Shiloach–Vishkin rewrite. Timed as
+      // one number (no linear_x twin; the input is synthetic): the
+      // hook+shortcut loop must finish in O(log n) rounds at this size.
+      val ccN = 500000L
+      val ccSec = {
+        val edges = spark.range(ccN - 1).select(
+          (col("id") * 2654435761L % 1000000007L).as("src"),
+          ((col("id") + 1) * 2654435761L % 1000000007L).as("dst"))
+        val s = System.nanoTime()
+        val out = graft.ops.Dedup.connectedComponents(edges, "src", "dst")
+        require(out.select(count_distinct(col("component"))).head.getLong(0) == 1L)
+        (System.nanoTime() - s) / 1e9
+      }
       val all = rows :+ (("semantic_neardup_lsh", semScale,
-        Some(semScale / (replicas * semBase))))
+        Some(semScale / (replicas * semBase)))) :+
+        (("cc_path_500k", ccSec, None: Option[Double]))
 
       val total = all.map(_._2).sum
       val worst = all.flatMap(_._3) match {
