@@ -380,7 +380,8 @@ object Dedup {
     *
     * `vertices` (optional, single id column) adds isolated vertices as
     * their own singleton components. Returns (id, component). Label ids
-    * must be a numeric/orderable column.
+    * must be a NUMERIC column (the monotone-sum convergence test casts
+    * them to decimal).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           vertices: Option[DataFrame] = None,
@@ -429,6 +430,19 @@ object Dedup {
         .as("b"), col("a.component") === col("__i"))
       .select(col("a.id").as("id"), col("__pp").as("component"))
 
+    // convergence check: labels are per-vertex monotone non-increasing
+    // (hook takes a least(); shortcut follows parent(x) ≤ x), so the
+    // label SUM strictly decreases until the fixpoint — an exact scalar
+    // test that costs one partial-aggregated exchange per round instead
+    // of a V-row join against the previous round. decimal(38,0) keeps
+    // the sum exact at any vertex count / id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.select(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
+    }
+    var prevSum = labelSum(labels)
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -450,10 +464,10 @@ object Dedup {
           least(col("component"), coalesce(col("__cand"), col("component")))
             .as("component"))
       val next = freshen(shortcut(shortcut(hooked)))
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") < col("__old")).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     und.unpersist()
