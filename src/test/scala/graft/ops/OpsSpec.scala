@@ -301,6 +301,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("connected components matches a union-find oracle on random graphs") {
+    import spark.implicits._
+    // seeded random graphs (mixed densities, self-loop-free, duplicate
+    // edges allowed) checked against a driver-side union-find that
+    // always attaches the larger root under the smaller — its roots are
+    // exactly the per-component minima the distributed loop must find
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(25)
+      val ids = Seq.fill(3 * n)(math.abs(rnd.nextLong()) % 1000000L)
+        .distinct.take(n)
+      val m = rnd.nextInt(2 * ids.size + 1)
+      val edges = Seq.fill(m)(
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ids.map(i => i -> find(i)).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst", Some(ids.toDF("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial: n=$n m=${edges.size}")
+    }
+  }
+
   test("connected components: scrambled long path converges in O(log n) rounds") {
     import spark.implicits._
     // a 2000-vertex PATH with ids placed by a fixed multiplicative
