@@ -404,14 +404,15 @@ object Dedup {
     //    Union constraint rewrite (`key not found: id#N`);
     //  - so: drop to the RDD (Catalyst-free boundary), localCheckpoint
     //    it (lineage truncation + storage, blocks freed by the
-    //    ContextCleaner as rounds are superseded), and re-lift via
-    //    createDataFrame — a fresh LogicalRDD with default stats and no
-    //    constraints. The Row round-trip costs one boxing pass per
-    //    round, linear and distributed.
+    //    ContextCleaner as rounds are superseded), and re-lift via the
+    //    bridge — a fresh LogicalRDD with default stats and no
+    //    constraints. InternalRow end-to-end: the rows are copied out
+    //    of the scan's reused buffers, never boxed.
     def freshen(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
+      val rdd = df.queryExecution.toRdd.map(_.copy())
       rdd.localCheckpoint()
-      session.createDataFrame(rdd, df.schema)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .internalFrame(session, df.schema, rdd)
     }
 
     val und = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))

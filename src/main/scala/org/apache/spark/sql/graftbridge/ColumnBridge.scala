@@ -31,4 +31,22 @@ object ColumnBridge {
     }
     walk(c.node).distinct
   }
+
+  /** Re-lift an InternalRow RDD as a DataFrame with a FRESH logical
+    * plan (no lineage, default stats, no constraints). The unboxed twin
+    * of `createDataFrame(df.rdd, schema)` for iterative loops that must
+    * cut the Catalyst plan per round (see graft.ops.Dedup.freshen):
+    * `Dataset.localCheckpoint` would bake the origin plan's
+    * stats/constraints onto its LogicalRDD (squaring size estimates
+    * under self-joins), and the public `df.rdd` path boxes every row.
+    * Rows must already be safe to hold (copied) — `toRdd` reuses
+    * UnsafeRow buffers, so callers map `_.copy()` before handing the
+    * RDD over.
+    */
+  def internalFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
