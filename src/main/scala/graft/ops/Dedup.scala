@@ -415,10 +415,14 @@ object Dedup {
         .internalFrame(session, df.schema, rdd)
     }
 
-    val und = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
-      .distinct()
-      .persist()
+    // freshened, not persist()ed: the edge frame appears in EVERY
+    // round's plans, so persist alone would re-analyze the caller's
+    // whole edge-derivation tree (e.g. an interval join) each round —
+    // the boundary caches the data AND collapses the plan to one node
+    val und = freshen(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+        .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+        .distinct())
     val ids = und.select(col("__s").as("id")).distinct()
     var labels = freshen(
       vertices.map(v => ids.union(v.toDF("id")).distinct()).getOrElse(ids)
@@ -471,7 +475,6 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
-    und.unpersist()
     // tree sizes at least double per round, so the default maxIter covers
     // any graph that fits in storage — exhaustion means a bug, and
     // silently returning half-merged clusters would corrupt a dedup
