@@ -134,12 +134,12 @@ object ScaleBench {
       // semantic LSH production path, timed at both scales for its own ratio
       val semBase = time(() => semanticNearDup(spark, sfDir))
       val semScale = time(() => semanticNearDup(spark, dir))
-      // isolated CC stress: a 500k-vertex scrambled PATH — the worst
+      // isolated CC stress: a 1M-vertex scrambled PATH — the worst
       // shape for any propagation-style algorithm (diameter = n) and the
       // exact class that drove the r7 Shiloach–Vishkin rewrite. Timed as
       // one number (no linear_x twin; the input is synthetic): the
       // hook+shortcut loop must finish in O(log n) rounds at this size.
-      val ccN = 500000L
+      val ccN = 1000000L
       val ccSec = {
         val edges = spark.range(ccN - 1).select(
           (col("id") * 2654435761L % 1000000007L).as("src"),
@@ -151,7 +151,7 @@ object ScaleBench {
       }
       val all = rows :+ (("semantic_neardup_lsh", semScale,
         Some(semScale / (replicas * semBase)))) :+
-        (("cc_path_500k", ccSec, None: Option[Double]))
+        (("cc_path_1m", ccSec, None: Option[Double]))
 
       val total = all.map(_._2).sum
       val worst = all.flatMap(_._3) match {
