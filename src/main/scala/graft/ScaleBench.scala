@@ -100,6 +100,17 @@ object ScaleBench {
       emb, "vec_id", "embedding", dim = dim, threshold = 0.95)
   }
 
+  /** Listener summing shuffle WRITE bytes over completed stages — the
+    * volume check behind the wall-clock one: a query whose 10× shuffle
+    * is ~10× the sf0.1 shuffle provably has no quadratic exchange.
+    */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   /** Runs the scale pass; returns (shortJson, fullJson) — the short form
     * rides the driver's 2 KB stdout tail, the full form goes into
     * target/bench.json.
@@ -114,26 +125,54 @@ object ScaleBench {
       val dir = buildCorpus(spark, sfDir)
       val buildSec = (System.nanoTime() - t0) / 1e9
 
-      def time(mk: () => DataFrame): Double = {
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
+      // stage-completed events are delivered asynchronously and the bus
+      // can lag several seconds behind a heavy run, so each snapshot
+      // waits until the tally stops moving (≥600 ms quiet, 10 s cap) —
+      // a fixed sleep mis-attributes whole stages. Shuffle volume is
+      // deterministic per run, so one captured run suffices.
+      def settle(): Unit = {
+        var prev = -1L; var quiet = 0; var waited = 0
+        while (quiet < 3 && waited < 10000) {
+          val b = tally.bytes.get
+          if (b == prev) quiet += 1 else quiet = 0
+          prev = b; Thread.sleep(200); waited += 200
+        }
+      }
+      def shuffleOf(run: () => Unit): Long = {
+        settle(); val pre = tally.bytes.get
+        run()
+        settle(); tally.bytes.get - pre
+      }
+
+      def time(mk: () => DataFrame): (Double, Long) = {
         def once(): Double = {
           val s = System.nanoTime()
           mk().write.mode("overwrite").format("noop").save()
           (System.nanoTime() - s) / 1e9
         }
         once() // warmup
-        (1 to iters).map(_ => once()).min
+        val head = (1 until iters).map(_ => once())
+        var last = 0.0
+        val sh = shuffleOf(() => last = once())
+        ((head :+ last).min, sh)
       }
 
       val names = heavy.filter(SparkEntry.queries.contains)
       val rows = names.map { n =>
-        val t = time(() => SparkEntry.queries(n)(spark, dir))
+        val (t, sh) = time(() => SparkEntry.queries(n)(spark, dir))
+        val shBase = shuffleOf(() =>
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save())
         val lin = sf01Mins.get(n).filter(_ > 0)
           .map(m => t / (replicas * m))
-        (n, t, lin)
+        val shX = if (shBase > 0) Some(sh.toDouble / (replicas * shBase)) else None
+        (n, t, lin, Some(sh), shX)
       }
       // semantic LSH production path, timed at both scales for its own ratio
-      val semBase = time(() => semanticNearDup(spark, sfDir))
-      val semScale = time(() => semanticNearDup(spark, dir))
+      val (semBase, semShBase) = time(() => semanticNearDup(spark, sfDir))
+      val (semScale, semSh) = time(() => semanticNearDup(spark, dir))
       // isolated CC stress: a 1M-vertex scrambled PATH — the worst
       // shape for any propagation-style algorithm (diameter = n) and the
       // exact class that drove the r7 Shiloach–Vishkin rewrite. Timed as
@@ -149,18 +188,24 @@ object ScaleBench {
         require(out.select(count_distinct(col("component"))).head.getLong(0) == 1L)
         (System.nanoTime() - s) / 1e9
       }
-      val all = rows :+ (("semantic_neardup_lsh", semScale,
-        Some(semScale / (replicas * semBase)))) :+
-        (("cc_path_1m", ccSec, None: Option[Double]))
+      val all = rows :+
+        (("semantic_neardup_lsh", semScale,
+          Some(semScale / (replicas * semBase)), Some(semSh),
+          if (semShBase > 0) Some(semSh.toDouble / (replicas * semShBase))
+          else None)) :+
+        (("cc_path_1m", ccSec, None: Option[Double],
+          None: Option[Long], None: Option[Double]))
 
       val total = all.map(_._2).sum
       val worst = all.flatMap(_._3) match {
         case s if s.nonEmpty => s.max
         case _ => -1.0
       }
-      val detail = all.map { case (n, t, lin) =>
+      val detail = all.map { case (n, t, lin, sh, shX) =>
         val l = lin.map(x => f""","linear_x":$x%.2f""").getOrElse("")
-        "\"" + n + "\":" + f"""{"sec":$t%.4f$l}"""
+        val s1 = sh.map(b => f""","shuffle_mb":${b / 1e6}%.1f""").getOrElse("")
+        val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
+        "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
       val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"queries":$detail}"""
       val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"n":${all.size}}"""
