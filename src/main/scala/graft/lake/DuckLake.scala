@@ -105,6 +105,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     */
   private[lake] var beforePublishHook: () => Unit = () => ()
 
+  /** Test seam: runs after a maintenance rewrite has pinned and
+    * materialized its input scan, before the Replace write begins — the
+    * widest real race window (an append here must conflict at publish,
+    * not be erased). No-op in production.
+    */
+  private[lake] var afterRewriteScanHook: () => Unit = () => ()
+
   private[lake] val inlineJsonOpts: Map[String, String] = Map(
     "allowNonNumericNumbers" -> "true",
     "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
@@ -385,7 +392,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def write(df: DataFrame, name: String, mode: WriteMode.Value,
       partitionBy: Seq[String] = Nil, flushInlined: Boolean = false,
-      redefine: Boolean = false): Long = {
+      redefine: Boolean = false, replaceBase: Option[Long] = None): Long = {
     // optimistic-concurrency driver: a SnapshotCasRetry from the publish
     // gate re-runs the WHOLE write from a fresh base snapshot, up to the
     // retry budget, then surfaces the reference's retry-exhaustion error.
@@ -396,7 +403,8 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // appends whose plan provably doesn't depend on the base.)
     var attempt = 0
     while (true) {
-      try return writeOnce(df, name, mode, partitionBy, flushInlined, redefine)
+      try return writeOnce(df, name, mode, partitionBy, flushInlined, redefine,
+        replaceBase)
       catch {
         case _: MetadataStore.SnapshotCasRetry =>
           attempt += 1
@@ -414,7 +422,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
 
   private def writeOnce(df: DataFrame, name: String, mode: WriteMode.Value,
       partitionBy: Seq[String], flushInlined: Boolean,
-      redefine: Boolean): Long = {
+      redefine: Boolean, replaceBase: Option[Long] = None): Long = {
     val (schemaName, tableName) = parse(name)
     // path hardening BEFORE any filesystem work (same order as the
     // reference, src/metadata_writer.rs:17-36): an invalid name must not
@@ -439,9 +447,13 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     // reference surfaces a transaction conflict instead — so does this
     // gate. No retry: the staged content was derived from the stale
     // snapshot, so re-running could only repeat the erasure.
+    // The base is the snapshot the rewrite's INPUT was pinned at
+    // (`replaceBase`, passed by compact and friends), not the snapshot at
+    // this method's entry: a rewrite materializes its scan BEFORE calling
+    // write, so an append landing in that gap must still conflict.
     val replaceCasBase: Option[Long] =
       if (mode == WriteMode.Replace && !tableIsNew && !redefine && !flushInlined)
-        Some(store.currentSnapshot) else None
+        Some(replaceBase.getOrElse(store.currentSnapshot)) else None
     val requestedSpecs = partitionBy.map(PartTransform.parse(_).spec)
     if (!tableIsNew && partitionBy.nonEmpty && requestedSpecs != existingSpecs)
       throw new UnsupportedException(
@@ -2184,13 +2196,19 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     * tests/sqllogictests/sql/compaction/).
     */
   def compact(name: String, numFiles: Int = 1): Long = {
-    val current = table(name)
+    // pin the input snapshot and hand it to the publish gate as the CAS
+    // base: anything committing after THIS read — including in the gap
+    // between materialization and the write call — conflicts instead of
+    // being erased by the stale rewrite
+    val base = store.currentSnapshot
+    val current = table(name, Some(base))
     // materialize before the Replace commit so the scan doesn't race the
     // rewrite (single snapshot swap, atomic in the metadata txn)
     val rows = current.repartition(numFiles).cache()
     try {
       rows.count()
-      insertInto(rows, name, WriteMode.Replace)
+      afterRewriteScanHook()
+      write(rows, name, WriteMode.Replace, replaceBase = Some(base))
     } finally rows.unpersist()
   }
 

@@ -209,8 +209,9 @@ object FileStats {
       // real JSON parser (Jackson, shipped with Spark): hand-counting
       // braces mis-scoped when a string VALUE contained '{'/'}' — e.g. a
       // PROJJSON crs document embedded inside the columns object.
-      val geoCols: Set[String] =
-        Option(meta.getKeyValueMetaData.get("geo")).flatMap { doc =>
+      val geoDoc = Option(meta.getKeyValueMetaData.get("geo"))
+      val parsedGeoCols: Option[Set[String]] =
+        geoDoc.flatMap { doc =>
           try {
             // lenient: some GeoParquet writers emit NaN in bbox arrays
             // and other non-strict JSON that strict Jackson rejects
@@ -227,10 +228,21 @@ object FileStats {
               b.result()
             }
           } catch { case _: Exception => None }
-        }.getOrElse(Set.empty)
+        }
+      val geoCols: Set[String] = parsedGeoCols.getOrElse(Set.empty)
+      // a PRESENT-but-unparseable "geo" document (or one without a
+      // well-formed "columns" object) is still a GeoParquet claim: we
+      // can't tell WHICH columns are geometry, so every unannotated
+      // binary column is conservatively refused ('geoparquet') rather
+      // than silently adopted — the refusal the comment above promises
+      val refuseAllBinary = geoDoc.isDefined && parsedGeoCols.isEmpty
       meta.getSchema.getFields.asScala.flatMap { f =>
         if (!f.isPrimitive) None
-        else if (geoCols.contains(f.getName.toLowerCase))
+        else if (geoCols.contains(f.getName.toLowerCase) ||
+            (refuseAllBinary &&
+              f.asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+              f.asPrimitiveType().getLogicalTypeAnnotation == null))
           Some(f.getName.toLowerCase -> "geoparquet")
         else f.asPrimitiveType().getLogicalTypeAnnotation match {
           case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>

@@ -380,13 +380,31 @@ object Dedup {
     *
     * `vertices` (optional, single id column) adds isolated vertices as
     * their own singleton components. Returns (id, component). Label ids
-    * must be a NUMERIC column (the monotone-sum convergence test casts
-    * them to decimal).
+    * must be an INTEGRAL column (int/long/scale-0 decimal): the monotone
+    * label-sum convergence test casts to decimal(38,0), so a fractional
+    * id type could change by less than one integral unit per round and
+    * truncate to an unchanged sum — a silent premature convergence.
+    * Fractional id columns are rejected up front.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           vertices: Option[DataFrame] = None,
                           maxIter: Int = 40): DataFrame = {
     val session = edges.sparkSession
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    (Seq(srcCol -> edges.schema(srcCol).dataType,
+        dstCol -> edges.schema(dstCol).dataType) ++
+      vertices.map(v => "vertices" -> v.schema.head.dataType)).foreach { case (n, dt) =>
+      if (!integral(dt))
+        throw new IllegalArgumentException(
+          s"connectedComponents requires integral vertex ids; column $n is " +
+            s"${dt.simpleString} (a fractional id can change by <1 unit per " +
+            "round and defeat the decimal(38,0) convergence test)")
+    }
 
     // Per-round frame boundary. Each round MUST restart from a frame
     // whose plan carries nothing of the previous round, for three

@@ -330,4 +330,56 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z")))
     } finally lake.setOption("data_inlining_row_limit", "0", None)
   }
+
+  test("present-but-unparseable GeoParquet 'geo' metadata refuses binary columns") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // a file CLAIMING GeoParquet (the 'geo' footer key exists) whose
+    // document doesn't parse: we can't tell which columns are geometry,
+    // so every unannotated binary column must surface as 'geoparquet'
+    // (refused for adoption) — never silently adopt as a native type
+    val msg = PTypes.buildMessage()
+      .addField(PTypes.optional(INT64).named("id"))
+      .addField(PTypes.optional(BINARY).named("g"))
+      .addField(PTypes.optional(BINARY).as(L.stringType()).named("label"))
+      .named("m")
+    val dir = Files.createTempDirectory("badgeo")
+    val target = new org.apache.hadoop.fs.Path(s"$dir/f.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(target)
+      .withConf(spark.sparkContext.hadoopConfiguration).withType(msg)
+      .withExtraMetaData(java.util.Map.of("geo", "{this is not json"))
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    val row = gf.newGroup()
+    row.add("id", 7L)
+    row.add("g", org.apache.parquet.io.api.Binary.fromConstantByteArray(Array[Byte](1, 2)))
+    row.add("label", "x")
+    w.write(row); w.close()
+    val types = FileStats.footerDuckTypes(target, spark.sparkContext.hadoopConfiguration)
+    assert(types.get("g").contains("geoparquet"),
+      "unannotated binary column must be refused under an unparseable geo doc")
+    assert(!types.get("label").contains("geoparquet")) // strings unaffected
+    assert(!types.get("id").contains("geoparquet"))
+    // a geo doc whose 'columns' key is missing/not-an-object is the same
+    // refusal (a non-conforming GeoParquet claim)
+    val t2 = new org.apache.hadoop.fs.Path(s"$dir/f2.parquet")
+    val w2 = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(t2)
+      .withConf(spark.sparkContext.hadoopConfiguration).withType(msg)
+      .withExtraMetaData(java.util.Map.of("geo", """{"version":"1.1.0","columns":[]}"""))
+      .build()
+    w2.write(row); w2.close()
+    assert(FileStats.footerDuckTypes(t2, spark.sparkContext.hadoopConfiguration)
+      .get("g").contains("geoparquet"))
+    // and a WELL-FORMED doc still refuses exactly the named columns
+    val t3 = new org.apache.hadoop.fs.Path(s"$dir/f3.parquet")
+    val w3 = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(t3)
+      .withConf(spark.sparkContext.hadoopConfiguration).withType(msg)
+      .withExtraMetaData(java.util.Map.of("geo",
+        """{"version":"1.1.0","primary_column":"g","columns":{"g":{"encoding":"WKB"}}}"""))
+      .build()
+    w3.write(row); w3.close()
+    val t3types = FileStats.footerDuckTypes(t3, spark.sparkContext.hadoopConfiguration)
+    assert(t3types.get("g").contains("geoparquet"))
+    assert(!t3types.contains("id"))
+  }
 }

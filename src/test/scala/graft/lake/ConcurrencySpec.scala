@@ -234,4 +234,30 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     lake.compact("main.repl")
     assert(lake.table("main.repl").count() == 3)
   }
+
+  test("replace CAS: an append in compact's scan->write gap still conflicts") {
+    import spark.implicits._
+    lake.createTableAs(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1), "main.repl2")
+    // the WIDE race window: compact has already pinned and materialized
+    // its input, but writeOnce hasn't started — a base captured at
+    // writeOnce entry would see the raced append as "no conflict" and
+    // silently erase it
+    lake.afterRewriteScanHook = () => {
+      lake.afterRewriteScanHook = () => ()
+      lake.insertInto(Seq((99L, "raced")).toDF("id", "tag").coalesce(1),
+        "main.repl2")
+    }
+    try {
+      val e = intercept[TransactionConflictException](lake.compact("main.repl2"))
+      assert(e.getMessage.contains("conflict"))
+    } finally lake.afterRewriteScanHook = () => ()
+    // the raced append's row survived; the stale rewrite published nothing
+    assert(lake.table("main.repl2")
+      .filter(org.apache.spark.sql.functions.col("id") === 99L).count() == 1)
+    assert(lake.table("main.repl2").count() == 3)
+    // a clean compact afterwards still succeeds
+    lake.compact("main.repl2")
+    assert(lake.table("main.repl2").count() == 3)
+  }
 }

@@ -330,6 +330,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components rejects fractional vertex-id columns") {
+    import spark.implicits._
+    // a fractional id can change by <1 integral unit in a round, which
+    // the decimal(38,0) convergence sum would truncate away — reject up
+    // front instead of risking premature convergence
+    val dbl = Seq((1.5, 2.25), (2.25, 3.0)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(dbl, "src", "dst"))
+    assert(e.getMessage.contains("integral"))
+    val dec = dbl.select(col("src").cast("decimal(10,2)").as("src"),
+      col("dst").cast("decimal(10,2)").as("dst"))
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(dec, "src", "dst"))
+    // fractional isolated-vertex column is rejected too
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        Some(Seq(3.5).toDF("id"))))
+    // scale-0 decimal ids are integral and work end-to-end
+    val ok = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .select(col("src").cast("decimal(20,0)").as("src"),
+        col("dst").cast("decimal(20,0)").as("dst"))
+    val out = Dedup.connectedComponents(ok, "src", "dst")
+    assert(out.count() == 3L)
+    assert(out.select(countDistinct("component")).head.getLong(0) == 1L)
+  }
+
   test("connected components: scrambled long path converges in O(log n) rounds") {
     import spark.implicits._
     // a 2000-vertex PATH with ids placed by a fixed multiplicative
