@@ -188,12 +188,30 @@ object ScaleBench {
         require(out.select(count_distinct(col("component"))).head.getLong(0) == 1L)
         (System.nanoTime() - s) / 1e9
       }
+      // hot-bucket stress: EVERY document byte-identical, so all 8 band
+      // buckets hold the entire corpus — the adversarial shape for LSH
+      // blocking. Uncapped this is ~3·10^10 pairs materialized in one
+      // task; the successor-chain cap bounds it at O(n·k) pairs, and the
+      // exact expected count doubles as a correctness check.
+      val hotN = 200000L
+      val hotSec = {
+        val docs = spark.range(hotN).select(col("id").as("doc_id"),
+          lit("the quick brown fox jumps over the lazy dog again and again")
+            .as("text"))
+        val s = System.nanoTime()
+        val cnt = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id").count()
+        val want = (1 to 16).map(d => hotN - d).sum
+        require(cnt == want, s"hot-bucket pair count $cnt != $want")
+        (System.nanoTime() - s) / 1e9
+      }
       val all = rows :+
         (("semantic_neardup_lsh", semScale,
           Some(semScale / (replicas * semBase)), Some(semSh),
           if (semShBase > 0) Some(semSh.toDouble / (replicas * semShBase))
           else None)) :+
         (("cc_path_1m", ccSec, None: Option[Double],
+          None: Option[Long], None: Option[Double])) :+
+        (("hot_bucket_minhash_200k", hotSec, None: Option[Double],
           None: Option[Long], None: Option[Double]))
 
       val total = all.map(_._2).sum

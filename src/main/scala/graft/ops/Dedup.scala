@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *    shuffle until the final candidate grouping);
   *  - candidate generation shuffles on (band, bucket) keys only — never a
   *    quadratic cross join;
-  *  - each band bucket groups a bounded candidate list, so the pair
-  *    explosion is local and skew-resistant (huge buckets can be salted or
-  *    capped upstream).
+  *  - the bucket→pair expansion is capped ([[Dedup.cappedBucketPairs]]):
+  *    a pathologically hot bucket (millions of identical documents) costs
+  *    O(n·k) chained pairs in a spilling window, never an O(n²) blow-up
+  *    in one task.
   */
 object Dedup {
 
@@ -109,6 +110,59 @@ object Dedup {
       hash(lit(b), concat_ws(",",
         slice(sigCol, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
+  /** Bucket→pair expansion with a HOT-BUCKET CAP, shared by every LSH
+    * blocking scheme here. `keyed` carries one row per (bucket member):
+    * the bucket key columns `keyCols`, the member id `idCol`, and
+    * optionally a payload column (verification data — a fingerprint or a
+    * vector) that both pair sides need downstream.
+    *
+    * Candidate semantics: within each bucket, members sorted by id pair
+    * with their ≤ `chainK` nearest SUCCESSORS. For buckets of size ≤
+    * chainK+1 — the overwhelmingly common case with any sane banding —
+    * that is exactly ALL pairs; a pathological bucket (millions of
+    * byte-identical crawl pages sharing every band) degrades to O(n·k)
+    * chained pairs instead of an O(n²) blow-up inside one task, and is
+    * never materialized as a collect_list row — the window operator
+    * streams it with spill. Chaining preserves cluster CONNECTIVITY
+    * (consecutive ids link), which is what the dedup-clustering
+    * consumers ([[connectedComponents]] → keep-one-per-cluster) need;
+    * only far-apart direct pairs inside an oversized bucket are elided.
+    * The rule is deterministic and engine-portable (row_number distance
+    * ≤ k over the bucket), so the md5-family oracle twins reproduce the
+    * cap itself, not just the uncapped candidate set.
+    *
+    * One pass: hash exchange on the bucket key → in-partition sort →
+    * one WindowExec with chainK offset frames → explode. No self-join,
+    * no per-bucket array.
+    *
+    * Returns (id_a, id_b [, __pa, __pb payloads]) with id_a < id_b per
+    * row (NOT globally distinct — callers dedupe after verification).
+    */
+  private[ops] def cappedBucketPairs(keyed: DataFrame, keyCols: Seq[String],
+      idCol: String, payloadCol: Option[String], chainK: Int): DataFrame = {
+    require(chainK >= 1, "chainK must be at least 1")
+    val wo = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val pay = payloadCol.map(col).getOrElse(lit(0L))
+    // ids ascend within a bucket, so lead > current: id_a < id_b by
+    // construction; leads past the bucket end are null and filtered
+    // ONE sliding frame (rows 1..chainK after the current) collecting the
+    // successor (id, payload) structs directly: a single window frame
+    // processor per group instead of 2·chainK lead() offset frames, and
+    // no null slots to filter — singleton buckets emit an empty array
+    // that explode() drops for free
+    val pairs = keyed
+      .select(col(idCol).as("id_a"), pay.as("__pa"),
+        collect_list(struct(col(idCol).as("id"), pay.as("pay")))
+          .over(wo.rowsBetween(1, chainK)).as("__succ"))
+      .select(col("id_a"), col("__pa"), explode(col("__succ")).as("__s"))
+      .select(col("id_a"), col("__s.id").as("id_b"), col("__pa"),
+        col("__s.pay").as("__pb"))
+    payloadCol match {
+      case Some(_) => pairs
+      case None => pairs.select(col("id_a"), col("id_b"))
+    }
+  }
+
   /** MinHash+LSH candidate pairs: documents sharing at least one band
     * bucket. Returns (id_a, id_b) with id_a < id_b, distinct.
     *
@@ -122,9 +176,15 @@ object Dedup {
     * `array_min(transform(...))` per hash function is worse still
     * (re-evaluated per use by Catalyst's project collapsing, measured
     * 100× slower at sf0.1).
+    *
+    * Hot buckets are capped via `chainK`-successor chaining (see
+    * [[cappedBucketPairs]]): buckets of ≤ chainK+1 members expand to
+    * exactly all pairs; a pathologically hot bucket costs O(n·k), not
+    * O(n²), and is never held as one array row.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8,
+      chainK: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // token hashes materialized behind a generator boundary: the w slice
     // references in gramHashes then share the bound column instead of
@@ -136,16 +196,8 @@ object Dedup {
         graft.functions.MinHashBands.minhashBands(
           array_distinct(gramHashes(col("__th"))), numHashes, bands))
         .as(Seq("__band", "__bucket")))
-    val grouped = banded.groupBy("__band", "__bucket")
-      .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")) > 1)
-    // local pair expansion within each bucket (bounded by bucket size)
-    grouped.select(explode(expr(
-      """flatten(transform(__ids, (a, i) ->
-        |  transform(slice(__ids, i + 2, size(__ids)), b ->
-        |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
-      .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
+      chainK)
       .distinct()
   }
 
@@ -160,7 +212,8 @@ object Dedup {
     * DuckDB), not just recall-tested.
     */
   def minhashCandidatesMd5(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      chainK: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val exploded = df
@@ -175,15 +228,8 @@ object Dedup {
     }
     val banded = sig.select(col("__id"),
       posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
-    banded.groupBy("__band", "__bucket")
-      .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(__ids, (a, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids)), b ->
-          |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
+      chainK)
       .distinct()
   }
 
@@ -219,7 +265,7 @@ object Dedup {
     * verifies. Output (id_a, id_b) distinct.
     */
   def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, chainK: Int = 16): DataFrame = {
     val nibbles = df
       .select(col(idCol).as("__id"), explode(TextOps.tokens(col(textCol))).as("__t"))
       .withColumn("__h", md5(col("__t")))
@@ -236,17 +282,14 @@ object Dedup {
         .reduce(_ + _).cast("int").as(s"__c$c")
     }
     val fps = agg.select(col("__id") +: chunkCols: _*)
-    val blocked = fps.select(col("__id"), col("__c0"), col("__c1"), col("__c2"), col("__c3"),
+    val blocked = fps.select(col("__id"),
+      struct(col("__c0"), col("__c1"), col("__c2"), col("__c3")).as("__fp"),
       posexplode(array(col("__c0"), col("__c1"), col("__c2"), col("__c3")))
         .as(Seq("__blk", "__key")))
-    val a = blocked.select(col("__id").as("id_a"), col("__blk").as("__ba"), col("__key").as("__ka"),
-      col("__c0").as("__a0"), col("__c1").as("__a1"), col("__c2").as("__a2"), col("__c3").as("__a3"))
-    val b = blocked.select(col("__id").as("id_b"), col("__blk").as("__bb"), col("__key").as("__kb"),
-      col("__c0").as("__b0"), col("__c1").as("__b1"), col("__c2").as("__b2"), col("__c3").as("__b3"))
     val ham = (0 until 4).map(c =>
-      bit_count(col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
-    a.join(b, col("__ba") === col("__bb") && col("__ka") === col("__kb")
-        && col("id_a") < col("id_b"))
+      bit_count(col(s"__pa.__c$c").bitwiseXOR(col(s"__pb.__c$c")))).reduce(_ + _)
+    cappedBucketPairs(blocked, Seq("__blk", "__key"), "__id", Some("__fp"),
+      chainK)
       .filter(ham <= maxHamming)
       .select("id_a", "id_b").distinct()
   }
@@ -281,18 +324,16 @@ object Dedup {
     * at least one identical chunk), then verifies the exact distance —
     * again no quadratic join.
     */
-  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3,
+      chainK: Int = 16): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16)
         .bitwiseAND(0xffffL).as("key")))
     val blocked = fps.select(col(idCol).as("__id"), col("simhash"),
       explode(array(chunks: _*)).as("b"))
-    val a = blocked.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
-      col("b").as("ba"))
-    val bb = blocked.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
-      col("b").as("bb"))
-    a.join(bb, col("ba") === col("bb") && col("id_a") < col("id_b"))
-      .filter(hamming64(col("sh_a"), col("sh_b")) <= maxHamming)
+    cappedBucketPairs(blocked, Seq("b"), "__id", Some("simhash"),
+      chainK)
+      .filter(hamming64(col("__pa"), col("__pb")) <= maxHamming)
       .select("id_a", "id_b").distinct()
   }
 

@@ -182,7 +182,8 @@ object Similarity {
     * linear in bucket sizes; each verified pair is exact cosine.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4): DataFrame = {
+      dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4,
+      chainK: Int = 16): DataFrame = {
     val bandSigs = (0 until bands).map { bnd =>
       val bits = (0 until nBits).map { p =>
         val plane = array((0 until dim).map(d =>
@@ -194,11 +195,13 @@ object Similarity {
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), col("__v"),
         explode(array(bandSigs: _*)).as("__bucket"))
-    val a = sig.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
-    val b = sig.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 4))
+    // hot-bucket cap (see Dedup.cappedBucketPairs): a degenerate corpus
+    // (millions of identical embeddings → one bucket per band) costs
+    // O(n·chainK) pairs, not O(n²); chaining keeps the duplicate CLUSTER
+    // connected, which is all the downstream connectedComponents needs
+    Dedup.cappedBucketPairs(sig, Seq("__bucket"), "__id", Some("__v"),
+      chainK)
+      .withColumn("sim", round(cosine(col("__pa"), col("__pb")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }

@@ -368,9 +368,13 @@ object OpsQueries {
       bands AS (SELECT doc_id, b,
           md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
         FROM sig, range(0, 4) t(b)),
+      ranked AS (SELECT doc_id, b, bucket,
+          row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+        FROM bands),
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        FROM ranked a JOIN ranked b ON a.b = b.b AND a.bucket = b.bucket
+          AND b.rn > a.rn AND b.rn <= a.rn + 16
         GROUP BY 1, 2),
       ver AS (
         SELECT id_a, id_b,
@@ -405,9 +409,13 @@ object OpsQueries {
         FROM votes),
       blocked AS (SELECT doc_id, c0, c1, c2, c3, c,
           CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS key
-        FROM fp, range(0, 4) t(c))
+        FROM fp, range(0, 4) t(c)),
+      ranked AS (SELECT doc_id, c0, c1, c2, c3, c, key,
+          row_number() OVER (PARTITION BY c, key ORDER BY doc_id) AS rn
+        FROM blocked)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM blocked a JOIN blocked b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+      FROM ranked a JOIN ranked b ON a.c = b.c AND a.key = b.key
+        AND b.rn > a.rn AND b.rn <= a.rn + 16
       WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 8
       ORDER BY id_a, id_b

@@ -330,6 +330,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hot LSH bucket is capped: identical docs cost O(n*k) pairs, cluster intact") {
+    import spark.implicits._
+    // the 100 TB adversary: a corpus of byte-identical documents — every
+    // doc shares EVERY band bucket, so uncapped expansion is O(n²) pairs
+    // in ONE task. With the cap, each band chains sorted ids with <= k
+    // successors: O(n*k) pairs, and the duplicate cluster stays one
+    // connected component (that's what dedup keep-one-per-cluster needs).
+    val n = 10000
+    val k = 16 // default chainK
+    val docs = (0L until n.toLong)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val expected = (1 to k).map(d => n - d).sum.toLong // Σ (n-d), d=1..k
+    assert(pairs.count() == expected, s"chained pair count must be ~n*k, not n²/2")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(cc.count() == n.toLong)
+    assert(cc.select(countDistinct("component")).head.getLong(0) == 1L,
+      "capping must not break the duplicate cluster's connectivity")
+
+    // same cap on the simhash chunk blocking: identical fingerprints
+    val fps = (0L until 3000L).map(i => (i, 0x0123456789abcdefL)).toDF("id", "simhash")
+    val sp = Dedup.simhashPairs(fps, "id", maxHamming = 3)
+    val spExpected = (1 to k).map(d => 3000 - d).sum.toLong
+    assert(sp.count() == spExpected)
+    assert(Dedup.connectedComponents(sp, "id_a", "id_b")
+      .select(countDistinct("component")).head.getLong(0) == 1L)
+
+    // and on the embedding near-dup blocking: identical vectors
+    val vecs = (0L until 2000L).map(i => (i, Array.fill(8)(0.5))).toDF("vec_id", "v")
+    val cp = Similarity.cosineNearDupPairs(vecs, "vec_id", "v", dim = 8,
+      threshold = 0.99)
+    val cpExpected = (1 to k).map(d => 2000 - d).sum.toLong
+    assert(cp.count() == cpExpected)
+    assert(cp.agg(min("sim")).head.getDouble(0) == 1.0)
+    assert(Dedup.connectedComponents(cp.select("id_a", "id_b"), "id_a", "id_b")
+      .select(countDistinct("component")).head.getLong(0) == 1L)
+  }
+
   test("connected components rejects fractional vertex-id columns") {
     import spark.implicits._
     // a fractional id can change by <1 integral unit in a round, which
