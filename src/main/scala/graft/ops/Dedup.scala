@@ -467,6 +467,17 @@ object Dedup {
     //    bridge — a fresh LogicalRDD with default stats and no
     //    constraints. InternalRow end-to-end: the rows are copied out
     //    of the scan's reused buffers, never boxed.
+    // (Measured dead end, kept as a note: freshening WITH a declared
+    // HashPartitioning — repartition(n, key) then
+    // ColumnBridge.internalFrameHashPartitioned — does make every
+    // per-round join exchange-free, but at 1M vertices it ran 2.5×
+    // SLOWER per round: with no exchanges there are no runtime shuffle
+    // statistics, so AQE can neither flip the label-frame joins to
+    // broadcast nor coalesce partitions, and the static sort-merge plan
+    // loses to AQE's re-planned one. Static co-partitioning only pays
+    // off once the label frame outgrows the broadcast threshold by
+    // orders of magnitude; at that size swap freshen for the declared
+    // variant.)
     def freshen(df: DataFrame): DataFrame = {
       val rdd = df.queryExecution.toRdd.map(_.copy())
       rdd.localCheckpoint()
@@ -478,11 +489,16 @@ object Dedup {
     // round's plans, so persist alone would re-analyze the caller's
     // whole edge-derivation tree (e.g. an interval join) each round —
     // the boundary caches the data AND collapses the plan to one node
+    // one row per edge, canonicalized (small endpoint first): the hook's
+    // vote — larger PARENT down to the smaller — is direction-symmetric,
+    // so mirroring every edge (the propagation-era shape) would only
+    // double the hook joins' probe volume
     val und = freshen(
-      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-        .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+      edges.select(least(col(srcCol), col(dstCol)).as("__s"),
+          greatest(col(srcCol), col(dstCol)).as("__d"))
         .distinct())
-    val ids = und.select(col("__s").as("id")).distinct()
+    val ids = und.select(col("__s").as("id"))
+      .union(und.select(col("__d").as("id"))).distinct()
     var labels = freshen(
       vertices.map(v => ids.union(v.toDF("id")).distinct()).getOrElse(ids)
         .withColumn("component", col("id")))
@@ -523,11 +539,25 @@ object Dedup {
         .select(greatest(col("__ps"), col("__pd")).as("id"),
           least(col("__ps"), col("__pd")).as("__cand"))
         .groupBy("id").agg(min("__cand").as("__cand"))
+      // left join, not union+re-agg: the vote table ps SHRINKS every
+      // round (only roots still being merged), so AQE flips this to a
+      // broadcast probe of labels — a union would re-aggregate the full
+      // label frame per round (measured slower at 1M vertices)
       val hooked = labels.join(ps, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__cand"), col("component")))
             .as("component"))
-      val next = freshen(shortcut(shortcut(hooked)))
+      // freshen between EVERY self-referencing step, not just per round:
+      // Catalyst re-computes a subplan per REFERENCE (the two sides of a
+      // shortcut self-join project different columns, so even exchange
+      // reuse can't dedupe them) — an un-freshened
+      // shortcut(shortcut(hooked)) evaluates the whole hook pipeline 4×.
+      // A freshened frame is one shared RDD in the DAG: both join sides
+      // scan the same localCheckpointed blocks, each step computed ONCE.
+      // All three boundaries stay lazy until labelSum's single action.
+      // (Measured at 1M vertices: ~2.4× faster rounds than one boundary
+      // per round; batching 2 rounds per boundary is 1.5× SLOWER.)
+      val next = freshen(shortcut(freshen(hooked)))
       val curSum = labelSum(next)
       labels = next
       converged = curSum.compareTo(prevSum) == 0

@@ -49,4 +49,30 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** [[internalFrame]] that additionally DECLARES the RDD's physical hash
+    * partitioning to Catalyst. For iterative loops whose per-round frames
+    * were just shuffled onto their join keys (`repartition(col(k))` before
+    * the RDD boundary), this lets EnsureRequirements skip re-exchanging
+    * the frame in every subsequent round's joins — the plain bridge
+    * reports UnknownPartitioning and pays the shuffle again. The caller
+    * GUARANTEES the rows physically lie in `HashPartitioning(hashCols,
+    * rdd.getNumPartitions)` layout (a row-preserving map over the
+    * repartitioned toRdd keeps it); declaring a layout the rows don't
+    * have silently mis-joins.
+    */
+  def internalFrameHashPartitioned(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      hashCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val keys = hashCols.map(n => attrs.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no such column to hash-declare: $n")))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      keys, rdd.getNumPartitions)
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      new org.apache.spark.sql.execution.LogicalRDD(attrs, rdd, part, Nil,
+        false, None)(session, None, None))
+  }
 }

@@ -369,6 +369,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(countDistinct("component")).head.getLong(0) == 1L)
   }
 
+  test("internalFrameHashPartitioned: declared layout makes co-keyed joins exchange-free") {
+    import spark.implicits._
+    // the static co-partitioning escape hatch for iterative loops whose
+    // frames outgrow AQE's broadcast threshold (documented in
+    // connectedComponents): declare the hash layout repartition just
+    // produced, and joins on that key skip the exchange entirely
+    def declared(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val re = df.repartition(8, col(key))
+      val rdd = re.queryExecution.toRdd.map(_.copy())
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .internalFrameHashPartitioned(spark, re.schema, rdd, Seq(key))
+    }
+    val a = declared((1L to 1000L).map(i => (i, i * 2)).toDF("k", "va"), "k")
+    val b = declared((1L to 1000L).map(i => (i, i * 3)).toDF("k", "vb"), "k")
+    val j = a.join(b, "k")
+    assert(j.count() == 1000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"declared co-partitioning must join without an exchange:\n$plan")
+    assert(j.filter(col("va") =!= col("k") * 2 || col("vb") =!= col("k") * 3)
+      .count() == 0, "declared layout must not mis-route rows")
+  }
+
   test("connected components rejects fractional vertex-id columns") {
     import spark.implicits._
     // a fractional id can change by <1 integral unit in a round, which
