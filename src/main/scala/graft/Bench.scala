@@ -50,6 +50,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the bounded month-grain analytics windows intentionally run on one
+    // partition (their input is a post-aggregate of O(months) rows) —
+    // WindowExec's blanket no-partition warning for them is noise that
+    // drowns the artifact tail, so that one logger rides at ERROR
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

@@ -15,6 +15,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the bounded month-grain analytics windows intentionally run on one
+    // partition (their input is a post-aggregate of O(months) rows) —
+    // WindowExec's blanket no-partition warning for them is noise that
+    // drowns the artifact tail, so that one logger rides at ERROR
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (driver runs all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
