@@ -733,6 +733,60 @@ object Analytics {
       ORDER BY n_name
     """),
 
+    ("ds_multisupp_returns", (s: SparkSession, dir: String) => {
+      // TPC-DS q95 shape (reference:
+      // tests/sqllogictests — the web_sales "shipped from two warehouses
+      // AND returned" reachability query): a self-joined CTE (orders
+      // whose lineitems ship from ≥2 suppliers) consumed by TWO
+      // IN/EXISTS chains — once directly against orders, once through a
+      // second fact join (returned lineitems). The distinctive planning
+      // class is the REUSED CTE feeding stacked left-semi joins; Spark
+      // recomputes the CTE per reference, and both semi probes stay on
+      // the shared l_orderkey shuffle key, so at 100 TB the chain is
+      // three co-keyed exchanges, never a fact×fact blow-up. (The
+      // production rewrite — groupBy(l_orderkey) HAVING
+      // count(DISTINCT l_suppkey) ≥ 2 — avoids the self-join entirely;
+      // the gate keeps q95's literal shape because the self-join +
+      // semi-chain is the plan class under test.)
+      val li = t(s, dir, "lineitem")
+      val l1 = li.select(col("l_orderkey"), col("l_suppkey"))
+      val multiSupp = l1.as("l1")
+        .join(l1.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2")),
+          col("l_orderkey") === col("__ok2") && col("l_suppkey") =!= col("__sk2"))
+        .select(col("l_orderkey").as("ok")).distinct()
+      val returned = li.filter(col("l_returnflag") === "R")
+        .join(multiSupp, col("l_orderkey") === col("ok"), "left_semi")
+        .select(col("l_orderkey").as("rk")).distinct()
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .join(multiSupp, col("o_orderkey") === col("ok"), "left_semi")
+        .join(returned, col("o_orderkey") === col("rk"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_cnt"),
+          round(sum("o_totalprice") + lit(1e-9), 2).as("total_price"))
+        .orderBy("o_orderpriority")
+    }, """
+      WITH multi_supp AS (
+        SELECT DISTINCT l1.l_orderkey AS ok
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey)
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS order_cnt,
+        round(sum(o_totalprice) + 1e-9, 2) AS total_price
+      FROM orders o
+      WHERE o_orderstatus = 'F'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_orderkey IN (SELECT ok FROM multi_supp)
+        AND o_orderkey IN (
+          SELECT l.l_orderkey FROM lineitem l
+          JOIN multi_supp m ON l.l_orderkey = m.ok
+          WHERE l.l_returnflag = 'R')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+
     ("ds_crossyear_basket", (s: SparkSession, dir: String) => {
       // TPC-DS q64 shape: one heavy multi-join aggregate CTE
       // (lineitem⨝orders⨝customer⨝nation⨝part⨝supplier — six tables)
