@@ -100,6 +100,26 @@ object ScaleBench {
       emb, "vec_id", "embedding", dim = dim, threshold = 0.95)
   }
 
+  /** Planted-skew join for the AQE skew-split evidence: 10% of lineitem
+    * rows collapse onto ONE join key (the classic hot-customer/hot-URL
+    * shape), joined against orders and aggregated. Broadcast is disabled
+    * for the run — at 100 TB neither side broadcasts, and the point is
+    * the SMJ skew path — and AQE's skew thresholds are scaled to bench
+    * data volume (defaults trigger at 256 MB partitions; the planted hot
+    * partition here is tens of MB) so the exact mechanism a 1000-executor
+    * run relies on demonstrably fires.
+    */
+  private def skewJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(when(col("l_orderkey") % 10 === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    li.join(o, "k")
+      .groupBy(col("k") % 97)
+      .agg(sum(col("l_quantity") * col("o_totalprice")).as("v"))
+  }
+
   /** Listener summing shuffle WRITE bytes over completed stages — the
     * volume check behind the wall-clock one: a query whose 10× shuffle
     * is ~10× the sf0.1 shuffle provably has no quadratic exchange.
@@ -204,6 +224,34 @@ object ScaleBench {
         require(cnt == want, s"hot-bucket pair count $cnt != $want")
         (System.nanoTime() - s) / 1e9
       }
+      // AQE skew-join evidence: time the planted-skew join at both scales
+      // and verify the final adaptive plan actually split the hot
+      // partition (SortMergeJoin(skew=true)). Conf changes are scoped and
+      // restored.
+      val skewConfs = Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m")
+      // Option(…) inside: adaptive.autoBroadcastJoinThreshold defaults to
+      // a NULL value (get succeeds, returns null) — restoring null via
+      // conf.set throws, so null must round-trip as unset
+      val saved = skewConfs.keys.map(k =>
+        k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten).toMap
+      val (skewSec, skewLin, skewFired) =
+        try {
+          skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val (base, _) = time(() => skewJoinFrame(spark, sfDir))
+          val (scaled, _) = time(() => skewJoinFrame(spark, dir))
+          val probe = skewJoinFrame(spark, dir)
+          probe.write.mode("overwrite").format("noop").save()
+          val fired = probe.queryExecution.executedPlan.toString.contains("skew=true")
+          (scaled, Some(scaled / (replicas * base)), fired)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+
       val all = rows :+
         (("semantic_neardup_lsh", semScale,
           Some(semScale / (replicas * semBase)), Some(semSh),
@@ -212,6 +260,8 @@ object ScaleBench {
         (("cc_path_1m", ccSec, None: Option[Double],
           None: Option[Long], None: Option[Double])) :+
         (("hot_bucket_minhash_200k", hotSec, None: Option[Double],
+          None: Option[Long], None: Option[Double])) :+
+        (("skew_join_aqe", skewSec, skewLin,
           None: Option[Long], None: Option[Double]))
 
       val total = all.map(_._2).sum
@@ -225,8 +275,8 @@ object ScaleBench {
         val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
         "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
-      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"queries":$detail}"""
-      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"n":${all.size}}"""
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"queries":$detail}"""
+      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size}}"""
       Some((short, full))
     } catch {
       case e: Throwable =>

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regression guard for the hottest bench queries: pins the
+  * physical-plan properties the 100 TB story depends on — dimension
+  * joins broadcast, no cartesian products, parquet filter pushdown
+  * reaching the scan, delete-free lake scans staying a single relation
+  * (no per-file union) — so a future Catalyst/conf drift fails THIS
+  * suite instead of silently regressing a bench round. The
+  * deliberately-broken-conf test proves the guard actually flips.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Static physical plan (AQE initial plan — what the cost-based
+    * planner decided before runtime stats, i.e. what a fresh cluster
+    * run starts from).
+    */
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private val hot = Seq("q08_market_share", "dedup_minhash", "txt_lm_score",
+    "pipe_curation", "ds_multisupp_returns")
+
+  test("hot bench queries plan no cartesian product") {
+    hot.foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
+
+  test("dimension joins broadcast in the hot queries") {
+    Seq("q08_market_share", "txt_lm_score", "pipe_curation").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n lost its broadcast dimension join:\n$p")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan (q06)") {
+    val p = planOf("q06_forecast_revenue")
+    assert(raw"PushedFilters: \[[^\]]".r.findFirstIn(p).isDefined,
+      s"q06 scan has no pushed filters:\n$p")
+  }
+
+  test("delete-free lake scan is one relation, not a per-file union") {
+    val p = planOf("lake_scan_agg")
+    assert(!p.contains("Union"),
+      s"delete-free lake scan degraded to a per-file union:\n$p")
+  }
+
+  test("the guard flips when broadcast planning is disabled (not vacuous)") {
+    // Option(…) inside: adaptive.autoBroadcastJoinThreshold defaults to a
+    // NULL value — it must round-trip as unset, not as set(null)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten)
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val p = planOf("q08_market_share")
+      assert(!p.contains("BroadcastHashJoin"),
+        "disabling broadcast thresholds must remove the static broadcast " +
+          s"join, or this guard tests nothing:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
