@@ -110,51 +110,83 @@ object Dedup {
       hash(lit(b), concat_ws(",",
         slice(sigCol, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
+  /** Default hot-bucket threshold for [[cappedBucketPairs]]: buckets at
+    * or below this size get FULL pair expansion (exact candidate
+    * semantics); only larger buckets fall back to successor chaining.
+    * 256 keeps the worst per-bucket expansion at ~32k pairs (a few ms of
+    * one task) while covering every bucket a sane banding scheme
+    * produces on non-degenerate data.
+    */
+  val DefaultHotBucketThreshold: Int = 256
+
   /** Bucket→pair expansion with a HOT-BUCKET CAP, shared by every LSH
     * blocking scheme here. `keyed` carries one row per (bucket member):
     * the bucket key columns `keyCols`, the member id `idCol`, and
     * optionally a payload column (verification data — a fingerprint or a
     * vector) that both pair sides need downstream.
     *
-    * Candidate semantics: within each bucket, members sorted by id pair
-    * with their ≤ `chainK` nearest SUCCESSORS. For buckets of size ≤
-    * chainK+1 — the overwhelmingly common case with any sane banding —
-    * that is exactly ALL pairs; a pathological bucket (millions of
-    * byte-identical crawl pages sharing every band) degrades to O(n·k)
-    * chained pairs instead of an O(n²) blow-up inside one task, and is
-    * never materialized as a collect_list row — the window operator
-    * streams it with spill. Chaining preserves cluster CONNECTIVITY
-    * (consecutive ids link), which is what the dedup-clustering
-    * consumers ([[connectedComponents]] → keep-one-per-cluster) need;
-    * only far-apart direct pairs inside an oversized bucket are elided.
-    * The rule is deterministic and engine-portable (row_number distance
-    * ≤ k over the bucket), so the md5-family oracle twins reproduce the
-    * cap itself, not just the uncapped candidate set.
+    * Candidate semantics, two regimes split at `hotBucketThreshold`:
+    *  - bucket size ≤ threshold (every bucket on non-degenerate data):
+    *    ALL intra-bucket pairs are emitted — the candidate set is exactly
+    *    the blocking scheme's contract (pigeonhole exactness for simhash
+    *    chunks, the 1−p^bands miss rate for OR-amplified LSH), with no
+    *    dependence on id adjacency;
+    *  - bucket size > threshold (a pathologically hot bucket — millions
+    *    of byte-identical crawl pages sharing every band): members sorted
+    *    by id pair with their ≤ `chainK` nearest successors, degrading to
+    *    O(n·k) chained pairs instead of an O(n²) blow-up inside one task.
+    *    Chaining preserves cluster CONNECTIVITY (consecutive ids link),
+    *    which is what the dedup-clustering consumers
+    *    ([[connectedComponents]] → keep-one-per-cluster) need; only
+    *    far-apart direct pairs inside an OVERSIZED bucket are elided, so
+    *    downstream pair-level verification (a sim ≥ t filter) can split a
+    *    hot bucket's cluster only when that bucket already exceeds the
+    *    threshold — callers that need exact pairs at that occupancy must
+    *    raise the threshold (cost: O(threshold) per bucket row) or
+    *    pre-dedup exact duplicates.
+    * Both regimes are deterministic and engine-portable (bucket size +
+    * row_number distance over the bucket), so the md5-family oracle twins
+    * reproduce the cap itself, not just the uncapped candidate set.
     *
     * One pass: hash exchange on the bucket key → in-partition sort →
-    * one WindowExec with chainK offset frames → explode. No self-join,
-    * no per-bucket array.
+    * one WindowExec (successor-collect frame + bucket-size frame share
+    * the same partition/order spec) → explode. No self-join, no
+    * per-bucket array: the sliding frame holds ≤ threshold−1 successor
+    * structs and the window operator streams the bucket with spill. A
+    * hot bucket pays O(threshold) frame work per row, then slices to
+    * `chainK` — still linear in the bucket, never quadratic.
     *
     * Returns (id_a, id_b [, __pa, __pb payloads]) with id_a < id_b per
-    * row (NOT globally distinct — callers dedupe after verification).
+    * row — duplicate id values inside a bucket would otherwise surface
+    * as (x,x) self-pairs from the window-order tie, so those are
+    * filtered (NOT globally distinct — callers dedupe after
+    * verification).
     */
   private[ops] def cappedBucketPairs(keyed: DataFrame, keyCols: Seq[String],
-      idCol: String, payloadCol: Option[String], chainK: Int): DataFrame = {
+      idCol: String, payloadCol: Option[String], chainK: Int,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     require(chainK >= 1, "chainK must be at least 1")
+    require(hotBucketThreshold > chainK,
+      "hotBucketThreshold must exceed chainK (below it the chain frame already covers the bucket)")
     val wo = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
     val pay = payloadCol.map(col).getOrElse(lit(0L))
-    // ids ascend within a bucket, so lead > current: id_a < id_b by
-    // construction; leads past the bucket end are null and filtered
-    // ONE sliding frame (rows 1..chainK after the current) collecting the
-    // successor (id, payload) structs directly: a single window frame
-    // processor per group instead of 2·chainK lead() offset frames, and
-    // no null slots to filter — singleton buckets emit an empty array
-    // that explode() drops for free
+    // ids ascend within a bucket, so successors > current: id_a < id_b
+    // by construction (ties filtered below). ONE sliding frame collects
+    // the next threshold−1 successor (id, payload) structs — for a
+    // bucket of size ≤ threshold that is ALL successors; the bucket-size
+    // count rides the same WindowExec (same partition+order spec,
+    // unbounded frame) and picks the regime: full array, or sliced to
+    // the first chainK successors when the bucket is hot
     val pairs = keyed
       .select(col(idCol).as("id_a"), pay.as("__pa"),
         collect_list(struct(col(idCol).as("id"), pay.as("pay")))
-          .over(wo.rowsBetween(1, chainK)).as("__succ"))
-      .select(col("id_a"), col("__pa"), explode(col("__succ")).as("__s"))
+          .over(wo.rowsBetween(1, hotBucketThreshold - 1)).as("__succ"),
+        count(lit(1)).over(wo.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("__bsz"))
+      .select(col("id_a"), col("__pa"),
+        explode(when(col("__bsz") <= hotBucketThreshold, col("__succ"))
+          .otherwise(slice(col("__succ"), 1, chainK))).as("__s"))
+      .filter(col("id_a") =!= col("__s.id"))
       .select(col("id_a"), col("__s.id").as("id_b"), col("__pa"),
         col("__s.pay").as("__pb"))
     payloadCol match {
@@ -177,14 +209,15 @@ object Dedup {
     * (re-evaluated per use by Catalyst's project collapsing, measured
     * 100× slower at sf0.1).
     *
-    * Hot buckets are capped via `chainK`-successor chaining (see
-    * [[cappedBucketPairs]]): buckets of ≤ chainK+1 members expand to
-    * exactly all pairs; a pathologically hot bucket costs O(n·k), not
-    * O(n²), and is never held as one array row.
+    * Buckets of ≤ `hotBucketThreshold` members expand to exactly all
+    * pairs (the full LSH candidate contract); only a pathologically hot
+    * bucket falls back to `chainK`-successor chaining — O(n·k), not
+    * O(n²), never held as one array row (see [[cappedBucketPairs]]).
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
-      chainK: Int = 16): DataFrame = {
+      chainK: Int = 16,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // token hashes materialized behind a generator boundary: the w slice
     // references in gramHashes then share the bound column instead of
@@ -197,7 +230,7 @@ object Dedup {
           array_distinct(gramHashes(col("__th"))), numHashes, bands))
         .as(Seq("__band", "__bucket")))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
-      chainK)
+      chainK, hotBucketThreshold)
       .distinct()
   }
 
@@ -213,7 +246,8 @@ object Dedup {
     */
   def minhashCandidatesMd5(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4,
-      chainK: Int = 16): DataFrame = {
+      chainK: Int = 16,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val exploded = df
@@ -229,7 +263,7 @@ object Dedup {
     val banded = sig.select(col("__id"),
       posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
-      chainK)
+      chainK, hotBucketThreshold)
       .distinct()
   }
 
@@ -261,11 +295,14 @@ object Dedup {
     * md5(token) — a convention any SQL engine can evaluate from the hex
     * string. Votes aggregate per document into four 16-bit chunk ints;
     * candidate blocking joins on any equal chunk (pigeonhole for
-    * maxHamming < 16 per chunk count), then exact Hamming ≤ `maxHamming`
+    * maxHamming < 16 per chunk count — exact for every chunk bucket of
+    * ≤ `hotBucketThreshold` members; an oversized bucket chains, see
+    * [[cappedBucketPairs]]), then exact Hamming ≤ `maxHamming`
     * verifies. Output (id_a, id_b) distinct.
     */
   def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8, chainK: Int = 16): DataFrame = {
+      maxHamming: Int = 8, chainK: Int = 16,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     val nibbles = df
       .select(col(idCol).as("__id"), explode(TextOps.tokens(col(textCol))).as("__t"))
       .withColumn("__h", md5(col("__t")))
@@ -289,7 +326,7 @@ object Dedup {
     val ham = (0 until 4).map(c =>
       bit_count(col(s"__pa.__c$c").bitwiseXOR(col(s"__pb.__c$c")))).reduce(_ + _)
     cappedBucketPairs(blocked, Seq("__blk", "__key"), "__id", Some("__fp"),
-      chainK)
+      chainK, hotBucketThreshold)
       .filter(ham <= maxHamming)
       .select("id_a", "id_b").distinct()
   }
@@ -322,17 +359,21 @@ object Dedup {
   /** SimHash near-dup pairs: fingerprints within `maxHamming`. Candidate
     * generation blocks on 4 16-bit chunks (pigeonhole: ≤3 differing bits →
     * at least one identical chunk), then verifies the exact distance —
-    * again no quadratic join.
+    * again no quadratic join. The pigeonhole guarantee is exact for
+    * every chunk bucket of ≤ `hotBucketThreshold` members; an oversized
+    * bucket falls back to successor chaining ([[cappedBucketPairs]]),
+    * which can elide far-apart pairs inside that bucket only.
     */
   def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3,
-      chainK: Int = 16): DataFrame = {
+      chainK: Int = 16,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16)
         .bitwiseAND(0xffffL).as("key")))
     val blocked = fps.select(col(idCol).as("__id"), col("simhash"),
       explode(array(chunks: _*)).as("b"))
     cappedBucketPairs(blocked, Seq("b"), "__id", Some("simhash"),
-      chainK)
+      chainK, hotBucketThreshold)
       .filter(hamming64(col("__pa"), col("__pb")) <= maxHamming)
       .select("id_a", "id_b").distinct()
   }

@@ -178,12 +178,17 @@ object Similarity {
     * `nBits`-bit signatures (disjoint hyperplane sets), candidates =
     * pairs agreeing on ANY band — a near-identical pair missed by one
     * band (a sign flip on a boundary plane) is caught by another, so
-    * the miss rate is p^bands instead of p. The candidate join stays
-    * linear in bucket sizes; each verified pair is exact cosine.
+    * the miss rate is p^bands instead of p — exactly, for every bucket
+    * of ≤ `hotBucketThreshold` members (full intra-bucket expansion);
+    * an oversized bucket degrades to id-successor chaining, which keeps
+    * its near-dup cluster connected but elides far-apart direct pairs
+    * (see [[Dedup.cappedBucketPairs]]). The candidate join stays linear
+    * in bucket sizes; each verified pair is exact cosine.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4,
-      chainK: Int = 16): DataFrame = {
+      chainK: Int = 16,
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold): DataFrame = {
     val bandSigs = (0 until bands).map { bnd =>
       val bits = (0 until nBits).map { p =>
         val plane = array((0 until dim).map(d =>
@@ -195,12 +200,15 @@ object Similarity {
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), col("__v"),
         explode(array(bandSigs: _*)).as("__bucket"))
-    // hot-bucket cap (see Dedup.cappedBucketPairs): a degenerate corpus
-    // (millions of identical embeddings → one bucket per band) costs
-    // O(n·chainK) pairs, not O(n²); chaining keeps the duplicate CLUSTER
-    // connected, which is all the downstream connectedComponents needs
+    // hot-bucket cap (see Dedup.cappedBucketPairs): buckets up to
+    // hotBucketThreshold members expand to ALL pairs — the OR-amplified
+    // recall contract holds regardless of id adjacency — while a
+    // degenerate corpus (millions of identical embeddings → one bucket
+    // per band) costs O(n·chainK) chained pairs, not O(n²); chaining
+    // keeps a duplicate CLUSTER connected for connectedComponents, at
+    // the cost of far-apart direct pairs inside that oversized bucket
     Dedup.cappedBucketPairs(sig, Seq("__bucket"), "__id", Some("__v"),
-      chainK)
+      chainK, hotBucketThreshold)
       .withColumn("sim", round(cosine(col("__pa"), col("__pb")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()

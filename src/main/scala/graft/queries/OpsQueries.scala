@@ -369,12 +369,13 @@ object OpsQueries {
           md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
         FROM sig, range(0, 4) t(b)),
       ranked AS (SELECT doc_id, b, bucket,
-          row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+          row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn,
+          count(*) OVER (PARTITION BY b, bucket) AS bsz
         FROM bands),
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ranked a JOIN ranked b ON a.b = b.b AND a.bucket = b.bucket
-          AND b.rn > a.rn AND b.rn <= a.rn + 16
+          AND b.rn > a.rn AND (a.bsz <= 256 OR b.rn <= a.rn + 16)
         GROUP BY 1, 2),
       ver AS (
         SELECT id_a, id_b,
@@ -411,11 +412,12 @@ object OpsQueries {
           CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS key
         FROM fp, range(0, 4) t(c)),
       ranked AS (SELECT doc_id, c0, c1, c2, c3, c, key,
-          row_number() OVER (PARTITION BY c, key ORDER BY doc_id) AS rn
+          row_number() OVER (PARTITION BY c, key ORDER BY doc_id) AS rn,
+          count(*) OVER (PARTITION BY c, key) AS bsz
         FROM blocked)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM ranked a JOIN ranked b ON a.c = b.c AND a.key = b.key
-        AND b.rn > a.rn AND b.rn <= a.rn + 16
+        AND b.rn > a.rn AND (a.bsz <= 256 OR b.rn <= a.rn + 16)
       WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 8
       ORDER BY id_a, id_b

@@ -369,6 +369,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(countDistinct("component")).head.getLong(0) == 1L)
   }
 
+  test("cappedBucketPairs: full expansion below the hot threshold, chain above, no self-pairs") {
+    import spark.implicits._
+    // the round-8 review finding: an UNCONDITIONAL chain cap collapses
+    // recall once ordinary buckets exceed chainK+1 members (routine when
+    // the bucket keyspace is fixed). The contract is now two-regime:
+    //  - bucket ≤ hotBucketThreshold → ALL pairs (no id-adjacency bias)
+    //  - bucket > threshold → ≤ chainK successors per member
+    val k = 4; val hot = 16
+    def bucket(tag: String, ids: Seq[Long]) = ids.map(i => (tag, i))
+    val keyed = (bucket("small", 0L until 10L) ++
+      bucket("big", 0L until 50L)).toDF("bkt", "id")
+    val pairs = Dedup.cappedBucketPairs(keyed, Seq("bkt"), "id", None,
+      chainK = k, hotBucketThreshold = hot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // small bucket (10 ≤ 16): all 45 pairs — including the far-apart
+    // (0,9) the old unconditional chain (distance 9 > 4) elided
+    val smallAll = (for (a <- 0L until 10L; b <- a + 1 until 10L) yield (a, b)).toSet
+    assert(smallAll.subsetOf(pairs), "sub-threshold bucket must expand fully")
+    // big bucket (50 > 16): exactly the ≤4-successor chains
+    val bigChain = (for (a <- 0L until 50L; d <- 1 to k; if a + d < 50) yield (a, a + d)).toSet
+    assert(pairs == smallAll ++ bigChain,
+      "hot bucket must chain, sub-threshold bucket must not")
+    // duplicate ids in one bucket must not surface as (x,x) self-pairs
+    val dup = Seq(("b", 7L), ("b", 7L), ("b", 9L)).toDF("bkt", "id")
+    val dp = Dedup.cappedBucketPairs(dup, Seq("bkt"), "id", None,
+      chainK = k, hotBucketThreshold = hot).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dp.forall { case (a, b) => a < b }, s"self/inverted pairs: ${dp.toSeq}")
+  }
+
+  test("simhash pigeonhole survives buckets wider than chainK (round-8 recall fix)") {
+    import spark.implicits._
+    // adversarial shape from the review: a chunk bucket of 40 members
+    // where the one TRUE pair (hamming 1) sits 39 id-positions apart,
+    // separated by dissimilar interlopers. The old unconditional cap
+    // dropped it (distance > 16, and the post-filter hamming check kills
+    // the chain path); the hot-only cap expands the 40-bucket fully.
+    val kChunk = 0x1234L // shared chunk 0 → one bucket of all 40
+    val fps = ((1L until 39L).map(i => (i, kChunk | (0x7777L << 16) | (0x3333L << 32) | (0x5L << 48))) ++
+      Seq((0L, kChunk), (39L, kChunk | (1L << 16)))).toDF("id", "simhash")
+    val pairs = Dedup.simhashPairs(fps, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 39L)),
+      "true pair 39 positions apart in a 40-member bucket must be recovered")
+    // interlopers are hamming-0 twins of each other, never of 0 or 39
+    assert(!pairs.exists { case (a, b) => (a == 0L || b == 0L) && (a, b) != ((0L, 39L)) })
+  }
+
   test("internalFrameHashPartitioned: declared layout makes co-keyed joins exchange-free") {
     import spark.implicits._
     // the static co-partitioning escape hatch for iterative loops whose
