@@ -59,17 +59,27 @@ object ScaleBench {
     // marker records a content fingerprint of the SOURCE dir (sizes +
     // mtimes): a driver-regenerated fixture must rebuild the replica,
     // not silently reuse timings data from a previous generation
+    // layout-v2: replicated tables are written as 32 files (below) — a
+    // corpus built by an older round (2 files, ONE 6M-row row group) must
+    // not be reused, so the layout version rides the fingerprint
     val fingerprint = new java.io.File(srcDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+      .mkString("|") + "|layout-v2-32files"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fingerprint)
       return outDir
 
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    // 32 output files per table: the replicate crossJoin otherwise lands
+    // everything in ONE parquet file with ONE 6M-row row group, which
+    // collapses every 10x scan to a single map task — unrepresentative of
+    // any real corpus (a 100 TB table is thousands of files), it serializes
+    // the scan stage, and it makes AQE's skew split structurally impossible
+    // (the splitter can only cut a reduce partition at MAP boundaries;
+    // one mapper means createSkewPartitionSpecs always returns None)
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(src("region"), "region")
     write(src("nation"), "nation")
@@ -110,14 +120,23 @@ object ScaleBench {
     * run relies on demonstrably fires.
     */
   private def skewJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    // the planted hot partition must be skewed in shuffle BYTES, not just
+    // rows: a constant key + low-entropy quantity column LZ4-compresses
+    // to near the median partition size (measured max/median 1.46x on a
+    // 4.5x row skew), hiding the skew from AQE's byte-based detector.
+    // l_extendedprice/l_discount/l_tax carry per-row entropy the codec
+    // cannot fold, so byte skew tracks the row skew
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(when(col("l_orderkey") % 10 === 0, lit(1L))
-        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      .select(when(pmod(xxhash64(col("l_orderkey")), lit(10)) === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
     li.join(o, "k")
       .groupBy(col("k") % 97)
-      .agg(sum(col("l_quantity") * col("o_totalprice")).as("v"))
+      .agg(sum(col("l_quantity") * col("o_totalprice")).as("v"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("rev"))
   }
 
   /** Listener summing shuffle WRITE bytes over completed stages — the
@@ -232,7 +251,15 @@ object ScaleBench {
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m")
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2m",
+        // the planted hot key holds ~12.8% of rows vs a ~2.8% median
+        // partition — a 4.6x ratio, under the default skewedPartitionFactor
+        // of 5.0, so the detector needs the factor lowered to see it
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        // one scan task per corpus file: AQE splits a skewed partition at
+        // MAP boundaries only, so the probe needs a cluster-like mapper
+        // count, not two fat local tasks
+        "spark.sql.files.maxPartitionBytes" -> "8m")
       // Option(…) inside: adaptive.autoBroadcastJoinThreshold defaults to
       // a NULL value (get succeeds, returns null) — restoring null via
       // conf.set throws, so null must round-trip as unset
@@ -243,8 +270,14 @@ object ScaleBench {
           skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
           val (base, _) = time(() => skewJoinFrame(spark, sfDir))
           val (scaled, _) = time(() => skewJoinFrame(spark, dir))
+          // the skew evidence must come from the probe's OWN
+          // QueryExecution: a noop write plans a fresh QueryExecution
+          // around the write command, leaving probe.queryExecution
+          // un-executed — its AdaptiveSparkPlanExec would print the
+          // initial (isFinalPlan=false) plan, which can never carry
+          // skew=true. collect() (97 groups) finalizes the adaptive plan
           val probe = skewJoinFrame(spark, dir)
-          probe.write.mode("overwrite").format("noop").save()
+          probe.collect()
           val fired = probe.queryExecution.executedPlan.toString.contains("skew=true")
           (scaled, Some(scaled / (replicas * base)), fired)
         } finally saved.foreach {

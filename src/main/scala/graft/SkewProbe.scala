@@ -3,6 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Standalone diagnostic for the scale10 AQE skew-split gate: replays
+  * ScaleBench's planted-skew join with the SAME scoped confs, then dumps
+  * exactly what AQE's skew splitter sees — per-shuffle-stage partition
+  * byte histograms and the per-MAP sizes of the hottest reduce partition
+  * (via [[org.apache.spark.graftdiag.ShuffleDiag]]). A SKEWFIRED=true
+  * here predicts `aqe_skew_split_fired:true` in the bench artifact.
+  *
+  * Lessons this probe encodes (found round 9):
+  *  - the skew verdict must be read from the probe Dataset's OWN
+  *    QueryExecution after an action on it — a noop write plans a fresh
+  *    QueryExecution and leaves this one un-finalized;
+  *  - OptimizeSkewedJoin can only cut a skewed reduce partition at MAP
+  *    boundaries (ShufflePartitionsUtil.createSkewPartitionSpecs returns
+  *    None for a single-mapper shuffle), so the corpus layout must give
+  *    the scan a cluster-like mapper count;
+  *  - a constant-key hot partition of low-entropy rows LZ4-compresses to
+  *    near the median partition size, hiding row skew from the
+  *    byte-based detector — the planted rows need incompressible payload.
+  */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -13,36 +32,65 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.adaptive", org.apache.logging.log4j.Level.DEBUG)
+    // mirror ScaleBench's skewConfs exactly
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-    val dir = "/tmp/graft_scale10__root_testdata_sf0.1"
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+
+    val dir = ScaleBench.buildCorpus(spark, "/root/testdata/sf0.1")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(when(col("l_orderkey") % 3 === 0, lit(1L))
-        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      .select(when(pmod(xxhash64(col("l_orderkey")), lit(10)) === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
     val j = li.join(o, "k").groupBy(col("k") % 97)
-      .agg(sum(col("l_quantity") * col("o_totalprice")).as("v"))
-    li.repartition(32, col("k")).groupBy(spark_partition_id().as("pid"))
-      .count().orderBy(desc("count")).show(5)
+      .agg(sum(col("l_quantity") * col("o_totalprice")).as("v"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("rev"))
+
+    println("LI_SCAN_PARTS=" + li.rdd.getNumPartitions)
     j.collect()
     val p = j.queryExecution.executedPlan.toString
     println("SKEWFIRED=" + p.contains("skew=true"))
+    println(p.split("\n").filter(l => l.contains("Join") || l.contains("skew")
+      || l.contains("AQEShuffleRead")).mkString("\n"))
+
+    // descend through query stages (ResultQueryStageExec wraps the final
+    // plan; earlier stages nest under later stages' plans) and dump what
+    // the skew splitter saw per shuffle
+    def stages(pl: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec] = {
+      val here = pl match {
+        case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+          s +: stages(s.plan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => stages(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ pl.children.flatMap(stages)
+    }
     val fin = j.queryExecution.executedPlan
       .asInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
       .executedPlan
-    println("FINPLAN:\n" + fin.toString.split("\n").take(25).mkString("\n"))
-    fin.collect { case st: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+    stages(fin).foreach { st =>
       val sizes = st.mapStats.map(_.bytesByPartitionId).getOrElse(Array.empty[Long])
-      val sorted = sizes.sorted
-      println(s"stage ${st.id} origin=${st.shuffle.shuffleOrigin} n=${sizes.length} " +
-        s"max=${if (sizes.nonEmpty) sizes.max else -1} " +
-        s"median=${if (sizes.nonEmpty) sorted(sizes.length / 2) else -1}")
+      if (sizes.nonEmpty) {
+        val hot = sizes.indexOf(sizes.max)
+        val sorted = sizes.sorted
+        println(s"STAGE ${st.id} mappers=${st.shuffle.numMappers} " +
+          s"max=${sizes.max} median=${sorted(sizes.length / 2)} hotIdx=$hot")
+        val sid = st.mapStats.get.shuffleId
+        val ms = org.apache.spark.graftdiag.ShuffleDiag.mapSizesFor(sid, hot)
+        println(s"MAPSIZES stage=${st.id} nonzeroMaps=${ms.count(_ > 0)} " +
+          s"neg=${ms.count(_ < 0)} sum=${ms.sum}")
+        val spec = org.apache.spark.sql.execution.adaptive.ShufflePartitionsUtil
+          .createSkewPartitionSpecs(sid, hot, 2 * 1024 * 1024, 0.2)
+        println(s"SPLITSPEC stage=${st.id} -> " + spec.map(_.length))
+      }
     }
-    println(p.split("\n").filter(l => l.contains("Join") || l.contains("skew") || l.contains("AQEShuffleRead")).mkString("\n"))
     spark.stop()
   }
 }
