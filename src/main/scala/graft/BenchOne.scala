@@ -15,11 +15,21 @@ object BenchOne {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // ad-hoc conf experiments: SPARK_GRAFT_CONFS="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // SPARK_GRAFT_RAW=1 times against the raw single-row-group fixtures
+    // instead of the staged scan-parallel layout (see BenchLayout)
+    val dir =
+      if (sys.env.get("SPARK_GRAFT_RAW").contains("1")) "/root/testdata/sf0.1"
+      else BenchLayout.prepare(spark, "/root/testdata/sf0.1")._1
     args.foreach { name =>
       (1 to iters).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.1")
+        SparkEntry.queries(name)(spark, dir)
           .write.mode("overwrite").format("noop").save()
         println(f"$name iter$i: ${(System.nanoTime()-t0)/1e9}%.3f s")
       }
