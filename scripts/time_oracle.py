@@ -3,12 +3,22 @@
 
 The reference benchmark's headline metric is the per-query ratio of
 engine time to DuckDB time on the same data (benchmark/src/main.rs:154-164,
-report.rs:46-58). graft.Bench consumes the file this script writes
-(bench/duckdb_times_sf<sf>.json when the third argument points there) and
+report.rs:46-58). graft.Bench consumes the files this script writes
+(bench/duckdb_times_sf<sf>.json, bench/duckdb_times_scale10.json) and
 emits those ratios in bench.json, so the cross-engine comparison is a
 recorded number, not an argument.
 
-Usage: python3 scripts/time_oracle.py <sfDir> <verifyOutDir> [destJson]
+Usage:
+  python3 scripts/time_oracle.py <dataDir> <verifyOutDir> [destJson]
+      [--only=<prefix>[,<prefix>...]] [--marker=<markerFile>]
+
+<dataDir> may hold each table as a single parquet FILE (the raw driver
+fixtures) or as a DIRECTORY of part files (the staged bench layout /
+the scale10 corpus) — directories are read with a glob. --only filters
+oracle queries by name prefix (e.g. --only=q for the TPC-H shapes).
+--marker embeds the given staging-marker file's content as
+`layout_fingerprint`, which graft.Bench checks against the live layout
+so a recording from an older fixture generation is flagged stale.
 
 Protocol: per query, one warmup execution then min of 3 timed
 executions, each a full execute+fetchall (DuckDB plans lazily, so the
@@ -22,16 +32,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    dest = sys.argv[3] if len(sys.argv) > 3 else f"{out_dir}/duckdb_times.json"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    sf_dir, out_dir = pos[0], pos[1]
+    dest = pos[2] if len(pos) > 2 else f"{out_dir}/duckdb_times.json"
+    prefixes = opts["only"].split(",") if "only" in opts else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times, skipped = {}, []
     for name in sorted(oracle):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         sql = oracle[name]
         try:
             con.execute(sql).fetchall()  # warmup (page cache, catalog)
@@ -56,6 +73,8 @@ def main():
         "skipped": skipped,
         "times": times,
     }
+    if "marker" in opts:
+        payload["layout_fingerprint"] = open(opts["marker"]).read()
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     with open(dest, "w") as f:
         json.dump(payload, f, indent=1)

@@ -19,8 +19,13 @@ import org.apache.spark.sql.SparkSession
   * one-time, fingerprinted, declared re-write of each table into
   * size-proportional multi-file parquet under /tmp. Verify (the
   * correctness gate) keeps reading the raw fixtures — only Bench and
-  * BenchOne stage data, and the staging time is reported in the bench
-  * artifact (`relayout_sec`), never folded into query timings.
+  * BenchOne stage data (Bench since round 10; SPARK_GRAFT_RAW=1 opts
+  * back into the raw fixtures), and the staging time is reported in
+  * the bench artifact (`relayout_sec`), never folded into query
+  * timings. The DuckDB cross-engine recording must be taken on the
+  * SAME staged layout (scripts/time_oracle.py handles directory
+  * tables); [[fingerprint]] is embedded in the recording so Bench can
+  * detect a stale one.
   */
 object BenchLayout {
 
@@ -35,19 +40,33 @@ object BenchLayout {
   private def fileCount(bytes: Long): Int =
     if (bytes < 64 * 1024) 1 else 32
 
+  def stagedDir(srcDir: String): String =
+    s"/tmp/graft_bench_${srcDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  /** Source-content fingerprint (sizes + mtimes + layout version): keys
+    * the staging marker AND rides the DuckDB timing recording, so a
+    * recording taken on an older fixture generation is detectably stale.
+    */
+  def fingerprint(srcDir: String): String = {
+    val srcFiles = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(sys.error(s"BenchLayout: source dir $srcDir missing or unreadable"))
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|relayout-v2"
+  }
+
   /** Returns (stagedDir, stagingSeconds); stagingSeconds is 0.0 when a
     * fingerprint-matched staging already exists from a previous run.
+    * Single-process use assumed: two JVMs staging the same srcDir
+    * concurrently would race on the overwrite+marker sequence (the
+    * bench protocol never does this).
     */
   def prepare(spark: SparkSession, srcDir: String): (String, Double) = {
-    val outDir = s"/tmp/graft_bench_${srcDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    val outDir = stagedDir(srcDir)
     val marker = new java.io.File(s"$outDir/_GRAFT_BENCH_LAYOUT_DONE")
-    val srcFiles = new java.io.File(srcDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val fingerprint = srcFiles
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|") + "|relayout-v2"
+    val fp = fingerprint(srcDir)
     if (marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fingerprint)
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp)
       return (outDir, 0.0)
 
     val t0 = System.nanoTime()
@@ -63,7 +82,7 @@ object BenchLayout {
       }
     }
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+    java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
     (outDir, (System.nanoTime() - t0) / 1e9)
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+/** Cross-engine ratio loader: pairs Spark per-query minima with a DuckDB
+  * timing recording made by scripts/time_oracle.py over the SAME parquet
+  * layout and the same oracle SQL the correctness gate replays
+  * (reference-parity headline: benchmark/src/main.rs:154-164,
+  * report.rs:46-58 report engine/DuckDB per query).
+  *
+  * The recording embeds the data layout's fingerprint (the staging
+  * marker content) so a recording taken on an older fixture generation
+  * or a different layout is flagged `stale` instead of silently
+  * producing apples-to-oranges ratios.
+  */
+object CrossEngine {
+
+  /** Load `path` and compute spark/duckdb ratios for every query present
+    * in both maps. Returns (shortJson, fullJson) or None when the
+    * recording is absent/unreadable or shares no queries.
+    *
+    * @param expectedFingerprint the current layout's fingerprint; when
+    *   the recording's `layout_fingerprint` is missing or different the
+    *   artifact carries `"stale":true` (ratios still reported — a stale
+    *   number plus a flag beats a vanished section).
+    */
+  def ratios(path: java.nio.file.Path, sparkMins: Map[String, Double],
+      expectedFingerprint: Option[String],
+      note: String): Option[(String, String)] = try {
+    if (!java.nio.file.Files.exists(path)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+    val t = root.get("times")
+    val rs = sparkMins.toSeq.sortBy(_._1).flatMap { case (n, mn) =>
+      Option(t.get(n)).map(_.asDouble).filter(d => d > 0 && mn > 0)
+        .map(d => n -> mn / d)
+    }
+    if (rs.isEmpty) return None
+    val geo = math.exp(rs.map(r => math.log(r._2)).sum / rs.size)
+    val med = rs.map(_._2).sorted.apply(rs.size / 2)
+    val stale = expectedFingerprint.exists(fp =>
+      Option(root.get("layout_fingerprint")).map(_.asText) != Some(fp))
+    val staleJson = if (stale) ""","stale":true""" else ""
+    val qjson = rs.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val full = f"""{"recorded_unix":${root.get("recorded_unix").asLong},""" +
+      f""""duckdb_version":"${root.get("duckdb_version").asText}",""" +
+      f""""n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f$staleJson,""" +
+      s""""note":"$note","queries":$qjson}"""
+    val short = f"""{"n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f$staleJson}"""
+    Some((short, full))
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] cross-engine ratios from $path skipped: ${e.getMessage}")
+      None
+  }
+}

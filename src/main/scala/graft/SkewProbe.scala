@@ -32,13 +32,8 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.adaptive", org.apache.logging.log4j.Level.DEBUG)
-    // mirror ScaleBench's skewConfs exactly
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    // the gate's own conf map (shared val — the probe can't drift)
+    ScaleBench.skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val dir = ScaleBench.buildCorpus(spark, "/root/testdata/sf0.1")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -119,6 +119,14 @@ object Dedup {
     */
   val DefaultHotBucketThreshold: Int = 256
 
+  /** Default successor-chain length for hot buckets in
+    * [[cappedBucketPairs]]. Named (rather than a literal in each
+    * signature) because the DuckDB oracle twins interpolate it into
+    * their SQL — the gates hash-check the cap itself, so the Scala
+    * default and the oracle must move together.
+    */
+  val DefaultChainK: Int = 16
+
   /** Bucket→pair expansion with a HOT-BUCKET CAP, shared by every LSH
     * blocking scheme here. `keyed` carries one row per (bucket member):
     * the bucket key columns `keyCols`, the member id `idCol`, and
@@ -216,7 +224,7 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
-      chainK: Int = 16,
+      chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // token hashes materialized behind a generator boundary: the w slice
@@ -246,7 +254,7 @@ object Dedup {
     */
   def minhashCandidatesMd5(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4,
-      chainK: Int = 16,
+      chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
@@ -301,7 +309,7 @@ object Dedup {
     * verifies. Output (id_a, id_b) distinct.
     */
   def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8, chainK: Int = 16,
+      maxHamming: Int = 8, chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     val nibbles = df
       .select(col(idCol).as("__id"), explode(TextOps.tokens(col(textCol))).as("__t"))
@@ -365,7 +373,7 @@ object Dedup {
     * which can elide far-apart pairs inside that bucket only.
     */
   def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3,
-      chainK: Int = 16,
+      chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16)
@@ -431,10 +439,14 @@ object Dedup {
     * (one column named `idCol`) — anti-joining the corpus against its
     * complement is the caller's one-liner. The standard embedding-space
     * dedup pass for training corpora, entirely composed of distributed
-    * primitives: no driver-side vectors at any scale.
+    * primitives: no driver-side vectors at any scale. `nBits = 0`
+    * (default) sizes the LSH keyspace to the corpus
+    * ([[Similarity.adaptiveBits]]) so bucket occupancy — and with it
+    * the full-expansion recall contract — survives corpora that would
+    * saturate a fixed keyspace.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nBits: Int = 8): DataFrame = {
+      threshold: Double, nBits: Int = 0): DataFrame = {
     val pairs = Similarity.cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nBits)
     // min-label propagation converges to each component's minimum id, so
     // the kept representative is exactly the row whose label is itself

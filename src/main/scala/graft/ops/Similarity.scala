@@ -51,7 +51,7 @@ object Similarity {
     * [-1, 1] derived from a splitmix64-style integer mix — reproducible
     * across sessions with no RNG state.
     */
-  private def planeValue(p: Int, d: Int): Double = {
+  private[ops] def planeValue(p: Int, d: Int): Double = {
     var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -173,6 +173,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Occupancy-adaptive signature width: enough hyperplane bits that the
+    * MEAN bucket occupancy (n / 2^bits per band) lands at 1/8 of the
+    * hot-bucket threshold, so the keyspace GROWS with the corpus instead
+    * of saturating (a fixed 8-bit signature has 256 buckets per band
+    * forever; past ~65k vectors every bucket exceeds the 256-member
+    * threshold, pair generation degrades to id-successor chaining, and
+    * direct-pair recall collapses — the round-8/9 review finding).
+    *
+    * Why 1/8 and not 1/2: sign-pattern buckets are heavily SKEWED —
+    * random hyperplanes carve the sphere into orthant-like cells whose
+    * measure varies by an order of magnitude (measured tail ~12× the
+    * mean on a 100k uniform-cube corpus), and what recall depends on is
+    * the hot-bucket MASS, not the mean. At a threshold/2 mean target
+    * ~64% of corpus mass still sat in hot (chaining) buckets and
+    * measured planted-pair recall was 0.83; at threshold/8 the measured
+    * recall ladder was 11 bits → 0.94, 12 bits → 0.98 (RecallMeasureSpec
+    * prints it). The cost of the extra bits is borderline-pair recall
+    * (per-band match p^bits), which the bands' OR-amplification absorbs
+    * for the near-identical pairs dedup targets.
+    *
+    * Clamped to [4, 24]: below 4 bits buckets stop blocking anything,
+    * above 24 the per-row signature cost (bits × dim multiplies)
+    * dominates while ~16M buckets per band already cover billions of
+    * vectors at this occupancy target.
+    */
+  private[ops] def adaptiveBits(n: Long, hotBucketThreshold: Int): Int = {
+    val target = math.max(1.0, hotBucketThreshold / 8.0)
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, n / target)) / math.log(2.0)).toInt))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, using LSH
     * buckets as the blocking key. OR-amplified: `bands` independent
     * `nBits`-bit signatures (disjoint hyperplane sets), candidates =
@@ -184,33 +215,51 @@ object Similarity {
     * its near-dup cluster connected but elides far-apart direct pairs
     * (see [[Dedup.cappedBucketPairs]]). The candidate join stays linear
     * in bucket sizes; each verified pair is exact cosine.
+    *
+    * `nBits = 0` (the default) derives the signature width from the
+    * corpus count via [[adaptiveBits]] — one count(*) job, O(files)
+    * parquet-footer work — so bucket occupancy tracks the corpus and the
+    * full-expansion recall contract survives 100 TB corpora that would
+    * saturate any fixed keyspace. Pass an explicit `nBits > 0` to pin it.
+    *
+    * The pair pipeline is payload-light: candidate generation windows
+    * over (bucket, id) ONLY — never holding vectors in the sliding
+    * frame, where a 768-dim float payload would put ~1.5 MB behind every
+    * row — then pairs are deduped across bands and the two vectors are
+    * re-joined (hash join on id, ≤ 2·|pairs| vector lookups) for the
+    * exact-cosine verification.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nBits: Int = 8, bands: Int = 4,
-      chainK: Int = 16,
+      dim: Int, threshold: Double, nBits: Int = 0, bands: Int = 4,
+      chainK: Int = Dedup.DefaultChainK,
       hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold): DataFrame = {
+    val bits = if (nBits > 0) nBits else adaptiveBits(df.count(), hotBucketThreshold)
     val bandSigs = (0 until bands).map { bnd =>
-      val bits = (0 until nBits).map { p =>
+      val bitCols = (0 until bits).map { p =>
         val plane = array((0 until dim).map(d =>
-          lit(planeValue(bnd * nBits + p, d))): _*)
+          lit(planeValue(bnd * bits + p, d))): _*)
         when(dot(col("__v"), plane) > 0, lit(1L << p)).otherwise(0L)
       }
-      struct(lit(bnd).as("band"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+      struct(lit(bnd).as("band"), bitCols.reduce(_.bitwiseOR(_)).as("sig"))
     }
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .select(col("__id"), col("__v"),
-        explode(array(bandSigs: _*)).as("__bucket"))
+      .select(col("__id"), explode(array(bandSigs: _*)).as("__bucket"))
     // hot-bucket cap (see Dedup.cappedBucketPairs): buckets up to
     // hotBucketThreshold members expand to ALL pairs — the OR-amplified
     // recall contract holds regardless of id adjacency — while a
     // degenerate corpus (millions of identical embeddings → one bucket
-    // per band) costs O(n·chainK) chained pairs, not O(n²); chaining
-    // keeps a duplicate CLUSTER connected for connectedComponents, at
-    // the cost of far-apart direct pairs inside that oversized bucket
-    Dedup.cappedBucketPairs(sig, Seq("__bucket"), "__id", Some("__v"),
-      chainK, hotBucketThreshold)
+    // per band, no matter how many bits) costs O(n·chainK) chained
+    // pairs, not O(n²); chaining keeps a duplicate CLUSTER connected
+    // for connectedComponents, at the cost of far-apart direct pairs
+    // inside that oversized bucket. distinct() BEFORE the vector
+    // re-join: a pair agreeing on several bands verifies once.
+    val idPairs = Dedup.cappedBucketPairs(sig, Seq("__bucket"), "__id",
+      None, chainK, hotBucketThreshold).distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__pa"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__pb"))
+    idPairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("sim", round(cosine(col("__pa"), col("__pb")), 4))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim").distinct()
+      .select("id_a", "id_b", "sim")
   }
 }

@@ -375,7 +375,7 @@ object OpsQueries {
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ranked a JOIN ranked b ON a.b = b.b AND a.bucket = b.bucket
-          AND b.rn > a.rn AND (a.bsz <= 256 OR b.rn <= a.rn + 16)
+          AND b.rn > a.rn AND (a.bsz <= ${Dedup.DefaultHotBucketThreshold} OR b.rn <= a.rn + ${Dedup.DefaultChainK})
         GROUP BY 1, 2),
       ver AS (
         SELECT id_a, id_b,
@@ -417,7 +417,7 @@ object OpsQueries {
         FROM blocked)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM ranked a JOIN ranked b ON a.c = b.c AND a.key = b.key
-        AND b.rn > a.rn AND (a.bsz <= 256 OR b.rn <= a.rn + 16)
+        AND b.rn > a.rn AND (a.bsz <= ${Dedup.DefaultHotBucketThreshold} OR b.rn <= a.rn + ${Dedup.DefaultChainK})
       WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 8
       ORDER BY id_a, id_b

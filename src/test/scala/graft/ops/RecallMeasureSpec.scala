@@ -45,6 +45,75 @@ class RecallMeasureSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptiveBits sizes the keyspace to the corpus and clamps to [4,24]") {
+    assert(Similarity.adaptiveBits(0L, 256) == 4)
+    assert(Similarity.adaptiveBits(2000L, 256) == 6)       // 2000/32 -> 5.97 bits
+    assert(Similarity.adaptiveBits(100000L, 256) == 12)    // 100k/32 -> 11.61 bits
+    assert(Similarity.adaptiveBits(1000000L, 256) == 15)
+    assert(Similarity.adaptiveBits(1000000000000L, 256) == 24) // clamp
+    assert(Similarity.adaptiveBits(100000L, 64) == 14)     // tighter occupancy target
+  }
+
+  test("embedding near-dup recall survives a corpus that saturates the fixed 8-bit keyspace") {
+    // The round-8/9 review finding: at a FIXED nBits=8 the cosine-LSH
+    // blocking has bands x 256 buckets forever, so past ~65k vectors
+    // every bucket exceeds the 256-member hot threshold and pair
+    // generation degrades to id-successor chaining — planted twins sit
+    // ~n/2 ids apart, far beyond chainK, and direct-pair recall
+    // collapses. Occupancy-adaptive bits (the round-10 fix) must keep
+    // measured recall >= 0.9 on exactly such a corpus, at defaults.
+    val nBase = 50000L
+    val dim = 8
+    // deterministic pseudo-random base vectors in [-1,1]; each base i
+    // gets a twin at id i+1,000,000 with a tiny uniform nudge (cosine
+    // ~0.9999 — angle perturbation |0.004*sqrt(dim)| / |v| ~ 0.01 rad)
+    val vec = expr(s"transform(sequence(0, ${dim - 1}), " +
+      "d -> cast(xxhash64(concat(cast(id as string), ':', cast(d as string))) as double) " +
+      "/ 9.223372036854775807e18)")
+    val base = spark.range(nBase).select(col("id").as("vec_id"), vec.as("v"))
+    val corpus = base.unionByName(base
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("v", expr("transform(v, x -> x + 0.004)")))
+
+    // premise check: at the OLD fixed 8-bit keyspace most of the corpus
+    // sits in hot (> threshold) buckets, so pair generation chains.
+    // Sign-pattern buckets are heavily SKEWED (correlated pseudo-random
+    // planes: measured min=1 max=4910 here), so "every bucket hot" is
+    // not the right premise — hot-MASS fraction is. Deterministic data
+    // + deterministic planes make this a constant.
+    val fixedSig = corpus.select(
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          (0 until 8).map { p =>
+            val plane = array((0 until dim).map(d =>
+              lit(Similarity.planeValue(bnd * 8 + p, d))): _*)
+            when(Similarity.dot(col("v"), plane) > 0, lit(1L << p)).otherwise(0L)
+          }.reduce(_.bitwiseOR(_)).as("sig"))): _*)).as("b"))
+    val bsz = fixedSig.groupBy("b").count()
+    val hotMass = bsz.agg(
+      (sum(when(col("count") > Dedup.DefaultHotBucketThreshold, col("count"))
+        .otherwise(0L)) / sum(col("count"))).as("f")).head().getDouble(0)
+    info(f"fixed 8-bit keyspace: hot-bucket mass fraction = $hotMass%.3f")
+    assert(hotMass > 0.5, "premise: most corpus mass must sit in hot buckets at 8 bits")
+
+    // planted ground truth is exact by construction (all twins >= 0.95)
+    def recallOf(bits: Int): Double = {
+      val found = Similarity.cosineNearDupPairs(corpus, "vec_id", "v",
+          dim = dim, threshold = 0.95, nBits = bits)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select("id_a").distinct().count()
+      found.toDouble / nBase
+    }
+    val fixed = recallOf(8)     // the saturated keyspace: chained pairs
+    val adaptive = recallOf(0)  // occupancy-adaptive (the round-10 fix)
+    // measured ladder on this corpus (kept for the occupancy-target
+    // rationale in Similarity.adaptiveBits): 10 bits -> 0.8324,
+    // 11 -> 0.9372, 12 -> 0.9836, 13 -> 0.9963, 14 -> 0.9994
+    info(f"planted-pair recall: fixed8=$fixed%.4f adaptive=$adaptive%.4f")
+    assert(fixed < 0.5, f"fixed-keyspace recall $fixed%.3f unexpectedly high — premise broken")
+    assert(adaptive >= 0.9, f"adaptive direct-pair recall $adaptive%.3f < 0.9")
+  }
+
   test("simhash planted-twin recall clears the gate bound at every SF") {
     for (dir <- sfDirs) {
       val corpus = OpsQueries.plantedDocs(spark, dir)
