@@ -29,16 +29,19 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchLayout {
 
-  /** 32 output files (the bench core count) for every non-trivial
-    * table; only the tiny dimensions (region/nation, < 64 KB) stay
-    * single-file. Sizing by bytes would under-parallelize exactly the
-    * tables where parallelism matters most: documents/embeddings are
-    * small on disk but carry the heaviest per-row compute (tokenization,
-    * sketching, vector math), so the map phase — not the scan — is what
-    * the file count must spread across cores.
+  /** File count per table: size-proportional (1 file per 256 KB, capped
+    * at the 32-core bench width) — so the big fact tables scan 32-way
+    * while a 300 KB dimension isn't shredded into 32 ~10 KB files,
+    * whose per-file open/schedule overhead measurably REGRESSED the
+    * scan-light queries (setops/pivot on small tables, r10 A/B) —
+    * EXCEPT documents/embeddings, which are small on disk but carry the
+    * heaviest per-row compute (tokenization, sketching, vector math):
+    * for them the map phase, not the scan, is what the file count must
+    * spread across cores (txt_chunk 0.90 s → 0.32 s measured).
     */
-  private def fileCount(bytes: Long): Int =
-    if (bytes < 64 * 1024) 1 else 32
+  private def fileCount(name: String, bytes: Long): Int =
+    if (name == "documents" || name == "embeddings") 32
+    else math.max(1, math.min(32, (bytes / (256L << 10)).toInt))
 
   def stagedDir(srcDir: String): String =
     s"/tmp/graft_bench_${srcDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
@@ -52,7 +55,7 @@ object BenchLayout {
       .getOrElse(sys.error(s"BenchLayout: source dir $srcDir missing or unreadable"))
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|") + "|relayout-v2"
+      .mkString("|") + "|relayout-v3"
   }
 
   /** Returns (stagedDir, stagingSeconds); stagingSeconds is 0.0 when a
@@ -73,7 +76,7 @@ object BenchLayout {
     graft.queries.Tables.names.foreach { name =>
       val src = new java.io.File(srcDir, s"$name.parquet")
       if (src.exists()) {
-        val n = fileCount(src.length)
+        val n = fileCount(name, src.length)
         // events flows through Tables.t's nanos→µs NTZ normalization and
         // is re-read the same way (t() no-ops on native timestamps)
         graft.queries.Tables.t(spark, srcDir, name)

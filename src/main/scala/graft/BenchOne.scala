@@ -22,10 +22,13 @@ object BenchOne {
       })
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // SPARK_GRAFT_RAW=1 times against the raw single-row-group fixtures
-    // instead of the staged scan-parallel layout (see BenchLayout)
-    val dir =
+    // instead of the staged scan-parallel layout (see BenchLayout);
+    // SPARK_GRAFT_DIR=<path> points at any corpus (e.g. the scale10
+    // replica under /tmp) and wins over both
+    val dir = sys.env.get("SPARK_GRAFT_DIR").getOrElse {
       if (sys.env.get("SPARK_GRAFT_RAW").contains("1")) "/root/testdata/sf0.1"
       else BenchLayout.prepare(spark, "/root/testdata/sf0.1")._1
+    }
     args.foreach { name =>
       (1 to iters).foreach { i =>
         val t0 = System.nanoTime()

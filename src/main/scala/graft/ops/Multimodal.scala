@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batches).
   *
   * The Spark-side plumbing — schemas, batch iteration, partition
-  * preservation (no shuffle), output typing — is real and tested. The
-  * codec calls themselves are STUBBED with a deterministic fake (this
-  * container has no image/audio libraries): `FakeCodec` derives metadata
-  * and features from the payload bytes. Swap `FakeCodec` for a real
-  * JNI/javacv codec at deployment; every signature stays the same.
+  * preservation (no shuffle), output typing — is real and tested.
+  * Metadata decode is a real container-header parse for the public
+  * PNG / BMP / GIF / WAV formats ([[HeaderCodec]] — pure JVM, no
+  * libraries); payloads with no recognized magic fall back to a
+  * DOCUMENTED deterministic pseudo-decode derived from the bytes
+  * ([[Codec.syntheticMeta]]) so text-backed plumbing fixtures still
+  * produce stable, oracle-checkable metadata. Pixel/sample-level
+  * decoding of compressed streams (JPEG entropy decode, video codecs)
+  * needs native libraries this container doesn't ship — swap
+  * [[Codec]] for a JNI/javacv implementation at deployment; every
+  * signature stays the same.
   */
 object Multimodal {
 
@@ -26,12 +32,117 @@ object Multimodal {
 
   final case class MediaFeatures(media_id: Long, features: Array[Float])
 
-  /** STUB codec: deterministic pseudo-decode from payload bytes. A real
-    * implementation would call an image/audio/video library here (`???`
-    * boundary); everything around it is production-shaped.
+  /** Pure-JVM container-header parser for the public image/audio
+    * formats whose metadata lives in a fixed-layout header: PNG (IHDR
+    * chunk), BMP (BITMAPINFOHEADER), GIF (logical screen descriptor),
+    * WAV (RIFF fmt/data chunks). Byte-level parsing against the
+    * published format specs — no imaging libraries, so it runs in any
+    * executor JVM. Returns None for unrecognized payloads; magic
+    * checks are strict enough that arbitrary text can't false-match
+    * (the 2-byte "BM" magic is additionally validated by the DIB
+    * header-size field, whose legal values no 4 ASCII bytes decode to).
     */
-  object FakeCodec {
-    def decodeMeta(r: MediaRow): MediaMeta = {
+  object HeaderCodec {
+    final case class Parsed(width: Int, height: Int, nChannels: Int,
+        nFrames: Int, durationMs: Long)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (must be first per
+      * spec): width/height big-endian u32 at 16/20, bit depth at 24,
+      * color type at 25 → channel count.
+      */
+    private def png(b: Array[Byte]): Option[Parsed] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (b.length < 26 || !b.startsWith(sig) || !ascii(b, 12, "IHDR")) return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      val channels = u8(b, 25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      Some(Parsed(w.toInt, h.toInt, channels, 1, 0L))
+    }
+
+    /** BMP: "BM" + BITMAPINFOHEADER (or a later even-larger DIB
+      * header). The 2-byte magic alone would false-match text, so the
+      * DIB header size at offset 14 must be one of the published
+      * values — four ASCII bytes little-endian decode to ≥ 0x20202020,
+      * never in that set.
+      */
+    private def bmp(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 30 || !ascii(b, 0, "BM")) return None
+      val dib = le32(b, 14)
+      if (!Set(40L, 52L, 56L, 108L, 124L).contains(dib)) return None
+      val w = le32(b, 18).toInt
+      val h = math.abs(le32(b, 22).toInt) // negative height = top-down rows
+      val bits = le16(b, 28)
+      if (w <= 0 || h == 0 || bits == 0) return None
+      Some(Parsed(w, h, math.max(1, bits / 8), 1, 0L))
+    }
+
+    /** GIF: "GIF87a"/"GIF89a" + logical screen descriptor (u16 LE
+      * width/height at 6/8). Frame count would need a full block walk;
+      * reported as 1 (the screen), like `identify`'s fast path.
+      */
+    private def gif(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 10 || !(ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))) return None
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w == 0 || h == 0) return None
+      Some(Parsed(w, h, 3, 1, 0L))
+    }
+
+    /** WAV: RIFF container tagged WAVE; walk chunks for "fmt "
+      * (channels u16 at +2, byte rate u32 at +8 inside the chunk) and
+      * "data" (payload size → duration = size · 1000 / byteRate).
+      */
+    private def wav(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 44 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+      var off = 12
+      var channels = 0; var byteRate = 0L; var dataBytes = -1L
+      while (off + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
+        val size = le32(b, off + 4)
+        if (ascii(b, off, "fmt ") && off + 20 <= b.length) {
+          channels = le16(b, off + 10)
+          byteRate = le32(b, off + 16)
+        } else if (ascii(b, off, "data")) {
+          dataBytes = size
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        if (size <= 0) return None
+      }
+      if (channels <= 0 || byteRate <= 0) return None
+      val dur = if (dataBytes >= 0) dataBytes * 1000L / byteRate else 0L
+      Some(Parsed(0, 0, channels, 1, dur))
+    }
+
+    def decode(b: Array[Byte]): Option[Parsed] =
+      png(b).orElse(bmp(b)).orElse(gif(b)).orElse(wav(b))
+  }
+
+  /** Codec: real header parse where the payload carries a recognized
+    * container ([[HeaderCodec]]); otherwise a deterministic
+    * pseudo-decode derived from the payload bytes, so text-backed
+    * plumbing fixtures produce stable, oracle-checkable metadata.
+    * Feature extraction is a content-digest projection (stable across
+    * engines); swap for a learned embedding model at deployment.
+    */
+  object Codec {
+    /** Deterministic fallback for unrecognized payloads (documented —
+      * this is a fixture path, not a hidden guess at real media).
+      */
+    def syntheticMeta(r: MediaRow): MediaMeta = {
       val len = r.payload.length.toLong
       val first = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
       val frames = r.media_type match {
@@ -46,6 +157,12 @@ object Multimodal {
         n_frames = frames,
         duration_ms = if (r.media_type == "image") 0L else len % 60000L,
         size_bytes = len)
+    }
+
+    def decodeMeta(r: MediaRow): MediaMeta = HeaderCodec.decode(r.payload) match {
+      case Some(p) => MediaMeta(r.media_id, r.media_type, p.width, p.height,
+        p.nChannels, p.nFrames, p.durationMs, r.payload.length.toLong)
+      case None => syntheticMeta(r)
     }
 
     /** 8-dim feature vector from a stable digest of the payload. */
@@ -70,8 +187,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // batch boundary: a real codec would decode `batch` as one unit
-        batch.iterator.map(FakeCodec.decodeMeta)
+        // batch boundary: a deployment codec decodes `batch` as one unit
+        batch.iterator.map(Codec.decodeMeta)
       }
     }
   }
@@ -79,7 +196,7 @@ object Multimodal {
   /** Feature extraction (e.g. embedding) per media row, batch-shaped. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 256): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(FakeCodec.features)))
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(Codec.features)))
   }
 
   /** Frame sampling for videos: one row per sampled frame index, stride

@@ -349,9 +349,18 @@ object Tpch {
     ("q13_customer_distribution", (s: SparkSession, dir: String) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
-      c.join(o, col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
+      // aggregate BELOW the join (Catalyst doesn't push aggregates
+      // through joins itself): per-custkey order counts first — one
+      // map-side-combined shuffle of orders collapsing to ≤|customer|
+      // rows — then a left join against customer, which AQE can
+      // broadcast. The textbook join-then-groupBy shape shuffles the
+      // full orders table into the join AND re-shuffles the joined rows
+      // for the per-custkey count; the LEFT JOIN count(o_orderkey)
+      // semantics (customers with no orders count 0) survive as
+      // coalesce(cnt, 0)
+      val oc = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("__oc"))
+      c.join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("__oc"), lit(0L)).as("c_count"))
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)

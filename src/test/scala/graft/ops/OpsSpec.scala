@@ -155,8 +155,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("resize stub truncates/pads to target") {
-    assert(Multimodal.FakeCodec.resize(Array[Byte](1, 2, 3), 2).toSeq == Seq[Byte](1, 2))
-    assert(Multimodal.FakeCodec.resize(Array[Byte](1), 3).toSeq == Seq[Byte](1, 0, 0))
+    assert(Multimodal.Codec.resize(Array[Byte](1, 2, 3), 2).toSeq == Seq[Byte](1, 2))
+    assert(Multimodal.Codec.resize(Array[Byte](1), 3).toSeq == Seq[Byte](1, 0, 0))
+  }
+
+  test("header codec parses real PNG/BMP/GIF/WAV headers and rejects text") {
+    import Multimodal.{Codec, HeaderCodec, MediaRow}
+    def be32(v: Long): Seq[Byte] =
+      Seq(24, 16, 8, 0).map(s => ((v >> s) & 0xff).toByte)
+    def le32(v: Long): Seq[Byte] =
+      Seq(0, 8, 16, 24).map(s => ((v >> s) & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+    // PNG: signature + IHDR(len=13) with 640x480, bit depth 8, RGBA
+    val png = (Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes.toSeq ++ be32(640) ++ be32(480) ++
+      Seq[Byte](8, 6, 0, 0, 0)).toArray
+    assert(HeaderCodec.decode(png).contains(HeaderCodec.Parsed(640, 480, 4, 1, 0L)))
+
+    // BMP: BITMAPFILEHEADER + BITMAPINFOHEADER(40), 320 x -200 (top-down), 24bpp
+    val bmp = ("BM".getBytes.toSeq ++ le32(14 + 40) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(320) ++ le32(-200L & 0xffffffffL) ++ le16(1) ++ le16(24) ++
+      Seq.fill(24)(0.toByte)).toArray
+    assert(HeaderCodec.decode(bmp).contains(HeaderCodec.Parsed(320, 200, 3, 1, 0L)))
+
+    // GIF89a 1024x768
+    val gif = ("GIF89a".getBytes.toSeq ++ le16(1024) ++ le16(768) ++
+      Seq[Byte](0, 0, 0, 0)).toArray
+    assert(HeaderCodec.decode(gif).contains(HeaderCodec.Parsed(1024, 768, 3, 1, 0L)))
+
+    // WAV: RIFF/WAVE, fmt (PCM stereo 44100 Hz, byteRate 176400), 2s of data
+    val dataBytes = 352800L
+    val wav = ("RIFF".getBytes.toSeq ++ le32(36 + dataBytes) ++ "WAVE".getBytes.toSeq ++
+      "fmt ".getBytes.toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes.toSeq ++ le32(dataBytes)).toArray
+    assert(HeaderCodec.decode(wav).contains(HeaderCodec.Parsed(0, 0, 2, 1, 2000L)))
+
+    // text (incl. text starting with the 2-byte BM magic) falls back to
+    // the documented deterministic pseudo-decode, not a bogus parse
+    val text = "BMW makes cars, and this is plainly text long enough to matter".getBytes
+    assert(HeaderCodec.decode(text).isEmpty)
+    val row = MediaRow(7L, "image", text)
+    assert(Codec.decodeMeta(row) == Codec.syntheticMeta(row))
+    // and the real parse wins when the payload IS a container
+    assert(Codec.decodeMeta(MediaRow(8L, "image", png)).width == 640)
   }
 
   test("salted join equals plain join") {
@@ -367,6 +410,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cp.agg(min("sim")).head.getDouble(0) == 1.0)
     assert(Dedup.connectedComponents(cp.select("id_a", "id_b"), "id_a", "id_b")
       .select(countDistinct("component")).head.getLong(0) == 1L)
+
+    // payload-light pin (round 10): the candidate window frames hold
+    // (bucket, id) ONLY — a vector payload behind every frame row would
+    // put dim × 8 bytes × up to threshold-1 structs per row in the
+    // window state (~1.5 MB/row at dim=768). The vectors re-join AFTER
+    // the id-pair distinct, so no Window operator may see the vector
+    // column.
+    val windowLines = cp.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Window"))
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(l => !l.contains("__v")),
+      s"vector payload leaked into the window frame:\n${windowLines.mkString("\n")}")
   }
 
   test("cappedBucketPairs: full expansion below the hot threshold, chain above, no self-pairs") {
