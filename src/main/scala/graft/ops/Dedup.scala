@@ -609,7 +609,13 @@ object Dedup {
       // scan the same localCheckpointed blocks, each step computed ONCE.
       // All three boundaries stay lazy until labelSum's single action.
       // (Measured at 1M vertices: ~2.4× faster rounds than one boundary
-      // per round; batching 2 rounds per boundary is 1.5× SLOWER.)
+      // per round; batching 2 rounds per boundary is 1.5× SLOWER. Third
+      // measured dead end, round 10: freshening ps instead of hooked —
+      // so shortcut's two references each rebuild `labels ⟕ psF` and the
+      // V-row hook boundary disappears — is 19.7 s → 22.0 s on the
+      // 1M-path (graft.CCBench): the doubled hook-join evaluation costs
+      // more than the one saved V-row copy+localCheckpoint, even with
+      // the vote side broadcast. The hooked boundary stays.)
       val next = freshen(shortcut(freshen(hooked)))
       val curSum = labelSum(next)
       labels = next

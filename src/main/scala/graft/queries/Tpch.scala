@@ -268,11 +268,19 @@ object Tpch {
         .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-07-01")
       val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val n = t(s, dir, "nation")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(n, col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      // aggregate below the customer join: per-custkey revenue from the
+      // (orders ⋈ lineitem) fact side first — the grouping key set
+      // (c_custkey, c_name, c_acctbal, n_name) is functionally custkey
+      // alone, so hauling the wide customer attributes through the fact
+      // shuffle AND the aggregation hash table only inflates both; the
+      // post-agg join carries |customers| narrow rows
+      val perCust = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
         .agg(round(sum(rev), 2).as("revenue"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }, """
