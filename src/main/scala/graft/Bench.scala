@@ -25,6 +25,7 @@ object Bench {
         "lake_scan_agg", "lake_mor_deletes", "lake_encrypted_scan",
         "lake_partition_prune", "lake_transform_prune",
         "pipe_curation", "pipe_pack_batches", "pipe_split_hash",
+        "pipe_weighted_sample",
         "pipe_mix_epochs",
         "agg_quantiles", "agg_stats_funcs", "w_distribution_funcs",
         "ev_pivot_type",
@@ -83,9 +84,14 @@ object Bench {
     // TPC-H Q11's fixed threshold fraction legitimately filters
     // everything at higher SFs (the spec scales it by 1/SF)
     val mayBeEmpty = Set("q11_important_parts")
+    // 2 warmup passes by default: a single pass under-warms the
+    // many-operator queries (a setop chain compiles ~a dozen codegen
+    // stages; measured minima kept falling through iteration 5 with one
+    // warmup — min-of-N was reading JIT compilation, not the plan)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt
     names.foreach { n =>
       try {
-        run(n) // same plan as the timed runs -> codegen/caches fully warm
+        (1 to warmups).foreach(_ => run(n)) // codegen/caches/JIT fully warm
         val df = SparkEntry.queries(n)(spark, dataDir)
         if (!mayBeEmpty(n) && df.isEmpty)
           System.err.println(s"[bench] WARN $n returned 0 rows")

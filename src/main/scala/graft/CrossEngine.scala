@@ -36,6 +36,13 @@ object CrossEngine {
     if (rs.isEmpty) return None
     val geo = math.exp(rs.map(r => math.log(r._2)).sum / rs.size)
     val med = rs.map(_._2).sorted.apply(rs.size / 2)
+    // the reference's per-query ★ bands (benchmark/src/main.rs:154-164):
+    // <1.5x = 3 stars, <3x = 2, <5x = 1, else 0 — reported as counts so
+    // the artifact is directly comparable to the reference's report form
+    def band(r: Double): Int =
+      if (r < 1.5) 3 else if (r < 3.0) 2 else if (r < 5.0) 1 else 0
+    val bands = (0 to 3).map(b => b -> rs.count(r => band(r._2) == b)).toMap
+    val bandsJson = f""""bands":{"3star":${bands(3)},"2star":${bands(2)},"1star":${bands(1)},"0star":${bands(0)}}"""
     val stale = expectedFingerprint.exists(fp =>
       Option(root.get("layout_fingerprint")).map(_.asText) != Some(fp))
     val staleJson = if (stale) ""","stale":true""" else ""
@@ -43,7 +50,7 @@ object CrossEngine {
       .mkString("{", ",", "}")
     val full = f"""{"recorded_unix":${root.get("recorded_unix").asLong},""" +
       f""""duckdb_version":"${root.get("duckdb_version").asText}",""" +
-      f""""n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f$staleJson,""" +
+      f""""n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson,""" +
       s""""note":"$note","queries":$qjson}"""
     val short = f"""{"n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f$staleJson}"""
     Some((short, full))

@@ -113,14 +113,22 @@ object Multimodal {
       var channels = 0; var byteRate = 0L; var dataBytes = -1L
       while (off + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
         val size = le32(b, off + 4)
+        // a corrupt size of 0 (no forward progress) or beyond the payload
+        // (incl. > Int.MaxValue, whose toInt wraps NEGATIVE and would
+        // cycle `off` forever) ends the walk; the trailing data chunk's
+        // size may legitimately exceed a truncated buffer, so it still
+        // counts for the duration before the walk stops
         if (ascii(b, off, "fmt ") && off + 20 <= b.length) {
           channels = le16(b, off + 10)
           byteRate = le32(b, off + 16)
         } else if (ascii(b, off, "data")) {
           dataBytes = size
         }
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-        if (size <= 0) return None
+        if (size <= 0 || size > b.length.toLong) {
+          off = b.length // terminate; fields parsed so far stand
+        } else {
+          off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
       }
       if (channels <= 0 || byteRate <= 0) return None
       val dur = if (dataBytes >= 0) dataBytes * 1000L / byteRate else 0L

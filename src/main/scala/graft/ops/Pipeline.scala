@@ -62,6 +62,31 @@ object Pipeline {
     df.filter(hashBucket(keyCol) <= thr)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement: the `k` rows
+    * per stratum with the largest Efraimidis–Spirakis priorities
+    * u^(1/w) — each row's inclusion probability is proportional to its
+    * weight (importance sampling by a quality score is the canonical
+    * use). u derives from md5(key): 12 hex nibbles → a 48-bit integer
+    * (exact in a double) → u ∈ (0,1]; ranking uses the monotone
+    * transform ln(u)/w ROUNDED to 9 decimals with the key as tiebreak,
+    * so the DuckDB oracle — same md5, same nibble arithmetic —
+    * reproduces the exact sample (the rounding absorbs last-ulp ln()
+    * differences between libm implementations). One shuffle: the
+    * per-stratum top-k window. No RNG state, stable across runs and
+    * retries, and membership survives corpus growth only losing to
+    * strictly-higher-priority newcomers.
+    */
+  def weightedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val v = conv(substring(md5(keyCol.cast("string")), 1, 12), 16, 10).cast("double")
+    val u = (v + 1.0) / 281474976710656.0 // 2^48
+    val pri = round(log(u) / weightCol, 9)
+    val w = Window.partitionBy(stratumCol).orderBy(pri.desc, keyCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Exact running total of `value` over the total order `order` (which
     * must be total — include a unique tiebreaker), appended as column
     * `out` (LongType).

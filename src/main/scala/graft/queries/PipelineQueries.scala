@@ -72,6 +72,40 @@ object PipelineQueries {
     """),
 
     // ---------------------------------------------------------------
+    // Weighted sampling (A-ES): inclusion ∝ n_chars per language — the
+    // importance-sampling primitive for quality-score-weighted corpus
+    // subsets. The md5→48-bit→ln(u)/w priority is reproduced nibble-by-
+    // nibble in the oracle, so the EXACT sample membership is the gate.
+    // ---------------------------------------------------------------
+
+    ("pipe_weighted_sample", (s: SparkSession, dir: String) => {
+      Pipeline.weightedSample(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), col("n_chars").cast("double"), k = 40)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    }, {
+      // 48-bit integer from the first 12 md5 hex nibbles, exactly as the
+      // Scala side's conv(substring(md5, 1, 12), 16, 10)
+      val nibbleSum = (1 to 12).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 12 - i).toLong}e0")
+        .mkString(" + ")
+      s"""
+      WITH pri AS (
+        SELECT lang, doc_id, n_chars,
+          round(ln((($nibbleSum) + 1) / 281474976710656.0)
+            / CAST(n_chars AS DOUBLE), 9) AS p
+        FROM (SELECT lang, doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)),
+      ranked AS (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rn
+        FROM pri)
+      SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 40
+      ORDER BY lang, doc_id
+    """
+    }),
+
+    // ---------------------------------------------------------------
     // Benchmark decontamination: train docs sharing a word 4-gram with
     // the (small, broadcast) eval split — the audit run before a corpus
     // release. Train side: scan + explode + broadcast semi lookup, no

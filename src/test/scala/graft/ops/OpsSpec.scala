@@ -200,6 +200,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Codec.decodeMeta(row) == Codec.syntheticMeta(row))
     // and the real parse wins when the payload IS a container
     assert(Codec.decodeMeta(MediaRow(8L, "image", png)).width == 640)
+
+    // fuzz: arbitrary bytes must never throw — including truncated/
+    // corrupted payloads that START with each real magic (the dangerous
+    // class: parsers past the magic check reading fields near the end)
+    val rnd = new scala.util.Random(1234)
+    val magics = Seq(
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      "BM".getBytes, "GIF89a".getBytes, "RIFF".getBytes)
+    for (trial <- 1 to 2000) {
+      val len = rnd.nextInt(80)
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (trial % 4 != 0 && len > 0) {
+        val m = magics(rnd.nextInt(magics.length))
+        System.arraycopy(m, 0, b, 0, math.min(m.length, len))
+      }
+      HeaderCodec.decode(b) // must not throw; result validity untested here
+    }
   }
 
   test("salted join equals plain join") {

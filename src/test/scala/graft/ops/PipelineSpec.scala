@@ -78,6 +78,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampled.join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("weightedSample: k per stratum, deterministic, inclusion tracks weight") {
+    import spark.implicits._
+    // two strata; weights 100 vs 1 in stratum A — the heavy rows should
+    // dominate a k=50-of-200 sample (A-ES: P(heavy beats light) = w/(w+1))
+    val rows = (0L until 200L).map(i => ("A", i, if (i < 100) 100.0 else 1.0)) ++
+      (200L until 260L).map(i => ("B", i, 1.0))
+    val df = rows.toDF("stratum", "id", "wt")
+    val s1 = Pipeline.weightedSample(df, col("stratum"), col("id"), col("wt"), k = 50)
+    val s2 = Pipeline.weightedSample(df, col("stratum"), col("id"), col("wt"), k = 50)
+    // deterministic across invocations
+    assert(s1.collect().map(_.getLong(1)).sorted.toSeq ==
+      s2.collect().map(_.getLong(1)).sorted.toSeq)
+    val a = s1.filter(col("stratum") === "A").collect().map(_.getLong(1))
+    assert(a.length == 50)
+    // heavy rows (ids < 100, weight 100x) should take nearly every slot
+    assert(a.count(_ < 100L) >= 45, s"heavy-row count ${a.count(_ < 100L)} of 50")
+    // stratum B has 60 rows, all weight 1: exactly k survive, all from B
+    val b = s1.filter(col("stratum") === "B").count()
+    assert(b == 50)
+    // a stratum smaller than k keeps everything
+    val tiny = Pipeline.weightedSample(df.filter(col("stratum") === "B"),
+      col("stratum"), col("id"), col("wt"), k = 100)
+    assert(tiny.count() == 60)
+  }
+
   test("contaminatedDocs flags planted eval overlap and nothing else") {
     import spark.implicits._
     val train = Seq(
