@@ -36,7 +36,7 @@ object ScaleBench {
   val heavy: Seq[String] = Seq(
     "q09_product_profit", "q13_customer_distribution", "q18_large_orders",
     "dedup_minhash", "dedup_exact", "pipe_curation", "txt_lm_score",
-    "txt_tfidf_keywords",
+    "txt_tfidf_keywords", "pipe_weighted_sample",
     // the widest join chain (6 tables, self-joined CTE) and the
     // full-outer + cumulative-window stack — replicas share p_brand
     // values, so every (brand, week) window partition is 10× hotter
