@@ -33,7 +33,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--")
+                and not a.startswith("--sub="))
+    # --sub=NAME:OLD:NEW (repeatable): literal substring replacement in one
+    # query's SQL before timing. Used by the scale10 recording to scale
+    # scale-sensitive literals (q20's HAVING qty > 50 passes every supplier
+    # at 10x replication) identically to ScaleBench's Spark side; the
+    # substitutions are recorded in the payload for auditability.
+    subs = [a[len("--sub="):].split(":", 2)
+            for a in sys.argv[1:] if a.startswith("--sub=")]
     sf_dir, out_dir = pos[0], pos[1]
     dest = pos[2] if len(pos) > 2 else f"{out_dir}/duckdb_times.json"
     prefixes = opts["only"].split(",") if "only" in opts else None
@@ -50,6 +58,10 @@ def main():
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
         sql = oracle[name]
+        for s_name, s_old, s_new in subs:
+            if s_name == name:
+                assert s_old in sql, f"--sub: {s_old!r} not in {name}"
+                sql = sql.replace(s_old, s_new)
         try:
             con.execute(sql).fetchall()  # warmup (page cache, catalog)
             best = float("inf")
@@ -71,6 +83,7 @@ def main():
         "threads": os.cpu_count(),
         "protocol": "per query: 1 warmup, then min of 3 execute+fetchall",
         "skipped": skipped,
+        "substitutions": {n: f"{o} -> {w}" for n, o, w in subs},
         "times": times,
     }
     if "marker" in opts:

@@ -443,11 +443,15 @@ object Dedup {
     * (default) sizes the LSH keyspace to the corpus
     * ([[Similarity.adaptiveBits]]) so bucket occupancy — and with it
     * the full-expansion recall contract — survives corpora that would
-    * saturate a fixed keyspace.
+    * saturate a fixed keyspace; pass `knownCount` (e.g. the lake
+    * catalog's exact record_count) to avoid the extra count() pass
+    * that sizing otherwise needs.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nBits: Int = 0): DataFrame = {
-    val pairs = Similarity.cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nBits)
+      threshold: Double, nBits: Int = 0,
+      knownCount: Option[Long] = None): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(df, idCol, vecCol, dim, threshold,
+      nBits, knownCount = knownCount)
     // min-label propagation converges to each component's minimum id, so
     // the kept representative is exactly the row whose label is itself
     connectedComponents(pairs.select(col("id_a"), col("id_b")), "id_a", "id_b",

@@ -86,10 +86,13 @@ object Multimodal {
       val dib = le32(b, 14)
       if (!Set(40L, 52L, 56L, 108L, 124L).contains(dib)) return None
       val w = le32(b, 18).toInt
-      val h = math.abs(le32(b, 22).toInt) // negative height = top-down rows
+      // negative height = top-down rows; abs over a LONG because
+      // math.abs(Int.MinValue) stays negative (0x80000000 would
+      // otherwise slip past the h == 0 check as negative metadata)
+      val h = math.abs(le32(b, 22).toInt.toLong)
       val bits = le16(b, 28)
-      if (w <= 0 || h == 0 || bits == 0) return None
-      Some(Parsed(w, h, math.max(1, bits / 8), 1, 0L))
+      if (w <= 0 || h == 0 || h > Int.MaxValue || bits == 0) return None
+      Some(Parsed(w, h.toInt, math.max(1, bits / 8), 1, 0L))
     }
 
     /** GIF: "GIF87a"/"GIF89a" + logical screen descriptor (u16 LE

@@ -81,7 +81,17 @@ object Pipeline {
     require(k >= 1, "k must be at least 1")
     val v = conv(substring(md5(keyCol.cast("string")), 1, 12), 16, 10).cast("double")
     val u = (v + 1.0) / 281474976710656.0 // 2^48
-    val pri = round(log(u) / weightCol, 9)
+    // PRECONDITION: weights strictly positive. w = 0 yields -Infinity
+    // priorities (or NaN at u = 1) and w < 0 flips the ln(u)/w ordering —
+    // both corrupt the sample silently and risk Spark/DuckDB NaN-ordering
+    // divergence, so the guard fails the job instead (assert_true is
+    // null-on-pass, so the when() wrapper forces its evaluation per row
+    // without changing the priority value).
+    val wChecked = when(
+      assert_true(weightCol > lit(0.0),
+        lit("weightedSample: weights must be strictly positive")).isNull,
+      weightCol)
+    val pri = round(log(u) / wChecked, 9)
     val w = Window.partitionBy(stratumCol).orderBy(pri.desc, keyCol.asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")

@@ -217,10 +217,27 @@ object Similarity {
     * in bucket sizes; each verified pair is exact cosine.
     *
     * `nBits = 0` (the default) derives the signature width from the
-    * corpus count via [[adaptiveBits]] — one count(*) job, O(files)
-    * parquet-footer work — so bucket occupancy tracks the corpus and the
-    * full-expansion recall contract survives 100 TB corpora that would
-    * saturate any fixed keyspace. Pass an explicit `nBits > 0` to pin it.
+    * corpus count via [[adaptiveBits]]. That count comes from
+    * `knownCount` when supplied — lake tables already carry exact
+    * per-file `record_count` in their catalog (ducklake_data_file /
+    * ducklake_table_info), so a caller reading one should pass it —
+    * and otherwise from a `df.count()` job, which is a FULL extra pass
+    * over the input (Spark only answers count() from parquet footers
+    * under DSv2 aggregate pushdown, which a general DataFrame does not
+    * get). Pass an explicit `nBits > 0` to pin the width and skip the
+    * count entirely.
+    *
+    * The input is traversed several times (the count when `nBits = 0`,
+    * the signature scan, and both sides of the vector re-join): a
+    * `df` that is itself an expensive derived pipeline should be
+    * persisted by the caller, or the upstream work re-runs per pass.
+    *
+    * PRECONDITION: `idCol` is unique in `df`. Candidate pairs are
+    * deduped across bands on (id_a, id_b), so output uniqueness rests
+    * on id uniqueness — duplicate ids fan out through the two vector
+    * re-joins into duplicate pair rows with ambiguous `sim` values.
+    * (Downstream [[Dedup.connectedComponents]] is insensitive to
+    * duplicate edges; other callers are not.)
     *
     * The pair pipeline is payload-light: candidate generation windows
     * over (bucket, id) ONLY — never holding vectors in the sliding
@@ -232,8 +249,11 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nBits: Int = 0, bands: Int = 4,
       chainK: Int = Dedup.DefaultChainK,
-      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold): DataFrame = {
-    val bits = if (nBits > 0) nBits else adaptiveBits(df.count(), hotBucketThreshold)
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
+      knownCount: Option[Long] = None): DataFrame = {
+    val bits =
+      if (nBits > 0) nBits
+      else adaptiveBits(knownCount.getOrElse(df.count()), hotBucketThreshold)
     val bandSigs = (0 until bands).map { bnd =>
       val bitCols = (0 until bits).map { p =>
         val plane = array((0 until dim).map(d =>

@@ -28,6 +28,28 @@ object Tpch {
 
   private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Q20 shape with a parameterized HAVING threshold. The gate uses the
+    * canonical `qty > 50`; ScaleBench times `50 × replicas` on its
+    * replicated corpus so the semi join stays selective there (at 10×
+    * every supplier's replicated sum clears 50, which would make the
+    * timed shape semi-vacuous — r10 verdict finding 5).
+    */
+  def q20Frame(s: SparkSession, dir: String, qtyThreshold: Long): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+    val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val bigShippers = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey").as("bs_key"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > qtyThreshold)
+    su.join(bigShippers, col("s_suppkey") === col("bs_key"), "left_semi")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
   /** Each entry: (name, DataFrame builder, DuckDB oracle SQL). */
   val defs: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
 
@@ -505,21 +527,8 @@ object Tpch {
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
     """),
 
-    ("q20_promo_suppliers", (s: SparkSession, dir: String) => {
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
-      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
-      val su = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      val bigShippers = l.join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_suppkey").as("bs_key"))
-        .agg(sum(col("l_quantity")).as("qty"))
-        .filter(col("qty") > 50)
-      su.join(bigShippers, col("s_suppkey") === col("bs_key"), "left_semi")
-        .join(n, col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "s_name", "n_name")
-        .orderBy("s_suppkey")
-    }, """
+    ("q20_promo_suppliers", (s: SparkSession, dir: String) =>
+      q20Frame(s, dir, 50L), """
       SELECT s_suppkey, s_name, n_name
       FROM supplier
       JOIN nation ON s_nationkey = n_nationkey
