@@ -8,9 +8,14 @@ mechanically-significant changes (> max(2*sigma, 10%, 50 ms)) — so a
 verdict can separate host noise from real regressions without re-running
 (the r9 q04/q16 case: min-of-5 JIT noise read as a regression).
 
-Run after any INTENTIONAL perf change, on an idle host:
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"
-  python3 scripts/record_baseline.py
+REFRESH POLICY (r10 verdict finding 3): a baseline refreshed in the same
+round as the perf changes it should police is a gate held open — the
+drift section becomes definitionally clean and certifies nothing. Only
+refresh at round START (before any perf work), or leave the previous
+round's committed baseline in place so the next verdict adjudicates this
+round's changes against it. Never re-record mid-round after intentional
+perf work; the new numbers become the baseline only once the NEXT round
+begins.
 """
 import json, time, sys
 

@@ -2,11 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
     .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
-      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // ad-hoc conf experiments, applied at BUILDER time so core confs
+    // (shuffle compression, local dirs) take effect, not just SQL ones:
+    // SPARK_GRAFT_CONFS="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the bounded month-grain analytics windows intentionally run on one
     // partition (their input is a post-aggregate of O(months) rows) —
@@ -15,11 +24,6 @@ object BenchOne {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // ad-hoc conf experiments: SPARK_GRAFT_CONFS="k=v;k2=v2"
-    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
-      })
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // SPARK_GRAFT_RAW=1 times against the raw single-row-group fixtures
     // instead of the staged scan-parallel layout (see BenchLayout);
