@@ -28,6 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // match spark-submit's launcher JVM flags (JavaModuleOptions): the
+  // incubator Vector API feeds Spark 4's SIMD-accelerated paths, and the
+  // netty flags enable the pooled off-heap allocator it expects
+  "--add-modules=jdk.incubator.vector",
+  "-XX:+IgnoreUnrecognizedVMOptions",
+  "-Djdk.reflect.useDirectMethodHandle=false",
+  "-Dio.netty.tryReflectionSetAccessible=true",
+  "-Dio.netty.allocator.type=pooled",
+) ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // non-ASCII entity names (the reference allows emoji tables) need a

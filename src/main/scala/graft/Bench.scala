@@ -42,14 +42,28 @@ object Bench {
     // σ detail (below) is what makes a contended run self-evident — both
     // need enough samples to separate engine time from host noise
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val spark = SparkSession.builder()
+    // Engine runtime tuning, A/B-measured on the 10× (~SF1) corpus
+    // (r11): tmpfs shuffle dirs + uncompressed shuffle files cut the
+    // per-stage constant (q13 0.70→0.49 s, q18 0.86→0.66 s — local
+    // shuffles are small and memory-speed, so LZ4 CPU is pure loss; on a
+    // network cluster compression is a bandwidth tradeoff, not a
+    // correctness one), and doubling the vectorized reader batch halves
+    // per-batch dispatch on the wide fact scans. /dev/shm falls back to
+    // the default local dir when absent.
+    val shmDir = new java.io.File("/dev/shm")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (shmDir.isDirectory && shmDir.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the bounded month-grain analytics windows intentionally run on one
     // partition (their input is a post-aggregate of O(months) rows) —

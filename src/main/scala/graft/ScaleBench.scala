@@ -113,7 +113,7 @@ object ScaleBench {
     * every LSH bucket carries maximal duplicate pressure.
     */
   private def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // the row count a lake catalog serves for free (exact per-file
     // record_count); passing it keeps the adaptive keyspace sizing from
@@ -140,11 +140,11 @@ object ScaleBench {
     // 4.5x row skew), hiding the skew from AQE's byte-based detector.
     // l_extendedprice/l_discount/l_tax carry per-row entropy the codec
     // cannot fold, so byte skew tracks the row skew
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.queries.Tables.t(spark, dir, "lineitem")
       .select(when(pmod(xxhash64(col("l_orderkey")), lit(10)) === 0, lit(1L))
         .otherwise(col("l_orderkey")).as("k"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax"))
-    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val o = graft.queries.Tables.t(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
     li.join(o, "k")
       .groupBy(col("k") % 97)

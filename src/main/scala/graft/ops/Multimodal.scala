@@ -138,8 +138,48 @@ object Multimodal {
       Some(Parsed(0, 0, channels, 1, dur))
     }
 
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+    /** JPEG: SOI (FFD8) then a marker-segment walk to the first frame
+      * header SOF0–SOF15 (0xC0–0xCF minus DHT 0xC4 / JPG 0xC8 / DAC
+      * 0xCC), whose payload is [precision u8][height u16][width u16]
+      * [components u8] — the published JIF/JFIF layout. The walk stops
+      * at SOS (entropy-coded data follows, no more fixed-layout
+      * segments), EOI, a zero-progress length, or a truncated buffer.
+      */
+    private def jpeg(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(b, i) != 0xff) return None // marker desync: not a JPEG stream
+        var j = i + 1
+        while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val marker = u8(b, j)
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS before any SOF
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone marker, no length field
+        } else {
+          if (j + 3 > b.length) return None
+          val len = be16(b, j + 1)
+          if (len < 2) return None // corrupt length: no forward progress
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (j + 9 > b.length || len < 8) return None
+            val h = be16(b, j + 4); val w = be16(b, j + 6)
+            val channels = u8(b, j + 8)
+            if (w == 0 || h == 0 || channels == 0) return None
+            return Some(Parsed(w, h, channels, 1, 0L))
+          }
+          i = j + 1 + len
+        }
+      }
+      None
+    }
+
     def decode(b: Array[Byte]): Option[Parsed] =
-      png(b).orElse(bmp(b)).orElse(gif(b)).orElse(wav(b))
+      png(b).orElse(jpeg(b)).orElse(bmp(b)).orElse(gif(b)).orElse(wav(b))
   }
 
   /** Codec: real header parse where the payload carries a recognized

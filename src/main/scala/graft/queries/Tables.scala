@@ -10,7 +10,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Resolved-relation memo, per session. Every `spark.read.parquet`
+    * call pays `ResolveDataSource` — a fresh file listing plus parquet
+    * footer schema inference — measured at ~60 ms per query against the
+    * 32-file bench layout, which dwarfs DuckDB's ~1 ms planning and is
+    * pure waste for the immutable fixture tables every query reads. A
+    * real engine resolves a table once and serves the cached schema
+    * from its catalog (the lake catalog here does exactly that via its
+    * planning cache); this memo is the same contract for the path-based
+    * fixture tables. Keyed weakly by session so test suites' many
+    * short-lived sessions can be collected. PRECONDITION: a (dir,
+    * table) path is immutable once first read in a session — true for
+    * /root/testdata and the staged bench/scale corpora, which are
+    * written (fingerprint-guarded) before any query reads them.
+    */
+  private val memo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        memo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => load(s, dir, name))
+  }
+
+  private def load(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts has varied across driver testdata generations between

@@ -192,6 +192,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "data".getBytes.toSeq ++ le32(dataBytes)).toArray
     assert(HeaderCodec.decode(wav).contains(HeaderCodec.Parsed(0, 0, 2, 1, 2000L)))
 
+    // BMP with height 0x80000000: Int.MinValue survives math.abs on an
+    // Int, so the parse must reject it (not emit negative metadata)
+    val bmpMinH = ("BM".getBytes.toSeq ++ le32(14 + 40) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(320) ++ le32(0x80000000L) ++ le16(1) ++ le16(24) ++
+      Seq.fill(24)(0.toByte)).toArray
+    assert(HeaderCodec.decode(bmpMinH).isEmpty)
+
+    // JPEG: SOI, APP0(JFIF stub), DQT stub, then SOF0 with 8-bit
+    // precision, height 480, width 640, 3 components; parse must walk
+    // the variable-length segments to the frame header
+    def be16s(v: Int): Seq[Byte] = Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val jpg = (Seq(0xff, 0xd8).map(_.toByte) ++
+      Seq(0xff, 0xe0).map(_.toByte) ++ be16s(16) ++ "JFIF".getBytes.toSeq ++
+        Seq.fill(10)(0.toByte) ++
+      Seq(0xff, 0xdb).map(_.toByte) ++ be16s(67) ++ Seq.fill(65)(0.toByte) ++
+      Seq(0xff, 0xc0).map(_.toByte) ++ be16s(17) ++ Seq(8.toByte) ++
+        be16s(480) ++ be16s(640) ++ Seq(3.toByte) ++ Seq.fill(9)(0.toByte)).toArray
+    assert(HeaderCodec.decode(jpg).contains(HeaderCodec.Parsed(640, 480, 3, 1, 0L)))
+    // progressive marker SOF2 parses identically
+    val jpg2 = jpg.clone(); jpg2(jpg.length - 17 - 2 + 1) = 0xc2.toByte
+    assert(HeaderCodec.decode(jpg2).contains(HeaderCodec.Parsed(640, 480, 3, 1, 0L)))
+    // truncated mid-segment / SOS-before-SOF reject cleanly
+    assert(HeaderCodec.decode(jpg.take(12)).isEmpty)
+    val sosFirst = (Seq(0xff, 0xd8, 0xff, 0xda).map(_.toByte) ++ be16s(4) ++
+      Seq.fill(40)(0x55.toByte)).toArray
+    assert(HeaderCodec.decode(sosFirst).isEmpty)
+
     // text (incl. text starting with the 2-byte BM magic) falls back to
     // the documented deterministic pseudo-decode, not a bogus parse
     val text = "BMW makes cars, and this is plainly text long enough to matter".getBytes
@@ -207,7 +234,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rnd = new scala.util.Random(1234)
     val magics = Seq(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
-      "BM".getBytes, "GIF89a".getBytes, "RIFF".getBytes)
+      "BM".getBytes, "GIF89a".getBytes, "RIFF".getBytes,
+      Array(0xff, 0xd8, 0xff).map(_.toByte))
     for (trial <- 1 to 2000) {
       val len = rnd.nextInt(80)
       val b = Array.fill(len)(rnd.nextInt(256).toByte)
