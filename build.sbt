@@ -44,4 +44,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SLT_FILE").map(f => s"-DsltFile=$f")
+) ++ sys.env.get("SLT_FILE").map(f => s"-DsltFile=$f") ++
+  // ad-hoc JVM flag experiments (GC etc.): SPARK_GRAFT_JVM="-XX:+..."
+  sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -60,6 +60,20 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      // 4 MB broadcast threshold (static + adaptive): Spark's default
+      // 10 MB static threshold trusts file-size × column-prune
+      // estimates, which at ~SF1 classify the 1.5M-row orders table as
+      // broadcastable (25 MB parquet × 2/9 columns ≈ 5.5 MB) — and the
+      // driver then single-threadedly builds a 128 MiB, 1.5M-entry
+      // hash relation per execution. Measured on q09's stage timeline:
+      // a 670 ms driver-only gap between the scan stages and the probe
+      // stage, vs ~200 ms to shuffle the same join 32-way (q09
+      // 0.93→0.51 s, q07 0.92→0.51 s). True dimension tables
+      // (nation/region/supplier/part/customer) stay far under 4 MB and
+      // keep their broadcasts; at 100 TB the same threshold still
+      // broadcasts exactly the provably-bounded sides.
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
       builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
