@@ -39,7 +39,7 @@ object BenchLayout {
     * for them the map phase, not the scan, is what the file count must
     * spread across cores (txt_chunk 0.90 s → 0.32 s measured).
     */
-  private def fileCount(name: String, bytes: Long): Int =
+  private[graft] def fileCount(name: String, bytes: Long): Int =
     if (name == "documents" || name == "embeddings") 32
     else math.max(1, math.min(32, (bytes / (256L << 10)).toInt))
 
