@@ -128,16 +128,33 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     def centroidDF = centroids.toDF("cell", "centroid")
-    def nearestCell(vec: Column, cDF: DataFrame): DataFrame => DataFrame = df => {
-      val w = Window.partitionBy("neighbor_id").orderBy(col("__d").asc, col("cell").asc)
-      df.crossJoin(broadcast(cDF))
-        .withColumn("__d", -dot(vec, col("centroid")) /
-          (norm(vec) * norm(col("centroid"))))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__d", "__rn", "centroid")
+    // Map-only nearest-cell assignment (r11): the centroids live on the
+    // driver, so they travel as ONE broadcast row carrying
+    // array<struct<cell, centroid, cnorm>> and the argmin is a single
+    // `array_min(transform(...))` over that array — `array_min`'s
+    // lexicographic struct compare gives min-by (distance, cell), the
+    // same deterministic tie-break the previous implementation got from
+    // a window. The old shape (corpus × nCells crossJoin + a
+    // full-corpus window shuffle PER Lloyd iteration) multiplied both
+    // row volume and shuffle count by the iteration budget; this one
+    // shuffles nothing to assign. The common positive 1/‖v‖ factor is
+    // dropped from the argmin — it rescales every cell's score equally
+    // (and for the degenerate all-zero vector every score becomes 0, so
+    // the (d, cell) tie-break still lands on the lowest cell, exactly
+    // where the old NaN ordering landed).
+    def nearestCell(vec: Column, cs: Seq[(Int, Seq[Double])]): DataFrame => DataFrame = {
+      val packed = cs.map { case (i, v) =>
+        (i, v, math.max(math.sqrt(v.map(x => x * x).sum), Double.MinPositiveValue))
+      }
+      val one = Seq(Tuple1(packed)).toDF("__cents")
+      df => df.crossJoin(broadcast(one))
+        .withColumn("cell", array_min(transform(col("__cents"), cent =>
+          struct((-dot(vec, cent.getField("_2")) / cent.getField("_3")).as("d"),
+            cent.getField("_1").as("cell")))).getField("cell"))
+        .drop("__cents")
     }
     for (_ <- 0 until lloydIters) {
-      val assigned = nearestCell(col("__cv"), centroidDF)(c)
+      val assigned = nearestCell(col("__cv"), centroids)(c)
       // per-dimension mean via posexplode -> groupBy(cell, dim): the
       // partial aggregate keeps every row O(1) regardless of cell
       // population — a collect_list-of-vectors mean would materialize a
@@ -153,7 +170,7 @@ object Similarity {
       if (updated.nonEmpty) centroids = updated
     }
 
-    val cells = nearestCell(col("__cv"), centroidDF)(c) // (neighbor_id, __cv, cell)
+    val cells = nearestCell(col("__cv"), centroids)(c) // (neighbor_id, __cv, cell)
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("__qv"))
     val qw = Window.partitionBy("query_id").orderBy(col("__d").asc, col("cell").asc)
