@@ -178,8 +178,60 @@ object Multimodal {
       None
     }
 
+    /** FLAC: "fLaC" magic, then metadata blocks whose FIRST must be
+      * STREAMINFO (type 0, length 34 — mandated by the published spec).
+      * The packed 8 bytes at offset 18 carry sample rate (20 bits),
+      * channels-1 (3 bits), bits-per-sample-1 (5 bits) and total
+      * samples (36 bits) → exact duration.
+      */
+    private def flac(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 42 || !ascii(b, 0, "fLaC")) return None
+      val blockType = u8(b, 4) & 0x7f
+      val blockLen = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+      if (blockType != 0 || blockLen != 34) return None
+      val sampleRate = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+      val channels = ((u8(b, 20) >> 1) & 0x7) + 1
+      val totalSamples = ((u8(b, 21) & 0x0f).toLong << 32) |
+        (u8(b, 22).toLong << 24) | (u8(b, 23).toLong << 16) |
+        (u8(b, 24).toLong << 8) | u8(b, 25).toLong
+      if (sampleRate <= 0) return None
+      Some(Parsed(0, 0, channels, 1, totalSamples * 1000L / sampleRate))
+    }
+
+    /** MP3 (ID3v2-tagged): "ID3" magic + syncsafe tag size, then the
+      * first MPEG audio frame header — version/layer/bitrate/sample-rate
+      * indices per the published MPEG-1/2 audio spec. Duration is the
+      * CBR estimate (payload bytes × 8 / bitrate). Bare sync-only
+      * streams without an ID3 tag intentionally DON'T match: a 2-byte
+      * 0xFF-sync "magic" would false-match arbitrary binary payloads,
+      * and the documented fallback for those is the deterministic
+      * pseudo-decode.
+      */
+    private def mp3(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 14 || !ascii(b, 0, "ID3")) return None
+      if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None // syncsafe
+      val tagSize = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      val off = 10 + tagSize
+      if (off < 0 || off + 4 > b.length) return None
+      if (u8(b, off) != 0xff || (u8(b, off + 1) & 0xe0) != 0xe0) return None
+      val versionBits = (u8(b, off + 1) >> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layerBits = (u8(b, off + 1) >> 1) & 0x3   // 1=III, 2=II, 3=I
+      if (versionBits == 1 || layerBits != 1) return None // reserved / not Layer III
+      val brIdx = (u8(b, off + 2) >> 4) & 0xf
+      val srIdx = (u8(b, off + 2) >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad/reserved
+      val kbps =
+        if (versionBits == 3)
+          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+        else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+      val channels = if (((u8(b, off + 3) >> 6) & 0x3) == 3) 1 else 2
+      val payload = (b.length - off).toLong
+      Some(Parsed(0, 0, channels, 1, payload * 8L / kbps)) // ms: kbps = bits/ms
+    }
+
     def decode(b: Array[Byte]): Option[Parsed] =
       png(b).orElse(jpeg(b)).orElse(bmp(b)).orElse(gif(b)).orElse(wav(b))
+        .orElse(flac(b)).orElse(mp3(b))
   }
 
   /** Codec: real header parse where the payload carries a recognized

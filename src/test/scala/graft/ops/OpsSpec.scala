@@ -219,6 +219,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq.fill(40)(0x55.toByte)).toArray
     assert(HeaderCodec.decode(sosFirst).isEmpty)
 
+    // FLAC: fLaC + STREAMINFO (type 0, len 34); packed bytes at 18 carry
+    // 44100 Hz (0x0AC44 in 20 bits), stereo, 16 bps, 88200 samples → 2 s
+    val flacPacked = {
+      val sr = 44100; val ch = 2; val bps = 16; val total = 88200L
+      Seq(
+        ((sr >> 12) & 0xff).toByte, ((sr >> 4) & 0xff).toByte,
+        (((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte,
+        ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte,
+        ((total >> 24) & 0xff).toByte, ((total >> 16) & 0xff).toByte,
+        ((total >> 8) & 0xff).toByte, (total & 0xff).toByte)
+    }
+    val flac = ("fLaC".getBytes.toSeq ++ Seq[Byte](0, 0, 0, 34) ++
+      Seq.fill(10)(0.toByte) ++ flacPacked ++ Seq.fill(16)(0.toByte)).toArray
+    assert(HeaderCodec.decode(flac).contains(HeaderCodec.Parsed(0, 0, 2, 1, 2000L)))
+    // first block not STREAMINFO → reject
+    val flacBad = flac.clone(); flacBad(4) = 4 // VORBIS_COMMENT first
+    assert(HeaderCodec.decode(flacBad).isEmpty)
+
+    // MP3: ID3v2 header (size 0) + MPEG1 Layer III 128 kbps 44.1 kHz
+    // stereo frame; 1600 payload bytes at 128 bits/ms → 100 ms
+    val mp3 = ("ID3".getBytes.toSeq ++ Seq[Byte](3, 0, 0, 0, 0, 0, 0) ++
+      Seq(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      Seq.fill(1596)(0x11.toByte)).toArray
+    assert(HeaderCodec.decode(mp3).contains(HeaderCodec.Parsed(0, 0, 2, 1, 100L)))
+    // free-format bitrate index → reject (no CBR duration derivable)
+    val mp3Free = mp3.clone(); mp3Free(12) = 0x00.toByte
+    assert(HeaderCodec.decode(mp3Free).isEmpty)
+
     // text (incl. text starting with the 2-byte BM magic) falls back to
     // the documented deterministic pseudo-decode, not a bogus parse
     val text = "BMW makes cars, and this is plainly text long enough to matter".getBytes
@@ -235,7 +263,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val magics = Seq(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       "BM".getBytes, "GIF89a".getBytes, "RIFF".getBytes,
-      Array(0xff, 0xd8, 0xff).map(_.toByte))
+      Array(0xff, 0xd8, 0xff).map(_.toByte), "fLaC".getBytes, "ID3".getBytes)
     for (trial <- 1 to 2000) {
       val len = rnd.nextInt(80)
       val b = Array.fill(len)(rnd.nextInt(256).toByte)

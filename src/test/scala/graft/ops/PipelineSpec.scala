@@ -101,6 +101,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tiny = Pipeline.weightedSample(df.filter(col("stratum") === "B"),
       col("stratum"), col("id"), col("wt"), k = 100)
     assert(tiny.count() == 60)
+
+    // non-positive weights corrupt A-ES ordering silently (w=0 → -Inf
+    // priority, w<0 flips ln(u)/w) — the guard must fail the job instead
+    val bad = Seq((1L, "A", 1.0), (2L, "A", 0.0)).toDF("id", "stratum", "wt")
+    val e = intercept[Exception] {
+      Pipeline.weightedSample(bad, col("stratum"), col("id"), col("wt"), k = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("strictly positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("strictly positive")))
   }
 
   test("contaminatedDocs flags planted eval overlap and nothing else") {
