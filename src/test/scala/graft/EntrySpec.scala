@@ -37,4 +37,21 @@ class EntrySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("entry() flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("Tables.t memoizes the resolved relation per (session, dir, table)") {
+    import graft.queries.Tables
+    val dir = "/root/testdata/sf0.001"
+    // same session + path → the SAME DataFrame instance (no repeated
+    // file listing / footer schema inference — the r11 ResolveDataSource
+    // fix), and it still answers queries
+    val a = Tables.t(spark, dir, "nation")
+    val b = Tables.t(spark, dir, "nation")
+    assert(a eq b)
+    assert(a.count() > 0)
+    // distinct dirs resolve independently
+    assert(!(Tables.t(spark, dir, "region") eq a))
+    // a different session gets its own resolution (conf isolation)
+    val s2 = spark.newSession()
+    assert(!(Tables.t(s2, dir, "nation") eq a))
+  }
 }
