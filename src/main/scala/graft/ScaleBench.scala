@@ -344,14 +344,21 @@ object ScaleBench {
       // 1.65→1.03 over 8), and these ratios are the round's headline,
       // so the extra ~20 s buys a fully-warm measurement, matching
       // DuckDB's best-of-3 over its own warmed process.
-      def timeOnly(mk: () => DataFrame): Double = {
+      // Returns (min, stddev): host contention inflates whole windows by
+      // ±15% run-to-run on this VM (measured: three identical-code full
+      // benches geomean 5.9/7.5/6.6), so the artifact carries each
+      // query's spread — a ratio whose σ rivals its min is flagged BY
+      // the artifact, not discovered by re-measurement.
+      def timeOnly(mk: () => DataFrame): (Double, Double) = {
         def once(): Double = {
           val s = System.nanoTime()
           mk().write.mode("overwrite").format("noop").save()
           (System.nanoTime() - s) / 1e9
         }
         (1 to warmups).foreach(_ => once())
-        (1 to math.max(iters, 5)).map(_ => once()).min
+        val ts = (1 to math.max(iters, 5)).map(_ => once())
+        val avg = ts.sum / ts.size
+        (ts.min, math.sqrt(ts.map(x => (x - avg) * (x - avg)).sum / ts.size))
       }
       // q20's HAVING qty > 50 is scale-sensitive: at 10× replication
       // every supplier's replicated sum clears 50, so the semi join
@@ -360,7 +367,7 @@ object ScaleBench {
       // DuckDB recording applies the same substitution — see
       // scripts/time_oracle.py --sub), keeping the join selective; the
       // correctness gate at oracle SF keeps the canonical 50.
-      val tpchMins = graft.queries.Tpch.defs.map(_._1)
+      val tpchTimed = graft.queries.Tpch.defs.map(_._1)
         .filter(SparkEntry.queries.contains).map { n =>
           val mk: () => DataFrame =
             if (n == "q20_promo_suppliers")
@@ -368,6 +375,7 @@ object ScaleBench {
             else () => SparkEntry.queries(n)(spark, dir)
           n -> timeOnly(mk)
         }
+      val tpchMins = tpchTimed.map { case (n, (mn, _)) => n -> mn }
       // the measured per-query floor: planning + job scheduling + noop
       // commit for a zero-row plan. Measured at ~0.01 s — i.e. the gap
       // to DuckDB is NOT driver scheduling; it is per-stage engine
@@ -375,7 +383,7 @@ object ScaleBench {
       // row-based shuffle serialization) that shrinks as data per task
       // grows, which is exactly the regime a 100 TB corpus is in.
       // Reported so the artifact carries that decomposition itself.
-      val floorSec = timeOnly(() => spark.range(0).toDF())
+      val floorSec = timeOnly(() => spark.range(0).toDF())._1
       val vs10x = CrossEngine.ratios(
         java.nio.file.Paths.get("bench", "duckdb_times_scale10.json"),
         tpchMins.toMap,
@@ -386,6 +394,9 @@ object ScaleBench {
           f"gap is per-stage overhead that amortizes with rows per task")
       val tpchJson = (tpchMins :+ ("floor_sec" -> floorSec))
         .map { case (n, t) => "\"" + n + "\":" + f"$t%.2f" }
+        .mkString("{", ",", "}")
+      val tpchSdJson = tpchTimed
+        .map { case (n, (_, sd)) => "\"" + n + "\":" + f"$sd%.3f" }
         .mkString("{", ",", "}")
 
       val all = rows :+
@@ -411,7 +422,7 @@ object ScaleBench {
         val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
         "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
-      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
       val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size}${vs10x.map(v => s""","vs_duckdb_10x":${v._1}""").getOrElse("")}}"""
       Some((short, full))
     } catch {
