@@ -77,6 +77,11 @@ object Dedup {
     * hashed once and every combine works on 16 fixed bytes — no per-gram
     * string concatenation (which was ~half the minhash pipeline's cost:
     * 3 string copies + a variable-length hash per shingle).
+    *
+    * Since r11 the hot paths (minhashCandidates, verifyJaccard) use the
+    * native one-pass [[graft.functions.TokenGramHashes]] byte scan
+    * instead; this HOF formulation remains as the executable
+    * SPECIFICATION the native expression is equality-tested against.
     */
   def gramHashes(tokenHashes: Column, w: Int = 3): Column = {
     val n = size(tokenHashes)
@@ -227,15 +232,18 @@ object Dedup {
       chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // token hashes materialized behind a generator boundary: the w slice
-    // references in gramHashes then share the bound column instead of
-    // re-tokenizing the document per slice (CollapseProject re-inlining)
+    // tokenize + gram-hash in ONE native byte-scan expression
+    // (TokenGramHashes, r11 — bit-exact with the former
+    // split/filter/transform/zip_with HOF pipeline, which paid a regex
+    // engine plus interpreted per-element lambdas per document); the
+    // r9 generator-boundary trick against CollapseProject re-inlining
+    // is moot with a single expression
     val banded = df
-      .select(col(idCol).as("__id"),
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
-      .select(col("__id"), posexplode(
+      .select(col(idCol).as("__id"), posexplode(
         graft.functions.MinHashBands.minhashBands(
-          array_distinct(gramHashes(col("__th"))), numHashes, bands))
+          array_distinct(
+            graft.functions.TokenGramHashes.tokenGramHashes(col(textCol))),
+          numHashes, bands))
         .as(Seq("__band", "__bucket")))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
       chainK, hotBucketThreshold)
@@ -410,15 +418,15 @@ object Dedup {
     // O(candidate-pair-sides) matched rows, never for the other ~100% of
     // the corpus — the join probe touches just (id, text). Gram HASHES,
     // not string shingles: set intersection over longs, same jaccard up
-    // to negligible 64-bit collisions (two projections so the token-hash
-    // array isn't re-tokenized per gramHashes slice)
+    // to negligible 64-bit collisions. The gramming itself is the native
+    // one-pass TokenGramHashes byte scan (bit-exact with gramHashes over
+    // hashed tokens — the equality is spec-pinned)
     val sides = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("__vid"))
     sides.join(docs.select(col(idCol).as("__vid"), col(textCol).as("__txt")), "__vid")
       .select(col("id_a"), col("id_b"), col("__vid"),
-        transform(TextOps.tokens(col("__txt")), t => xxhash64(t)).as("__th"))
-      .select(col("id_a"), col("id_b"), col("__vid"),
-        array_distinct(gramHashes(col("__th"), w)).as("__g"))
+        array_distinct(
+          graft.functions.TokenGramHashes.tokenGramHashes(col("__txt"), w)).as("__g"))
       .groupBy("id_a", "id_b")
       .agg(
         first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),

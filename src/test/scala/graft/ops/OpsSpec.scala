@@ -159,6 +159,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.Codec.resize(Array[Byte](1), 3).toSeq == Seq[Byte](1, 0, 0))
   }
 
+  test("TokenGramHashes equals the HOF gramHashes pipeline bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.TokenGramHashes.tokenGramHashes
+    // the executable spec: hashed tokens through the HOF gramHashes
+    def oldPipe(c: org.apache.spark.sql.Column, w: Int) =
+      Dedup.gramHashes(transform(TextOps.tokens(c), t => xxhash64(t)), w)
+    val edge = Seq(
+      "", "   ", "a", "a b", "one two three four five",
+      "Hyphen-ated, punct!! and   spaces", "ALL CAPS AND 123 digits",
+      "unicode Kelvin sign and café touché", // leading char is U+212A (lowers to ASCII k)
+      "ends mid", "x").toDF("text")
+    val corpus = docs.select(col("text")).limit(500).union(edge)
+    for (w <- Seq(1, 2, 3, 5)) {
+      val mismatches = corpus
+        .select(tokenGramHashes(col("text"), w).as("nw"),
+          oldPipe(col("text"), w).as("old"))
+        .filter(not(col("nw") <=> col("old")))
+        .count()
+      assert(mismatches == 0, s"w=$w: $mismatches rows diverge")
+    }
+  }
+
   test("header codec parses real PNG/BMP/GIF/WAV headers and rejects text") {
     import Multimodal.{Codec, HeaderCodec, MediaRow}
     def be32(v: Long): Seq[Byte] =
