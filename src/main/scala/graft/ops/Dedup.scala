@@ -350,24 +350,22 @@ object Dedup {
   /** SimHash-64: per token occurrence, xxhash64 votes ±1 on each of 64
     * bits (frequency-weighted — occurrence counts, not the distinct token
     * set, so corpora with a shared small vocabulary still separate); the
-    * fingerprint sets bit b iff the aggregate vote is positive. Computed
-    * with 64 codegen'd conditional sums after an explode — partial
-    * (map-side) aggregation keeps the shuffle at one row per (doc, 64
-    * sums).
+    * fingerprint sets bit b iff the aggregate vote is positive.
+    *
+    * Computed by the native one-pass [[graft.functions.SimHash64]]
+    * expression (r11) — MAP-ONLY, a fingerprint never leaves its scan
+    * task, where the former explode → 64-conditional-sums → groupBy
+    * shape shuffled one aggregated row per document and paid 64
+    * conditional sums per token occurrence. Bit-exact with that shape
+    * (vote adds commute; equality spec-pinned), including its
+    * drop-token-less-documents behavior (explode of an empty token
+    * array produced no row, so a token-less doc had no fingerprint —
+    * preserved here by the tokenCount filter, one cheap byte-scan).
     */
-  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("__id"),
-      explode(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$b")
-    }
-    val agg = tok.groupBy("__id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("__id").as(idCol), fp.as("simhash"))
-  }
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(TextOps.tokenCount(col(textCol)) > 0)
+      .select(col(idCol),
+        graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

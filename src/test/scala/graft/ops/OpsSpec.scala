@@ -159,6 +159,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.Codec.resize(Array[Byte](1), 3).toSeq == Seq[Byte](1, 0, 0))
   }
 
+  test("native SimHash64 equals the explode/agg formulation bit-for-bit") {
+    import spark.implicits._
+    // the executable spec: the pre-r11 explode -> 64-sum -> groupBy shape
+    def specFp(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val tok = df.select(col("doc_id").as("__id"),
+        explode(TextOps.tokens(col("text"))).as("__t"))
+        .withColumn("__h", xxhash64(col("__t")))
+      val votes = (0 until 64).map { b =>
+        sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"__v$b")
+      }
+      val agg = tok.groupBy("__id").agg(votes.head, votes.tail: _*)
+      val fp = (0 until 64).map { b =>
+        when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      agg.select(col("__id"), fp).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val edge = Seq((900001L, "repeat repeat repeat once"),
+      (900002L, "Hyphen-ated, CAPS and 123"), (900003L, "x"),
+      (900004L, "")).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").limit(300).union(edge)
+    val spec = specFp(corpus)
+    val native = Dedup.simhash64(corpus, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == spec,
+      s"diverging ids: ${(native.keySet ++ spec.keySet).filter(k => native.get(k) != spec.get(k)).take(5)}")
+    // token-less docs carry no fingerprint in either formulation
+    assert(!native.contains(900004L))
+  }
+
   test("TokenGramHashes equals the HOF gramHashes pipeline bit-for-bit") {
     import spark.implicits._
     import graft.functions.TokenGramHashes.tokenGramHashes
