@@ -134,14 +134,19 @@ object Bench {
       }
     }
     // timed iterations: per-query min (headline) + avg/min/max/σ detail
-    // (reference: benchmark/src/metrics.rs:15-26,85-120)
+    // (reference: benchmark/src/metrics.rs:15-26,85-120). Each query's
+    // window carries host-contention evidence (HostEvidence: /proc
+    // loadavg + process-CPU per wall second) so a contended sample is
+    // identifiable from the artifact itself.
     val timings = names.map { n =>
-      val samples = (1 to iterations).map { _ =>
-        val t0 = System.nanoTime()
-        try { run(n); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }.filter(_ >= 0)
-      n -> samples
+      val (samples, _, cpuX, load) = HostEvidence.window {
+        (1 to iterations).map { _ =>
+          val t0 = System.nanoTime()
+          try { run(n); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }.filter(_ >= 0)
+      }
+      (n, samples, cpuX, load)
     }
     def stats(s: Seq[Double]): (Double, Double, Double, Double) = {
       if (s.isEmpty) return (-1.0, -1.0, -1.0, -1.0)
@@ -149,16 +154,68 @@ object Bench {
       val sd = math.sqrt(s.map(x => (x - avg) * (x - avg)).sum / s.size)
       (avg, s.min, s.max, sd)
     }
-    val detail = timings.map { case (k, s) =>
-      val (avg, mn, mx, sd) = stats(s)
-      val plan = planMs.get(k).map(p => f""","plan_ms":$p%.1f""").getOrElse("")
-      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f$plan}"""
-    }.mkString("{", ",", "}")
-    val total = timings.map(_._2).collect { case s if s.nonEmpty => s.min }.sum
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val minsMap = timings.map { case (k, s) =>
-      k -> (if (s.isEmpty) -1.0 else s.min)
+
+    // Baseline recording (bench/baseline_sf<sf>.json) is loaded BEFORE
+    // the re-time pass: its tolerance decides which queries get re-timed.
+    val baseline: Map[String, (Double, Double)] = try {
+      val p = java.nio.file.Paths.get("bench", s"baseline_sf$sfNum.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = mapper.readTree(java.nio.file.Files.readAllBytes(p)).get("queries")
+        names.flatMap { n =>
+          Option(q.get(n)).map(b => n -> (b.get("min").asDouble,
+            Option(b.get("stddev")).map(_.asDouble).getOrElse(0.0)))
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    def driftTol(baseMin: Double, baseSd: Double): Double =
+      math.max(math.max(2 * baseSd, 0.10 * baseMin), 0.05)
+
+    // Contention re-time pass (r11 task 1a / r12 directive): any query
+    // whose first-pass min regressed past the drift tolerance, or whose
+    // σ exceeds 50% of its min, is re-timed ONCE at end of run in
+    // RANDOMIZED order — decorrelated from whatever host burst polluted
+    // the original window (r12's own artifact: q06 σ/min 2.44 and q05
+    // 2.36 inflated the committed 10× geomean). Both values are
+    // published (`min1` = first-pass min, `retime` = the re-run);
+    // headline min and the drift gate use the better of the two — a
+    // re-timed run is a true execution of the same warm plan, so
+    // min-of-all-samples remains the estimator.
+    val firstStats = timings.map { case (n, s, _, _) => n -> stats(s) }.toMap
+    val flagged = timings.collect {
+      case (n, s, _, _) if s.nonEmpty &&
+        (firstStats(n)._4 > 0.5 * firstStats(n)._2 ||
+          baseline.get(n).exists { case (bm, bsd) =>
+            firstStats(n)._2 > bm + driftTol(bm, bsd) }) => n
+    }
+    val retimed: Map[String, (Double, Double)] =
+      new scala.util.Random(System.nanoTime()).shuffle(flagged).map { n =>
+        val (t, _, _, load) = HostEvidence.window {
+          val t0 = System.nanoTime()
+          try { run(n); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }
+        n -> (t, load)
+      }.toMap
+
+    val minsMap = timings.map { case (n, s, _, _) =>
+      val first = if (s.isEmpty) -1.0 else s.min
+      val re = retimed.get(n).map(_._1).filter(_ >= 0)
+      n -> re.fold(first)(math.min(first, _))
     }.toMap
+    val detail = timings.map { case (k, s, cpuX, load) =>
+      val (avg, _, mx, sd) = stats(s)
+      val mn = minsMap(k)
+      val plan = planMs.get(k).map(p => f""","plan_ms":$p%.1f""").getOrElse("")
+      val host = f""","load1":$load%.1f,"cpu_x":$cpuX%.1f"""
+      val re = retimed.get(k).map { case (t, rl) =>
+        f""","min1":${if (s.isEmpty) -1.0 else s.min}%.4f,"retime":$t%.4f,"retime_load1":$rl%.1f"""
+      }.getOrElse("")
+      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f$plan$host$re}"""
+    }.mkString("{", ",", "}")
+    val total = minsMap.values.filter(_ > 0).sum
 
     val scale10 = ScaleBench.maybeRun(spark, sfDir, dataDir, minsMap)
     spark.stop()
@@ -195,18 +252,15 @@ object Bench {
     // verdict's q04/q16 "regressions" were sub-second min-of-5 noise a
     // human had to adjudicate; this separates noise from regression
     // mechanically, in the artifact itself.
-    val drift: Option[(String, String)] = try {
-      val p = java.nio.file.Paths.get("bench", s"baseline_sf$sfNum.json")
-      if (!java.nio.file.Files.exists(p)) None
+    val drift: Option[(String, String)] =
+      if (baseline.isEmpty) None
       else {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
-        val q = root.get("queries")
+        // drift compares the post-re-time minima: a first-pass min that
+        // only exceeded tolerance because the window was contended is
+        // cleansed by its re-time before it can read as a regression
         val rows = minsMap.toSeq.sortBy(_._1).flatMap { case (n, cur) =>
-          Option(q.get(n)).filter(_ => cur > 0).map { b =>
-            val bm = b.get("min").asDouble
-            val sd = Option(b.get("stddev")).map(_.asDouble).getOrElse(0.0)
-            (n, cur, bm, math.max(math.max(2 * sd, 0.10 * bm), 0.05))
+          baseline.get(n).filter(_ => cur > 0).map { case (bm, bsd) =>
+            (n, cur, bm, driftTol(bm, bsd))
           }
         }
         def fmt(sel: Seq[(String, Double, Double, Double)]) = sel
@@ -218,33 +272,35 @@ object Bench {
         val short = s"""{"reg":${regressed.size},"imp":${improved.size}}"""
         Some((short, full))
       }
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] drift gate skipped: ${e.getMessage}")
-        None
-    }
 
     // Full results go to a self-contained file: the driver's BENCH
     // artifact keeps only a 2 KB stdout tail, which in r5/r6 truncated
     // the in-line detail and lost the headline entirely.
     val layoutJson =
       f""","layout":"${if (raw) "raw" else "staged-32file"}","relayout_sec":$relayoutSec%.1f"""
-    val fullJson = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":$sfNum,"iters":$iterations$layoutJson,"detail":$detail${scale10.map(s => s""","scale10":${s._2}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._2}""").getOrElse("")}${drift.map(d => s""","drift":${d._2}""").getOrElse("")}}"""
+    val fullJson = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$layoutJson,"detail":$detail${scale10.map(s => s""","scale10":${s._2}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._2}""").getOrElse("")}${drift.map(d => s""","drift":${d._2}""").getOrElse("")}}"""
     val outFile = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.write(outFile, (fullJson + "\n").getBytes("UTF-8"))
+    // The SAME full artifact also lands in the tracked bench/ dir so
+    // every number the round's reports quote (per-query 10× ratios, σ,
+    // bands, loadavg evidence) exists in a COMMITTED file, not just the
+    // gitignored target/ copy (r12 ADVICE finding).
+    val tracked = java.nio.file.Paths.get("bench", s"full_sf$sfNum.json")
+    java.nio.file.Files.createDirectories(tracked.getParent)
+    java.nio.file.Files.write(tracked, (fullJson + "\n").getBytes("UTF-8"))
 
     // The stdout contract line must survive the 2 KB tail window intact
     // (plus sbt's trailing "[success]" line, ~75 chars). Cap it at 1750
     // chars by dropping the FASTEST queries from the map first — the
     // slow ones are the perf-relevant evidence; the full map is in
     // target/bench.json regardless.
-    val mins = timings.map { case (k, _) => k -> minsMap(k) }
+    val mins = timings.map { case (k, _, _, _) => k -> minsMap(k) }
     def line(qpairs: Seq[(String, Double)], omitted: Int): String = {
       val qs = qpairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations$om,"bench_file":"target/bench.json"$layoutJson${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._1}""").getOrElse("")}${drift.map(d => s""","drift":${d._1}""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$om,"bench_file":"bench/full_sf$sfNum.json"$layoutJson${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._1}""").getOrElse("")}${drift.map(d => s""","drift":${d._1}""").getOrElse("")}}"""
     }
     val bySlowest = mins.sortBy { case (_, v) => -v }
     var keep = mins.size

@@ -349,16 +349,23 @@ object ScaleBench {
       // benches geomean 5.9/7.5/6.6), so the artifact carries each
       // query's spread — a ratio whose σ rivals its min is flagged BY
       // the artifact, not discovered by re-measurement.
-      def timeOnly(mk: () => DataFrame): (Double, Double) = {
+      // Returns (min, stddev, load1, cpu_x): each timing window also
+      // carries host evidence (HostEvidence — /proc/loadavg + process
+      // CPU per wall second) so contention is visible in the artifact.
+      def timeOnly(mk: () => DataFrame): (Double, Double, Double, Double) = {
         def once(): Double = {
           val s = System.nanoTime()
           mk().write.mode("overwrite").format("noop").save()
           (System.nanoTime() - s) / 1e9
         }
         (1 to warmups).foreach(_ => once())
-        val ts = (1 to math.max(iters, 5)).map(_ => once())
+        val (ts, _, cpuX, load) = HostEvidence.window {
+          (1 to math.max(iters, 5)).map(_ => once())
+        }
         val avg = ts.sum / ts.size
-        (ts.min, math.sqrt(ts.map(x => (x - avg) * (x - avg)).sum / ts.size))
+        (ts.min,
+          math.sqrt(ts.map(x => (x - avg) * (x - avg)).sum / ts.size),
+          load, cpuX)
       }
       // q20's HAVING qty > 50 is scale-sensitive: at 10× replication
       // every supplier's replicated sum clears 50, so the semi join
@@ -367,15 +374,37 @@ object ScaleBench {
       // DuckDB recording applies the same substitution — see
       // scripts/time_oracle.py --sub), keeping the join selective; the
       // correctness gate at oracle SF keeps the canonical 50.
-      val tpchTimed = graft.queries.Tpch.defs.map(_._1)
-        .filter(SparkEntry.queries.contains).map { n =>
+      val tpchMk: Seq[(String, () => DataFrame)] = graft.queries.Tpch.defs
+        .map(_._1).filter(SparkEntry.queries.contains).map { n =>
           val mk: () => DataFrame =
             if (n == "q20_promo_suppliers")
               () => graft.queries.Tpch.q20Frame(spark, dir, 50L * replicas)
             else () => SparkEntry.queries(n)(spark, dir)
-          n -> timeOnly(mk)
+          n -> mk
         }
-      val tpchMins = tpchTimed.map { case (n, (mn, _)) => n -> mn }
+      val tpchTimed = tpchMk.map { case (n, mk) => n -> timeOnly(mk) }
+      // Contention re-time pass (r12 directive, same rule as the
+      // headline Bench): any 10× query whose σ exceeds 50% of its min
+      // had a contended window (r12: q06 σ/min 2.44 inflated 2.4×→10.85×)
+      // — re-time it once at end of run in RANDOMIZED order, publish
+      // both values, and let the ratios use the better min (a re-timed
+      // run is a true execution of the same warm plan).
+      val mkByName = tpchMk.toMap
+      val tpchFlagged = tpchTimed.collect {
+        case (n, (mn, sd, _, _)) if mn > 0 && sd > 0.5 * mn => n
+      }
+      val tpchRetimed: Map[String, (Double, Double)] =
+        new scala.util.Random(System.nanoTime()).shuffle(tpchFlagged).map { n =>
+          val (t, _, _, load) = HostEvidence.window {
+            val s = System.nanoTime()
+            mkByName(n)().write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - s) / 1e9
+          }
+          n -> (t, load)
+        }.toMap
+      val tpchMins = tpchTimed.map { case (n, (mn, _, _, _)) =>
+        n -> tpchRetimed.get(n).map(_._1).fold(mn)(math.min(mn, _))
+      }
       // the measured per-query floor: planning + job scheduling + noop
       // commit for a zero-row plan. Measured at ~0.01 s — i.e. the gap
       // to DuckDB is NOT driver scheduling; it is per-stage engine
@@ -396,7 +425,16 @@ object ScaleBench {
         .map { case (n, t) => "\"" + n + "\":" + f"$t%.2f" }
         .mkString("{", ",", "}")
       val tpchSdJson = tpchTimed
-        .map { case (n, (_, sd)) => "\"" + n + "\":" + f"$sd%.3f" }
+        .map { case (n, (_, sd, _, _)) => "\"" + n + "\":" + f"$sd%.3f" }
+        .mkString("{", ",", "}")
+      val tpchHostJson = tpchTimed
+        .map { case (n, (_, _, load, cpuX)) =>
+          "\"" + n + "\":" + f"""{"load1":$load%.1f,"cpu_x":$cpuX%.1f}""" }
+        .mkString("{", ",", "}")
+      val tpchRetimedJson = tpchTimed
+        .collect { case (n, (mn, _, _, _)) if tpchRetimed.contains(n) =>
+          val (t, rl) = tpchRetimed(n)
+          "\"" + n + "\":" + f"""{"min1":$mn%.2f,"retime":$t%.2f,"retime_load1":$rl%.1f}""" }
         .mkString("{", ",", "}")
 
       val all = rows :+
@@ -422,8 +460,8 @@ object ScaleBench {
         val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
         "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
-      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
-      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size}${vs10x.map(v => s""","vs_duckdb_10x":${v._1}""").getOrElse("")}}"""
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,"tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
+      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size},"retimed":${tpchRetimed.size}${vs10x.map(v => s""","vs_duckdb_10x":${v._1}""").getOrElse("")}}"""
       Some((short, full))
     } catch {
       case e: Throwable =>

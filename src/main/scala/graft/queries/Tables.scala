@@ -18,30 +18,65 @@ object Tables {
     * real engine resolves a table once and serves the cached schema
     * from its catalog (the lake catalog here does exactly that via its
     * planning cache); this memo is the same contract for the path-based
-    * fixture tables. Keyed weakly by session so test suites' many
-    * short-lived sessions can be collected. PRECONDITION: a (dir,
-    * table) path is immutable once first read in a session — true for
-    * /root/testdata and the staged bench/scale corpora, which are
-    * written (fingerprint-guarded) before any query reads them.
+    * fixture tables.
+    *
+    * Leak discipline (r11/r12 verdict finding): a DataFrame strongly
+    * references its SparkSession via `queryExecution.sparkSession` —
+    * and so does every Spark-side plan object down to HadoopFsRelation
+    * — so a WeakHashMap value holding a DataFrame pins its own key and
+    * the entry is unreclaimable. The memo therefore holds only
+    * [[java.lang.ref.WeakReference]]s to the resolved frames: a live
+    * session serves cache hits between GCs, and a dropped session has
+    * no strong path from the memo at all (TablesMemoSpec pins the
+    * collectability). The expensive half of resolution — parquet footer
+    * schema inference across the multi-file layout — is cached
+    * SESSION-FREE in [[schemaCache]] (a StructType holds no session),
+    * so even a post-GC rebuild pays only the directory listing.
+    *
+    * PRECONDITION: a (dir, table) path is immutable once first read —
+    * true for /root/testdata and the staged bench/scale corpora, which
+    * are written (fingerprint-guarded) before any query reads them.
     */
   private val memo =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.lang.ref.WeakReference[DataFrame]]]()
+
+  /** Inferred fixture schemas, keyed by (dir, table) — session-free. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = memo.synchronized {
       var m = memo.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+          java.lang.ref.WeakReference[DataFrame]]()
         memo.put(s, m)
       }
       m
     }
-    perSession.computeIfAbsent((dir, name), _ => load(s, dir, name))
+    val key = (dir, name)
+    val hit = Option(perSession.get(key)).flatMap(r => Option(r.get()))
+    hit.getOrElse {
+      val df = load(s, dir, name)
+      perSession.put(key, new java.lang.ref.WeakReference(df))
+      df
+    }
   }
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(s, dir)
+    else {
+      val key = (dir, name)
+      val known = schemaCache.get(key)
+      if (known != null) s.read.schema(known).parquet(s"$dir/$name.parquet")
+      else {
+        val df = s.read.parquet(s"$dir/$name.parquet")
+        schemaCache.put(key, df.schema)
+        df
+      }
+    }
 
   /** events.ts has varied across driver testdata generations between
     * parquet TIMESTAMP(NANOS) (unreadable by Spark without nanosAsLong)
