@@ -421,6 +421,39 @@ object ScaleBench {
           f"best-of-3 on the identical 32-file corpus parquet; measured " +
           f"empty-plan floor $floorSec%.2fs (floor_sec) — the remaining " +
           f"gap is per-stage overhead that amortizes with rows per task")
+      // Per-query stage-count decomposition (r12 directive): how many
+      // stages each 10× query actually RAN (completed-stage events over
+      // one execution — AQE reuse/skips don't count, which is the
+      // honest number). Together with floor_sec this separates plan
+      // slack from the structural per-stage JVM constant: a query at
+      // stages × per-stage-floor is engine constant, not a plan defect.
+      val stageTally = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stageListener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageTally.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(stageListener)
+      def settledStages(): Int = {
+        var prev = -1; var quiet = 0; var waited = 0
+        while (quiet < 3 && waited < 8000) {
+          val b = stageTally.get
+          if (b == prev) quiet += 1 else quiet = 0
+          prev = b; Thread.sleep(150); waited += 150
+        }
+        stageTally.get
+      }
+      val tpchStages = tpchMk.map { case (n, mk) =>
+        val pre = settledStages()
+        mk().write.mode("overwrite").format("noop").save()
+        n -> (settledStages() - pre)
+      }
+      spark.sparkContext.removeSparkListener(stageListener)
+      val tpchStageJson = tpchStages
+        .map { case (n, c) => "\"" + n + "\":" + c }
+        .mkString("{", ",", "}")
+
       val tpchJson = (tpchMins :+ ("floor_sec" -> floorSec))
         .map { case (n, t) => "\"" + n + "\":" + f"$t%.2f" }
         .mkString("{", ",", "}")
@@ -460,7 +493,7 @@ object ScaleBench {
         val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
         "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
-      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,"tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,"tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson,"tpch_10x_stages":$tpchStageJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
       val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size},"retimed":${tpchRetimed.size}${vs10x.map(v => s""","vs_duckdb_10x":${v._1}""").getOrElse("")}}"""
       Some((short, full))
     } catch {

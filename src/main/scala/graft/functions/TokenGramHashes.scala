@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * one allocation-light byte scan plus fixed-width XXH64 mixes, inside
   * whole-stage codegen — the minhash sketch and Jaccard-verify paths
   * are dominated by exactly this work.
+  *
+  * Null semantics (r12 ADVICE, pinned in OpsSpec): NULL text yields a
+  * NULL gram array — identical to the HOF formulation under Spark 4's
+  * `size(null) = null` — and downstream candidate generation drops the
+  * row at `explode`. Intentional: a null document belongs to no bucket.
   */
 case class TokenGramHashes(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, "gram width must be at least 1")

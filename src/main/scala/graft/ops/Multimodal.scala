@@ -211,7 +211,13 @@ object Multimodal {
       if (b.length < 14 || !ascii(b, 0, "ID3")) return None
       if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None // syncsafe
       val tagSize = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
-      val off = 10 + tagSize
+      // ID3v2 flags byte (r12 ADVICE): the published spec counts an
+      // extended header INSIDE the syncsafe tag size (no offset
+      // adjustment), but the v2.4 footer (flag 0x10) is 10 bytes AFTER
+      // the tag and outside that size — files carrying it previously
+      // missed the frame sync and fell to the pseudo-decode fallback.
+      val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+      val off = 10 + tagSize + footer
       if (off < 0 || off + 4 > b.length) return None
       if (u8(b, off) != 0xff || (u8(b, off + 1) & 0xe0) != 0xe0) return None
       val versionBits = (u8(b, off + 1) >> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1

@@ -128,32 +128,19 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     def centroidDF = centroids.toDF("cell", "centroid")
-    // Map-only nearest-cell assignment (r11): the centroids live on the
-    // driver, so they travel as ONE broadcast row carrying
-    // array<struct<cell, centroid, cnorm>> and the argmin is a single
-    // `array_min(transform(...))` over that array — `array_min`'s
-    // lexicographic struct compare gives min-by (distance, cell), the
-    // same deterministic tie-break the previous implementation got from
-    // a window. The old shape (corpus × nCells crossJoin + a
-    // full-corpus window shuffle PER Lloyd iteration) multiplied both
-    // row volume and shuffle count by the iteration budget; this one
-    // shuffles nothing to assign. The common positive 1/‖v‖ factor is
-    // dropped from the argmin — it rescales every cell's score equally
-    // (and for the degenerate all-zero vector every score becomes 0, so
-    // the (d, cell) tie-break still lands on the lowest cell, exactly
-    // where the old NaN ordering landed).
-    def nearestCell(vec: Column, cs: Seq[(Int, Seq[Double])]): DataFrame => DataFrame = {
-      val packed = cs.map { case (i, v) =>
-        (i, v, math.max(math.sqrt(v.map(x => x * x).sum), Double.MinPositiveValue))
-      }
-      val one = Seq(Tuple1(packed)).toDF("__cents")
-      df => df.crossJoin(broadcast(one))
-        .withColumn("cell", array_min(transform(col("__cents"), cent =>
-          struct((-dot(vec, cent.getField("_2")) / cent.getField("_3")).as("d"),
-            cent.getField("_1").as("cell")))).getField("cell"))
-        .drop("__cents")
-    }
-    for (_ <- 0 until lloydIters) {
+    // map-only nearest-cell assignment — see [[assignCells]]
+    def nearestCell(vec: Column, cs: Seq[(Int, Seq[Double])]): DataFrame => DataFrame =
+      df => assignCells(df, vec, cs)
+    // Lloyd loop with early stop (r11 optional task): when no centroid
+    // moved more than ε between iterations the assignment is already a
+    // fixed point — further iterations recompute the identical means.
+    // ε is absolute per-coordinate-L2 and tiny, so stopping cannot
+    // change the final assignment beyond float noise; determinism holds
+    // (the movement test itself is deterministic).
+    val eps = 1e-9
+    var iter = 0
+    var moved = true
+    while (iter < lloydIters && moved) {
       val assigned = nearestCell(col("__cv"), centroids)(c)
       // per-dimension mean via posexplode -> groupBy(cell, dim): the
       // partial aggregate keeps every row O(1) regardless of cell
@@ -167,16 +154,32 @@ object Similarity {
         .groupBy(_.getInt(0)).map { case (cell, rows) =>
           (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
         }.toSeq.sortBy(_._1)
-      if (updated.nonEmpty) centroids = updated
+      if (updated.nonEmpty) {
+        val prev = centroids.toMap
+        moved = updated.exists { case (cell, v) =>
+          prev.get(cell).forall { pv =>
+            pv.size != v.size ||
+              math.sqrt(pv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum) > eps
+          }
+        }
+        centroids = updated
+      } else moved = false
+      iter += 1
     }
 
     val cells = nearestCell(col("__cv"), centroids)(c) // (neighbor_id, __cv, cell)
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("__qv"))
     val qw = Window.partitionBy("query_id").orderBy(col("__d").asc, col("cell").asc)
+    // degenerate (zero-norm) centroid or query: probe distance is
+    // undefined — score MaxValue so the cell ranks last (and ANSI mode
+    // never sees the zero divisor; pre-fix this row threw DIVIDE_BY_ZERO)
     val probes = q.crossJoin(broadcast(centroidDF))
-      .withColumn("__d", -dot(col("__qv"), col("centroid")) /
-        (norm(col("__qv")) * norm(col("centroid"))))
+      .withColumn("__d",
+        when(norm(col("__qv")) === 0d || norm(col("centroid")) === 0d,
+          lit(Double.MaxValue))
+        .otherwise(-dot(col("__qv"), col("centroid")) /
+          (norm(col("__qv")) * norm(col("centroid")))))
       .withColumn("__rn", row_number().over(qw))
       .filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("__qv"), col("cell"))
@@ -188,6 +191,41 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** Map-only nearest-cell assignment (r11; extracted for direct testing
+    * in r13): the centroids live on the driver, so they travel as ONE
+    * broadcast row carrying array<struct<cell, centroid, cnorm>> and the
+    * argmin is a single `array_min(transform(...))` over that array —
+    * `array_min`'s lexicographic struct compare gives min-by
+    * (distance, cell), the same deterministic tie-break the previous
+    * implementation got from a window. The old shape (corpus × nCells
+    * crossJoin + a full-corpus window shuffle PER Lloyd iteration)
+    * multiplied both row volume and shuffle count by the iteration
+    * budget; this one shuffles nothing to assign. The common positive
+    * 1/‖v‖ factor is dropped from the argmin — it rescales every cell's
+    * score equally. A zero-norm (degenerate) centroid scores
+    * Double.MaxValue so it ranks after every finite cell — matching the
+    * pre-r11 behavior where its 0/0 = NaN score sorted last (r12
+    * ADVICE: the earlier MinPositiveValue clamp scored it 0, OUTRANKING
+    * negative-dot cells); if every centroid is degenerate the (d, cell)
+    * tie-break still lands on the lowest cell, as before.
+    */
+  private[ops] def assignCells(df: DataFrame, vec: Column,
+      cs: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = cs.map { case (i, v) =>
+      (i, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val one = Seq(Tuple1(packed)).toDF("__cents")
+    df.crossJoin(broadcast(one))
+      .withColumn("cell", array_min(transform(col("__cents"), cent =>
+        struct(when(cent.getField("_3") === 0d, lit(Double.MaxValue))
+          .otherwise(-dot(vec, cent.getField("_2")) / cent.getField("_3"))
+          .as("d"),
+          cent.getField("_1").as("cell")))).getField("cell"))
+      .drop("__cents")
   }
 
   /** Occupancy-adaptive signature width: enough hyperplane bits that the

@@ -122,6 +122,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run() == run())
   }
 
+  test("zero-norm centroid never outranks finite cells (r12 ADVICE)") {
+    // Vectors with NEGATIVE dot against the finite centroid score
+    // positive; under the old MinPositiveValue clamp a degenerate
+    // (zero-norm) centroid scored 0 and WON them. The fix scores it
+    // Double.MaxValue (the pre-r11 NaN-last ordering): every vector must
+    // land in the finite cell. All-degenerate centroids fall to the
+    // lowest-cell tie-break, as before.
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(-1.0, 0.1)),   // dot with cell-1 centroid = -1 (score +1)
+      (3L, Array(-1.0, -0.1))).toDF("vec_id", "__cv")
+    val cents = Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(1.0, 0.0))
+    val cellsOf = Similarity.assignCells(corpus, col("__cv"), cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cellsOf == Map(1L -> 1, 2L -> 1, 3L -> 1),
+      s"degenerate cell 0 must never win an assignment, got $cellsOf")
+    val allZero = Similarity.assignCells(corpus, col("__cv"),
+      Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(0.0, 0.0)))
+      .collect().map(_.getInt(2)).toSet
+    assert(allZero == Set(0), "all-degenerate centroids tie-break to cell 0")
+    // end-to-end sanity with lloydIters=0 (init centroids = two lowest
+    // ids): the negative-dot query must land in and probe the finite
+    // cell and find its true near-duplicate
+    val c2 = corpus.withColumnRenamed("__cv", "embedding")
+    val q = c2.filter(col("vec_id") === 2L)
+    val top = Similarity.ivfTopK(c2, q, "vec_id", "embedding", k = 1,
+      nCells = 2, nProbe = 1, lloydIters = 0).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 3L,
+      s"query 2's nearest must be 3 (cos≈0.98), got ${top.toSeq}")
+    // probe side tolerates a zero-norm QUERY under ANSI (the distance
+    // guard; this division used to throw DIVIDE_BY_ZERO)
+    val zq = Seq((9L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val zr = Similarity.ivfTopK(c2, zq, "vec_id", "embedding", k = 2,
+      nCells = 2, nProbe = 2, lloydIters = 0).collect()
+    assert(zr.length == 2, "zero-norm query must not throw and still probes")
+  }
+
   test("exact dedup keeps exactly one survivor per fingerprint, lowest id") {
     val corpus = docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 100000L))
@@ -200,7 +238,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "", "   ", "a", "a b", "one two three four five",
       "Hyphen-ated, punct!! and   spaces", "ALL CAPS AND 123 digits",
       "unicode Kelvin sign and café touché", // leading char is U+212A (lowers to ASCII k)
-      "ends mid", "x").toDF("text")
+      "ends mid", "x",
+      // null text (r12 ADVICE): both formulations must agree here too —
+      // the null-safe <=> filter below covers it
+      null.asInstanceOf[String]).toDF("text")
     val corpus = docs.select(col("text")).limit(500).union(edge)
     for (w <- Seq(1, 2, 3, 5)) {
       val mismatches = corpus
@@ -210,6 +251,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count()
       assert(mismatches == 0, s"w=$w: $mismatches rows diverge")
     }
+    // Null-text contract, pinned explicitly (r12 ADVICE finding): BOTH
+    // the native expression and the HOF spec yield NULL grams for null
+    // text (verified empirically — the advice's claimed [null] from the
+    // HOF path does not occur under Spark 4 size(null)=null semantics),
+    // and downstream candidate generation drops such rows at explode —
+    // INTENTIONAL: a null document participates in no bucket.
+    val nulls = Seq(null.asInstanceOf[String]).toDF("text")
+      .select(tokenGramHashes(col("text"), 3).as("nw"),
+        oldPipe(col("text"), 3).as("old"))
+      .head()
+    assert(nulls.isNullAt(0), "native gram of null text must be NULL")
+    assert(nulls.isNullAt(1), "HOF gram of null text must be NULL")
   }
 
   test("header codec parses real PNG/BMP/GIF/WAV headers and rejects text") {
@@ -299,6 +352,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // free-format bitrate index → reject (no CBR duration derivable)
     val mp3Free = mp3.clone(); mp3Free(12) = 0x00.toByte
     assert(HeaderCodec.decode(mp3Free).isEmpty)
+
+    // ID3v2.4 footer flag (0x10, r12 ADVICE): tag size EXCLUDES the
+    // 10-byte footer, so the frame sync sits 10 bytes later; same
+    // 1600-byte audio payload → same 100 ms
+    val mp3Footer = ("ID3".getBytes.toSeq ++ Seq[Byte](4, 0, 0x10, 0, 0, 0, 0) ++
+      Seq.fill(10)(0x33.toByte) ++ // the footer ("3DI" mirror, content irrelevant)
+      Seq(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      Seq.fill(1596)(0x11.toByte)).toArray
+    assert(HeaderCodec.decode(mp3Footer).contains(HeaderCodec.Parsed(0, 0, 2, 1, 100L)))
+
+    // ID3v2.4 extended header (flag 0x40): its syncsafe size is counted
+    // INSIDE the tag size per the published spec, so a 6-byte extended
+    // header under tagSize=6 leaves the frame right after the tag
+    val mp3Ext = ("ID3".getBytes.toSeq ++ Seq[Byte](4, 0, 0x40, 0, 0, 0, 6) ++
+      Seq[Byte](0, 0, 0, 6, 1, 0) ++ // ext header: size=6 syncsafe, 1 flag byte
+      Seq(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      Seq.fill(1596)(0x11.toByte)).toArray
+    assert(HeaderCodec.decode(mp3Ext).contains(HeaderCodec.Parsed(0, 0, 2, 1, 100L)))
 
     // text (incl. text starting with the 2-byte BM magic) falls back to
     // the documented deterministic pseudo-decode, not a bogus parse
