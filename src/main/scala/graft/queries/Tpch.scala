@@ -388,6 +388,10 @@ object Tpch {
       // for the per-custkey count; the LEFT JOIN count(o_orderkey)
       // semantics (customers with no orders count 0) survive as
       // coalesce(cnt, 0)
+      // (r13 A/B note: a join-free rewrite — zero bucket via |customer| −
+      // |distinct custkeys in oc| count arithmetic — measured SLOWER,
+      // 0.39 → 0.44 s at 10×: the extra tiny count jobs cost more
+      // per-stage overhead than the AQE-broadcast customer join saves)
       val oc = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("__oc"))
       c.join(oc, col("c_custkey") === col("o_custkey"), "left")
         .select(coalesce(col("__oc"), lit(0L)).as("c_count"))
@@ -427,6 +431,9 @@ object Tpch {
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
       val su = t(s, dir, "supplier")
+      // (r13 A/B note: cutting top-5 BEFORE the supplier join measured
+      // SLOWER, 0.23 → 0.31 s at 10× — the early limit adds a stage,
+      // and one extra stage outweighs probing 5 vs 100k broadcast rows)
       l.groupBy("l_suppkey")
         .agg(round(sum(rev), 2).as("total_revenue"))
         .join(su, col("l_suppkey") === col("s_suppkey"))
@@ -549,6 +556,16 @@ object Tpch {
       val o = t(s, dir, "orders").filter(col("o_orderdate") >= "2000-01-01")
       val avgBal = c.filter(col("c_acctbal") > 0.0)
         .agg(avg(col("c_acctbal")).as("avg_bal"))
+      // (r13 no-win note, measured interleaved-A/B at 10×: anti-joining
+      // DISTINCT active custkeys — hoping AQE would see the ≤1 MB key
+      // set and convert the SMJ anti to broadcast — was NEUTRAL, min
+      // 0.457 vs 0.478 s: the distinct's own final aggregate sits
+      // between the shuffle stage and the join, so AQE never sees
+      // broadcastable stage stats, and the added distinct pass cancels
+      // the smaller sort. The residual vs DuckDB here is per-row
+      // scan/shuffle CPU across ~0.66M rows + 7 stage launches, not a
+      // plan defect; a forced broadcast hint is rejected — at 100 TB
+      // the qualifying-custkey set is unbounded.)
       c.crossJoin(avgBal)
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -566,21 +583,38 @@ object Tpch {
     """),
 
     ("q21_waiting_suppliers", (s: SparkSession, dir: String) => {
-      // suppliers with a late line on a multi-supplier order where no
-      // OTHER supplier was late (q21 shape: join + EXISTS + NOT EXISTS)
+      // suppliers with a late line on an order where no OTHER supplier
+      // was late (q21 shape: join + EXISTS + NOT EXISTS). The NOT
+      // EXISTS over the same late-lines derivation is NOT executed as a
+      // self-anti-join (that computes the lineitem ⋈ orders late set
+      // TWICE and shuffles it twice by orderkey — the r12 verdict's q21
+      // audit); "no other late supplier on this order" is equivalently
+      // "this order has exactly ONE distinct late supplier", which one
+      // (orderkey, suppkey) pre-aggregate plus one orderkey aggregate
+      // compute from a SINGLE pass over the late set. numwait = the
+      // solo supplier's late-line count on such orders, summed —
+      // identical to counting the surviving join rows. The
+      // supplier/nation dimension filter commutes past the per-order
+      // logic (it references only the supplier key), so it applies as a
+      // broadcast join on the tiny aggregated result instead of
+      // inflating the fact-side rows.
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
       val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val late = t(s, dir, "lineitem").join(o, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("lk"), col("l_suppkey").as("sk"))
-      val others = late.select(col("lk").as("o_lk"), col("sk").as("o_sk"))
+      val perOrderSupp = late.groupBy("lk", "sk")
+        .agg(count(lit(1)).as("late_lines"))
+      val soloLate = perOrderSupp.groupBy("lk")
+        .agg(count(lit(1)).as("nsupp"), min(col("sk")).as("solo_sk"),
+          sum(col("late_lines")).as("solo_lines"))
+        .filter(col("nsupp") === 1) // min(sk)/sum(lines) = THE supplier's
+      val numwait = soloLate.groupBy(col("solo_sk"))
+        .agg(sum(col("solo_lines")).as("numwait"))
       su.join(n, col("s_nationkey") === col("n_nationkey"))
-        .join(late, col("s_suppkey") === col("sk"))
-        .join(others,
-          col("lk") === col("o_lk") && col("o_sk") =!= col("sk"), "left_anti")
-        .groupBy("s_name", "s_suppkey")
-        .agg(count(lit(1)).as("numwait"))
+        .join(numwait, col("s_suppkey") === col("solo_sk"))
+        .select(col("s_name"), col("s_suppkey"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(20)
     }, """
