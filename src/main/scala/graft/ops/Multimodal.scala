@@ -235,9 +235,77 @@ object Multimodal {
       Some(Parsed(0, 0, channels, 1, payload * 8L / kbps)) // ms: kbps = bits/ms
     }
 
+    /** TIFF: "II*\0" (little-endian) or "MM\0*" (big-endian) + a walk of
+      * the FIRST image file directory for ImageWidth (tag 256),
+      * ImageLength (257) and SamplesPerPixel (277, default 1) — inline
+      * SHORT/LONG single-count values only, per the published TIFF 6.0
+      * layout (the value field is left-justified, so a SHORT reads from
+      * the entry's first two value bytes in either byte order).
+      */
+    private def tiff(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 10) return None
+      val le = ascii(b, 0, "II") && u8(b, 2) == 0x2a && u8(b, 3) == 0
+      val be = ascii(b, 0, "MM") && u8(b, 2) == 0 && u8(b, 3) == 0x2a
+      if (!le && !be) return None
+      def u16e(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def u32e(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+      val ifd = u32e(4)
+      if (ifd < 8 || ifd > Int.MaxValue || ifd + 2 > b.length) return None
+      val n = u16e(ifd.toInt)
+      var w = -1L; var h = -1L; var spp = 1L
+      var k = 0
+      while (k < n) {
+        val e = ifd.toInt + 2 + 12 * k
+        if (e + 12 > b.length) return None // truncated directory
+        val tag = u16e(e); val typ = u16e(e + 2); val cnt = u32e(e + 4)
+        if (cnt == 1 && (typ == 3 || typ == 4)) {
+          val v = if (typ == 3) u16e(e + 8).toLong else u32e(e + 8)
+          tag match {
+            case 256 => w = v
+            case 257 => h = v
+            case 277 => spp = v
+            case _ =>
+          }
+        }
+        k += 1
+      }
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+        spp <= 0 || spp > 16) None
+      else Some(Parsed(w.toInt, h.toInt, spp.toInt, 1, 0L))
+    }
+
+    /** WebP: RIFF container tagged WEBP, first chunk one of the three
+      * published bitstream forms — "VP8 " (lossy: 3-byte frame tag,
+      * 9D 01 2A start code, 14-bit LE dimensions), "VP8L" (lossless:
+      * 0x2F signature then 14+14-bit width-1/height-1 packed LE, alpha
+      * flag at bit 28) or "VP8X" (extended: flags byte — alpha 0x10 —
+      * then 24-bit LE canvas width-1/height-1).
+      */
+    private def webp(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 25 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WEBP")) return None
+      if (ascii(b, 12, "VP8 ")) {
+        if (b.length < 30 ||
+          u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a) return None
+        val w = le16(b, 26) & 0x3fff; val h = le16(b, 28) & 0x3fff
+        if (w == 0 || h == 0) return None
+        Some(Parsed(w, h, 3, 1, 0L))
+      } else if (ascii(b, 12, "VP8L")) {
+        if (u8(b, 20) != 0x2f) return None
+        val bits = le32(b, 21)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        Some(Parsed(w, h, if (((bits >> 28) & 1L) == 1L) 4 else 3, 1, 0L))
+      } else if (ascii(b, 12, "VP8X")) {
+        if (b.length < 30) return None
+        def u24(i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+        val w = u24(24) + 1; val h = u24(27) + 1
+        Some(Parsed(w, h, if ((u8(b, 20) & 0x10) != 0) 4 else 3, 1, 0L))
+      } else None
+    }
+
     def decode(b: Array[Byte]): Option[Parsed] =
       png(b).orElse(jpeg(b)).orElse(bmp(b)).orElse(gif(b)).orElse(wav(b))
-        .orElse(flac(b)).orElse(mp3(b))
+        .orElse(webp(b)).orElse(tiff(b)).orElse(flac(b)).orElse(mp3(b))
   }
 
   /** Codec: real header parse where the payload carries a recognized

@@ -371,6 +371,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq.fill(1596)(0x11.toByte)).toArray
     assert(HeaderCodec.decode(mp3Ext).contains(HeaderCodec.Parsed(0, 0, 2, 1, 100L)))
 
+    // TIFF (r13): both byte orders, dims + SamplesPerPixel from the
+    // first IFD; SHORT values read from the left-justified value field
+    def tiffEntry(le: Boolean, tag: Int, typ: Int, v: Int): Seq[Byte] = {
+      def w16(x: Int) = if (le) le16(x) else Seq(((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+      def w32(x: Long) = if (le) le32(x) else be32(x)
+      w16(tag) ++ w16(typ) ++ w32(1) ++
+        (if (typ == 3) w16(v) ++ Seq[Byte](0, 0) else w32(v))
+    }
+    for (le <- Seq(true, false)) {
+      val hdr = if (le) "II".getBytes.toSeq ++ Seq[Byte](0x2a, 0)
+                else "MM".getBytes.toSeq ++ Seq[Byte](0, 0x2a)
+      val ifdOff = if (le) le32(8) else be32(8)
+      val nEntries = if (le) le16(3) else Seq[Byte](0, 3)
+      val tif = (hdr ++ ifdOff ++ nEntries ++
+        tiffEntry(le, 256, 3, 800) ++ tiffEntry(le, 257, 4, 600) ++
+        tiffEntry(le, 277, 3, 3) ++ Seq.fill(4)(0.toByte)).toArray
+      assert(HeaderCodec.decode(tif).contains(HeaderCodec.Parsed(800, 600, 3, 1, 0L)),
+        s"tiff le=$le")
+    }
+
+    // WebP (r13): all three published bitstream forms
+    val vp8 = ("RIFF".getBytes.toSeq ++ le32(22) ++ "WEBPVP8 ".getBytes.toSeq ++
+      le32(14) ++ Seq[Byte](0, 0, 0) ++ Seq(0x9d, 0x01, 0x2a).map(_.toByte) ++
+      le16(640) ++ le16(360) ++ Seq.fill(4)(0.toByte)).toArray
+    assert(HeaderCodec.decode(vp8).contains(HeaderCodec.Parsed(640, 360, 3, 1, 0L)))
+    // VP8L: width-1=511, height-1=287 packed 14+14 bits LE after 0x2F,
+    // alpha bit 28 set -> 4 channels
+    val vp8lBits = 511L | (287L << 14) | (1L << 28)
+    val vp8l = ("RIFF".getBytes.toSeq ++ le32(17) ++ "WEBPVP8L".getBytes.toSeq ++
+      le32(9) ++ Seq(0x2f.toByte) ++ le32(vp8lBits) ++ Seq.fill(4)(0.toByte)).toArray
+    assert(HeaderCodec.decode(vp8l).contains(HeaderCodec.Parsed(512, 288, 4, 1, 0L)))
+    def le24(v: Int): Seq[Byte] =
+      Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff).map(_.toByte)
+    val vp8x = ("RIFF".getBytes.toSeq ++ le32(22) ++ "WEBPVP8X".getBytes.toSeq ++
+      le32(10) ++ Seq(0x10.toByte) ++ Seq.fill(3)(0.toByte) ++
+      le24(1023) ++ le24(767) ++ Seq.fill(4)(0.toByte)).toArray
+    assert(HeaderCodec.decode(vp8x).contains(HeaderCodec.Parsed(1024, 768, 4, 1, 0L)))
+
     // text (incl. text starting with the 2-byte BM magic) falls back to
     // the documented deterministic pseudo-decode, not a bogus parse
     val text = "BMW makes cars, and this is plainly text long enough to matter".getBytes
@@ -387,7 +425,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val magics = Seq(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       "BM".getBytes, "GIF89a".getBytes, "RIFF".getBytes,
-      Array(0xff, 0xd8, 0xff).map(_.toByte), "fLaC".getBytes, "ID3".getBytes)
+      Array(0xff, 0xd8, 0xff).map(_.toByte), "fLaC".getBytes, "ID3".getBytes,
+      "II".getBytes ++ Array[Byte](0x2a, 0), "MM".getBytes ++ Array[Byte](0, 0x2a),
+      "RIFF0000WEBPVP8 ".getBytes, "RIFF0000WEBPVP8L".getBytes,
+      "RIFF0000WEBPVP8X".getBytes)
     for (trial <- 1 to 2000) {
       val len = rnd.nextInt(80)
       val b = Array.fill(len)(rnd.nextInt(256).toByte)
