@@ -383,6 +383,18 @@ object ScaleBench {
           n -> mk
         }
       val tpchTimed = tpchMk.map { case (n, mk) => n -> timeOnly(mk) }
+      // plan/exec split at 10× (reference parity:
+      // benchmark/src/datafusion_runner.rs:42-81 reports plan_ms vs
+      // exec_ms): planning measured warm on a fresh Dataset — analysis
+      // through physical planning, metadata caches already hot
+      val tpchPlanMs = tpchMk.map { case (n, mk) =>
+        val p0 = System.nanoTime()
+        mk().queryExecution.executedPlan
+        n -> (System.nanoTime() - p0) / 1e6
+      }
+      val tpchPlanJson = tpchPlanMs
+        .map { case (n, p) => "\"" + n + "\":" + f"$p%.1f" }
+        .mkString("{", ",", "}")
       // Contention re-time pass (r12 directive, same rule as the
       // headline Bench): any 10× query whose σ exceeds 50% of its min
       // had a contended window (r12: q06 σ/min 2.44 inflated 2.4×→10.85×)
@@ -493,7 +505,7 @@ object ScaleBench {
         val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
         "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
-      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,"tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson,"tpch_10x_stages":$tpchStageJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,"tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson,"tpch_10x_stages":$tpchStageJson,"tpch_10x_plan_ms":$tpchPlanJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
       val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size},"retimed":${tpchRetimed.size}${vs10x.map(v => s""","vs_duckdb_10x":${v._1}""").getOrElse("")}}"""
       Some((short, full))
     } catch {
