@@ -52,7 +52,7 @@ object CrossEngine {
       f""""duckdb_version":"${root.get("duckdb_version").asText}",""" +
       f""""n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson,""" +
       s""""note":"$note","queries":$qjson}"""
-    val short = f"""{"n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f$staleJson}"""
+    val short = f"""{"n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson}"""
     Some((short, full))
   } catch {
     case e: Throwable =>
