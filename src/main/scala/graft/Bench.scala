@@ -169,7 +169,14 @@ object Bench {
             Option(b.get("stddev")).map(_.asDouble).getOrElse(0.0)))
         }.toMap
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      // a broken baseline must be distinguishable from no baseline:
+      // this also disables the drift gate AND the baseline-regression
+      // retime trigger, so say so (r13 review finding)
+      case e: Throwable =>
+        System.err.println(s"[bench] baseline unreadable, drift gate OFF: ${e.getMessage}")
+        Map.empty
+    }
     def driftTol(baseMin: Double, baseSd: Double): Double =
       math.max(math.max(2 * baseSd, 0.10 * baseMin), 0.05)
 
@@ -285,10 +292,18 @@ object Bench {
     // The SAME full artifact also lands in the tracked bench/ dir so
     // every number the round's reports quote (per-query 10× ratios, σ,
     // bands, loadavg evidence) exists in a COMMITTED file, not just the
-    // gitignored target/ copy (r12 ADVICE finding).
-    val tracked = java.nio.file.Paths.get("bench", s"full_sf$sfNum.json")
-    java.nio.file.Files.createDirectories(tracked.getParent)
-    java.nio.file.Files.write(tracked, (fullJson + "\n").getBytes("UTF-8"))
+    // gitignored target/ copy (r12 ADVICE finding). GUARD: only a
+    // protocol-conforming run (staged layout, full iterations) may
+    // touch the citable record — a raw-layout or reduced-iteration
+    // debug run would silently clobber it with non-comparable numbers
+    // (r13 review finding); such runs still get target/bench.json.
+    if (!raw && iterations >= 5) {
+      val tracked = java.nio.file.Paths.get("bench", s"full_sf$sfNum.json")
+      java.nio.file.Files.createDirectories(tracked.getParent)
+      java.nio.file.Files.write(tracked, (fullJson + "\n").getBytes("UTF-8"))
+    } else
+      System.err.println("[bench] non-protocol run (raw layout or iters<5): " +
+        "tracked bench/full json NOT updated")
 
     // The stdout contract line must survive the 2 KB tail window intact
     // (plus sbt's trailing "[success]" line, ~75 chars). Cap it at 1750

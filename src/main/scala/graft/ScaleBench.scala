@@ -387,10 +387,19 @@ object ScaleBench {
       // benchmark/src/datafusion_runner.rs:42-81 reports plan_ms vs
       // exec_ms): planning measured warm on a fresh Dataset — analysis
       // through physical planning, metadata caches already hot
-      val tpchPlanMs = tpchMk.map { case (n, mk) =>
-        val p0 = System.nanoTime()
-        mk().queryExecution.executedPlan
-        n -> (System.nanoTime() - p0) / 1e6
+      // per-query try/catch throughout the decomposition passes: one
+      // transient failure must cost that query's field, never the whole
+      // already-measured scale10 artifact (r13 review finding)
+      val tpchPlanMs = tpchMk.flatMap { case (n, mk) =>
+        try {
+          val p0 = System.nanoTime()
+          mk().queryExecution.executedPlan
+          Some(n -> (System.nanoTime() - p0) / 1e6)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] plan_ms $n failed: ${e.getMessage}")
+            None
+        }
       }
       val tpchPlanJson = tpchPlanMs
         .map { case (n, p) => "\"" + n + "\":" + f"$p%.1f" }
@@ -406,13 +415,22 @@ object ScaleBench {
         case (n, (mn, sd, _, _)) if mn > 0 && sd > 0.5 * mn => n
       }
       val tpchRetimed: Map[String, (Double, Double)] =
-        new scala.util.Random(System.nanoTime()).shuffle(tpchFlagged).map { n =>
-          val (t, _, _, load) = HostEvidence.window {
-            val s = System.nanoTime()
-            mkByName(n)().write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - s) / 1e9
+        new scala.util.Random(System.nanoTime()).shuffle(tpchFlagged).flatMap { n =>
+          try {
+            val (t, _, _, load) = HostEvidence.window {
+              val s = System.nanoTime()
+              mkByName(n)().write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - s) / 1e9
+            }
+            Some(n -> (t, load))
+          } catch {
+            // a retime candidate is by definition one with an unstable
+            // window; its failure keeps the first-pass min, not void
+            // the artifact
+            case e: Throwable =>
+              System.err.println(s"[bench] retime $n failed: ${e.getMessage}")
+              None
           }
-          n -> (t, load)
         }.toMap
       val tpchMins = tpchTimed.map { case (n, (mn, _, _, _)) =>
         n -> tpchRetimed.get(n).map(_._1).fold(mn)(math.min(mn, _))
@@ -456,10 +474,22 @@ object ScaleBench {
         }
         stageTally.get
       }
-      val tpchStages = tpchMk.map { case (n, mk) =>
-        val pre = settledStages()
-        mk().write.mode("overwrite").format("noop").save()
-        n -> (settledStages() - pre)
+      // the settled post-count of query k IS query k+1's pre-count —
+      // carrying it forward halves the ~450 ms minimum settle sleeps
+      var stagePre = settledStages()
+      val tpchStages = tpchMk.flatMap { case (n, mk) =>
+        try {
+          mk().write.mode("overwrite").format("noop").save()
+          val post = settledStages()
+          val out = Some(n -> (post - stagePre))
+          stagePre = post
+          out
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] stage count $n failed: ${e.getMessage}")
+            stagePre = settledStages() // resync after a partial run
+            None
+        }
       }
       spark.sparkContext.removeSparkListener(stageListener)
       val tpchStageJson = tpchStages

@@ -50,20 +50,31 @@ class TablesMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     var s2 = spark.newSession()
     graft.queries.Tables.t(s2, sfDir, "nation")
     val sessionRef = new java.lang.ref.WeakReference[SparkSession](s2)
+    // canary: an unreferenced object whose WeakReference clearing
+    // proves the GC actually processed weak refs this round — without
+    // it, a JVM that never bothered collecting would fail the test
+    // spuriously (GC is advisory; r13 review finding)
+    var canary = new Object
+    val canaryRef = new java.lang.ref.WeakReference[Object](canary)
+    canary = null
     s2 = null
     SparkSession.clearActiveSession()
-    // GC loop with allocation pressure: a single System.gc() is advisory
     var tries = 0
-    while (sessionRef.get() != null && tries < 20) {
+    while (sessionRef.get() != null && tries < 40) {
       System.gc()
       // force some promotion churn so the weak refs actually process
-      val junk = Array.fill(1 << 16)(new Array[Byte](64))
+      val junk = Array.fill(1 << 17)(new Array[Byte](128))
       assert(junk.length > 0)
       Thread.sleep(50)
       tries += 1
     }
-    assert(sessionRef.get() == null,
-      s"session still strongly reachable after $tries GC rounds — " +
-        "the Tables memo is pinning it")
+    if (canaryRef.get() == null)
+      // GC demonstrably cleared weak refs; a surviving session ref is a
+      // genuine strong chain from the memo
+      assert(sessionRef.get() == null,
+        s"session still strongly reachable after $tries GC rounds while " +
+          "the canary was collected — the Tables memo is pinning it")
+    else
+      cancel(s"GC never processed weak references in $tries rounds — inconclusive")
   }
 }
