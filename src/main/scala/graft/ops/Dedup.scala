@@ -437,6 +437,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-document exact-substring (duplicate-span) coverage — the
+    * span-level companion to the document-level dedup family (training
+    * corpora are deduplicated at substring granularity, not just whole
+    * documents: Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"). A w-token shingle whose VALUE occurs in
+    * more than one DISTINCT document is duplicated text; a document's
+    * duplicate coverage is the fraction of its shingle positions carrying
+    * such a shingle. Returns one row per input document:
+    * (idCol, n_shingles, dup_shingles, dup_coverage). Shingles repeated
+    * only WITHIN a single document do not count — the signal is
+    * cross-document duplication, the thing substring dedup removes.
+    * Documents shorter than w tokens degrade to one whole-text shingle
+    * (the [[shingles]] fallback), so exact short-doc copies still match.
+    *
+    * Hash family is md5 over the space-joined lowercase tokens —
+    * engine-portable (the *_md5 twin convention), so the DuckDB oracle
+    * reproduces exact equality on counts and coverage.
+    *
+    * 100 TB shape: tokenize+gram map-side ([[shingles]]), ONE groupBy
+    * shuffle on the shingle hash with map-side partial aggregation (a
+    * boilerplate shingle occurring in millions of documents collapses to
+    * one row per map partition before the exchange), a join back on the
+    * same hash key (same partitioning — no extra exchange on the big
+    * side), and a per-document count shuffle. No all-pairs term anywhere;
+    * hot-shingle skew is absorbed by the partial agg, and the duplicated-
+    * hash set joined back is the SMALL side (AQE broadcasts it when it
+    * fits). Span-precise variants (exact duplicated character ranges)
+    * need a suffix-array pass the map-reduce model doesn't express
+    * cheaply; position-level shingle coverage is the standard distributed
+    * approximation.
+    */
+  def duplicateSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 5): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("__id"), explode(shingles(col(textCol), w)).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__h"))
+    // distinct (hash, doc) before the per-hash doc count: the partial
+    // aggregate then carries at most one row per (hash, doc) per
+    // partition, and the count needs no two-phase DISTINCT expansion
+    val dup = sh.dropDuplicates("__h", "__id")
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__h"), lit(true).as("__dup"))
+    sh.join(dup, Seq("__h"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__dup")).as("dup_shingles"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("dup_shingles"),
+        (col("dup_shingles") * lit(1.0) / col("n_shingles")).as("dup_coverage"))
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column:
     * near-duplicate pairs by cosine ≥ `threshold` (LSH-bucketed — the
     * candidate join is linear in bucket sizes, never a corpus cross

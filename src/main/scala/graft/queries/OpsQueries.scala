@@ -287,6 +287,51 @@ object OpsQueries {
       ORDER BY doc_id
     """),
 
+    ("dedup_span_coverage", (s: SparkSession, dir: String) => {
+      // corpus with planted cross-document SPAN duplication: every 5th
+      // doc gets a half-copy (the first n_chars/2 characters) under a
+      // new id — the copy's shingles all exist in the original, so the
+      // copy measures ~full duplicate coverage and the original partial
+      // coverage; natural cross-doc shingle overlap in the corpus also
+      // counts (both engines see the same corpus, so exact parity)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            // integer division on BOTH sides: DuckDB CAST(double AS INT)
+            // rounds half-up while Spark's cast truncates — n_chars/2 on
+            // odd lengths would shift the copy by one character
+            expr("substring(text, 1, cast(n_chars div 2 as int))").as("text")))
+      Dedup.duplicateSpanCoverage(corpus, "text", "doc_id", w = 5)
+        .select(col("doc_id"), col("n_shingles"), col("dup_shingles"),
+          round(col("dup_coverage"), 4).as("dup_coverage"))
+        .orderBy("doc_id")
+    }, """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, substr(text, 1, CAST(n_chars // 2 AS INT))
+        FROM documents WHERE doc_id % 5 = 0
+      ), toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM corpus
+      ), grams AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) >= 5
+            THEN [md5(array_to_string(ts[i:i+4], ' ')) for i in range(1, len(ts) - 3)]
+            ELSE [md5(array_to_string(ts, ' '))] END AS hs
+        FROM toks
+      ), sh AS (
+        SELECT doc_id, unnest(hs) AS h FROM grams
+      ), dup AS (
+        SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1
+      )
+      SELECT s.doc_id, count(*) AS n_shingles, count(d.h) AS dup_shingles,
+        round(count(d.h) * 1.0 / count(*), 4) AS dup_coverage
+      FROM sh s LEFT JOIN dup d USING (h)
+      GROUP BY s.doc_id ORDER BY s.doc_id
+    """),
+
     // MinHash+LSH and SimHash sketches: xxhash64 is not expressible in
     // the DuckDB oracle, so these gates emit DETERMINISTIC recall
     // summaries (the sim_lsh_topk pattern). The eligible planted-pair

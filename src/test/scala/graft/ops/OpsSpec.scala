@@ -559,6 +559,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.count(_ < 100000L) >= n - 5) // near-total recall of bases
   }
 
+  test("duplicateSpanCoverage: cross-doc spans count, within-doc repeats don't") {
+    import spark.implicits._
+    val corpus = Seq(
+      // 1 and 2 share the exact 5-token span "a b c d e" once each;
+      // everything else in them is unique
+      (1L, "a b c d e unique1 unique2 unique3 unique4"),
+      (2L, "other words here first a b c d e"),
+      // 3 repeats its own 5-gram twice but shares nothing cross-doc:
+      // zero duplicate coverage
+      (3L, "p q r s t p q r s t"),
+      // 4 is an exact copy of 5 (full coverage both ways)
+      (4L, "full copy of this very document body"),
+      (5L, "full copy of this very document body"),
+      // 6 is shorter than w tokens; 7 is its exact short copy
+      (6L, "tiny doc"),
+      (7L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanCoverage(corpus, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 5 positions, exactly one ("a b c d e") duplicated
+    assert(got(1L) == ((5L, 1L, 0.2)))
+    // doc 2: 9 tokens -> 5 positions, the last one duplicated
+    assert(got(2L) == ((5L, 1L, 0.2)))
+    // doc 3: 6 positions, within-doc repetition only -> zero
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    // docs 4/5: full mutual coverage
+    assert(got(4L)._3 == 1.0 && got(5L)._3 == 1.0)
+    // short docs fall back to one whole-text shingle and still match
+    assert(got(6L) == ((1L, 1L, 1.0)) && got(7L) == ((1L, 1L, 1.0)))
+  }
+
+  test("duplicateSpanCoverage matches a brute-force shingle oracle on the corpus") {
+    val corpus = graft.queries.OpsQueries.plantedDocs(spark, dir)
+      .filter(col("doc_id") % 3 =!= 1)
+    val got = Dedup.duplicateSpanCoverage(corpus, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force: gram locally, count distinct docs per gram value
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Seq[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      if (toks.length < 5) Seq(toks.mkString(" "))
+      else toks.sliding(5).map(_.mkString(" ")).toSeq
+    }
+    val docsPerGram = rows.flatMap { case (id, t) => grams(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    rows.foreach { case (id, t) =>
+      val gs = grams(t)
+      val dup = gs.count(g => docsPerGram(g) > 1)
+      assert(got(id) == ((gs.size.toLong, dup.toLong)),
+        s"doc $id: got ${got(id)} expected (${gs.size}, $dup)")
+    }
+  }
+
   test("keepLatest keeps exactly the max-order row per key") {
     import spark.implicits._
     val df = Seq(
