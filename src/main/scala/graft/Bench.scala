@@ -30,7 +30,7 @@ object Bench {
         "agg_quantiles", "agg_stats_funcs", "w_distribution_funcs",
         "ev_pivot_type",
         "txt_tfidf_keywords", "txt_chunk", "txt_lm_score",
-        "dedup_keep_latest", "dedup_semantic",
+        "dedup_keep_latest", "dedup_semantic", "dedup_span_coverage",
         "w_range_frame", "agg_filter_clause",
         "cb_regexp_group", "cb_multi_agg", "cb_many_sums",
         "cb_group_cd_topk")).distinct

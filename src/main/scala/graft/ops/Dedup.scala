@@ -451,9 +451,14 @@ object Dedup {
     * Documents shorter than w tokens degrade to one whole-text shingle
     * (the [[shingles]] fallback), so exact short-doc copies still match.
     *
-    * Hash family is md5 over the space-joined lowercase tokens —
-    * engine-portable (the *_md5 twin convention), so the DuckDB oracle
-    * reproduces exact equality on counts and coverage.
+    * Gram hashing is the native one-pass [[graft.functions.TokenGramHashes]]
+    * byte scan (whole-stage codegen, no regex/split/HOF allocations — the
+    * same hot-path family MinHash uses). The oracle does NOT need to
+    * reproduce the hashes: every output count depends only on gram-VALUE
+    * equality classes, which the DuckDB twin computes with its own md5
+    * grams — counts agree exactly barring a 64-bit gram-hash collision
+    * (~(distinct grams)²/2⁶⁴, deterministic per corpus, absent on the
+    * gate corpora).
     *
     * 100 TB shape: tokenize+gram map-side ([[shingles]]), ONE groupBy
     * shuffle on the shingle hash with map-side partial aggregation (a
@@ -470,9 +475,9 @@ object Dedup {
     */
   def duplicateSpanCoverage(df: DataFrame, textCol: String, idCol: String,
       w: Int = 5): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("__id"), explode(shingles(col(textCol), w)).as("__g"))
-      .select(col("__id"), md5(col("__g")).as("__h"))
+    val sh = df.select(col(idCol).as("__id"),
+      explode(graft.functions.TokenGramHashes.tokenGramHashes(col(textCol), w))
+        .as("__h"))
     // distinct (hash, doc) before the per-hash doc count: the partial
     // aggregate then carries at most one row per (hash, doc) per
     // partition, and the count needs no two-phase DISTINCT expansion
