@@ -35,6 +35,10 @@ object ScaleBench {
     */
   val heavy: Seq[String] = Seq(
     "q09_product_profit", "q13_customer_distribution", "q18_large_orders",
+    // span coverage at 10× is a deliberate hot-shingle stress: replicas
+    // duplicate TEXT (ids shift, text doesn't), so every shingle is
+    // cross-document-duplicated and the dup-hash side is maximal
+    "dedup_span_coverage",
     "dedup_minhash", "dedup_exact", "pipe_curation", "txt_lm_score",
     "txt_tfidf_keywords", "pipe_weighted_sample",
     // the widest join chain (6 tables, self-joined CTE) and the

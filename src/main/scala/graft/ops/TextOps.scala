@@ -142,6 +142,31 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** Corpus-level top-k n-grams by document frequency: the global
+    * frequent-phrase table every corpus audit starts from (boilerplate
+    * mining, contamination screening, mixture fingerprinting). Returns
+    * (ngram, doc_freq, occurrences) for the `k` n-grams appearing in the
+    * most DISTINCT documents, ties broken by total occurrences then by
+    * the gram string — a total order, so results are deterministic and
+    * oracle-comparable. One exploded gram pass → (gram, doc) pre-
+    * aggregation (hash shuffle spread over both keys, so a gram occurring
+    * in millions of documents never lands on one reducer before it has
+    * been collapsed to one row per doc) → per-gram aggregation (map-side
+    * combined) → global top-k (per-partition top-k under TakeOrdered, no
+    * full sort). String grams, not hashes: the output IS the phrase.
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, w: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(idCol).as("__id"),
+      explode(graft.ops.Dedup.shingles(col(textCol), w)).as("ngram"))
+    grams.groupBy(col("ngram"), col("__id"))
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("__occ")).as("occurrences"))
+      .orderBy(col("doc_freq").desc, col("occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Strip boilerplate LINES: any line occurring in at least `minRepeats`
     * documents corpus-wide (headers, footers, nav chrome) is removed from
     * every document; remaining lines rejoin in original order. The

@@ -287,6 +287,29 @@ object OpsQueries {
       ORDER BY doc_id
     """),
 
+    ("txt_top_ngrams", (s: SparkSession, dir: String) => {
+      TextOps.topNgrams(t(s, dir, "documents"), "text", "doc_id", w = 3, k = 20)
+    }, """
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+      ), grams AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) >= 3
+            THEN [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]
+            ELSE [array_to_string(ts, ' ')] END AS gs
+        FROM toks
+      ), g AS (
+        SELECT doc_id, unnest(gs) AS ngram FROM grams
+      ), per AS (
+        SELECT ngram, doc_id, count(*) AS occ FROM g GROUP BY 1, 2
+      )
+      SELECT ngram, count(*) AS doc_freq, CAST(sum(occ) AS BIGINT) AS occurrences
+      FROM per GROUP BY ngram
+      ORDER BY doc_freq DESC, occurrences DESC, ngram
+      LIMIT 20
+    """),
+
     ("dedup_span_coverage", (s: SparkSession, dir: String) => {
       // corpus with planted cross-document SPAN duplication: every 5th
       // doc gets a half-copy (the first n_chars/2 characters) under a

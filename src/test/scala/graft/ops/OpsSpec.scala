@@ -614,6 +614,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("topNgrams ranks by doc frequency then occurrences then gram, deterministic") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x y z a b c"),    // grams: "x y z","y z a","z a b","a b c"
+      (2L, "x y z x y z"),    // "x y z" twice (one doc, occ 2) + bridges
+      (3L, "x y z q q q"),
+      (4L, "a b c only here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.topNgrams(corpus, "text", "doc_id", w = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "x y z": 3 docs, 4 occurrences; "a b c": 2 docs; then the
+    // lexicographically-first of the 1-doc grams
+    assert(got(0) == (("x y z", 3L, 4L)), got.mkString(","))
+    assert(got(1) == (("a b c", 2L, 2L)), got.mkString(","))
+    assert(got(2)._2 == 1L)
+    // deterministic: same result on re-run
+    val again = TextOps.topNgrams(corpus, "text", "doc_id", w = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("keepLatest keeps exactly the max-order row per key") {
     import spark.implicits._
     val df = Seq(
