@@ -264,6 +264,20 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
+    val banded = md5Bands(df, textCol, idCol, numHashes, bands)
+    cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
+      chainK, hotBucketThreshold)
+      .distinct()
+  }
+
+  /** (id, band, bucket) LSH table of the md5 MinHash family (signature
+    * hash i = min over shingles of md5("i:shingle"); band bucket =
+    * md5("b|sig[b*r]..sig[(b+1)r-1]")) — the banding step of
+    * [[minhashCandidatesMd5]], exposed so asymmetric consumers
+    * ([[incrementalDuplicates]]) can band each side separately.
+    */
+  private[ops] def md5Bands(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val exploded = df
@@ -276,11 +290,64 @@ object Dedup {
       md5(concat(lit(s"$b|"), concat_ws(",",
         (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)))
     }
-    val banded = sig.select(col("__id"),
+    sig.select(col("__id"),
       posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
-    cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
-      chainK, hotBucketThreshold)
-      .distinct()
+  }
+
+  /** Incremental dedup: flag NEW-batch documents that duplicate an
+    * EXISTING corpus — the continuous-ingestion shape (dedupe the day's
+    * crawl against the accumulated 100 TB corpus WITHOUT re-clustering
+    * the corpus). Two layers, both asymmetric (new×corpus only — never
+    * corpus×corpus, which is the whole point):
+    *
+    *  - exact: normalized-text fingerprint ([[TextOps.fingerprint]])
+    *    equi-join, reason `exact`, jaccard 1.0;
+    *  - near: md5-MinHash band tables for each side joined on
+    *    (band, bucket), candidates verified by exact shingle Jaccard ≥
+    *    `threshold`, reason `near`. Pairs already matched exactly are
+    *    excluded from the near layer.
+    *
+    * Returns (id_a = new-batch id, id_b = corpus id, reason, jaccard),
+    * one row per matched pair; new documents with no row are genuinely
+    * new. Id spaces of the two inputs MUST be disjoint (the Jaccard
+    * verify joins both sides through one id column).
+    *
+    * 100 TB shape: the corpus band table is a pure function of the
+    * corpus (compute once, store, reuse per batch); the band join is
+    * selective and the SMALL new side broadcasts under AQE. Hot buckets
+    * (boilerplate bands shared by millions of corpus docs) are capped at
+    * `hotBucketThreshold` corpus docs per bucket in deterministic id
+    * order — same two-regime contract as [[cappedBucketPairs]]: recall
+    * within a capped bucket degrades gracefully instead of the join
+    * exploding.
+    */
+  def incrementalDuplicates(newDf: DataFrame, corpusDf: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 4,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
+    val nf = newDf.select(col(idCol).as("id_a"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val cf = corpusDf.select(col(idCol).as("id_b"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val exact = nf.join(cf, "__fp")
+      .select(col("id_a"), col("id_b"), lit("exact").as("reason"),
+        lit(1.0).as("jaccard"))
+    val nb = md5Bands(newDf, textCol, idCol, numHashes, bands)
+      .select(col("__id").as("id_a"), col("__band"), col("__bucket"))
+    val cbRanked = md5Bands(corpusDf, textCol, idCol, numHashes, bands)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__band", "__bucket").orderBy("__id")))
+      .filter(col("__rn") <= hotBucketThreshold)
+      .select(col("__id").as("id_b"), col("__band"), col("__bucket"))
+    val cand = nb.join(cbRanked, Seq("__band", "__bucket"))
+      .select("id_a", "id_b").distinct()
+    val near = verifyJaccardStrings(cand,
+        newDf.select(col(idCol), col(textCol))
+          .unionByName(corpusDf.select(col(idCol), col(textCol))),
+        textCol, idCol, threshold)
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), lit("near").as("reason"), col("jaccard"))
+    exact.unionByName(near)
   }
 
   /** Exact-Jaccard verification on STRING shingle sets (the md5-family

@@ -355,6 +355,74 @@ object OpsQueries {
       GROUP BY s.doc_id ORDER BY s.doc_id
     """),
 
+    ("dedup_incremental", (s: SparkSession, dir: String) => {
+      // corpus = docs < 400; new batch = exact copies (every 50th doc,
+      // +200000), perturbed near-copies (every 40th doc, first word ->
+      // 'zz', +300000), and genuinely new docs (400-499, unmatched
+      // unless naturally near-duplicated — deterministic both engines)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val newBatch = corpus.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+", "zz").as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 400))
+      Dedup.incrementalDuplicates(newBatch, corpus, "text", "doc_id",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b", "reason")
+    }, s"""
+      WITH docs AS (SELECT doc_id, text FROM documents),
+      corpus AS (SELECT doc_id, text FROM docs WHERE doc_id < 400),
+      newb AS (
+        SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 300000, regexp_replace(text, '^\\S+', 'zz')
+        FROM corpus WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT doc_id, text FROM docs WHERE doc_id >= 400),
+      alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+      fp_n AS (SELECT doc_id AS id_a,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM newb),
+      fp_c AS (SELECT doc_id AS id_b,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM corpus),
+      exact AS (SELECT id_a, id_b FROM fp_n JOIN fp_c USING (fp)),
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        FROM alld),
+      grams AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS g
+        FROM toks),
+      sig AS (SELECT doc_id,
+          [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in g]) for i in range(0, 16)] AS sg
+        FROM grams),
+      bnd AS (SELECT doc_id, bd,
+          md5(CAST(bd AS VARCHAR) || '|' || array_to_string(sg[bd*4+1 : bd*4+4], ',')) AS bucket
+        FROM sig, range(0, 4) t(bd)),
+      nb AS (SELECT doc_id AS id_a, bd, bucket FROM bnd
+        WHERE doc_id IN (SELECT doc_id FROM newb)),
+      cbr AS (SELECT doc_id AS id_b, bd, bucket,
+          row_number() OVER (PARTITION BY bd, bucket ORDER BY doc_id) AS rn
+        FROM bnd WHERE doc_id IN (SELECT doc_id FROM corpus)),
+      cand AS (SELECT DISTINCT id_a, id_b
+        FROM nb JOIN cbr USING (bd, bucket)
+        WHERE rn <= ${Dedup.DefaultHotBucketThreshold}),
+      ver AS (SELECT id_a, id_b,
+          CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+            / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS j
+        FROM cand JOIN grams ga ON ga.doc_id = id_a JOIN grams gb ON gb.doc_id = id_b),
+      near AS (SELECT id_a, id_b, round(j, 4) AS j FROM ver
+        WHERE j >= 0.5
+          AND NOT EXISTS (SELECT 1 FROM exact e
+                          WHERE e.id_a = ver.id_a AND e.id_b = ver.id_b))
+      SELECT id_a, id_b, 'exact' AS reason, CAST(1.0 AS DOUBLE) AS jaccard FROM exact
+      UNION ALL
+      SELECT id_a, id_b, 'near', j FROM near
+      ORDER BY id_a, id_b, reason
+    """),
+
     // MinHash+LSH and SimHash sketches: xxhash64 is not expressible in
     // the DuckDB oracle, so these gates emit DETERMINISTIC recall
     // summaries (the sim_lsh_topk pattern). The eligible planted-pair

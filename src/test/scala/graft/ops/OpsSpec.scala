@@ -614,6 +614,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incrementalDuplicates: exact and near layers, fresh docs unmatched") {
+    val corpus = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val exactCopies = corpus.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val nearCopies = corpus.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zz").as("text"))
+    val fresh = docs.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      .select("doc_id", "text")
+    val newBatch = exactCopies.unionByName(nearCopies).unionByName(fresh)
+    val out = Dedup.incrementalDuplicates(newBatch, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byNew = out.groupBy(_._1)
+    // every exact copy matches its source with reason exact, jaccard 1.0
+    exactCopies.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val m = byNew.getOrElse(id, Array())
+        .find(x => x._2 == id - 200000L && x._3 == "exact")
+      assert(m.exists(_._4 == 1.0), s"exact copy $id not matched: ${byNew.get(id)}")
+    }
+    // every perturbed copy near-matches its source above 0.5, never exactly
+    nearCopies.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val m = byNew.getOrElse(id, Array()).find(_._2 == id - 300000L)
+      assert(m.exists(x => x._3 == "near" && x._4 >= 0.5),
+        s"near copy $id not matched: ${byNew.get(id)}")
+    }
+    // no (new, corpus) pair is reported under both reasons
+    assert(out.groupBy(x => (x._1, x._2)).forall(_._2.map(_._3).distinct.size == 1))
+  }
+
   test("topNgrams ranks by doc frequency then occurrences then gram, deterministic") {
     import spark.implicits._
     val corpus = Seq(
