@@ -244,4 +244,29 @@ object Pipeline {
     prefixSum(df, order, tokens, outCum)
       .withColumn(out, floor((col(outCum) - tokens.cast("long")) / lit(budget)))
   }
+
+  /** Per-stratum quantile floor: keep rows whose `scoreCol` is at or
+    * above the exact `q`-quantile of their stratum — the standard
+    * per-language (or per-source) quality cut that removes a fixed
+    * fraction of the worst documents in every stratum instead of letting
+    * one stratum's score scale dominate a global threshold.
+    *
+    * 100 TB shape: ONE aggregation shuffle produces the |strata|-row
+    * threshold table (strata are categorical — languages, sources — so
+    * it is tiny and AQE broadcasts the join back); the filter itself is
+    * map-side. `percentile` is exact (per-group value buffers — fine for
+    * categorical strata with bounded per-executor groups); for extreme
+    * per-stratum cardinalities swap in `percentile_approx`, the same
+    * shape with a sketch aggregate. Rows with NULL score fall below every
+    * threshold (dropped), matching SQL comparison semantics.
+    */
+  def quantileFilter(df: DataFrame, stratumCol: Column, scoreCol: Column,
+      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+    val thr = df.groupBy(stratumCol.as("__st"))
+      .agg(percentile(scoreCol, lit(q)).as("__thr"))
+    df.join(thr, stratumCol === col("__st"))
+      .filter(scoreCol >= col("__thr"))
+      .drop("__st", "__thr")
+  }
 }

@@ -40,6 +40,22 @@ object PipelineQueries {
     // Deterministic splitting & sampling
     // ---------------------------------------------------------------
 
+    ("pipe_quantile_filter", (s: SparkSession, dir: String) => {
+      // per-language median cut on n_chars (integer scores + q=0.5 keep
+      // the interpolated threshold exact in doubles on both engines)
+      Pipeline.quantileFilter(t(s, dir, "documents"),
+          col("lang"), col("n_chars"), q = 0.5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }, """
+      SELECT doc_id, lang, n_chars
+      FROM documents d
+      JOIN (SELECT lang AS l, quantile_cont(n_chars, 0.5) AS thr
+            FROM documents GROUP BY lang) t ON d.lang = t.l
+      WHERE d.n_chars >= t.thr
+      ORDER BY doc_id
+    """),
+
     ("pipe_split_hash", (s: SparkSession, dir: String) => {
       t(s, dir, "documents")
         .withColumn("split", Pipeline.split3(col("doc_id")))

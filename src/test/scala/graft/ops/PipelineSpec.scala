@@ -230,6 +230,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == "zyzzyx") // df=1 -> highest idf, beats corpus-wide terms
   }
 
+  test("quantileFilter keeps exactly the at-or-above-median rows per stratum") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 30.0), // median 20
+      ("de", 4L, 1.0), ("de", 5L, 2.0), ("de", 6L, 3.0), ("de", 7L, 4.0) // median 2.5
+    ).toDF("lang", "id", "score")
+    val kept = Pipeline.quantileFilter(df, col("lang"), col("score"), 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 6L, 7L))
+    // q=0 keeps everything; q=1 keeps only per-stratum maxima
+    assert(Pipeline.quantileFilter(df, col("lang"), col("score"), 0.0).count() == 7)
+    assert(Pipeline.quantileFilter(df, col("lang"), col("score"), 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L, 7L))
+  }
+
   test("packByBudget yields contiguous batches bounded by budget + one straddler") {
     val toks = docs.select(col("doc_id"),
       TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
