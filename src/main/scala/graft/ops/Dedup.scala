@@ -588,6 +588,34 @@ object Dedup {
       .select(col("id").as(idCol))
   }
 
+  /** Best-representative selection over a duplicate-pair graph: cluster
+    * with [[connectedComponents]], then keep per cluster the single row
+    * maximizing `scoreCol` (ties by ascending id — a total order, so the
+    * survivor set is deterministic). The production alternative to the
+    * min-id representative: when a cluster holds near-copies of varying
+    * quality (truncated mirror vs full article), the cut should keep the
+    * BEST copy, not the numerically-smallest id. Vertices passed in
+    * `docs` but absent from `pairs` are singleton clusters and keep
+    * themselves. Returns the kept ids (one `idCol` column).
+    *
+    * 100 TB shape: components is the O(log n)-round SV pass; the argmax
+    * is one row_number window per component — cluster sizes are bounded
+    * by the near-dup radius (and the pair generators' hot-bucket caps),
+    * so no window partition inherits corpus scale.
+    */
+  def keepBestPerCluster(pairs: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: Column): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+      "id_a", "id_b", vertices = Some(docs.select(col(idCol))))
+    val scored = comp.join(
+      docs.select(col(idCol).as("id"), scoreCol.as("__score")), "id")
+    val w = Window.partitionBy("component")
+      .orderBy(col("__score").desc, col("id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol))
+  }
+
   /** Connected components over a near-duplicate pair graph → duplicate
     * CLUSTERS (the step after pair generation: keep one doc per component
     * at corpus scale). Shiloach–Vishkin-style hook + shortcut: each round

@@ -793,6 +793,42 @@ object OpsQueries {
       WHERE id = component ORDER BY vec_id
     """),
 
+    ("dedup_keep_best", (s: SparkSession, dir: String) => {
+      // same near-length clusters as dedup_components, but the survivor
+      // is the LONGEST doc per cluster (ties by id) instead of min id —
+      // the quality-aware representative selection
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val pts = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("n_chars").as("a_len"))
+      val ivs = docs.select(col("doc_id").as("b_id"), col("lang"),
+        (col("n_chars") - 1).as("lo"), (col("n_chars") + 1).as("hi"))
+      val edges = graft.ops.Joins.pointInInterval(pts, ivs, "a_len", "lo", "hi",
+          keys = Seq("lang"), binWidth = 2)
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      Dedup.keepBestPerCluster(edges, docs, "doc_id", col("n_chars"))
+        .orderBy("doc_id")
+    }, """
+      WITH RECURSIVE
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+         AND b.n_chars BETWEEN a.n_chars - 1 AND a.n_chars + 1
+         AND a.doc_id <> b.doc_id),
+      walk(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+      comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+      ranked AS (
+        SELECT c.id, row_number() OVER (PARTITION BY c.component
+            ORDER BY d.n_chars DESC, c.id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.id)
+      SELECT id AS doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """),
+
     ("dedup_components", (s: SparkSession, dir: String) => {
       // duplicate clustering: near-length doc pairs (same lang, n_chars
       // within ±1 — built with the interval join) → connected components

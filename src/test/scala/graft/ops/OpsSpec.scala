@@ -614,6 +614,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("keepBestPerCluster keeps the max-score row per component, singletons survive") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {4,5}, {6} singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val docsDf = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0), // best: 2
+      (4L, 4.0), (5L, 4.0),            // tie -> min id 4
+      (6L, 0.5)                        // singleton keeps itself
+    ).toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(pairs, docsDf, "doc_id", col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   test("incrementalDuplicates: exact and near layers, fresh docs unmatched") {
     val corpus = docs.filter(col("doc_id") < 200).select("doc_id", "text")
     val exactCopies = corpus.filter(col("doc_id") % 20 === 0)
