@@ -582,6 +582,23 @@ object PipelineQueries {
       ORDER BY p_id, c_id
     """),
 
+    ("stream_incremental_dedup", (s: SparkSession, dir: String) => {
+      graft.streaming.EventStream.incrementalDedup(s, dir)
+    }, """
+      WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      newb AS (
+        SELECT doc_id + 200000 AS doc_id, text, n_chars
+        FROM documents WHERE doc_id < 400 AND doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400)
+      SELECT doc_id, n_chars FROM newb n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM corpus c
+        WHERE md5(trim(regexp_replace(lower(c.text), '[^a-z0-9]+', ' ', 'g')))
+            = md5(trim(regexp_replace(lower(n.text), '[^a-z0-9]+', ' ', 'g'))))
+      ORDER BY doc_id
+    """),
+
     ("stream_dedup", (s: SparkSession, dir: String) => {
       graft.streaming.EventStream.dedupCounts(s, dir)
     }, """

@@ -192,6 +192,60 @@ object EventStream {
 
   private val stagedDoubled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Streaming incremental dedup — the ingestion-time twin of
+    * [[graft.ops.Dedup.incrementalDuplicates]]: a STREAM of incoming
+    * documents is deduplicated against a STATIC corpus by normalized-text
+    * fingerprint, emitting only genuinely-new documents. Exercises the
+    * stream-static join surface (stream left + static right; anti
+    * semantics via left outer + null filter, the streamed-supported
+    * formulation). The static side is a tiny (id, fingerprint)
+    * projection — broadcast into every micro-batch; state-free, so at
+    * cluster scale the operator costs one map-side join per batch.
+    *
+    * Driven to completion over staged files (2 micro-batches via
+    * maxFilesPerTrigger) and returned as a DataFrame so the DuckDB
+    * oracle checks the whole streamed pipeline against batch NOT EXISTS.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val newBatch = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") >= 400))
+    val name = s"stream_incr_dedup_${UUID.randomUUID().toString.take(8)}"
+    val src = stagedNewDocs.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft-stream-newdocs-${UUID.randomUUID().toString.take(8)}"
+      // two files -> two micro-batches under maxFilesPerTrigger=1
+      newBatch.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(p)
+      newBatch.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(p)
+      p
+    })
+    val corpusFp = corpus.select(
+      graft.ops.TextOps.fingerprint(col("text")).as("__fp"),
+      lit(true).as("__seen"))
+    val stream = spark.readStream
+      .schema(newBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val fresh = stream
+      .withColumn("__fp", graft.ops.TextOps.fingerprint(col("text")))
+      .join(corpusFp, Seq("__fp"), "left_outer")
+      .filter(col("__seen").isNull)
+      .select("doc_id", "n_chars")
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("doc_id")
+  }
+
+  private val stagedNewDocs = scala.collection.concurrent.TrieMap[String, String]()
+
   final case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
 
   /** Per-user running state; carries the last-seen timestamp so session
