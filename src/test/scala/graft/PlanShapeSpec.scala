@@ -58,6 +58,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q06 scan has no pushed filters:\n$p")
   }
 
+  test("new r13 ops plan no cartesian; span coverage joins hash-keyed") {
+    Seq("dedup_span_coverage", "dedup_incremental", "pipe_quantile_filter",
+        "txt_top_ngrams", "dedup_keep_best").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+    // the dup-hash join-back must be keyed (hash or sort-merge on the
+    // gram hash), never a nested loop over the exploded gram stream
+    val span = planOf("dedup_span_coverage")
+    assert(!span.contains("BroadcastNestedLoopJoin"),
+      s"span coverage degraded to a nested loop:\n$span")
+  }
+
+  test("quantile filter's threshold join-back is the small side (no fact-side rebuild)") {
+    // the per-stratum threshold table is an aggregate of the input; the
+    // join back must not plan the AGGREGATE as the streamed/probe side
+    // of a nested loop — hash/sort-merge keyed on the stratum is the pin
+    val p = planOf("pipe_quantile_filter")
+    assert(p.contains("Join") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quantile filter join shape regressed:\n$p")
+  }
+
   test("delete-free lake scan is one relation, not a per-file union") {
     val p = planOf("lake_scan_agg")
     assert(!p.contains("Union"),
