@@ -31,6 +31,9 @@ object Bench {
         "ev_pivot_type",
         "txt_tfidf_keywords", "txt_chunk", "txt_lm_score",
         "dedup_keep_latest", "dedup_semantic", "dedup_span_coverage",
+        // cross-engine bright spot: the SV components pass beats DuckDB's
+        // recursive-CTE closure on this clustering (ratio < 1.0 at sf0.1)
+        "dedup_keep_best", "dedup_incremental",
         "w_range_frame", "agg_filter_clause",
         "cb_regexp_group", "cb_multi_agg", "cb_many_sums",
         "cb_group_cd_topk")).distinct
