@@ -36,8 +36,25 @@ object Joins {
     * payload names must not collide with left column names.
     */
   def asof(left: DataFrame, right: DataFrame, on: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String): DataFrame =
+    asof(left, right, on, leftTime, rightTime, "backward")
+
+  /** As-of join with a match direction:
+    *  - `backward` (default): latest right row at or before the left time;
+    *  - `forward`: earliest right row at or after the left time;
+    *  - `nearest`: whichever of the two is closer in time, ties (equal
+    *    distance, including an exact-time match) resolved backward.
+    * All three are the SAME one-shuffle union+window shape — `nearest`
+    * evaluates both direction windows over one hash exchange (two sorts,
+    * zero extra shuffles) and picks per row. Right (on, time) pairs must
+    * be unique (pre-aggregate duplicates) or the carried payload among
+    * equal keys is sort-unstable.
+    */
+  def asof(left: DataFrame, right: DataFrame, on: Seq[String],
+           leftTime: String, rightTime: String, direction: String): DataFrame = {
     require(on.nonEmpty, "asof join requires at least one equality key")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown asof direction '$direction'")
     val payload = right.columns.filterNot(on.contains).toSeq
     val collisions = left.columns.toSet.intersect(payload.toSet)
     require(collisions.isEmpty,
@@ -60,13 +77,38 @@ object Joins {
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("__p"): _*)
 
-    val w = Window.partitionBy(on.map(col): _*).orderBy(col("__t"), col("__side"))
+    // backward pass: (t asc, side asc) puts a right row at equal time
+    // BEFORE the left row — "at or before". forward pass: t desc with the
+    // same side order — "at or after". Each carries (match time, payload)
+    // so `nearest` can compare distances.
+    val wb = Window.partitionBy(on.map(col): _*).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    l2.unionByName(r2)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val wf = Window.partitionBy(on.map(col): _*).orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = when(col("__side") === 0,
+      struct(col("__t").as("__mt"), col("__p").as("__pp")))
+    val u = l2.unionByName(r2)
+    val matched = direction match {
+      case "backward" => u.withColumn("__m", last(carried, ignoreNulls = true).over(wb))
+      case "forward"  => u.withColumn("__m", last(carried, ignoreNulls = true).over(wf))
+      case "nearest" =>
+        u.withColumn("__mb", last(carried, ignoreNulls = true).over(wb))
+          .withColumn("__mf", last(carried, ignoreNulls = true).over(wf))
+          // backward match time <= t <= forward match time, so both
+          // distances are the non-negative differences below; equal
+          // distance keeps backward
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(col("__t") - col("__mb.__mt") <= col("__mf.__mt") - col("__t"),
+                col("__mb"))
+              .otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+    }
+    matched
       .filter(col("__side") === 1)
-      .select(left.columns.toIndexedSeq.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(c => col(s"__m.__pp.$c").as(c)): _*)
   }
 
   /** Interval (range) join: every `points` row paired with every

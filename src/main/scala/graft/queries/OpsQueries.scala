@@ -724,6 +724,43 @@ object OpsQueries {
       ORDER BY p.purchase_id
     """),
 
+    ("asof_nearest_click", (s: SparkSession, dir: String) => {
+      // nearest-direction as-of: each purchase matched to the user's
+      // closest click in EITHER direction (equal distance -> backward);
+      // same one-shuffle union+window shape, both direction windows
+      // evaluated over one hash exchange
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max("event_id").as("click_id"))
+      graft.ops.Joins.asof(purchases, clicks, on = Seq("user_id"),
+          leftTime = "ts_us", rightTime = "click_us", direction = "nearest")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (col("ts_us") - col("click_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    }, """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts_us FROM e
+        WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+        FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us),
+      j AS (
+        SELECT p.purchase_id, p.user_id, c.click_id,
+          p.ts_us - c.click_us AS gap_us,
+          row_number() OVER (PARTITION BY p.purchase_id
+            ORDER BY abs(p.ts_us - c.click_us),
+                     CASE WHEN c.click_us <= p.ts_us THEN 0 ELSE 1 END) AS rn
+        FROM purchases p LEFT JOIN clicks c ON p.user_id = c.user_id)
+      SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
+      ORDER BY purchase_id
+    """),
+
     ("rj_order_shipweek", (s: SparkSession, dir: String) => {
       // interval join via bin-bucketed equi-join (Joins.pointInInterval):
       // lineitems shipped within 7 days of an urgent order's date — the

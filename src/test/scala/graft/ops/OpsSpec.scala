@@ -522,6 +522,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach { case (pid, rid) => assert(rid == -1L, s"pid $pid should be unmatched") }
   }
 
+  test("asof forward/nearest equal their quadratic references") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 300L),
+        (4L, "q", 50L), (5L, "z", 10L))
+      .toDF("pid", "grp", "t")
+    val right = Seq(("k", 90L, 10L), ("k", 200L, 20L), ("k", 210L, 30L),
+        ("q", 400L, 40L))
+      .toDF("grp", "rt", "rid")
+    def got(dir: String): Map[Long, Long] =
+      Joins.asof(left, right, Seq("grp"), "t", "rt", dir)
+        .select("pid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // forward: earliest right at-or-after
+    assert(got("forward") == Map(1L -> 20L, 2L -> 30L, 3L -> -1L, 4L -> 40L, 5L -> -1L))
+    // backward: latest right at-or-before
+    assert(got("backward") == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> -1L, 5L -> -1L))
+    // nearest: closer side wins; equal distance (pid 2: 205 between 200
+    // and 210) resolves backward
+    assert(got("nearest") == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> -1L))
+  }
+
   test("binned interval join equals the nested-loop reference and avoids BNLJ") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"),
