@@ -100,6 +100,29 @@ object Bench {
     val (dataDir, relayoutSec) =
       if (raw) (sfDir, 0.0) else BenchLayout.prepare(spark, sfDir)
 
+    // Host calibration FIRST (r13 verdict task 1): two fixed CPU probes
+    // vs the committed reference decide whether this window can
+    // adjudicate drift at all. On the burstable bench VM, identical code
+    // times 1.5-3× slower once the CPU budget depletes — r13's
+    // end-of-session artifact published 35 false regressions that way.
+    val (calSt, calMt) = Calibration.measure(spark)
+    if (Calibration.loadRef().isEmpty && !raw && iterations >= 5) {
+      System.err.println(f"[bench] no committed calibration — recording " +
+        f"st=$calSt%.3f mt=$calMt%.3f as the reference")
+      Calibration.record(calSt, calMt)
+    }
+    val hostX = Calibration.hostX(calSt, calMt)
+    val hostDegraded = hostX.exists(_ > Calibration.DegradedAt)
+    if (hostDegraded)
+      System.err.println(f"[bench] HOST DEGRADED: calibration ${hostX.get}%.2fx " +
+        f"the committed reference — drift will be marked not adjudicable")
+    val calJson = f""""calibration":{"st_sec":$calSt%.3f,"mt_sec":$calMt%.3f${hostX.map(x => f""","host_x":$x%.2f""").getOrElse("")},"host_degraded":$hostDegraded}"""
+
+    // The decision-grade 10× TPC-H cross-engine suite runs FIRST — on
+    // the freshest host window, before the sf0.1 sweep and retimes
+    // consume the burstable CPU budget (r13 verdict task 1a).
+    val tpch10x = ScaleBench.tpch10xPass(spark, sfDir)
+
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, dataDir)
         .write.mode("overwrite").format("noop").save()
@@ -193,13 +216,22 @@ object Bench {
     // headline min and the drift gate use the better of the two — a
     // re-timed run is a true execution of the same warm plan, so
     // min-of-all-samples remains the estimator.
+    // CAPPED at 10 (r13 verdict task 1: 53 retimes across the r13
+    // session actively depleted the burstable host). Severity order:
+    // worst relative excess over its trigger first; the drop-off keeps
+    // its first-pass min, which the σ field already flags as noisy.
     val firstStats = timings.map { case (n, s, _, _) => n -> stats(s) }.toMap
     val flagged = timings.collect {
       case (n, s, _, _) if s.nonEmpty &&
         (firstStats(n)._4 > 0.5 * firstStats(n)._2 ||
           baseline.get(n).exists { case (bm, bsd) =>
-            firstStats(n)._2 > bm + driftTol(bm, bsd) }) => n
-    }
+            firstStats(n)._2 > bm + driftTol(bm, bsd) }) =>
+        val sigmaX = firstStats(n)._4 / math.max(firstStats(n)._2, 1e-9)
+        val regX = baseline.get(n).map { case (bm, bsd) =>
+          firstStats(n)._2 / math.max(bm + driftTol(bm, bsd), 1e-9) }
+          .getOrElse(0.0)
+        (n, math.max(sigmaX, regX))
+    }.sortBy(-_._2).take(10).map(_._1)
     val retimed: Map[String, (Double, Double)] =
       new scala.util.Random(System.nanoTime()).shuffle(flagged).map { n =>
         val (t, _, _, load) = HostEvidence.window {
@@ -227,7 +259,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = minsMap.values.filter(_ > 0).sum
 
-    val scale10 = ScaleBench.maybeRun(spark, sfDir, dataDir, minsMap)
+    val scale10 = ScaleBench.finishRun(spark, sfDir, dataDir, minsMap, tpch10x)
     spark.stop()
 
     // reference-parity cross-engine ratio (benchmark/src/main.rs:154-164,
@@ -278,9 +310,19 @@ object Bench {
           .mkString("{", ",", "}")
         val regressed = rows.filter { case (_, cur, bm, tol) => cur > bm + tol }
         val improved = rows.filter { case (_, cur, bm, tol) => cur < bm - tol }
-        val full = f"""{"n":${rows.size},"tolerance":"max(2*sigma,10%%,50ms)","n_regressed":${regressed.size},"n_improved":${improved.size},"regressed":${fmt(regressed)},"improved":${fmt(improved)}}"""
-        val short = s"""{"reg":${regressed.size},"imp":${improved.size}}"""
-        Some((short, full))
+        // A degraded host (calibration >1.3× the committed reference)
+        // cannot adjudicate drift: r13's end-of-session window published
+        // 35 false regressions on unchanged code. The raw counts stay in
+        // the artifact as evidence, explicitly labelled non-adjudicable.
+        if (hostDegraded) {
+          val hx = hostX.map(x => f"$x%.2f").getOrElse("?")
+          val full = f"""{"adjudicable":false,"host_x":$hx,"note":"calibration measured ${hx}x the committed reference (threshold ${Calibration.DegradedAt}%.1fx); per-query drift on this window is host noise, not code","n":${rows.size},"reg_raw":${regressed.size},"imp_raw":${improved.size}}"""
+          Some((s"""{"adjudicable":false,"host_x":$hx}""", full))
+        } else {
+          val full = f"""{"adjudicable":true,"n":${rows.size},"tolerance":"max(2*sigma,10%%,50ms)","n_regressed":${regressed.size},"n_improved":${improved.size},"regressed":${fmt(regressed)},"improved":${fmt(improved)}}"""
+          val short = s"""{"reg":${regressed.size},"imp":${improved.size}}"""
+          Some((short, full))
+        }
       }
 
     // Full results go to a self-contained file: the driver's BENCH
@@ -288,7 +330,7 @@ object Bench {
     // the in-line detail and lost the headline entirely.
     val layoutJson =
       f""","layout":"${if (raw) "raw" else "staged-32file"}","relayout_sec":$relayoutSec%.1f"""
-    val fullJson = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$layoutJson,"detail":$detail${scale10.map(s => s""","scale10":${s._2}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._2}""").getOrElse("")}${drift.map(d => s""","drift":${d._2}""").getOrElse("")}}"""
+    val fullJson = f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$layoutJson,$calJson,"detail":$detail${scale10.map(s => s""","scale10":${s._2}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._2}""").getOrElse("")}${drift.map(d => s""","drift":${d._2}""").getOrElse("")}}"""
     val outFile = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.write(outFile, (fullJson + "\n").getBytes("UTF-8"))
@@ -318,7 +360,7 @@ object Bench {
       val qs = qpairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$om,"bench_file":"bench/full_sf$sfNum.json"$layoutJson${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._1}""").getOrElse("")}${drift.map(d => s""","drift":${d._1}""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$om,"bench_file":"bench/full_sf$sfNum.json"$layoutJson,"host_degraded":$hostDegraded${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._1}""").getOrElse("")}${drift.map(d => s""","drift":${d._1}""").getOrElse("")}}"""
     }
     val bySlowest = mins.sortBy { case (_, v) => -v }
     var keep = mins.size

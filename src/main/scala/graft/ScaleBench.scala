@@ -194,16 +194,28 @@ object ScaleBench {
     // count, not two fat local tasks
     "spark.sql.files.maxPartitionBytes" -> "8m")
 
-  /** Runs the scale pass; returns (shortJson, fullJson) — the short form
-    * rides the driver's 2 KB stdout tail, the full form goes into
-    * target/bench.json. `baseDir` is the sf0.1 data in the SAME layout
-    * the headline timings used (staged multi-file since round 10), so
-    * linear_x compares like layouts at both scales.
+  /** Whether the scale pass runs at all (env kill-switch + bench SF). */
+  def enabled(sfDir: String): Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") != "0" && sfDir.contains("sf0.1")
+
+  /** Result of the decision-grade 10× TPC-H cross-engine pass, carried
+    * from the START of the bench run (r13 verdict task 1: the headline
+    * ratio suite must run FIRST, before the sf0.1 sweep and retime
+    * passes deplete the burstable host's CPU budget) to the final
+    * artifact assembly. `fields` is the pre-rendered JSON fragment for
+    * the scale10 object (tpch_10x_sec/sd/host/retimed/stages/plan_ms and
+    * vs_duckdb_10x).
     */
-  def maybeRun(spark: SparkSession, sfDir: String, baseDir: String,
-      sf01Mins: Map[String, Double]): Option[(String, String)] = {
-    if (sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") == "0") return None
-    if (!sfDir.contains("sf0.1")) return None
+  final case class Tpch10x(dir: String, buildSec: Double,
+      mins: Map[String, Double], fields: String,
+      vsShort: Option[String], retimed: Int)
+
+  /** Phase 1 of the scale pass: corpus build + the 22-query TPC-H 10×
+    * suite + cross-engine ratios. Runs BEFORE the sf0.1 sweep so the
+    * round's headline number is measured on the freshest host window.
+    */
+  def tpch10xPass(spark: SparkSession, sfDir: String): Option[Tpch10x] = {
+    if (!enabled(sfDir)) return None
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE10_ITERS", "2").toInt
     // same warmup discipline as the headline Bench: one warmup leaves
     // JIT compilation inside min-of-N (measured: q20 published 58.7×
@@ -215,6 +227,217 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val dir = buildCorpus(spark, sfDir)
       val buildSec = (System.nanoTime() - t0) / 1e9
+
+      // Warm-min timing for the ratio suite. r10 verdict finding 1:
+      // timeOnly's old 1-warmup + min-of-2 left JIT compilation inside
+      // the published minima (q20 58.7× published vs 8.6× warm). Protocol
+      // now exceeds the headline Bench's: ≥2 warmups then min of ≥5
+      // timed iterations — BenchOne decay curves show multi-join minima
+      // still falling through run ~7 (q09 1.65→1.03 over 8), and these
+      // ratios are the round's headline, so the extra ~20 s buys a
+      // fully-warm measurement, matching DuckDB's best-of-3 over its own
+      // warmed process. Returns (min, stddev, load1, cpu_x): host
+      // contention inflates whole windows by ±15% run-to-run on this VM,
+      // so each window carries its spread and host evidence
+      // (HostEvidence — /proc/loadavg + process CPU per wall second).
+      def timeOnly(mk: () => DataFrame): (Double, Double, Double, Double) = {
+        def once(): Double = {
+          val s = System.nanoTime()
+          mk().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - s) / 1e9
+        }
+        (1 to warmups).foreach(_ => once())
+        val (ts, _, cpuX, load) = HostEvidence.window {
+          (1 to math.max(iters, 5)).map(_ => once())
+        }
+        val avg = ts.sum / ts.size
+        (ts.min,
+          math.sqrt(ts.map(x => (x - avg) * (x - avg)).sum / ts.size),
+          load, cpuX)
+      }
+      // q20's HAVING qty > 50 is scale-sensitive: at 10× replication
+      // every supplier's replicated sum clears 50, so the semi join
+      // filters nothing and the timed shape drifts from the query's
+      // intent. The threshold scales with the replica count here (the
+      // DuckDB recording applies the same substitution — see
+      // scripts/time_oracle.py --sub), keeping the join selective; the
+      // correctness gate at oracle SF keeps the canonical 50.
+      val tpchMk: Seq[(String, () => DataFrame)] = graft.queries.Tpch.defs
+        .map(_._1).filter(SparkEntry.queries.contains).map { n =>
+          val mk: () => DataFrame =
+            if (n == "q20_promo_suppliers")
+              () => graft.queries.Tpch.q20Frame(spark, dir, 50L * replicas)
+            else () => SparkEntry.queries(n)(spark, dir)
+          n -> mk
+        }
+      val tpchTimed = tpchMk.map { case (n, mk) => n -> timeOnly(mk) }
+      // plan/exec split at 10× (reference parity:
+      // benchmark/src/datafusion_runner.rs:42-81 reports plan_ms vs
+      // exec_ms): planning measured warm on a fresh Dataset — analysis
+      // through physical planning, metadata caches already hot.
+      // per-query try/catch throughout the decomposition passes: one
+      // transient failure must cost that query's field, never the whole
+      // already-measured artifact (r13 review finding)
+      val tpchPlanMs = tpchMk.flatMap { case (n, mk) =>
+        try {
+          val p0 = System.nanoTime()
+          mk().queryExecution.executedPlan
+          Some(n -> (System.nanoTime() - p0) / 1e6)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] plan_ms $n failed: ${e.getMessage}")
+            None
+        }
+      }
+      val tpchPlanJson = tpchPlanMs
+        .map { case (n, p) => "\"" + n + "\":" + f"$p%.1f" }
+        .mkString("{", ",", "}")
+      // Contention re-time pass (r12 directive, same rule as the
+      // headline Bench): any 10× query whose σ exceeds 50% of its min
+      // had a contended window — re-time it once at end of the suite in
+      // RANDOMIZED order, publish both values, and let the ratios use
+      // the better min (a re-timed run is a true execution of the same
+      // warm plan). CAPPED at RetimeCap (r13 verdict task 1: 53 retimes
+      // across r13's session actively depleted the burstable host;
+      // keep the worst-σ offenders, drop the rest — their first-pass
+      // minima stand).
+      val mkByName = tpchMk.toMap
+      val tpchFlagged = tpchTimed.collect {
+        case (n, (mn, sd, _, _)) if mn > 0 && sd > 0.5 * mn => (n, sd / mn)
+      }.sortBy(-_._2).take(RetimeCap).map(_._1)
+      val tpchRetimed: Map[String, (Double, Double)] =
+        new scala.util.Random(System.nanoTime()).shuffle(tpchFlagged).flatMap { n =>
+          try {
+            val (t, _, _, load) = HostEvidence.window {
+              val s = System.nanoTime()
+              mkByName(n)().write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - s) / 1e9
+            }
+            Some(n -> (t, load))
+          } catch {
+            // a retime candidate is by definition one with an unstable
+            // window; its failure keeps the first-pass min, not void
+            // the artifact
+            case e: Throwable =>
+              System.err.println(s"[bench] retime $n failed: ${e.getMessage}")
+              None
+          }
+        }.toMap
+      val tpchMins = tpchTimed.map { case (n, (mn, _, _, _)) =>
+        n -> tpchRetimed.get(n).map(_._1).fold(mn)(math.min(mn, _))
+      }
+      // the measured per-query floor: planning + job scheduling + noop
+      // commit for a zero-row plan. Measured at ~0.01 s — i.e. the gap
+      // to DuckDB is NOT driver scheduling; it is per-stage engine
+      // overhead (task launch across 32 partitions × several stages,
+      // row-based shuffle serialization) that shrinks as data per task
+      // grows, which is exactly the regime a 100 TB corpus is in.
+      val floorSec = timeOnly(() => spark.range(0).toDF())._1
+      val vs10x = CrossEngine.ratios(
+        java.nio.file.Paths.get("bench", "duckdb_times_scale10.json"),
+        tpchMins.toMap,
+        expectedFingerprint = Some(corpusFingerprint(sfDir)),
+        note = f"TPC-H shapes at 10x (~SF1): spark min / duckdb " +
+          f"best-of-3 on the identical 32-file corpus parquet; measured " +
+          f"empty-plan floor $floorSec%.2fs (floor_sec) — the remaining " +
+          f"gap is per-stage overhead that amortizes with rows per task")
+      // Per-query stage-count decomposition (r12 directive): how many
+      // stages each 10× query actually RAN (completed-stage events over
+      // one execution — AQE reuse/skips don't count, which is the
+      // honest number). Together with floor_sec this separates plan
+      // slack from the structural per-stage JVM constant: a query at
+      // stages × per-stage-floor is engine constant, not a plan defect.
+      val stageTally = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stageListener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageTally.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(stageListener)
+      def settledStages(): Int = {
+        var prev = -1; var quiet = 0; var waited = 0
+        while (quiet < 3 && waited < 8000) {
+          val b = stageTally.get
+          if (b == prev) quiet += 1 else quiet = 0
+          prev = b; Thread.sleep(150); waited += 150
+        }
+        stageTally.get
+      }
+      // the settled post-count of query k IS query k+1's pre-count —
+      // carrying it forward halves the ~450 ms minimum settle sleeps
+      var stagePre = settledStages()
+      val tpchStages = tpchMk.flatMap { case (n, mk) =>
+        try {
+          mk().write.mode("overwrite").format("noop").save()
+          val post = settledStages()
+          val out = Some(n -> (post - stagePre))
+          stagePre = post
+          out
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] stage count $n failed: ${e.getMessage}")
+            stagePre = settledStages() // resync after a partial run
+            None
+        }
+      }
+      spark.sparkContext.removeSparkListener(stageListener)
+      val tpchStageJson = tpchStages
+        .map { case (n, c) => "\"" + n + "\":" + c }
+        .mkString("{", ",", "}")
+
+      val tpchJson = (tpchMins :+ ("floor_sec" -> floorSec))
+        .map { case (n, t) => "\"" + n + "\":" + f"$t%.2f" }
+        .mkString("{", ",", "}")
+      val tpchSdJson = tpchTimed
+        .map { case (n, (_, sd, _, _)) => "\"" + n + "\":" + f"$sd%.3f" }
+        .mkString("{", ",", "}")
+      val tpchHostJson = tpchTimed
+        .map { case (n, (_, _, load, cpuX)) =>
+          "\"" + n + "\":" + f"""{"load1":$load%.1f,"cpu_x":$cpuX%.1f}""" }
+        .mkString("{", ",", "}")
+      val tpchRetimedJson = tpchTimed
+        .collect { case (n, (mn, _, _, _)) if tpchRetimed.contains(n) =>
+          val (t, rl) = tpchRetimed(n)
+          "\"" + n + "\":" + f"""{"min1":$mn%.2f,"retime":$t%.2f,"retime_load1":$rl%.1f}""" }
+        .mkString("{", ",", "}")
+      val fields =
+        s""""tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,""" +
+        s""""tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson,""" +
+        s""""tpch_10x_stages":$tpchStageJson,"tpch_10x_plan_ms":$tpchPlanJson""" +
+        vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")
+      Some(Tpch10x(dir, buildSec, tpchMins.toMap, fields,
+        vs10x.map(_._1), tpchRetimed.size))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale10 tpch pass failed: ${e.getMessage}")
+        None
+    }
+  }
+
+  /** Max σ-flagged retimes per pass (r13 verdict task 1: retime volume
+    * itself depletes the burstable host — 53 retimes last session).
+    */
+  val RetimeCap = 8
+
+  /** Phase 2 of the scale pass: the heavy linear_x replays, semantic
+    * LSH, CC/hot-bucket/skew stress probes — runs AFTER the sf0.1 sweep
+    * (it needs the sf0.1 minima for linear_x) and assembles the final
+    * scale10 artifact by merging in phase 1's pre-rendered fields.
+    * `baseDir` is the sf0.1 data in the SAME layout the headline timings
+    * used (staged multi-file since round 10), so linear_x compares like
+    * layouts at both scales.
+    */
+  def finishRun(spark: SparkSession, sfDir: String, baseDir: String,
+      sf01Mins: Map[String, Double], first: Option[Tpch10x]): Option[(String, String)] = {
+    if (!enabled(sfDir)) return None
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE10_ITERS", "2").toInt
+    val warmups = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt)
+    try {
+      // phase 1 normally built the corpus; if it failed, build here so
+      // the stress probes still report
+      val dir = first.map(_.dir).getOrElse(buildCorpus(spark, sfDir))
+      val buildSec = first.map(_.buildSec).getOrElse(0.0)
 
       val tally = new ShuffleTally
       spark.sparkContext.addSparkListener(tally)
@@ -328,193 +551,7 @@ object ScaleBench {
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None)    => spark.conf.unset(k)
         }
-
-      // Floor-free cross-engine headline: the 22 TPC-H-shape queries at
-      // 10× (≈ SF1), against DuckDB best-of-3 on the IDENTICAL corpus
-      // parquet (recorded by scripts/time_oracle.py --only=q --marker=…;
-      // the recording embeds the corpus fingerprint so a stale one is
-      // flagged, not silently compared). At multi-second query times
-      // Spark's ~0.2-0.4 s scheduling floor is <10% of the measurement,
-      // so the ratio finally measures plans, not scheduling — the
-      // reference's per-query ★-band protocol (benchmark/src/main.rs:
-      // 154-164) at a scale where it means something. No shuffle tally
-      // here: these timings feed only the ratio, and the settle() waits
-      // would add ~45 s for no extra evidence.
-      // r10 verdict finding 1: timeOnly's old 1-warmup + min-of-2 left
-      // JIT compilation inside the published minima (q20 58.7× published
-      // vs 8.6× warm). Protocol now exceeds the headline Bench's: ≥2
-      // warmups then min of ≥5 timed iterations — BenchOne decay curves
-      // show multi-join minima still falling through run ~7 (q09
-      // 1.65→1.03 over 8), and these ratios are the round's headline,
-      // so the extra ~20 s buys a fully-warm measurement, matching
-      // DuckDB's best-of-3 over its own warmed process.
-      // Returns (min, stddev): host contention inflates whole windows by
-      // ±15% run-to-run on this VM (measured: three identical-code full
-      // benches geomean 5.9/7.5/6.6), so the artifact carries each
-      // query's spread — a ratio whose σ rivals its min is flagged BY
-      // the artifact, not discovered by re-measurement.
-      // Returns (min, stddev, load1, cpu_x): each timing window also
-      // carries host evidence (HostEvidence — /proc/loadavg + process
-      // CPU per wall second) so contention is visible in the artifact.
-      def timeOnly(mk: () => DataFrame): (Double, Double, Double, Double) = {
-        def once(): Double = {
-          val s = System.nanoTime()
-          mk().write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - s) / 1e9
-        }
-        (1 to warmups).foreach(_ => once())
-        val (ts, _, cpuX, load) = HostEvidence.window {
-          (1 to math.max(iters, 5)).map(_ => once())
-        }
-        val avg = ts.sum / ts.size
-        (ts.min,
-          math.sqrt(ts.map(x => (x - avg) * (x - avg)).sum / ts.size),
-          load, cpuX)
-      }
-      // q20's HAVING qty > 50 is scale-sensitive: at 10× replication
-      // every supplier's replicated sum clears 50, so the semi join
-      // filters nothing and the timed shape drifts from the query's
-      // intent. The threshold scales with the replica count here (the
-      // DuckDB recording applies the same substitution — see
-      // scripts/time_oracle.py --sub), keeping the join selective; the
-      // correctness gate at oracle SF keeps the canonical 50.
-      val tpchMk: Seq[(String, () => DataFrame)] = graft.queries.Tpch.defs
-        .map(_._1).filter(SparkEntry.queries.contains).map { n =>
-          val mk: () => DataFrame =
-            if (n == "q20_promo_suppliers")
-              () => graft.queries.Tpch.q20Frame(spark, dir, 50L * replicas)
-            else () => SparkEntry.queries(n)(spark, dir)
-          n -> mk
-        }
-      val tpchTimed = tpchMk.map { case (n, mk) => n -> timeOnly(mk) }
-      // plan/exec split at 10× (reference parity:
-      // benchmark/src/datafusion_runner.rs:42-81 reports plan_ms vs
-      // exec_ms): planning measured warm on a fresh Dataset — analysis
-      // through physical planning, metadata caches already hot
-      // per-query try/catch throughout the decomposition passes: one
-      // transient failure must cost that query's field, never the whole
-      // already-measured scale10 artifact (r13 review finding)
-      val tpchPlanMs = tpchMk.flatMap { case (n, mk) =>
-        try {
-          val p0 = System.nanoTime()
-          mk().queryExecution.executedPlan
-          Some(n -> (System.nanoTime() - p0) / 1e6)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] plan_ms $n failed: ${e.getMessage}")
-            None
-        }
-      }
-      val tpchPlanJson = tpchPlanMs
-        .map { case (n, p) => "\"" + n + "\":" + f"$p%.1f" }
-        .mkString("{", ",", "}")
-      // Contention re-time pass (r12 directive, same rule as the
-      // headline Bench): any 10× query whose σ exceeds 50% of its min
-      // had a contended window (r12: q06 σ/min 2.44 inflated 2.4×→10.85×)
-      // — re-time it once at end of run in RANDOMIZED order, publish
-      // both values, and let the ratios use the better min (a re-timed
-      // run is a true execution of the same warm plan).
-      val mkByName = tpchMk.toMap
-      val tpchFlagged = tpchTimed.collect {
-        case (n, (mn, sd, _, _)) if mn > 0 && sd > 0.5 * mn => n
-      }
-      val tpchRetimed: Map[String, (Double, Double)] =
-        new scala.util.Random(System.nanoTime()).shuffle(tpchFlagged).flatMap { n =>
-          try {
-            val (t, _, _, load) = HostEvidence.window {
-              val s = System.nanoTime()
-              mkByName(n)().write.mode("overwrite").format("noop").save()
-              (System.nanoTime() - s) / 1e9
-            }
-            Some(n -> (t, load))
-          } catch {
-            // a retime candidate is by definition one with an unstable
-            // window; its failure keeps the first-pass min, not void
-            // the artifact
-            case e: Throwable =>
-              System.err.println(s"[bench] retime $n failed: ${e.getMessage}")
-              None
-          }
-        }.toMap
-      val tpchMins = tpchTimed.map { case (n, (mn, _, _, _)) =>
-        n -> tpchRetimed.get(n).map(_._1).fold(mn)(math.min(mn, _))
-      }
-      // the measured per-query floor: planning + job scheduling + noop
-      // commit for a zero-row plan. Measured at ~0.01 s — i.e. the gap
-      // to DuckDB is NOT driver scheduling; it is per-stage engine
-      // overhead (task launch across 32 partitions × several stages,
-      // row-based shuffle serialization) that shrinks as data per task
-      // grows, which is exactly the regime a 100 TB corpus is in.
-      // Reported so the artifact carries that decomposition itself.
-      val floorSec = timeOnly(() => spark.range(0).toDF())._1
-      val vs10x = CrossEngine.ratios(
-        java.nio.file.Paths.get("bench", "duckdb_times_scale10.json"),
-        tpchMins.toMap,
-        expectedFingerprint = Some(corpusFingerprint(sfDir)),
-        note = f"TPC-H shapes at 10x (~SF1): spark min / duckdb " +
-          f"best-of-3 on the identical 32-file corpus parquet; measured " +
-          f"empty-plan floor $floorSec%.2fs (floor_sec) — the remaining " +
-          f"gap is per-stage overhead that amortizes with rows per task")
-      // Per-query stage-count decomposition (r12 directive): how many
-      // stages each 10× query actually RAN (completed-stage events over
-      // one execution — AQE reuse/skips don't count, which is the
-      // honest number). Together with floor_sec this separates plan
-      // slack from the structural per-stage JVM constant: a query at
-      // stages × per-stage-floor is engine constant, not a plan defect.
-      val stageTally = new java.util.concurrent.atomic.AtomicInteger(0)
-      val stageListener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          stageTally.incrementAndGet(); ()
-        }
-      }
-      spark.sparkContext.addSparkListener(stageListener)
-      def settledStages(): Int = {
-        var prev = -1; var quiet = 0; var waited = 0
-        while (quiet < 3 && waited < 8000) {
-          val b = stageTally.get
-          if (b == prev) quiet += 1 else quiet = 0
-          prev = b; Thread.sleep(150); waited += 150
-        }
-        stageTally.get
-      }
-      // the settled post-count of query k IS query k+1's pre-count —
-      // carrying it forward halves the ~450 ms minimum settle sleeps
-      var stagePre = settledStages()
-      val tpchStages = tpchMk.flatMap { case (n, mk) =>
-        try {
-          mk().write.mode("overwrite").format("noop").save()
-          val post = settledStages()
-          val out = Some(n -> (post - stagePre))
-          stagePre = post
-          out
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] stage count $n failed: ${e.getMessage}")
-            stagePre = settledStages() // resync after a partial run
-            None
-        }
-      }
-      spark.sparkContext.removeSparkListener(stageListener)
-      val tpchStageJson = tpchStages
-        .map { case (n, c) => "\"" + n + "\":" + c }
-        .mkString("{", ",", "}")
-
-      val tpchJson = (tpchMins :+ ("floor_sec" -> floorSec))
-        .map { case (n, t) => "\"" + n + "\":" + f"$t%.2f" }
-        .mkString("{", ",", "}")
-      val tpchSdJson = tpchTimed
-        .map { case (n, (_, sd, _, _)) => "\"" + n + "\":" + f"$sd%.3f" }
-        .mkString("{", ",", "}")
-      val tpchHostJson = tpchTimed
-        .map { case (n, (_, _, load, cpuX)) =>
-          "\"" + n + "\":" + f"""{"load1":$load%.1f,"cpu_x":$cpuX%.1f}""" }
-        .mkString("{", ",", "}")
-      val tpchRetimedJson = tpchTimed
-        .collect { case (n, (mn, _, _, _)) if tpchRetimed.contains(n) =>
-          val (t, rl) = tpchRetimed(n)
-          "\"" + n + "\":" + f"""{"min1":$mn%.2f,"retime":$t%.2f,"retime_load1":$rl%.1f}""" }
-        .mkString("{", ",", "}")
+      spark.sparkContext.removeSparkListener(tally)
 
       val all = rows :+
         (("semantic_neardup_lsh", semScale,
@@ -539,8 +576,10 @@ object ScaleBench {
         val s2 = shX.map(x => f""","shuffle_x":$x%.2f""").getOrElse("")
         "\"" + n + "\":" + f"""{"sec":$t%.4f$l$s1$s2}"""
       }.mkString("{", ",", "}")
-      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired,"tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,"tpch_10x_host":$tpchHostJson,"tpch_10x_retimed":$tpchRetimedJson,"tpch_10x_stages":$tpchStageJson,"tpch_10x_plan_ms":$tpchPlanJson${vs10x.map(v => s""","vs_duckdb_10x":${v._2}""").getOrElse("")},"queries":$detail}"""
-      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size},"retimed":${tpchRetimed.size}${vs10x.map(v => s""","vs_duckdb_10x":${v._1}""").getOrElse("")}}"""
+      val tpchFields = first.map(t => "," + t.fields).getOrElse("")
+      val retimed = first.map(_.retimed).getOrElse(0)
+      val full = f"""{"replicas":$replicas,"iters":$iters,"build_sec":$buildSec%.1f,"total_sec":$total%.4f,"worst_linear_x":$worst%.2f,"aqe_skew_split_fired":$skewFired$tpchFields,"queries":$detail}"""
+      val short = f"""{"total_sec":$total%.1f,"worst_linear_x":$worst%.2f,"skew":$skewFired,"n":${all.size},"retimed":$retimed${first.flatMap(_.vsShort).map(v => s""","vs_duckdb_10x":$v""").getOrElse("")}}"""
       Some((short, full))
     } catch {
       case e: Throwable =>

@@ -317,9 +317,15 @@ object Dedup {
     * selective and the SMALL new side broadcasts under AQE. Hot buckets
     * (boilerplate bands shared by millions of corpus docs) are capped at
     * `hotBucketThreshold` corpus docs per bucket in deterministic id
-    * order — same two-regime contract as [[cappedBucketPairs]]: recall
-    * within a capped bucket degrades gracefully instead of the join
-    * exploding.
+    * order. NOTE this cap DROPS, it does not chain: a corpus doc ranked
+    * past the threshold in every bucket it occupies is invisible to the
+    * NEAR layer for that batch (unlike [[cappedBucketPairs]]'s
+    * successor-chain cap, which keeps every doc reachable through its
+    * bucket neighbours) — the trade for a reusable, batch-independent
+    * corpus band table. The EXACT layer is uncapped, so byte-identical
+    * corpus duplicates are always found; near-duplicates of over-
+    * threshold boilerplate buckets degrade first, which is the accepted
+    * regime for hot boilerplate.
     */
   def incrementalDuplicates(newDf: DataFrame, corpusDf: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.5,
@@ -539,6 +545,11 @@ object Dedup {
     * need a suffix-array pass the map-reduce model doesn't express
     * cheaply; position-level shingle coverage is the standard distributed
     * approximation.
+    *
+    * NULL-text documents are EXCLUDED from the output (the gram array is
+    * NULL and `explode` drops the row — [[graft.functions.TokenGramHashes]]'s
+    * pinned null semantics: a null document belongs to no bucket); the
+    * committed oracle filters `text IS NOT NULL` to match.
     */
   def duplicateSpanCoverage(df: DataFrame, textCol: String, idCol: String,
       w: Int = 5): DataFrame = {

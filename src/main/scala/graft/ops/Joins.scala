@@ -49,6 +49,11 @@ object Joins {
     * zero extra shuffles) and picks per row. Right (on, time) pairs must
     * be unique (pre-aggregate duplicates) or the carried payload among
     * equal keys is sort-unstable.
+    *
+    * NULL times never match, on either side and in every direction: a
+    * NULL-time left row gets a null payload, and NULL-time right rows
+    * are never carried — SQL comparison semantics, consistent across
+    * backward/forward/nearest.
     */
   def asof(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTime: String, rightTime: String, direction: String): DataFrame = {
@@ -85,7 +90,15 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(on.map(col): _*).orderBy(col("__t").desc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = when(col("__side") === 0,
+    // NULL times never match, on either side (SQL comparison semantics,
+    // as DuckDB's ASOF inequality gives): an ungated carry would hand a
+    // NULL-time right row (struct(null, payload) is non-null) to every
+    // later row in the backward pass, and a NULL-time LEFT row — which
+    // sorts last under the descending forward window — would "match" the
+    // globally earliest right row in forward/nearest while backward
+    // yields none. Right rows gate here; left rows are nulled after the
+    // window pass (below), so all three directions agree: null payload.
+    val carried = when(col("__side") === 0 && col("__t").isNotNull,
       struct(col("__t").as("__mt"), col("__p").as("__pp")))
     val u = l2.unionByName(r2)
     val matched = direction match {
@@ -107,6 +120,9 @@ object Joins {
     }
     matched
       .filter(col("__side") === 1)
+      // a NULL left time matches nothing in any direction (see carry
+      // gate above)
+      .withColumn("__m", when(col("__t").isNotNull, col("__m")))
       .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(c => col(s"__m.__pp.$c").as(c)): _*)
   }

@@ -258,14 +258,17 @@ object Pipeline {
     * categorical strata with bounded per-executor groups); for extreme
     * per-stratum cardinalities swap in `percentile_approx`, the same
     * shape with a sketch aggregate. Rows with NULL score fall below every
-    * threshold (dropped), matching SQL comparison semantics.
+    * threshold (dropped), matching SQL comparison semantics. A NULL
+    * stratum forms its own group (the threshold join is null-safe), so
+    * unlabelled rows are cut against their own quantile rather than
+    * silently dropped.
     */
   def quantileFilter(df: DataFrame, stratumCol: Column, scoreCol: Column,
       q: Double): DataFrame = {
     require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
     val thr = df.groupBy(stratumCol.as("__st"))
       .agg(percentile(scoreCol, lit(q)).as("__thr"))
-    df.join(thr, stratumCol === col("__st"))
+    df.join(thr, stratumCol <=> col("__st"))
       .filter(scoreCol >= col("__thr"))
       .drop("__st", "__thr")
   }

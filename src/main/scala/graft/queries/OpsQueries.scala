@@ -337,7 +337,7 @@ object OpsQueries {
         FROM documents WHERE doc_id % 5 = 0
       ), toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-        FROM corpus
+        FROM corpus WHERE text IS NOT NULL
       ), grams AS (
         SELECT doc_id,
           CASE WHEN len(ts) >= 5

@@ -51,7 +51,8 @@ object PipelineQueries {
       SELECT doc_id, lang, n_chars
       FROM documents d
       JOIN (SELECT lang AS l, quantile_cont(n_chars, 0.5) AS thr
-            FROM documents GROUP BY lang) t ON d.lang = t.l
+            FROM documents GROUP BY lang) t
+        ON d.lang IS NOT DISTINCT FROM t.l
       WHERE d.n_chars >= t.thr
       ORDER BY doc_id
     """),

@@ -11,9 +11,17 @@ import org.scalatest.BeforeAndAfterAll
   * data files per large table, and every planned scan pays the catalog
   * round trips (file listing, stats fetch, prune). This spec bulk-loads
   * a synthetic 100k-file / 300k-stats-row catalog and pins the planning
-  * path under 1 s end to end — the budget the new scan-planning indexes
-  * (MetadataStore.ensureSchema) exist to protect. The reference roadmaps
-  * metadata caching for the same hot path (src/metadata_provider.rs:569).
+  * path under a 1 s quiet-host budget end to end — the budget the
+  * scan-planning indexes (MetadataStore.ensureSchema) exist to protect.
+  * The reference roadmaps metadata caching for the same hot path
+  * (src/metadata_provider.rs:569).
+  *
+  * Budgets are CALIBRATION-SCALED, not absolute (r13 verdict task 2):
+  * the bench VM is burstable, and in a depleted window identical code
+  * times ~3x slower — an absolute `< 1000 ms` assertion then fails on
+  * host state, not on a planning regression. Each budget is multiplied
+  * by max(1, measured-probe / quiet-host-nominal), so it expands under
+  * load and never shrinks below the quiet-host value.
   */
 class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -33,14 +41,20 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = { lake.close(); spark.stop() }
 
+  /** Host-load scaling for the wall-clock budgets: ≥1 always. */
+  private lazy val slowdown =
+    math.max(1.0, graft.Calibration.stQuick() / graft.Calibration.NominalStSec)
+  private def budgetMs(quietMs: Double) = quietMs * slowdown
+
   private def timeMs[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = body
     (r, (System.nanoTime() - t0) / 1e6)
   }
 
-  test(s"scan planning stays under 1 s with $NumFiles files in the catalog") {
+  test(s"scan planning stays in its calibrated budget with $NumFiles files in the catalog") {
     import spark.implicits._
+    info(f"host slowdown factor: $slowdown%.2fx (budgets scale with it)")
     lake.createTableAs(
       Seq((1L, "seed")).toDF("id", "tag").coalesce(1), "main.big")
     val snapBase = lake.currentSnapshot
@@ -96,7 +110,8 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (files, listMs) = timeMs(lake.store.getDataFiles(tr.tableId, snapBase))
     assert(files.size == NumFiles + 1)
     info(f"file listing: $listMs%.0f ms for ${files.size} files")
-    assert(listMs < 1000, f"file listing took $listMs%.0f ms (> 1 s)")
+    assert(listMs < budgetMs(1000),
+      f"file listing took $listMs%.0f ms (budget ${budgetMs(1000)}%.0f ms)")
 
     // stats-based pruning: point filter must keep exactly the one
     // synthetic file whose [min,max] covers the key (plus the seed file,
@@ -107,7 +122,8 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(EqualTo("id", 50000500L))))
     info(f"stats pruning: $pruneMs%.0f ms, kept ${kept.size} of ${files.size}")
     assert(kept.size == 1, s"expected 1 surviving file, got ${kept.size}")
-    assert(pruneMs < 1000, f"pruning took $pruneMs%.0f ms (> 1 s)")
+    assert(pruneMs < budgetMs(1000),
+      f"pruning took $pruneMs%.0f ms (budget ${budgetMs(1000)}%.0f ms)")
 
     // the whole planning round trip (list + prune) also fits the budget
     val (_, planMs) = timeMs {
@@ -115,7 +131,8 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       lake.pruneDataFiles(tr, cols, snapBase, fs, Seq(EqualTo("id", 99999999L)))
     }
     info(f"full planning round trip: $planMs%.0f ms")
-    assert(planMs < 1000, f"planning took $planMs%.0f ms (> 1 s)")
+    assert(planMs < budgetMs(1000),
+      f"planning took $planMs%.0f ms (budget ${budgetMs(1000)}%.0f ms)")
 
     // ---- planning cache (reference roadmap: metadata caching) ----
     // repeat plans against an unchanged catalog answer from the cache:
@@ -124,7 +141,8 @@ class MetaScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       lake.store.getDataFiles(tr.tableId, snapBase))
     assert(cachedFiles.size == NumFiles + 1)
     info(f"cached file listing: $cachedMs%.1f ms")
-    assert(cachedMs < 100, f"cached listing took $cachedMs%.1f ms (expected ~1 ms)")
+    assert(cachedMs < budgetMs(100),
+      f"cached listing took $cachedMs%.1f ms (budget ${budgetMs(100)}%.0f ms, expected ~1 ms)")
 
     // any commit invalidates: the cache must never serve a stale listing
     lake.insertInto(

@@ -543,6 +543,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("nearest") == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> -1L))
   }
 
+  test("asof NULL times never match, consistently across directions") {
+    import spark.implicits._
+    // pid 6: NULL left time — before the fix, forward/nearest sorted it
+    // last under the descending window and fabricated a match with the
+    // globally earliest right row while backward matched nothing.
+    // rid 99: NULL right time — before the fix, the backward carry
+    // handed struct(null, payload) to every later left row.
+    val left = Seq((1L, "k", Some(100L)), (6L, "k", None: Option[Long]))
+      .toDF("pid", "grp", "t")
+    val right = Seq(("k", Some(90L), 10L), ("k", None: Option[Long], 99L))
+      .toDF("grp", "rt", "rid")
+    Seq("backward", "forward", "nearest").foreach { d =>
+      val got = Joins.asof(left, right, Seq("grp"), "t", "rt", d)
+        .select("pid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got(6L) == -1L, s"direction $d: NULL left time must not match")
+      assert(got(1L) != 99L, s"direction $d: NULL right time must not be carried")
+      val want = if (d == "forward") -1L else 10L
+      assert(got(1L) == want, s"direction $d: pid 1")
+    }
+  }
+
   test("binned interval join equals the nested-loop reference and avoids BNLJ") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"),
