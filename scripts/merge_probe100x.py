@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Assemble bench/probe_100x.json from the Spark-side 100x probe
+(target/probe_100x_spark.json, written by `sbt "runMain graft.Probe100x"`)
+and an optional DuckDB recording on the identical 100x corpus
+(bench/duckdb_times_100x.json, written by time_oracle.py with
+--marker=<corpus>/_GRAFT_SCALE10_DONE so the layout fingerprint rides it).
+
+Usage: python3 scripts/merge_probe100x.py
+"""
+import json, os, time
+
+spark = json.load(open("target/probe_100x_spark.json"))
+out = {
+    "note": ("100x scale probe: %d key-shifted replicas of sf0.1 (~SF10, "
+             "60M-row lineitem, 128-file layout), Bench confs, warm-then-min "
+             "protocol (tpch 2+3, pipeline ops 1+2, cc single-shot). "
+             "linear_100x = t100 / (%.0f * t10); 1.0 = proportional growth "
+             "from the 10x corpus. vs_duckdb_100x = spark min / duckdb "
+             "best-of-3 on the identical corpus parquet."
+             % (spark["replicas"], spark["growth_vs_10x"])),
+}
+out.update(spark)
+
+duck_path = "bench/duckdb_times_100x.json"
+if os.path.exists(duck_path):
+    duck = json.load(open(duck_path))
+    times = duck.get("times", {})
+    ratios = {}
+    for name, t100 in spark["spark_100x_sec"].items():
+        d = times.get(name)
+        if d and d > 0 and t100 > 0:
+            ratios[name] = round(t100 / d, 2)
+    out["duckdb_100x_sec"] = times
+    out["duckdb_version"] = duck.get("duckdb_version")
+    out["duckdb_fingerprint"] = duck.get("layout_fingerprint", "")[:80]
+    out["vs_duckdb_100x"] = ratios
+
+out["merged_unix"] = int(time.time())
+with open("bench/probe_100x.json", "w") as f:
+    json.dump(out, f, indent=1)
+print("wrote bench/probe_100x.json")

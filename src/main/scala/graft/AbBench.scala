@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interleaved A/B harness for plan-rewrite experiments: times two named
+  * frames alternately (A,B,A,B,…) in ONE session so host drift hits both
+  * arms equally — the protocol behind every kept/rejected rewrite note
+  * in Tpch.scala. Names resolve from [[SparkEntry.queries]] first, then
+  * from the experimental [[variants]] registry below (rewrites under
+  * evaluation live here until a measured win moves them into the query
+  * file; a measured loss keeps them here as the recorded evidence).
+  *
+  * Usage: SPARK_GRAFT_DIR=<corpus> sbt "runMain graft.AbBench <A> <B>"
+  */
+object AbBench {
+
+  /** q04 rewrite: EXISTS as inner-join + DISTINCT orderkeys instead of
+    * the left-semi SMJ. The point is the join ORDER: with lineitem as
+    * the STREAM side and the date-filtered orders projection as the
+    * build side (~3 MB at 10× — under the 4 MB threshold), Catalyst
+    * picks a broadcast hash join and the 6M-row lineitem shuffle
+    * disappears; the only exchange left is the ~|matched orders|
+    * distinct. Scale-safe: nothing forces the broadcast — past the
+    * threshold AQE falls back to the same SMJ the semi uses today.
+    */
+  def q04InnerDistinct(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val o = t("orders")
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-10-01")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = t("lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q22 rewrite: the scalar subquery (avg positive balance) computed
+    * eagerly into a literal — a bounded O(1) driver value, exactly how
+    * DuckDB executes the scalar subquery — so the `c_acctbal > avg`
+    * predicate pushes into the customer scan (parquet min/max skipping)
+    * instead of riding a 1-row broadcast nested loop AFTER the scan.
+    */
+  def q22EagerScalar(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val c = t("customer")
+    val o = t("orders").filter(col("o_orderdate") >= "2000-01-01")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal"))).head().getDouble(0)
+    c.filter(col("c_acctbal") > avgBal)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q04_inner_distinct" -> (q04InnerDistinct _),
+    "q22_eager_scalar" -> (q22EagerScalar _))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AbBench <nameA> <nameB> [more...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shmDir = new java.io.File("/dev/shm")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
+      .config("spark.ui.enabled", "false")
+    if (shmDir.isDirectory && shmDir.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
+    sys.env.get("SPARK_GRAFT_CONFS").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_DIR",
+      ScaleBench.buildCorpus(spark, "/root/testdata/sf0.1"))
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+
+    def frame(name: String): () => DataFrame =
+      SparkEntry.queries.get(name).orElse(variants.get(name)) match {
+        case Some(f) => () => f(spark, dir)
+        case None => sys.error(s"unknown query/variant '$name'")
+      }
+    def once(mk: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk().write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val arms = args.toSeq.map(n => n -> frame(n))
+    // row-count sanity between arms of a rewrite A/B
+    val counts = arms.map { case (n, mk) => n -> mk().count() }
+    println(s"rows: ${counts.map { case (n, c) => s"$n=$c" }.mkString(", ")}")
+    arms.foreach { case (_, mk) => once(mk); once(mk) } // 2 warmups each
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to iters).foreach { _ =>
+      arms.foreach { case (n, mk) => samples(n) :+= once(mk) }
+    }
+    arms.foreach { case (n, _) =>
+      val s = samples(n)
+      println(f"$n%-28s min=${s.min}%.3f avg=${s.sum / s.size}%.3f " +
+        s.map(x => f"$x%.3f").mkString("[", ",", "]"))
+    }
+    spark.stop()
+  }
+}

@@ -111,12 +111,10 @@ object Bench {
         f"st=$calSt%.3f mt=$calMt%.3f as the reference")
       Calibration.record(calSt, calMt)
     }
-    val hostX = Calibration.hostX(calSt, calMt)
-    val hostDegraded = hostX.exists(_ > Calibration.DegradedAt)
-    if (hostDegraded)
-      System.err.println(f"[bench] HOST DEGRADED: calibration ${hostX.get}%.2fx " +
-        f"the committed reference — drift will be marked not adjudicable")
-    val calJson = f""""calibration":{"st_sec":$calSt%.3f,"mt_sec":$calMt%.3f${hostX.map(x => f""","host_x":$x%.2f""").getOrElse("")},"host_degraded":$hostDegraded}"""
+    val hostXStart = Calibration.hostX(calSt, calMt)
+    if (hostXStart.exists(_ > Calibration.DegradedAt))
+      System.err.println(f"[bench] HOST DEGRADED at start: calibration " +
+        f"${hostXStart.get}%.2fx the committed reference")
 
     // The decision-grade 10× TPC-H cross-engine suite runs FIRST — on
     // the freshest host window, before the sf0.1 sweep and retimes
@@ -260,6 +258,21 @@ object Bench {
     val total = minsMap.values.filter(_ > 0).sum
 
     val scale10 = ScaleBench.finishRun(spark, sfDir, dataDir, minsMap, tpch10x)
+
+    // END-of-run calibration: the start probe cannot certify the late
+    // windows — the burstable budget depletes WITHIN a ~13-minute run
+    // (observed: start host_x 1.04 while the end-of-run sf0.1 sweep
+    // published 2× inflated minima on unchanged code). The run is
+    // degraded if EITHER window exceeds the threshold; both are
+    // published so the artifact shows when the depletion happened.
+    val (calSt2, calMt2) = Calibration.measure(spark)
+    val hostXEnd = Calibration.hostX(calSt2, calMt2)
+    val hostX = (hostXStart ++ hostXEnd).reduceOption((a, b) => math.max(a, b))
+    val hostDegraded = hostX.exists(_ > Calibration.DegradedAt)
+    if (hostDegraded)
+      System.err.println(f"[bench] HOST DEGRADED: calibration ${hostX.get}%.2fx " +
+        f"the committed reference — drift marked not adjudicable")
+    val calJson = f""""calibration":{"st_sec":$calSt%.3f,"mt_sec":$calMt%.3f,"end_st_sec":$calSt2%.3f,"end_mt_sec":$calMt2%.3f${hostXStart.map(x => f""","host_x_start":$x%.2f""").getOrElse("")}${hostXEnd.map(x => f""","host_x_end":$x%.2f""").getOrElse("")},"host_degraded":$hostDegraded}"""
     spark.stop()
 
     // reference-parity cross-engine ratio (benchmark/src/main.rs:154-164,

@@ -53,7 +53,9 @@ object Calibration {
 
   private def mtOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    sink = spark.range(1000000000L).select(sum(xxhash64(col("id"))))
+    // bit_xor, not sum: summing 1e9 full-range hashes overflows Long
+    // under ANSI mode
+    sink = spark.range(1000000000L).select(bit_xor(xxhash64(col("id"))))
       .head().getLong(0)
     (System.nanoTime() - t0) / 1e9
   }

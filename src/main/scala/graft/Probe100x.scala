@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× scale probe (r13 verdict task 4): replays the headline TPC-H
+  * shapes AND the heavy pipeline operators on a 100-replica corpus
+  * (~SF10 — 60M-row lineitem, 128-file layout) and reports
+  * `linear_100x = t100 / (10 * t10)` per query — ≤1.0 means the op grew
+  * at-or-below proportionally from 10× to 100×, the measured half of
+  * the 100 TB claim for the dedup/ANN shapes (the r13 probe covered
+  * TPC-H only; the pipeline ops' scaling rested on 10× replays plus a
+  * design argument).
+  *
+  * Also re-runs the two cheapest REJECTED plan A/Bs at 100× (r13
+  * verdict task 7): the q04 EXISTS→pre-aggregate rewrite and the q15
+  * early top-k — both were rejected at 10×, where per-stage launch
+  * overhead dominates; at 60M rows the trade can flip shape, so the
+  * rejection needs a 100× number before it is final.
+  *
+  * Protocol (reference parity: benchmark/src/main.rs warm-verify-then-
+  * time): ≥1 warmup then min of ≥2 timed noop-sink executions per query
+  * per scale; connected components (its own multi-action loop) is timed
+  * single-shot at 1M and 10M path vertices. Spark side only — the
+  * cross-engine 100× ratios merge in via scripts/merge_probe100x.py
+  * from a time_oracle.py recording on the identical corpus.
+  */
+object Probe100x {
+
+  /** TPC-H shapes probed at both scales (the r13 five + the two A/B
+    * targets).
+    */
+  val tpchNames = Seq(
+    "q01_pricing_summary", "q04_order_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q13_customer_distribution", "q15_top_supplier",
+    "q18_large_orders")
+
+  /** Pipeline operators probed at both scales. */
+  val pipeNames = Seq(
+    "dedup_exact", "dedup_minhash", "dedup_span_coverage", "pipe_curation")
+
+  /** q04 A/B variant: EXISTS(l_shipdate > o_orderdate + 30) per order ⟺
+    * max(l_shipdate) per order > o_orderdate + 30 — one map-side-
+    * combinable lineitem pre-aggregate then an equi join, instead of the
+    * semi SMJ carrying the non-equi residual. Rejected at 10×
+    * (0.696→0.721 s); re-measured here at 100×.
+    */
+  def q04PreAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val o = t("orders")
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-10-01")
+    val lm = t("lineitem").groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("__maxship"))
+    o.join(lm, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("__maxship") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q15 A/B variant: top-5 by revenue BEFORE the supplier join (probe 5
+    * rows instead of the full supplier broadcast). Rejected at 10×
+    * (0.23→0.31 s); re-measured here at 100×.
+    */
+  def q15EarlyTopK(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val top = t("lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+      .groupBy("l_suppkey")
+      .agg(round(sum(rev), 2).as("total_revenue"))
+      .orderBy(col("total_revenue").desc, col("l_suppkey"))
+      .limit(5)
+    top.join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy(col("total_revenue").desc, col("s_suppkey"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // identical engine confs to graft.Bench so the two artifacts'
+    // numbers are comparable
+    val shmDir = new java.io.File("/dev/shm")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
+      .config("spark.ui.enabled", "false")
+    if (shmDir.isDirectory && shmDir.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
+    val t0 = System.nanoTime()
+    val dir10 = ScaleBench.buildCorpus(spark, sfDir)
+    val dir100 = ScaleBench.buildCorpusN(spark, sfDir, reps, 128)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[probe100x] corpora ready in $buildSec%.1f s")
+
+    def run(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(mk: () => DataFrame, warm: Int, iters: Int): Double = {
+      (1 to warm).foreach(_ => run(mk()))
+      (1 to iters).map { _ =>
+        val s = System.nanoTime(); run(mk()); (System.nanoTime() - s) / 1e9
+      }.min
+    }
+
+    def q(name: String, dir: String): () => DataFrame =
+      () => SparkEntry.queries(name)(spark, dir)
+
+    val out = new StringBuilder
+    def jmap(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+
+    // --- TPC-H shapes: warm 2 / min of 3 at both scales
+    val tpch10 = tpchNames.map(n => n -> time(q(n, dir10), 2, 3))
+    System.err.println(s"[probe100x] tpch 10x done: ${jmap(tpch10)}")
+    val tpch100 = tpchNames.map(n => n -> time(q(n, dir100), 2, 3))
+    System.err.println(s"[probe100x] tpch 100x done: ${jmap(tpch100)}")
+
+    // --- pipeline ops: heavier per pass — warm 1 / min of 2
+    val pipe10 = pipeNames.map(n => n -> time(q(n, dir10), 1, 2)) :+
+      ("cosine_neardup_pairs" -> time(() => ScaleBench.semanticNearDup(spark, dir10), 1, 2))
+    System.err.println(s"[probe100x] pipe 10x done: ${jmap(pipe10)}")
+    val pipe100 = pipeNames.map(n => n -> time(q(n, dir100), 1, 2)) :+
+      ("cosine_neardup_pairs" -> time(() => ScaleBench.semanticNearDup(spark, dir100), 1, 2))
+    System.err.println(s"[probe100x] pipe 100x done: ${jmap(pipe100)}")
+
+    // --- connected components: scrambled path (diameter = n), timed
+    // single-shot per size; its own 10× growth ratio
+    def ccSec(n: Long): Double = {
+      val edges = spark.range(n - 1).select(
+        (col("id") * 2654435761L % 1000000007L).as("src"),
+        ((col("id") + 1) * 2654435761L % 1000000007L).as("dst"))
+      val s = System.nanoTime()
+      val cc = graft.ops.Dedup.connectedComponents(edges, "src", "dst")
+      require(cc.select(count_distinct(col("component"))).head.getLong(0) == 1L)
+      (System.nanoTime() - s) / 1e9
+    }
+    val cc1m = ccSec(1000000L)
+    val cc10m = ccSec(10000000L)
+    System.err.println(f"[probe100x] cc 1m=$cc1m%.1f s, 10m=$cc10m%.1f s")
+
+    // --- rejected-A/B re-runs at 100× (and 10× for context)
+    val ab = Seq(
+      "q04_preagg_10x" -> time(() => q04PreAgg(spark, dir10), 2, 3),
+      "q04_preagg_100x" -> time(() => q04PreAgg(spark, dir100), 2, 3),
+      "q15_early_topk_10x" -> time(() => q15EarlyTopK(spark, dir10), 2, 3),
+      "q15_early_topk_100x" -> time(() => q15EarlyTopK(spark, dir100), 2, 3))
+    System.err.println(s"[probe100x] ab done: ${jmap(ab)}")
+
+    spark.stop()
+
+    val growth = reps / ScaleBench.replicas.toDouble
+    val all10 = (tpch10 ++ pipe10).toMap
+    val lin = (tpch100 ++ pipe100).flatMap { case (n, t100) =>
+      all10.get(n).filter(_ > 0).map(t10 => n -> t100 / (growth * t10))
+    }
+    out ++= s"""{"replicas":$reps,"growth_vs_10x":$growth,"""
+    out ++= f""""build_sec":$buildSec%.1f,"""
+    out ++= s""""spark_10x_sec":${jmap(tpch10 ++ pipe10)},"""
+    out ++= s""""spark_100x_sec":${jmap(tpch100 ++ pipe100)},"""
+    out ++= s""""linear_100x":${jmap(lin)},"""
+    out ++= f""""cc_path_1m_sec":$cc1m%.2f,"cc_path_10m_sec":$cc10m%.2f,"""
+    out ++= f""""cc_linear_10m":${cc10m / (10 * cc1m)}%.3f,"""
+    out ++= s""""ab_sec":${jmap(ab)},"""
+    out ++= s""""recorded_unix":${System.currentTimeMillis / 1000}}"""
+    val dest = java.nio.file.Paths.get("target", "probe_100x_spark.json")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.write(dest, (out.toString + "\n").getBytes("UTF-8"))
+    println(out.toString)
+  }
+}

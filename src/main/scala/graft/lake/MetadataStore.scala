@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.sql.{Connection, DriverManager, ResultSet}
+import java.sql.{Connection, ResultSet}
 
 /** Catalog records (reference: src/metadata_provider.rs:413-503). */
 final case class SchemaRec(schemaId: Long, name: String, path: String, pathIsRelative: Boolean)
@@ -118,29 +118,34 @@ final case class TableWriteSpec(schemaName: String, tableName: String,
 
 object WriteMode extends Enumeration { val Append, Replace = Value }
 
-/** Embedded-Derby implementation of the DuckLake metadata catalog: the 7
+/** SQL-database implementation of the DuckLake metadata catalog: the 7
   * `ducklake_*` tables with `begin_snapshot`/`end_snapshot` validity
-  * intervals and a transactional write path. Role-equivalent of the
-  * reference's SQLite/DuckDB embedded backends (reference:
+  * intervals and a transactional write path (reference:
   * src/metadata_provider.rs:5-73 SQL constants & trait :544-619;
   * src/metadata_writer_sqlite.rs:331-511 write transaction).
+  *
+  * The business logic here is backend-agnostic; everything
+  * engine-specific (boot, shutdown, dialect capabilities) lives behind
+  * [[MetadataBackend]] — the analog of the reference's
+  * `MetadataProvider` trait with its 4 engine impls. Two embedded
+  * backends ship: on-disk Derby (default) and in-memory Derby
+  * (`memory:<name>` paths).
   *
   * Visibility predicate everywhere:
   * `begin_snapshot <= snap AND (end_snapshot IS NULL OR end_snapshot > snap)`.
   *
-  * Derby is single-process embedded; writes serialize on this object's
-  * monitor (matches the reference's SQLite-backend semantics,
+  * The embedded backends are single-process; writes serialize on this
+  * object's monitor (matches the reference's SQLite-backend semantics,
   * SURVEY.md §7.4).
   */
-final class MetadataStore(dbPath: String,
-    metadataSchema: Option[String] = None) extends AutoCloseable {
+final class MetadataStore(backend: MetadataBackend,
+    metadataSchema: Option[String]) extends AutoCloseable {
+
+  def this(dbPath: String, metadataSchema: Option[String] = None) =
+    this(MetadataBackend.forPath(dbPath), metadataSchema)
 
   private val conn: Connection = {
-    // register the embedded driver in THIS classloader (DriverManager only
-    // honors drivers whose loader matches the caller's — after an sbt
-    // incremental recompile the old registration is invisible)
-    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-    val c = DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
+    val c = backend.connect()
     c.setAutoCommit(true)
     // METADATA_SCHEMA: several independent DuckLake catalogs share ONE
     // metadata database under different schemas (reference:
@@ -664,7 +669,7 @@ final class MetadataStore(dbPath: String,
     pendingCommitInfo = None
   }
 
-  MetadataStore.openCount.merge(dbPath, 1, (a, b) => Integer.valueOf(a + b))
+  MetadataStore.openCount.merge(backend.key, 1, (a, b) => Integer.valueOf(a + b))
 
   override def close(): Unit = synchronized {
     conn.close()
@@ -672,13 +677,12 @@ final class MetadataStore(dbPath: String,
     // page-cache file handles open — shut the database down explicitly or
     // a long-lived JVM (full test suite, notebook session) exhausts fds.
     // But ONLY when no sibling store shares the database (METADATA_SCHEMA
-    // puts several catalogs in one db); Derby signals successful shutdown
-    // via SQLState 08006.
-    val remaining = MetadataStore.openCount.merge(dbPath, -1, (a, b) => Integer.valueOf(a + b))
+    // puts several catalogs in one db); the backend owns the
+    // engine-specific shutdown semantics.
+    val remaining = MetadataStore.openCount.merge(backend.key, -1, (a, b) => Integer.valueOf(a + b))
     if (remaining <= 0) {
-      MetadataStore.openCount.remove(dbPath)
-      try { DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true"); () }
-      catch { case _: java.sql.SQLException => () }
+      MetadataStore.openCount.remove(backend.key)
+      backend.shutdown()
     }
   }
 
@@ -3277,8 +3281,8 @@ final class MetadataStore(dbPath: String,
 }
 
 object MetadataStore {
-  /** Live stores per Derby database path — the db only shuts down when
-    * its LAST store closes (METADATA_SCHEMA shares one db).
+  /** Live stores per backend key — the engine only shuts down when the
+    * LAST store on the key closes (METADATA_SCHEMA shares one db).
     */
   private val openCount =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()

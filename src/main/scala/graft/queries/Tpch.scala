@@ -108,6 +108,14 @@ object Tpch {
     """),
 
     ("q04_order_priority", (s: SparkSession, dir: String) => {
+      // (r14 no-win note, interleaved AbBench at 10×: rewriting the
+      // EXISTS as inner-join + DISTINCT orderkeys — hoping the ~160k-row
+      // filtered-orders projection would broadcast and drop the 6M-row
+      // lineitem shuffle — measured SLOWER, min 0.775 → 0.830 s: Spark's
+      // string-pessimistic size estimate puts the 3-column projection
+      // over the 4 MB threshold, so it pays the same SMJ plus an extra
+      // distinct exchange. The pre-aggregate rewrite was re-measured at
+      // 100× by Probe100x — see bench/probe_100x.json ab_sec.)
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-10-01")
       val l = t(s, dir, "lineitem")
@@ -556,6 +564,14 @@ object Tpch {
       val o = t(s, dir, "orders").filter(col("o_orderdate") >= "2000-01-01")
       val avgBal = c.filter(col("c_acctbal") > 0.0)
         .agg(avg(col("c_acctbal")).as("avg_bal"))
+      // (r14 no-win note, interleaved AbBench at 10×, 9 iterations:
+      // computing the scalar subquery eagerly into a literal — pushing
+      // the c_acctbal predicate into the customer scan instead of the
+      // 1-row broadcast nested loop — measured NEUTRAL, min 0.554 vs
+      // 0.559 s, avg 0.651 vs 0.653: the one-row BNLJ is free and
+      // c_acctbal carries no file-level clustering for min/max skipping
+      // to exploit. Kept the lazy crossJoin form — no eager job at
+      // frame-construction time.)
       // (r13 no-win note, measured interleaved-A/B at 10×: anti-joining
       // DISTINCT active custkeys — hoping AQE would see the ≤1 MB key
       // set and convert the SMJ anti to broadcast — was NEUTRAL, min
