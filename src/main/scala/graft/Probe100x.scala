@@ -126,19 +126,33 @@ object Probe100x {
       pairs.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
 
+    // Each query's 10× and 100× windows are ADJACENT (not two whole-
+    // suite passes): on the burstable host the budget depletes
+    // monotonically through the run, and a 10×-all-then-100×-all order
+    // would bias every linear_100x upward by the drift between passes.
     // --- TPC-H shapes: warm 2 / min of 3 at both scales
-    val tpch10 = tpchNames.map(n => n -> time(q(n, dir10), 2, 3))
-    System.err.println(s"[probe100x] tpch 10x done: ${jmap(tpch10)}")
-    val tpch100 = tpchNames.map(n => n -> time(q(n, dir100), 2, 3))
-    System.err.println(s"[probe100x] tpch 100x done: ${jmap(tpch100)}")
+    val tpchBoth = tpchNames.map { n =>
+      val t10 = time(q(n, dir10), 2, 3)
+      val t100 = time(q(n, dir100), 2, 3)
+      System.err.println(f"[probe100x] $n 10x=$t10%.2f 100x=$t100%.2f")
+      (n, t10, t100)
+    }
+    val tpch10 = tpchBoth.map { case (n, a, _) => n -> a }
+    val tpch100 = tpchBoth.map { case (n, _, b) => n -> b }
 
     // --- pipeline ops: heavier per pass — warm 1 / min of 2
-    val pipe10 = pipeNames.map(n => n -> time(q(n, dir10), 1, 2)) :+
-      ("cosine_neardup_pairs" -> time(() => ScaleBench.semanticNearDup(spark, dir10), 1, 2))
-    System.err.println(s"[probe100x] pipe 10x done: ${jmap(pipe10)}")
-    val pipe100 = pipeNames.map(n => n -> time(q(n, dir100), 1, 2)) :+
-      ("cosine_neardup_pairs" -> time(() => ScaleBench.semanticNearDup(spark, dir100), 1, 2))
-    System.err.println(s"[probe100x] pipe 100x done: ${jmap(pipe100)}")
+    val pipeBoth = (pipeNames.map { n =>
+      (n, time(q(n, dir10), 1, 2), time(q(n, dir100), 1, 2))
+    } :+ {
+      val a = time(() => ScaleBench.semanticNearDup(spark, dir10), 1, 2)
+      val b = time(() => ScaleBench.semanticNearDup(spark, dir100), 1, 2)
+      ("cosine_neardup_pairs", a, b)
+    }).map { case r @ (n, a, b) =>
+      System.err.println(f"[probe100x] $n 10x=$a%.2f 100x=$b%.2f")
+      r
+    }
+    val pipe10 = pipeBoth.map { case (n, a, _) => n -> a }
+    val pipe100 = pipeBoth.map { case (n, _, b) => n -> b }
 
     // --- connected components: scrambled path (diameter = n), timed
     // single-shot per size; its own 10× growth ratio

@@ -1113,8 +1113,20 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
     f.mappingId.flatMap(ctx.mappings.get) match {
       case Some(entries) =>
         val byId = entries.filterNot(_.isPartition).map(e => e.columnId -> e).toMap
-        ctx.cols.map(c => c -> byId.get(c.columnId).map(e =>
-          ColumnDef(c.columnId, c.order, e.sourceName, e.sourceType, nullsAllowed = true)))
+        ctx.cols.map(c => c -> byId.get(c.columnId).map { e =>
+          // the @file suffix marks "this is the FILE's physical INT64
+          // encoding" (adopted TIME(MICROS) / TIMESTAMP(NANOS) columns,
+          // which Spark's parquet reader refuses): readGroup reads the
+          // column as BIGINT and rescales. Distinct from a NATIVE file
+          // of a time/ns-typed column, whose parquet is whatever µs
+          // encoding Spark itself wrote and reads back natively.
+          val src = e.sourceType match {
+            case "time"         => "time@file"
+            case "timestamp_ns" => "timestamp_ns@file"
+            case d              => d
+          }
+          ColumnDef(c.columnId, c.order, e.sourceName, src, nullsAllowed = true)
+        })
       case None => epochOf(ctx.cols, ctx.history, f)
     }
 
@@ -1166,7 +1178,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       withFilePath: Boolean = false): DataFrame = {
     val physSchema0 = StructType(epoch.collect {
       case (cur, Some(phys)) if !partVals.contains(cur.columnId) =>
-        StructField(phys.name, TypeBridge.toSpark(phys.dtype), nullable = true)
+        StructField(phys.name, DuckLake.physReadType(phys.dtype), nullable = true)
     })
     // UPDATE-written files carry an explicit per-row stable id column
     // (row_id_start NULL in the catalog); request it when the rowid
@@ -1184,6 +1196,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           case None      => lit(null)
         }).cast(TypeBridge.toSpark(cur.dtype)).as(cur.name)
       case (cur, Some(phys)) =>
+        // raw-INT64 temporals (adopted TIME / NANOS files, read as
+        // BIGINT — see physOf) rescale FIRST, then conform as their
+        // logical duck type
+        val (physCol0, physDuck) = phys.dtype match {
+          case "time@file" =>
+            (graft.functions.RawTemporal.microsOfDayToTime(col(phys.name)), "time")
+          case "timestamp_ns@file" =>
+            (graft.functions.RawTemporal.nanosToTimestampNtz(col(phys.name)), "timestamp")
+          case d => (col(phys.name), d)
+        }
         // conform along the column's VERSION CHAIN when the history has
         // it: stepwise conformance sees each single ALTER, so a nested
         // RENAME (field dropped + field added at the same position, same
@@ -1194,17 +1216,32 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
           .map { case (p, sql) => p.split('.').toSeq -> expr(sql) }
         val versions = history.filter(_._1.columnId == cur.columnId)
           .sortBy(_._2).map(_._1.dtype)
-        val start = versions.indexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(phys.dtype))
+        val start = versions.indexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(physDuck))
         val end = versions.lastIndexWhere(TypeBridge.normalize(_) == TypeBridge.normalize(cur.dtype))
-        val projected =
+        val projected0 =
           if (start >= 0 && end > start)
             versions.slice(start, end + 1).map(TypeBridge.toSpark)
-              .sliding(2).foldLeft(col(phys.name)) {
+              .sliding(2).foldLeft(physCol0) {
                 case (c, Seq(a, b)) => DuckLake.conformStep(c, a, b, defaults)
                 case (c, _)         => c
               }
-          else DuckLake.conform(col(phys.name), TypeBridge.toSpark(phys.dtype),
+          else DuckLake.conform(physCol0, TypeBridge.toSpark(physDuck),
             TypeBridge.toSpark(cur.dtype), defaults)
+        // declared-precision enforcement on read: a TIMESTAMP_S/MS
+        // column truncates finer-grained file values to its unit, the
+        // reference's adoption semantics (add_files_type_check_timestamp
+        // expects '12:23:34' from a µs file in a TIMESTAMP_S table).
+        // date_trunc returns session-zone TIMESTAMP even for NTZ input,
+        // so cast back — value-exact for sub-minute units (zone offsets
+        // are whole minutes, so the NTZ→LTZ→NTZ round trip through the
+        // session zone cannot move a second/millisecond boundary)
+        val projected = TypeBridge.normalize(cur.dtype) match {
+          case "timestamp_s" =>
+            date_trunc("second", projected0).cast(TimestampNTZType)
+          case "timestamp_ms" =>
+            date_trunc("millisecond", projected0).cast(TimestampNTZType)
+          case _ => projected0
+        }
         projected.as(cur.name)
       case (cur, None) => // column added after this file was written:
         // rows get the column's initial default (null when none declared)
@@ -1837,7 +1874,15 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val pathStr =
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       val fSize = footerSize(fs, p, st.getLen) // also validates the magic
-      val fileSchema = spark.read.parquet(pathStr).schema
+      // Spark's schema read REFUSES some foreign annotations before the
+      // type gate can speak (TIME: UNSUPPORTED_TIME_TYPE; TIMESTAMP with
+      // NANOS — the pandas/arrow-era default): fall back to a direct
+      // footer conversion so those files adopt through the raw-INT64
+      // read path; an unmappable footer rethrows Spark's original error
+      val fileSchema = try spark.read.parquet(pathStr).schema catch {
+        case e: Exception =>
+          FileStats.footerSparkSchema(p, hconf).getOrElse(throw e)
+      }
       // logical annotations Spark's schema erases (unsigned, JSON, UUID)
       // refine the type-gate comparison
       val duckRefined = FileStats.footerDuckTypes(p, hconf)
@@ -1920,6 +1965,7 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
       val isTs = entries.filterNot(_.isPartition).filter(e =>
         TypeBridge.toSpark(e.sourceType) match {
           case TimestampType | TimestampNTZType => true
+          case _: org.apache.spark.sql.types.TimeType => true
           case _ => false
         }).map(_.sourceName).toSet
       val fileStats0 = FileStats.fromFooter(p, hconf, physSchema, None).map { s =>
@@ -3468,6 +3514,17 @@ object DuckLake {
     * across every lake in the JVM (the pinned confs are session-global).
     */
   private[lake] val writerConfLock = new Object
+
+  /** Parquet READ type for a physical duck type: the raw-INT64 temporal
+    * encodings (adopted TIME / NANOS files — see `physOf`'s @file
+    * marking) read as BIGINT and rescale in the projection; everything
+    * else reads as its bridged Spark type.
+    */
+  private[lake] def physReadType(d: String): org.apache.spark.sql.types.DataType =
+    d match {
+      case "time@file" | "timestamp_ns@file" => LongType
+      case _ => TypeBridge.toSpark(d)
+    }
 
   /** Recognized `set_option` keys (DuckLake option surface; unknown keys
     * error — corpus: merge_adjacent_options.test 'parquet_bla').

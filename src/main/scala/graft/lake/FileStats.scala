@@ -251,9 +251,78 @@ object FileStats {
             Some(f.getName.toLowerCase -> "json")
           case _: LogicalTypeAnnotation.UUIDLogicalTypeAnnotation =>
             Some(f.getName.toLowerCase -> "uuid")
+          // temporal annotations Spark's schema read REFUSES (TIME) or
+          // erases/rejects (NANOS timestamps): the refined duck type
+          // drives adoption type-gating and the raw-INT64 read path
+          // (DuckLake TIME = µs-of-day; TIMESTAMP_NS = ns since epoch —
+          // pandas/arrow-era files commonly carry NANOS)
+          case t: LogicalTypeAnnotation.TimeLogicalTypeAnnotation =>
+            Some(f.getName.toLowerCase -> (if (t.isAdjustedToUTC) "timetz" else "time"))
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if !ts.isAdjustedToUTC &&
+                ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+            Some(f.getName.toLowerCase -> "timestamp_ns")
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if !ts.isAdjustedToUTC &&
+                ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            Some(f.getName.toLowerCase -> "timestamp_ms")
           case _ => None
         }
       }.toMap
+    } finally reader.close()
+  }
+
+  /** Spark schema of a parquet footer built WITHOUT Spark's converter —
+    * the adoption fallback for files whose annotations Spark's reader
+    * refuses outright (TIME) or rejects at schema time (TIMESTAMP with
+    * NANOS): `spark.read.parquet(..).schema` throws before the type gate
+    * can even speak. Top-level primitives only (the refused annotations
+    * are primitive; nested shapes that Spark can read never reach this
+    * fallback) — None when a field cannot be mapped, and the caller
+    * rethrows Spark's original error.
+    */
+  def footerSparkSchema(path: Path, conf: Configuration): Option[StructType] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      val out = fields.map { f =>
+        if (!f.isPrimitive) return None
+        val p = f.asPrimitiveType()
+        val anno = p.getLogicalTypeAnnotation
+        val dt: DataType = (p.getPrimitiveTypeName, anno) match {
+          case (BOOLEAN, _) => BooleanType
+          case (INT32, _: L.DateLogicalTypeAnnotation) => DateType
+          case (INT32, i: L.IntLogicalTypeAnnotation) if i.isSigned =>
+            i.getBitWidth match {
+              case 8 => ByteType; case 16 => ShortType; case _ => IntegerType
+            }
+          case (INT32, d: L.DecimalLogicalTypeAnnotation) =>
+            DecimalType(d.getPrecision, d.getScale)
+          case (INT32, _) => IntegerType
+          case (INT64, t: L.TimestampLogicalTypeAnnotation) =>
+            if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+          case (INT64, _: L.TimeLogicalTypeAnnotation) => TimeType(6)
+          case (INT64, d: L.DecimalLogicalTypeAnnotation) =>
+            DecimalType(d.getPrecision, d.getScale)
+          case (INT64, _) => LongType
+          case (FLOAT, _) => FloatType
+          case (DOUBLE, _) => DoubleType
+          case (BINARY, _: L.StringLogicalTypeAnnotation) => StringType
+          case (BINARY, _: L.JsonLogicalTypeAnnotation) => StringType
+          case (BINARY, _) => BinaryType
+          case (FIXED_LEN_BYTE_ARRAY, d: L.DecimalLogicalTypeAnnotation) =>
+            DecimalType(d.getPrecision, d.getScale)
+          case (FIXED_LEN_BYTE_ARRAY, _: L.UUIDLogicalTypeAnnotation) => StringType
+          case _ => return None
+        }
+        StructField(f.getName, dt, nullable = true)
+      }
+      Some(StructType(out.toSeq))
+    } catch {
+      case _: Exception => None
     } finally reader.close()
   }
 

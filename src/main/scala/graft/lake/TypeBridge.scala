@@ -260,6 +260,17 @@ object TypeBridge {
     // geometry IS a blob column; corpus: geo/ducklake_geometry_add_files
     // — GeoParquet-marked files are surfaced as 'geoparquet' and refused)
     if (f == "blob" && isGeometry(t)) return true
+    // timestamp precision family (ADOPTION lattice, distinct from the
+    // evolution lattice above): {s, ms, µs} files adopt into any
+    // {s, ms, µs, ns} column — the scan truncates to the declared
+    // precision — while NANOS files adopt only into µs/ns columns,
+    // never into coarser s/ms (reference acceptance matrix:
+    // tests/sqllogictests/sql/add_files/add_files_type_check_timestamp.test;
+    // the µs read of a NANOS file floor-truncates, exactly the
+    // reference's ns→µs conversion in src/types.rs:53-55)
+    val tsCoarse = Set("timestamp", "timestamp_s", "timestamp_ms")
+    if (tsCoarse(f) && (tsCoarse(t) || t == "timestamp_ns")) return true
+    if (f == "timestamp_ns" && (t == "timestamp" || t == "timestamp_ns")) return true
     def inner(s: String, prefix: String): Option[String] =
       if (s.startsWith(prefix) && s.endsWith(">"))
         Some(s.substring(prefix.length, s.length - 1))
