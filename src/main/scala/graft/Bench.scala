@@ -53,6 +53,12 @@ object Bench {
     // correctness one), and doubling the vectorized reader batch halves
     // per-batch dispatch on the wide fact scans. /dev/shm falls back to
     // the default local dir when absent.
+    // (r14 no-win note, recovered-host A/B: AQE post-shuffle coalescing
+    // tuned for fewer/bigger reduce tasks — parallelismFirst=false +
+    // advisory 16m — measured uniformly WORSE on the stage-heavy 10×
+    // queries: q18 0.72→1.41 s, q13 0.49→0.71 s. At this scale the
+    // reduce stages are CPU-bound, so cutting their parallelism costs
+    // far more than the saved task launches; the defaults stand.)
     val shmDir = new java.io.File("/dev/shm")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,6 +178,12 @@ object Bench {
       }
       (n, samples, cpuX, load)
     }
+    // MID-run calibration, directly after the timed sf0.1 sweep: the
+    // start/end bracket alone missed a mid-run steal sag (final r14 run:
+    // start 1.17, end 1.00 — both healthy — while the late-sweep gates
+    // published 2-3x minima at cpu_x 2-4; the hypervisor's budget dips
+    // and recovers WITHIN a 16-minute run)
+    val (calStMid, calMtMid) = Calibration.measure(spark)
     def stats(s: Seq[Double]): (Double, Double, Double, Double) = {
       if (s.isEmpty) return (-1.0, -1.0, -1.0, -1.0)
       val avg = s.sum / s.size
@@ -266,13 +278,15 @@ object Bench {
     // degraded if EITHER window exceeds the threshold; both are
     // published so the artifact shows when the depletion happened.
     val (calSt2, calMt2) = Calibration.measure(spark)
+    val hostXMid = Calibration.hostX(calStMid, calMtMid)
     val hostXEnd = Calibration.hostX(calSt2, calMt2)
-    val hostX = (hostXStart ++ hostXEnd).reduceOption((a, b) => math.max(a, b))
+    val hostX = (hostXStart ++ hostXMid ++ hostXEnd)
+      .reduceOption((a, b) => math.max(a, b))
     val hostDegraded = hostX.exists(_ > Calibration.DegradedAt)
     if (hostDegraded)
       System.err.println(f"[bench] HOST DEGRADED: calibration ${hostX.get}%.2fx " +
         f"the committed reference — drift marked not adjudicable")
-    val calJson = f""""calibration":{"st_sec":$calSt%.3f,"mt_sec":$calMt%.3f,"end_st_sec":$calSt2%.3f,"end_mt_sec":$calMt2%.3f${hostXStart.map(x => f""","host_x_start":$x%.2f""").getOrElse("")}${hostXEnd.map(x => f""","host_x_end":$x%.2f""").getOrElse("")},"host_degraded":$hostDegraded}"""
+    val calJson = f""""calibration":{"st_sec":$calSt%.3f,"mt_sec":$calMt%.3f,"mid_st_sec":$calStMid%.3f,"mid_mt_sec":$calMtMid%.3f,"end_st_sec":$calSt2%.3f,"end_mt_sec":$calMt2%.3f${hostXStart.map(x => f""","host_x_start":$x%.2f""").getOrElse("")}${hostXMid.map(x => f""","host_x_mid":$x%.2f""").getOrElse("")}${hostXEnd.map(x => f""","host_x_end":$x%.2f""").getOrElse("")},"host_degraded":$hostDegraded}"""
     spark.stop()
 
     // reference-parity cross-engine ratio (benchmark/src/main.rs:154-164,
