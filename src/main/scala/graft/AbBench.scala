@@ -61,7 +61,23 @@ object AbBench {
     "q22_eager_scalar" -> (q22EagerScalar _))
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: AbBench <nameA> <nameB> [more...]")
+    // conf-flip mode: `AbBench --conf k=v [--conf k2=v2] q1 q2 ...`
+    // times each named query interleaved base-vs-conf within ONE session
+    // (runtime SQL confs re-read at planning, so set/unset around each
+    // run flips the plan); host drift hits both arms equally, same as
+    // the two-query mode.
+    val (confArgs, queryArgs) = {
+      var rest = args.toList
+      val confs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      while (rest.headOption.contains("--conf")) {
+        val Array(k, v) = rest(1).split("=", 2)
+        confs += (k -> v)
+        rest = rest.drop(2)
+      }
+      (confs.toList, rest)
+    }
+    require(queryArgs.size >= (if (confArgs.nonEmpty) 1 else 2),
+      "usage: AbBench [--conf k=v ...] <nameA> <nameB> [more...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shmDir = new java.io.File("/dev/shm")
     val builder = SparkSession.builder()
@@ -75,6 +91,8 @@ object AbBench {
       .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
+      // runtime SMJ->SHJ conversion, A/B-kept r15 (see Bench.scala note)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
       builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
@@ -98,7 +116,24 @@ object AbBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val arms = args.toSeq.map(n => n -> frame(n))
+    // base-arm restores the session defaults, conf-arm applies the
+    // flipped confs; each arm's builder runs BEFORE its timing window,
+    // so plan+execute both see the arm's session state as the arms
+    // alternate
+    val savedConfs = confArgs.map { case (k, _) =>
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten }
+    def applyBase(): Unit = savedConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    def applyFlip(): Unit = confArgs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val arms: Seq[(String, () => DataFrame)] =
+      if (confArgs.isEmpty) queryArgs.map(n => n -> frame(n))
+      else queryArgs.flatMap { n =>
+        val base = frame(n)
+        Seq(n -> (() => { applyBase(); base() }),
+          s"$n+conf" -> (() => { applyFlip(); base() }))
+      }
     // row-count sanity between arms of a rewrite A/B
     val counts = arms.map { case (n, mk) => n -> mk().count() }
     println(s"rows: ${counts.map { case (n, c) => s"$n=$c" }.mkString(", ")}")

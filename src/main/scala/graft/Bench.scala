@@ -39,6 +39,11 @@ object Bench {
         "cb_group_cd_topk")).distinct
 
   def main(args: Array[String]): Unit = {
+    // sampled before ANY bench work ramps the machine: the auto-record
+    // guard below needs evidence about the HOST's pre-existing state,
+    // and load1 after the relayout/corpus-build phases mostly measures
+    // this process
+    val bootLoad1 = HostEvidence.load1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // 5 iterations: the per-query headline is min-of-N, and the persisted
@@ -83,6 +88,18 @@ object Bench {
       // broadcasts exactly the provably-bounded sides.
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
+      // Runtime SMJ→SHJ conversion (r15, interleaved AbBench at 10×):
+      // AQE replaces a sort-merge join with a shuffled hash join when
+      // EVERY build-side shuffle partition measures under this bound —
+      // both sort passes vanish from the fact joins (q18 1.88→1.13 s,
+      // q13 1.23→0.85 s, q08 2.01→1.44 s, q05 1.94→1.43 s, q07
+      // 2.08→1.77 s; −15..−40% interleaved). Scale-safe by mechanism:
+      // the decision is per-join on MEASURED partition sizes at runtime
+      // — at 100 TB the fact-fact partitions exceed 64 MB and AQE keeps
+      // SMJ; only provably-bounded build sides convert. (64m equals the
+      // advisory partition size, which is this rule's activation floor —
+      // a smaller value like 16m silently disables it.)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
       builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
@@ -113,9 +130,21 @@ object Bench {
     // end-of-session artifact published 35 false regressions that way.
     val (calSt, calMt) = Calibration.measure(spark)
     if (Calibration.loadRef().isEmpty && !raw && iterations >= 5) {
-      System.err.println(f"[bench] no committed calibration — recording " +
-        f"st=$calSt%.3f mt=$calMt%.3f as the reference")
-      Calibration.record(calSt, calMt)
+      // r14 advice: an auto-record taken on a depleted window poisons
+      // every later host_x — the drift gate then under-reports real
+      // degradation for the rest of the round. Only self-record when the
+      // boot-time loadavg says the host was quiet before we ramped it;
+      // otherwise demand an explicit record on a known-good window
+      // (SPARK_GRAFT_CAL_RECORD=1, per Calibration.record's own doc).
+      if (bootLoad1 >= 0 && bootLoad1 < 4.0 ||
+          sys.env.get("SPARK_GRAFT_CAL_RECORD").contains("1")) {
+        System.err.println(f"[bench] no committed calibration — recording " +
+          f"st=$calSt%.3f mt=$calMt%.3f as the reference (boot load1 $bootLoad1%.2f)")
+        Calibration.record(calSt, calMt)
+      } else
+        System.err.println(f"[bench] no committed calibration and boot " +
+          f"load1 $bootLoad1%.2f is not a quiet window — NOT auto-recording " +
+          f"(set SPARK_GRAFT_CAL_RECORD=1 on a known-good window)")
     }
     val hostXStart = Calibration.hostX(calSt, calMt)
     if (hostXStart.exists(_ > Calibration.DegradedAt))
@@ -168,6 +197,10 @@ object Bench {
     // window carries host-contention evidence (HostEvidence: /proc
     // loadavg + process-CPU per wall second) so a contended sample is
     // identifiable from the artifact itself.
+    // each query's window also gets an ADJACENT single-thread probe
+    // (r14 verdict task 2): run-level calibration points read healthy
+    // across r14's loaded window while the sweep between them ran at
+    // load1 16-24 — the probe next to the window is what adjudicates it
     val timings = names.map { n =>
       val (samples, _, cpuX, load) = HostEvidence.window {
         (1 to iterations).map { _ =>
@@ -176,7 +209,8 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         }.filter(_ >= 0)
       }
-      (n, samples, cpuX, load)
+      val stX = Calibration.stXOf(Calibration.stProbe()).getOrElse(-1.0)
+      (n, samples, cpuX, load, stX)
     }
     // MID-run calibration, directly after the timed sf0.1 sweep: the
     // start/end bracket alone missed a mid-run steal sag (final r14 run:
@@ -230,42 +264,73 @@ object Bench {
     // session actively depleted the burstable host). Severity order:
     // worst relative excess over its trigger first; the drop-off keeps
     // its first-pass min, which the σ field already flags as noisy.
-    val firstStats = timings.map { case (n, s, _, _) => n -> stats(s) }.toMap
+    val firstStats = timings.map { case (n, s, _, _, _) => n -> stats(s) }.toMap
+    // retime triggers (severity-ranked, capped): σ-instability, a
+    // baseline regression, or (r14 verdict task 2) a window whose
+    // adjacent st-probe says the host was degraded — sustained steal
+    // inflates every sample uniformly, so σ alone cannot flag it
     val flagged = timings.collect {
-      case (n, s, _, _) if s.nonEmpty &&
+      case (n, s, _, _, stX) if s.nonEmpty &&
         (firstStats(n)._4 > 0.5 * firstStats(n)._2 ||
+          stX > Calibration.DegradedAt ||
           baseline.get(n).exists { case (bm, bsd) =>
             firstStats(n)._2 > bm + driftTol(bm, bsd) }) =>
         val sigmaX = firstStats(n)._4 / math.max(firstStats(n)._2, 1e-9)
         val regX = baseline.get(n).map { case (bm, bsd) =>
           firstStats(n)._2 / math.max(bm + driftTol(bm, bsd), 1e-9) }
           .getOrElse(0.0)
-        (n, math.max(sigmaX, regX))
+        (n, math.max(math.max(sigmaX, regX), stX / Calibration.DegradedAt))
     }.sortBy(-_._2).take(10).map(_._1)
-    val retimed: Map[String, (Double, Double)] =
+    // each retime carries its own adjacent probe: a retime on a
+    // still-degraded window must not launder the query back into the
+    // adjudicable set
+    val retimed: Map[String, (Double, Double, Double)] =
       new scala.util.Random(System.nanoTime()).shuffle(flagged).map { n =>
         val (t, _, _, load) = HostEvidence.window {
           val t0 = System.nanoTime()
           try { run(n); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
         }
-        n -> (t, load)
+        val stX = Calibration.stXOf(Calibration.stProbe()).getOrElse(-1.0)
+        n -> (t, load, stX)
       }.toMap
 
-    val minsMap = timings.map { case (n, s, _, _) =>
+    val minsMap = timings.map { case (n, s, _, _, _) =>
       val first = if (s.isEmpty) -1.0 else s.min
       val re = retimed.get(n).map(_._1).filter(_ >= 0)
       n -> re.fold(first)(math.min(first, _))
     }.toMap
-    val detail = timings.map { case (k, s, cpuX, load) =>
+    // Per-query adjudicability (r14 verdict task 2): trustworthy iff
+    // SOME window the query ran in was on a healthy host (steal only
+    // ever INFLATES, so a clean-window min stands regardless of σ —
+    // genuine variance belongs inside min-of-N). With no calibration
+    // reference the probes read -1 and σ-plus-failed-reconfirmation
+    // decides alone.
+    val nonAdj: Set[String] = timings.collect {
+      case (n, s, _, _, stX) if s.nonEmpty && {
+        val re = retimed.get(n)
+        val mn = s.min
+        if (stX >= 0)
+          stX > Calibration.DegradedAt &&
+            !re.exists(r => r._1 >= 0 && r._3 >= 0 && r._3 <= Calibration.DegradedAt)
+        else
+          firstStats(n)._4 > 0.5 * mn &&
+            !re.exists(r => r._1 >= 0 && r._1 <= math.max(1.5 * mn, mn + 0.05))
+      } => n
+    }.toSet
+    if (nonAdj.nonEmpty)
+      System.err.println(s"[bench] non-adjudicable windows (degraded-host " +
+        s"evidence, retime didn't cleanse): ${nonAdj.toSeq.sorted.mkString(", ")}")
+    val detail = timings.map { case (k, s, cpuX, load, stX) =>
       val (avg, _, mx, sd) = stats(s)
       val mn = minsMap(k)
       val plan = planMs.get(k).map(p => f""","plan_ms":$p%.1f""").getOrElse("")
-      val host = f""","load1":$load%.1f,"cpu_x":$cpuX%.1f"""
-      val re = retimed.get(k).map { case (t, rl) =>
-        f""","min1":${if (s.isEmpty) -1.0 else s.min}%.4f,"retime":$t%.4f,"retime_load1":$rl%.1f"""
+      val host = f""","load1":$load%.1f,"cpu_x":$cpuX%.1f,"st_x":$stX%.2f"""
+      val re = retimed.get(k).map { case (t, rl, rStX) =>
+        f""","min1":${if (s.isEmpty) -1.0 else s.min}%.4f,"retime":$t%.4f,"retime_load1":$rl%.1f,"retime_st_x":$rStX%.2f"""
       }.getOrElse("")
-      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f$plan$host$re}"""
+      val adjFlag = if (nonAdj.contains(k)) ""","adjudicable":false""" else ""
+      "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f$plan$host$re$adjFlag}"""
     }.mkString("{", ",", "}")
     val total = minsMap.values.filter(_ > 0).sum
 
@@ -311,7 +376,8 @@ object Bench {
         "Spark's fixed per-stage costs (task launch, shuffle " +
         "materialization, JIT-warm codegen) against DuckDB's in-process " +
         "vectorized plans — costs that amortize with data size; the " +
-        "larger-scale ratio is scale10.vs_duckdb_10x")
+        "larger-scale ratio is scale10.vs_duckdb_10x",
+      nonAdjudicable = nonAdj)
 
     // σ-aware drift gate vs the committed baseline recording
     // (bench/baseline_sf<sf>.json — per-query {min, stddev} from the
@@ -326,30 +392,33 @@ object Bench {
       else {
         // drift compares the post-re-time minima: a first-pass min that
         // only exceeded tolerance because the window was contended is
-        // cleansed by its re-time before it can read as a regression
+        // cleansed by its re-time before it can read as a regression.
+        // Per-query adjudication (r14 verdict task 2, replacing the r13
+        // wholesale gate that sustained steal slipped past): a query
+        // whose every window carried degraded-host evidence is EXCLUDED
+        // from the regression/improvement counts and named instead — a
+        // deliberately-loaded rerun of unchanged code now publishes
+        // {reg≈0, non_adjudicable>0}, not 32 false regressions.
         val rows = minsMap.toSeq.sortBy(_._1).flatMap { case (n, cur) =>
           baseline.get(n).filter(_ => cur > 0).map { case (bm, bsd) =>
             (n, cur, bm, driftTol(bm, bsd))
           }
         }
+        val (rowsAdj, rowsExcl) = rows.partition(r => !nonAdj.contains(r._1))
         def fmt(sel: Seq[(String, Double, Double, Double)]) = sel
           .map { case (n, cur, bm, _) => "\"" + n + "\":" + f"""{"cur":$cur%.2f,"base":$bm%.2f}""" }
           .mkString("{", ",", "}")
-        val regressed = rows.filter { case (_, cur, bm, tol) => cur > bm + tol }
-        val improved = rows.filter { case (_, cur, bm, tol) => cur < bm - tol }
-        // A degraded host (calibration >1.3× the committed reference)
-        // cannot adjudicate drift: r13's end-of-session window published
-        // 35 false regressions on unchanged code. The raw counts stay in
-        // the artifact as evidence, explicitly labelled non-adjudicable.
-        if (hostDegraded) {
-          val hx = hostX.map(x => f"$x%.2f").getOrElse("?")
-          val full = f"""{"adjudicable":false,"host_x":$hx,"note":"calibration measured ${hx}x the committed reference (threshold ${Calibration.DegradedAt}%.1fx); per-query drift on this window is host noise, not code","n":${rows.size},"reg_raw":${regressed.size},"imp_raw":${improved.size}}"""
-          Some((s"""{"adjudicable":false,"host_x":$hx}""", full))
-        } else {
-          val full = f"""{"adjudicable":true,"n":${rows.size},"tolerance":"max(2*sigma,10%%,50ms)","n_regressed":${regressed.size},"n_improved":${improved.size},"regressed":${fmt(regressed)},"improved":${fmt(improved)}}"""
-          val short = s"""{"reg":${regressed.size},"imp":${improved.size}}"""
-          Some((short, full))
-        }
+        val regressed = rowsAdj.filter { case (_, cur, bm, tol) => cur > bm + tol }
+        val improved = rowsAdj.filter { case (_, cur, bm, tol) => cur < bm - tol }
+        val exclJson =
+          if (rowsExcl.isEmpty) ""
+          else s""","non_adjudicable":${rowsExcl.map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
+        val hostNote = if (hostDegraded)
+          hostX.map(x => f""","host_x":$x%.2f,"note":"run-level calibration also degraded"""").getOrElse("")
+          else ""
+        val full = f"""{"n":${rowsAdj.size},"non_adjudicable_n":${rowsExcl.size},"tolerance":"max(2*sigma,10%%,50ms); per-query degraded-host windows excluded","n_regressed":${regressed.size},"n_improved":${improved.size},"regressed":${fmt(regressed)},"improved":${fmt(improved)}$exclJson$hostNote}"""
+        val short = s"""{"reg":${regressed.size},"imp":${improved.size},"nonadj":${rowsExcl.size}}"""
+        Some((short, full))
       }
 
     // Full results go to a self-contained file: the driver's BENCH
@@ -382,7 +451,7 @@ object Bench {
     // chars by dropping the FASTEST queries from the map first — the
     // slow ones are the perf-relevant evidence; the full map is in
     // target/bench.json regardless.
-    val mins = timings.map { case (k, _, _, _) => k -> minsMap(k) }
+    val mins = timings.map { case (k, _, _, _, _) => k -> minsMap(k) }
     def line(qpairs: Seq[(String, Double)], omitted: Int): String = {
       val qs = qpairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")

@@ -82,6 +82,21 @@ object Calibration {
     (st, mt)
   }
 
+  /** Per-window adjacency probe (r14 verdict task 2): min-of-2
+    * single-thread runs, no warmup (the JIT is hot after the run-start
+    * calibration). Measured ADJACENT to each query's timing window it
+    * detects the sustained hypervisor steal that run-level point probes
+    * miss — r14's end-of-round window read 0.99/1.26/0.99 at the three
+    * calibration points while the suite between them ran at load1 16-24
+    * and published 32 false regressions.
+    */
+  def stProbe(): Double = math.min(stOnce(), stOnce())
+
+  /** Degradation factor of a single st probe vs the committed reference
+    * (None when no reference recording exists).
+    */
+  def stXOf(st: Double): Option[Double] = loadRef().map(st / _._1)
+
   /** Record the reference (only do this on a known-good window — round
     * start, host near-idle, headline geomean in the committed bracket).
     */

@@ -21,20 +21,35 @@ object CrossEngine {
     *   the recording's `layout_fingerprint` is missing or different the
     *   artifact carries `"stale":true` (ratios still reported — a stale
     *   number plus a flag beats a vanished section).
+    * @param nonAdjudicable queries whose Spark timing window carried
+    *   host-degradation evidence (adjacent st-probe >1.3× the committed
+    *   calibration and never re-timed on a clean window — r14 verdict
+    *   task 2). Their per-query ratios are still printed, but geomean /
+    *   median / bands are computed over the ADJUDICABLE subset only and
+    *   the exclusions are named in the artifact: a loaded window must
+    *   publish "n_excluded" instead of a 2× geomean swing.
     */
   def ratios(path: java.nio.file.Path, sparkMins: Map[String, Double],
       expectedFingerprint: Option[String],
-      note: String): Option[(String, String)] = try {
+      note: String,
+      nonAdjudicable: Set[String] = Set.empty): Option[(String, String)] = try {
     if (!java.nio.file.Files.exists(path)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
     val t = root.get("times")
-    val rs = sparkMins.toSeq.sortBy(_._1).flatMap { case (n, mn) =>
+    val rsAll = sparkMins.toSeq.sortBy(_._1).flatMap { case (n, mn) =>
       Option(t.get(n)).map(_.asDouble).filter(d => d > 0 && mn > 0)
         .map(d => n -> mn / d)
     }
-    if (rs.isEmpty) return None
-    val geo = math.exp(rs.map(r => math.log(r._2)).sum / rs.size)
+    if (rsAll.isEmpty) return None
+    val excluded = rsAll.filter(r => nonAdjudicable.contains(r._1))
+    // if EVERY shared query is excluded, publish the raw set (flagged):
+    // an artifact with named caveats beats a vanished section
+    val rs = if (excluded.size == rsAll.size) rsAll
+      else rsAll.filterNot(r => nonAdjudicable.contains(r._1))
+    def geomean(s: Seq[(String, Double)]): Double =
+      math.exp(s.map(r => math.log(r._2)).sum / s.size)
+    val geo = geomean(rs)
     val med = rs.map(_._2).sorted.apply(rs.size / 2)
     // the reference's per-query ★ bands (benchmark/src/main.rs:154-164):
     // <1.5x = 3 stars, <3x = 2, <5x = 1, else 0 — reported as counts so
@@ -46,13 +61,16 @@ object CrossEngine {
     val stale = expectedFingerprint.exists(fp =>
       Option(root.get("layout_fingerprint")).map(_.asText) != Some(fp))
     val staleJson = if (stale) ""","stale":true""" else ""
-    val qjson = rs.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+    val exclJson =
+      if (excluded.isEmpty) ""
+      else f""","n_excluded":${excluded.size},"geomean_raw":${geomean(rsAll)}%.2f,"non_adjudicable":${excluded.map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
+    val qjson = rsAll.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val full = f"""{"recorded_unix":${root.get("recorded_unix").asLong},""" +
       f""""duckdb_version":"${root.get("duckdb_version").asText}",""" +
-      f""""n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson,""" +
+      f""""n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson$exclJson,""" +
       s""""note":"$note","queries":$qjson}"""
-    val short = f"""{"n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson}"""
+    val short = f"""{"n":${rs.size},"geomean":$geo%.2f,"median":$med%.2f,$bandsJson$staleJson${if (excluded.isEmpty) "" else s""","n_excluded":${excluded.size}"""}}"""
     Some((short, full))
   } catch {
     case e: Throwable =>

@@ -94,6 +94,8 @@ object Probe100x {
       .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
+      // runtime SMJ->SHJ conversion, A/B-kept r15 (see Bench.scala note)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
       builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
