@@ -51,4 +51,42 @@ object RawTemporal {
   /** ns-since-epoch long column → TIMESTAMP_NTZ (µs floor-truncation). */
   def nanosToTimestampNtz(c: Column): Column =
     column(RawTemporal(expression(c), TimestampNTZType, 1L, 1000L))
+
+  /** TIMESTAMP_NTZ truncated to a unit boundary (`unitMicros` = 1e6 for
+    * seconds, 1e3 for millis) by pure integer arithmetic on the physical
+    * micros. The r14 date_trunc formulation round-tripped the zone-less
+    * value through the session-zone TIMESTAMP, which shifts wall times
+    * inside a DST spring-forward gap by the gap width; floor division on
+    * the physical value is zone-free (and truncates pre-epoch values
+    * toward −∞, matching date_trunc's downward wall-time truncation).
+    */
+  def truncNtz(c: Column, unitMicros: Long): Column =
+    column(TruncNtzMicros(expression(c), unitMicros))
+}
+
+/** Floor a TIMESTAMP_NTZ to a µs-unit boundary on its physical Long
+  * micros — see [[RawTemporal.truncNtz]].
+  */
+case class TruncNtzMicros(child: Expression, unitMicros: Long)
+    extends UnaryExpression {
+  require(unitMicros > 0, "unit must be positive")
+
+  override def prettyName: String = "trunc_ntz_micros"
+  override def dataType: DataType = TimestampNTZType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == TimestampNTZType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a timestamp_ntz input")
+
+  override def nullSafeEval(input: Any): Any =
+    Math.floorDiv(input.asInstanceOf[Long], unitMicros) * unitMicros
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.lang.Math.floorDiv($c, ${unitMicros}L) * ${unitMicros}L;")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -1231,15 +1231,16 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         // column truncates finer-grained file values to its unit, the
         // reference's adoption semantics (add_files_type_check_timestamp
         // expects '12:23:34' from a µs file in a TIMESTAMP_S table).
-        // date_trunc returns session-zone TIMESTAMP even for NTZ input,
-        // so cast back — value-exact for sub-minute units (zone offsets
-        // are whole minutes, so the NTZ→LTZ→NTZ round trip through the
-        // session zone cannot move a second/millisecond boundary)
+        // Arithmetic floor on the physical micros (r14 advice): the
+        // earlier date_trunc formulation round-tripped the zone-less
+        // value through session-zone TIMESTAMP, which shifts wall times
+        // inside a DST spring-forward gap — this runs on EVERY read of
+        // such columns, so it must be zone-free
         val projected = TypeBridge.normalize(cur.dtype) match {
           case "timestamp_s" =>
-            date_trunc("second", projected0).cast(TimestampNTZType)
+            graft.functions.RawTemporal.truncNtz(projected0, 1000000L)
           case "timestamp_ms" =>
-            date_trunc("millisecond", projected0).cast(TimestampNTZType)
+            graft.functions.RawTemporal.truncNtz(projected0, 1000L)
           case _ => projected0
         }
         projected.as(cur.name)

@@ -255,8 +255,18 @@ object FileStats {
           // erases/rejects (NANOS timestamps): the refined duck type
           // drives adoption type-gating and the raw-INT64 read path
           // (DuckLake TIME = µs-of-day; TIMESTAMP_NS = ns since epoch —
-          // pandas/arrow-era files commonly carry NANOS)
-          case t: LogicalTypeAnnotation.TimeLogicalTypeAnnotation =>
+          // pandas/arrow-era files commonly carry NANOS).
+          // Unit-gated (r14 advice): only INT64 TIME(MICROS) is the
+          // µs-of-day encoding the raw read path rescales — a TIME(MILLIS)
+          // file is INT32 (BIGINT read fails) and TIME(NANOS) values
+          // would read 1000× off; both stay UNREFINED so the adoption
+          // gate refuses them instead of silently corrupting (the
+          // reference likewise maps only Time64(Microsecond),
+          // src/types.rs:46)
+          case t: LogicalTypeAnnotation.TimeLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+                f.asPrimitiveType().getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
             Some(f.getName.toLowerCase -> (if (t.isAdjustedToUTC) "timetz" else "time"))
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if !ts.isAdjustedToUTC &&
@@ -302,9 +312,23 @@ object FileStats {
           case (INT32, d: L.DecimalLogicalTypeAnnotation) =>
             DecimalType(d.getPrecision, d.getScale)
           case (INT32, _) => IntegerType
+          // unit-gated (r14 advice): UTC-adjusted NANOS has no safe
+          // mapping — TimestampType here would pass the adoption gate as
+          // 'timestamptz' WITHOUT the @file raw-INT64 marking, and every
+          // later scan would throw when Spark's parquet reader hits the
+          // NANOS annotation; refuse at adoption instead (None → the
+          // caller rethrows Spark's original error). NTZ NANOS maps to
+          // NTZ and rides the raw-INT64 rescale path ('timestamp_ns').
           case (INT64, t: L.TimestampLogicalTypeAnnotation) =>
-            if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
-          case (INT64, _: L.TimeLogicalTypeAnnotation) => TimeType(6)
+            if (t.getUnit == L.TimeUnit.NANOS && t.isAdjustedToUTC) return None
+            else if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+          // only INT64 TIME(MICROS) is readable via the raw-µs-of-day
+          // path; MILLIS (INT32 physical) and NANOS are refused rather
+          // than silently mapped by the generic INT32/INT64 cases below
+          case (_, t: L.TimeLogicalTypeAnnotation) =>
+            if (t.getUnit == L.TimeUnit.MICROS &&
+                p.getPrimitiveTypeName == INT64) TimeType(6)
+            else return None
           case (INT64, d: L.DecimalLogicalTypeAnnotation) =>
             DecimalType(d.getPrecision, d.getScale)
           case (INT64, _) => LongType

@@ -282,4 +282,102 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1000000L))
     intercept[UnsupportedTypeException](lake.addFiles("main.notime", Seq(timeFile2)))
   }
+
+  /** One-column INT32 parquet with a logical annotation — the
+    * TIME(MILLIS) physical shape (per the parquet spec MILLIS time is
+    * INT32, not INT64).
+    */
+  private def extInt32(colName: String,
+      anno: org.apache.parquet.schema.LogicalTypeAnnotation,
+      values: Seq[Int]): String = {
+    import org.apache.parquet.schema.{Types => PT}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    n += 1
+    val target = s"$root/extraw$n/part-0.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(target).getParent)
+    val msg = PT.buildMessage()
+      .addField(PT.optional(INT32).as(anno).named(colName))
+      .named("duckdb_schema")
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(target))
+      .withConf(spark.sparkContext.hadoopConfiguration).withType(msg).build()
+    val f = new SimpleGroupFactory(msg)
+    try values.foreach { v => val g = f.newGroup(); g.add(colName, v); w.write(g) }
+    finally w.close()
+    target
+  }
+
+  test("non-µs TIME units are refused at adoption, not read 1000x off (r14 advice)") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    lake.store.commitWrite("main", "timesu",
+      Seq(ColumnDef(0L, 0L, "t", "time", nullsAllowed = true)),
+      WriteMode.Append, Nil)
+    // TIME(NANOS) is INT64 like MICROS — without the unit gate it would
+    // pass the type gate and read values 1000x off (silent corruption)
+    val nanosTime = extInt64("t",
+      LogicalTypeAnnotation.timeType(false, LogicalTypeAnnotation.TimeUnit.NANOS),
+      Seq((20L * 3600 + 12 * 60 + 24) * 1000000000L))
+    intercept[Exception](lake.addFiles("main.timesu", Seq(nanosTime)))
+    // TIME(MILLIS) is INT32 — without the gate the BIGINT raw read of an
+    // INT32 column fails at scan time, AFTER adoption succeeded
+    val millisTime = extInt32("t",
+      LogicalTypeAnnotation.timeType(false, LogicalTypeAnnotation.TimeUnit.MILLIS),
+      Seq(((20 * 3600 + 12 * 60 + 24) * 1000)))
+    intercept[Exception](lake.addFiles("main.timesu", Seq(millisTime)))
+    // the µs shape still adopts — and the single result row proves the
+    // two refusals registered nothing (an empty TIME frame can't be
+    // built directly: Spark's row converter rejects TimeType)
+    val microsTime = extInt64("t",
+      LogicalTypeAnnotation.timeType(false, LogicalTypeAnnotation.TimeUnit.MICROS),
+      Seq((20L * 3600 + 12 * 60 + 24) * 1000000L))
+    lake.addFiles("main.timesu", Seq(microsTime))
+    assert(lake.table("main.timesu").select(col("t").cast("string"))
+      .collect().map(_.getString(0)).toSeq == Seq("20:12:24"))
+  }
+
+  test("UTC-adjusted NANOS is refused at adoption (r14 advice)") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    // without the refusal this adopts as 'timestamptz' WITHOUT the @file
+    // raw-INT64 marking, and every later scan of the table throws when
+    // Spark's parquet reader hits the NANOS annotation
+    lake.createTableAs(
+      Seq(java.time.Instant.parse("2000-01-01T00:00:00Z")).toDF("ts")
+        .coalesce(1), "main.utcns")
+    val utcNs = extInt64("ts",
+      LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS),
+      Seq(1580732614123456789L))
+    intercept[Exception](lake.addFiles("main.utcns", Seq(utcNs)))
+    // the table stays fully readable after the refusal
+    assert(lake.table("main.utcns").count() == 1)
+  }
+
+  test("timestamp_s truncation is zone-free across a DST gap (r14 advice)") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    lake.createTableAs(
+      Seq(java.time.LocalDateTime.parse("2000-01-01T00:00:00")).toDF("ts")
+        .coalesce(1), "main.dstsec")
+    val tid = lake.store.getSchemaByName("main", lake.currentSnapshot)
+      .flatMap(s => lake.store.getTableByName(s.schemaId, "dstsec", lake.currentSnapshot))
+      .get.tableId
+    lake.store.refineColumnType(tid, "ts", "timestamp_s")
+    // 2020-03-08T02:30:00.123456 lies inside America/Los_Angeles'
+    // spring-forward gap: the old date_trunc round trip through the
+    // session zone rendered it 03:30:00 — a full-hour shift on a
+    // zone-LESS type whose value must not depend on the session zone
+    val gap = java.time.LocalDateTime.parse("2020-03-08T02:30:00.123456")
+    val micros = gap.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      gap.getNano / 1000L
+    val usFile = extInt64("ts",
+      LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS),
+      Seq(micros))
+    lake.addFiles("main.dstsec", Seq(usFile))
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val got = lake.table("main.dstsec").orderBy("ts").collect()
+        .map(_.getAs[java.time.LocalDateTime]("ts").toString)
+      assert(got.toSeq == Seq("2000-01-01T00:00", "2020-03-08T02:30"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
 }
