@@ -589,11 +589,13 @@ object ScaleBench {
         require(out.select(count_distinct(col("component"))).head.getLong(0) == 1L)
         (System.nanoTime() - s) / 1e9
       }
-      // hot-bucket stress: EVERY document byte-identical, so all 8 band
-      // buckets hold the entire corpus — the adversarial shape for LSH
-      // blocking. Uncapped this is ~3·10^10 pairs materialized in one
-      // task; the successor-chain cap bounds it at O(n·k) pairs, and the
-      // exact expected count doubles as a correctness check.
+      // hot-bucket stress: EVERY document byte-identical — the
+      // adversarial shape for LSH blocking. Since the r15 exact-collapse
+      // the whole corpus folds to ONE banded representative plus a
+      // consecutive-id chain: exactly n−1 pairs (the uncapped legacy
+      // expansion was ~3·10^10 pairs in one task; the r11-r14
+      // successor-chain cap bounded it at O(n·k)); the exact count
+      // doubles as a correctness check of the collapse itself.
       val hotN = 200000L
       val hotSec = {
         val docs = spark.range(hotN).select(col("id").as("doc_id"),
@@ -601,7 +603,7 @@ object ScaleBench {
             .as("text"))
         val s = System.nanoTime()
         val cnt = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id").count()
-        val want = (1 to 16).map(d => hotN - d).sum
+        val want = hotN - 1
         require(cnt == want, s"hot-bucket pair count $cnt != $want")
         (System.nanoTime() - s) / 1e9
       }

@@ -227,6 +227,35 @@ object Dedup {
     * bucket falls back to `chainK`-successor chaining — O(n·k), not
     * O(n²), never held as one array row (see [[cappedBucketPairs]]).
     */
+  /** Collapse sketch-identical documents before banding (r14 verdict
+    * task 3): rows sharing the exact sketch value (`keyCol` — the full
+    * band array for MinHash, the 64-bit fingerprint for SimHash) are the
+    * duplicates the EXACT layer already finds, and on duplicate-dense
+    * crawl corpora they are the bulk of every LSH bucket — banding all
+    * of them grows candidate pairs with duplicate MULTIPLICITY (the r14
+    * 100× probe measured 5→54 pairs/doc on the replica corpus). Instead:
+    * only the group REPRESENTATIVE (min id, null-sketch rows excluded)
+    * enters banding, and group members link by consecutive-id chains —
+    * the same connectivity contract as [[cappedBucketPairs]]' chain cap,
+    * so connected-components consumers see identical clusters while the
+    * banding and verify volume scale with DISTINCT texts, not raw rows.
+    * The shuffle this adds is narrow (id + sketch, no text) and replaces
+    * the multiplicity-squared bucket expansion.
+    *
+    * Returns (reps, chains): reps carries (__id, keyCol) one row per
+    * distinct sketch; chains carries (id_a, id_b) intra-group links.
+    */
+  private def collapseBySketch(sk: DataFrame, keyCol: String):
+      (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__id"))
+    val marked = sk.filter(col(keyCol).isNotNull)
+      .select(col("__id"), col(keyCol), lag("__id", 1).over(w).as("__prev"))
+    val chains = marked.filter(col("__prev").isNotNull)
+      .select(col("__prev").as("id_a"), col("__id").as("id_b"))
+    val reps = marked.filter(col("__prev").isNull).select(col("__id"), col(keyCol))
+    (reps, chains)
+  }
+
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
       chainK: Int = DefaultChainK,
@@ -238,15 +267,18 @@ object Dedup {
     // engine plus interpreted per-element lambdas per document); the
     // r9 generator-boundary trick against CollapseProject re-inlining
     // is moot with a single expression
-    val banded = df
-      .select(col(idCol).as("__id"), posexplode(
-        graft.functions.MinHashBands.minhashBands(
-          array_distinct(
-            graft.functions.TokenGramHashes.tokenGramHashes(col(textCol))),
-          numHashes, bands))
-        .as(Seq("__band", "__bucket")))
+    val sk = df.select(col(idCol).as("__id"),
+      graft.functions.MinHashBands.minhashBands(
+        array_distinct(
+          graft.functions.TokenGramHashes.tokenGramHashes(col(textCol))),
+        numHashes, bands).as("__bands"))
+    // exact-collapse, then band only the distinct sketches
+    val (reps, chains) = collapseBySketch(sk, "__bands")
+    val banded = reps.select(col("__id"),
+      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
       chainK, hotBucketThreshold)
+      .unionByName(chains)
       .distinct()
   }
 
@@ -264,9 +296,17 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
-    val banded = md5Bands(df, textCol, idCol, numHashes, bands)
+    // same exact-collapse as the xxhash family (the md5 twin exists to
+    // make the production pipeline differential-testable, so it must
+    // mirror the production shape — the DuckDB oracle reproduces the
+    // collapse with the identical bucket-array partition)
+    val sk = md5BandArray(df, textCol, idCol, numHashes, bands)
+    val (reps, chains) = collapseBySketch(sk, "__bands")
+    val banded = reps.select(col("__id"),
+      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
       chainK, hotBucketThreshold)
+      .unionByName(chains)
       .distinct()
   }
 
@@ -277,6 +317,15 @@ object Dedup {
     * ([[incrementalDuplicates]]) can band each side separately.
     */
   private[ops] def md5Bands(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    md5BandArray(df, textCol, idCol, numHashes, bands)
+      .select(col("__id"),
+        posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+
+  /** (id, band-bucket array) of the md5 MinHash family — the pre-explode
+    * shape [[minhashCandidatesMd5]]'s exact-collapse partitions on.
+    */
+  private[ops] def md5BandArray(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
@@ -290,8 +339,7 @@ object Dedup {
       md5(concat(lit(s"$b|"), concat_ws(",",
         (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)))
     }
-    sig.select(col("__id"),
-      posexplode(array(bandCols: _*)).as(Seq("__band", "__bucket")))
+    sig.select(col("__id"), array(bandCols: _*).as("__bands"))
   }
 
   /** Incremental dedup: flag NEW-batch documents that duplicate an
@@ -407,17 +455,22 @@ object Dedup {
         when(col(s"__v${16 * c + j}") > 0, lit(1 << j)).otherwise(0))
         .reduce(_ + _).cast("int").as(s"__c$c")
     }
-    val fps = agg.select(col("__id") +: chunkCols: _*)
-    val blocked = fps.select(col("__id"),
-      struct(col("__c0"), col("__c1"), col("__c2"), col("__c3")).as("__fp"),
-      posexplode(array(col("__c0"), col("__c1"), col("__c2"), col("__c3")))
-        .as(Seq("__blk", "__key")))
+    val fps = agg.select(col("__id"),
+      struct(chunkCols: _*).as("__fp"))
+    // exact-collapse on the full fingerprint (mirrors simhashPairs —
+    // the md5 twin's DuckDB oracle reproduces the same partition)
+    val (reps, chains) = collapseBySketch(fps, "__fp")
+    val blocked = reps.select(col("__id"), col("__fp"),
+      posexplode(array(col("__fp.__c0"), col("__fp.__c1"),
+        col("__fp.__c2"), col("__fp.__c3"))).as(Seq("__blk", "__key")))
     val ham = (0 until 4).map(c =>
       bit_count(col(s"__pa.__c$c").bitwiseXOR(col(s"__pb.__c$c")))).reduce(_ + _)
     cappedBucketPairs(blocked, Seq("__blk", "__key"), "__id", Some("__fp"),
       chainK, hotBucketThreshold)
       .filter(ham <= maxHamming)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .unionByName(chains)
+      .distinct()
   }
 
   /** SimHash-64: per token occurrence, xxhash64 votes ±1 on each of 64
@@ -454,15 +507,23 @@ object Dedup {
   def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3,
       chainK: Int = DefaultChainK,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
+    // exact-collapse on the fingerprint itself (r14 verdict task 3):
+    // identical fingerprints — byte-identical texts foremost — chain at
+    // hamming 0 without entering the chunk blocking, so bucket occupancy
+    // scales with distinct fingerprints, not duplicate multiplicity
+    val (reps, chains) = collapseBySketch(
+      fps.select(col(idCol).as("__id"), col("simhash")), "simhash")
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16)
         .bitwiseAND(0xffffL).as("key")))
-    val blocked = fps.select(col(idCol).as("__id"), col("simhash"),
+    val blocked = reps.select(col("__id"), col("simhash"),
       explode(array(chunks: _*)).as("b"))
     cappedBucketPairs(blocked, Seq("b"), "__id", Some("simhash"),
       chainK, hotBucketThreshold)
       .filter(hamming64(col("__pa"), col("__pb")) <= maxHamming)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .unionByName(chains)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */

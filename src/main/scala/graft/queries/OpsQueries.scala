@@ -501,9 +501,18 @@ object OpsQueries {
       sig AS (SELECT doc_id,
           [list_min([md5(CAST(i AS VARCHAR) || ':' || s) for s in g]) for i in range(0, 16)] AS sg
         FROM grams),
-      bands AS (SELECT doc_id, b,
-          md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*4+1 : b*4+4], ',')) AS bucket
-        FROM sig, range(0, 4) t(b)),
+      /* full band-bucket array per doc: the exact-collapse partition key
+         (r15: sketch-identical docs collapse to a representative before
+         banding; members link by consecutive-id chains) */
+      barr AS (SELECT doc_id,
+          [md5(CAST(b AS VARCHAR) || '|' || array_to_string(sg[b*4+1 : b*4+4], ',')) for b in range(0, 4)] AS ba
+        FROM sig),
+      grp AS (SELECT doc_id, ba,
+          lag(doc_id) OVER (PARTITION BY array_to_string(ba, ',') ORDER BY doc_id) AS prev
+        FROM barr),
+      chains AS (SELECT prev AS id_a, doc_id AS id_b FROM grp WHERE prev IS NOT NULL),
+      bands AS (SELECT doc_id, b, ba[b+1] AS bucket
+        FROM grp, range(0, 4) t(b) WHERE prev IS NULL),
       ranked AS (SELECT doc_id, b, bucket,
           row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn,
           count(*) OVER (PARTITION BY b, bucket) AS bsz
@@ -512,7 +521,8 @@ object OpsQueries {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ranked a JOIN ranked b ON a.b = b.b AND a.bucket = b.bucket
           AND b.rn > a.rn AND (a.bsz <= ${Dedup.DefaultHotBucketThreshold} OR b.rn <= a.rn + ${Dedup.DefaultChainK})
-        GROUP BY 1, 2),
+        UNION
+        SELECT id_a, id_b FROM chains),
       ver AS (
         SELECT id_a, id_b,
           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
@@ -544,18 +554,27 @@ object OpsQueries {
       fp AS (SELECT doc_id,
           $chunks
         FROM votes),
+      /* exact-collapse on the full fingerprint (r15): identical
+         fingerprints chain at hamming 0; only representatives block */
+      grp AS (SELECT doc_id, c0, c1, c2, c3,
+          lag(doc_id) OVER (PARTITION BY c0, c1, c2, c3 ORDER BY doc_id) AS prev
+        FROM fp),
+      chains AS (SELECT prev AS id_a, doc_id AS id_b FROM grp WHERE prev IS NOT NULL),
       blocked AS (SELECT doc_id, c0, c1, c2, c3, c,
           CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS key
-        FROM fp, range(0, 4) t(c)),
+        FROM grp, range(0, 4) t(c) WHERE prev IS NULL),
       ranked AS (SELECT doc_id, c0, c1, c2, c3, c, key,
           row_number() OVER (PARTITION BY c, key ORDER BY doc_id) AS rn,
           count(*) OVER (PARTITION BY c, key) AS bsz
         FROM blocked)
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM ranked a JOIN ranked b ON a.c = b.c AND a.key = b.key
-        AND b.rn > a.rn AND (a.bsz <= ${Dedup.DefaultHotBucketThreshold} OR b.rn <= a.rn + ${Dedup.DefaultChainK})
-      WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
-          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 8
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ranked a JOIN ranked b ON a.c = b.c AND a.key = b.key
+          AND b.rn > a.rn AND (a.bsz <= ${Dedup.DefaultHotBucketThreshold} OR b.rn <= a.rn + ${Dedup.DefaultChainK})
+        WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+            + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 8
+        UNION ALL
+        SELECT id_a, id_b FROM chains)
       ORDER BY id_a, id_b
     """
     }),

@@ -773,30 +773,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("hot LSH bucket is capped: identical docs cost O(n*k) pairs, cluster intact") {
+  test("hot LSH bucket is capped: identical docs cost O(n) pairs, cluster intact") {
     import spark.implicits._
     // the 100 TB adversary: a corpus of byte-identical documents — every
     // doc shares EVERY band bucket, so uncapped expansion is O(n²) pairs
-    // in ONE task. With the cap, each band chains sorted ids with <= k
-    // successors: O(n*k) pairs, and the duplicate cluster stays one
-    // connected component (that's what dedup keep-one-per-cluster needs).
+    // in ONE task. The r15 exact-collapse folds sketch-identical docs to
+    // ONE banded representative plus a consecutive-id chain: exactly n−1
+    // pairs, and the duplicate cluster stays one connected component
+    // (that's what dedup keep-one-per-cluster needs).
     val n = 10000
     val k = 16 // default chainK
     val docs = (0L until n.toLong)
       .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
       .toDF("doc_id", "text")
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
-    val expected = (1 to k).map(d => n - d).sum.toLong // Σ (n-d), d=1..k
-    assert(pairs.count() == expected, s"chained pair count must be ~n*k, not n²/2")
+    val expected = (n - 1).toLong
+    assert(pairs.count() == expected, s"collapsed pair count must be n-1, not n²/2")
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
     assert(cc.count() == n.toLong)
     assert(cc.select(countDistinct("component")).head.getLong(0) == 1L,
-      "capping must not break the duplicate cluster's connectivity")
+      "collapsing must not break the duplicate cluster's connectivity")
 
-    // same cap on the simhash chunk blocking: identical fingerprints
+    // same collapse on the simhash fingerprints: identical fps chain
     val fps = (0L until 3000L).map(i => (i, 0x0123456789abcdefL)).toDF("id", "simhash")
     val sp = Dedup.simhashPairs(fps, "id", maxHamming = 3)
-    val spExpected = (1 to k).map(d => 3000 - d).sum.toLong
+    val spExpected = 2999L
     assert(sp.count() == spExpected)
     assert(Dedup.connectedComponents(sp, "id_a", "id_b")
       .select(countDistinct("component")).head.getLong(0) == 1L)
