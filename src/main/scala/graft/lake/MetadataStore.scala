@@ -1047,17 +1047,24 @@ final class MetadataStore(backend: MetadataBackend,
     */
   def getDeleteFilesAddedBetween(tableId: Long, from: Long, to: Long)
       : Seq[(Option[DeleteFileRec], Option[DeleteFileRec], DataFileRec)] = {
-    val newDels = query(
-      "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, delete_file_id",
-      Seq(tableId, from, to))(rs =>
-      DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
-        rs.getLong(5), rs.getLong(6), Option(rs.getString(7))))
-    val withPrev = newDels.map { d =>
-      val prev = query(
-        "SELECT delete_file_id, data_file_id, path, path_is_relative, record_count, begin_snapshot, encryption_key FROM ducklake_delete_file WHERE table_id = ? AND data_file_id = ? AND begin_snapshot <= ? ORDER BY begin_snapshot DESC FETCH FIRST 1 ROWS ONLY",
-        Seq(tableId, d.dataFileId, d.beginSnapshot - 1))(rs =>
-        DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3), rs.getBoolean(4),
-          rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))).headOption
+    // ONE round trip pairing each in-range delete file with its newest
+    // predecessor (the r13-r14 shape looped a correlated lookup per
+    // delete file — N+1 round trips, which a network backend cannot
+    // afford); the SQL form is dialect-branched on the backend's
+    // LATERAL capability (see newDeletesWithPrevSql)
+    val withPrevRaw = query(
+      newDeletesWithPrevSql(backend.supportsLateral),
+      Seq(tableId, from, to)) { rs =>
+      val d = DeleteFileRec(rs.getLong(1), rs.getLong(2), rs.getString(3),
+        rs.getBoolean(4), rs.getLong(5), rs.getLong(6), Option(rs.getString(7)))
+      val pid = rs.getLong(8)
+      val prev = if (rs.wasNull()) None
+        else Some(DeleteFileRec(pid, rs.getLong(9), rs.getString(10),
+          rs.getBoolean(11), rs.getLong(12), rs.getLong(13),
+          Option(rs.getString(14))))
+      (d, prev)
+    }
+    val withPrev = withPrevRaw.map { case (d, prev) =>
       val df = getDataFileById(tableId, d.dataFileId)
         .getOrElse(throw new InternalException(s"delete file ${d.deleteFileId} references missing data file ${d.dataFileId}"))
       (Some(d), prev, df)
@@ -1083,6 +1090,44 @@ final class MetadataStore(backend: MetadataBackend,
       (None, prev, df)
     }
     withPrev ++ endedWithPrev
+  }
+
+  /** The CDC previous-delete pairing SQL in its two dialect forms
+    * (selected by [[MetadataBackend.supportsLateral]]): the reference's
+    * LEFT JOIN LATERAL (src/metadata_provider.rs:109-126; Postgres /
+    * MySQL ≥ 8.0.14) and the ANSI correlated-MAX rewrite Derby executes.
+    * Identical column list and ordering in both forms; BackendDialectSpec
+    * pins the rewrite's row-identity against an independently computed
+    * oracle and asserts the flag selects the LATERAL text, so a network
+    * backend exercises a TESTED branch. Ties inside one snapshot cannot
+    * occur (commitDeletes ends the previous delete file of a data file
+    * in the same transaction), so MAX(begin_snapshot) identifies one row
+    * exactly like the LATERAL's ORDER BY … LIMIT 1.
+    */
+  private[lake] def newDeletesWithPrevSql(lateral: Boolean): String = {
+    val dCols = "d.delete_file_id, d.data_file_id, d.path, d.path_is_relative, d.record_count, d.begin_snapshot, d.encryption_key"
+    val pCols = "p.delete_file_id, p.data_file_id, p.path, p.path_is_relative, p.record_count, p.begin_snapshot, p.encryption_key"
+    if (lateral)
+      s"""SELECT $dCols, $pCols
+         |FROM ducklake_delete_file d
+         |LEFT JOIN LATERAL (
+         |  SELECT * FROM ducklake_delete_file d2
+         |  WHERE d2.table_id = d.table_id AND d2.data_file_id = d.data_file_id
+         |    AND d2.begin_snapshot < d.begin_snapshot
+         |  ORDER BY d2.begin_snapshot DESC LIMIT 1) p ON TRUE
+         |WHERE d.table_id = ? AND d.begin_snapshot > ? AND d.begin_snapshot <= ?
+         |ORDER BY d.begin_snapshot, d.delete_file_id""".stripMargin
+    else
+      s"""SELECT $dCols, $pCols
+         |FROM ducklake_delete_file d
+         |LEFT JOIN ducklake_delete_file p
+         |  ON p.table_id = d.table_id AND p.data_file_id = d.data_file_id
+         |  AND p.begin_snapshot = (
+         |    SELECT MAX(p2.begin_snapshot) FROM ducklake_delete_file p2
+         |    WHERE p2.table_id = d.table_id AND p2.data_file_id = d.data_file_id
+         |      AND p2.begin_snapshot < d.begin_snapshot)
+         |WHERE d.table_id = ? AND d.begin_snapshot > ? AND d.begin_snapshot <= ?
+         |ORDER BY d.begin_snapshot, d.delete_file_id""".stripMargin
   }
 
   /** end_snapshot of one data file (None = still live). */
