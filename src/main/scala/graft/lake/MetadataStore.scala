@@ -734,8 +734,16 @@ final class MetadataStore(backend: MetadataBackend,
 
   // ---------- generic helpers ----------
 
+  /** Catalog read-query tally — planning-cost instrumentation for the
+    * scale specs (StreamBackfillScaleSpec pins "one listing query per
+    * micro-batch, not one per snapshot" on a 10k-snapshot backfill).
+    * Monotonic; test-only consumers diff it around an operation.
+    */
+  private[lake] val queryTally = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def query[A](sql: String, args: Seq[Any] = Nil)(f: ResultSet => A): Seq[A] =
     synchronized {
+      queryTally.incrementAndGet()
       val ps = conn.prepareStatement(sql)
       try {
         args.zipWithIndex.foreach { case (a, i) => ps.setObject(i + 1, a) }
@@ -1031,8 +1039,14 @@ final class MetadataStore(backend: MetadataBackend,
   /** Data files with begin_snapshot in (from, to] — CDC inserts
     * (reference: src/metadata_provider.rs:77-89).
     */
-  def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long): Seq[DataFileRec] =
-    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id",
+  /** @param limit row cap (snapshot order) — the streaming maxFiles
+    *   admission walk needs only budget+1 rows to place a batch end, not
+    *   the millions a 100 TB backfill still has ahead of its offset.
+    */
+  def getDataFilesAddedBetween(tableId: Long, from: Long, to: Long,
+      limit: Option[Int] = None): Seq[DataFileRec] =
+    query("SELECT data_file_id, path, path_is_relative, record_count, file_size_bytes, footer_size, begin_snapshot, encryption_key, write_epoch, mapping_id, row_id_start FROM ducklake_data_file WHERE table_id = ? AND begin_snapshot > ? AND begin_snapshot <= ? ORDER BY begin_snapshot, data_file_id" +
+        limit.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse(""),
       Seq(tableId, from, to))(rs =>
       DataFileRec(rs.getLong(1), rs.getString(2), rs.getBoolean(3), rs.getLong(4),
         rs.getLong(5), rs.getLong(6), rs.getLong(7), None, Option(rs.getString(8)),

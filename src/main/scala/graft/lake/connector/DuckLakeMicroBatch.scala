@@ -203,9 +203,22 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val a = start.asInstanceOf[SnapshotOffset].snapshot
     val cur = lake.store.currentSnapshot
-    def walk(cost: Seq[graft.lake.DataFileRec] => Long, budget0: Long): Offset = {
-      val bySnap = lake.store.getDataFilesAddedBetween(tableRec.tableId, a, cur)
-        .groupBy(_.beginSnapshot).toSeq.sortBy(_._1)
+    // `rowCap`: how many catalog rows the walk actually needs. For a
+    // file-count budget, budget+1 rows decide the batch end — fetching
+    // the WHOLE remaining backlog per advance makes a 100 TB backfill's
+    // planning read O(remaining files) every batch. A capped listing may
+    // truncate its LAST snapshot group, so that group is dropped (unless
+    // it is the only one — the guaranteed-progress case, where the first
+    // snapshot is admitted whole regardless of budget and
+    // planInputPartitions re-lists its files exactly) and a truncated
+    // fetch can never conclude "backlog drained". Row-count budgets keep
+    // the uncapped listing: record counts don't bound the rows needed.
+    def walk(cost: Seq[graft.lake.DataFileRec] => Long, budget0: Long,
+        rowCap: Option[Int]): Offset = {
+      val rows = lake.store.getDataFilesAddedBetween(tableRec.tableId, a, cur, rowCap)
+      val truncated = rowCap.exists(rows.size >= _)
+      val bySnap0 = rows.groupBy(_.beginSnapshot).toSeq.sortBy(_._1)
+      val bySnap = if (truncated && bySnap0.size > 1) bySnap0.init else bySnap0
       var end = a
       var budget = budget0
       var stop = false
@@ -214,13 +227,17 @@ final class DuckLakeMicroBatchStream(lake: DuckLake, fullName: String,
           budget -= cost(fs); end = s
         } else stop = true
       }
-      // every file-bearing snapshot consumed: jump over any trailing
-      // metadata-only snapshots so the stream reaches the head
-      SnapshotOffset(if (stop) end else cur)
+      // every file-bearing snapshot consumed AND the listing was complete:
+      // jump over any trailing metadata-only snapshots so the stream
+      // reaches the head
+      SnapshotOffset(if (stop || truncated) end else cur)
     }
     def applyLimit(l: ReadLimit): Offset = l match {
-      case mf: ReadMaxFiles if cur > a => walk(_.size.toLong, mf.maxFiles().toLong)
-      case mr: ReadMaxRows if cur > a => walk(_.map(_.recordCount).sum, mr.maxRows())
+      case mf: ReadMaxFiles if cur > a =>
+        walk(_.size.toLong, mf.maxFiles().toLong,
+          Some(math.max(mf.maxFiles(), 1) + 1))
+      case mr: ReadMaxRows if cur > a =>
+        walk(_.map(_.recordCount).sum, mr.maxRows(), None)
       case comp: CompositeReadLimit if cur > a =>
         // both budgets bind: the batch ends at the EARLIEST end offset
         comp.getReadLimits.map(applyLimit)
