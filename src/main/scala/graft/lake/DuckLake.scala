@@ -2557,6 +2557,26 @@ final class DuckLake(val spark: SparkSession, val metaDbPath: String, val dataPa
         case _: DuckLakeException => throw new InvalidConfigException(
           s"$key is not a valid interval value.")
       }
+    // writer options validate EAGERLY, at set time — the reference
+    // refuses an unknown codec / non-numeric value in set_option itself
+    // (corpus: settings/parquet_compression.test), not at the first
+    // write that would otherwise fail far from the misconfiguration
+    if (key == "parquet_compression" &&
+        !DuckLake.SupportedCodecs(value.trim.toLowerCase))
+      throw new InvalidConfigException(
+        s"Unsupported compression codec '$value' for $key")
+    if (key == "parquet_version") {
+      val v = scala.util.Try(value.trim.toInt).getOrElse(
+        throw new InvalidConfigException(
+          s"Could not convert '$value' to a parquet version"))
+      if (v != 1 && v != 2)
+        throw new InvalidConfigException(
+          s"Unsupported parquet version $v (expected 1 or 2)")
+    }
+    if ((key == "parquet_compression_level" || key == "parquet_row_group_size") &&
+        scala.util.Try(value.trim.toLong).isFailure)
+      throw new InvalidConfigException(
+        s"Could not convert '$value' to a number for $key")
     // byte-size options normalize to plain byte counts in the catalog
     // (reference: '10KB' reads back as 10000)
     val stored =
@@ -3537,6 +3557,13 @@ object DuckLake {
     "parquet_compression_level", "parquet_row_group_size",
     "parquet_row_group_size_bytes", "parquet_version", "per_thread_output",
     "require_commit_message", "rewrite_delete_threshold", "target_file_size")
+
+  /** Codecs `parquet_compression` accepts — the intersection DuckLake's
+    * option surface names and parquet-mr can write ('lz4' maps to
+    * LZ4_RAW in writerTuning, matching duck lz4's block format).
+    */
+  final val SupportedCodecs: Set[String] = Set(
+    "uncompressed", "none", "snappy", "gzip", "zstd", "lz4", "lz4_raw", "brotli")
 
   /** Parse a DuckDB-style interval literal ('1 millisecond', '2 hours',
     * '1 week') to milliseconds.
