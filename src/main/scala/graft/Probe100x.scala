@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Probe100x {
 
-  /** TPC-H shapes probed at both scales (the r13 five + the two A/B
-    * targets).
+  /** TPC-H shapes probed at both scales — r15 (r14 verdict task 4)
+    * extends the r13 five + two A/B targets with the fact-join class
+    * (q03/q07/q08/q09/q10/q12/q14/q19), so the 100× cross-engine set is
+    * decisive for the 2×-bar convergence claim, not just the scan/agg
+    * shapes.
     */
   val tpchNames = Seq(
-    "q01_pricing_summary", "q04_order_priority", "q05_local_supplier_volume",
-    "q06_forecast_revenue", "q13_customer_distribution", "q15_top_supplier",
-    "q18_large_orders")
+    "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q12_late_shipping", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q18_large_orders",
+    "q19_discounted_revenue")
 
   /** Pipeline operators probed at both scales. */
   val pipeNames = Seq(
