@@ -140,8 +140,18 @@ object AbBench {
     arms.foreach { case (_, mk) => once(mk); once(mk) } // 2 warmups each
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (1 to iters).foreach { _ =>
-      arms.foreach { case (n, mk) => samples(n) :+= once(mk) }
+    // ALTERNATE the within-pair order per iteration (r15 finding): in
+    // conf-flip mode the flip arm otherwise always runs immediately
+    // after the SAME query's base arm and inherits its query-specific
+    // warmth (operator JIT, page/TLB locality) — a measured 5-30%
+    // second-runner advantage that grows with host depletion and fully
+    // explained two contradictory SHJ A/Bs. Odd iterations run each
+    // pair reversed, so the warmth advantage hits both arms equally.
+    (1 to iters).foreach { it =>
+      val ordered =
+        if (confArgs.isEmpty || it % 2 == 1) arms
+        else arms.grouped(2).flatMap(_.reverse).toSeq
+      ordered.foreach { case (n, mk) => samples(n) :+= once(mk) }
     }
     arms.foreach { case (n, _) =>
       val s = samples(n)

@@ -242,18 +242,31 @@ object Dedup {
     * The shuffle this adds is narrow (id + sketch, no text) and replaces
     * the multiplicity-squared bucket expansion.
     *
-    * Returns (reps, chains): reps carries (__id, keyCol) one row per
-    * distinct sketch; chains carries (id_a, id_b) intra-group links.
+    * Returns one row per input doc: (__id, keyCol, __prev) where __prev
+    * is null exactly for the group representative (min id) and otherwise
+    * holds the previous group member's id. SINGLE-CONSUMER SHAPE MATTERS
+    * downstream: splitting this into a reps frame and a chains frame and
+    * unioning their results makes the whole sketch subtree a
+    * two-consumer plan that Catalyst re-computes per consumer (measured
+    * 28 sketch evaluations in the dedup_minhash gate, 0.76→2.76 s at
+    * sf0.1) — instead, callers fold the chain pairs INTO the banded
+    * frame as synthetic two-member buckets, keeping one linear pipeline.
     */
-  private def collapseBySketch(sk: DataFrame, keyCol: String):
-      (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__id"))
-    val marked = sk.filter(col(keyCol).isNotNull)
-      .select(col("__id"), col(keyCol), lag("__id", 1).over(w).as("__prev"))
-    val chains = marked.filter(col("__prev").isNotNull)
-      .select(col("__prev").as("id_a"), col("__id").as("id_b"))
-    val reps = marked.filter(col("__prev").isNull).select(col("__id"), col(keyCol))
-    (reps, chains)
+  private def collapseMarked(sk: DataFrame, keyCol: String): DataFrame = {
+    // partition the window by a 64-bit HASH of the sketch, not the
+    // sketch value itself: hash-key exchanges and (long, sketch, id)
+    // sorts are far cheaper than array/struct-keyed ones (the value-
+    // keyed form cost ~140 ms per evaluation at 90k rows), and the
+    // chain test stays EXACT — a row chains only when the previous row
+    // in (sketch, id) order carries the identical sketch value, so a
+    // 64-bit collision merely co-locates two groups in one partition,
+    // never links them
+    val w = Window.partitionBy(xxhash64(col(keyCol)))
+      .orderBy(col(keyCol), col("__id"))
+    sk.filter(col(keyCol).isNotNull)
+      .select(col("__id"), col(keyCol),
+        when(lag(col(keyCol), 1).over(w) === col(keyCol),
+          lag(col("__id"), 1).over(w)).as("__prev"))
   }
 
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
@@ -272,13 +285,25 @@ object Dedup {
         array_distinct(
           graft.functions.TokenGramHashes.tokenGramHashes(col(textCol))),
         numHashes, bands).as("__bands"))
-    // exact-collapse, then band only the distinct sketches
-    val (reps, chains) = collapseBySketch(sk, "__bands")
-    val banded = reps.select(col("__id"),
-      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+    // exact-collapse: representatives band normally; a non-representative
+    // contributes ONE synthetic two-member bucket (band −1, bucket = its
+    // own id — ids are unique, and real bands are ≥ 0, so no key can
+    // collide) holding {prev, self}, which cappedBucketPairs expands to
+    // exactly the consecutive-id chain pair. One linear pipeline — no
+    // union branch re-computing the sketch subtree per consumer
+    val marked = collapseMarked(sk, "__bands")
+    val banded = marked.select(explode(when(col("__prev").isNull,
+        transform(col("__bands"), (b, i) =>
+          struct(i.as("__band"), b.as("__bucket"), col("__id").as("__eid"))))
+      .otherwise(array(
+        struct(lit(-1).as("__band"), col("__id").as("__bucket"),
+          col("__prev").as("__eid")),
+        struct(lit(-1).as("__band"), col("__id").as("__bucket"),
+          col("__id").as("__eid"))))).as("__e"))
+      .select(col("__e.__band").as("__band"), col("__e.__bucket").as("__bucket"),
+        col("__e.__eid").as("__id"))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
       chainK, hotBucketThreshold)
-      .unionByName(chains)
       .distinct()
   }
 
@@ -299,14 +324,24 @@ object Dedup {
     // same exact-collapse as the xxhash family (the md5 twin exists to
     // make the production pipeline differential-testable, so it must
     // mirror the production shape — the DuckDB oracle reproduces the
-    // collapse with the identical bucket-array partition)
+    // collapse with the identical bucket-array partition). Chain pairs
+    // ride as synthetic two-member buckets (band −1, bucket = the
+    // decimal id string — 32-char hex md5 buckets can never collide
+    // with it), same single-pipeline shape as minhashCandidates
     val sk = md5BandArray(df, textCol, idCol, numHashes, bands)
-    val (reps, chains) = collapseBySketch(sk, "__bands")
-    val banded = reps.select(col("__id"),
-      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+    val marked = collapseMarked(sk, "__bands")
+    val banded = marked.select(explode(when(col("__prev").isNull,
+        transform(col("__bands"), (b, i) =>
+          struct(i.as("__band"), b.as("__bucket"), col("__id").as("__eid"))))
+      .otherwise(array(
+        struct(lit(-1).as("__band"), col("__id").cast("string").as("__bucket"),
+          col("__prev").as("__eid")),
+        struct(lit(-1).as("__band"), col("__id").cast("string").as("__bucket"),
+          col("__id").as("__eid"))))).as("__e"))
+      .select(col("__e.__band").as("__band"), col("__e.__bucket").as("__bucket"),
+        col("__e.__eid").as("__id"))
     cappedBucketPairs(banded, Seq("__band", "__bucket"), "__id", None,
       chainK, hotBucketThreshold)
-      .unionByName(chains)
       .distinct()
   }
 
@@ -458,18 +493,27 @@ object Dedup {
     val fps = agg.select(col("__id"),
       struct(chunkCols: _*).as("__fp"))
     // exact-collapse on the full fingerprint (mirrors simhashPairs —
-    // the md5 twin's DuckDB oracle reproduces the same partition)
-    val (reps, chains) = collapseBySketch(fps, "__fp")
-    val blocked = reps.select(col("__id"), col("__fp"),
-      posexplode(array(col("__fp.__c0"), col("__fp.__c1"),
-        col("__fp.__c2"), col("__fp.__c3"))).as(Seq("__blk", "__key")))
+    // the md5 twin's DuckDB oracle reproduces the same partition);
+    // chains as synthetic (blk −1, key = successor id) buckets, keys
+    // widened to long so ids can't overflow the int chunk domain
+    val marked = collapseMarked(fps, "__fp")
+    def entry(blk: Column, key: Column, id: Column) =
+      struct(blk.as("__eblk"), key.as("__ekey"), id.as("__eid"),
+        col("__fp").as("__epay"))
+    val blocked = marked.select(explode(when(col("__prev").isNull,
+        array((0 until 4).map(c => entry(lit(c),
+          col(s"__fp.__c$c").cast("long"), col("__id"))): _*))
+      .otherwise(array(
+        entry(lit(-1), col("__id"), col("__prev")),
+        entry(lit(-1), col("__id"), col("__id"))))).as("__e"))
+      .select(col("__e.__eblk").as("__blk"), col("__e.__ekey").as("__key"),
+        col("__e.__eid").as("__id"), col("__e.__epay").as("__fp"))
     val ham = (0 until 4).map(c =>
       bit_count(col(s"__pa.__c$c").bitwiseXOR(col(s"__pb.__c$c")))).reduce(_ + _)
     cappedBucketPairs(blocked, Seq("__blk", "__key"), "__id", Some("__fp"),
       chainK, hotBucketThreshold)
       .filter(ham <= maxHamming)
       .select("id_a", "id_b")
-      .unionByName(chains)
       .distinct()
   }
 
@@ -510,19 +554,29 @@ object Dedup {
     // exact-collapse on the fingerprint itself (r14 verdict task 3):
     // identical fingerprints — byte-identical texts foremost — chain at
     // hamming 0 without entering the chunk blocking, so bucket occupancy
-    // scales with distinct fingerprints, not duplicate multiplicity
-    val (reps, chains) = collapseBySketch(
+    // scales with distinct fingerprints, not duplicate multiplicity.
+    // Chain pairs ride as synthetic two-member buckets (chunk −1,
+    // key = successor id) with the group's shared fingerprint as
+    // payload — hamming 0, so the verify filter passes them; one linear
+    // pipeline, no union branch re-computing the fingerprint subtree
+    val marked = collapseMarked(
       fps.select(col(idCol).as("__id"), col("simhash")), "simhash")
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16)
-        .bitwiseAND(0xffffL).as("key")))
-    val blocked = reps.select(col("__id"), col("simhash"),
-      explode(array(chunks: _*)).as("b"))
+    def entry(chunk: Column, key: Column, id: Column) =
+      struct(struct(chunk.as("chunk"), key.as("key")).as("b"),
+        id.as("__eid"), col("simhash").as("__epay"))
+    val blocked = marked.select(explode(when(col("__prev").isNull,
+        array((0 until 4).map(c => entry(lit(c),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL),
+          col("__id"))): _*))
+      .otherwise(array(
+        entry(lit(-1), col("__id"), col("__prev")),
+        entry(lit(-1), col("__id"), col("__id"))))).as("__e"))
+      .select(col("__e.b").as("b"), col("__e.__eid").as("__id"),
+        col("__e.__epay").as("simhash"))
     cappedBucketPairs(blocked, Seq("b"), "__id", Some("simhash"),
       chainK, hotBucketThreshold)
       .filter(hamming64(col("__pa"), col("__pb")) <= maxHamming)
       .select("id_a", "id_b")
-      .unionByName(chains)
       .distinct()
   }
 
