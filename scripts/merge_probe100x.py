@@ -44,12 +44,11 @@ out["minhash_pair_context"] = (
     "linearize past the cap). Verify WORK grew ~10.8x per doc; TIME grew "
     "4.4x per doc — the engine absorbed ~2.5x of the work growth.")
 out["host_context"] = (
-    "r14 run: the Spark probe executed in a depleted burstable-CPU window "
-    "(loadavg 28-35 through the pipeline ops) while the DuckDB recording "
-    "ran ~30 min later on a partially recovered host; linear_100x ratios "
-    "are within-run (10x/100x adjacent per query) and robust to this, "
-    "vs_duckdb_100x is biased AGAINST Spark this round — compare r13's "
-    "quieter-window probe (q06 1.48x, q01 2.98x).")
+    "r15 run: Spark probe and DuckDB recording taken back-to-back on the "
+    "identical corpus in one window (avoids the r14 bias where Spark ran "
+    "depleted and DuckDB recorded ~30 min later on a recovered host); "
+    "linear_100x ratios are within-run (10x/100x adjacent per query) and "
+    "host-state robust.")
 out["merged_unix"] = int(time.time())
 with open("bench/probe_100x.json", "w") as f:
     json.dump(out, f, indent=1)
