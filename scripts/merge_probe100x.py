@@ -34,6 +34,18 @@ if os.path.exists(duck_path):
     out["duckdb_version"] = duck.get("duckdb_version")
     out["duckdb_fingerprint"] = duck.get("layout_fingerprint", "")[:80]
     out["vs_duckdb_100x"] = ratios
+    # headline geomeans (r15 verdict task 3): with all 22 TPC-H shapes
+    # recorded on both engines this is the decision number for the
+    # "converges at scale" question, published next to the 10x one
+    import math
+    tpch = {n: r for n, r in ratios.items() if n.startswith("q")}
+    if tpch:
+        out["vs_duckdb_100x_tpch_geomean"] = round(
+            math.exp(sum(math.log(r) for r in tpch.values()) / len(tpch)), 2)
+        out["vs_duckdb_100x_tpch_n"] = len(tpch)
+    if ratios:
+        out["vs_duckdb_100x_geomean"] = round(
+            math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 2)
 
 out["minhash_pair_context"] = (
     "dedup_minhash linear_100x tracks candidate-pair growth, not a plan "

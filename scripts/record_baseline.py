@@ -22,9 +22,21 @@ import json, time, sys
 src = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
 d = json.load(open(src))
 sf = d["sf"]
+# cpu_x rides the baseline (r15 verdict task 2): the multi-core depletion
+# adjudicator compares each later window's cpu_x against the SAME query's
+# clean-run cpu_x — the signal the adjacent 1-thread probe cannot see.
 queries = {
-    name: {"min": round(s["min"], 4), "stddev": round(s.get("stddev", 0.0), 4)}
+    name: {
+        "min": round(s["min"], 4),
+        "stddev": round(s.get("stddev", 0.0), 4),
+        **({"cpu_x": round(s["cpu_x"], 2)} if s.get("cpu_x", -1) > 0 else {}),
+    }
     for name, s in d["detail"].items() if s.get("min", -1) > 0
+}
+tpch_10x_cpu_x = {
+    name: round(h["cpu_x"], 2)
+    for name, h in d.get("scale10", {}).get("tpch_10x_host", {}).items()
+    if h.get("cpu_x", -1) > 0
 }
 dest = f"bench/baseline_sf{sf}.json"
 payload = {
@@ -33,6 +45,7 @@ payload = {
     "iters": d.get("iters"),
     "layout": d.get("layout"),
     "queries": queries,
+    "tpch_10x_cpu_x": tpch_10x_cpu_x,
 }
 json.dump(payload, open(dest, "w"), indent=1)
 print(f"wrote {dest} ({len(queries)} queries)")

@@ -56,9 +56,75 @@ object AbBench {
       .orderBy("c_nationkey")
   }
 
+  /** The REJECTED q08 shape (r16, r15 verdict task 1): literal
+    * fact-first join order — lineitem⋈orders SMJ/SHJ before any
+    * dimension filter reduces orders. This was the committed plan
+    * through r15 and the worst 100× shape (12.61× DuckDB at ~SF10);
+    * interleaved AbBench against the adopted dimension-first order
+    * measured 100× min 5.22 vs 3.77 s (avg 9.24 vs 4.47, σ 3.3 vs 0.8 —
+    * this shape is spill-marginal at 60M rows), winning only the 10×
+    * stage constant (min 1.00 vs 1.33 s). Kept as the measured-and-
+    * rejected evidence; Probe100x records it as q08_fact_first in
+    * ab_sec.
+    */
+  def q08FactFirst(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val l = t("lineitem")
+    val o = t("orders")
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+    val c = t("customer")
+    val su = t("supplier")
+    val n1 = t("nation").select(
+      col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_region"))
+    val r = t("region").filter(col("r_name") === "AMERICA")
+    val n2 = t("nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("cn_key"))
+      .join(r, col("c_region") === col("r_regionkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))) / sum(rev),
+        6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** The REJECTED q18 shape (r16, r15 verdict task 1): naive
+    * groupBy(l_orderkey) with a map-side PARTIAL aggregation. The 100×
+    * StageAudit found that phase spilling 7.8 GB at 60M rows — orderkey
+    * is near-unique per map task (~4 lines per key scattered over 32+
+    * tasks), so the partial hash table held ~1.9M entries/task, fell
+    * back to sort, and the shuffle still carried ~one row per input
+    * row. The adopted gate pre-shuffles the 2-column projection by key
+    * instead (both agg phases post-shuffle, bounded table, zero spill):
+    * 100× min 7.89→5.45 s, CPU 158→84 s, neutral at 10×. Kept as the
+    * measured-and-rejected evidence; Probe100x records it as
+    * q18_partial_agg in ab_sec.
+    */
+  def q18PartialAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val bigOrders = t("lineitem")
+      .groupBy(col("l_orderkey").as("bo_key"))
+      .agg(sum(col("l_quantity")).as("sum_qty_raw"))
+      .filter(col("sum_qty_raw") > 180)
+    t("orders").join(bigOrders, col("o_orderkey") === col("bo_key"))
+      .join(t("customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        round(col("sum_qty_raw"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q04_inner_distinct" -> (q04InnerDistinct _),
-    "q22_eager_scalar" -> (q22EagerScalar _))
+    "q22_eager_scalar" -> (q22EagerScalar _),
+    "q08_fact_first" -> (q08FactFirst _),
+    "q18_partial_agg" -> (q18PartialAgg _))
 
   def main(args: Array[String]): Unit = {
     // conf-flip mode: `AbBench --conf k=v [--conf k2=v2] q1 q2 ...`
@@ -70,6 +136,10 @@ object AbBench {
       var rest = args.toList
       val confs = scala.collection.mutable.ListBuffer.empty[(String, String)]
       while (rest.headOption.contains("--conf")) {
+        // malformed input fails with the usage message, not a raw
+        // IndexOutOfBounds/MatchError (r15 advice)
+        require(rest.size >= 2 && rest(1).contains("="),
+          "usage: AbBench [--conf k=v ...] <nameA> <nameB> [more...]")
         val Array(k, v) = rest(1).split("=", 2)
         confs += (k -> v)
         rest = rest.drop(2)

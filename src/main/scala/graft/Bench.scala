@@ -228,15 +228,19 @@ object Bench {
 
     // Baseline recording (bench/baseline_sf<sf>.json) is loaded BEFORE
     // the re-time pass: its tolerance decides which queries get re-timed.
-    val baseline: Map[String, (Double, Double)] = try {
+    // The third field is the clean run's cpu_x for the same query — the
+    // multi-core depletion reference (r15 verdict task 2); absent in
+    // older recordings.
+    val baseline: Map[String, (Double, Double, Option[Double])] = try {
       val p = java.nio.file.Paths.get("bench", s"baseline_sf$sfNum.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val q = mapper.readTree(java.nio.file.Files.readAllBytes(p)).get("queries")
         names.flatMap { n =>
-          Option(q.get(n)).map(b => n -> (b.get("min").asDouble,
-            Option(b.get("stddev")).map(_.asDouble).getOrElse(0.0)))
+          Option(q.get(n)).map(b => n -> ((b.get("min").asDouble,
+            Option(b.get("stddev")).map(_.asDouble).getOrElse(0.0),
+            Option(b.get("cpu_x")).map(_.asDouble).filter(_ > 0))))
         }.toMap
       }
     } catch {
@@ -247,6 +251,7 @@ object Bench {
         System.err.println(s"[bench] baseline unreadable, drift gate OFF: ${e.getMessage}")
         Map.empty
     }
+    def baseCpuX(n: String): Option[Double] = baseline.get(n).flatMap(_._3)
     def driftTol(baseMin: Double, baseSd: Double): Double =
       math.max(math.max(2 * baseSd, 0.10 * baseMin), 0.05)
 
@@ -266,33 +271,38 @@ object Bench {
     // its first-pass min, which the σ field already flags as noisy.
     val firstStats = timings.map { case (n, s, _, _, _) => n -> stats(s) }.toMap
     // retime triggers (severity-ranked, capped): σ-instability, a
-    // baseline regression, or (r14 verdict task 2) a window whose
-    // adjacent st-probe says the host was degraded — sustained steal
-    // inflates every sample uniformly, so σ alone cannot flag it
+    // baseline regression, a window whose adjacent st-probe says the
+    // host was degraded (r14 verdict task 2 — sustained steal inflates
+    // every sample uniformly, so σ alone cannot flag it), or a window
+    // whose cpu_x reads multi-core depletion vs the baseline's cpu_x
+    // (r15 verdict task 2 — the class the 1-thread probe cannot see)
     val flagged = timings.collect {
-      case (n, s, _, _, stX) if s.nonEmpty &&
+      case (n, s, cpuX, _, stX) if s.nonEmpty &&
         (firstStats(n)._4 > 0.5 * firstStats(n)._2 ||
           stX > Calibration.DegradedAt ||
-          baseline.get(n).exists { case (bm, bsd) =>
+          Calibration.cpuXDegraded(cpuX, baseCpuX(n)) ||
+          baseline.get(n).exists { case (bm, bsd, _) =>
             firstStats(n)._2 > bm + driftTol(bm, bsd) }) =>
         val sigmaX = firstStats(n)._4 / math.max(firstStats(n)._2, 1e-9)
-        val regX = baseline.get(n).map { case (bm, bsd) =>
+        val regX = baseline.get(n).map { case (bm, bsd, _) =>
           firstStats(n)._2 / math.max(bm + driftTol(bm, bsd), 1e-9) }
           .getOrElse(0.0)
-        (n, math.max(math.max(sigmaX, regX), stX / Calibration.DegradedAt))
+        val cpuXx = baseCpuX(n).filter(_ > 0)
+          .map(b => cpuX / (Calibration.CpuXDegradedFactor * b)).getOrElse(0.0)
+        (n, Seq(sigmaX, regX, stX / Calibration.DegradedAt, cpuXx).max)
     }.sortBy(-_._2).take(10).map(_._1)
-    // each retime carries its own adjacent probe: a retime on a
-    // still-degraded window must not launder the query back into the
-    // adjudicable set
-    val retimed: Map[String, (Double, Double, Double)] =
+    // each retime carries its own adjacent probe AND its own cpu_x: a
+    // retime on a still-degraded window must not launder the query back
+    // into the adjudicable set
+    val retimed: Map[String, (Double, Double, Double, Double)] =
       new scala.util.Random(System.nanoTime()).shuffle(flagged).map { n =>
-        val (t, _, _, load) = HostEvidence.window {
+        val (t, _, reCpuX, load) = HostEvidence.window {
           val t0 = System.nanoTime()
           try { run(n); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
         }
         val stX = Calibration.stXOf(Calibration.stProbe()).getOrElse(-1.0)
-        n -> (t, load, stX)
+        n -> ((t, load, stX, reCpuX))
       }.toMap
 
     val minsMap = timings.map { case (n, s, _, _, _) =>
@@ -300,22 +310,30 @@ object Bench {
       val re = retimed.get(n).map(_._1).filter(_ >= 0)
       n -> re.fold(first)(math.min(first, _))
     }.toMap
-    // Per-query adjudicability (r14 verdict task 2): trustworthy iff
-    // SOME window the query ran in was on a healthy host (steal only
-    // ever INFLATES, so a clean-window min stands regardless of σ —
-    // genuine variance belongs inside min-of-N). With no calibration
-    // reference the probes read -1 and σ-plus-failed-reconfirmation
-    // decides alone.
+    // Per-query adjudicability (r14 verdict task 2 + r15 task 2):
+    // trustworthy iff SOME window the query ran in was on a healthy host
+    // (steal only ever INFLATES, so a clean-window min stands regardless
+    // of σ — genuine variance belongs inside min-of-N). Degraded-host
+    // evidence is EITHER the adjacent 1-thread probe (frequency class)
+    // OR the window's cpu_x vs the committed baseline's cpu_x for the
+    // same query (multi-core class — the r15 contaminated run read st_x
+    // 0.99-1.05 throughout while cpu_x doubled at identical plans and 21
+    // false regressions published). With neither calibration reference
+    // nor cpu_x baseline, σ-plus-failed-reconfirmation decides alone.
     val nonAdj: Set[String] = timings.collect {
-      case (n, s, _, _, stX) if s.nonEmpty && {
+      case (n, s, cpuX, _, stX) if s.nonEmpty && {
         val re = retimed.get(n)
         val mn = s.min
-        if (stX >= 0)
-          stX > Calibration.DegradedAt &&
-            !re.exists(r => r._1 >= 0 && r._3 >= 0 && r._3 <= Calibration.DegradedAt)
-        else
+        val bc = baseCpuX(n)
+        if (Calibration.windowDegraded(stX, cpuX, bc))
+          !re.exists(r => r._1 >= 0 && Calibration.windowClean(r._3, r._4, bc))
+        else if (stX < 0)
+          // no calibration reference: cpu_x alone cannot see frequency-
+          // class throttling (wall and CPU-seconds inflate together), so
+          // the σ-reconfirmation rule still applies
           firstStats(n)._4 > 0.5 * mn &&
             !re.exists(r => r._1 >= 0 && r._1 <= math.max(1.5 * mn, mn + 0.05))
+        else false
       } => n
     }.toSet
     if (nonAdj.nonEmpty)
@@ -326,8 +344,8 @@ object Bench {
       val mn = minsMap(k)
       val plan = planMs.get(k).map(p => f""","plan_ms":$p%.1f""").getOrElse("")
       val host = f""","load1":$load%.1f,"cpu_x":$cpuX%.1f,"st_x":$stX%.2f"""
-      val re = retimed.get(k).map { case (t, rl, rStX) =>
-        f""","min1":${if (s.isEmpty) -1.0 else s.min}%.4f,"retime":$t%.4f,"retime_load1":$rl%.1f,"retime_st_x":$rStX%.2f"""
+      val re = retimed.get(k).map { case (t, rl, rStX, rCpuX) =>
+        f""","min1":${if (s.isEmpty) -1.0 else s.min}%.4f,"retime":$t%.4f,"retime_load1":$rl%.1f,"retime_st_x":$rStX%.2f,"retime_cpu_x":$rCpuX%.1f"""
       }.getOrElse("")
       val adjFlag = if (nonAdj.contains(k)) ""","adjudicable":false""" else ""
       "\"" + k + "\":" + f"""{"avg":$avg%.4f,"min":$mn%.4f,"max":$mx%.4f,"stddev":$sd%.4f$plan$host$re$adjFlag}"""
@@ -387,6 +405,7 @@ object Bench {
     // verdict's q04/q16 "regressions" were sub-second min-of-5 noise a
     // human had to adjudicate; this separates noise from regression
     // mechanically, in the artifact itself.
+    var driftRegressed = 0 // carried out for the self-healing record gate
     val drift: Option[(String, String)] =
       if (baseline.isEmpty) None
       else {
@@ -400,7 +419,7 @@ object Bench {
         // deliberately-loaded rerun of unchanged code now publishes
         // {reg≈0, non_adjudicable>0}, not 32 false regressions.
         val rows = minsMap.toSeq.sortBy(_._1).flatMap { case (n, cur) =>
-          baseline.get(n).filter(_ => cur > 0).map { case (bm, bsd) =>
+          baseline.get(n).filter(_ => cur > 0).map { case (bm, bsd, _) =>
             (n, cur, bm, driftTol(bm, bsd))
           }
         }
@@ -409,6 +428,7 @@ object Bench {
           .map { case (n, cur, bm, _) => "\"" + n + "\":" + f"""{"cur":$cur%.2f,"base":$bm%.2f}""" }
           .mkString("{", ",", "}")
         val regressed = rowsAdj.filter { case (_, cur, bm, tol) => cur > bm + tol }
+        driftRegressed = regressed.size
         val improved = rowsAdj.filter { case (_, cur, bm, tol) => cur < bm - tol }
         val exclJson =
           if (rowsExcl.isEmpty) ""
@@ -438,10 +458,26 @@ object Bench {
     // touch the citable record — a raw-layout or reduced-iteration
     // debug run would silently clobber it with non-comparable numbers
     // (r13 review finding); such runs still get target/bench.json.
+    // Self-healing record (r15 verdict task 6): the citable file is
+    // write-once-per-VALIDATED-run — a run whose own evidence says the
+    // host was degraded (run-level calibration, any per-query
+    // non-adjudicable window, or an implausible regression count on the
+    // σ-tolerant drift gate) diverts to full_sf<sf>_degraded.json
+    // instead of clobbering the committed clean record (the r14/r15
+    // contamination both times reached the round-close commit).
+    val recordClean = !hostDegraded && nonAdj.isEmpty && driftRegressed <= 5
+    val benchFile =
+      if (recordClean) s"bench/full_sf$sfNum.json"
+      else s"bench/full_sf${sfNum}_degraded.json"
     if (!raw && iterations >= 5) {
-      val tracked = java.nio.file.Paths.get("bench", s"full_sf$sfNum.json")
+      val tracked = java.nio.file.Paths.get(benchFile)
       java.nio.file.Files.createDirectories(tracked.getParent)
       java.nio.file.Files.write(tracked, (fullJson + "\n").getBytes("UTF-8"))
+      if (!recordClean)
+        System.err.println(s"[bench] run NOT validated (host_degraded=" +
+          s"$hostDegraded, non_adjudicable=${nonAdj.size}, " +
+          s"drift_regressed=$driftRegressed): citable record untouched, " +
+          s"wrote $benchFile")
     } else
       System.err.println("[bench] non-protocol run (raw layout or iters<5): " +
         "tracked bench/full json NOT updated")
@@ -456,7 +492,7 @@ object Bench {
       val qs = qpairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$om,"bench_file":"bench/full_sf$sfNum.json"$layoutJson,"host_degraded":$hostDegraded${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._1}""").getOrElse("")}${drift.map(d => s""","drift":${d._1}""").getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":$sfNum,"iters":$iterations,"retimed":${retimed.size}$om,"bench_file":"$benchFile"$layoutJson,"host_degraded":$hostDegraded${scale10.map(s => s""","scale10":${s._1}""").getOrElse("")}${vsDuck.map(v => s""","vs_duckdb":${v._1}""").getOrElse("")}${drift.map(d => s""","drift":${d._1}""").getOrElse("")}}"""
     }
     val bySlowest = mins.sortBy { case (_, v) => -v }
     var keep = mins.size

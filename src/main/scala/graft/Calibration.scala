@@ -120,4 +120,45 @@ object Calibration {
     * floor" marks the window degraded).
     */
   val DegradedAt = 1.3
+
+  /** Multi-core depletion threshold (r15 verdict task 2): the depletion
+    * that actually hit four rounds of driver benches is MULTI-core — the
+    * adjacent 1-thread probe read 0.99-1.05 across the whole r15
+    * contaminated run while every 32-way query window burned ~2-4× the
+    * CPU-seconds-per-wall-second of the committed clean baseline at
+    * identical plans (dedup_exact cpu_x 14.5 vs 5.7, mm_decode_meta 16.4
+    * vs 4.2, q05 14.2 vs 7.6). A query window's cpu_x against the SAME
+    * query's committed-baseline cpu_x is the multi-core signal a
+    * 1-thread probe structurally cannot see. 1.5× sits between clean
+    * run-to-run cpu_x variance (±20-30% observed) and the ≥1.9× the
+    * contaminated windows measured.
+    */
+  val CpuXDegradedFactor = 1.5
+
+  /** Whether a window's measured cpu_x carries multi-core-depletion
+    * evidence vs the committed baseline's cpu_x for the same query.
+    * No baseline, or an unmeasurable cpu_x, is no evidence.
+    */
+  def cpuXDegraded(cpuX: Double, baseCpuX: Option[Double]): Boolean =
+    baseCpuX.exists(b => b > 0 && cpuX > CpuXDegradedFactor * b)
+
+  /** Degraded-host evidence for one query window: the adjacent 1-thread
+    * probe (frequency-class depletion) OR the window's cpu_x vs the same
+    * query's committed-baseline cpu_x (multi-core-class depletion —
+    * r15 verdict task 2). stX < 0 means no probe/reference — that axis
+    * then carries no evidence either way.
+    */
+  def windowDegraded(stX: Double, cpuX: Double, baseCpuX: Option[Double]): Boolean =
+    stX > DegradedAt || cpuXDegraded(cpuX, baseCpuX)
+
+  /** Whether a window affirmatively measured CLEAN — the bar a retime
+    * must clear to cleanse a degraded-flagged first pass back into the
+    * adjudicable set. The st axis must have MEASURED healthy (a failed
+    * or reference-less probe, stX < 0, cannot cleanse — r15 advice: the
+    * missing `>= 0` guard laundered failed-probe retimes); the cpu_x
+    * axis must not read degraded vs baseline (no baseline = no evidence,
+    * the st probe then decides alone, as before r15).
+    */
+  def windowClean(stX: Double, cpuX: Double, baseCpuX: Option[Double]): Boolean =
+    stX >= 0 && stX <= DegradedAt && !cpuXDegraded(cpuX, baseCpuX)
 }

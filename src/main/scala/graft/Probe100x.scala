@@ -27,19 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Probe100x {
 
-  /** TPC-H shapes probed at both scales — r15 (r14 verdict task 4)
-    * extends the r13 five + two A/B targets with the fact-join class
-    * (q03/q07/q08/q09/q10/q12/q14/q19), so the 100× cross-engine set is
-    * decisive for the 2×-bar convergence claim, not just the scan/agg
-    * shapes.
+  /** TPC-H shapes probed at both scales — r16 (r15 verdict task 3)
+    * completes the set to all 22, so `vs_duckdb_100x` publishes a full
+    * geomean next to the 10× one. q20 runs its CANONICAL threshold (50)
+    * at both scales, matching the existing DuckDB 100× recording, which
+    * was taken without substitutions — at replica corpora the semi join
+    * is near-vacuous for BOTH engines identically, so the ratio is still
+    * like-for-like (the 10× suite in ScaleBench keeps the scaled
+    * threshold for its own recording).
     */
   val tpchNames = Seq(
-    "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
-    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q01_pricing_summary", "q02_min_cost_supplier", "q03_shipping_priority",
+    "q04_order_priority", "q05_local_supplier_volume", "q06_forecast_revenue",
     "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-    "q10_returned_items", "q12_late_shipping", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q18_large_orders",
-    "q19_discounted_revenue")
+    "q10_returned_items", "q11_important_parts", "q12_late_shipping",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_part_cnt", "q17_small_quantity", "q18_large_orders",
+    "q19_discounted_revenue", "q20_promo_suppliers", "q21_waiting_suppliers",
+    "q22_inactive_customers")
 
   /** Pipeline operators probed at both scales. */
   val pipeNames = Seq(
@@ -177,12 +182,19 @@ object Probe100x {
     val cc10m = ccSec(10000000L)
     System.err.println(f"[probe100x] cc 1m=$cc1m%.1f s, 10m=$cc10m%.1f s")
 
-    // --- rejected-A/B re-runs at 100× (and 10× for context)
+    // --- rejected-A/B re-runs at 100× (and 10× for context); the r16
+    // q08 entry measures the REJECTED fact-first order next to the
+    // adopted dimension-first gate (r15 verdict task 1), so the adoption
+    // evidence lands in the committed probe artifact
     val ab = Seq(
       "q04_preagg_10x" -> time(() => q04PreAgg(spark, dir10), 2, 3),
       "q04_preagg_100x" -> time(() => q04PreAgg(spark, dir100), 2, 3),
       "q15_early_topk_10x" -> time(() => q15EarlyTopK(spark, dir10), 2, 3),
-      "q15_early_topk_100x" -> time(() => q15EarlyTopK(spark, dir100), 2, 3))
+      "q15_early_topk_100x" -> time(() => q15EarlyTopK(spark, dir100), 2, 3),
+      "q08_fact_first_10x" -> time(() => AbBench.q08FactFirst(spark, dir10), 2, 3),
+      "q08_fact_first_100x" -> time(() => AbBench.q08FactFirst(spark, dir100), 2, 3),
+      "q18_partial_agg_10x" -> time(() => AbBench.q18PartialAgg(spark, dir10), 2, 3),
+      "q18_partial_agg_100x" -> time(() => AbBench.q18PartialAgg(spark, dir100), 2, 3))
     System.err.println(s"[probe100x] ab done: ${jmap(ab)}")
 
     spark.stop()

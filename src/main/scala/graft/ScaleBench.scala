@@ -353,24 +353,28 @@ object ScaleBench {
       // actively depleted the burstable host; keep the worst offenders
       // by relative excess over their trigger, drop the rest).
       val mkByName = tpchMk.toMap
+      val cpuXBase = baseline10xCpuX()
       val tpchFlagged = tpchTimed.collect {
-        case (n, (mn, sd, _, _, stX)) if mn > 0 &&
-            (sd > 0.5 * mn || stX > Calibration.DegradedAt) =>
-          (n, math.max(sd / mn / 0.5, stX / Calibration.DegradedAt))
+        case (n, (mn, sd, _, cpuX, stX)) if mn > 0 &&
+            (sd > 0.5 * mn || stX > Calibration.DegradedAt ||
+              Calibration.cpuXDegraded(cpuX, cpuXBase.get(n))) =>
+          val cpuXx = cpuXBase.get(n).filter(_ > 0)
+            .map(b => cpuX / (Calibration.CpuXDegradedFactor * b)).getOrElse(0.0)
+          (n, Seq(sd / mn / 0.5, stX / Calibration.DegradedAt, cpuXx).max)
       }.sortBy(-_._2).take(RetimeCap).map(_._1)
-      // each retime carries its OWN adjacent probe: a retime taken on a
-      // still-degraded window must not launder the query back into the
-      // adjudicable set
-      val tpchRetimed: Map[String, (Double, Double, Double)] =
+      // each retime carries its OWN adjacent probe and cpu_x: a retime
+      // taken on a still-degraded window must not launder the query back
+      // into the adjudicable set
+      val tpchRetimed: Map[String, (Double, Double, Double, Double)] =
         new scala.util.Random(System.nanoTime()).shuffle(tpchFlagged).flatMap { n =>
           try {
-            val (t, _, _, load) = HostEvidence.window {
+            val (t, _, reCpuX, load) = HostEvidence.window {
               val s = System.nanoTime()
               mkByName(n)().write.mode("overwrite").format("noop").save()
               (System.nanoTime() - s) / 1e9
             }
             val stX = Calibration.stXOf(Calibration.stProbe()).getOrElse(-1.0)
-            Some(n -> (t, load, stX))
+            Some(n -> ((t, load, stX, reCpuX)))
           } catch {
             // a retime candidate is by definition one with an unstable
             // window; its failure keeps the first-pass min, not void
@@ -383,25 +387,27 @@ object ScaleBench {
       val tpchMins = tpchTimed.map { case (n, (mn, _, _, _, _)) =>
         n -> tpchRetimed.get(n).map(_._1).fold(mn)(math.min(mn, _))
       }
-      // Per-query adjudicability (r14 verdict task 2): a query's timing
-      // is adjudicable iff SOME window it ran in was on a healthy host —
-      // the first pass (adjacent st-probe ≤ threshold; steal only ever
-      // INFLATES times, so a clean-window min is trustworthy regardless
-      // of σ — min-of-N is the estimator and genuine variance like GC or
-      // AQE nondeterminism belongs inside it), or failing that its
-      // retime's window. With no committed calibration reference the
-      // probes read -1 and the σ-reconfirmation rule decides alone:
-      // σ-flagged + never successfully retimed ⇒ non-adjudicable.
+      // Per-query adjudicability (r14 verdict task 2 + r15 task 2): a
+      // query's timing is adjudicable iff SOME window it ran in was on a
+      // healthy host — the first pass, or failing that its retime's
+      // window. Degraded-host evidence is the adjacent st-probe
+      // (frequency-class depletion) OR the window's cpu_x vs the
+      // committed baseline's cpu_x for the same query (multi-core class
+      // — the depletion mode that actually contaminated r12-r15, which a
+      // 1-thread probe reads straight through). A cleansing retime must
+      // have MEASURED clean on both axes (r15 advice: a failed probe,
+      // st_x = -1, must not launder). With neither signal available the
+      // σ-reconfirmation rule decides alone.
       val tpchNonAdj: Set[String] = tpchTimed.collect {
-        case (n, (mn, sd, _, _, stX)) if mn > 0 && {
+        case (n, (mn, sd, _, cpuX, stX)) if mn > 0 && {
           val re = tpchRetimed.get(n)
-          val hasRef = stX >= 0
-          if (hasRef)
-            stX > Calibration.DegradedAt &&
-              !re.exists(_._3 <= Calibration.DegradedAt)
-          else
+          val bc = cpuXBase.get(n)
+          if (Calibration.windowDegraded(stX, cpuX, bc))
+            !re.exists(r => r._1 >= 0 && Calibration.windowClean(r._3, r._4, bc))
+          else if (stX < 0)
             sd > 0.5 * mn &&
               !re.exists(r => r._1 <= math.max(1.5 * mn, mn + 0.05))
+          else false
         } => n
       }.toSet
       if (tpchNonAdj.nonEmpty)
@@ -480,8 +486,8 @@ object ScaleBench {
         .mkString("{", ",", "}")
       val tpchRetimedJson = tpchTimed
         .collect { case (n, (mn, _, _, _, _)) if tpchRetimed.contains(n) =>
-          val (t, rl, rStX) = tpchRetimed(n)
-          "\"" + n + "\":" + f"""{"min1":$mn%.2f,"retime":$t%.2f,"retime_load1":$rl%.1f,"retime_st_x":$rStX%.2f}""" }
+          val (t, rl, rStX, rCpuX) = tpchRetimed(n)
+          "\"" + n + "\":" + f"""{"min1":$mn%.2f,"retime":$t%.2f,"retime_load1":$rl%.1f,"retime_st_x":$rStX%.2f,"retime_cpu_x":$rCpuX%.1f}""" }
         .mkString("{", ",", "}")
       val fields =
         s""""tpch_10x_sec":$tpchJson,"tpch_10x_sd":$tpchSdJson,""" +
@@ -501,6 +507,30 @@ object ScaleBench {
     * itself depletes the burstable host — 53 retimes last session).
     */
   val RetimeCap = 8
+
+  /** Per-query cpu_x of the committed clean 10× suite — the multi-core
+    * depletion reference for the 10× pass (r15 verdict task 2), recorded
+    * by scripts/record_baseline.py from the validated run's
+    * tpch_10x_host section. Empty when the baseline predates the field.
+    */
+  private def baseline10xCpuX(): Map[String, Double] = try {
+    val p = java.nio.file.Paths.get("bench", "baseline_sf0.1.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      Option(node.get("tpch_10x_cpu_x")).map { m =>
+        val it = m.fieldNames()
+        val out = scala.collection.mutable.Map.empty[String, Double]
+        while (it.hasNext) {
+          val k = it.next()
+          val v = m.get(k).asDouble
+          if (v > 0) out += k -> v
+        }
+        out.toMap
+      }.getOrElse(Map.empty)
+    }
+  } catch { case _: Throwable => Map.empty }
 
   /** Phase 2 of the scale pass: the heavy linear_x replays, semantic
     * LSH, CC/hot-bucket/skew stress probes — runs AFTER the sf0.1 sweep

@@ -3560,10 +3560,15 @@ object DuckLake {
 
   /** Codecs `parquet_compression` accepts — the intersection DuckLake's
     * option surface names and parquet-mr can write ('lz4' maps to
-    * LZ4_RAW in writerTuning, matching duck lz4's block format).
+    * LZ4_RAW in writerTuning, matching duck lz4's block format). Kept to
+    * codecs the classpath can actually encode (r15 advice: 'brotli'
+    * passed the eager set_option validation but failed at the first
+    * write for want of a codec dependency, defeating the eager contract;
+    * 'none' is not in the reference's accepted set — 'uncompressed' is
+    * the spelled form).
     */
   final val SupportedCodecs: Set[String] = Set(
-    "uncompressed", "none", "snappy", "gzip", "zstd", "lz4", "lz4_raw", "brotli")
+    "uncompressed", "snappy", "gzip", "zstd", "lz4", "lz4_raw")
 
   /** Parse a DuckDB-style interval literal ('1 millisecond', '2 hours',
     * '1 week') to milliseconds.

@@ -311,6 +311,13 @@ object FileStats {
             }
           case (INT32, d: L.DecimalLogicalTypeAnnotation) =>
             DecimalType(d.getPrecision, d.getScale)
+          // TIME(MILLIS) rides INT32 physical and must be refused BEFORE
+          // the generic INT32 case (r15 advice: the generic case mapped a
+          // TIME(MILLIS) file to IntegerType, so adoption into an
+          // integer-typed table passed the type gate without any raw-read
+          // marking — the adopt-then-misread failure the TIME unit gate
+          // below exists to close)
+          case (INT32, _: L.TimeLogicalTypeAnnotation) => return None
           case (INT32, _) => IntegerType
           // unit-gated (r14 advice): UTC-adjusted NANOS has no safe
           // mapping — TimestampType here would pass the adoption gate as

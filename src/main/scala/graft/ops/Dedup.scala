@@ -252,7 +252,7 @@ object Dedup {
     * sf0.1) — instead, callers fold the chain pairs INTO the banded
     * frame as synthetic two-member buckets, keeping one linear pipeline.
     */
-  private def collapseMarked(sk: DataFrame, keyCol: String): DataFrame = {
+  private[ops] def collapseMarked(sk: DataFrame, keyCol: String): DataFrame = {
     // partition the window by a 64-bit HASH of the sketch, not the
     // sketch value itself: hash-key exchanges and (long, sketch, id)
     // sorts are far cheaper than array/struct-keyed ones (the value-

@@ -287,12 +287,21 @@ object Similarity {
     * `df` that is itself an expensive derived pipeline should be
     * persisted by the caller, or the upstream work re-runs per pass.
     *
-    * PRECONDITION: `idCol` is unique in `df`. Candidate pairs are
-    * deduped across bands on (id_a, id_b), so output uniqueness rests
-    * on id uniqueness — duplicate ids fan out through the two vector
-    * re-joins into duplicate pair rows with ambiguous `sim` values.
-    * (Downstream [[Dedup.connectedComponents]] is insensitive to
-    * duplicate edges; other callers are not.)
+    * PRECONDITION: `idCol` is unique in `df` AND integral (the
+    * exact-collapse chain bucket keys on the id as a long — the same
+    * requirement [[Dedup.connectedComponents]] imposes downstream).
+    * Candidate pairs are deduped across bands on (id_a, id_b), so output
+    * uniqueness rests on id uniqueness — duplicate ids fan out through
+    * the two vector re-joins into duplicate pair rows with ambiguous
+    * `sim` values. (Downstream [[Dedup.connectedComponents]] is
+    * insensitive to duplicate edges; other callers are not.)
+    *
+    * Byte-identical vectors EXACT-COLLAPSE before banding (r15 verdict
+    * task 4): one representative per distinct vector enters the LSH;
+    * its duplicates link by consecutive-id chain pairs, which verify at
+    * cosine exactly 1.0. Cluster connectivity is preserved exactly;
+    * direct pairs between two duplicates of one group are elided in
+    * favor of the chain (same contract as the hot-bucket cap).
     *
     * The pair pipeline is payload-light: candidate generation windows
     * over (bucket, id) ONLY — never holding vectors in the sliding
@@ -309,16 +318,46 @@ object Similarity {
     val bits =
       if (nBits > 0) nBits
       else adaptiveBits(knownCount.getOrElse(df.count()), hotBucketThreshold)
-    val bandSigs = (0 until bands).map { bnd =>
+    // exact-collapse BEFORE the signature computation (r15 verdict task
+    // 4 — the op measured exactly linear at 100× because every replica
+    // re-signed and re-banded an identical vector): byte-identical
+    // vectors fold to one banding REPRESENTATIVE (min id per group), so
+    // the bands×bits×dim hyperplane signature runs once per DISTINCT
+    // vector and banding/window/verify volume scales with distinct
+    // vectors, not duplicate multiplicity. Group members link by
+    // consecutive-id chains carried as synthetic two-member buckets
+    // (band −1 — real bands are ≥ 0 — bucket = the member's own id as a
+    // long, so keys never collide; ids must be integral for that key).
+    // Chain pairs verify at cosine exactly 1.0, so every chain edge
+    // survives any threshold ≤ 1 and cluster CONNECTIVITY is preserved
+    // exactly — a duplicate's cosine to any third vector equals its
+    // representative's. Direct pairs between two non-representatives of
+    // one group elide in favor of the chain (same contract as the
+    // hot-bucket cap); null-vector rows drop here instead of riding a
+    // null signature into bucket 0 (they never verified before — cosine
+    // against null is null). Single-consumer shape, as in the MinHash
+    // collapse: chain pairs fold INTO the banded frame, no union branch
+    // re-computing the signature subtree per consumer.
+    val marked = Dedup.collapseMarked(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v")
+    val repEntries = array((0 until bands).map { bnd =>
       val bitCols = (0 until bits).map { p =>
         val plane = array((0 until dim).map(d =>
           lit(planeValue(bnd * bits + p, d))): _*)
         when(dot(col("__v"), plane) > 0, lit(1L << p)).otherwise(0L)
       }
-      struct(lit(bnd).as("band"), bitCols.reduce(_.bitwiseOR(_)).as("sig"))
-    }
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .select(col("__id"), explode(array(bandSigs: _*)).as("__bucket"))
+      struct(
+        struct(lit(bnd).as("band"),
+          bitCols.reduce(_.bitwiseOR(_)).as("sig")).as("b"),
+        col("__id").as("m"))
+    }: _*)
+    def chainKey = struct(lit(-1).as("band"), col("__id").cast("long").as("sig"))
+    val chainEntries = array(
+      struct(chainKey.as("b"), col("__prev").as("m")),
+      struct(chainKey.as("b"), col("__id").as("m")))
+    val sig = marked.select(explode(
+        when(col("__prev").isNull, repEntries).otherwise(chainEntries)).as("__e"))
+      .select(col("__e.m").as("__id"), col("__e.b").as("__bucket"))
     // hot-bucket cap (see Dedup.cappedBucketPairs): buckets up to
     // hotBucketThreshold members expand to ALL pairs — the OR-amplified
     // recall contract holds regardless of id adjacency — while a

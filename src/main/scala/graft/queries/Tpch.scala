@@ -226,20 +226,35 @@ object Tpch {
     """),
 
     ("q08_market_share", (s: SparkSession, dir: String) => {
+      // DIMENSION-FIRST join order (r16, r15 verdict task 1 — q08 was
+      // the worst 100× shape at 12.61× DuckDB): the AMERICA-filtered
+      // customers reduce ORDERS before the lineitem join, so the fact
+      // join's build side is ~(2/7 years × 1/5 regions) of orders
+      // instead of 100% — Catalyst keeps the written order without CBO
+      // stats, and the old literal order (lineitem⋈orders SMJ FIRST,
+      // region filter last) shuffled the full fact pair. Interleaved
+      // AbBench on the replica corpora: 100× min 5.22→3.77 s (−28%, avg
+      // 9.24→4.47 and σ 3.3→0.8 — the fact-first plan was
+      // spill-marginal), at the cost of one extra stage constant at 10×
+      // (min 1.00→1.33 s). Adopted for the scale this engine targets;
+      // the rejected fact-first shape is kept as AbBench's
+      // "q08_fact_first" variant with the Probe100x ab_sec evidence.
       val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
-      val c = t(s, dir, "customer")
       val su = t(s, dir, "supplier")
       val n1 = t(s, dir, "nation").select(
         col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_region"))
       val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
       val n2 = t(s, dir, "nation").select(
         col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      val amCust = t(s, dir, "customer")
         .join(n1, col("c_nationkey") === col("cn_key"))
         .join(r, col("c_region") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val amOrders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+        .join(amCust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      l.join(amOrders, col("l_orderkey") === col("o_orderkey"))
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(n2, col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -497,8 +512,26 @@ object Tpch {
     """),
 
     ("q18_large_orders", (s: SparkSession, dir: String) => {
+      // PRE-SHUFFLED aggregation (r16, r15 verdict task 1): the 100×
+      // StageAudit caught the naive groupBy's PARTIAL phase spilling
+      // 7.8 GB at 60M rows — l_orderkey is near-unique per map task
+      // (~4 lines per key scattered over 32+ tasks), so the partial
+      // hash table held ~1.9M entries/task, fell back to sort, and the
+      // shuffle still carried ~one row per input row. Repartitioning
+      // the 2-column projection by key FIRST runs both agg phases
+      // post-shuffle (EnsureRequirements drops the agg exchange): each
+      // partition owns its keys completely, the table is bounded by
+      // |keys|/shuffle-partitions, nothing spills. Measured at 100×:
+      // min 7.89→5.45 s interleaved, stage spill 7782→0 MB, total CPU
+      // 158→84 s; neutral at 10× (0.79 vs 0.83 min). Scale-safe: the
+      // expression-only repartition leaves AQE free to size the
+      // partition count, and partial agg reduced nothing at ANY scale
+      // for this key distribution.
       val l = t(s, dir, "lineitem")
-      val bigOrders = l.groupBy(col("l_orderkey").as("bo_key"))
+      val bigOrders = l
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey").as("bo_key"))
         .agg(sum(col("l_quantity")).as("sum_qty_raw"))
         .filter(col("sum_qty_raw") > 180)
       val o = t(s, dir, "orders")

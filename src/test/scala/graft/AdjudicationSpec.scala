@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench-window adjudication (r15 verdict task 2): the host depletion
+  * that contaminated four rounds of driver benches is MULTI-core — the
+  * adjacent single-thread probe reads healthy while every 32-way query
+  * window burns ~2× the CPU-seconds-per-wall-second of the committed
+  * clean baseline at identical plans. These tests replay the REAL
+  * numbers from the r15 contaminated run (`BENCH_r15.json`) against the
+  * committed clean record (63a043b `bench/full_sf0.1.json`) and assert
+  * the adjudicator now classifies them the way the r15 verdict demands:
+  * degraded windows publish non-adjudicable, clean windows adjudicate.
+  */
+class AdjudicationSpec extends AnyFunSuite {
+
+  // (query, contaminated cpu_x, contaminated st_x, clean-baseline cpu_x)
+  // — verbatim from the r15 artifacts
+  private val r15Contaminated = Seq(
+    ("dedup_exact", 14.5, 0.99, 5.7),
+    ("mm_decode_meta", 16.4, 0.99, 4.2),
+    ("q05_local_supplier_volume", 14.2, 0.99, 7.6))
+
+  test("r15 contaminated windows: st probe blind, cpu_x adjudicates degraded") {
+    r15Contaminated.foreach { case (n, cpuX, stX, base) =>
+      // the r14-era rule (st probe alone) reads these windows healthy —
+      // exactly the failure mode that published 21 false regressions
+      assert(stX <= Calibration.DegradedAt, s"$n: premise — st probe healthy")
+      assert(Calibration.cpuXDegraded(cpuX, Some(base)), s"$n: cpu_x evidence")
+      assert(Calibration.windowDegraded(stX, cpuX, Some(base)), s"$n: degraded")
+    }
+  }
+
+  test("clean windows adjudicate: committed-run cpu_x vs its own baseline") {
+    // a clean run re-measured against its own recording must not flag
+    // (cpu_x run-to-run variance is well under the 1.5x factor)
+    Seq(("dedup_exact", 5.7, 0.98, 5.7), ("q01_pricing_summary", 11.3, 0.99, 11.3),
+        ("q18_large_orders", 9.3, 1.07, 9.3)).foreach { case (n, cpuX, stX, base) =>
+      assert(!Calibration.windowDegraded(stX, cpuX, Some(base)), s"$n clean")
+      assert(Calibration.windowClean(stX, cpuX, Some(base)), s"$n cleanses")
+    }
+  }
+
+  test("a retime on the still-depleted window cannot cleanse") {
+    // r15's dedup_exact retime ran in the same contaminated session:
+    // retime st_x 1.00 (healthy-looking) — under the cpu_x axis the
+    // retime window reads degraded too, so the query stays excluded
+    assert(!Calibration.windowClean(stX = 1.00, cpuX = 14.0, baseCpuX = Some(5.7)))
+  }
+
+  test("failed or reference-less probes never cleanse (r15 advice guard)") {
+    assert(!Calibration.windowClean(stX = -1.0, cpuX = 5.0, baseCpuX = Some(5.7)))
+    assert(!Calibration.windowClean(stX = -1.0, cpuX = 5.0, baseCpuX = None))
+  }
+
+  test("no baseline cpu_x = no multi-core evidence (pre-r15 behavior holds)") {
+    assert(!Calibration.cpuXDegraded(20.0, None))
+    assert(!Calibration.windowDegraded(stX = 1.0, cpuX = 20.0, baseCpuX = None))
+    // frequency-class depletion still caught by the st axis
+    assert(Calibration.windowDegraded(stX = 1.8, cpuX = 20.0, baseCpuX = None))
+  }
+
+  test("unmeasurable window cpu_x (-1) is not evidence") {
+    assert(!Calibration.cpuXDegraded(-1.0, Some(5.7)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Every plan-rewrite VARIANT in the A/B registry must return the gate
+  * query's exact result set — a rewrite that wins its timing A/B but
+  * drifts semantically would be adopted on a lie. Checked at sf0.01
+  * (the correctness-gate SF) by symmetric difference on the collected,
+  * canonically-ordered rows.
+  */
+class VariantEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.extensions", "graft.lake.connector.GraftSparkExtensions")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def assertSameRows(gate: String, variant: String): Unit = {
+    val g = SparkEntry.queries(gate)(spark, dir)
+    val v = AbBench.variants(variant)(spark, dir)
+    assert(g.columns.toSeq == v.columns.toSeq,
+      s"$variant column mismatch: ${v.columns.mkString(",")}")
+    val gr = g.collect().map(_.toString).sorted.toSeq
+    val vr = v.collect().map(_.toString).sorted.toSeq
+    assert(gr == vr, s"$variant != $gate: " +
+      s"only-gate=${gr.diff(vr).take(3)} only-variant=${vr.diff(gr).take(3)}")
+  }
+
+  test("q08_fact_first returns q08_market_share's exact rows") {
+    assertSameRows("q08_market_share", "q08_fact_first")
+  }
+
+  test("q04_inner_distinct returns q04_order_priority's exact rows") {
+    assertSameRows("q04_order_priority", "q04_inner_distinct")
+  }
+
+  test("q22_eager_scalar returns q22_inactive_customers' exact rows") {
+    assertSameRows("q22_inactive_customers", "q22_eager_scalar")
+  }
+
+  test("q18_partial_agg returns q18_large_orders' exact rows") {
+    assertSameRows("q18_large_orders", "q18_partial_agg")
+  }
+}

@@ -2333,9 +2333,20 @@ final class SqlLogicRunner(spark: SparkSession) {
                 // family, and the corpus assertion tests that the
                 // parquet_version=2 option reached the writer, not which
                 // family member its codec chose
-                // (settings/parquet_compression.test)
+                // (settings/parquet_compression.test). SCOPED to when
+                // parquet_version=2 is actually in effect (r15 advice:
+                // applied unconditionally, a test asserting the v2 string
+                // encodings' ABSENCE — or distinguishing the two family
+                // members — would false-pass)
+                val v2InEffect =
+                  lake.store.getOption("parquet_version", "main", "")
+                    .exists(_.trim == "2")
                 val encs = c.getEncodings.asScala.map(_.name)
-                  .map { case "DELTA_BYTE_ARRAY" => "DELTA_LENGTH_BYTE_ARRAY"; case e => e }
+                  .map {
+                    case "DELTA_BYTE_ARRAY" if v2InEffect =>
+                      "DELTA_LENGTH_BYTE_ARRAY"
+                    case e => e
+                  }
                   .toSeq.sorted
                 val dataEncs = encs.filterNot(_ == "RLE") match {
                   case Nil => encs; case es => es

@@ -802,27 +802,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.connectedComponents(sp, "id_a", "id_b")
       .select(countDistinct("component")).head.getLong(0) == 1L)
 
-    // and on the embedding near-dup blocking: identical vectors
+    // and on the embedding near-dup blocking: identical vectors fold to
+    // ONE banded representative + a consecutive-id chain (r16
+    // exact-collapse, r15 verdict task 4) — exactly n−1 pairs, every
+    // chain pair verifying at cosine exactly 1.0, one component
     val vecs = (0L until 2000L).map(i => (i, Array.fill(8)(0.5))).toDF("vec_id", "v")
     val cp = Similarity.cosineNearDupPairs(vecs, "vec_id", "v", dim = 8,
       threshold = 0.99)
-    val cpExpected = (1 to k).map(d => 2000 - d).sum.toLong
-    assert(cp.count() == cpExpected)
+    val cpExpected = 1999L
+    assert(cp.count() == cpExpected,
+      "collapsed embedding pair count must be n-1, not the chain-cap sum")
     assert(cp.agg(min("sim")).head.getDouble(0) == 1.0)
     assert(Dedup.connectedComponents(cp.select("id_a", "id_b"), "id_a", "id_b")
       .select(countDistinct("component")).head.getLong(0) == 1L)
 
-    // payload-light pin (round 10): the candidate window frames hold
+    // payload-light pin (round 10): the candidate SLIDING frames hold
     // (bucket, id) ONLY — a vector payload behind every frame row would
     // put dim × 8 bytes × up to threshold-1 structs per row in the
     // window state (~1.5 MB/row at dim=768). The vectors re-join AFTER
-    // the id-pair distinct, so no Window operator may see the vector
-    // column.
+    // the id-pair distinct, so no collect_list Window operator may see
+    // the vector column. (The r16 exact-collapse adds a lag-1 window
+    // that legitimately SORTS by the vector — its frame is one row, so
+    // the memory argument doesn't apply to it.)
     val windowLines = cp.queryExecution.executedPlan.toString
       .split("\n").filter(_.contains("Window"))
     assert(windowLines.nonEmpty)
-    assert(windowLines.forall(l => !l.contains("__v")),
-      s"vector payload leaked into the window frame:\n${windowLines.mkString("\n")}")
+    val frameLines = windowLines.filter(_.contains("collect_list"))
+    assert(frameLines.nonEmpty)
+    assert(frameLines.forall(l => !l.contains("__v")),
+      s"vector payload leaked into the sliding window frame:\n${frameLines.mkString("\n")}")
   }
 
   test("cappedBucketPairs: full expansion below the hot threshold, chain above, no self-pairs") {
