@@ -38,6 +38,18 @@ tpch_10x_cpu_x = {
     for name, h in d.get("scale10", {}).get("tpch_10x_host", {}).items()
     if h.get("cpu_x", -1) > 0
 }
+# the 10x suite's own {min, stddev} so the 10x adjudicator can apply the
+# same min-corroboration rule the sf0.1 sweep uses
+s10 = d.get("scale10", {})
+tpch_10x = {
+    name: {
+        "min": round(t, 4),
+        "stddev": round(s10.get("tpch_10x_sd", {}).get(name, 0.0), 4),
+        **({"cpu_x": tpch_10x_cpu_x[name]} if name in tpch_10x_cpu_x else {}),
+    }
+    for name, t in s10.get("tpch_10x_sec", {}).items()
+    if name != "floor_sec" and t > 0
+}
 dest = f"bench/baseline_sf{sf}.json"
 payload = {
     "recorded_unix": int(time.time()),
@@ -46,6 +58,7 @@ payload = {
     "layout": d.get("layout"),
     "queries": queries,
     "tpch_10x_cpu_x": tpch_10x_cpu_x,
+    "tpch_10x": tpch_10x,
 }
 json.dump(payload, open(dest, "w"), indent=1)
 print(f"wrote {dest} ({len(queries)} queries)")

@@ -91,14 +91,18 @@ object Bench {
       // Runtime SMJ→SHJ conversion (r15, interleaved AbBench at 10×):
       // AQE replaces a sort-merge join with a shuffled hash join when
       // EVERY build-side shuffle partition measures under this bound —
-      // both sort passes vanish from the fact joins (q18 1.88→1.13 s,
-      // q13 1.23→0.85 s, q08 2.01→1.44 s, q05 1.94→1.43 s, q07
-      // 2.08→1.77 s; −15..−40% interleaved). Scale-safe by mechanism:
-      // the decision is per-join on MEASURED partition sizes at runtime
-      // — at 100 TB the fact-fact partitions exceed 64 MB and AQE keeps
-      // SMJ; only provably-bounded build sides convert. (64m equals the
-      // advisory partition size, which is this rule's activation floor —
-      // a smaller value like 16m silently disables it.)
+      // both sort passes vanish from the fact joins. Re-measured on an
+      // r16 round-start quiet window after a null experiment sized the
+      // A/B bias at ~5% (r15 verdict task 5): q03 1.30→1.12 s min,
+      // q04 1.00→0.78 s, q13 neutral (0.67→0.61), q18 (its r16
+      // pre-shuffled shape) prefers SMJ at 10× (1.04→1.37) but measured
+      // neutral at 100× — kept ON as the net win. Scale-safe by
+      // mechanism: the decision is per-join on MEASURED partition sizes
+      // at runtime — at 100 TB the fact-fact partitions exceed 64 MB and
+      // AQE keeps SMJ; only provably-bounded build sides convert. (64m
+      // equals the advisory partition size, which is this rule's
+      // activation floor — a smaller value like 16m silently disables
+      // it.)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
@@ -253,7 +257,7 @@ object Bench {
     }
     def baseCpuX(n: String): Option[Double] = baseline.get(n).flatMap(_._3)
     def driftTol(baseMin: Double, baseSd: Double): Double =
-      math.max(math.max(2 * baseSd, 0.10 * baseMin), 0.05)
+      Calibration.driftTol(baseMin, baseSd)
 
     // Contention re-time pass (r11 task 1a / r12 directive): any query
     // whose first-pass min regressed past the drift tolerance, or whose
@@ -325,8 +329,14 @@ object Bench {
         val re = retimed.get(n)
         val mn = s.min
         val bc = baseCpuX(n)
-        if (Calibration.windowDegraded(stX, cpuX, bc))
-          !re.exists(r => r._1 >= 0 && Calibration.windowClean(r._3, r._4, bc))
+        // cpu_x corroboration: the multi-core axis only counts when the
+        // wall-clock min ALSO regressed past the drift tolerance (no
+        // baseline → corroborated vacuously; see Calibration scaladoc)
+        def atBase(t: Double) = baseline.get(n).exists {
+          case (bm, bsd, _) => t <= bm + driftTol(bm, bsd) }
+        if (Calibration.windowDegraded(stX, cpuX, bc, minRegressed = !atBase(mn)))
+          !re.exists(r => r._1 >= 0 &&
+            Calibration.windowClean(r._3, r._4, bc, timeAtBaseline = atBase(r._1)))
         else if (stX < 0)
           // no calibration reference: cpu_x alone cannot see frequency-
           // class throttling (wall and CPU-seconds inflate together), so

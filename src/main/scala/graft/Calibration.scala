@@ -142,23 +142,42 @@ object Calibration {
   def cpuXDegraded(cpuX: Double, baseCpuX: Option[Double]): Boolean =
     baseCpuX.exists(b => b > 0 && cpuX > CpuXDegradedFactor * b)
 
+  /** The drift-gate tolerance around a committed baseline min (shared by
+    * the drift section, the retime triggers and the adjudicator):
+    * max(2σ, 10% of baseline, 50 ms).
+    */
+  def driftTol(baseMin: Double, baseSd: Double): Double =
+    math.max(math.max(2 * baseSd, 0.10 * baseMin), 0.05)
+
   /** Degraded-host evidence for one query window: the adjacent 1-thread
     * probe (frequency-class depletion) OR the window's cpu_x vs the same
-    * query's committed-baseline cpu_x (multi-core-class depletion —
-    * r15 verdict task 2). stX < 0 means no probe/reference — that axis
-    * then carries no evidence either way.
+    * query's committed-baseline cpu_x (multi-core-class depletion — r15
+    * verdict task 2). The cpu_x axis must be CORROBORATED by a regressed
+    * wall-clock min (`minRegressed`): in a genuinely depleted window the
+    * minima inflate right along with cpu_x (r15's contaminated run:
+    * both ~2×), while on a healthy host short sub-0.3 s windows show
+    * cpu_x ratios up to ~1.6 from GC/stage-overlap noise with minima
+    * exactly at baseline — a min at baseline is direct evidence the
+    * number is fine, so it must not be thrown away (first clean r16 run:
+    * q02/q14 false-flagged at ratios 1.51/1.61 with minima ON baseline).
+    * stX < 0 means no probe/reference — that axis carries no evidence.
     */
-  def windowDegraded(stX: Double, cpuX: Double, baseCpuX: Option[Double]): Boolean =
-    stX > DegradedAt || cpuXDegraded(cpuX, baseCpuX)
+  def windowDegraded(stX: Double, cpuX: Double, baseCpuX: Option[Double],
+      minRegressed: Boolean = true): Boolean =
+    stX > DegradedAt || (minRegressed && cpuXDegraded(cpuX, baseCpuX))
 
   /** Whether a window affirmatively measured CLEAN — the bar a retime
     * must clear to cleanse a degraded-flagged first pass back into the
     * adjudicable set. The st axis must have MEASURED healthy (a failed
     * or reference-less probe, stX < 0, cannot cleanse — r15 advice: the
     * missing `>= 0` guard laundered failed-probe retimes); the cpu_x
-    * axis must not read degraded vs baseline (no baseline = no evidence,
-    * the st probe then decides alone, as before r15).
+    * axis must not read degraded vs baseline UNLESS the retime's own
+    * wall-clock landed back inside the baseline tolerance
+    * (`timeAtBaseline` — the same corroboration rule as
+    * [[windowDegraded]], applied on the cleansing side).
     */
-  def windowClean(stX: Double, cpuX: Double, baseCpuX: Option[Double]): Boolean =
-    stX >= 0 && stX <= DegradedAt && !cpuXDegraded(cpuX, baseCpuX)
+  def windowClean(stX: Double, cpuX: Double, baseCpuX: Option[Double],
+      timeAtBaseline: Boolean = false): Boolean =
+    stX >= 0 && stX <= DegradedAt &&
+      (timeAtBaseline || !cpuXDegraded(cpuX, baseCpuX))
 }

@@ -353,12 +353,18 @@ object ScaleBench {
       // actively depleted the burstable host; keep the worst offenders
       // by relative excess over their trigger, drop the rest).
       val mkByName = tpchMk.toMap
-      val cpuXBase = baseline10xCpuX()
+      val base10 = baseline10x()
+      def cpuXBaseOf(n: String) = base10.get(n).flatMap(_._3)
+      // min-corroboration against the committed 10× baseline (same rule
+      // as the sf0.1 sweep — see Calibration.windowDegraded)
+      def atBase10(n: String, t: Double) = base10.get(n).exists {
+        case (bm, bsd, _) => t <= bm + Calibration.driftTol(bm, bsd) }
       val tpchFlagged = tpchTimed.collect {
         case (n, (mn, sd, _, cpuX, stX)) if mn > 0 &&
             (sd > 0.5 * mn || stX > Calibration.DegradedAt ||
-              Calibration.cpuXDegraded(cpuX, cpuXBase.get(n))) =>
-          val cpuXx = cpuXBase.get(n).filter(_ > 0)
+              (!atBase10(n, mn) &&
+                Calibration.cpuXDegraded(cpuX, cpuXBaseOf(n)))) =>
+          val cpuXx = cpuXBaseOf(n).filter(_ > 0)
             .map(b => cpuX / (Calibration.CpuXDegradedFactor * b)).getOrElse(0.0)
           (n, Seq(sd / mn / 0.5, stX / Calibration.DegradedAt, cpuXx).max)
       }.sortBy(-_._2).take(RetimeCap).map(_._1)
@@ -401,9 +407,11 @@ object ScaleBench {
       val tpchNonAdj: Set[String] = tpchTimed.collect {
         case (n, (mn, sd, _, cpuX, stX)) if mn > 0 && {
           val re = tpchRetimed.get(n)
-          val bc = cpuXBase.get(n)
-          if (Calibration.windowDegraded(stX, cpuX, bc))
-            !re.exists(r => r._1 >= 0 && Calibration.windowClean(r._3, r._4, bc))
+          val bc = cpuXBaseOf(n)
+          if (Calibration.windowDegraded(stX, cpuX, bc,
+              minRegressed = !atBase10(n, mn)))
+            !re.exists(r => r._1 >= 0 && Calibration.windowClean(r._3, r._4, bc,
+              timeAtBaseline = atBase10(n, r._1)))
           else if (stX < 0)
             sd > 0.5 * mn &&
               !re.exists(r => r._1 <= math.max(1.5 * mn, mn + 0.05))
@@ -508,24 +516,29 @@ object ScaleBench {
     */
   val RetimeCap = 8
 
-  /** Per-query cpu_x of the committed clean 10× suite — the multi-core
-    * depletion reference for the 10× pass (r15 verdict task 2), recorded
-    * by scripts/record_baseline.py from the validated run's
-    * tpch_10x_host section. Empty when the baseline predates the field.
+  /** Per-query (min, stddev, cpu_x) of the committed clean 10× suite —
+    * the multi-core depletion reference AND min-corroboration baseline
+    * for the 10× pass (r15 verdict task 2), recorded by
+    * scripts/record_baseline.py from the validated run's tpch_10x
+    * sections. Empty when the baseline predates the field.
     */
-  private def baseline10xCpuX(): Map[String, Double] = try {
+  private def baseline10x(): Map[String, (Double, Double, Option[Double])] = try {
     val p = java.nio.file.Paths.get("bench", "baseline_sf0.1.json")
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
-      Option(node.get("tpch_10x_cpu_x")).map { m =>
+      Option(node.get("tpch_10x")).map { m =>
         val it = m.fieldNames()
-        val out = scala.collection.mutable.Map.empty[String, Double]
+        val out = scala.collection.mutable.Map
+          .empty[String, (Double, Double, Option[Double])]
         while (it.hasNext) {
           val k = it.next()
-          val v = m.get(k).asDouble
-          if (v > 0) out += k -> v
+          val e = m.get(k)
+          val mn = e.get("min").asDouble
+          if (mn > 0) out += k -> ((mn,
+            Option(e.get("stddev")).map(_.asDouble).getOrElse(0.0),
+            Option(e.get("cpu_x")).map(_.asDouble).filter(_ > 0)))
         }
         out.toMap
       }.getOrElse(Map.empty)

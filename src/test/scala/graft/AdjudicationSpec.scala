@@ -24,11 +24,34 @@ class AdjudicationSpec extends AnyFunSuite {
   test("r15 contaminated windows: st probe blind, cpu_x adjudicates degraded") {
     r15Contaminated.foreach { case (n, cpuX, stX, base) =>
       // the r14-era rule (st probe alone) reads these windows healthy —
-      // exactly the failure mode that published 21 false regressions
+      // exactly the failure mode that published 21 false regressions.
+      // In the contaminated run the wall minima ALSO ran ~2x baseline,
+      // so the min-corroboration holds (minRegressed = true).
       assert(stX <= Calibration.DegradedAt, s"$n: premise — st probe healthy")
       assert(Calibration.cpuXDegraded(cpuX, Some(base)), s"$n: cpu_x evidence")
-      assert(Calibration.windowDegraded(stX, cpuX, Some(base)), s"$n: degraded")
+      assert(Calibration.windowDegraded(stX, cpuX, Some(base),
+        minRegressed = true), s"$n: degraded")
     }
+  }
+
+  test("healthy min at elevated cpu_x stays adjudicable (first r16 run's q02/q14)") {
+    // real numbers from the first r16 production run: q02 cpu_x 12.2 vs
+    // base 8.1 (1.51x), q14 13.4 vs 8.3 (1.61x) — but both minima sat
+    // exactly ON baseline (0.286 vs 0.289, 0.098 vs 0.103). A min at
+    // baseline is direct evidence the number is fine; cpu_x alone is
+    // GC/stage-overlap-noisy on sub-0.3s windows and must not flag it.
+    Seq(("q02", 12.2, 0.99, 8.1), ("q14", 13.4, 0.98, 8.3)).foreach {
+      case (n, cpuX, stX, base) =>
+        assert(!Calibration.windowDegraded(stX, cpuX, Some(base),
+          minRegressed = false), s"$n must stay adjudicable")
+    }
+  }
+
+  test("a retime landing back inside baseline tolerance cleanses despite cpu_x") {
+    assert(Calibration.windowClean(stX = 1.0, cpuX = 13.0, baseCpuX = Some(8.0),
+      timeAtBaseline = true))
+    assert(!Calibration.windowClean(stX = 1.0, cpuX = 13.0, baseCpuX = Some(8.0),
+      timeAtBaseline = false))
   }
 
   test("clean windows adjudicate: committed-run cpu_x vs its own baseline") {
