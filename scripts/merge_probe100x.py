@@ -56,7 +56,7 @@ out["minhash_pair_context"] = (
     "linearize past the cap). Verify WORK grew ~10.8x per doc; TIME grew "
     "4.4x per doc — the engine absorbed ~2.5x of the work growth.")
 out["host_context"] = (
-    "r15 run: Spark probe and DuckDB recording taken back-to-back on the "
+    "Spark probe and DuckDB recording taken back-to-back on the "
     "identical corpus in one window (avoids the r14 bias where Spark ran "
     "depleted and DuckDB recorded ~30 min later on a recovered host); "
     "linear_100x ratios are within-run (10x/100x adjacent per query) and "
