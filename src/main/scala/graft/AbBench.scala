@@ -163,6 +163,11 @@ object AbBench {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "4m")
       // runtime SMJ->SHJ conversion, A/B-kept r15 (see Bench.scala note)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // runtime bloom-filter join pruning, thresholds corpus-scaled —
+      // adopted r16, rationale + A/B evidence in Bench.scala
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "256m")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64m")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
       builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
