@@ -120,7 +120,64 @@ object AbBench {
       .limit(20)
   }
 
+  /** The REPLACED q05 shape (r16): literal fact-first join order — the
+    * UNFILTERED customer table joins orders before lineitem and the ASIA
+    * region predicate lands only after the fact join, so stage-82
+    * shuffled the full 2640 MB lineitem against a full-orders build side
+    * (the banked r16 stage audit; q05 was the worst 100× shape at
+    * 7.17× DuckDB). The adopted gate restricts customers to ASIA nations
+    * first. Interleaved AbBench, adopted-vs-this: 100× min 4.17→3.96 and
+    * 3.66→2.85 across two windows; 10× min 1.15→1.23 (one extra stage
+    * constant — the q08 adoption trade). Kept as the measured evidence
+    * and the "before" plan.
+    */
+  def q05FactFirst(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val c = t("customer")
+    val o = t("orders")
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+    val l = t("lineitem")
+    val su = t("supplier")
+    val n = t("nation")
+    val r = t("region").filter(col("r_name") === "ASIA")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** The REPLACED q04 shape (r16): lineitem without the implied
+    * `l_shipdate > 1997-01-31` bound (derivable from the semi condition
+    * + the o_orderdate range, but not by Catalyst across a non-equi join
+    * condition), so the semi join scanned and shuffled ~5× the lineitem
+    * rows. Interleaved AbBench, adopted-vs-this: 100× min 3.26→2.53
+    * (−22%), 10× min 0.79→0.73 (−8%). The bloom route was checked and
+    * is structurally closed (canPruneRight(LeftSemi)=false; the inner
+    * rewrite's creation side estimate busts the honest 64m cap). Kept as
+    * the measured evidence and the "before" plan.
+    */
+  def q04Unbounded(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val o = t("orders")
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-10-01")
+    o.join(t("lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q05_fact_first" -> (q05FactFirst _),
+    "q04_unbounded" -> (q04Unbounded _),
     "q04_inner_distinct" -> (q04InnerDistinct _),
     "q22_eager_scalar" -> (q22EagerScalar _),
     "q08_fact_first" -> (q08FactFirst _),

@@ -116,9 +116,24 @@ object Tpch {
       // over the 4 MB threshold, so it pays the same SMJ plus an extra
       // distinct exchange. The pre-aggregate rewrite was re-measured at
       // 100× by Probe100x — see bench/probe_100x.json ab_sec.)
+      // IMPLIED l_shipdate BOUND (r16): the semi condition
+      // `l_shipdate > o_orderdate + 30d` with `o_orderdate >= 1997-01-01`
+      // implies `l_shipdate > 1997-01-31` — a constant bound Catalyst
+      // cannot derive across the non-equi join condition, pushed here by
+      // hand so it reaches the parquet scan (PushedFilters) and prunes
+      // ~79% of lineitem BEFORE the semi join's shuffle (guide §2.3).
+      // The bloom route is structurally closed for this shape:
+      // InjectRuntimeFilter has canPruneRight(LeftSemi)=false, and the
+      // inner rewrite's creation side (orders, filter-blind estimate
+      // 274 MB at 100×) busts the honest 64m creation cap. Interleaved
+      // AbBench: 100× min 3.26→2.53 s (−22%), 10× min 0.79→0.73 s
+      // (−8%). Scale-safe: the bound derives from the query literals,
+      // independent of data size. Equivalence: any line with
+      // l_shipdate ≤ min(o_orderdate)+30d cannot satisfy the condition
+      // (VariantEquivalenceSpec pins the unbounded shape's rows).
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-10-01")
-      val l = t(s, dir, "lineitem")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > "1997-01-31")
       o.join(l,
           col("o_orderkey") === col("l_orderkey") &&
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
@@ -140,19 +155,38 @@ object Tpch {
     """),
 
     ("q05_local_supplier_volume", (s: SparkSession, dir: String) => {
+      // DIMENSION-FIRST join order (r16, from the banked q05 stage
+      // audit — q05 was the worst 100× shape at 7.17× DuckDB): the
+      // literal order joined the UNFILTERED customer table into orders
+      // before lineitem, and the ASIA predicate only landed after the
+      // fact join, so stage-82 shuffled the full 2640 MB lineitem
+      // against a full-orders build side. Restricting customers to ASIA
+      // nations FIRST (broadcast nation⋈region) is semantics-preserving
+      // — the join requires c_nationkey = s_nationkey, so constraining
+      // the customer side constrains the supplier side identically —
+      // and cuts the orders join output ~5× before the fact join.
+      // n_name rides the customer side (equal keys ⇒ equal names);
+      // supplier still joins by (suppkey, nationkey). Interleaved
+      // AbBench at 100×: min 4.17→3.96 / 3.66→2.85 / (3rd window in
+      // OPTIMIZATION_r16.md) — both clean windows a win, −5..−22%; at
+      // 10× one extra stage constant (min 1.15→1.23 s, +7%), the q08
+      // adoption trade. The orders-side runtime bloom stays self-
+      // disabled either way (creation side over the honest 64m cap).
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val asiaNations = t(s, dir, "nation")
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
       val c = t(s, dir, "customer")
+        .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
-      val l = t(s, dir, "lineitem")
-      val su = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey") &&
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-        .join(n, col("s_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(round(sum(rev), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))

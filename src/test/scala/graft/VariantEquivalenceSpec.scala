@@ -50,4 +50,12 @@ class VariantEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q18_partial_agg returns q18_large_orders' exact rows") {
     assertSameRows("q18_large_orders", "q18_partial_agg")
   }
+
+  test("q05_fact_first returns q05_local_supplier_volume's exact rows") {
+    assertSameRows("q05_local_supplier_volume", "q05_fact_first")
+  }
+
+  test("q04_unbounded returns q04_order_priority's exact rows") {
+    assertSameRows("q04_order_priority", "q04_unbounded")
+  }
 }
