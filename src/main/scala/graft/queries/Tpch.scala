@@ -510,6 +510,18 @@ object Tpch {
       LIMIT 5
     """),
 
+    // Measured-and-REJECTED (r16): distinct (l_partkey, l_suppkey) BELOW
+    // the part join (legal — p_brand/p_size are functional in p_partkey,
+    // so pair duplicates can't change the count distinct). The map-side
+    // partial distinct shrinks the fact exchange ~7× (≈4 suppliers vs
+    // ≈30 lines per part), but the runtime bloom has already cut that
+    // exchange 1680→164 MB, and the extra 6M-row hash aggregate + extra
+    // exchange + AQE stage cost more than the bytes saved: interleaved
+    // AbBench 100× min 2.30 vs 2.79 / 2.04 vs 2.49 (two windows), 10×
+    // min 0.595 vs 1.024 (−42%, uniform across 7 iters). Kept as
+    // AbBench.q16_predistinct; plan in plans/r16/q16_predistinct_rejected.txt.
+    // On a network-shuffle cluster the trade could invert — re-measure
+    // there before re-adopting.
     ("q16_supplier_part_cnt", (s: SparkSession, dir: String) => {
       val l = t(s, dir, "lineitem")
       val p = t(s, dir, "part").filter(col("p_size").isin(1, 5, 9, 15, 20))

@@ -58,4 +58,8 @@ class VariantEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q04_unbounded returns q04_order_priority's exact rows") {
     assertSameRows("q04_order_priority", "q04_unbounded")
   }
+
+  test("q16_predistinct returns q16_supplier_part_cnt's exact rows") {
+    assertSameRows("q16_supplier_part_cnt", "q16_predistinct")
+  }
 }
