@@ -16,6 +16,13 @@ object BuildCorpus {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 100-replica lineitem crossJoin runs its sort-before-
+      // repartition as ONE task over 60M rows (the source is a single
+      // parquet file); under GC pressure that task exceeded the default
+      // 120 s heartbeat timeout and the local executor was declared
+      // dead mid-build (observed r16). Content-preserving fix: raise
+      // the timeout — local mode has no real liveness to protect.
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir =

@@ -112,6 +112,12 @@ object Probe100x {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "256m")
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64m")
+      // corpus (re)builds run the 100-replica lineitem sort as ONE
+      // 60M-row task; under GC pressure it exceeded the default 120 s
+      // heartbeat timeout and killed the local executor mid-build
+      // (observed r16; see BuildCorpus). Harmless for timing: local
+      // mode, liveness only.
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
     if (shmDir.isDirectory && shmDir.canWrite)
       builder.config("spark.local.dir", "/dev/shm/graft_bench_local")
