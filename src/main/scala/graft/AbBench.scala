@@ -198,7 +198,43 @@ object AbBench {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 
+  /** dedup_minhash decomposition probes (r16 stage attribution): the
+    * gate's 74 s aggregate task CPU on the 10× corpus was ~5× the sum
+    * of its parts, so these time each sub-pipeline in isolation to find
+    * which operator owns the constant before touching any code.
+    */
+  private def mhCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.queries.OpsQueries.plantedDocs(s, dir)
+
+  def mhSketchOnly(s: SparkSession, dir: String): DataFrame =
+    mhCorpus(s, dir).select(col("doc_id").as("__id"),
+      graft.functions.MinHashBands.minhashBands(
+        array_distinct(
+          graft.functions.TokenGramHashes.tokenGramHashes(col("text"))),
+        32, 8).as("__bands"))
+
+  def mhCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashCandidates(mhCorpus(s, dir), "text", "doc_id")
+
+  def mhFound(s: SparkSession, dir: String): DataFrame = {
+    val corpus = mhCorpus(s, dir)
+    val cands = graft.ops.Dedup.minhashCandidates(corpus, "text", "doc_id")
+    graft.ops.Dedup.verifyJaccard(cands, corpus, "text", "doc_id", threshold = 0.5)
+  }
+
+  def mhEligible(s: SparkSession, dir: String): DataFrame = {
+    val corpus = mhCorpus(s, dir)
+    val planted = graft.queries.Tables.t(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+    graft.ops.Dedup.verifyJaccard(planted, corpus, "text", "doc_id", threshold = 0.5)
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mh_sketch_only" -> (mhSketchOnly _),
+    "mh_candidates" -> (mhCandidates _),
+    "mh_found" -> (mhFound _),
+    "mh_eligible" -> (mhEligible _),
     "q16_predistinct" -> (q16Predistinct _),
     "q05_fact_first" -> (q05FactFirst _),
     "q04_unbounded" -> (q04Unbounded _),

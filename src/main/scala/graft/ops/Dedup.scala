@@ -263,10 +263,27 @@ object Dedup {
     // never links them
     val w = Window.partitionBy(xxhash64(col(keyCol)))
       .orderBy(col(keyCol), col("__id"))
-    sk.filter(col(keyCol).isNotNull)
-      .select(col("__id"), col(keyCol),
+    // the null-key filter sits ABOVE the window, not below it (r16):
+    // below, PushDownPredicates substitutes the key's defining
+    // expression into the filter condition — `isnotnull(sketch(text))`
+    // next to `sketch(text) AS key` in the same stage — and the whole
+    // sketch (tokenize + gram + N hashes) is evaluated TWICE per row
+    // (no cross-operator subexpression elimination; thread-dump-
+    // confirmed at sf0.1, and the sketch is the dominant map-side CPU
+    // at any scale). A window partitioned by a non-attribute expression
+    // (xxhash64(key)) blocks predicate pushdown, so up here the filter
+    // tests the already-materialized key attribute once. Null-key rows
+    // riding the exchange is semantics-free: they share the
+    // xxhash64(null) partition, sort first (ASC NULLS FIRST), chain to
+    // nothing (null === null is NULL, so __prev stays null), and a
+    // following real-key row sees a null lag — exactly the partition-
+    // first state it had when nulls were pre-filtered. Callers with a
+    // CHEAP null-equivalent predicate on the key's input (text/vector
+    // IS NOT NULL) pre-filter below the sketch so the scan still prunes.
+    sk.select(col("__id"), col(keyCol),
         when(lag(col(keyCol), 1).over(w) === col(keyCol),
           lag(col("__id"), 1).over(w)).as("__prev"))
+      .filter(col(keyCol).isNotNull)
   }
 
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
@@ -280,7 +297,11 @@ object Dedup {
     // engine plus interpreted per-element lambdas per document); the
     // r9 generator-boundary trick against CollapseProject re-inlining
     // is moot with a single expression
-    val sk = df.select(col(idCol).as("__id"),
+    // cheap null-equivalent pre-filter (sketch null ⟺ text null, every
+    // layer null-propagates): prunes at the scan, where the key-attribute
+    // filter inside collapseMarked no longer can
+    val sk = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
       graft.functions.MinHashBands.minhashBands(
         array_distinct(
           graft.functions.TokenGramHashes.tokenGramHashes(col(textCol))),

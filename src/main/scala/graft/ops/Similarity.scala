@@ -338,8 +338,13 @@ object Similarity {
     // against null is null). Single-consumer shape, as in the MinHash
     // collapse: chain pairs fold INTO the banded frame, no union branch
     // re-computing the signature subtree per consumer.
+    // the vector column is a plain attribute, so its null filter is
+    // applied HERE, below the collapse — it pushes into the scan
+    // (collapseMarked's own key filter now sits above its window, where
+    // a scan can no longer prune on it; see the r16 note there)
     val marked = Dedup.collapseMarked(
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v")
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v")
     val repEntries = array((0 until bands).map { bnd =>
       val bitCols = (0 until bits).map { p =>
         val plane = array((0 until dim).map(d =>

@@ -437,10 +437,19 @@ object OpsQueries {
       val planted = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
       val eligible = Dedup.verifyJaccard(planted, corpus, "text", "doc_id", threshold = 0.5)
-      val recovered = eligible.join(found, Seq("id_a", "id_b"), "left_semi")
+      // one pass over the eligible subtree (r16): the former
+      // eligible.agg ⨯ (eligible ⋉ found).agg shape instantiated the
+      // whole verifyJaccard(planted, corpus) pipeline TWICE (Catalyst
+      // re-computes per reference). found's pairs are unique (verify
+      // ends in a groupBy(id_a, id_b)), so a left join preserves
+      // eligible's row count and count(__hit) equals the semi-join
+      // count — bit-identical output, one corpus gram pass saved.
+      val recoveredFlag = eligible.join(
+        found.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+        Seq("id_a", "id_b"), "left")
       corpus.agg(count(lit(1)).cast("int").as("n_docs"))
-        .crossJoin(eligible.agg(count(lit(1)).as("__ne"))
-          .crossJoin(recovered.agg(count(lit(1)).as("__nr")))
+        .crossJoin(recoveredFlag
+          .agg(count(lit(1)).as("__ne"), count(col("__hit")).as("__nr"))
           .select(col("__ne").cast("int").as("n_eligible"),
             (col("__nr") >= ceil(col("__ne") * 0.9)).as("recall_ok")))
     }, s"""

@@ -71,6 +71,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"span coverage degraded to a nested loop:\n$span")
   }
 
+  test("LSH sketch expressions are evaluated once per row (no filter-side copy)") {
+    // r16: collapseMarked's null-key filter used to be pushed below the
+    // sketch projection, so `isnotnull(minhash_bands(...))` sat in a
+    // Filter next to the `minhash_bands(...) AS __bands` Project and the
+    // whole sketch (tokenize + gram + N hashes) ran TWICE per row — the
+    // dominant map-side CPU of every LSH op at any scale. The filter now
+    // tests the materialized key attribute above the collapse window;
+    // this pins that no Filter condition re-states the sketch.
+    Seq("dedup_minhash" -> "minhash_bands", "dedup_simhash" -> "simhash64")
+      .foreach { case (q, expr) =>
+        val p = planOf(q)
+        val dup = p.linesIterator.filter(_.contains(s"isnotnull($expr("))
+        assert(dup.isEmpty,
+          s"$q re-evaluates $expr inside a filter condition:\n$p")
+      }
+  }
+
   test("quantile filter's threshold join-back is the small side (no fact-side rebuild)") {
     // the per-stratum threshold table is an aggregate of the input; the
     // join back must not plan the AGGREGATE as the streamed/probe side
