@@ -230,7 +230,38 @@ object AbBench {
     graft.ops.Dedup.verifyJaccard(planted, corpus, "text", "doc_id", threshold = 0.5)
   }
 
+  /** The REPLACED pipe_curation scoring shape (r16): quality as a plain
+    * projected alias with the threshold filter on it — PushDownPredicates
+    * substitutes the full scoring expression into the filter, so every
+    * text is scored twice per row (once in the pushed Filter, once in
+    * the Project). The adopted gate pins one scoring pass per row behind
+    * an explode(array(struct(...))) generator boundary. Kept as the
+    * measured "before" arm.
+    */
+  def pipeCurationAliasFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Pipeline, TextOps}
+    val docs = graft.queries.Tables.t(s, dir, "documents")
+    val duped = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L))
+    val scored = duped
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.fingerprint(col("text")).as("__fp"))
+      .filter(col("quality") >= 0.91)
+    val dedup = scored
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1)
+    val budgeted = Pipeline.prefixSum(dedup,
+      Seq(col("quality").desc, col("doc_id")), col("n_tok"), "cum_tok")
+    budgeted.filter(col("cum_tok") <= 8000L)
+      .select("doc_id", "quality", "n_tok", "cum_tok")
+      .orderBy("cum_tok")
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curation_aliasfilter" -> (pipeCurationAliasFilter _),
     "mh_sketch_only" -> (mhSketchOnly _),
     "mh_candidates" -> (mhCandidates _),
     "mh_found" -> (mhFound _),

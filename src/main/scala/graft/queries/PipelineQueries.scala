@@ -262,11 +262,24 @@ object PipelineQueries {
       // fingerprint are computed in the scan stage, and only the narrow
       // (id, quality, n_tok, fp) rows flow into the dedup + prefix-sum
       // exchanges — at corpus scale the raw text never moves
+      // generator boundary (the r9 trick, reapplied r16): filtering on a
+      // plain `qualityScore(text) AS quality` alias lets
+      // PushDownPredicates substitute the full scoring expression into
+      // the filter condition, so every text was scored TWICE per row —
+      // once in the pushed Filter, once in the Project (no
+      // cross-operator subexpression elimination; StageAudit measured
+      // the scan stage at 97% of the query's CPU). Predicates that
+      // reference generator output cannot be pushed through the
+      // Generate, so the explode(array(struct(...))) boundary pins ONE
+      // scoring pass per row and the filter tests the struct field.
       val scored = dupedDocs(s, dir)
         .select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"),
-          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
-          TextOps.fingerprint(col("text")).as("__fp"))
+          explode(array(struct(
+            TextOps.qualityScore(col("text")).as("quality"),
+            TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tok"),
+            TextOps.fingerprint(col("text")).as("__fp")))).as("__s"))
+        .select(col("doc_id"), col("__s.quality").as("quality"),
+          col("__s.n_tok").as("n_tok"), col("__s.__fp").as("__fp"))
         .filter(col("quality") >= 0.91)
       val dedup = scored
         .withColumn("__rn", row_number().over(

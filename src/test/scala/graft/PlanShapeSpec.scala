@@ -86,6 +86,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(dup.isEmpty,
           s"$q re-evaluates $expr inside a filter condition:\n$p")
       }
+    // pipe_curation's quality threshold: the same mechanism via alias
+    // substitution — the generator boundary must keep the scoring
+    // expression out of every Filter (one text_stats pass per row)
+    val cur = planOf("pipe_curation")
+    val scoredFilter = cur.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("text_stats("))
+    assert(scoredFilter.isEmpty,
+      s"pipe_curation re-scores text inside a filter condition:\n$cur")
   }
 
   test("quantile filter's threshold join-back is the small side (no fact-side rebuild)") {
