@@ -838,14 +838,21 @@ object LakeQueries {
     """),
 
     ("sim_ivf_topk", (s: SparkSession, dir: String) => {
-      // Oracle-gated against the EXACT brute-force answer: with nProbe=3
+      // Oracle-gated against the EXACT brute-force answer: with nProbe=5
       // of 8 cells the IVF path achieves perfect recall on this corpus
       // (verified 15/15 at sf0.001/0.01/0.1), so its top-k rows must
       // hash-match DuckDB's exact cosine top-k — the strongest gate an
-      // ANN operator can carry.
+      // ANN operator can carry. (r17 inherited-state fix: the sf0.001
+      // fixture puts query 1's true 2nd neighbor — vec 209 — in its
+      // 5th-ranked cell, so nProbe=3 missed it; required probe depth
+      // measured per SF: sf0.001→5, sf0.01→3, sf0.1→1, and the rank-4/5
+      // distance gap is ~5e-3, far above k-means float noise. Widening
+      // probes only ADDS exactly-ranked candidates, so a result that
+      // already equals the exact top-k under (sim desc, id) cannot
+      // change — verified unchanged at sf0.01/sf0.1.)
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 3, nCells = 8, nProbe = 3)
+        "embedding", k = 3, nCells = 8, nProbe = 5)
         .orderBy("query_id", "rnk")
     }, """
       SELECT query_id, neighbor_id, sim, rnk
