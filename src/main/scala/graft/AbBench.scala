@@ -260,8 +260,123 @@ object AbBench {
       .orderBy("cum_tok")
   }
 
+  /** The REPLACED verifyJaccard tail (r17): __i/__n as plain aliases
+    * with the threshold filter on the derived jaccard —
+    * PushDownPredicates substitutes the intersection into the Filter
+    * condition, so every surviving pair pays array_intersect twice
+    * (Filter + Project; no cross-operator subexpression elimination).
+    * The adopted shape pins one evaluation behind an
+    * explode(array(struct(...))) generator boundary. Kept as the
+    * measured "before" arm, composed into the mh_found probe frame.
+    */
+  def mhFoundDupFilter(s: SparkSession, dir: String): DataFrame = {
+    val corpus = mhCorpus(s, dir)
+    val cands = graft.ops.Dedup.minhashCandidates(corpus, "text", "doc_id")
+    val sides = cands.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("__vid"))
+    sides.join(corpus.select(col("doc_id").as("__vid"), col("text").as("__txt")), "__vid")
+      .select(col("id_a"), col("id_b"), col("__vid"),
+        array_distinct(
+          graft.functions.TokenGramHashes.tokenGramHashes(col("__txt"), 3)).as("__g"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
+        first(when(col("__vid") === col("id_b"), col("__g")), ignoreNulls = true).as("__gb"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n"))
+      .withColumn("jaccard", col("__i") / (col("__n") - col("__i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The REPLACED incrementalDuplicates shape (r17), on the
+    * dedup_incremental gate fixture: (1) fingerprint join keys as plain
+    * aliases — the join's isnotnull(__fp) pushes below the projection
+    * with the whole normalize+md5 expression substituted, so both scans
+    * paid the fingerprint twice per row; (2) exact.unionByName(near ⟕̸
+    * exact) references the exact subtree twice and Catalyst re-computes
+    * it per reference. The adopted shape boundaries the fingerprint and
+    * merges exact/near with ONE full-outer join. Kept as the "before"
+    * arm.
+    */
+  def dedupIncrementalTwoPass(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, TextOps}
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val docs = t("documents").select(col("doc_id"), col("text"))
+    val corpusDf = docs.filter(col("doc_id") < 400)
+    val newDf = corpusDf.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      .unionByName(corpusDf.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "zz").as("text")))
+      .unionByName(docs.filter(col("doc_id") >= 400))
+    val nf = newDf.select(col("doc_id").as("id_a"),
+      TextOps.fingerprint(col("text")).as("__fp"))
+    val cf = corpusDf.select(col("doc_id").as("id_b"),
+      TextOps.fingerprint(col("text")).as("__fp"))
+    val exact = nf.join(cf, "__fp")
+      .select(col("id_a"), col("id_b"), lit("exact").as("reason"),
+        lit(1.0).as("jaccard"))
+    val nb = Dedup.md5Bands(newDf, "text", "doc_id", 16, 4)
+      .select(col("__id").as("id_a"), col("__band"), col("__bucket"))
+    val cbRanked = Dedup.md5Bands(corpusDf, "text", "doc_id", 16, 4)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__band", "__bucket").orderBy("__id")))
+      .filter(col("__rn") <= Dedup.DefaultHotBucketThreshold)
+      .select(col("__id").as("id_b"), col("__band"), col("__bucket"))
+    val cand = nb.join(cbRanked, Seq("__band", "__bucket"))
+      .select("id_a", "id_b").distinct()
+    val near = Dedup.verifyJaccardStrings(cand,
+        newDf.unionByName(corpusDf), "text", "doc_id", 0.5)
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), lit("near").as("reason"), col("jaccard"))
+    exact.unionByName(near).orderBy("id_a", "id_b", "reason")
+  }
+
+  /** Attribution probes for the verifyJaccard tail experiment (r17):
+    * `mh_found_nothresh` = single intersect evaluation, no threshold
+    * filter at all (the floor); `mh_found_genonly` = the generator
+    * boundary WITHOUT the filter (isolates GenerateExec's own cost).
+    */
+  def mhFoundNoThresh(s: SparkSession, dir: String): DataFrame =
+    mhVerifyAgg(s, dir)
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i") / (col("__n") - col("__i")), 4).as("jaccard"))
+
+  def mhFoundGenOnly(s: SparkSession, dir: String): DataFrame =
+    mhVerifyAgg(s, dir)
+      .select(col("id_a"), col("id_b"), explode(array(struct(
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n")))).as("__s"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__s.__i") / (col("__s.__n") - col("__s.__i")), 4).as("jaccard"))
+
+  private def mhVerifyAgg(s: SparkSession, dir: String): DataFrame = {
+    val corpus = mhCorpus(s, dir)
+    val cands = graft.ops.Dedup.minhashCandidates(corpus, "text", "doc_id")
+    val sides = cands.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("__vid"))
+    sides.join(corpus.select(col("doc_id").as("__vid"), col("text").as("__txt")), "__vid")
+      .select(col("id_a"), col("id_b"), col("__vid"),
+        array_distinct(
+          graft.functions.TokenGramHashes.tokenGramHashes(col("__txt"), 3)).as("__g"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
+        first(when(col("__vid") === col("id_b"), col("__g")), ignoreNulls = true).as("__gb"))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curation_aliasfilter" -> (pipeCurationAliasFilter _),
+    "mh_found_dupfilter" -> (mhFoundDupFilter _),
+    "mh_found_nothresh" -> (mhFoundNoThresh _),
+    "mh_found_genonly" -> (mhFoundGenOnly _),
+    "dedup_incremental_twopass" -> (dedupIncrementalTwoPass _),
     "mh_sketch_only" -> (mhSketchOnly _),
     "mh_candidates" -> (mhCandidates _),
     "mh_found" -> (mhFound _),

@@ -251,6 +251,16 @@ object Dedup {
     * 28 sketch evaluations in the dedup_minhash gate, 0.76→2.76 s at
     * sf0.1) — instead, callers fold the chain pairs INTO the banded
     * frame as synthetic two-member buckets, keeping one linear pipeline.
+    *
+    * CALLER OBLIGATION (r16): the null-key filter here sits ABOVE the
+    * collapse window (below it, predicate pushdown substitutes the
+    * key's defining expression into the filter and the sketch runs
+    * twice per row), so null-key rows DO ride the hash exchange and
+    * window sort before being discarded. Callers whose key can be null
+    * must pre-filter a cheap null-equivalent predicate on the key's
+    * INPUT below the sketch (text/vector IS NOT NULL — every sketch
+    * layer null-propagates) so the scan prunes those rows; a caller
+    * without one pays exchange cost for rows that are always dropped.
     */
   private[ops] def collapseMarked(sk: DataFrame, keyCol: String): DataFrame = {
     // partition the window by a 64-bit HASH of the sketch, not the
@@ -372,7 +382,7 @@ object Dedup {
     * [[minhashCandidatesMd5]], exposed so asymmetric consumers
     * ([[incrementalDuplicates]]) can band each side separately.
     */
-  private[ops] def md5Bands(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def md5Bands(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, bands: Int): DataFrame =
     md5BandArray(df, textCol, idCol, numHashes, bands)
       .select(col("__id"),
@@ -435,13 +445,22 @@ object Dedup {
       textCol: String, idCol: String, threshold: Double = 0.5,
       numHashes: Int = 16, bands: Int = 4,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
-    val nf = newDf.select(col(idCol).as("id_a"),
-      TextOps.fingerprint(col(textCol)).as("__fp"))
-    val cf = corpusDf.select(col(idCol).as("id_b"),
-      TextOps.fingerprint(col(textCol)).as("__fp"))
-    val exact = nf.join(cf, "__fp")
-      .select(col("id_a"), col("id_b"), lit("exact").as("reason"),
-        lit(1.0).as("jaccard"))
+    // generator boundary on the fingerprint (the r9 trick, reapplied
+    // r17): joining on a plain `fingerprint(text) AS __fp` alias lets
+    // the join's injected isnotnull(__fp) push below the projection with
+    // the FULL md5(trim(regexp_replace(lower(text)))) expression
+    // substituted in — plan-confirmed: both sides' scan Filters carried
+    // the whole fingerprint next to the Project computing it again, so
+    // every row paid the normalize+md5 pass twice. The boundary pins one
+    // pass; the cheap null-equivalent text predicate below the sketch
+    // keeps the scan pruning (fingerprint null ⟺ text null).
+    def fpSide(df: DataFrame, as: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as(as), explode(array(struct(
+        TextOps.fingerprint(col(textCol)).as("fp")))).as("__s"))
+      .select(col(as), col("__s.fp").as("__fp"))
+    val exact = fpSide(newDf, "id_a").join(fpSide(corpusDf, "id_b"), "__fp")
+      .select(col("id_a"), col("id_b"))
     val nb = md5Bands(newDf, textCol, idCol, numHashes, bands)
       .select(col("__id").as("id_a"), col("__band"), col("__bucket"))
     val cbRanked = md5Bands(corpusDf, textCol, idCol, numHashes, bands)
@@ -455,9 +474,19 @@ object Dedup {
         newDf.select(col(idCol), col(textCol))
           .unionByName(corpusDf.select(col(idCol), col(textCol))),
         textCol, idCol, threshold)
-      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-      .select(col("id_a"), col("id_b"), lit("near").as("reason"), col("jaccard"))
-    exact.unionByName(near)
+    // ONE instantiation of the exact subtree (r17): the former
+    // exact.unionByName(near.join(exact, _, "left_anti")) referenced the
+    // exact frame twice, and Catalyst re-computes a subtree per
+    // reference — both fingerprint scans ran twice. A full-outer merge
+    // on the pair key is row-identical: exact-only and both-sides rows
+    // surface as reason `exact` / jaccard 1.0 (exactly the rows the
+    // union's exact branch emitted — the anti join removed them from
+    // near), near-only rows keep their verified jaccard.
+    exact.withColumn("__ex", lit(true))
+      .join(near, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("__ex"), lit("exact")).otherwise(lit("near")).as("reason"),
+        when(col("__ex"), lit(1.0)).otherwise(col("jaccard")).as("jaccard"))
   }
 
   /** Exact-Jaccard verification on STRING shingle sets (the md5-family
@@ -475,10 +504,15 @@ object Dedup {
       .agg(
         first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
         first(when(col("__vid") === col("id_b"), col("__g")), ignoreNulls = true).as("__gb"))
-      .select(col("id_a"), col("id_b"),
+      // generator boundary — same single-evaluation fix as
+      // [[verifyJaccard]]: the STRING-set intersection is even costlier
+      // per element, so the pushed filter's second evaluation doubled
+      // the verify stage's dominant term
+      .select(col("id_a"), col("id_b"), explode(array(struct(
         size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
-        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n"))
-      .withColumn("jaccard", col("__i") / (col("__n") - col("__i")))
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n")))).as("__s"))
+      .select(col("id_a"), col("id_b"),
+        (col("__s.__i") / (col("__s.__n") - col("__s.__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -611,6 +645,15 @@ object Dedup {
   /** Verify candidate pairs with exact n-gram Jaccard ≥ `threshold`.
     * `docs` must carry (idCol, textCol); candidates carry (id_a, id_b).
     *
+    * OUTPUT-UNIQUENESS CONTRACT: the result is unique on (id_a, id_b) —
+    * the trailing groupBy(id_a, id_b) guarantees it regardless of
+    * duplicate candidate rows. Callers depend on this for row-count
+    * identity: the dedup_minhash gate rewrites its semi-join recall
+    * count as a left join + count(__hit) (OpsQueries), which is
+    * bit-identical ONLY while this function emits at most one row per
+    * pair. A change that emits per-band or per-evidence rows must
+    * re-aggregate before returning.
+    *
     * Each candidate pair is exploded to one row per side and joined
     * against the gram table ONCE, then the pair is reassembled by a
     * groupBy — so each document's shingle set is computed a single time
@@ -638,10 +681,21 @@ object Dedup {
       .agg(
         first(when(col("__vid") === col("id_a"), col("__g")), ignoreNulls = true).as("__ga"),
         first(when(col("__vid") === col("id_b"), col("__g")), ignoreNulls = true).as("__gb"))
-      .select(col("id_a"), col("id_b"),
+      // generator boundary (the r9 trick, reapplied r17): a plain
+      // `size(array_intersect(...)) AS __i` alias lets PushDownPredicates
+      // substitute the intersection into the threshold filter's
+      // condition, so every surviving pair paid array_intersect TWICE —
+      // once in the pushed Filter, once in the Project above it (no
+      // cross-operator subexpression elimination; plan-confirmed: the
+      // Filter Condition and the Project Output each carried
+      // array_intersect(__ga, __gb)). Predicates referencing generator
+      // output cannot push through the Generate, so the intersection
+      // runs once per pair and the filter tests the struct field.
+      .select(col("id_a"), col("id_b"), explode(array(struct(
         size(array_intersect(col("__ga"), col("__gb"))).cast("double").as("__i"),
-        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n"))
-      .withColumn("jaccard", col("__i") / (col("__n") - col("__i")))
+        (size(col("__ga")) + size(col("__gb"))).cast("double").as("__n")))).as("__s"))
+      .select(col("id_a"), col("id_b"),
+        (col("__s.__i") / (col("__s.__n") - col("__s.__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -376,9 +376,17 @@ object Similarity {
       None, chainK, hotBucketThreshold).distinct()
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__pa"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__pb"))
+    // generator boundary (the r9 trick, reapplied r17): a plain
+    // `round(cosine(...)) AS sim` alias lets PushDownPredicates put the
+    // fused dim-length cosine loop into the threshold Filter AND leave
+    // it in the Project — every surviving pair paid the verification
+    // cosine twice (no cross-operator subexpression elimination). The
+    // explode boundary pins one evaluation; the filter tests the
+    // struct field.
     idPairs.join(va, "id_a").join(vb, "id_b")
-      .withColumn("sim", round(cosine(col("__pa"), col("__pb")), 4))
+      .select(col("id_a"), col("id_b"), explode(array(struct(
+        round(cosine(col("__pa"), col("__pb")), 4).as("sim")))).as("__s"))
+      .select(col("id_a"), col("id_b"), col("__s.sim").as("sim"))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
   }
 }

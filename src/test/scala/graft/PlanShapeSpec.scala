@@ -96,6 +96,49 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pipe_curation re-scores text inside a filter condition:\n$cur")
   }
 
+  test("LSH sketch single evaluation: positive count + every collapseMarked consumer") {
+    // r16 ADVICE: the negative string pin above could go vacuous on a
+    // Spark plan-format change. Positive invariant: the sketch-defining
+    // expression occurs an exact small number of times in the whole
+    // plan (dedup_minhash after the r16 fix: 2 — one per union branch,
+    // projection only; the broken shape carried 4). Plus the consumers
+    // the negative pin didn't cover: the md5 twins and the cosine
+    // near-dup path.
+    def occ(p: String, needle: String): Int =
+      p.sliding(needle.length).count(_ == needle)
+    assert(occ(planOf("dedup_minhash"), "minhash_bands(") == 2,
+      "dedup_minhash must evaluate minhash_bands exactly twice " +
+        "(found+eligible branches), once per row each")
+    assert(occ(planOf("dedup_simhash"), "simhash64(") == 2,
+      "dedup_simhash must evaluate simhash64 exactly twice " +
+        "(found+eligible branches), once per row each")
+    // md5 twins: the band array is a post-aggregate attribute, so the
+    // duplication mechanism would surface as a Filter re-stating the
+    // md5 banding expression next to its defining aggregate
+    Seq("dedup_minhash_md5", "dedup_simhash_md5").foreach { q =>
+      val p = planOf(q)
+      val bad = p.linesIterator
+        .filter(l => l.contains("Filter") && l.contains("md5("))
+      assert(bad.isEmpty,
+        s"$q re-evaluates the md5 sketch inside a filter:\n${bad.mkString("\n")}")
+    }
+    // cosine near-dup: the dedup_embedding GATE is a deliberate exact
+    // cross-join fixture, so pin the operator itself — the hyperplane
+    // signature (vec_dot against literal planes) must stay out of every
+    // Filter, and exist somewhere (non-vacuous)
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+    val cp = graft.ops.Similarity.cosineNearDupPairs(
+      embDf, "vec_id", "v", dim = 64, threshold = 0.9, nBits = 8)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("vec_dot("),
+      "cosine near-dup plan lost its native signature expression (pin vacuous)")
+    val cbad = cp.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("vec_dot("))
+    assert(cbad.isEmpty,
+      s"cosine near-dup re-evaluates signatures inside a filter:\n${cbad.mkString("\n")}")
+  }
+
   test("quantile filter's threshold join-back is the small side (no fact-side rebuild)") {
     // the per-stratum threshold table is an aggregate of the input; the
     // join back must not plan the AGGREGATE as the streamed/probe side

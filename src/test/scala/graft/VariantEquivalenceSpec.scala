@@ -62,4 +62,29 @@ class VariantEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q16_predistinct returns q16_supplier_part_cnt's exact rows") {
     assertSameRows("q16_supplier_part_cnt", "q16_predistinct")
   }
+
+  test("dedup_incremental_twopass returns dedup_incremental's exact rows") {
+    // r17: the adopted shape boundaries the fingerprint and merges the
+    // exact/near layers with ONE full-outer join; this variant is the
+    // replaced union + anti-join shape
+    assertSameRows("dedup_incremental", "dedup_incremental_twopass")
+  }
+
+  test("the verifyJaccard tail variants agree with the adopted shape") {
+    // r17: mh_found (adopted generator-boundary tail) vs the replaced
+    // double-evaluation tail and the two attribution probes — all four
+    // must emit the identical verified pair set
+    val base = AbBench.variants("mh_found")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    Seq("mh_found_dupfilter", "mh_found_nothresh", "mh_found_genonly")
+      .foreach { v =>
+        val rows = AbBench.variants(v)(spark, dir)
+          // the no-filter probes emit sub-threshold pairs too; apply the
+          // gate threshold so the comparison tests VALUE equality
+          .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5)
+          .collect().map(_.toString).sorted.toSeq
+        assert(rows == base, s"$v != mh_found: " +
+          s"only-base=${base.diff(rows).take(3)} only-v=${rows.diff(base).take(3)}")
+      }
+  }
 }

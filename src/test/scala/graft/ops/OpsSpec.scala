@@ -44,6 +44,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sims.forall(_ >= 0.5))
   }
 
+  test("verifyJaccard output is unique on (id_a, id_b) under duplicate candidates") {
+    // Uniqueness contract (verifyJaccard scaladoc, r16 ADVICE): the
+    // dedup_minhash gate's left-join + count(__hit) recall rewrite is
+    // bit-identical to the former semi-join ONLY while verify emits at
+    // most one row per pair — this pins it against a future per-band /
+    // per-evidence emission, with deliberately duplicated candidates.
+    val cands = Dedup.minhashCandidates(planted, "text", "doc_id")
+    val dup = cands.unionAll(cands)
+    val out = Dedup.verifyJaccard(dup, planted, "text", "doc_id", threshold = 0.5)
+    val n = out.count()
+    assert(n === out.select("id_a", "id_b").distinct().count(),
+      "verifyJaccard emitted duplicate (id_a, id_b) rows")
+    val base = Dedup.verifyJaccard(cands, planted, "text", "doc_id", threshold = 0.5)
+    assert(n === base.count(),
+      "duplicated candidate input changed verifyJaccard's output row count")
+  }
+
   test("simhash blocks + hamming verify find planted twins") {
     val fps = Dedup.simhash64(planted, "text", "doc_id")
     val pairs = Dedup.simhashPairs(fps, "doc_id", maxHamming = 8)
