@@ -377,6 +377,10 @@ object AbBench {
     "mh_found_nothresh" -> (mhFoundNoThresh _),
     "mh_found_genonly" -> (mhFoundGenOnly _),
     "dedup_incremental_twopass" -> (dedupIncrementalTwoPass _),
+    // the 100× probe's production-path semantic near-dup frame, named
+    // here so PlanDump/AbBench can address the operator directly
+    "cosine_neardup" -> ((s: SparkSession, dir: String) =>
+      ScaleBench.semanticNearDup(s, dir)),
     "mh_sketch_only" -> (mhSketchOnly _),
     "mh_candidates" -> (mhCandidates _),
     "mh_found" -> (mhFound _),
