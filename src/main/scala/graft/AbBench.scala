@@ -335,6 +335,32 @@ object AbBench {
     exact.unionByName(near).orderBy("id_a", "id_b", "reason")
   }
 
+  /** The REPLACED q11 shape (r17): the HAVING threshold as a SECOND
+    * aggregation over the same lineitem⋈supplier⋈nation subtree — two
+    * full fact passes (broadcast dims, so no shuffle below the aggs for
+    * ReuseExchange to share; StageAudit at 100×: cpu 7.4 s + 11.2 s for
+    * the two passes). The adopted gate derives the threshold FROM the
+    * per-part aggregate, whose identical partkey-exchange subtree AQE
+    * stage reuse dedupes to one fact pass (wall −16%, cpu −23% at 100×;
+    * AbBench min 1.371→1.186). Kept as the "before" arm.
+    */
+  def q11TwoPass(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.queries.Tables.t(s, dir, _: String)
+    val l = t("lineitem")
+    val su = t("supplier")
+    val n = t("nation").filter(col("n_name") === "NATION_5")
+    val joined = l
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+    val perPart = joined.groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice")).as("value_raw"))
+    val total = joined.agg((sum(col("l_extendedprice")) * lit(0.001)).as("threshold"))
+    perPart.crossJoin(total)
+      .filter(col("value_raw") > col("threshold"))
+      .select(col("l_partkey"), round(col("value_raw"), 2).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
   /** Attribution probes for the verifyJaccard tail experiment (r17):
     * `mh_found_nothresh` = single intersect evaluation, no threshold
     * filter at all (the floor); `mh_found_genonly` = the generator
@@ -381,6 +407,7 @@ object AbBench {
     // here so PlanDump/AbBench can address the operator directly
     "cosine_neardup" -> ((s: SparkSession, dir: String) =>
       ScaleBench.semanticNearDup(s, dir)),
+    "q11_twopass" -> (q11TwoPass _),
     "mh_sketch_only" -> (mhSketchOnly _),
     "mh_candidates" -> (mhCandidates _),
     "mh_found" -> (mhFound _),

@@ -386,7 +386,20 @@ object Tpch {
         .join(n, col("s_nationkey") === col("n_nationkey"))
       val perPart = joined.groupBy("l_partkey")
         .agg(sum(col("l_extendedprice")).as("value_raw"))
-      val total = joined.agg((sum(col("l_extendedprice")) * lit(0.001)).as("threshold"))
+      // ONE fact pass (r17): the HAVING threshold derives FROM the
+      // per-part aggregate — sum of per-part sums — instead of a second
+      // aggregation over the same joined subtree. The two consumers now
+      // share the IDENTICAL partkey-exchange subtree, which AQE stage
+      // reuse dedupes at runtime (StageAudit at 100×: two fact passes
+      // cpu 7.4+11.2 s → one pass 12.1 s + three cheap reads of the
+      // reused 82 MB exchange; wall −16%, cpu −23%; interleaved AbBench
+      // 100× min 1.371→1.186). 10× pays a ~0.04 s stage constant —
+      // the same trade as the q05/q08 adoptions. The threshold's float
+      // summation ORDER changes (per-part partials vs one row stream);
+      // equivalence is pinned by VariantEquivalenceSpec (q11_twopass)
+      // and the oracle hash gates — no part sits within float noise of
+      // the 0.1% boundary at any checked SF.
+      val total = perPart.agg((sum(col("value_raw")) * lit(0.001)).as("threshold"))
       perPart.crossJoin(total)
         .filter(col("value_raw") > col("threshold"))
         .select(col("l_partkey"), round(col("value_raw"), 2).as("part_value"))

@@ -63,6 +63,14 @@ class VariantEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows("q16_supplier_part_cnt", "q16_predistinct")
   }
 
+  test("q11_twopass returns q11_important_parts' exact rows") {
+    // r17: the adopted gate derives the HAVING threshold from the
+    // per-part aggregate (one fact pass); this variant is the replaced
+    // two-pass shape. Also pins that the changed float summation order
+    // of the threshold does not move any part across the 0.1% boundary.
+    assertSameRows("q11_important_parts", "q11_twopass")
+  }
+
   test("dedup_incremental_twopass returns dedup_incremental's exact rows") {
     // r17: the adopted shape boundaries the fingerprint and merges the
     // exact/near layers with ONE full-outer join; this variant is the
