@@ -336,7 +336,16 @@ object Analytics {
 
     ("setop_all_variants", (s: SparkSession, dir: String) => {
       // EXCEPT ALL / INTERSECT ALL: multiset semantics (duplicates carry
-      // multiplicity), vs the DISTINCT set ops covered elsewhere
+      // multiplicity), vs the DISTINCT set ops covered elsewhere.
+      // (r17 note, deliberately NOT taken: because the payload is one
+      // key column, the whole result is derivable in ONE lineitem pass —
+      // per-key conditional counts n_a/n_b, then min(n_a,n_b) /
+      // greatest(n_a−n_b,0) over keys with n_a>0 — 1 scan + 1 narrow
+      // exchange vs the current 4 scans + 40 MB exchange (StageAudit
+      // 10×: 2.7 s wall). Rewriting would optimize away the INTERSECT
+      // ALL / EXCEPT ALL operators this gate exists to exercise; the
+      // count-arithmetic shape is the production recommendation when
+      // the set ops themselves are not the point.)
       val a = t(s, dir, "lineitem").filter(col("l_quantity") <= 10)
         .select(col("l_suppkey"))
       val b = t(s, dir, "lineitem").filter(col("l_discount") > 0.05)
